@@ -1,0 +1,283 @@
+package graft
+
+/** DuckDB oracle SQL for each SQL-expressible entry in [[Queries.all]].
+  * Column names/types are kept in lockstep with the Spark side (the
+  * driver's compare sorts columns by name and hashes values). Queries with
+  * engine-specific hashing (xxhash64) or float-accumulation-order
+  * sensitivity ship no oracle → rows-only check.
+  */
+object Oracles {
+
+  val all: Map[String, String] = Map(
+    "q01_agg_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         count(*) AS count_rows,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_dedup_keep_latest" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t WHERE rn = 1""",
+
+    "q03_join_enrich" ->
+      """SELECT n_name, r_name, count(*) AS num_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name, r_name""",
+
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+
+    "q06_union_views" ->
+      """SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment, 'segA' AS source_view
+         FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION ALL
+         SELECT c_custkey, c_name, CAST(NULL AS DOUBLE), c_mktsegment, 'segB'
+         FROM customer WHERE c_mktsegment = 'MACHINERY'""",
+
+    "q07_kv_pivot" ->
+      """SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+         FROM events GROUP BY user_id""",
+
+    "q08_explode_count" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+         GROUP BY word""",
+
+    "q09_case_bucket" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                     WHEN l_quantity < 25 THEN 'medium'
+                     WHEN l_quantity < 40 THEN 'large'
+                     ELSE 'xlarge' END AS qty_group,
+         count(*) AS n_items,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM lineitem GROUP BY 1""",
+
+    "q10_date_derive" ->
+      """SELECT o_orderkey,
+         strftime(o_orderdate, '%b-%Y') AS month_year,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month_year_sort,
+         CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS BIGINT) AS is_urgent,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS BIGINT) AS age_days
+         FROM orders""",
+
+    "q11_multiformat_dates" ->
+      """WITH raw AS (
+           SELECT o_orderkey,
+             CASE CAST(o_orderkey % 3 AS INT)
+               WHEN 0 THEN strftime(o_orderdate, '%d %b,%Y')
+               WHEN 1 THEN strftime(o_orderdate, '%Y/%m/%d')
+               ELSE strftime(o_orderdate, '%m-%d-%Y') END AS raw_date
+           FROM orders)
+         SELECT o_orderkey, raw_date,
+           COALESCE(try_strptime(raw_date, '%d %b,%Y'),
+                    try_strptime(raw_date, '%Y/%m/%d'),
+                    try_strptime(raw_date, '%m-%d-%Y')) AS parsed
+         FROM raw""",
+
+    "q12_summary_counts" ->
+      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month_year_sort,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+         CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
+         count(*) AS n_total
+         FROM orders GROUP BY 1""",
+
+    "q13_completeness" ->
+      """SELECT
+         CAST(count(event_id) AS DOUBLE) / count(*) AS event_id_complete,
+         CAST(count(ts) AS DOUBLE) / count(*) AS ts_complete,
+         CAST(count(user_id) AS DOUBLE) / count(*) AS user_id_complete,
+         CAST(count(event_type) AS DOUBLE) / count(*) AS event_type_complete,
+         CAST(count(value) AS DOUBLE) / count(*) AS value_complete,
+         CAST(count(props) AS DOUBLE) / count(*) AS props_complete
+         FROM events""",
+
+    "q14_json_extract" ->
+      """SELECT event_type,
+         CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k, count(*) AS n
+         FROM (SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k FROM events) t
+         GROUP BY event_type""",
+
+    "q15_window_nth" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events) t WHERE rn = 2""",
+
+    "q16_manual_fix" ->
+      """SELECT c_custkey,
+         CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'AUTO'
+              WHEN c_mktsegment = 'HOUSEHOLD' THEN 'HOME'
+              ELSE c_mktsegment END AS c_mktsegment
+         FROM customer""",
+
+    "q17_topk_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rank FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rank
+           FROM part) t WHERE rank <= 3""",
+
+    "q18_validate_ranges" ->
+      """SELECT event_id, user_id, value,
+         CASE WHEN value IS NULL THEN 'null_value'
+              WHEN value < 10.0 THEN 'too_low'
+              WHEN value > 990.0 THEN 'too_high' END AS reason
+         FROM events
+         WHERE value IS NULL OR value < 10.0 OR value > 990.0""",
+
+    "q19_merge_upsert" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+           SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM (
+             SELECT * FROM events WHERE event_id % 2 = 0
+             UNION ALL
+             SELECT * FROM events WHERE user_id % 3 = 0) u) t
+         WHERE rn = 1""",
+
+    "q20_label_recode" ->
+      """SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'AUTO'
+                     WHEN c_mktsegment = 'HOUSEHOLD' THEN 'HOME'
+                     ELSE c_mktsegment END AS segment,
+         count(*) AS n
+         FROM customer GROUP BY 1""",
+
+    "q21_dedup_exact_text" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS dup_count
+         FROM documents GROUP BY md5(text)""",
+
+    "q22_token_count" ->
+      """SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens_ws,
+         CAST(ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4.0)
+            + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_tokens_bpe
+         FROM documents""",
+
+    "q23_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+           round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 4) AS punct_ratio,
+           round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+             / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS stopword_ratio
+           FROM documents)
+         SELECT doc_id, punct_ratio, stopword_ratio,
+           round(greatest(least(
+             (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+              + least(stopword_ratio * 4.0, 1.0) * 0.5) - punct_ratio * 2.0,
+             1.0), 0.0), 4) AS quality
+         FROM t""",
+
+    "q24_lang_id" ->
+      """WITH scores AS (
+           SELECT len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                    x -> x IN ('the','a','fast','slow'))) AS s_en,
+                  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                    x -> x IN ('table','scan','row'))) AS s_de,
+                  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                    x -> x IN ('data','query','value'))) AS s_es,
+                  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                    x -> x IN ('spark','join','merge'))) AS s_zh
+           FROM documents),
+         pred AS (
+           SELECT CASE
+             WHEN greatest(s_en, s_de, s_es, s_zh) = 0 THEN 'und'
+             WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es THEN 'zh'
+             WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+             WHEN s_en >= s_de THEN 'en'
+             ELSE 'de' END AS lang_pred
+           FROM scores)
+         SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred""",
+
+    "q25_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents""",
+
+    "q26_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(t[i:i+6], ' ')
+                                        for i in range(1, greatest(len(t) - 5, 0) + 1)])) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) AS jaccard
+         FROM common
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.2""",
+
+    "q27_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                                        for i in range(1, greatest(len(t) - 3, 0) + 1)])) AS s
+                FROM toks),
+         mins AS (SELECT doc_id,
+             min(md5('0:' || s)) AS m0,  min(md5('1:' || s)) AS m1,
+             min(md5('2:' || s)) AS m2,  min(md5('3:' || s)) AS m3,
+             min(md5('4:' || s)) AS m4,  min(md5('5:' || s)) AS m5,
+             min(md5('6:' || s)) AS m6,  min(md5('7:' || s)) AS m7,
+             min(md5('8:' || s)) AS m8,  min(md5('9:' || s)) AS m9,
+             min(md5('10:' || s)) AS m10, min(md5('11:' || s)) AS m11,
+             min(md5('12:' || s)) AS m12, min(md5('13:' || s)) AS m13,
+             min(md5('14:' || s)) AS m14, min(md5('15:' || s)) AS m15
+           FROM sh GROUP BY doc_id)
+         SELECT doc_id,
+           md5(m0 || '|' || m1 || '|' || m2 || '|' || m3) AS b0,
+           md5(m4 || '|' || m5 || '|' || m6 || '|' || m7) AS b1,
+           md5(m8 || '|' || m9 || '|' || m10 || '|' || m11) AS b2,
+           md5(m12 || '|' || m13 || '|' || m14 || '|' || m15) AS b3
+         FROM mins""",
+
+    "q32_multimodal_meta" ->
+      """SELECT c_custkey AS media_id,
+         CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(64 AS INTEGER) AS n_bytes,
+         CAST((c_custkey % 4) * 160 + 320 AS INTEGER) AS width,
+         CAST((c_custkey % 4) * 90 + 180 AS INTEGER) AS height,
+         CAST(16000 AS INTEGER) AS sample_rate,
+         CAST((c_custkey % 8) + 1 AS INTEGER) AS n_frames,
+         'application/octet-stream' AS mime
+         FROM customer""",
+
+    "q33_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                  WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+                  ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         idx AS (
+           SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+           FROM flagged)
+         SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+         FROM idx GROUP BY user_id, session_idx"""
+  )
+}

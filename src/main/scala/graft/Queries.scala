@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators._
+import graft.functions.{Similarity, TextAnalysis}
+
+/** The operator catalog behind [[SparkEntry]]: one named query per
+  * SURVEY.md §2 inventory row, each paired (where SQL-expressible) with a
+  * DuckDB oracle in [[Oracles]].
+  *
+  * Float discipline: every oracle-compared aggregate is either an exact
+  * decimal sum cast to double at the end (order-independent, engine-
+  * portable) or a pure arithmetic derivation of exact inputs — never a
+  * raw double accumulation whose value depends on partial-agg order.
+  */
+object Queries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val langMarkers = Map(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "de" -> Seq("table", "scan", "row"),
+    "es" -> Seq("data", "query", "value"),
+    "zh" -> Seq("spark", "join", "merge"))
+
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── reference surface ────────────────────────────────────────────────
+    "q01_agg_summary" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      l.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        count(lit(1)).as("count_rows"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_rows"))
+    }),
+
+    "q02_dedup_keep_latest" -> ((s, d) =>
+      Dedup.keepLatest(Tables.events(s, d), Seq("user_id"), col("ts"), col("event_id"))),
+
+    "q03_join_enrich" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"), col("r_name"))
+        .agg(count(lit(1)).as("num_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total_revenue"))
+    }),
+
+    "q04_anti_join" -> ((s, d) =>
+      Joins.unmatched(Tables.customer(s, d), Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), broadcastRight = false)
+        .select("c_custkey", "c_name", "c_mktsegment")),
+
+    "q05_semi_join" -> ((s, d) =>
+      Joins.existing(Tables.customer(s, d),
+          Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), broadcastRight = false)
+        .select("c_custkey", "c_acctbal")),
+
+    "q06_union_views" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val segA = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val segB = c.filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      Unions.taggedUnion(Seq("segA" -> segA, "segB" -> segB))
+    }),
+
+    "q07_kv_pivot" -> ((s, d) =>
+      Pivot.toWideConditional(Tables.events(s, d), Seq("user_id"), "event_type",
+        Seq("click", "view", "purchase", "signup", "error"), lit(1L))),
+
+    "q08_explode_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))),
+
+    "q09_case_bucket" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("qty_group", DeriveColumns.bucket(col("l_quantity"),
+          Seq((10.0, "small"), (25.0, "medium"), (40.0, "large")), "xlarge"))
+        .groupBy("qty_group")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))),
+
+    "q10_date_derive" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        DeriveColumns.monthYear(col("o_orderdate")).as("month_year"),
+        DeriveColumns.monthYearSort(col("o_orderdate")).cast("long").as("month_year_sort"),
+        DeriveColumns.flag(col("o_orderpriority") === "1-URGENT").cast("long").as("is_urgent"),
+        datediff(lit("1998-12-01").cast("date"), col("o_orderdate")).cast("long").as("age_days"))),
+
+    "q11_multiformat_dates" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val raw = when(pmod(col("o_orderkey"), lit(3)) === 0, date_format(col("o_orderdate"), "dd MMM,yyyy"))
+        .when(pmod(col("o_orderkey"), lit(3)) === 1, date_format(col("o_orderdate"), "yyyy/MM/dd"))
+        .otherwise(date_format(col("o_orderdate"), "MM-dd-yyyy"))
+      o.select(col("o_orderkey"), raw.as("raw_date"))
+        .withColumn("parsed", DeriveColumns.multiFormatTimestamp(col("raw_date"),
+          Seq("dd MMM,yyyy", "yyyy/MM/dd", "MM-dd-yyyy")))
+    }),
+
+    "q12_summary_counts" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("month_year_sort", DeriveColumns.monthYearSort(col("o_orderdate")).cast("long"))
+      Summaries.flagCounts(o, Seq("month_year_sort"), Seq(
+        "n_urgent" -> (col("o_orderpriority") === "1-URGENT"),
+        "n_open" -> (col("o_orderstatus") === "O"),
+        "n_high_value" -> (col("o_totalprice") > 150000.0),
+        "n_total" -> lit(true)))
+    }),
+
+    "q13_completeness" -> ((s, d) =>
+      Summaries.completeness(Tables.events(s, d),
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props"))),
+
+    "q14_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k").cast("long")).as("sum_k"), min("k").as("min_k"),
+          max("k").as("max_k"), count(lit(1)).as("n"))),
+
+    "q15_window_nth" -> ((s, d) =>
+      Windows.nthPerKey(Tables.events(s, d), Seq("user_id"), Seq(col("ts"), col("event_id")), 2)),
+
+    "q16_manual_fix" -> ((s, d) => {
+      val fixed = DeriveColumns.manualFix(Tables.customer(s, d),
+        "c_acctbal", col("c_acctbal") < 0, lit(0.0))
+      fixed.select(col("c_custkey"), col("c_acctbal"),
+        DeriveColumns.recode(col("c_mktsegment"),
+          Map("AUTOMOBILE" -> "AUTO", "HOUSEHOLD" -> "HOME")).as("c_mktsegment"))
+    }),
+
+    "q17_topk_per_group" -> ((s, d) =>
+      Windows.topKPerKey(Tables.part(s, d), Seq("p_brand"),
+          Seq(col("p_retailprice").desc, col("p_partkey")), 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rank").cast("long").as("rank"))),
+
+    "q18_validate_ranges" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("reason",
+          when(col("value").isNull, "null_value")
+            .when(col("value") < 10.0, "too_low")
+            .when(col("value") > 990.0, "too_high"))
+        .filter(col("reason").isNotNull)
+        .select("event_id", "user_id", "value", "reason")),
+
+    "q19_merge_upsert" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val base = e.filter(pmod(col("event_id"), lit(2)) === 0)
+      val update = e.filter(pmod(col("user_id"), lit(3)) === 0)
+      Dedup.keepLatest(Unions.unionViews(Seq(base, update)),
+        Seq("event_id"), col("ts"), col("event_id"))
+    }),
+
+    "q20_label_recode" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(DeriveColumns.recode(col("c_mktsegment"),
+          Map("AUTOMOBILE" -> "AUTO", "HOUSEHOLD" -> "HOME")).as("segment"))
+        .groupBy("segment").agg(count(lit(1)).as("n"))),
+
+    // ── LLM-pipeline operators ───────────────────────────────────────────
+    "q21_dedup_exact_text" -> ((s, d) =>
+      Dedup.exactByHash(Tables.documents(s, d), Seq("text"), "doc_id")),
+
+    "q22_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))),
+
+    "q23_quality_score" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text"), stopwords).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text"), stopwords).as("quality"))),
+
+    "q24_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(TextAnalysis.langId(col("text"), langMarkers).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))),
+
+    "q25_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    "q26_ngram_jaccard" -> ((s, d) =>
+      NearDup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 7, 0.2)),
+
+    "q27_minhash_lsh" -> ((s, d) => {
+      val sigs = Tables.documents(s, d).select(col("doc_id"),
+        NearDup.minhashSignature(col("text"), 5, 16).as("sig"))
+      sigs.select(col("doc_id"),
+        md5(concat_ws("|", slice(col("sig"), 1, 4))).as("b0"),
+        md5(concat_ws("|", slice(col("sig"), 5, 4))).as("b1"),
+        md5(concat_ws("|", slice(col("sig"), 9, 4))).as("b2"),
+        md5(concat_ws("|", slice(col("sig"), 13, 4))).as("b3"))
+    }),
+
+    "q28_simhash" -> ((s, d) =>
+      NearDup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 8)),
+
+    "q29_embed_neardup" -> ((s, d) =>
+      Ann.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.93, nPlanes = 12, dim = 64)),
+
+    "q30_ann_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.bruteForceTopK(e.filter(pmod(col("vec_id"), lit(50)) === 0), e,
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "q31_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.lshTopK(e.filter(pmod(col("vec_id"), lit(50)) === 0), e,
+        "vec_id", "embedding", k = 5, nPlanes = 10, dim = 64)
+    }),
+
+    "q32_multimodal_meta" -> ((s, d) =>
+      Multimodal.metadataOnly(Multimodal.synthesize(Tables.customer(s, d), "c_custkey"))),
+
+    "q33_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val newSess = when(unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)) > 1800, 1L)
+        .otherwise(lit(0L))
+      val withIdx = e.withColumn("__new", coalesce(newSess, lit(0L)))
+        .withColumn("session_idx", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withIdx.groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+    })
+  )
+}

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the settings we want everywhere.
+  *
+  * Tuned for the driver's local[32] harness but the same knobs are what
+  * you'd set on a 1000-executor cluster: AQE on (runtime re-plan, skew-join
+  * splitting, partition coalescing), shuffle partitions sized to the
+  * parallelism at hand, UTC session time.
+  */
+object Sessions {
+  def local(cpus: Int = 32): SparkSession = tune(
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+  ).getOrCreate()
+
+  /** Apply graft's standard conf to any builder (cluster or local). */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.ui.enabled", "false")
+}

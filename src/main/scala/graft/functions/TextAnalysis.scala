@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for LLM training-data pipelines: token counting,
+  * quality scoring, language ID, fingerprinting.
+  *
+  * All pure Column expressions → whole-stage codegen, no UDFs; each scales
+  * linearly with the scan and never shuffles on its own.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (0 for empty/blank strings). */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token estimate: runs of word chars count ceil(len/4) tokens,
+    * each punctuation char counts 1 (a cheap, deterministic stand-in for a
+    * subword tokenizer's token count).
+    */
+  def tokenCountBpe(text: Column): Column = {
+    val wordChars  = length(regexp_replace(text, "[^A-Za-z0-9]", ""))
+    val punctChars = length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    (ceil(wordChars.cast("double") / 4.0) + punctChars).cast("long")
+  }
+
+  /** Ratio of punctuation characters to total characters (4 dp). */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)), 4)
+
+  /** Ratio of tokens that are stopwords (4 dp). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks  = split(trim(text), "\\s+")
+    val stops = filter(toks, t => t.isin(stopwords.map(s => s: Any): _*))
+    round(size(stops).cast("double") / greatest(size(toks), lit(1)), 4)
+  }
+
+  /** Mean token length in characters (4 dp). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)), 4)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, penalizes
+    * punctuation soup and stopword-free keyword stuffing. Deterministic,
+    * expressible in ANSI SQL for oracle checks.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore  = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctPen  = punctRatio(text) * 2.0
+    val stopScore = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
+    round(greatest(least((lenScore * 0.5 + stopScore * 0.5) - punctPen, lit(1.0)), lit(0.0)), 4)
+  }
+
+  /** Marker-word language ID: score each language by marker hits, argmax
+    * with deterministic tie-break on language code. `markers` maps lang →
+    * marker words.
+    */
+  def langId(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    // One (score, lang) struct per language; max picks highest score,
+    // ties broken by lang code descending — fully deterministic.
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+      struct(hits.as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored.toIndexedSeq: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 of the canonicalized text (lowercase,
+    * whitespace collapsed) — the exact-dup key for documents
+    * (reference analogue: regenerate_unique_key.py's content-derived keys).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling 64-bit polynomial fingerprint over whitespace tokens
+    * (Karp-Rabin style): acc = acc*31 + crc32(token), wrapped to signed 64.
+    * Order-sensitive unlike [[fingerprint]].
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    aggregate(toks, lit(0L), (acc, t) => acc * 31L + crc32(t))
+  }
+}

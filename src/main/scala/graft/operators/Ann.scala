@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (exact; the correctness yardstick).
+  * Scale path: random-hyperplane LSH buckets — query and corpus hash to
+  * buckets, candidates are same-bucket rows, so at 100 TB the join
+  * shuffles |corpus| + |queries| rows on bucket id instead of streaming
+  * the full corpus past every query. An IVF variant would swap the hash
+  * for learned centroids; the plumbing (bucket column + co-partitioned
+  * join + per-query top-k) is identical.
+  */
+object Ann {
+
+  /** Exact brute-force cosine top-k per query. `queries` and `corpus` both
+    * (idCol, vecCol). Queries are broadcast (the typical shape: few
+    * queries, huge corpus), corpus is scanned once, top-k via window.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+    topKPerQuery(scored, k)
+  }
+
+  /** LSH-bucketed ANN: candidates share a random-hyperplane bucket. Probes
+    * multiple plane-sets (`nTables`) to recover recall lost to bucketing.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nPlanes: Int, dim: Int,
+              nTables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
+      val tables = (0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+          Similarity.rhpBucket(col(vec), nPlanes, dim, seed = 42 + t * 7919).as("bkt"))
+      }
+      df.select(col(id), col(vec), explode(array(tables: _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    }
+    val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
+    val c = bucketed(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv")
+    val scored = c.join(broadcast(q), Seq("tbl", "bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+    topKPerQuery(scored, k)
+  }
+
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // rank by (cos desc, neighbor_id asc) — deterministic under float ties
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH-bucketed
+    * self-join (id_a < id_b).
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, nPlanes: Int, dim: Int,
+                            nTables: Int = 4): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val tables = (0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        Similarity.rhpBucket(col("v"), nPlanes, dim, seed = 42 + t * 7919).as("bkt"))
+    }
+    val bucketed = base.select(col("id"), col("v"), explode(array(tables: _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Derived-column operators: bucketing, date derivation, multi-format
+  * timestamp normalization, dictionary recode, conditional record fixes.
+  *
+  * Reference semantics:
+  *  - CASE-WHEN bucket/recode columns (TempGroup, WeightGroup, Gestation
+  *    Group…) (reference: queries/create_summary_admissions_sql.py:120,
+  *    data_tyding/create_derived_columns.py:1)
+  *  - MonthYear + sortable month key + length-of-stay + <24h-death flags
+  *    (reference: derive_data/create_joined_table_and_derived_columns.py)
+  *  - multi-format date parsing with regex dispatch
+  *    (reference: utils/custom_date_formatter.py:1, date_validator.py)
+  *  - label dictionary fixes (reference: utils/data_label_fixes.py,
+  *    fix_data_labels.py)
+  *  - manual record repairs (reference:
+  *    nodes_grouped/step_3_nodes/manually_fix_admissions_records.py:1).
+  *
+  * Scale notes: everything here is a pure Column expression — codegen'd,
+  * pushdown-friendly, zero UDFs, zero shuffles.
+  */
+object DeriveColumns {
+
+  /** Chained threshold bucketing: thresholds = (upperExclusive, label),
+    * ascending; values ≥ last threshold get `lastLabel`. NULL-preserving.
+    */
+  def bucket(value: Column, thresholds: Seq[(Double, String)], lastLabel: String): Column =
+    when(value.isNull, lit(null).cast("string"))
+      .otherwise(thresholds.reverse.foldLeft(lit(lastLabel): Column) {
+        case (acc, (upper, label)) => when(value < upper, label).otherwise(acc)
+      })
+
+  /** "Mon-YYYY" bucket + numeric sortable key (reference MonthYear /
+    * MonthYearSort columns).
+    */
+  def monthYear(ts: Column): Column     = date_format(ts, "MMM-yyyy")
+  def monthYearSort(ts: Column): Column = (year(ts) * 100 + month(ts)).cast("int")
+
+  /** Parse a string timestamp that may arrive in any of `formats`
+    * (first match wins), like the reference's regex-dispatched
+    * to_timestamp chains.
+    */
+  def multiFormatTimestamp(s: Column, formats: Seq[String]): Column =
+    coalesce(formats.map(f => try_to_timestamp(s, lit(f))).toIndexedSeq: _*)
+
+  /** Dictionary recode with passthrough for unknown labels (reference
+    * data_label_fixes). Broadcast-safe: the map lives in the plan.
+    */
+  def recode(c: Column, mapping: Map[String, String]): Column = {
+    if (mapping.isEmpty) c
+    else {
+      val m = map(mapping.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toIndexedSeq: _*)
+      coalesce(element_at(m, c), c)
+    }
+  }
+
+  /** Conditional record repair: where `cond`, replace `colName` with
+    * `fixed`, else keep (reference manual-fix nodes).
+    */
+  def manualFix(df: DataFrame, colName: String, cond: Column, fixed: Column): DataFrame =
+    df.withColumn(colName, when(cond, fixed).otherwise(col(colName)))
+
+  /** 0/1 outcome flag (reference DeathCount / PrematureCount columns). */
+  def flag(cond: Column): Column = when(cond, 1).otherwise(0)
+}

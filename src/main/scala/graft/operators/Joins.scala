@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.broadcast
+
+/** Join-shaped operators from the reference's derive/check stages.
+  *
+  * Reference semantics:
+  *  - admissions ⟕ discharges on uid with derived outcome columns
+  *    (reference: derive_data/create_joined_table_and_derived_columns.py:1)
+  *  - admissions_without_discharges / discharges_not_matched → anti-joins
+  *    (reference: queries/assorted_queries.py)
+  *  - check_row_exists_sql.py → semi-join existence checks.
+  *
+  * Scale notes: dimension tables are broadcast (`broadcast(dim)`) so the
+  * fact side never shuffles for the join; fact-fact joins shuffle on the
+  * join key and rely on AQE for skew splitting. Anti/semi joins keep only
+  * the key columns of the right side on the wire.
+  */
+object Joins {
+
+  /** Left join a fact to a (small) dimension, broadcasting the dimension. */
+  def enrich(fact: DataFrame, dim: DataFrame, joinExpr: Column, how: String = "left"): DataFrame =
+    fact.join(broadcast(dim), joinExpr, how)
+
+  /** Rows of `left` with no match in `right` (reference:
+    * admissions_without_discharges). Broadcast the right side when small —
+    * anti-join only needs its keys.
+    */
+  def unmatched(left: DataFrame, right: DataFrame, joinExpr: Column, broadcastRight: Boolean = true): DataFrame =
+    left.join(if (broadcastRight) broadcast(right) else right, joinExpr, "left_anti")
+
+  /** Rows of `left` that have at least one match in `right`. */
+  def existing(left: DataFrame, right: DataFrame, joinExpr: Column, broadcastRight: Boolean = true): DataFrame =
+    left.join(if (broadcastRight) broadcast(right) else right, joinExpr, "left_semi")
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-entity ordered selection: nth record, top-k per group.
+  *
+  * Reference semantics: day-1/2/3 vitals tables pick time-offset records
+  * per admission (reference: queries/create_summary_day_one_vitals_sql.py,
+  * .._day_two_.., .._day_three_..); assorted summaries rank within groups.
+  *
+  * Scale notes: a window with PARTITION BY key shuffles once on the key and
+  * sort-buffers per key — unavoidable for rank semantics. For rank=1 only,
+  * prefer [[Dedup.keepLatest]] (aggregation, cheaper). Use these when the
+  * ordinal itself (nth, top-k) is required.
+  */
+object Windows {
+
+  /** The nth row (1-based) per key ordered by `order` (deterministic if
+    * `order` is a total order; pass a tie-breaking struct otherwise).
+    */
+  def nthPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column], nth: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(order.toIndexedSeq: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === nth).drop("__rn")
+  }
+
+  /** Top-k rows per key by `order`, keeping the rank column. */
+  def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int,
+                 rankCol: String = "rank"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(order.toIndexedSeq: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+}
