@@ -215,7 +215,7 @@ object Oracles {
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
          sh AS (SELECT doc_id,
                   unnest(list_distinct([array_to_string(t[i:i+6], ' ')
-                                        for i in range(1, greatest(len(t) - 5, 0) + 1)])) AS s
+                                        for i in range(1, greatest(len(t) - 6, 0) + 1)])) AS s
                 FROM toks),
          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
          common AS (
@@ -233,7 +233,7 @@ object Oracles {
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
          sh AS (SELECT doc_id,
                   unnest(list_distinct([array_to_string(t[i:i+4], ' ')
-                                        for i in range(1, greatest(len(t) - 3, 0) + 1)])) AS s
+                                        for i in range(1, greatest(len(t) - 4, 0) + 1)])) AS s
                 FROM toks),
          mins AS (SELECT doc_id,
              min(md5('0:' || s)) AS m0,  min(md5('1:' || s)) AS m1,

@@ -209,9 +209,14 @@ object Queries {
     "q28_simhash" -> ((s, d) =>
       NearDup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 8)),
 
+    // threshold 0.4: the synthetic embeddings are near-orthogonal (max
+    // pairwise cosine ≈ 0.5–0.6), so a "real" near-dup cut of 0.93 matches
+    // nothing; 0.4 yields a stable nonempty pair set at every SF. Few
+    // planes + more tables keeps random-hyperplane recall usable at this
+    // moderate similarity (p_bit ≈ 0.63 ⇒ per-table hit ≈ 0.63^6).
     "q29_embed_neardup" -> ((s, d) =>
       Ann.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.93, nPlanes = 12, dim = 64)),
+        threshold = 0.4, nPlanes = 6, dim = 64, nTables = 8)),
 
     "q30_ann_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)

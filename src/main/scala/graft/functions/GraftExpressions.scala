@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the similarity/hashing hot paths.
+  *
+  * Each is a thin codegen'd wrapper over a [[VectorOps]] kernel: the
+  * generated Java makes ONE static call per row, so the expression stays
+  * inside whole-stage codegen with an O(1)-size tree (vs the O(planes×dim)
+  * trees the Column-combinator versions expand to).
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(FloatType), ArrayType(FloatType)))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.functions.VectorOps.dotF($a, $b);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class FloatVecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(FloatType), ArrayType(FloatType)))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.functions.VectorOps.cosineF($a, $b);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class FloatVecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(FloatType), ArrayType(FloatType)))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_l2sq"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.l2sqF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.functions.VectorOps.l2sqF($a, $b);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH bucket id of a float vector (plane count and seed
+  * are plan-time constants, folded into the generated call site).
+  */
+case class RhpBucketExpr(child: Expression, nPlanes: Int, seed: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(FloatType)))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rhp_bucket"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.rhpBucket(v.asInstanceOf[ArrayData], nPlanes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = graft.functions.VectorOps.rhpBucket($v, $nPlanes, $seed);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array (xxhash64 token hashes, bit-majority). */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = graft.functions.VectorOps.simhash64($v);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Registration: the same builders serve `SparkSessionExtensions
+  * .injectFunction` (cluster: `spark.sql.extensions=graft.plans
+  * .GraftExtensions`) and runtime registration into an already-built
+  * session ([[ensureRegistered]] — what the query catalog calls, since the
+  * harness hands us its own sessions).
+  */
+object GraftFunctions {
+
+  /** Nullability-insensitive array-input type check shared by all graft
+    * expressions (stand-in for ExpectsInputTypes, whose AbstractDataType
+    * is private[sql] in Spark 4).
+    */
+  private def norm(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => ArrayType(norm(et), containsNull = true)
+    case other            => other
+  }
+
+  def checkArrayInputs(name: String, actual: Seq[DataType],
+                       expected: Seq[DataType]): TypeCheckResult =
+    if (actual.length == expected.length &&
+        actual.zip(expected).forall { case (a, e) => norm(a) == norm(e) })
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$name expects (${expected.mkString(", ")}), got (${actual.mkString(", ")})")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, builder) for every graft SQL function. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_vec_dot" -> (es => FloatVecDot(es(0), es(1))),
+    "graft_vec_cosine" -> (es => FloatVecCosine(es(0), es(1))),
+    "graft_vec_l2sq" -> (es => FloatVecL2Sq(es(0), es(1))),
+    "graft_rhp_bucket" -> (es =>
+      RhpBucketExpr(es(0), intLit(es(1), "nPlanes"), intLit(es(2), "seed"))),
+    "graft_simhash64" -> (es => SimHash64Expr(es(0)))
+  )
+
+  def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    all.map { case (name, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
+    }
+
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotently register the graft functions into a live session. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!registered.contains(spark)) {
+      val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+      all.foreach { case (name, builder) =>
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      }
+      registered.add(spark)
+    }
+}

@@ -27,6 +27,20 @@ object Similarity {
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
 
+  // ── native-Expression fast paths ──────────────────────────────────────
+  // Same semantics as the combinator versions above (specs assert it), but
+  // one O(1) tree node + one tight JVM loop per row. Requires
+  // GraftFunctions.ensureRegistered on the session (operators do this).
+
+  def dotFast(a: Column, b: Column): Column = call_function("graft_vec_dot", a, b)
+
+  def cosineFast(a: Column, b: Column): Column = call_function("graft_vec_cosine", a, b)
+
+  def l2sqFast(a: Column, b: Column): Column = call_function("graft_vec_l2sq", a, b)
+
+  def rhpBucketFast(vec: Column, nPlanes: Int, seed: Int = 42): Column =
+    call_function("graft_rhp_bucket", vec, lit(nPlanes), lit(seed))
+
   /** Random-hyperplane LSH bucket id: sign-bit signature of the vector
     * against `planes` (each plane a deterministic ±1 pattern derived from
     * a seed), packed into a long. Vectors in the same bucket are cosine-

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.StringType
+
+/** Tight-loop kernels called from generated code — one static call per row.
+  *
+  * Why: composing these out of `element_at`/`zip_with`/`aggregate` builds
+  * Catalyst trees of O(planes × dim) or O(64 × tokens) nodes. At 12 planes
+  * × 64 dims × 4 tables that is a ~3000-node expression the optimizer
+  * rewrites repeatedly and codegen splits into page-sized methods — plan
+  * compile time alone dominated round-1's BENCH (q29 112 s, q31 83 s on
+  * kilobyte-scale inputs). A custom Expression calling one JVM loop keeps
+  * the tree O(1) and the per-row work branch-free.
+  *
+  * Semantics match the Column-combinator versions in [[Similarity]] /
+  * [[graft.operators.NearDup]] bit-for-bit (specs assert equivalence).
+  */
+object VectorOps {
+
+  /** Dot product over float arrays, accumulated in double (ltr order). */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var s = 0.0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  /** One-pass cosine similarity; 0.0 when either vector has zero norm. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0.0 else d / den
+  }
+
+  /** Squared L2 distance over float arrays. */
+  def l2sqF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var s = 0.0
+    while (i < n) {
+      val dv = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += dv * dv
+      i += 1
+    }
+    s
+  }
+
+  /** Random-hyperplane LSH bucket: bit p = sign of the projection onto a
+    * deterministic ±1 plane derived from (p, i, seed) — same mix as
+    * [[Similarity.rhpBucket]].
+    */
+  def rhpBucket(v: ArrayData, nPlanes: Int, seed: Int): Long = {
+    val dim = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0.0
+      var i = 0
+      while (i < dim) {
+        val s = ((p * 1103515245 + i * 12345 + seed) >>> 16) & 1
+        proj += v.getFloat(i).toDouble * (if (s == 1) 1.0 else -1.0)
+        i += 1
+      }
+      if (proj >= 0.0) bucket += (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** 64-bit SimHash over a token array: per-bit ±1 vote of xxhash64(token)
+    * (seed 42 — identical to the builtin `xxhash64`), bit set when votes
+    * are strictly positive.
+    */
+  def simhash64(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        val h = XxHash64Function.hash(t, StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}

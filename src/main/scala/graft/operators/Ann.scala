@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.Similarity
+import graft.functions.{GraftFunctions, Similarity}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -13,6 +13,12 @@ import graft.functions.Similarity
   * the full corpus past every query. An IVF variant would swap the hash
   * for learned centroids; the plumbing (bucket column + co-partitioned
   * join + per-query top-k) is identical.
+  *
+  * Scale notes: similarity is computed BEFORE any pair-level shuffle, so
+  * dedup/top-k stages move (ids, score) triples — never the vectors. All
+  * vector math runs through graft's native codegen expressions
+  * ([[graft.functions.VectorOps]]); the combinator forms kept in
+  * [[Similarity]] are the spec-checked reference semantics.
   */
 object Ann {
 
@@ -22,11 +28,13 @@ object Ann {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineFast(col("qv"), col("cv")).as("cos"))
     topKPerQuery(scored, k)
   }
 
@@ -36,20 +44,23 @@ object Ann {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int, dim: Int,
               nTables: Int = 4): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
       val tables = (0 until nTables).map { t =>
         struct(lit(t).as("tbl"),
-          Similarity.rhpBucket(col(vec), nPlanes, dim, seed = 42 + t * 7919).as("bkt"))
+          Similarity.rhpBucketFast(col(vec), nPlanes, seed = 42 + t * 7919).as("bkt"))
       }
       df.select(col(id), col(vec), explode(array(tables: _*)).as("tb"))
         .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     }
     val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
     val c = bucketed(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv")
+    // score inside the bucket join, then dedupe on the slim (ids, cos) rows
     val scored = c.join(broadcast(q), Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineFast(col("qv"), col("cv")).as("cos"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
     topKPerQuery(scored, k)
   }
 
@@ -63,15 +74,17 @@ object Ann {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH-bucketed
-    * self-join (id_a < id_b).
+    * self-join (id_a < id_b). The threshold filter runs BEFORE the pair
+    * dedup, so only passing (id, id, cos) triples ever shuffle.
     */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, nPlanes: Int, dim: Int,
                             nTables: Int = 4): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val tables = (0 until nTables).map { t =>
       struct(lit(t).as("tbl"),
-        Similarity.rhpBucket(col("v"), nPlanes, dim, seed = 42 + t * 7919).as("bkt"))
+        Similarity.rhpBucketFast(col("v"), nPlanes, seed = 42 + t * 7919).as("bkt"))
     }
     val bucketed = base.select(col("id"), col("v"), explode(array(tables: _*)).as("tb"))
       .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
@@ -79,10 +92,8 @@ object Ann {
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 4))
+        round(Similarity.cosineFast(col("a.v"), col("b.v")), 4).as("cos"))
       .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -17,13 +17,17 @@ import graft.functions.TextAnalysis
   */
 object NearDup {
 
-  /** Word n-gram shingles as a deduplicated array column. */
+  /** Word n-gram shingles as a deduplicated array column. Docs with fewer
+    * than n tokens yield an empty array — `sequence(1, 0)` would otherwise
+    * run DESCENDING to [1, 0] and `slice(_, 0, n)` throws.
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     val count = size(toks) - (n - 1)
-    array_distinct(
-      transform(sequence(lit(1), greatest(count, lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    when(count < 1, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), count),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
   /** Exploded (id, shingle) pairs — one shuffle-side of the similarity join. */
@@ -110,15 +114,23 @@ object NearDup {
   /** Hamming distance between two signed-64 simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** [[simhash]] via the native codegen expression (one tight loop per row
+    * instead of a 64-aggregate Column tree; same bits — spec-checked).
+    */
+  def simhashFast(text: Column): Column =
+    call_function("graft_simhash64", split(lower(trim(text)), "\\s+"))
+
   /** SimHash near-dup pairs with hamming ≤ maxDist. Blocking: split the 64
     * bits into (maxDist+1) blocks — pigeonhole guarantees any pair within
     * maxDist shares at least one exact block, so the self-join runs on
-    * block equality, never n².
+    * block equality, never n². Hamming is filtered BEFORE the pair dedup
+    * so only passing (id, id, dist) triples shuffle.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val nBlocks = maxDist + 1
     val width = 64 / nBlocks
-    val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val sh = docs.select(col(idCol).as("id"), simhashFast(col(textCol)).as("sh"))
     val blocked = sh.select(col("id"), col("sh"),
       posexplode(array((0 until nBlocks).map { blk =>
         shiftrightunsigned(col("sh"), blk * width)
@@ -130,7 +142,7 @@ object NearDup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.sh"), col("b.sh")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
   }
 }
