@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keepLatest keeps the greatest orderKey per key, ties by tieBreak") {
+    val df = Seq(
+      (1L, 10L, "old", 100L),
+      (1L, 20L, "new", 101L),
+      (2L, 5L, "only", 102L),
+      (3L, 7L, "tie-lo", 103L),
+      (3L, 7L, "tie-hi", 104L)
+    ).toDF("uid", "ts", "payload", "id")
+    val out = Dedup.keepLatest(df, Seq("uid"), col("ts"), col("id"))
+      .orderBy("uid").as[(Long, Long, String, Long)].collect()
+    assert(out === Array((1L, 20L, "new", 101L), (2L, 5L, "only", 102L), (3L, 7L, "tie-hi", 104L)))
+  }
+
+  test("exactByHash counts duplicates with null-safe column encoding") {
+    val df = Seq(
+      (1L, Some("a"), Some("b")),
+      (2L, Some("a"), Some("b")), // dup of 1
+      (3L, Some("a b"), None),    // must NOT collide with ("a","b")
+      (4L, None, Some("a b"))     // nor with ("a b", null)
+    ).toDF("id", "x", "y")
+    val out = Dedup.exactByHash(df, Seq("x", "y"), "id")
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(out === Array((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("dedupExactRows returns full surviving rows, first occurrence wins") {
+    val df = Seq(
+      (1L, "dup", 1.5), (2L, "dup", 2.5), (3L, "uniq", 3.5)
+    ).toDF("id", "text", "extra")
+    val out = Dedup.dedupExactRows(df, Seq("text"), "id")
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(out === Array((1L, "dup", 1.5), (3L, "uniq", 3.5)))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.NearDup
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles handles docs shorter than n (empty array, no crash)") {
+    val docs = Seq("one", "one two", "", "  ", "a b c d e f g h").toDF("text")
+    val out = docs.select(size(NearDup.shingles(col("text"), 7)).as("n")).as[Int].collect()
+    assert(out === Array(0, 0, 0, 0, 2)) // 8 tokens → 2 distinct 7-grams
+  }
+
+  test("shingles produces only full n-grams") {
+    val out = Seq("a b c d").toDF("text")
+      .select(NearDup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(out.sorted === Seq("a b c", "b c d"))
+    assert(out.forall(_.split(" ").length == 3))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on a known pair") {
+    // doc1: shingles {a b, b c, c d}; doc2: {b c, c d, d e}
+    // intersection 2, union 4 → jaccard 0.5
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e"), (3L, "x y z w")).toDF("doc_id", "text")
+    val out = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(out === Array((1L, 2L, 0.5)))
+  }
+
+  test("minhash LSH banding finds the near-identical pair, skips far pairs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, "completely unrelated words describing other things entirely here now")
+    ).toDF("doc_id", "text")
+    val out = NearDup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+      numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(out.head._3 >= 0.5)
+  }
+
+  test("simhashPairs finds near-identical docs within hamming budget") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val out = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)))
+    assert(!out.contains((1L, 3L)) || !out.contains((2L, 3L)))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unmatched (anti) and existing (semi) joins") {
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val right = Seq((2L, "x")).toDF("k2", "w")
+    val anti = Joins.unmatched(left, right, col("k") === col("k2"), broadcastRight = true)
+      .select("k").as[Long].collect().sorted
+    assert(anti === Array(1L, 3L))
+    val semi = Joins.existing(left, right, col("k") === col("k2"), broadcastRight = true)
+      .select("k").as[Long].collect()
+    assert(semi === Array(2L))
+  }
+
+  test("taggedUnion aligns schemas, missing columns → null, tags source") {
+    val a = Seq((1L, "x")).toDF("id", "only_a")
+    val b = Seq((2L, 3.5)).toDF("id", "only_b")
+    val out = Unions.taggedUnion(Seq("a" -> a, "b" -> b)).orderBy("id")
+    assert(out.columns.toSet === Set("id", "only_a", "only_b", "source_view"))
+    val r = out.collect()
+    assert(r(0).getAs[String]("only_a") === "x" && r(0).isNullAt(out.columns.indexOf("only_b")))
+    assert(r(1).isNullAt(out.columns.indexOf("only_a")) && r(1).getAs[String]("source_view") === "b")
+  }
+
+  test("pivot toWideConditional counts per explicit value, no distinct scan") {
+    val df = Seq((1L, "click"), (1L, "click"), (1L, "view"), (2L, "view")).toDF("uid", "etype")
+    val out = Pivot.toWideConditional(df, Seq("uid"), "etype", Seq("click", "view"), lit(1L))
+      .orderBy("uid").as[(Long, Long, Long)].collect()
+    assert(out === Array((1L, 2L, 1L), (2L, 0L, 1L)))
+  }
+
+  test("bucket assigns CASE-WHEN ranges with default") {
+    val out = Seq(5.0, 15.0, 30.0, 99.0).toDF("v")
+      .select(DeriveColumns.bucket(col("v"), Seq((10.0, "lo"), (25.0, "mid"), (40.0, "hi")), "xl"))
+      .as[String].collect()
+    assert(out === Array("lo", "mid", "hi", "xl"))
+  }
+
+  test("multiFormatTimestamp parses any of the given formats") {
+    val out = Seq("02 Jan,2024", "2024/01/03", "01-04-2024").toDF("raw")
+      .select(DeriveColumns.multiFormatTimestamp(col("raw"),
+        Seq("dd MMM,yyyy", "yyyy/MM/dd", "MM-dd-yyyy")).cast("date").cast("string"))
+      .as[String].collect()
+    assert(out === Array("2024-01-02", "2024-01-03", "2024-01-04"))
+  }
+
+  test("completeness: single-pass non-null ratios") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (Some(3), None), (None, None))
+      .toDF("x", "y")
+    val out = Summaries.completeness(df, Seq("x", "y")).collect()(0)
+    assert(out.getAs[Double]("x_complete") === 0.5)
+    assert(out.getAs[Double]("y_complete") === 0.5)
+  }
+
+  test("topKPerKey returns k rows per group in rank order") {
+    val df = Seq(("a", 3.0), ("a", 2.0), ("a", 1.0), ("b", 9.0)).toDF("g", "v")
+    val out = Windows.topKPerKey(df, Seq("g"), Seq(col("v").desc), 2)
+      .select("g", "v").as[(String, Double)].collect().toSet
+    assert(out === Set(("a", 3.0), ("a", 2.0), ("b", 9.0)))
+  }
+
+  test("multimodal synthesize produces binary payloads with typed metadata") {
+    val base = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val media = Multimodal.synthesize(base, "c_custkey")
+    val meta = Multimodal.metadataOnly(media).collect()
+    assert(meta.length === 3)
+    val kinds = meta.map(_.getAs[String]("kind")).toSet
+    assert(kinds.subsetOf(Set("image", "audio", "video")))
+    assert(media.schema("bytes").dataType.typeName === "binary")
+  }
+}
