@@ -88,6 +88,7 @@ object Ann {
     }
     val bucketed = base.select(col("id"), col("v"), explode(array(tables: _*)).as("tb"))
       .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      .hint("shuffle_hash") // self-join: shuffle both sides → ReusedExchange
     bucketed.as("a").join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Session-JSON ingest: schema-on-read extraction of the reference's raw
+  * export shape, as pure Column expressions (codegen'd, no UDFs, no
+  * driver-side JSON loops).
+  *
+  * Reference semantics (reference: src/data_pipeline/pipelines/
+  * data_engineering/data_tyding/import_raw_jsons.py:40-200,
+  * extract_key_values.py:13-60): a session carries `entries` in one of two
+  * shapes —
+  *   - legacy LIST: `[{"key": "UID", "values": [{"value": v, "label": l}]}]`
+  *   - new DICT:    `{"UID": {"values": {"value": [v]}}}`
+  * `uid` is recovered from the top-level field when present, else from the
+  * entries under the fallback keys (uid/UID, NeoTreeID, NeoTreeIDBC), and
+  * uppercased. Sessions route downstream by script id.
+  *
+  * At 100 TB the whole extraction is a single projection over the raw
+  * scan: every path below is a Catalyst expression, so Spark prunes
+  * unused columns and pushes the routing filter into the source.
+  */
+object JsonImport {
+
+  /** Legacy list shape of `entries`. */
+  val entryListSchema: DataType = ArrayType(StructType(Seq(
+    StructField("key", StringType),
+    StructField("values", ArrayType(StructType(Seq(
+      StructField("value", StringType),
+      StructField("label", StringType))))))))
+
+  /** First value for `key` in the legacy LIST shape: values[0].value of
+    * the first entry whose key matches (case-sensitive, like the
+    * reference).
+    */
+  def listEntryValue(entriesJson: Column, key: String): Column = {
+    val parsed = from_json(entriesJson, entryListSchema)
+    try_element_at(try_element_at(filter(parsed, e => e.getField("key") === key), lit(1))
+      .getField("values"), lit(1)).getField("value")
+  }
+
+  /** First value for `key` in the new DICT shape:
+    * `entries.<key>.values.value[0]`.
+    */
+  def dictEntryValue(entriesJson: Column, key: String): Column =
+    get_json_object(entriesJson, s"$$.$key.values.value[0]")
+
+  /** Value for `key` under either entries shape. The list parse yields
+    * null on the dict shape (and vice versa), so coalesce resolves the
+    * shape per row — mixed exports in one batch are fine.
+    */
+  def entryValue(entriesJson: Column, key: String): Column =
+    coalesce(listEntryValue(entriesJson, key), dictEntryValue(entriesJson, key))
+
+  /** Recovered, uppercased uid: top-level `uid` when present, else the
+    * first non-null entries fallback (uid, UID, NeoTreeID, NeoTreeIDBC).
+    */
+  def recoverUid(sessionJson: Column): Column = {
+    val entries = get_json_object(sessionJson, "$.entries")
+    upper(coalesce(
+      get_json_object(sessionJson, "$.uid"),
+      entryValue(entries, "uid"),
+      entryValue(entries, "UID"),
+      entryValue(entries, "NeoTreeID"),
+      entryValue(entries, "NeoTreeIDBC")))
+  }
+
+  /** Parse a DataFrame bearing one raw session JSON string per row into
+    * the flat ingest columns (uid, script id, versions, facility, started/
+    * completed timestamps) plus the original payload for downstream
+    * key-value extraction.
+    */
+  def parseSessions(raw: DataFrame, jsonCol: String): DataFrame = {
+    val j = col(jsonCol)
+    raw.select(
+      recoverUid(j).as("uid"),
+      get_json_object(j, "$.scriptid").as("scriptid"),
+      get_json_object(j, "$.scriptVersion").as("script_version"),
+      get_json_object(j, "$.appVersion").as("app_version"),
+      get_json_object(j, "$.facility").as("facility"),
+      to_timestamp(get_json_object(j, "$.started_at")).as("started_at"),
+      to_timestamp(get_json_object(j, "$.completed_at")).as("completed_at"),
+      get_json_object(j, "$.entries").as("entries_json"),
+      j.as("raw_json"))
+  }
+
+  /** Route parsed sessions to a script's stream (admissions vs discharges
+    * in the reference): a plain filter, pushed into the scan when the
+    * source is columnar.
+    */
+  def routeByScript(parsed: DataFrame, scriptId: String): DataFrame =
+    parsed.filter(col("scriptid") === scriptId)
+
+  /** Wide key-value extraction: one column pair (`<key>_value`,
+    * `<key>_label`) per requested key, resolved from either entries shape
+    * in a single projection — the Spark-native form of the reference's
+    * per-row restructure loop (extract_key_values.py). Label only exists
+    * in the list shape; dict-shape rows get NULL labels.
+    */
+  def extractKeyValues(parsed: DataFrame, keys: Seq[String]): DataFrame = {
+    val entries = col("entries_json")
+    val parsedList = from_json(entries, entryListSchema)
+    val cols = keys.flatMap { k =>
+      val entry = try_element_at(filter(parsedList, e => e.getField("key") === k), lit(1))
+      val listVal = try_element_at(entry.getField("values"), lit(1))
+      Seq(
+        coalesce(listVal.getField("value"), dictEntryValue(entries, k)).as(s"${k}_value"),
+        listVal.getField("label").as(s"${k}_label"))
+    }
+    parsed.select(col("uid") +: col("scriptid") +: cols: _*)
+  }
+}

@@ -37,18 +37,40 @@ object NearDup {
   /** Pairs (id_a < id_b) with n-gram Jaccard ≥ threshold.
     * Exact: |A∩B| from a self-join on shared shingles, |A∪B| = |A|+|B|−∩.
     * Only docs sharing ≥1 shingle ever pair up.
+    *
+    * Shuffle shape: the self-join keys on xxhash64(shingle) — an 8-byte
+    * long instead of an n-word string — and each exploded row carries its
+    * doc's shingle count, so |A| and |B| ride the pair aggregation
+    * (`any_value`) and no second scan / size join is needed. A 64-bit hash
+    * collision between distinct shingles of two compared docs would
+    * perturb a count; at 10^9 distinct shingles the expected number of
+    * colliding pairs is ~10^18/2^65 ≈ 0.03 — accepted for the speedup.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    val sizes = docs.select(col(idCol).as("id"), size(shingles(col(textCol), n)).as("nsh"))
-    val st = shingleTable(docs, idCol, textCol, n)
-    val common = st.as("a").join(st.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+    // explode_outer, NOT explode: plain explode makes Catalyst infer a
+    // `size(sh) > 0 AND isnotnull(sh)` filter and push it below the
+    // projection, duplicating the whole shingle expression (regex split +
+    // transform + array_distinct) into the filter — 3× the string work per
+    // row. With the outer variant the array is computed once; empty-array
+    // rows surface as one null shingle and are dropped by a filter on the
+    // GENERATED column, which cannot sink below the Generate.
+    // shuffle_hash, NOT broadcast: a broadcast self-join evaluates the
+    // shingle subtree twice (broadcast build + streamed probe); with both
+    // sides shuffling on h the second exchange is a ReusedExchange and the
+    // string work runs once. At 100 TB neither side is broadcastable
+    // anyway — this is also the only strategy that scales.
+    val st = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .select(col("id"), size(col("sh")).as("nsh"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .select(col("id"), col("nsh"), xxhash64(col("shingle")).as("h"))
+      .hint("shuffle_hash")
+    st.as("a").join(st.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("nsh", "nsh_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("nsh", "nsh_b"), "id_b")
+      .agg(count(lit(1)).as("common"),
+        any_value(col("a.nsh")).as("nsh_a"), any_value(col("b.nsh")).as("nsh_b"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("nsh_a") + col("nsh_b") - col("common")))
@@ -137,6 +159,7 @@ object NearDup {
           .bitwiseAND(lit((1L << width) - 1))
       }: _*)))
       .withColumnRenamed("pos", "blk").withColumnRenamed("col", "blkval")
+      .hint("shuffle_hash") // self-join: shuffle both sides → ReusedExchange
     blocked.as("a").join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval") &&
           col("a.id") < col("b.id"))

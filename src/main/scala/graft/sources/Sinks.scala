@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Write-side of the engine: parquet/csv/json sinks with the partitioning
+  * discipline a 100 TB lakehouse needs.
+  *
+  * Reference analogue: the Kedro pipeline lands every derived/summary
+  * table back into Postgres (reference: src/data_pipeline/pipelines/
+  * data_engineering/queries — INSERT/CREATE TABLE AS). Here the landing
+  * zone is columnar files: parquet partitioned by a date-ish key so
+  * downstream reads prune partitions instead of scanning history.
+  */
+object Sinks {
+
+  /** Partitioned parquet write. `partitionCols` become directory keys —
+    * pick low-cardinality, filter-bearing columns (month, facility); a
+    * high-cardinality partition key (uid) would create millions of tiny
+    * files. `maxRecordsPerFile` caps file size drift at scale.
+    */
+  def parquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                         mode: SaveMode = SaveMode.Overwrite,
+                         maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write.mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Plain parquet write (small dims, query results). */
+  def parquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+
+  /** CSV export with header (BI hand-off shape). */
+  def csv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  /** JSON-lines export. */
+  def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  // ── read side ──────────────────────────────────────────────────────────
+
+  /** CSV reader with an explicit schema — never `inferSchema` at scale
+    * (inference is a full extra pass over the data).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JSON-lines reader with an explicit schema (same no-inference rule). */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
