@@ -16,10 +16,13 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the JVM (catalyst init, codegen compiler, parquet reader)
-    // on the tiny SF so the first timed query isn't charged for it.
-    try SparkEntry.entry(spark).count()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    // Warm up the JVM (catalyst init, codegen compiler, parquet reader,
+    // string-expression JIT) on the tiny SF so the first timed queries
+    // aren't charged for one-time compilation.
+    try {
+      SparkEntry.entry(spark).count()
+      SparkEntry.queries("q24_lang_id")(spark, "/root/testdata/sf0.001").count()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -184,10 +184,12 @@ object Queries {
         TextAnalysis.stopwordRatio(col("text"), stopwords).as("stopword_ratio"),
         TextAnalysis.qualityScore(col("text"), stopwords).as("quality"))),
 
-    "q24_lang_id" -> ((s, d) =>
+    "q24_lang_id" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       Tables.documents(s, d)
-        .select(TextAnalysis.langId(col("text"), langMarkers).as("lang_pred"))
-        .groupBy("lang_pred").agg(count(lit(1)).as("n"))),
+        .select(TextAnalysis.langIdFast(col("text"), langMarkers).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+    }),
 
     "q25_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(

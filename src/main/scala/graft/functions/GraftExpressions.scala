@@ -88,6 +88,47 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Marker-word language ID over a token array. `markers` is plan-time
+  * constant (parsed from the SQL literal in the function builder), so the
+  * kernel — marker hash map included — is built once and shipped inside
+  * the expression; per row it is a single pass over the tokens.
+  */
+case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id"
+  @transient private lazy val kernel = new TextKernels.LangIdKernel(markers)
+  override protected def nullSafeEval(v: Any): Any =
+    kernel.eval(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("langIdKernel", kernel, classOf[TextKernels.LangIdKernel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $k.eval($v);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct xxhash64 hashes of the word n-grams of a token array — the
+  * hashed shingle set, computed in one pass with no n-gram string
+  * materialization (vs transform+slice+concat_ws+array_distinct, which
+  * builds every n-word string and compares them pairwise).
+  */
+case class NgramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_hashes"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.ngramHashes(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.TextKernels.ngramHashes($v, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: the same builders serve `SparkSessionExtensions
   * .injectFunction` (cluster: `spark.sql.extensions=graft.plans
   * .GraftExtensions`) and runtime registration into an already-built
@@ -119,6 +160,25 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
+  private def stringLit(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  /** Markers literal format for graft_lang_id: `lang:w1,w2|lang2:w3`. */
+  def encodeMarkers(markers: Map[String, Seq[String]]): String =
+    markers.toSeq.sortBy(_._1)
+      .map { case (l, ws) => s"$l:${ws.mkString(",")}" }.mkString("|")
+
+  private def decodeMarkers(s: String): Seq[(String, Seq[String])] =
+    s.split('|').toSeq.map { part =>
+      part.split(":", 2) match {
+        case Array(lang, words) => lang -> words.split(',').toSeq
+        case _ => throw new IllegalArgumentException(
+          s"graft_lang_id markers must be 'lang:w1,w2|lang2:w3', got segment '$part'")
+      }
+    }
+
   /** (name, builder) for every graft SQL function. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_vec_dot" -> (es => FloatVecDot(es(0), es(1))),
@@ -126,7 +186,11 @@ object GraftFunctions {
     "graft_vec_l2sq" -> (es => FloatVecL2Sq(es(0), es(1))),
     "graft_rhp_bucket" -> (es =>
       RhpBucketExpr(es(0), intLit(es(1), "nPlanes"), intLit(es(2), "seed"))),
-    "graft_simhash64" -> (es => SimHash64Expr(es(0)))
+    "graft_simhash64" -> (es => SimHash64Expr(es(0))),
+    "graft_lang_id" -> (es =>
+      LangIdExpr(es(0), decodeMarkers(stringLit(es(1), "markers")))),
+    "graft_ngram_hashes" -> (es =>
+      NgramHashesExpr(es(0), intLit(es(1), "n")))
   )
 
   def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

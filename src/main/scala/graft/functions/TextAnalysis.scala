@@ -72,6 +72,16 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** [[langId]] via the native one-pass expression. The combinator version
+    * re-tokenizes once per language (HOF lambdas are CodegenFallback, so
+    * the inlined `split` is not subexpression-eliminated); this is a
+    * single tokenize + a single pass over tokens. Same result —
+    * spec-checked. Caller must have run `GraftFunctions.ensureRegistered`.
+    */
+  def langIdFast(text: Column, markers: Map[String, Seq[String]]): Column =
+    call_function("graft_lang_id", split(lower(trim(text)), "\\s+"),
+      lit(GraftFunctions.encodeMarkers(markers)))
+
   /** Content fingerprint: md5 of the canonicalized text (lowercase,
     * whitespace collapsed) — the exact-dup key for documents
     * (reference analogue: regenerate_unique_key.py's content-derived keys).

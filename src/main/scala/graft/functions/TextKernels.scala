@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text kernels behind graft's native expressions.
+  *
+  * Why not Column combinators: language scoring composes N `filter(toks,
+  * isin)` higher-order functions — HOFs are CodegenFallback, so the
+  * tokenizing `split` gets inlined (and re-executed) once per language and
+  * nothing runs in generated code. N-gram shingling via `transform` +
+  * `slice` + `concat_ws` + `array_distinct` materializes every n-word
+  * string twice. These kernels do one pass over the token array each.
+  */
+object TextKernels {
+
+  /** Marker-word language ID: counts per-language marker hits in one pass,
+    * argmax with ties to the lexicographically greatest language code
+    * (matches `greatest(struct(score, lang))` semantics), "und" when no
+    * marker hits at all.
+    *
+    * Built once per plan (constant-folded into the expression), shipped to
+    * executors inside the expression tree.
+    */
+  final class LangIdKernel(markers: Seq[(String, Seq[String])]) extends Serializable {
+    private val langs: Array[UTF8String] =
+      markers.map(_._1).sorted.map(UTF8String.fromString).toArray
+    // token → bitmask of language indices (a marker may serve several langs)
+    private val masks: java.util.HashMap[UTF8String, Integer] = {
+      val m = new java.util.HashMap[UTF8String, Integer]()
+      val idx = markers.map(_._1).sorted.zipWithIndex.toMap
+      markers.foreach { case (lang, words) =>
+        val bit = 1 << idx(lang)
+        words.foreach { w =>
+          val k = UTF8String.fromString(w)
+          val prev = m.get(k)
+          m.put(k, if (prev == null) bit else prev | bit)
+        }
+      }
+      m
+    }
+    private val und = UTF8String.fromString("und")
+
+    def eval(toks: ArrayData): UTF8String = {
+      val counts = new Array[Int](langs.length)
+      val n = toks.numElements()
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        if (t != null) {
+          val mask = masks.get(t)
+          if (mask != null) {
+            var m = mask.intValue()
+            while (m != 0) {
+              val b = java.lang.Integer.numberOfTrailingZeros(m)
+              counts(b) += 1
+              m &= m - 1
+            }
+          }
+        }
+        i += 1
+      }
+      var best = 0
+      var bi = -1
+      i = 0
+      // ascending scan with >= keeps the GREATEST lang code among ties
+      while (i < langs.length) {
+        if (counts(i) >= best && counts(i) > 0) { best = counts(i); bi = i }
+        i += 1
+      }
+      if (bi < 0) und else langs(bi)
+    }
+  }
+
+  /** Distinct xxhash64 values of the word n-grams of a token array: the
+    * hashed-shingle set for Jaccard/minhash work, without materializing
+    * any n-gram string. Hashes each n-gram's bytes (tokens joined by a
+    * single space — the same text a string shingle would hold) via a
+    * reused buffer, dedups in a long-keyed hash set.
+    */
+  def ngramHashes(toks: ArrayData, n: Int): ArrayData = {
+    val total = toks.numElements()
+    val count = total - (n - 1)
+    if (count < 1) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new Array[Long](count)
+    var m = 0
+    var i = 0
+    val sp = UTF8String.fromString(" ")
+    while (i < count) {
+      // concat n tokens with single spaces; UTF8String.concat is one
+      // allocation over the exact byte length
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        val t = toks.getUTF8String(i + j)
+        parts(2 * j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        if (j < n - 1) parts(2 * j + 1) = sp
+        j += 1
+      }
+      val ng = UTF8String.concat(parts: _*)
+      val h = XxHash64Function.hash(ng, StringType, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (m == count) out else java.util.Arrays.copyOf(out, m))
+  }
+}

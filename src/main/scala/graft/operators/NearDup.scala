@@ -60,11 +60,13 @@ object NearDup {
     // sides shuffling on h the second exchange is a ReusedExchange and the
     // string work runs once. At 100 TB neither side is broadcastable
     // anyway — this is also the only strategy that scales.
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val st = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .select(col("id"), size(col("sh")).as("nsh"), explode_outer(col("sh")).as("shingle"))
-      .filter(col("shingle").isNotNull)
-      .select(col("id"), col("nsh"), xxhash64(col("shingle")).as("h"))
+      .select(col(idCol).as("id"),
+        call_function("graft_ngram_hashes",
+          split(lower(trim(col(textCol))), "\\s+"), lit(n)).as("sh"))
+      .select(col("id"), size(col("sh")).as("nsh"), explode_outer(col("sh")).as("h"))
+      .filter(col("h").isNotNull)
       .hint("shuffle_hash")
     st.as("a").join(st.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, TextAnalysis}
+
+/** The native text expressions must agree with the Column-combinator
+  * reference implementations they replace.
+  */
+class TextExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val markers = Map(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "de" -> Seq("table", "scan", "row"),
+    "es" -> Seq("data", "query", "value"),
+    "zh" -> Seq("spark", "join", "merge"))
+
+  private def docs = Seq(
+    "the fast query joins the slow table",
+    "table scan row row scan",
+    "data query value data",
+    "spark join merge spark",
+    "nothing matching here at all",
+    "the table", // en/de tie → greatest lang code wins
+    "", "  ", "one"
+  ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+
+  test("langIdFast matches combinator langId, including ties and und") {
+    GraftFunctions.ensureRegistered(spark)
+    val bad = docs.select(
+      TextAnalysis.langId(col("text"), markers).as("ref"),
+      TextAnalysis.langIdFast(col("text"), markers).as("fast")
+    ).filter(col("ref") =!= col("fast")).count()
+    assert(bad === 0)
+  }
+
+  test("ngram hashes: distinct count matches distinct string shingles") {
+    GraftFunctions.ensureRegistered(spark)
+    for (n <- Seq(2, 5, 7)) {
+      val bad = docs.select(
+        size(graft.operators.NearDup.shingles(col("text"), n)).as("ref"),
+        size(call_function("graft_ngram_hashes",
+          split(lower(trim(col("text"))), "\\s+"), lit(n))).as("fast")
+      ).filter(col("ref") =!= col("fast")).count()
+      assert(bad === 0, s"n=$n")
+    }
+  }
+
+  test("ngram hashes equal xxhash64 of the string shingles as a set") {
+    GraftFunctions.ensureRegistered(spark)
+    val cmp = docs.select(
+      array_sort(transform(graft.operators.NearDup.shingles(col("text"), 3),
+        s => xxhash64(s))).as("ref"),
+      array_sort(call_function("graft_ngram_hashes",
+        split(lower(trim(col("text"))), "\\s+"), lit(3))).as("fast"))
+    assert(cmp.filter(not(col("ref") === col("fast"))).count() === 0)
+  }
+}
