@@ -263,6 +263,46 @@ object Oracles {
          'application/octet-stream' AS mime
          FROM customer""",
 
+    "q34_day_slice" ->
+      """SELECT event_id, ts, user_id, event_type FROM (
+           SELECT event_id, ts, user_id, event_type,
+             min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS base_date
+           FROM events) t
+         WHERE date_diff('day', base_date, CAST(ts AS DATE)) = 1""",
+
+    "q35_mcl_explode" ->
+      """WITH exploded AS (
+           SELECT trim(u) AS raw_choice
+           FROM (
+             SELECT unnest(string_split(
+               concat_ws(',', o_orderstatus, o_orderpriority,
+                 CASE WHEN o_totalprice > 150000.0 THEN 'HV' ELSE '' END), ',')) AS u
+             FROM orders) s
+           WHERE length(trim(u)) > 0)
+         SELECT CASE raw_choice WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Finished'
+                  WHEN 'P' THEN 'Pending' ELSE raw_choice END AS choice,
+           count(*) AS n
+         FROM exploded GROUP BY 1""",
+
+    "q36_completeness_nonempty" ->
+      """SELECT
+         CAST(count(CASE WHEN text IS NOT NULL AND length(trim(text)) > 0 THEN 1 END) AS DOUBLE) / count(*) AS text_complete,
+         CAST(count(CASE WHEN lang IS NOT NULL AND length(trim(lang)) > 0 THEN 1 END) AS DOUBLE) / count(*) AS lang_complete,
+         CAST(count(CASE WHEN sb IS NOT NULL AND length(trim(sb)) > 0 THEN 1 END) AS DOUBLE) / count(*) AS source_blanked_complete
+         FROM (SELECT text, lang,
+                 CASE WHEN doc_id % 7 = 0 THEN '' ELSE source END AS sb
+               FROM documents) t""",
+
+    "q38_salted_join" ->
+      """WITH li AS (
+           SELECT *, CASE WHEN l_orderkey % 4 = 0 THEN 0
+                          ELSE l_orderkey % 100 END AS hot_key
+           FROM lineitem)
+         SELECT n_name, count(*) AS n_lines,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM li JOIN nation ON hot_key = n_nationkey
+         GROUP BY n_name""",
+
     "q33_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,

@@ -235,6 +235,46 @@ object Queries {
     "q32_multimodal_meta" -> ((s, d) =>
       Multimodal.metadataOnly(Multimodal.synthesize(Tables.customer(s, d), "c_custkey"))),
 
+    "q34_day_slice" -> ((s, d) =>
+      Windows.dayOffsetSlice(Tables.events(s, d), Seq("user_id"), col("ts"), day = 2)
+        .select("event_id", "user_id", "ts", "event_type")),
+
+    "q35_mcl_explode" -> ((s, d) => {
+      val o = Tables.orders(s, d).withColumn("mcl",
+        concat_ws(",", col("o_orderstatus"), col("o_orderpriority"),
+          when(col("o_totalprice") > 150000.0, "HV").otherwise("")))
+      Mcl.explodeChoices(o, col("mcl"))
+        .select(Mcl.recodeChoice(col("choice"),
+          Map("O" -> "Open", "F" -> "Finished", "P" -> "Pending")).as("choice"))
+        .groupBy("choice").agg(count(lit(1)).as("n"))
+    }),
+
+    "q36_completeness_nonempty" -> ((s, d) =>
+      Summaries.completenessNonEmpty(
+        Tables.documents(s, d).withColumn("source_blanked",
+          when(pmod(col("doc_id"), lit(7)) === 0, "").otherwise(col("source"))),
+        Seq("text", "lang", "source_blanked"))),
+
+    "q37_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Ann.ivfTopK(e.filter(pmod(col("vec_id"), lit(50)) === 0), e,
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+    }),
+
+    "q38_salted_join" -> ((s, d) => {
+      // lineitem is deliberately skewed onto one hot supplier bucket via a
+      // synthetic key; salted join spreads it over 8 reducers per key
+      val li = Tables.lineitem(s, d)
+        .withColumn("hot_key", when(pmod(col("l_orderkey"), lit(4)) === 0, 0L)
+          .otherwise(pmod(col("l_orderkey"), lit(100))))
+      val dim = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("hot_key"), col("n_name"))
+      Joins.salted(li, dim, "hot_key", col("l_orderkey") * lit(100000) + col("l_linenumber"), buckets = 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -64,6 +64,50 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
+    * centroid in ONE codegen'd projection (the centroid list is a plan
+    * literal — no assignment shuffle, no per-row join); queries probe the
+    * `nProbe` nearest centroids; candidates meet in a shuffle keyed by
+    * centroid id. vs LSH: recall tracks the data's actual clustering
+    * rather than random hyperplanes.
+    *
+    * Centroids here are a deterministic corpus sample (every `stride`-th
+    * vector) — production would plug k-means centroids into the same
+    * plumbing; only `centroids` changes, the plan shape is identical.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val cents: Array[(Int, Array[Float])] = corpus
+      .orderBy(col(idCol)).limit(nCentroids * 8) // deterministic pool
+      .select(col(idCol), col(vecCol)).collect()
+      .zipWithIndex.collect { case (r, i) if i % 8 == 0 => (i / 8, r.getSeq[Float](1).toArray) }
+    // nearest-centroid id as a single expression: argmin over literal centroids
+    def nearestCid(vec: Column): Column = {
+      val scored = cents.map { case (cid, cv) =>
+        struct(Similarity.l2sqFast(vec, typedLit(cv)).as("d"), lit(cid).as("cid"))
+      }
+      least(scored.toIndexedSeq: _*).getField("cid")
+    }
+    // probe list: the nProbe nearest centroid ids per query vector
+    def probeCids(vec: Column): Column = {
+      val scored = cents.map { case (cid, cv) =>
+        struct(Similarity.l2sqFast(vec, typedLit(cv)).as("d"), lit(cid).as("cid"))
+      }
+      slice(transform(array_sort(array(scored.toIndexedSeq: _*)), s => s.getField("cid")), 1, nProbe)
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      nearestCid(col(vecCol)).as("cid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeCids(col(vecCol))).as("cid"))
+    val scored = c.join(broadcast(q), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineFast(col("qv"), col("cv")).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+    topKPerQuery(scored, k)
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // rank by (cos desc, neighbor_id asc) — deterministic under float ties

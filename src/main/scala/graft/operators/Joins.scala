@@ -33,4 +33,25 @@ object Joins {
   /** Rows of `left` that have at least one match in `right`. */
   def existing(left: DataFrame, right: DataFrame, joinExpr: Column, broadcastRight: Boolean = true): DataFrame =
     left.join(if (broadcastRight) broadcast(right) else right, joinExpr, "left_semi")
+
+  /** Skew-beating salted equi-join: the big side gets a deterministic salt
+    * in [0, buckets) derived from `saltSrc` (any column that spreads rows
+    * of one hot key — a unique id, an ingest offset); the small side is
+    * replicated once per salt. The shuffle key becomes (key, salt), so a
+    * hot key's rows land on `buckets` reducers instead of one.
+    *
+    * Use when ONE side is skewed and the other is small-ish but too big or
+    * too dynamic to broadcast. AQE's skew-join split handles moderate skew
+    * without this; salting is the deterministic heavy hammer for known
+    * pathological keys at 100 TB.
+    */
+  def salted(big: DataFrame, small: DataFrame, key: String, saltSrc: Column,
+             buckets: Int, how: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bigS = big.withColumn("__salt",
+      pmod(xxhash64(saltSrc), lit(buckets)).cast("int"))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    bigS.join(smallS, Seq(key, "__salt"), how).drop("__salt")
+  }
 }

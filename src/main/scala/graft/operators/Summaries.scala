@@ -35,4 +35,16 @@ object Summaries {
     }
     df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
+
+  /** Completeness counting only non-null AND non-blank values — the
+    * reference's string-column semantics (maternal_completeness treats ''
+    * as missing). Same single-pass shape as [[completeness]].
+    */
+  def completenessNonEmpty(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map { c =>
+      (count(when(col(c).isNotNull && length(trim(col(c).cast("string"))) > 0, 1))
+        .cast("double") / count(lit(1))).as(s"${c}_complete")
+    }
+    df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+  }
 }

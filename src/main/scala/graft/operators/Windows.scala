@@ -31,4 +31,20 @@ object Windows {
     val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(order.toIndexedSeq: _*)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
+
+  /** Day-N slice per entity: rows whose date is exactly `day − 1` days
+    * after the entity's FIRST date (reference: day-1/2/3 vitals tables —
+    * create_summary_day_one/two/three_vitals_sql.py pick admission-date
+    * offset records).
+    *
+    * The per-entity baseline is an unordered window MIN — partial-agg
+    * friendly, no sort buffer (vs an ORDER BY window). One shuffle on the
+    * entity key.
+    */
+  def dayOffsetSlice(df: DataFrame, keys: Seq[String], tsCol: Column, day: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+    df.withColumn("__base_date", min(to_date(tsCol)).over(w))
+      .filter(datediff(to_date(tsCol), col("__base_date")) === day - 1)
+      .drop("__base_date")
+  }
 }

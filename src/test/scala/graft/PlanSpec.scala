@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions: the properties that make these operators
+  * scale are pinned here so a refactor that silently de-optimizes a plan
+  * (loses a broadcast, adds a sort, drops exchange reuse) fails CI.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q03 dim joins broadcast (fact side never shuffles for the join)") {
+    val p = plan("q03_join_enrich")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q02 keep-latest dedup is an aggregation, not a window sort") {
+    val p = plan("q02_dedup_keep_latest")
+    assert(p.contains("max_by") || p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("q26 shingle self-join reuses one exchange and shuffle-hash joins") {
+    val df: DataFrame = Queries.all("q26_ngram_jaccard")(spark, sf)
+    df.collect() // run THIS queryExecution so AQE finalizes its plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(p.contains("ReusedExchange"), p.take(2000))
+  }
+
+  test("q01 lineitem scan prunes to the referenced columns only") {
+    val leaves = Queries.all("q01_agg_summary")(spark, sf)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(leaves.contains("ReadSchema"))
+    assert(!leaves.contains("l_comment") && !leaves.contains("l_shipmode"), leaves.take(1500))
+  }
+
+  test("q18 validation predicate pushes to the parquet scan") {
+    val leaves = Queries.all("q18_validate_ranges")(spark, sf)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    // value IS NULL OR bounds — the disjunction itself can't push, but the
+    // scan must at least prune columns to the four referenced
+    assert(leaves.contains("ReadSchema") && !leaves.contains("props"), leaves.take(1500))
+  }
+
+  test("whole-stage codegen covers the token-count hot path") {
+    // q23 (stopword HOF lambdas) is CodegenFallback by Spark design; the
+    // pure-function token counter must stay inside codegen (shown by the
+    // `*(n)` stage marker on its Project)
+    val p = Queries.all("q22_token_count")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")), p.take(1500))
+  }
+}

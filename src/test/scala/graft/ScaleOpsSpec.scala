@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Joins, Mcl, Summaries, Windows}
+
+/** Specs for the round-2 operator additions: salted join, MCL explode,
+  * day-offset slices, non-empty completeness, IVF ANN.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join, and salts spread a hot key") {
+    val big = (1 to 1000).map(i => (if (i % 2 == 0) 1L else (i % 10).toLong, i.toLong))
+      .toDF("k", "payload")
+    val dim = Seq((1L, "hot"), (2L, "warm"), (3L, "cold")).toDF("k", "label")
+    val saltedOut = Joins.salted(big, dim, "k", col("payload"), buckets = 8)
+      .select("k", "payload", "label")
+    val plainOut = big.join(dim, Seq("k")).select("k", "payload", "label")
+    assert(saltedOut.collect().toSet == plainOut.collect().toSet)
+    // the hot key's rows really do carry distinct salts pre-join
+    val salts = big.withColumn("__salt", pmod(xxhash64(col("payload")), lit(8)))
+      .filter(col("k") === 1L).select("__salt").distinct().count()
+    assert(salts == 8)
+  }
+
+  test("mcl explode trims, drops empties, and recodes with passthrough") {
+    val df = Seq((1L, "A, B ,"), (2L, ""), (3L, "C"), (4L, " , ,")).toDF("id", "mcl")
+    val out = Mcl.explodeChoices(df, col("mcl"))
+      .select(col("id"), Mcl.recodeChoice(col("choice"), Map("A" -> "Alpha")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "Alpha"), (1L, "B"), (3L, "C")))
+  }
+
+  test("dayOffsetSlice picks exactly the day-N rows per entity") {
+    val df = Seq(
+      (1L, "2026-01-01 10:00:00", "a"), (1L, "2026-01-02 09:00:00", "b"),
+      (1L, "2026-01-02 23:00:00", "c"), (1L, "2026-01-04 01:00:00", "d"),
+      (2L, "2026-03-05 00:00:00", "e"), (2L, "2026-03-06 12:00:00", "f"))
+      .toDF("uid", "ts", "tag").withColumn("ts", to_timestamp(col("ts")))
+    val day2 = Windows.dayOffsetSlice(df, Seq("uid"), col("ts"), day = 2)
+      .select("tag").as[String].collect().toSet
+    assert(day2 == Set("b", "c", "f"))
+  }
+
+  test("completenessNonEmpty treats blanks as missing, completeness does not") {
+    val df = Seq(("x", "a"), ("", "b"), ("  ", "c"), (null, "d")).toDF("s", "t")
+    val plain = Summaries.completeness(df, Seq("s")).head.getDouble(0)
+    val strict = Summaries.completenessNonEmpty(df, Seq("s")).head.getDouble(0)
+    assert(plain == 0.75 && strict == 0.25)
+  }
+
+  test("IVF topK finds the same top-1 as brute force for clustered data") {
+    val rnd = new scala.util.Random(11)
+    // 4 tight clusters so IVF probing cannot miss the true neighbor
+    val base = Array.tabulate(4)(c => Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val vecs = (0 until 200).map { i =>
+      val c = i % 4
+      (i.toLong, base(c).map(v => v + rnd.nextFloat() * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    val ivf = Ann.ivfTopK(queries, vecs, "vec_id", "embedding",
+      k = 1, nCentroids = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val bf = Ann.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ivf == bf)
+  }
+}
