@@ -177,12 +177,14 @@ object Queries {
         TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
         TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))),
 
-    "q23_quality_score" -> ((s, d) =>
+    "q23_quality_score" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       Tables.documents(s, d).select(
         col("doc_id"),
         TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-        TextAnalysis.stopwordRatio(col("text"), stopwords).as("stopword_ratio"),
-        TextAnalysis.qualityScore(col("text"), stopwords).as("quality"))),
+        TextAnalysis.stopwordRatioFast(col("text"), stopwords).as("stopword_ratio"),
+        TextAnalysis.qualityScoreFast(col("text"), stopwords).as("quality"))
+    }),
 
     "q24_lang_id" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)

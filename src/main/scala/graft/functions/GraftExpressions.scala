@@ -129,6 +129,24 @@ case class NgramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count of tokens present in a fixed word set (plan-time literal). */
+case class TokenInSetCountExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_count_in_set"
+  @transient private lazy val kernel = new TextKernels.TokenSetKernel(words)
+  override protected def nullSafeEval(v: Any): Any =
+    kernel.count(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("tokenSetKernel", kernel, classOf[TextKernels.TokenSetKernel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $k.count($v);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: the same builders serve `SparkSessionExtensions
   * .injectFunction` (cluster: `spark.sql.extensions=graft.plans
   * .GraftExtensions`) and runtime registration into an already-built
@@ -190,7 +208,9 @@ object GraftFunctions {
     "graft_lang_id" -> (es =>
       LangIdExpr(es(0), decodeMarkers(stringLit(es(1), "markers")))),
     "graft_ngram_hashes" -> (es =>
-      NgramHashesExpr(es(0), intLit(es(1), "n")))
+      NgramHashesExpr(es(0), intLit(es(1), "n"))),
+    "graft_count_in_set" -> (es =>
+      TokenInSetCountExpr(es(0), stringLit(es(1), "words").split(',').toSeq))
   )
 
   def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

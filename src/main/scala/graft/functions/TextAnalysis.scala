@@ -38,6 +38,24 @@ object TextAnalysis {
     round(size(stops).cast("double") / greatest(size(toks), lit(1)), 4)
   }
 
+  /** [[stopwordRatio]] via the native set-probe expression — stays inside
+    * whole-stage codegen (the HOF form is CodegenFallback). Same result.
+    * Caller must have run `GraftFunctions.ensureRegistered`.
+    */
+  def stopwordRatioFast(text: Column, stopwords: Seq[String]): Column = {
+    val toks = split(trim(text), "\\s+")
+    round(call_function("graft_count_in_set", toks,
+      lit(stopwords.mkString(","))).cast("double") / greatest(size(toks), lit(1)), 4)
+  }
+
+  /** [[qualityScore]] on the codegen'd stopword counter. */
+  def qualityScoreFast(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore  = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctPen  = punctRatio(text) * 2.0
+    val stopScore = least(stopwordRatioFast(text, stopwords) * 4.0, lit(1.0))
+    round(greatest(least((lenScore * 0.5 + stopScore * 0.5) - punctPen, lit(1.0)), lit(0.0)), 4)
+  }
+
   /** Mean token length in characters (4 dp). */
   def meanTokenLen(text: Column): Column = {
     val toks = split(trim(text), "\\s+")

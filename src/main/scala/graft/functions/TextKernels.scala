@@ -74,6 +74,27 @@ object TextKernels {
     }
   }
 
+  /** Count of tokens that belong to a fixed word set (stopword counting).
+    * One hash-set probe per token; the combinator form (`filter(toks,
+    * isin)`) is a CodegenFallback lambda that linearly scans the word list
+    * per token AND kicks the enclosing Project out of whole-stage codegen.
+    */
+  final class TokenSetKernel(words: Seq[String]) extends Serializable {
+    private val set = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => set.add(UTF8String.fromString(w)))
+    def count(toks: ArrayData): Int = {
+      val n = toks.numElements()
+      var c = 0
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        if (t != null && set.contains(t)) c += 1
+        i += 1
+      }
+      c
+    }
+  }
+
   /** Distinct xxhash64 values of the word n-grams of a token array: the
     * hashed-shingle set for Jaccard/minhash work, without materializing
     * any n-gram string. Hashes each n-gram's bytes (tokens joined by a

@@ -83,7 +83,11 @@ object JsonImport {
       to_timestamp(get_json_object(j, "$.started_at")).as("started_at"),
       to_timestamp(get_json_object(j, "$.completed_at")).as("completed_at"),
       get_json_object(j, "$.entries").as("entries_json"),
-      j.as("raw_json"))
+      j.as("raw_json"),
+      // malformed JSON extracts nothing ($ root comes back null) — flag it
+      // so ingest can route a corrupt-record side channel instead of
+      // silently dropping the row
+      get_json_object(j, "$").isNull.as("is_corrupt"))
   }
 
   /** Route parsed sessions to a script's stream (admissions vs discharges

@@ -39,6 +39,21 @@ object Sinks {
   def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** Bucketed catalog table: co-locates rows by hash(bucketCols) at WRITE
+    * time, so every later equi-join or aggregation on those columns skips
+    * its shuffle entirely (scans are already hash-partitioned). The 100 TB
+    * pattern for fact tables joined repeatedly on the same key — pay the
+    * shuffle once at ingest, never again. Requires `saveAsTable` (the
+    * bucketing metadata lives in the catalog).
+    */
+  def parquetBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   // ── read side ──────────────────────────────────────────────────────────
 
   /** CSV reader with an explicit schema — never `inferSchema` at scale

@@ -48,12 +48,14 @@ class PlanSpec extends SparkSpec {
     assert(leaves.contains("ReadSchema") && !leaves.contains("props"), leaves.take(1500))
   }
 
-  test("whole-stage codegen covers the token-count hot path") {
-    // q23 (stopword HOF lambdas) is CodegenFallback by Spark design; the
-    // pure-function token counter must stay inside codegen (shown by the
-    // `*(n)` stage marker on its Project)
-    val p = Queries.all("q22_token_count")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")), p.take(1500))
+  test("whole-stage codegen covers the text-analysis hot paths") {
+    // the `*(n)` marker on the Project = inside a WholeStageCodegen stage.
+    // q23 needs the native set-probe counter for this — the HOF stopword
+    // lambda was CodegenFallback and kicked the Project out of codegen.
+    for (q <- Seq("q22_token_count", "q23_quality_score")) {
+      val p = Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+        s"$q: ${p.take(1200)}")
+    }
   }
 }

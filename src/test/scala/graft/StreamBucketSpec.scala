@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{Cleanup, Multimodal}
+import graft.sources.Sinks
+import graft.streaming.StreamDedup
+
+/** Streaming dedup, bucketed co-located joins, multimodal frame features,
+  * and cleanup — the round-2 non-query surface.
+  */
+class StreamBucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("streaming dedup drops repeats of a key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDS().toDF("uid", "ts", "payload")
+    val q = StreamDedup.withinWatermark(df, Seq("uid"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    in.addData((1L, ts(0), "first"), (2L, ts(1), "other"))
+    q.processAllAvailable()
+    in.addData((1L, ts(2), "dup-second-batch"), (3L, ts(3), "new"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").select("uid", "payload")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "first"), (2L, "other"), (3L, "new")))
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    val facts = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    val dims = (0 to 49).map(i => (i.toLong, s"label_$i")).toDF("k", "name")
+    Sinks.parquetBucketed(facts, "graft_bucketed_facts", Seq("k"), 8)
+    Sinks.parquetBucketed(dims, "graft_bucketed_dims", Seq("k"), 8)
+    // broadcast would hide the point — force a non-broadcast join
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table("graft_bucketed_facts")
+        .join(spark.table("graft_bucketed_dims"), Seq("k"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p.take(2000))
+      assert(joined.count() == 1000)
+    }
+  }
+
+  test("multimodal frameFeatures emits one row per sampled frame, batched per partition") {
+    val media = Multimodal.synthesize((1 to 20).map(i => Tuple1(i.toLong)).toDF("id"), "id")
+    val feats = Multimodal.frameFeatures(media, everyNth = 2)
+    val rows = feats.collect()
+    // n_frames = id % 8 + 1; sampled every 2nd → ceil(n/2) rows per item
+    val expected = (1 to 20).map(i => (i % 8 + 1 + 1) / 2).sum
+    assert(rows.length == expected)
+    assert(rows.forall(_.getAs[Seq[Float]]("feature").length == 8))
+    // deterministic: same media → same feature
+    val again = Multimodal.frameFeatures(media, everyNth = 2).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("cleanup normalizes names and drops redundant columns defensively") {
+    val df = Seq((1, 2, 3)).toDF("Visit.Date", "NeoTreeID", "keep_me")
+    val out = Cleanup.dropRedundant(Cleanup.snakeCaseColumns(df), Seq("keep_me", "not_there"))
+    assert(out.columns.toSeq == Seq("visit_date", "neo_tree_id"))
+  }
+
+  private def withSqlConf[A](kvs: (String, String)*)(f: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}

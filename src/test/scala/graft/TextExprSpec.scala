@@ -46,6 +46,18 @@ class TextExprSpec extends SparkSpec {
     }
   }
 
+  test("stopwordRatioFast / qualityScoreFast match combinator versions") {
+    GraftFunctions.ensureRegistered(spark)
+    val sw = Seq("the", "a", "of")
+    val bad = docs.select(
+      TextAnalysis.stopwordRatio(col("text"), sw).as("r1"),
+      TextAnalysis.stopwordRatioFast(col("text"), sw).as("f1"),
+      TextAnalysis.qualityScore(col("text"), sw).as("r2"),
+      TextAnalysis.qualityScoreFast(col("text"), sw).as("f2")
+    ).filter(col("r1") =!= col("f1") || col("r2") =!= col("f2")).count()
+    assert(bad === 0)
+  }
+
   test("ngram hashes equal xxhash64 of the string shingles as a set") {
     GraftFunctions.ensureRegistered(spark)
     val cmp = docs.select(
