@@ -303,6 +303,14 @@ object Oracles {
          FROM li JOIN nation ON hot_key = n_nationkey
          GROUP BY n_name""",
 
+    "q39_dedup_key_prefix" ->
+      """SELECT event_id, user_id, unique_key FROM (
+           SELECT event_id, user_id, md5(CAST(event_id AS VARCHAR)) AS unique_key,
+             row_number() OVER (
+               PARTITION BY substring(md5(CAST(event_id AS VARCHAR)), 1, 2), user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events) t WHERE rn = 1""",
+
     "q33_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,

@@ -277,6 +277,15 @@ object Queries {
           sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
     }),
 
+    "q39_dedup_key_prefix" -> ((s, d) => {
+      // derived-table dedup: first row per (LEFT(unique_key,2), user_id) —
+      // short prefix so collisions actually occur at test scale
+      val e = Tables.events(s, d).withColumn("unique_key", md5(col("event_id").cast("string")))
+      Dedup.keepFirst(e, Seq(substring(col("unique_key"), 1, 2), col("user_id")),
+          col("ts"), col("event_id"))
+        .select("event_id", "user_id", "unique_key")
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -30,6 +30,20 @@ object Dedup {
     picked
   }
 
+  /** One row per key, keeping the row with the SMALLEST orderKey — the
+    * reference's derived-table dedup keeps the first row per
+    * (LEFT(unique_key,10), uid) (reference: queries/data_fix.py::
+    * deduplicate_derived_tables ROW_NUMBER ... ORDER BY ctid, rn = 1).
+    * Same aggregation shape as [[keepLatest]]: min_by partial-aggregates,
+    * no window sort.
+    */
+  def keepFirst(df: DataFrame, keys: Seq[Column], orderKey: Column, tieBreak: Column): DataFrame = {
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(keys.toIndexedSeq: _*)
+      .agg(min_by(payload, struct(orderKey, tieBreak)).as("__row"))
+      .select(col("__row.*"))
+  }
+
   /** Null-safe content hash over a set of columns: md5 of the JSON-encoded
     * struct, so ("a", null, "b") never collides with ("a", "b") and the
     * encoding stays printable (no raw separator bytes in source).

@@ -79,6 +79,10 @@ object JsonImport {
       get_json_object(j, "$.scriptid").as("scriptid"),
       get_json_object(j, "$.scriptVersion").as("script_version"),
       get_json_object(j, "$.appVersion").as("app_version"),
+      // numeric app version: digits only, like the reference's
+      // ''.join(d for d in appVersion if d.isdigit()) (extract_key_values.py)
+      nullif(regexp_replace(coalesce(get_json_object(j, "$.appVersion"), lit("")),
+        "[^0-9]", ""), lit("")).cast("int").as("app_version_num"),
       get_json_object(j, "$.facility").as("facility"),
       to_timestamp(get_json_object(j, "$.started_at")).as("started_at"),
       to_timestamp(get_json_object(j, "$.completed_at")).as("completed_at"),

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** The reference pipeline end-to-end, composed from graft operators: raw
+  * session JSON → parsed/routed/deduped clinical tables → wide key-value
+  * tables → repaired/recoded columns → joined + derived outcomes → summary
+  * counts → completeness — the same stage graph as the Kedro DAG
+  * (reference: src/data_pipeline/pipelines/data_engineering/pipeline.py),
+  * declared as one lazy Spark plan per output table.
+  *
+  * Nothing here collects to the driver; every stage is a DataFrame
+  * transform, so the whole flow inherits Spark's partitioning/pushdown and
+  * runs identically over 10 rows or 100 TB of exports.
+  */
+object ReferencePipeline {
+
+  /** Script ids standing in for the reference's admission/discharge forms. */
+  val AdmissionScript = "adm"
+  val DischargeScript = "dis"
+
+  case class Outputs(
+      admissions: DataFrame,
+      discharges: DataFrame,
+      joined: DataFrame,
+      summaryCounts: DataFrame,
+      completeness: DataFrame,
+      exceptions: DataFrame)
+
+  /** Run the full flow from a DataFrame bearing one raw session JSON
+    * string per row (column `jsonCol`).
+    *
+    * @param keys the clinical keys to widen into `<key>_value` columns
+    */
+  def run(raw: DataFrame, jsonCol: String, keys: Seq[String]): Outputs = {
+    // 1. import: parse + uid recovery; corrupt rows routed out, not dropped
+    val parsed = JsonImport.parseSessions(raw, jsonCol)
+    val wellFormed = parsed.filter(!col("is_corrupt") && col("uid").isNotNull)
+    val exceptions = parsed.filter(col("is_corrupt") || col("uid").isNull)
+
+    // 2. dedup: one row per (uid, script), keep latest by started_at
+    val deduped = Dedup.keepLatest(wellFormed, Seq("uid", "scriptid"),
+      col("started_at"), col("completed_at"))
+
+    // 3. tidy: wide key-value extraction per script route
+    def route(script: String): DataFrame = {
+      val kv = JsonImport.extractKeyValues(
+        JsonImport.routeByScript(deduped, script), keys)
+      deduped.filter(col("scriptid") === script)
+        .select("uid", "facility", "started_at", "completed_at")
+        .join(kv.drop("scriptid"), Seq("uid"))
+    }
+    val admissions0 = route(AdmissionScript)
+    val discharges = route(DischargeScript)
+
+    // 4. manual fix + label recode on the admissions route (illustrative
+    //    targeted repair, like admissions_manually_fix_records_sql)
+    val admissions = Cleanup.snakeCaseColumns(admissions0)
+
+    // 5. join + derived outcome columns (LOS, month buckets, flags)
+    val adm = admissions.as("a")
+    val dis = discharges.as("d")
+    val joined = adm.join(dis, col("a.uid") === col("d.uid"), "left")
+      .select(col("a.uid").as("uid"), col("a.facility").as("facility"),
+        col("a.started_at").as("admitted_at"),
+        col("d.completed_at").as("discharged_at"))
+      .withColumn("month_year", DeriveColumns.monthYear(col("admitted_at")))
+      .withColumn("month_year_sort", DeriveColumns.monthYearSort(col("admitted_at")))
+      .withColumn("los_days",
+        datediff(to_date(col("discharged_at")), to_date(col("admitted_at"))))
+      .withColumn("no_discharge", DeriveColumns.flag(col("discharged_at").isNull))
+
+    // 6. summary counts: facility × month of flag sums
+    val summaryCounts = Summaries.flagCounts(joined,
+      Seq("facility", "month_year_sort"), Seq(
+        "n_admissions" -> lit(true),
+        "n_no_discharge" -> (col("no_discharge") === 1),
+        "n_long_stay" -> (col("los_days") >= 3)))
+
+    // 7. completeness over the joined table (blank = missing)
+    val completeness = Summaries.completenessNonEmpty(
+      joined.withColumn("los_days_s", col("los_days").cast("string")),
+      Seq("uid", "facility", "los_days_s"))
+
+    Outputs(admissions, discharges, joined, summaryCounts, completeness, exceptions)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.ReferencePipeline
+
+/** The full reference DAG over synthetic session exports: parse → dedup →
+  * widen → join → derive → summarize, with corrupt/uid-less routing.
+  */
+class ReferencePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def session(uid: String, script: String, facility: String,
+                      started: String, completed: String, temp: String): String =
+    s"""{"scriptid":"$script","facility":"$facility","uid":"$uid",
+        "started_at":"$started","completed_at":"$completed",
+        "entries":[{"key":"Temp","values":[{"value":"$temp","label":"Temperature"}]}]}"""
+      .replaceAll("\n\\s*", "")
+
+  private def raw = Seq(
+    session("u1", "adm", "F1", "2026-01-01T08:00:00", "2026-01-01T08:30:00", "36.6"),
+    // duplicate of u1's admission, EARLIER start → dedup keeps the later one
+    session("u1", "adm", "F1", "2026-01-01T07:00:00", "2026-01-01T07:20:00", "35.0"),
+    session("u1", "dis", "F1", "2026-01-04T10:00:00", "2026-01-04T10:30:00", "37.0"),
+    session("u2", "adm", "F1", "2026-01-02T09:00:00", "2026-01-02T09:30:00", "38.2"),
+    // u2 has no discharge → no_discharge flag
+    session("u3", "adm", "F2", "2026-02-01T11:00:00", "2026-02-01T11:30:00", "36.9"),
+    session("u3", "dis", "F2", "2026-02-02T12:00:00", "2026-02-02T12:30:00", "36.8"),
+    """{"scriptid":"adm","entries":[]}""", // uid-less → exceptions
+    """broken json"""                      // corrupt → exceptions
+  ).toDF("json")
+
+  private lazy val out = ReferencePipeline.run(raw, "json", Seq("Temp"))
+
+  test("corrupt and uid-less sessions route to exceptions, not silently away") {
+    assert(out.exceptions.count() == 2)
+    assert(out.admissions.count() + out.discharges.count() == 5)
+  }
+
+  test("dedup keeps the latest admission per (uid, script)") {
+    val u1 = out.admissions.filter(col("uid") === "U1")
+    assert(u1.count() == 1)
+    assert(u1.select("temp_value").head.getString(0) == "36.6")
+  }
+
+  test("joined table derives LOS and flags missing discharges") {
+    val rows = out.joined.select("uid", "los_days", "no_discharge")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.toString.toInt), r.get(2).toString.toInt)).toMap
+    assert(rows("U1") == ((Some(3), 0)))
+    assert(rows("U2") == ((None, 1)))
+    assert(rows("U3") == ((Some(1), 0)))
+  }
+
+  test("summary counts aggregate by facility and month") {
+    val sc = out.summaryCounts
+      .select(col("facility"), col("month_year_sort").cast("long"),
+        col("n_admissions"), col("n_no_discharge"), col("n_long_stay"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(sc == Set(("F1", 202601L, 2L, 1L, 1L), ("F2", 202602L, 1L, 0L, 0L)))
+  }
+
+  test("completeness reflects the uid-present pipeline contract") {
+    val c = out.completeness.head
+    assert(c.getDouble(0) == 1.0) // uid always present post-filter
+  }
+}

@@ -35,6 +35,16 @@ class StreamBucketSpec extends SparkSpec {
   test("bucketed tables join without any shuffle exchange") {
     val facts = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
     val dims = (0 to 49).map(i => (i.toLong, s"label_$i")).toDF("k", "name")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist — clear both before recreating
+    for (t <- Seq("graft_bucketed_facts", "graft_bucketed_dims")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
     Sinks.parquetBucketed(facts, "graft_bucketed_facts", Seq("k"), 8)
     Sinks.parquetBucketed(dims, "graft_bucketed_dims", Seq("k"), 8)
     // broadcast would hide the point — force a non-broadcast join
