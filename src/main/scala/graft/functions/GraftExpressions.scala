@@ -210,7 +210,9 @@ object GraftFunctions {
     "graft_ngram_hashes" -> (es =>
       NgramHashesExpr(es(0), intLit(es(1), "n"))),
     "graft_count_in_set" -> (es =>
-      TokenInSetCountExpr(es(0), stringLit(es(1), "words").split(',').toSeq))
+      TokenInSetCountExpr(es(0), stringLit(es(1), "words").split(',').toSeq)),
+    "graft_max_by" -> (es => HashExtremumBy(es(0), es(1), isMax = true)),
+    "graft_min_by" -> (es => HashExtremumBy(es(0), es(1), isMax = false))
   )
 
   def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

@@ -20,14 +20,19 @@ object Dedup {
 
   /** One row per key, keeping the row with the greatest orderKey.
     * Ties broken by `tieBreak` (greatest wins) to stay deterministic.
+    *
+    * Uses graft's hash-aggregable max_by ([[graft.functions
+    * .HashExtremumBy]]): the builtin `max_by(struct, struct)` silently
+    * degrades to SortAggregate (struct agg buffers can't hash-aggregate),
+    * sorting every map and reduce partition; the typed-imperative form
+    * runs in ObjectHashAggregate — no sorts, same one-row-per-key shuffle.
     */
   def keepLatest(df: DataFrame, keys: Seq[String], orderKey: Column, tieBreak: Column): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val payload = struct(df.columns.map(col).toIndexedSeq: _*)
-    val picked = df
-      .groupBy(keys.map(col).toIndexedSeq: _*)
-      .agg(max_by(payload, struct(orderKey, tieBreak)).as("__row"))
+    df.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(call_function("graft_max_by", payload, struct(orderKey, tieBreak)).as("__row"))
       .select(col("__row.*"))
-    picked
   }
 
   /** One row per key, keeping the row with the SMALLEST orderKey — the
@@ -38,9 +43,10 @@ object Dedup {
     * no window sort.
     */
   def keepFirst(df: DataFrame, keys: Seq[Column], orderKey: Column, tieBreak: Column): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val payload = struct(df.columns.map(col).toIndexedSeq: _*)
     df.groupBy(keys.toIndexedSeq: _*)
-      .agg(min_by(payload, struct(orderKey, tieBreak)).as("__row"))
+      .agg(call_function("graft_min_by", payload, struct(orderKey, tieBreak)).as("__row"))
       .select(col("__row.*"))
   }
 

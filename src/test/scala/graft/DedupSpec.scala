@@ -4,6 +4,30 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
 class DedupSpec extends SparkSpec {
+
+  test("graft_max_by agrees with builtin max_by on struct payloads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 500).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong,
+      rnd.nextInt(100).toDouble, rnd.nextString(4))).toDF("k", "ord", "v1", "v2")
+    val payload = struct(col("k"), col("ord"), col("v1"), col("v2"))
+    val ours = df.groupBy("k")
+      .agg(call_function("graft_max_by", payload, struct(col("ord"), col("v1"))).as("r"))
+      .select("r.*").collect().map(_.toString).sorted
+    val builtin = df.groupBy("k")
+      .agg(max_by(payload, struct(col("ord"), col("v1"))).as("r"))
+      .select("r.*").collect().map(_.toString).sorted
+    assert(ours.sameElements(builtin))
+    val oursMin = df.groupBy("k")
+      .agg(call_function("graft_min_by", payload, struct(col("ord"), col("v1"))).as("r"))
+      .select("r.*").collect().map(_.toString).sorted
+    val builtinMin = df.groupBy("k")
+      .agg(min_by(payload, struct(col("ord"), col("v1"))).as("r"))
+      .select("r.*").collect().map(_.toString).sorted
+    assert(oursMin.sameElements(builtinMin))
+  }
   import spark.implicits._
 
   test("keepLatest keeps the greatest orderKey per key, ties by tieBreak") {

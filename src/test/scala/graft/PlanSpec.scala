@@ -19,10 +19,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
-  test("q02 keep-latest dedup is an aggregation, not a window sort") {
+  test("q02 keep-latest dedup hash-aggregates with zero sorts") {
     val p = plan("q02_dedup_keep_latest")
-    assert(p.contains("max_by") || p.contains("HashAggregate"), p.take(1500))
-    assert(!p.contains("Window"), p.take(1500))
+    // graft_max_by (TypedImperativeAggregate) must run in
+    // ObjectHashAggregate; builtin max_by(struct,struct) silently degrades
+    // to SortAggregate (sorts every partition) — pin against regression
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(!p.contains("SortAggregate") && !p.contains("Window"), p.take(1500))
   }
 
   test("q26 shingle self-join reuses one exchange and shuffle-hash joins") {

@@ -57,6 +57,30 @@ class StreamBucketSpec extends SparkSpec {
     }
   }
 
+  test("windowed flag counts emit finalized windows that match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDS().toDF("ts", "facility", "v")
+    val q = graft.streaming.StreamCounts.windowedFlagCounts(
+        df, "ts", delay = "5 minutes", windowLen = "10 minutes",
+        groupCols = Seq("facility"),
+        flags = Seq("n_total" -> lit(true), "n_high" -> (col("v") > 10.0)))
+      .writeStream.format("memory").queryName("wc_out").outputMode("append").start()
+    in.addData((ts(1), "F1", 5.0), (ts(2), "F1", 15.0), (ts(4), "F2", 20.0),
+      (ts(12), "F1", 9.0))
+    q.processAllAvailable()
+    in.addData((ts(59), "F9", 1.0)) // advance watermark → finalize earlier windows
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wc_out")
+      .select("window_start", "facility", "n_total", "n_high")
+      .as[(Timestamp, String, Long, Long)].collect().toSet
+    assert(out.contains((ts(0), "F1", 2L, 1L)))
+    assert(out.contains((ts(0), "F2", 1L, 1L)))
+    assert(out.contains((ts(10), "F1", 1L, 0L)))
+  }
+
   test("multimodal frameFeatures emits one row per sampled frame, batched per partition") {
     val media = Multimodal.synthesize((1 to 20).map(i => Tuple1(i.toLong)).toDF("id"), "id")
     val feats = Multimodal.frameFeatures(media, everyNth = 2)
