@@ -212,7 +212,8 @@ object GraftFunctions {
     "graft_count_in_set" -> (es =>
       TokenInSetCountExpr(es(0), stringLit(es(1), "words").split(',').toSeq)),
     "graft_max_by" -> (es => HashExtremumBy(es(0), es(1), isMax = true)),
-    "graft_min_by" -> (es => HashExtremumBy(es(0), es(1), isMax = false))
+    "graft_min_by" -> (es => HashExtremumBy(es(0), es(1), isMax = false)),
+    "graft_top_k_by" -> (es => HashTopKBy(es(0), es(1), intLit(es(2), "k")))
   )
 
   def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

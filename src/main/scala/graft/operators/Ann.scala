@@ -108,13 +108,21 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** Top-k by (cos desc, neighbor_id asc) via graft's bounded-heap
+    * aggregate: O(log k) per candidate in ObjectHashAggregate, only k rows
+    * per query per map task shuffle — a `row_number` window would sort
+    * EVERY candidate of every query (and a window is also why the old plan
+    * carried two Sort nodes).
+    */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // rank by (cos desc, neighbor_id asc) — deterministic under float ties
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
+    GraftFunctions.ensureRegistered(scored.sparkSession)
+    val entry = struct(col("neighbor_id"), col("cos"))
+    val order = struct(col("cos"), (-col("neighbor_id")).as("nid"))
+    scored.groupBy("query_id")
+      .agg(call_function("graft_top_k_by", entry, order, lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        round(col("col.cos"), 4).as("cos"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH-bucketed

@@ -5,6 +5,27 @@ import graft.operators.Dedup
 
 class DedupSpec extends SparkSpec {
 
+  test("graft_top_k_by agrees with a row_number window top-k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 2000).map(i => (rnd.nextInt(10).toLong, i.toLong, rnd.nextInt(500).toDouble))
+      .toDF("g", "id", "score")
+    val ours = df.groupBy("g")
+      .agg(call_function("graft_top_k_by",
+        struct(col("id"), col("score")), struct(col("score"), (-col("id")).as("nid")), lit(7)).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rank"), col("col.id"), col("col.score"))
+      .collect().map(_.toString).sorted
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val ref = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 7)
+      .select(col("g"), col("rank").cast("long"), col("id"), col("score"))
+      .collect().map(_.toString).sorted
+    assert(ours.sameElements(ref))
+  }
+
   test("graft_max_by agrees with builtin max_by on struct payloads") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
