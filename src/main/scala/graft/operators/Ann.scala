@@ -128,25 +128,43 @@ object Ann {
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH-bucketed
     * self-join (id_a < id_b). The threshold filter runs BEFORE the pair
     * dedup, so only passing (id, id, cos) triples ever shuffle.
+    *
+    * Like [[NearDup.simhashPairs]], exact-duplicate vectors are collapsed
+    * before bucketing: identical vectors land in every shared bucket of
+    * every table, so dup-heavy corpora multiply candidate rows nTables-
+    * fold. Bucketing runs on DISTINCT vectors; id pairs come back via
+    * membership joins (keyed on the vector value).
     */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, nPlanes: Int, dim: Int,
                             nTables: Int = 4): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val members = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sigs = members.select("v").distinct()
     val tables = (0 until nTables).map { t =>
       struct(lit(t).as("tbl"),
         Similarity.rhpBucketFast(col("v"), nPlanes, seed = 42 + t * 7919).as("bkt"))
     }
-    val bucketed = base.select(col("id"), col("v"), explode(array(tables: _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val bucketed = sigs.select(col("v"), explode(array(tables: _*)).as("tb"))
+      .select(col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
       .hint("shuffle_hash") // self-join: shuffle both sides → ReusedExchange
-    bucketed.as("a").join(bucketed.as("b"),
+    val sigPairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.v") < col("b.v")) // arrays are orderable: total order on distinct vecs
+      .select(col("a.v").as("v_a"), col("b.v").as("v_b"),
         round(Similarity.cosineFast(col("a.v"), col("b.v")), 4).as("cos"))
       .filter(col("cos") >= threshold)
-      .dropDuplicates("id_a", "id_b")
+      .dropDuplicates("v_a", "v_b")
+    val intra = members.as("m1").join(members.as("m2"),
+        col("m1.v") === col("m2.v") && col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+        round(Similarity.cosineFast(col("m1.v"), col("m2.v")), 4).as("cos"))
+      .filter(col("cos") >= threshold) // zero vectors: cos 0, correctly dropped
+    val inter = sigPairs
+      .join(members.as("ma"), col("ma.v") === col("v_a"))
+      .join(members.as("mb"), col("mb.v") === col("v_b"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"), col("cos"))
+    intra.unionByName(inter)
   }
 }
