@@ -311,6 +311,12 @@ object Oracles {
                ORDER BY ts, event_id) AS rn
            FROM events) t WHERE rn = 1""",
 
+    "q40_windowed_counts" ->
+      """SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type,
+         count(*) AS n_total,
+         CAST(sum(CASE WHEN value > 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+         FROM events GROUP BY 1, 2""",
+
     "q33_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,

@@ -286,6 +286,16 @@ object Queries {
         .select("event_id", "user_id", "unique_key")
     }),
 
+    "q40_windowed_counts" -> ((s, d) =>
+      // batch twin of streaming/StreamCounts.windowedFlagCounts: tumbling
+      // daily event-time windows × type of conditional counts
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(sum(when(lit(true), 1L).otherwise(0L)).as("n_total"),
+          sum(when(col("value") > 500.0, 1L).otherwise(0L)).as("n_high"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_total"), col("n_high"))),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)
