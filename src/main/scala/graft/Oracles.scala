@@ -311,6 +311,20 @@ object Oracles {
                ORDER BY ts, event_id) AS rn
            FROM events) t WHERE rn = 1""",
 
+    "q41_convenience_view" ->
+      """WITH o AS (
+           SELECT *, CASE WHEN o_orderkey % 11 = 0 THEN 'NaT'
+                          WHEN o_orderkey % 13 = 0 THEN 'Unknown'
+                          ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw_dt
+           FROM orders)
+         SELECT o_orderkey AS uid,
+           CAST(CASE WHEN raw_dt IN ('NaT','NaN','nan') OR raw_dt LIKE 'Unk%' THEN NULL
+                ELSE CAST(raw_dt AS DATE) END AS TIMESTAMP) AS admission_date,
+           o_orderpriority AS priority,
+           CASE WHEN o_orderstatus IN ('NaT','NaN','nan') OR o_orderstatus LIKE 'Unk%' THEN NULL
+                ELSE o_orderstatus END AS status
+         FROM o""",
+
     "q40_windowed_counts" ->
       """SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type,
          count(*) AS n_total,

@@ -286,6 +286,21 @@ object Queries {
         .select("event_id", "user_id", "unique_key")
     }),
 
+    "q41_convenience_view" -> ((s, d) => {
+      // BI-facing projection with sentinel scrubbing: raw date strings
+      // carry 'NaT'/'Unknown' markers (synthesized deterministically in
+      // both engines), scrubbed to NULL and cast
+      val o = Tables.orders(s, d).withColumn("raw_dt",
+        when(pmod(col("o_orderkey"), lit(11)) === 0, "NaT")
+          .when(pmod(col("o_orderkey"), lit(13)) === 0, "Unknown")
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+      Views.projection(o, Seq(
+        (col("o_orderkey"), "uid"),
+        (Views.scrubbedDate(col("raw_dt")).cast("timestamp"), "admission_date"),
+        (col("o_orderpriority"), "priority"),
+        (Views.scrubbed(col("o_orderstatus")), "status")))
+    }),
+
     "q40_windowed_counts" -> ((s, d) =>
       // batch twin of streaming/StreamCounts.windowedFlagCounts: tumbling
       // daily event-time windows × type of conditional counts

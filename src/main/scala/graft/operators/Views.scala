@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Convenience views: the reference's BI-facing projections — wide
+  * rename/selection with sentinel scrubbing and date normalization
+  * (reference: queries/create_convenience_views_sql.py — CASE WHEN
+  * value::TEXT = 'NaT' OR value LIKE 'Unk%' THEN NULL ELSE value::DATE).
+  *
+  * Views are metadata: `createOrReplaceTempView` puts the projection on
+  * the SQL surface so BI users query by name while Catalyst still prunes
+  * and pushes through the view into the source scan.
+  */
+object Views {
+
+  /** Pandas/export sentinels that mean "missing" in the reference data. */
+  val DefaultSentinels: Seq[String] = Seq("NaT", "NaN", "nan")
+
+  /** NULL-scrub a string column: exact sentinel matches and `Unk%`-style
+    * prefixes become NULL, everything else passes through.
+    */
+  def scrubbed(c: Column, sentinels: Seq[String] = DefaultSentinels): Column =
+    when(c.isin(sentinels.map(s => s: Any): _*) || c.startsWith("Unk"), lit(null))
+      .otherwise(c)
+
+  /** Scrubbed date: sentinel → NULL, else cast (unparseable → NULL too,
+    * via try-semantics date conversion).
+    */
+  def scrubbedDate(c: Column, sentinels: Seq[String] = DefaultSentinels): Column =
+    to_date(scrubbed(c, sentinels))
+
+  /** Project + rename in one pass: (sourceExpr, outputName) pairs. */
+  def projection(df: DataFrame, cols: Seq[(Column, String)]): DataFrame =
+    df.select(cols.map { case (c, n) => c.as(n) }: _*)
+
+  /** Put a DataFrame on the session's SQL surface under `name`. */
+  def register(spark: SparkSession, name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** Register the whole graft table layout as temp views so every catalog
+    * table is SQL-addressable (`spark.sql("SELECT ... FROM lineitem")`).
+    */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    import graft.sources.Tables
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      register(spark, t, Tables.table(spark, dir, t))
+    }
+    register(spark, "events", Tables.events(spark, dir)) // nanos-ts handling
+  }
+}
