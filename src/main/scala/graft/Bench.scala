@@ -20,8 +20,9 @@ object Bench {
     // string-expression JIT) on the tiny SF so the first timed queries
     // aren't charged for one-time compilation.
     try {
-      SparkEntry.entry(spark).count()
-      SparkEntry.queries("q24_lang_id")(spark, "/root/testdata/sf0.001").count()
+      SparkEntry.entry(spark).count()                                        // agg path
+      SparkEntry.queries("q24_lang_id")(spark, "/root/testdata/sf0.001").count()   // text path
+      SparkEntry.queries("q03_join_enrich")(spark, "/root/testdata/sf0.001").count() // join path
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -64,6 +64,38 @@ object Multimodal {
       col("meta.width"), col("meta.height"), col("meta.sample_rate"),
       col("meta.n_frames"), col("meta.mime"))
 
+  /** Resize: fit image/video media into a target box, keeping the
+    * metadata struct honest (aspect-preserving scaled width/height; audio
+    * rows pass through untouched). The pixel resample itself is stubbed
+    * as a deterministic content hash — a real codec would swap in a
+    * mapPartitions batch exactly like [[frameFeatures]]; everything else
+    * (schema, conditional routing by kind, metadata math) is real.
+    */
+  def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("meta.width"),
+      lit(maxH.toDouble) / col("meta.height"), lit(1.0))
+    val newW = (col("meta.width") * scale).cast("int")
+    val newH = (col("meta.height") * scale).cast("int")
+    val resizeUdfFree = struct(
+      newW.as("width"), newH.as("height"),
+      col("meta.sample_rate"), col("meta.n_frames"), col("meta.mime"))
+    media.withColumn("meta",
+        when(col("kind").isin("image", "video"), resizeUdfFree).otherwise(col("meta")))
+      .withColumn("bytes",
+        when(col("kind").isin("image", "video"),
+          udfFreeResizeBytes(col("bytes"), newW, newH)).otherwise(col("bytes")))
+  }
+
+  /** Deterministic stand-in for the pixel resample: real systems hand the
+    * byte batch to a codec here; the stub derives bytes from (payload,
+    * target box) so plumbing tests see size/metadata effects.
+    */
+  private def udfFreeResizeBytes(bytes: org.apache.spark.sql.Column,
+                                 w: org.apache.spark.sql.Column,
+                                 h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unbase64(base64(sha2(concat(base64(bytes), w.cast("string"), h.cast("string")), 256).cast("binary")))
+
   /** Frame-sample features: one row per sampled frame per media item,
     * batched per partition. The decode is [[MediaCodec.decodeStub]].
     */

@@ -94,6 +94,27 @@ class StreamBucketSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("multimodal resize scales image/video metadata, passes audio through") {
+    val media = Multimodal.synthesize((1 to 30).map(i => Tuple1(i.toLong)).toDF("id"), "id")
+    val out = Multimodal.resize(media, maxW = 320, maxH = 240)
+    val metas = out.select("kind", "meta.width", "meta.height").collect()
+    metas.foreach { r =>
+      val (kind, w, h) = (r.getString(0), r.getInt(1), r.getInt(2))
+      if (kind == "audio") () // untouched
+      else assert(w <= 320 && h <= 240, s"$kind $w x $h")
+    }
+    // aspect ratio preserved for a known row: 640x360 → 320x180
+    val r = out.filter(col("media_id") === 2 && col("kind") =!= "audio")
+      .select("meta.width", "meta.height").collect()
+    r.foreach(row => assert(row.getInt(0) * 9 == row.getInt(1) * 16))
+    // bytes changed for visual media, unchanged for audio
+    val changed = out.as("n").join(media.as("o"), Seq("media_id"))
+      .select(col("n.kind"), (col("n.bytes") === col("o.bytes")).as("same"))
+      .collect().map(r2 => r2.getString(0) -> r2.getBoolean(1))
+    assert(changed.filter(_._1 == "audio").forall(_._2))
+    assert(changed.filter(_._1 != "audio").forall(!_._2))
+  }
+
   test("cleanup normalizes names and drops redundant columns defensively") {
     val df = Seq((1, 2, 3)).toDF("Visit.Date", "NeoTreeID", "keep_me")
     val out = Cleanup.dropRedundant(Cleanup.snakeCaseColumns(df), Seq("keep_me", "not_there"))
