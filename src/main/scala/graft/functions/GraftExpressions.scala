@@ -129,6 +129,27 @@ case class NgramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Char-n-gram language ID over a raw string (profiles are plan-time
+  * literals, same encoding as [[LangIdExpr]]'s markers).
+  */
+case class LangIdNgramExpr(child: Expression, profiles: Seq[(String, Seq[String])], n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id_ngram"
+  @transient private lazy val kernel = new TextKernels.LangIdNgramKernel(profiles, n)
+  override protected def nullSafeEval(v: Any): Any =
+    kernel.eval(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("langIdNgramKernel", kernel, classOf[TextKernels.LangIdNgramKernel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $k.eval($v);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Count of tokens present in a fixed word set (plan-time literal). */
 case class TokenInSetCountExpr(child: Expression, words: Seq[String])
     extends UnaryExpression {
@@ -207,6 +228,9 @@ object GraftFunctions {
     "graft_simhash64" -> (es => SimHash64Expr(es(0))),
     "graft_lang_id" -> (es =>
       LangIdExpr(es(0), decodeMarkers(stringLit(es(1), "markers")))),
+    "graft_lang_id_ngram" -> (es =>
+      LangIdNgramExpr(es(0), decodeMarkers(stringLit(es(1), "profiles")),
+        intLit(es(2), "n"))),
     "graft_ngram_hashes" -> (es =>
       NgramHashesExpr(es(0), intLit(es(1), "n"))),
     "graft_count_in_set" -> (es =>

@@ -100,6 +100,16 @@ object TextAnalysis {
     call_function("graft_lang_id", split(lower(trim(text)), "\\s+"),
       lit(GraftFunctions.encodeMarkers(markers)))
 
+  /** Character-n-gram language ID (Cavnar–Trenkle-style set-membership
+    * heuristic) — complements the word-marker [[langId]]: works on
+    * unsegmented text and is robust to unseen vocabulary. `profiles` maps
+    * lang → representative char n-grams. Caller must have run
+    * `GraftFunctions.ensureRegistered`.
+    */
+  def langIdNgram(text: Column, profiles: Map[String, Seq[String]], n: Int = 3): Column =
+    call_function("graft_lang_id_ngram", text,
+      lit(GraftFunctions.encodeMarkers(profiles)), lit(n))
+
   /** Content fingerprint: md5 of the canonicalized text (lowercase,
     * whitespace collapsed) — the exact-dup key for documents
     * (reference analogue: regenerate_unique_key.py's content-derived keys).

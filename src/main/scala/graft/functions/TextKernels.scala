@@ -74,6 +74,57 @@ object TextKernels {
     }
   }
 
+  /** Character-n-gram language ID: scores each language by how many of
+    * the text's char n-grams appear in that language's profile (the
+    * classic Cavnar–Trenkle-style n-gram heuristic, simplified to set
+    * membership). One pass over the text's n-grams; same argmax/tie-break
+    * contract as [[LangIdKernel]].
+    */
+  final class LangIdNgramKernel(profiles: Seq[(String, Seq[String])], n: Int)
+      extends Serializable {
+    private val langs: Array[UTF8String] =
+      profiles.map(_._1).sorted.map(UTF8String.fromString).toArray
+    private val masks: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      val idx = profiles.map(_._1).sorted.zipWithIndex.toMap
+      profiles.foreach { case (lang, grams) =>
+        val bit = 1 << idx(lang)
+        grams.foreach { g =>
+          val prev = m.get(g)
+          m.put(g, if (prev == null) bit else prev | bit)
+        }
+      }
+      m
+    }
+    private val und = UTF8String.fromString("und")
+
+    def eval(text: UTF8String): UTF8String = {
+      val s = text.toString.toLowerCase
+      val counts = new Array[Int](langs.length)
+      var i = 0
+      val last = s.length - n
+      while (i <= last) {
+        val mask = masks.get(s.substring(i, i + n))
+        if (mask != null) {
+          var m = mask.intValue()
+          while (m != 0) {
+            counts(java.lang.Integer.numberOfTrailingZeros(m)) += 1
+            m &= m - 1
+          }
+        }
+        i += 1
+      }
+      var best = 0
+      var bi = -1
+      i = 0
+      while (i < langs.length) {
+        if (counts(i) >= best && counts(i) > 0) { best = counts(i); bi = i }
+        i += 1
+      }
+      if (bi < 0) und else langs(bi)
+    }
+  }
+
   /** Count of tokens that belong to a fixed word set (stopword counting).
     * One hash-set probe per token; the combinator form (`filter(toks,
     * isin)`) is a CodegenFallback lambda that linearly scans the word list

@@ -58,6 +58,25 @@ class TextExprSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("char-ngram langId scores profile trigrams, ties to greatest code, und on miss") {
+    GraftFunctions.ensureRegistered(spark)
+    val profiles = Map(
+      "en" -> Seq("the", "ing", "ion"),
+      "de" -> Seq("sch", "ein", "der"),
+      "fr" -> Seq("eau", "oux", "ent"))
+    val df = Seq(
+      (1L, "the singing lion"),       // en: the, ing(x2), ion
+      (2L, "schein der schwein"),     // de
+      (3L, "l'eau si doux"),          // fr
+      (4L, "zzzz qqqq"),              // none → und
+      (5L, "")                        // empty → und
+    ).toDF("id", "t")
+    val out = df.select(col("id"),
+      TextAnalysis.langIdNgram(col("t"), profiles).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und", 5L -> "und"))
+  }
+
   test("ngram hashes equal xxhash64 of the string shingles as a set") {
     GraftFunctions.ensureRegistered(spark)
     val cmp = docs.select(
