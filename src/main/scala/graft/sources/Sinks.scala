@@ -54,6 +54,25 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Small-file compaction: rewrite a parquet dataset into files of
+    * roughly `rowsPerFile` rows. Streaming/incremental landing produces
+    * file counts proportional to trigger counts; scans then pay per-file
+    * open/footer costs. Compaction is the standing maintenance job of any
+    * 100 TB lakehouse — here: read → repartition to the target file count
+    * → atomic directory swap.
+    */
+  def compact(spark: SparkSession, path: String, rowsPerFile: Long): Unit = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    val tmp = path + "__compact"
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = new java.io.File(path)
+    if (target.exists()) { target.listFiles().foreach(_.delete()); target.delete() }
+    if (!new java.io.File(tmp).renameTo(target))
+      throw new java.io.IOException(s"compact swap failed: $tmp -> $path")
+  }
+
   // ── read side ──────────────────────────────────────────────────────────
 
   /** CSV reader with an explicit schema — never `inferSchema` at scale

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import graft.operators.Dedup
+
+/** Continuous merge/upsert: land a stream into a keep-latest table — the
+  * reference's merge_all (union + dedup on uid keep-latest, reference:
+  * nodes_grouped/step_7_nodes/merge_all.py) run per micro-batch instead of
+  * per cron tick.
+  *
+  * Mechanics: `foreachBatch` gives each micro-batch a batch DataFrame;
+  * the batch is unioned with the current table, deduped keep-latest
+  * (graft's hash max_by — no sorts), and atomically swapped in. With
+  * plain parquet the swap is a rewrite; on a real lakehouse the SAME
+  * foreachBatch body becomes `MERGE INTO` on a table format with ACID
+  * upserts — the operator boundary is identical, only the sink line
+  * changes. The rewrite form is honest for moderate tables (dims,
+  * clinical registries); append-only fact streams should use
+  * [[StreamDedup]] + partitioned appends instead.
+  */
+object StreamUpsert {
+
+  /** Upsert each micro-batch into the parquet table at `path`.
+    * Returns the started query (caller stops it).
+    */
+  def start(stream: DataFrame, path: String, keys: Seq[String],
+            orderCol: String, tieBreak: String,
+            checkpoint: String): StreamingQuery =
+    writer(stream, path, keys, orderCol, tieBreak)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The writer, exposed so tests/callers can pick trigger/options. */
+  def writer(stream: DataFrame, path: String, keys: Seq[String],
+             orderCol: String, tieBreak: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      upsertBatch(batch.sparkSession, batch, path, keys, orderCol, tieBreak)
+    }
+
+  /** One merge step: current ∪ batch → keep-latest → rewrite. */
+  private[streaming] def upsertBatch(spark: SparkSession, batch: DataFrame, path: String,
+                                     keys: Seq[String], orderCol: String, tieBreak: String): Unit = {
+    val dir = new java.io.File(path)
+    val hasTable = dir.exists() && dir.listFiles() != null &&
+      dir.listFiles().exists(_.getName.endsWith(".parquet"))
+    // the batch itself must ALSO dedup — a micro-batch can carry several
+    // versions of one key (caught by a file-stream probe: 1000 events of
+    // 15 users landed unmerged on the empty-table path)
+    val input = if (hasTable) spark.read.parquet(path).unionByName(batch) else batch
+    val merged = Dedup.keepLatest(input, keys, col(orderCol), col(tieBreak))
+    // rewrite via a temp dir + swap: reading and overwriting the same
+    // path in one job is unsafe with plain parquet
+    val tmp = path + "__tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = new java.io.File(path)
+    if (target.exists()) {
+      target.listFiles().foreach(_.delete()); target.delete()
+    }
+    if (!new java.io.File(tmp).renameTo(target))
+      throw new java.io.IOException(s"upsert swap failed: $tmp -> $path")
+  }
+}

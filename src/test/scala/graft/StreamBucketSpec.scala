@@ -57,6 +57,42 @@ class StreamBucketSpec extends SparkSpec {
     }
   }
 
+  test("streaming upsert lands keep-latest state across micro-batches") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("upsert").toString + "/table"
+    val ckpt = Files.createTempDirectory("upsert_ckpt").toString
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamUpsert.start(
+      in.toDS().toDF("uid", "ts", "payload"), path,
+      keys = Seq("uid"), orderCol = "ts", tieBreak = "payload", checkpoint = ckpt)
+    // first batch carries an intra-batch duplicate of uid 1 — the empty-
+    // table path must dedup it too
+    in.addData((1L, ts(0), "v0"), (1L, ts(2), "v1"), (2L, ts(1), "v1"))
+    q.processAllAvailable()
+    in.addData((1L, ts(5), "v2"), (3L, ts(6), "v1")) // update uid 1, insert uid 3
+    q.processAllAvailable()
+    in.addData((2L, ts(0), "stale")) // OLDER than uid 2's current row → ignored
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(path).select("uid", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "v2", 2L -> "v1", 3L -> "v1"))
+  }
+
+  test("compaction rewrites many small files into the target count") {
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("compact").toString + "/t"
+    (1 to 2000).map(i => (i.toLong, s"p$i")).toDF("id", "p")
+      .repartition(50).write.parquet(path)
+    def parquetFiles = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 50)
+    graft.sources.Sinks.compact(spark, path, rowsPerFile = 1000)
+    assert(parquetFiles == 2)
+    assert(spark.read.parquet(path).count() == 2000)
+    assert(spark.read.parquet(path).agg(sum("id")).head.getLong(0) == 2001000L)
+  }
+
   test("windowed flag counts emit finalized windows that match the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
