@@ -201,8 +201,13 @@ object Queries {
       NearDup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 7, 0.2)),
 
     "q27_minhash_lsh" -> ((s, d) => {
-      val sigs = Tables.documents(s, d).select(col("doc_id"),
-        NearDup.minhashSignature(col("text"), 5, 16).as("sig"))
+      // docs with < n tokens have no shingles → all-null signature that
+      // would collapse to md5('') bands while the oracle omits them;
+      // filter them out up front (cheap token-count predicate, matching
+      // the oracle's natural behavior)
+      val sigs = Tables.documents(s, d)
+        .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 5)
+        .select(col("doc_id"), NearDup.minhashSignature(col("text"), 5, 16).as("sig"))
       sigs.select(col("doc_id"),
         md5(concat_ws("|", slice(col("sig"), 1, 4))).as("b0"),
         md5(concat_ws("|", slice(col("sig"), 5, 4))).as("b1"),
@@ -220,7 +225,7 @@ object Queries {
     // moderate similarity (p_bit ≈ 0.63 ⇒ per-table hit ≈ 0.63^6).
     "q29_embed_neardup" -> ((s, d) =>
       Ann.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.4, nPlanes = 6, dim = 64, nTables = 8)),
+        threshold = 0.4, nPlanes = 6, nTables = 8)),
 
     "q30_ann_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -231,7 +236,7 @@ object Queries {
     "q31_ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Ann.lshTopK(e.filter(pmod(col("vec_id"), lit(50)) === 0), e,
-        "vec_id", "embedding", k = 5, nPlanes = 10, dim = 64)
+        "vec_id", "embedding", k = 5, nPlanes = 10)
     }),
 
     "q32_multimodal_meta" -> ((s, d) =>

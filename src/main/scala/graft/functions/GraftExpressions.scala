@@ -237,7 +237,7 @@ object GraftFunctions {
       TokenInSetCountExpr(es(0), stringLit(es(1), "words").split(',').toSeq)),
     "graft_max_by" -> (es => HashExtremumBy(es(0), es(1), isMax = true)),
     "graft_min_by" -> (es => HashExtremumBy(es(0), es(1), isMax = false)),
-    "graft_top_k_by" -> (es => HashTopKBy(es(0), es(1), intLit(es(2), "k")))
+    "graft_top_k_by" -> (es => HashTopKBy(es(0), es(1), es(2), intLit(es(3), "k")))
   )
 
   def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
@@ -245,9 +245,12 @@ object GraftFunctions {
       (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
     }
 
+  // weak keys: a long-lived driver creating per-tenant sessions must not
+  // have them pinned forever by this registry memo
   private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Idempotently register the graft functions into a live session. */
   def ensureRegistered(spark: SparkSession): Unit =

@@ -3,21 +3,25 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
-/** Buffer: up to k (order, value) pairs in a min-heap on `order` (the
-  * root is the weakest survivor, evicted first).
+/** Buffer: up to k (order, tie, value) triples in a min-heap on goodness
+  * (the root is the weakest survivor, evicted first).
   */
-final class TopKBuf(val k: Int, ord: Ordering[Any]) {
-  val heap = new scala.collection.mutable.PriorityQueue[(Any, Any)]()(Ordering.by[(Any, Any), Any](_._1)(ord.reverse))
-  def offer(o: Any, v: Any): Unit =
-    if (heap.size < k) heap.enqueue((o, v))
-    else if (ord.compare(o, heap.head._1) > 0) { heap.dequeue(); heap.enqueue((o, v)) }
+final class TopKBuf(val k: Int, goodness: Ordering[(Any, Any)]) {
+  val heap = new scala.collection.mutable.PriorityQueue[(Any, Any, Any)]()(
+    Ordering.by[(Any, Any, Any), (Any, Any)](e => (e._1, e._2))(goodness.reverse))
+  def offer(o: Any, t: Any, v: Any): Unit =
+    if (heap.size < k) heap.enqueue((o, t, v))
+    else if (goodness.compare((o, t), (heap.head._1, heap.head._2)) > 0) {
+      heap.dequeue(); heap.enqueue((o, t, v))
+    }
 }
 
 /** Bounded-heap top-k aggregation: keeps the k values with the greatest
-  * `order` per group, emitted best-first.
+  * `order` per group (ties broken by SMALLEST `tie` — any orderable type,
+  * e.g. string ids), emitted best-first.
   *
   * Why: `row_number() OVER (PARTITION BY g ORDER BY s) <= k` sorts EVERY
   * candidate row of every group; for ANN that is all scored candidates per
@@ -30,6 +34,7 @@ final class TopKBuf(val k: Int, ord: Ordering[Any]) {
 case class HashTopKBy(
     valueExpr: Expression,
     orderExpr: Expression,
+    tieExpr: Expression,
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
@@ -37,43 +42,56 @@ case class HashTopKBy(
 
   require(k > 0, "k must be positive")
 
-  override def children: Seq[Expression] = Seq(valueExpr, orderExpr)
+  override def children: Seq[Expression] = Seq(valueExpr, orderExpr, tieExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(valueExpr.dataType, containsNull = true)
   override def prettyName: String = "graft_top_k_by"
 
-  @transient private lazy val ordering: Ordering[Any] =
+  @transient private lazy val ordOrdering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(orderExpr.dataType).asInstanceOf[Ordering[Any]]
+  @transient private lazy val tieOrdering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(tieExpr.dataType).asInstanceOf[Ordering[Any]]
+  /** greater = better: order desc, then tie asc. */
+  @transient private lazy val goodness: Ordering[(Any, Any)] =
+    new Ordering[(Any, Any)] {
+      def compare(a: (Any, Any), b: (Any, Any)): Int = {
+        val c = ordOrdering.compare(a._1, b._1)
+        if (c != 0) c else tieOrdering.compare(b._2, a._2)
+      }
+    }
 
-  override def createAggregationBuffer(): TopKBuf = new TopKBuf(k, ordering)
+  override def createAggregationBuffer(): TopKBuf = new TopKBuf(k, goodness)
 
   override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
     val o = orderExpr.eval(input)
-    if (o != null) {
+    val t = tieExpr.eval(input)
+    if (o != null && t != null) {
       // copy before heap insert — Spark reuses the input row's backing
-      val oc = InternalRow.copyValue(o)
       val v = valueExpr.eval(input)
-      buf.offer(oc, if (v == null) null else InternalRow.copyValue(v))
+      buf.offer(InternalRow.copyValue(o), InternalRow.copyValue(t),
+        if (v == null) null else InternalRow.copyValue(v))
     }
     buf
   }
 
   override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
-    b2.heap.foreach { case (o, v) => b1.offer(o, v) }
+    b2.heap.foreach { case (o, t, v) => b1.offer(o, t, v) }
     b1
   }
 
   override def eval(buf: TopKBuf): Any =
-    new GenericArrayData(buf.heap.toSeq.sortBy(_._1)(ordering.reverse).map(_._2))
+    new GenericArrayData(
+      buf.heap.toSeq.sortBy(e => (e._1, e._2))(goodness.reverse).map(_._3))
 
-  // (de)serialize as a single-field UnsafeRow holding array<struct<o,v>>
-  @transient private lazy val entryType =
-    ArrayType(StructType(Seq(StructField("o", orderExpr.dataType), StructField("v", valueExpr.dataType))))
+  // (de)serialize as a single-field UnsafeRow holding array<struct<o,t,v>>
+  @transient private lazy val entryStruct = StructType(Seq(
+    StructField("o", orderExpr.dataType), StructField("t", tieExpr.dataType),
+    StructField("v", valueExpr.dataType)))
   @transient private lazy val proj = UnsafeProjection.create(Array(
-    BoundReference(0, entryType, nullable = false)): Array[Expression])
+    BoundReference(0, ArrayType(entryStruct), nullable = false)): Array[Expression])
 
   override def serialize(buf: TopKBuf): Array[Byte] = {
-    val arr = new GenericArrayData(buf.heap.toSeq.map { case (o, v) => InternalRow(o, v) })
+    val arr = new GenericArrayData(buf.heap.toSeq.map { case (o, t, v) => InternalRow(o, t, v) })
     proj.apply(InternalRow(arr)).getBytes
   }
 
@@ -82,14 +100,15 @@ case class HashTopKBy(
     row.pointTo(bytes, bytes.length)
     val buf = createAggregationBuffer()
     val arr = row.getArray(0)
-    val st = entryType.elementType.asInstanceOf[StructType]
     var i = 0
     while (i < arr.numElements()) {
-      val e = arr.getStruct(i, 2)
-      val o = e.get(0, st(0).dataType)
-      val v = e.get(1, st(1).dataType)
+      val e = arr.getStruct(i, 3)
+      val o = e.get(0, entryStruct(0).dataType)
+      val t = e.get(1, entryStruct(1).dataType)
+      val v = e.get(2, entryStruct(2).dataType)
       buf.offer(
         if (o == null) null else InternalRow.copyValue(o),
+        if (t == null) null else InternalRow.copyValue(t),
         if (v == null) null else InternalRow.copyValue(v))
       i += 1
     }
@@ -101,5 +120,5 @@ case class HashTopKBy(
   override def withNewInputAggBufferOffset(newOffset: Int): HashTopKBy =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
-    copy(valueExpr = newChildren(0), orderExpr = newChildren(1))
+    copy(valueExpr = newChildren(0), orderExpr = newChildren(1), tieExpr = newChildren(2))
 }

@@ -42,7 +42,7 @@ object Ann {
     * multiple plane-sets (`nTables`) to recover recall lost to bucketing.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, nPlanes: Int, dim: Int,
+              vecCol: String, k: Int, nPlanes: Int,
               nTables: Int = 4): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
@@ -117,9 +117,10 @@ object Ann {
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     GraftFunctions.ensureRegistered(scored.sparkSession)
     val entry = struct(col("neighbor_id"), col("cos"))
-    val order = struct(col("cos"), (-col("neighbor_id")).as("nid"))
+    // order desc on cos, tie asc on neighbor_id — works for any orderable
+    // id type (string ids included), unlike a numeric negation trick
     scored.groupBy("query_id")
-      .agg(call_function("graft_top_k_by", entry, order, lit(k)).as("top"))
+      .agg(call_function("graft_top_k_by", entry, col("cos"), col("neighbor_id"), lit(k)).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
         round(col("col.cos"), 4).as("cos"), (col("pos") + 1).cast("int").as("rank"))
@@ -136,7 +137,7 @@ object Ann {
     * membership joins (keyed on the vector value).
     */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, nPlanes: Int, dim: Int,
+                            threshold: Double, nPlanes: Int,
                             nTables: Int = 4): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val members = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))

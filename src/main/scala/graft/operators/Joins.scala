@@ -48,6 +48,12 @@ object Joins {
   def salted(big: DataFrame, small: DataFrame, key: String, saltSrc: Column,
              buckets: Int, how: String = "inner"): DataFrame = {
     import org.apache.spark.sql.functions._
+    // right/full outer would emit `buckets` null-padded copies of every
+    // unmatched small-side row (it was replicated per salt) — reject
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(how.toLowerCase.replace("_", "")),
+      s"salted join supports inner/left/left_semi/left_anti, not '$how' " +
+        "(outer-on-small-side would duplicate unmatched replicated rows)")
     val bigS = big.withColumn("__salt",
       pmod(xxhash64(saltSrc), lit(buckets)).cast("int"))
     val smallS = small.withColumn("__salt",

@@ -102,8 +102,13 @@ object NearDup {
                       n: Int, numHashes: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sigs = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), n, numHashes).as("sig"))
+    // docs with < n tokens have empty shingle sets → all-null signatures
+    // that would all collide in one md5-of-nothing band; they cannot be
+    // near-dups of anything under shingle semantics, so drop them early
+    val sigs = docs
+      .filter(size(split(lower(trim(col(textCol))), "\\s+")) >= n)
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), n, numHashes).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))

@@ -24,11 +24,12 @@ object Views {
     when(c.isin(sentinels.map(s => s: Any): _*) || c.startsWith("Unk"), lit(null))
       .otherwise(c)
 
-  /** Scrubbed date: sentinel → NULL, else cast (unparseable → NULL too,
-    * via try-semantics date conversion).
+  /** Scrubbed date: sentinel → NULL, else cast; unparseable non-sentinel
+    * strings ALSO null out (try_cast) instead of throwing under ANSI mode
+    * — this operator exists to absorb messy exports.
     */
   def scrubbedDate(c: Column, sentinels: Seq[String] = DefaultSentinels): Column =
-    to_date(scrubbed(c, sentinels))
+    scrubbed(c, sentinels).try_cast("date")
 
   /** Project + rename in one pass: (sourceExpr, outputName) pairs. */
   def projection(df: DataFrame, cols: Seq[(Column, String)]): DataFrame =

@@ -67,10 +67,7 @@ object Sinks {
     val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
     val tmp = path + "__compact"
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new java.io.File(path)
-    if (target.exists()) { target.listFiles().foreach(_.delete()); target.delete() }
-    if (!new java.io.File(tmp).renameTo(target))
-      throw new java.io.IOException(s"compact swap failed: $tmp -> $path")
+    AtomicSwap.replace(path, tmp)
   }
 
   // ── read side ──────────────────────────────────────────────────────────

@@ -43,11 +43,27 @@ object Sessionize {
     import events.sparkSession.implicits._
     val gapMs = gapSeconds * 1000L
 
+    // After a session flushes on timeout, a zero-event COUNTER state
+    // (nEvents == 0) survives so the user's next session continues the
+    // idx sequence instead of restarting at 0 (which would duplicate
+    // (user_id, session_idx) keys and diverge from the batch twin). The
+    // counter itself expires after `counterRetention` of silence — the
+    // bounded-state guarantee holds, at the documented cost that a user
+    // idle longer than that restarts numbering.
+    val counterRetention = 10 * gapMs
+
     def fold(userId: Long, evts: Iterator[Evt],
              state: GroupState[OpenSession]): Iterator[SessionOut] = {
       if (state.hasTimedOut) {
         val s = state.get
-        state.remove()
+        if (s.nEvents == 0) { // counter-only state: expire silently
+          state.remove()
+          return Iterator.empty
+        }
+        // keep the counter, schedule its expiry
+        state.update(OpenSession(s.end, s.end, 0, s.idx))
+        state.setTimeoutTimestamp(
+          math.max(s.end + counterRetention, state.getCurrentWatermarkMs() + 1))
         return Iterator.single(SessionOut(userId, s.idx, new Timestamp(s.start),
           new Timestamp(s.end), s.nEvents))
       }
@@ -57,6 +73,8 @@ object Sessionize {
       sorted.foreach { e =>
         val t = e.ts.getTime
         open match {
+          case Some(s) if s.nEvents == 0 => // resume after a flushed session
+            open = Some(OpenSession(t, t, 1, s.idx + 1))
           case Some(s) if t - s.end <= gapMs =>
             open = Some(s.copy(end = math.max(s.end, t), nEvents = s.nEvents + 1))
           case Some(s) =>

@@ -54,11 +54,6 @@ object StreamUpsert {
     // path in one job is unsafe with plain parquet
     val tmp = path + "__tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      target.listFiles().foreach(_.delete()); target.delete()
-    }
-    if (!new java.io.File(tmp).renameTo(target))
-      throw new java.io.IOException(s"upsert swap failed: $tmp -> $path")
+    graft.sources.AtomicSwap.replace(path, tmp)
   }
 }

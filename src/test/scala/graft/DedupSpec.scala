@@ -15,7 +15,7 @@ class DedupSpec extends SparkSpec {
       .toDF("g", "id", "score")
     val ours = df.groupBy("g")
       .agg(call_function("graft_top_k_by",
-        struct(col("id"), col("score")), struct(col("score"), (-col("id")).as("nid")), lit(7)).as("top"))
+        struct(col("id"), col("score")), col("score"), col("id"), lit(7)).as("top"))
       .select(col("g"), posexplode(col("top")))
       .select(col("g"), (col("pos") + 1).as("rank"), col("col.id"), col("col.score"))
       .collect().map(_.toString).sorted
@@ -24,6 +24,20 @@ class DedupSpec extends SparkSpec {
       .select(col("g"), col("rank").cast("long"), col("id"), col("score"))
       .collect().map(_.toString).sorted
     assert(ours.sameElements(ref))
+  }
+
+  test("graft_top_k_by supports non-numeric tie columns (string ids)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val df = Seq(("g", "docB", 2.0), ("g", "docA", 2.0), ("g", "docC", 5.0), ("g", "docD", 1.0))
+      .toDF("g", "id", "score")
+    val top = df.groupBy("g")
+      .agg(call_function("graft_top_k_by",
+        struct(col("id"), col("score")), col("score"), col("id"), lit(3)).as("top"))
+      .select(posexplode(col("top"))).select("col.id").as[String].collect().toSeq
+    // score desc, tie by id asc: docC(5), then docA before docB at 2.0
+    assert(top == Seq("docC", "docA", "docB"))
   }
 
   test("graft_max_by agrees with builtin max_by on struct payloads") {

@@ -45,6 +45,29 @@ class SessionizeSpec extends SparkSpec {
     assert(out.contains((2L, 0L, ts(1), ts(1), 1L)))
   }
 
+  test("session numbering continues after a timeout flush (no duplicate keys)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = Sessionize.sessions(in.toDS(), gapSeconds = 600).writeStream
+      .format("memory").queryName("sess_idx").outputMode("append").start()
+    in.addData(Evt(1L, ts(0), 1))
+    q.processAllAvailable()
+    // watermark far past the gap horizon → session 0 flushes on timeout
+    in.addData(Evt(99L, ts(30), 2))
+    q.processAllAvailable()
+    // user 1 returns AFTER their session was flushed: must be idx 1, not 0
+    in.addData(Evt(1L, ts(40), 3))
+    q.processAllAvailable()
+    // flush the second session too (watermark must pass ts(40)+gap)
+    in.addData(Evt(99L, Timestamp.valueOf("2026-01-01 12:00:00"), 4))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sess_idx").filter($"user_id" === 1L)
+      .select("session_idx", "n_events").as[(Long, Long)].collect().toSet
+    assert(u1 == Set((0L, 1L), (1L, 1L)), s"got $u1")
+  }
+
   test("streaming sessions agree with the q33 batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
