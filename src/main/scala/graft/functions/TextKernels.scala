@@ -16,25 +16,23 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
-  /** Marker-word language ID: counts per-language marker hits in one pass,
-    * argmax with ties to the lexicographically greatest language code
-    * (matches `greatest(struct(score, lang))` semantics), "und" when no
-    * marker hits at all.
-    *
-    * Built once per plan (constant-folded into the expression), shipped to
-    * executors inside the expression tree.
+  /** Shared machinery for the language-ID kernels: language codes (sorted
+    * ascending), item → language-bitmask map, per-item vote accumulation,
+    * and the argmax with ties to the lexicographically greatest code
+    * (matches `greatest(struct(score, lang))` semantics); "und" when
+    * nothing scores. Built once per plan, shipped inside the expression.
     */
-  final class LangIdKernel(markers: Seq[(String, Seq[String])]) extends Serializable {
-    private val langs: Array[UTF8String] =
-      markers.map(_._1).sorted.map(UTF8String.fromString).toArray
-    // token → bitmask of language indices (a marker may serve several langs)
-    private val masks: java.util.HashMap[UTF8String, Integer] = {
-      val m = new java.util.HashMap[UTF8String, Integer]()
-      val idx = markers.map(_._1).sorted.zipWithIndex.toMap
-      markers.foreach { case (lang, words) =>
+  abstract class LangScorer[K](profiles: Seq[(String, Seq[String])],
+                               key: String => K) extends Serializable {
+    protected val langs: Array[UTF8String] =
+      profiles.map(_._1).sorted.map(UTF8String.fromString).toArray
+    protected val masks: java.util.HashMap[K, Integer] = {
+      val m = new java.util.HashMap[K, Integer]()
+      val idx = profiles.map(_._1).sorted.zipWithIndex.toMap
+      profiles.foreach { case (lang, items) =>
         val bit = 1 << idx(lang)
-        words.foreach { w =>
-          val k = UTF8String.fromString(w)
+        items.foreach { it =>
+          val k = key(it)
           val prev = m.get(k)
           m.put(k, if (prev == null) bit else prev | bit)
         }
@@ -43,28 +41,21 @@ object TextKernels {
     }
     private val und = UTF8String.fromString("und")
 
-    def eval(toks: ArrayData): UTF8String = {
-      val counts = new Array[Int](langs.length)
-      val n = toks.numElements()
-      var i = 0
-      while (i < n) {
-        val t = toks.getUTF8String(i)
-        if (t != null) {
-          val mask = masks.get(t)
-          if (mask != null) {
-            var m = mask.intValue()
-            while (m != 0) {
-              val b = java.lang.Integer.numberOfTrailingZeros(m)
-              counts(b) += 1
-              m &= m - 1
-            }
-          }
+    protected final def vote(counts: Array[Int], k: K): Unit = {
+      val mask = masks.get(k)
+      if (mask != null) {
+        var m = mask.intValue()
+        while (m != 0) {
+          counts(java.lang.Integer.numberOfTrailingZeros(m)) += 1
+          m &= m - 1
         }
-        i += 1
       }
+    }
+
+    protected final def argmax(counts: Array[Int]): UTF8String = {
       var best = 0
       var bi = -1
-      i = 0
+      var i = 0
       // ascending scan with >= keeps the GREATEST lang code among ties
       while (i < langs.length) {
         if (counts(i) >= best && counts(i) > 0) { best = counts(i); bi = i }
@@ -74,54 +65,37 @@ object TextKernels {
     }
   }
 
-  /** Character-n-gram language ID: scores each language by how many of
-    * the text's char n-grams appear in that language's profile (the
-    * classic Cavnar–Trenkle-style n-gram heuristic, simplified to set
-    * membership). One pass over the text's n-grams; same argmax/tie-break
-    * contract as [[LangIdKernel]].
+  /** Marker-word language ID: one pass over the token array. */
+  final class LangIdKernel(markers: Seq[(String, Seq[String])])
+      extends LangScorer[UTF8String](markers, UTF8String.fromString) {
+    def eval(toks: ArrayData): UTF8String = {
+      val counts = new Array[Int](langs.length)
+      val n = toks.numElements()
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        if (t != null) vote(counts, t)
+        i += 1
+      }
+      argmax(counts)
+    }
+  }
+
+  /** Character-n-gram language ID (Cavnar-Trenkle-style set membership):
+    * one pass over the text's char n-grams.
     */
   final class LangIdNgramKernel(profiles: Seq[(String, Seq[String])], n: Int)
-      extends Serializable {
-    private val langs: Array[UTF8String] =
-      profiles.map(_._1).sorted.map(UTF8String.fromString).toArray
-    private val masks: java.util.HashMap[String, Integer] = {
-      val m = new java.util.HashMap[String, Integer]()
-      val idx = profiles.map(_._1).sorted.zipWithIndex.toMap
-      profiles.foreach { case (lang, grams) =>
-        val bit = 1 << idx(lang)
-        grams.foreach { g =>
-          val prev = m.get(g)
-          m.put(g, if (prev == null) bit else prev | bit)
-        }
-      }
-      m
-    }
-    private val und = UTF8String.fromString("und")
-
+      extends LangScorer[String](profiles, identity) {
     def eval(text: UTF8String): UTF8String = {
       val s = text.toString.toLowerCase
       val counts = new Array[Int](langs.length)
       var i = 0
       val last = s.length - n
       while (i <= last) {
-        val mask = masks.get(s.substring(i, i + n))
-        if (mask != null) {
-          var m = mask.intValue()
-          while (m != 0) {
-            counts(java.lang.Integer.numberOfTrailingZeros(m)) += 1
-            m &= m - 1
-          }
-        }
+        vote(counts, s.substring(i, i + n))
         i += 1
       }
-      var best = 0
-      var bi = -1
-      i = 0
-      while (i < langs.length) {
-        if (counts(i) >= best && counts(i) > 0) { best = counts(i); bi = i }
-        i += 1
-      }
-      if (bi < 0) und else langs(bi)
+      argmax(counts)
     }
   }
 
