@@ -2,13 +2,162 @@ package graft
 
 /** DuckDB oracle SQL for each SQL-expressible entry in [[Queries.all]].
   * Column names/types are kept in lockstep with the Spark side (the
-  * driver's compare sorts columns by name and hashes values). Queries with
-  * engine-specific hashing (xxhash64) or float-accumulation-order
-  * sensitivity ship no oracle → rows-only check.
+  * driver's compare sorts columns by name and hashes values).
+  *
+  * The ANN/simhash family (q28-q31, q37) is oracled by REPLICATING graft's
+  * deterministic kernels in DuckDB SQL (generated below): the RHP plane
+  * signs are a pure integer formula whose bit 16 is unaffected by 32-bit
+  * wrap, so plain BIGINT arithmetic reproduces the Scala Int math; the
+  * portable simhash derives token-hash bits from md5 hex digits; IVF
+  * centroids are a deterministic ordered sample. Cosine/L2 run the same
+  * left-to-right double loop in both engines, and every emitted float is
+  * rounded to 4 dp, so the hash compare is stable.
   */
 object Oracles {
 
+  // ── generated-SQL helpers (ANN family) ─────────────────────────────────
+
+  /** Cosine of two 64-dim float list columns in double math — matches
+    * graft.functions.VectorOps.cosineF (0.0 when either norm is 0).
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum([CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE) for i in range(1, 65)])"
+    val den = s"(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"(CASE WHEN $den = 0 THEN 0.0 ELSE ${dot(a, b)} / $den END)"
+  }
+
+  /** Squared L2 distance — matches VectorOps.l2sqF. */
+  private def l2sqSql(a: String, b: String): String =
+    s"""list_sum([(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))*(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE)) for i in range(1, 65)])"""
+
+  /** RHP bucket of a 64-dim float list: nPlanes sign bits of projections
+    * onto deterministic ±1 planes — the VectorOps.rhpBucket formula. The
+    * Scala side computes the plane sign in wrapping Int arithmetic; bit 16
+    * only depends on bits ≤ 16 of the exact (non-negative) sum, so BIGINT
+    * `// 65536 % 2` reproduces it. `seed` may be a SQL expression
+    * referencing a column (e.g. `42 + 7919*tbl`).
+    */
+  private def rhpBucketSql(v: String, nPlanes: Int, seed: String): String =
+    s"""list_sum([CASE WHEN list_sum([CAST($v[i+1] AS DOUBLE) * (CASE WHEN ((1103515245*p + 12345*i + ($seed)) // 65536) % 2 = 1 THEN 1.0 ELSE -1.0 END) for i in range(0, 64)]) >= 0 THEN CAST(2**p AS BIGINT) ELSE 0 END for p in range(0, $nPlanes)])"""
+
+  private def topKSelect(k: Int): String =
+    s"""ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         FROM scored)
+       SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM ranked WHERE rank <= $k"""
+
+  /** q28: the block-pair banding has guaranteed recall at hamming ≤
+    * maxDist (pigeonhole) and an explicit hamming post-filter, so the
+    * output contract is exactly the brute-force pair set — which is what
+    * this oracle computes, over md5-derived (portable) signatures.
+    */
+  private def simhashOracle: String = {
+    val digits = (0 until 16).map(p =>
+      s"strpos('0123456789abcdef', substr(hx, ${p + 1}, 1)) - 1 AS d$p").mkString(", ")
+    val votes = (0 until 64).map { b =>
+      val p = b / 4; val j = b % 4
+      s"sum(CASE WHEN (d$p // ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(", ")
+    def half(base: Int): String = (0 until 32).map { k =>
+      s"(CASE WHEN v${base + k} > 0 THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+         SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         FROM documents),
+       h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+       d AS (SELECT doc_id, $digits FROM h),
+       v AS (SELECT doc_id, $votes FROM d GROUP BY doc_id),
+       s AS (SELECT doc_id, ${half(0)} AS lo, ${half(32)} AS hi FROM v),
+       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+             FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       SELECT id_a, id_b, hamming FROM p WHERE hamming <= 8"""
+  }
+
+  /** q29: replicates the LSH pipeline — distinct vectors, 8 plane-tables,
+    * same-bucket pairs, rounded cosine ≥ 0.4 — plus the exact-dup intra
+    * pairs. Pair identity is value-based here where Spark keys on
+    * xxhash64(vector); the sets agree absent a 64-bit collision.
+    */
+  private def embedNearDupOracle: String =
+    s"""WITH m AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       sig AS (SELECT DISTINCT embedding AS v FROM embeddings),
+       b AS (SELECT v, tbl, ${rhpBucketSql("v", 6, "42 + 7919*tbl")} AS bkt
+             FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl) t),
+       vp AS (SELECT DISTINCT v_a, v_b, cos FROM (
+           SELECT a.v AS v_a, b2.v AS v_b, round(${cosSql("a.v", "b2.v")}, 4) AS cos
+           FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bkt = b2.bkt AND a.v < b2.v) cp
+         WHERE cos >= 0.4),
+       inter AS (
+         SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b, cos
+         FROM vp JOIN m ma ON ma.v = vp.v_a JOIN m mb ON mb.v = vp.v_b),
+       intra AS (
+         SELECT id_a, id_b, cos FROM (
+           SELECT m1.id AS id_a, m2.id AS id_b, round(${cosSql("m1.v", "m2.v")}, 4) AS cos
+           FROM m m1 JOIN m m2 ON m1.v = m2.v AND m1.id < m2.id) ip
+         WHERE cos >= 0.4)
+       SELECT id_a, id_b, cos FROM intra UNION ALL SELECT id_a, id_b, cos FROM inter"""
+
+  /** q30: exact brute-force top-5 per query (queries = vec_id % 50 = 0). */
+  private def annTopKOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+       c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       scored AS (
+         SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+         FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+       ${topKSelect(5)}"""
+
+  /** q31: replicates the 4-table 10-plane LSH candidate generation, then
+    * top-5 per query over the deduplicated candidates.
+    */
+  private def annLshOracle: String = {
+    val tbls = "(SELECT unnest(range(0, 4)) AS tbl) t"
+    s"""WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+       c0 AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       qb AS (SELECT query_id, qv, tbl, ${rhpBucketSql("qv", 10, "42 + 7919*tbl")} AS bkt
+              FROM q0 CROSS JOIN $tbls),
+       cb AS (SELECT neighbor_id, cv, tbl, ${rhpBucketSql("cv", 10, "42 + 7919*tbl")} AS bkt
+              FROM c0 CROSS JOIN $tbls),
+       scored AS (
+         SELECT DISTINCT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+         FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bkt = qb.bkt AND query_id <> neighbor_id),
+       ${topKSelect(5)}"""
+  }
+
+  /** q37: replicates the IVF plumbing — centroid pool = every 8th of the
+    * first 128 vectors by vec_id, corpus assigned to argmin-L2 centroid,
+    * queries probe their 4 nearest centroids, top-5 per query.
+    */
+  private def annIvfOracle: String =
+    s"""WITH pool AS (
+         SELECT embedding AS centv, row_number() OVER (ORDER BY vec_id) - 1 AS i
+         FROM embeddings ORDER BY vec_id LIMIT 128),
+       cents AS (SELECT CAST(i // 8 AS INTEGER) AS cid, centv FROM pool WHERE i % 8 = 0),
+       c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       cdist AS (
+         SELECT neighbor_id, cv, cid,
+           row_number() OVER (PARTITION BY neighbor_id ORDER BY ${l2sqSql("cv", "centv")}, cid) AS rn
+         FROM c CROSS JOIN cents),
+       cass AS (SELECT neighbor_id, cv, cid FROM cdist WHERE rn = 1),
+       q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+       qdist AS (
+         SELECT query_id, qv, cid,
+           row_number() OVER (PARTITION BY query_id ORDER BY ${l2sqSql("qv", "centv")}, cid) AS rn
+         FROM q CROSS JOIN cents),
+       qprobe AS (SELECT query_id, qv, cid FROM qdist WHERE rn <= 4),
+       scored AS (
+         SELECT DISTINCT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+         FROM cass JOIN qprobe USING (cid) WHERE query_id <> neighbor_id),
+       ${topKSelect(5)}"""
+
   val all: Map[String, String] = Map(
+    "q28_simhash" -> simhashOracle,
+    "q29_embed_neardup" -> embedNearDupOracle,
+    "q30_ann_topk" -> annTopKOracle,
+    "q31_ann_lsh" -> annLshOracle,
+    "q37_ann_ivf" -> annIvfOracle,
     "q01_agg_summary" ->
       """SELECT l_returnflag, l_linestatus,
          count(*) AS count_rows,

@@ -215,8 +215,11 @@ object Queries {
         md5(concat_ws("|", slice(col("sig"), 13, 4))).as("b3"))
     }),
 
+    // portable = md5-derived token hashes, so the DuckDB oracle reproduces
+    // the signatures bit-for-bit (xxhash64 exists only inside Spark)
     "q28_simhash" -> ((s, d) =>
-      NearDup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 8)),
+      NearDup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 8,
+        portable = true)),
 
     // threshold 0.4: the synthetic embeddings are near-orthogonal (max
     // pairwise cosine ≈ 0.5–0.6), so a "real" near-dup cut of 0.93 matches

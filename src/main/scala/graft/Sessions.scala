@@ -23,4 +23,7 @@ object Sessions {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.ui.enabled", "false")
+    // testdata parquet carries TIMESTAMP(NANOS) columns (pyarrow default);
+    // set once here rather than as a read-time side effect (sources.Tables)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 }

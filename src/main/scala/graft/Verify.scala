@@ -46,5 +46,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), errJson)
     spark.stop()
+    // a query that threw must fail the run, not just lose its output dir
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

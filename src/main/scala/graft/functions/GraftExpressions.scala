@@ -88,6 +88,22 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Engine-portable SimHash: md5-derived token hashes (see
+  * [[VectorOps.simhashMd5]] for the bit layout and why).
+  */
+case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_md5"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.simhashMd5(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = graft.functions.VectorOps.simhashMd5($v);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Marker-word language ID over a token array. `markers` is plan-time
   * constant (parsed from the SQL literal in the function builder), so the
   * kernel — marker hash map included — is built once and shipped inside
@@ -226,6 +242,7 @@ object GraftFunctions {
     "graft_rhp_bucket" -> (es =>
       RhpBucketExpr(es(0), intLit(es(1), "nPlanes"), intLit(es(2), "seed"))),
     "graft_simhash64" -> (es => SimHash64Expr(es(0))),
+    "graft_simhash_md5" -> (es => SimHashMd5Expr(es(0))),
     "graft_lang_id" -> (es =>
       LangIdExpr(es(0), decodeMarkers(stringLit(es(1), "markers")))),
     "graft_lang_id_ngram" -> (es =>

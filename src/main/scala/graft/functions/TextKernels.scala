@@ -24,6 +24,10 @@ object TextKernels {
     */
   abstract class LangScorer[K](profiles: Seq[(String, Seq[String])],
                                key: String => K) extends Serializable {
+    // votes pack into an Int bitmask: 1 << 32 silently wraps to 1 and
+    // credits votes to the wrong language — refuse rather than corrupt
+    require(profiles.size <= 32,
+      s"LangScorer supports at most 32 language profiles, got ${profiles.size}")
     protected val langs: Array[UTF8String] =
       profiles.map(_._1).sorted.map(UTF8String.fromString).toArray
     protected val masks: java.util.HashMap[K, Integer] = {

@@ -80,6 +80,55 @@ object VectorOps {
     bucket
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit SimHash over a token array using the first 8 bytes of each
+    * token's MD5 — the engine-portable twin of [[simhash64]]: any SQL
+    * engine with `md5()` reproduces the signature bit-for-bit (the DuckDB
+    * oracle does), where xxhash64 exists only inside Spark. Bit layout:
+    * token-hash bit b = bit (b mod 4) of hex digit (b div 4) of the md5
+    * hex string (digit 0 = leftmost = high nibble of byte 0). Vote rule is
+    * identical to [[simhash64]]: signature bit set when votes are strictly
+    * positive. Prefer xxhash64 when portability doesn't matter (~3× less
+    * per-token cost, no digest allocation).
+    */
+  def simhashMd5(toks: ArrayData): Long = {
+    val md = md5Local.get()
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        md.reset()
+        val dg = md.digest(t.getBytes)
+        // hash bits 8k..8k+3 = high nibble of byte k, 8k+4..8k+7 = low
+        // nibble — i.e. bit 4p+j = bit j of hex digit p
+        var h = 0L
+        var k = 0
+        while (k < 8) {
+          val by = dg(k) & 0xff
+          h |= ((by >>> 4) & 0xfL) << (8 * k)
+          h |= (by & 0xfL) << (8 * k + 4)
+          k += 1
+        }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** 64-bit SimHash over a token array: per-bit ±1 vote of xxhash64(token)
     * (seed 42 — identical to the builtin `xxhash64`), bit set when votes
     * are strictly positive.

@@ -123,7 +123,7 @@ object Ann {
       .agg(call_function("graft_top_k_by", entry, col("cos"), col("neighbor_id"), lit(k)).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
-        round(col("col.cos"), 4).as("cos"), (col("pos") + 1).cast("int").as("rank"))
+        round(col("col.cos"), 4).as("cos"), (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH-bucketed
@@ -134,36 +134,56 @@ object Ann {
     * before bucketing: identical vectors land in every shared bucket of
     * every table, so dup-heavy corpora multiply candidate rows nTables-
     * fold. Bucketing runs on DISTINCT vectors; id pairs come back via
-    * membership joins (keyed on the vector value).
+    * membership joins.
+    *
+    * Every distinct/membership shuffle keys on `vh = xxhash64(vector)` —
+    * an 8-byte surrogate — instead of the 256-byte+ array value (the same
+    * move [[NearDup.simhashPairs]] makes with its 8-byte signature).
+    * Vectors themselves travel only where the math needs them (bucketing +
+    * cosine on the DISTINCT set). A 64-bit collision between distinct
+    * vectors would merge their identities; at 10^9 distinct vectors the
+    * expected collision count is ~n²/2^65 ≈ 0.03 — accepted, exactly as
+    * with the shingle hashes in [[NearDup.ngramJaccardPairs]].
     */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, nPlanes: Int,
                             nTables: Int = 4): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val members = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val sigs = members.select("v").distinct()
+    // slim membership: (id, 8-byte vector hash) — no vector payload
+    val members = corpus.select(col(idCol).as("id"), xxhash64(col(vecCol)).as("vh"))
+    // one representative vector per distinct hash; self-cosine rides along
+    // so exact-dup pairs never need the vector again (≈1.0 after rounding,
+    // except all-zero vectors whose cosine is 0 and correctly drops)
+    val sigs = corpus
+      .select(xxhash64(col(vecCol)).as("vh"), col(vecCol).as("v"))
+      .dropDuplicates("vh")
+      .withColumn("self_cos", round(Similarity.cosineFast(col("v"), col("v")), 4))
     val tables = (0 until nTables).map { t =>
       struct(lit(t).as("tbl"),
         Similarity.rhpBucketFast(col("v"), nPlanes, seed = 42 + t * 7919).as("bkt"))
     }
-    val bucketed = sigs.select(col("v"), explode(array(tables: _*)).as("tb"))
-      .select(col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val bucketed = sigs.select(col("vh"), col("v"), explode(array(tables: _*)).as("tb"))
+      .select(col("vh"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
       .hint("shuffle_hash") // self-join: shuffle both sides → ReusedExchange
     val sigPairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
-          col("a.v") < col("b.v")) // arrays are orderable: total order on distinct vecs
-      .select(col("a.v").as("v_a"), col("b.v").as("v_b"),
+          col("a.vh") < col("b.vh")) // total order on distinct hashes
+      .select(col("a.vh").as("vh_a"), col("b.vh").as("vh_b"),
         round(Similarity.cosineFast(col("a.v"), col("b.v")), 4).as("cos"))
       .filter(col("cos") >= threshold)
-      .dropDuplicates("v_a", "v_b")
+      .dropDuplicates("vh_a", "vh_b")
+    // exact-dup groups (identical vector ⇒ identical vh): slim id pairs,
+    // cosine looked up from the distinct-signature table
+    val selfCos = sigs.select(col("vh").as("vh_s"), col("self_cos"))
     val intra = members.as("m1").join(members.as("m2"),
-        col("m1.v") === col("m2.v") && col("m1.id") < col("m2.id"))
+        col("m1.vh") === col("m2.vh") && col("m1.id") < col("m2.id"))
+      .join(selfCos, col("m1.vh") === col("vh_s"))
       .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
-        round(Similarity.cosineFast(col("m1.v"), col("m2.v")), 4).as("cos"))
-      .filter(col("cos") >= threshold) // zero vectors: cos 0, correctly dropped
+        col("self_cos").as("cos"))
+      .filter(col("cos") >= threshold)
     val inter = sigPairs
-      .join(members.as("ma"), col("ma.v") === col("v_a"))
-      .join(members.as("mb"), col("mb.v") === col("v_b"))
+      .join(members.as("ma"), col("ma.vh") === col("vh_a"))
+      .join(members.as("mb"), col("mb.vh") === col("vh_b"))
       .select(least(col("ma.id"), col("mb.id")).as("id_a"),
         greatest(col("ma.id"), col("mb.id")).as("id_b"), col("cos"))
     intra.unionByName(inter)

@@ -26,7 +26,13 @@ object Mcl {
   def explodeChoices(df: DataFrame, mclCol: Column, sep: String = ",",
                      outCol: String = "choice"): DataFrame = {
     val choices = filter(transform(split(mclCol, sep), trim(_)), c => length(c) > 0)
-    df.withColumn(outCol, explode(choices))
+    // explode_outer, NOT explode: plain explode makes Catalyst infer
+    // `size(choices) > 0` and push it below the Generate, re-evaluating
+    // the split/transform/filter chain a second (and third) time per row —
+    // the trap documented at NearDup.ngramJaccardPairs. Empty selections
+    // surface as one null choice and are dropped by a filter on the
+    // GENERATED column, which cannot sink below the Generate.
+    df.withColumn(outCol, explode_outer(choices)).filter(col(outCol).isNotNull)
   }
 
   /** Recode choice codes → labels with a literal map; unmapped codes pass

@@ -75,16 +75,21 @@ object Multimodal {
     val scale = least(
       lit(maxW.toDouble) / col("meta.width"),
       lit(maxH.toDouble) / col("meta.height"), lit(1.0))
-    val newW = (col("meta.width") * scale).cast("int")
-    val newH = (col("meta.height") * scale).cast("int")
-    val resizeUdfFree = struct(
-      newW.as("width"), newH.as("height"),
-      col("meta.sample_rate"), col("meta.n_frames"), col("meta.mime"))
-    media.withColumn("meta",
-        when(col("kind").isin("image", "video"), resizeUdfFree).otherwise(col("meta")))
+    // target dims are computed ONCE against the ORIGINAL meta (as temp
+    // columns) before meta is replaced — referencing meta.width in a later
+    // withColumn would silently re-evaluate against the resized struct
+    media
+      .withColumn("__w", (col("meta.width") * scale).cast("int"))
+      .withColumn("__h", (col("meta.height") * scale).cast("int"))
       .withColumn("bytes",
         when(col("kind").isin("image", "video"),
-          udfFreeResizeBytes(col("bytes"), newW, newH)).otherwise(col("bytes")))
+          udfFreeResizeBytes(col("bytes"), col("__w"), col("__h"))).otherwise(col("bytes")))
+      .withColumn("meta",
+        when(col("kind").isin("image", "video"), struct(
+          col("__w").as("width"), col("__h").as("height"),
+          col("meta.sample_rate"), col("meta.n_frames"), col("meta.mime")))
+          .otherwise(col("meta")))
+      .drop("__w", "__h")
   }
 
   /** Deterministic stand-in for the pixel resample: real systems hand the

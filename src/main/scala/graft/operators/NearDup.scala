@@ -149,6 +149,14 @@ object NearDup {
   def simhashFast(text: Column): Column =
     call_function("graft_simhash64", split(lower(trim(text)), "\\s+"))
 
+  /** [[simhashFast]]'s engine-portable twin: md5-derived token hashes, so
+    * an external SQL engine (the DuckDB correctness oracle) can reproduce
+    * the exact signature. Same vote semantics and blocking behavior; use
+    * the xxhash64 form when portability doesn't matter (cheaper per token).
+    */
+  def simhashMd5Fast(text: Column): Column =
+    call_function("graft_simhash_md5", split(lower(trim(text)), "\\s+"))
+
   /** SimHash near-dup pairs with hamming ≤ maxDist. Blocking: split the
     * signature into b = maxDist + 2 blocks — pigeonhole guarantees any
     * pair within maxDist has at least TWO intact blocks, so candidates are
@@ -164,12 +172,20 @@ object NearDup {
     * generation returns to near-linear. Hamming is filtered BEFORE the
     * pair dedup so only passing (id, id, dist) triples shuffle.
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int,
+                   portable: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // beyond 16 blocks the per-block width drops under 4 bits (and hits 0
+    // at maxDist >= 62): bucket occupancy explodes and the candidate join
+    // degenerates toward all-pairs — use a different blocking scheme
+    // (multi-probe, signature concatenation) for large distances
+    require(maxDist >= 0 && maxDist <= 14,
+      s"simhashPairs supports maxDist in [0, 14] (block width >= 4 bits), got $maxDist")
     val nBlocks = maxDist + 2
     val width = 64 / nBlocks // low width*nBlocks bits covered; uncovered
                              // bits only make blocks MORE likely intact
-    val members = docs.select(col(idCol).as("id"), simhashFast(col(textCol)).as("sh"))
+    val sigOf = if (portable) simhashMd5Fast(_) else simhashFast(_)
+    val members = docs.select(col(idCol).as("id"), sigOf(col(textCol)).as("sh"))
 
     // Exact duplicates (identical text ⇒ identical simhash) are collapsed
     // BEFORE blocking: real corpora carry heavy exact-dup mass, and every

@@ -15,15 +15,19 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS) (pyarrow writer default),
     * which Spark's parquet reader rejects outright. Read nanos as long
-    * (legacy conf) and truncate to microsecond TimestampType — the same
-    * truncation the DuckDB oracle applies via CAST(ts AS TIMESTAMP), so
-    * both engines order and emit identical instants.
+    * (legacy conf, set at session build by [[graft.Sessions.tune]]; set
+    * here too only as a fallback for externally-built sessions) and
+    * floor-truncate to microsecond TimestampType — the same truncation the
+    * DuckDB oracle applies via CAST(ts AS TIMESTAMP), so both engines
+    * order and emit identical instants. Floor, not `div` (which truncates
+    * toward zero): pre-epoch nanos would otherwise round up by 1us.
     */
   private def withNanosTs(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, name)
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case LongType => raw.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
       case _        => raw
     }
   }

@@ -49,9 +49,35 @@ class NearDupSpec extends SparkSpec {
       (2L, "alpha beta gamma delta epsilon zeta eta iota"),
       (3L, "one two three four five six seven eight")
     ).toDF("doc_id", "text")
-    val out = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 16)
+    val out = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 14)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out.contains((1L, 2L)))
     assert(!out.contains((1L, 3L)) || !out.contains((2L, 3L)))
+  }
+
+  test("simhashPairs rejects degenerate blocking (maxDist too large)") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 15)
+    }
+  }
+
+  test("portable (md5) simhash pair set equals brute-force hamming filter") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (4L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val out = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 10, portable = true)
+      .as[(Long, Long, Int)].collect().toSet
+    val sigs = docs.select(col("doc_id"), NearDup.simhashMd5Fast(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= 10
+    } yield (a, b, d)).toSet
+    assert(out === brute)
+    assert(out.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0)) // exact dup
   }
 }

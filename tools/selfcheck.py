@@ -25,6 +25,17 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    # a query that threw in Verify must not silently vanish from the gate
+    err_path = f"{out_dir}/_verify_errors.json"
+    if os.path.exists(err_path):
+        verrs = json.load(open(err_path))
+        for k, v in sorted(verrs.items()):
+            if not only or k in only:
+                print(f"FAIL {k}: verify error {v}"); n_fail += 1
+    dumped = {d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d))}
+    for k in sorted(oracle):
+        if (not only or k in only) and k not in dumped:
+            print(f"FAIL {k}: oracle present but no dump directory"); n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
