@@ -480,6 +480,52 @@ object Oracles {
          CAST(sum(CASE WHEN value > 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
          FROM events GROUP BY 1, 2""",
 
+    "q42_key_discovery" ->
+      """WITH o AS (SELECT concat('{"status": "', o_orderstatus, '"',
+           CASE WHEN o_orderkey % 3 = 0 THEN concat(', "priority": "', o_orderpriority, '"') ELSE '' END,
+           CASE WHEN o_orderkey % 5 = 0 THEN concat(', "price": ', CAST(o_totalprice AS VARCHAR)) ELSE '' END,
+           '}') AS form_json FROM orders)
+         SELECT key, count(*) AS n
+         FROM (SELECT unnest(json_keys(form_json)) AS key FROM o) t
+         GROUP BY key""",
+
+    "q43_key_regen" ->
+      """WITH e AS (SELECT event_id, ts, event_type,
+           CASE WHEN user_id % 7 = 0 THEN NULL ELSE CAST(user_id AS VARCHAR) END AS uid
+           FROM events),
+         c AS (SELECT uid AS cu, count(DISTINCT event_type) AS nv
+               FROM e WHERE uid IS NOT NULL GROUP BY uid)
+         SELECT event_id, uid,
+           CASE WHEN uid IS NULL THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+                WHEN nv > 1 THEN concat(uid, '#', strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'))
+                ELSE uid END AS unique_key
+         FROM e LEFT JOIN c ON uid = cu""",
+
+    "q44_gated_date_cast" ->
+      """WITH o AS (SELECT o_orderkey,
+           CASE WHEN o_orderkey % 15 = 0 THEN 'garbage' ELSE strftime(o_orderdate, '%Y-%m-%d') END AS good_raw,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'garbage' ELSE strftime(o_orderdate, '%Y-%m-%d') END AS bad_dt
+           FROM orders)
+         SELECT o_orderkey, try_strptime(good_raw, '%Y-%m-%d') AS good_dt, bad_dt FROM o""",
+
+    "q45_validation_rules" ->
+      """SELECT o_orderkey, col_name, code, offending_value FROM (
+           SELECT o_orderkey, 'o_totalprice' AS col_name, 'price_low' AS code,
+             CAST(o_totalprice AS VARCHAR) AS offending_value
+           FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice < 10000.0
+           UNION ALL
+           SELECT o_orderkey, 'o_totalprice', 'price_high', CAST(o_totalprice AS VARCHAR)
+           FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 400000.0
+           UNION ALL
+           SELECT o_orderkey, 'o_orderpriority', 'odd_priority', o_orderpriority
+           FROM orders WHERE o_orderpriority IS NOT NULL
+             AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
+           UNION ALL
+           SELECT o_orderkey, 'o_orderstatus', 'bad_status', o_orderstatus
+           FROM orders WHERE o_orderstatus IS NOT NULL
+             AND NOT regexp_matches(o_orderstatus, '^[A-Z]$')
+         ) t""",
+
     "q33_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,

@@ -144,12 +144,13 @@ object Queries {
           Seq(col("p_retailprice").desc, col("p_partkey")), 3)
         .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rank").cast("long").as("rank"))),
 
+    // built on the declarative rules engine; rule order = reason precedence
     "q18_validate_ranges" -> ((s, d) =>
       Tables.events(s, d)
-        .withColumn("reason",
-          when(col("value").isNull, "null_value")
-            .when(col("value") < 10.0, "too_low")
-            .when(col("value") > 990.0, "too_high"))
+        .withColumn("reason", Validation.firstViolation(Seq(
+          Validation.NotNull("value", "null_value"),
+          Validation.Min("value", 10.0, "too_low"),
+          Validation.Max("value", 990.0, "too_high"))))
         .filter(col("reason").isNotNull)
         .select("event_id", "user_id", "value", "reason")),
 
@@ -318,6 +319,59 @@ object Queries {
           sum(when(col("value") > 500.0, 1L).otherwise(0L)).as("n_high"))
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n_total"), col("n_high"))),
+
+    // ── dynamic-schema / repair / rules operators (round 3) ──────────────
+    "q42_key_discovery" -> ((s, d) => {
+      // heterogeneous per-row JSON synthesized identically in both
+      // engines: the key SET varies by row, so discovery must scan
+      // values, not a static schema
+      val o = Tables.orders(s, d).withColumn("form_json",
+        concat(lit("{\"status\": \""), col("o_orderstatus"), lit("\""),
+          when(pmod(col("o_orderkey"), lit(3)) === 0,
+            concat(lit(", \"priority\": \""), col("o_orderpriority"), lit("\"")))
+            .otherwise(lit("")),
+          when(pmod(col("o_orderkey"), lit(5)) === 0,
+            concat(lit(", \"price\": "), col("o_totalprice").cast("string")))
+            .otherwise(lit("")),
+          lit("}")))
+      JsonImport.keyHistogram(o, col("form_json"))
+    }),
+
+    "q43_key_regen" -> ((s, d) => {
+      // synthetic collisions: every 7th user's uid nulled; the rest share
+      // a uid per user, so users with >1 event_type collide as
+      // "different records with the same uid"
+      val e = Tables.events(s, d).withColumn("uid",
+        when(pmod(col("user_id"), lit(7)) === 0, lit(null).cast("string"))
+          .otherwise(col("user_id").cast("string")))
+      KeyRepair.regenerateUniqueKeys(e, "uid", Seq("event_type"),
+          Seq(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")))
+        .select("event_id", "uid", "unique_key")
+    }),
+
+    "q44_gated_date_cast" -> ((s, d) => {
+      // good_dt: ~93% parse → casts; bad_dt: 50% parse → stays text
+      val o = Tables.orders(s, d)
+        .withColumn("good_dt",
+          when(pmod(col("o_orderkey"), lit(15)) === 0, "garbage")
+            .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .withColumn("bad_dt",
+          when(pmod(col("o_orderkey"), lit(2)) === 0, "garbage")
+            .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+      val gated = DeriveColumns.profileGatedDateCast(
+        DeriveColumns.profileGatedDateCast(o, "good_dt", Seq("yyyy-MM-dd"), 90.0),
+        "bad_dt", Seq("yyyy-MM-dd"), 90.0)
+      gated.select("o_orderkey", "good_dt", "bad_dt")
+    }),
+
+    "q45_validation_rules" -> ((s, d) =>
+      Validation.exceptions(Tables.orders(s, d), Seq("o_orderkey"), Seq(
+        Validation.Min("o_totalprice", 10000.0, "price_low"),
+        Validation.Max("o_totalprice", 400000.0, "price_high"),
+        Validation.InSet("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM"), "odd_priority"),
+        // never fires on clean data — exercises the rule-passes path
+        Validation.MatchesRegex("o_orderstatus", "^[A-Z]$", "bad_status")))),
 
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window

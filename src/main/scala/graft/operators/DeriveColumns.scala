@@ -65,4 +65,25 @@ object DeriveColumns {
 
   /** 0/1 outcome flag (reference DeathCount / PrematureCount columns). */
   def flag(cond: Column): Column = when(cond, 1).otherwise(0)
+
+  /** Profile-gated date cast: convert a text column to timestamp ONLY
+    * when at least `minValidPercent` of its non-null values parse under
+    * `formats` (reference: queries/data_fix.py:592
+    * date_data_type_fix(min_valid_percent=90)) — a half-garbage column
+    * stays text for repair instead of being nulled wholesale.
+    *
+    * The profile is ONE aggregation pass; its single-row result is a
+    * driver-side decision because a cast changes the SCHEMA, which is a
+    * plan-time choice (the same reason the reference samples before
+    * ALTER TABLE). Returns the frame with the column cast, or untouched.
+    */
+  def profileGatedDateCast(df: DataFrame, colName: String, formats: Seq[String],
+                           minValidPercent: Double = 90.0): DataFrame = {
+    val parsed = multiFormatTimestamp(col(colName), formats)
+    val profile = df.agg(
+      count(col(colName)).as("nonnull"), count(parsed).as("valid")).head()
+    val nonnull = profile.getLong(0)
+    val pct = if (nonnull == 0L) 100.0 else profile.getLong(1) * 100.0 / nonnull
+    if (pct >= minValidPercent) df.withColumn(colName, parsed) else df
+  }
 }

@@ -119,4 +119,79 @@ object JsonImport {
     }
     parsed.select(col("uid") +: col("scriptid") +: cols: _*)
   }
+
+  /** Distinct entry keys present in a batch, across BOTH entries shapes —
+    * the runtime key inventory the reference derives before widening
+    * tables (reference: data_tyding/tidy_dynamic_tables.py:1 importing
+    * get_table_column_names/create_new_columns; extract_key_values.py).
+    * One exploded projection + a distinct over the (small) key domain.
+    */
+  def discoverKeys(parsed: DataFrame): DataFrame = {
+    val entries = col("entries_json")
+    // union of both shape extractions, not coalesce: parsing a dict-shape
+    // row under the list schema yields a PARTIAL result (non-null array of
+    // null keys) rather than null, so coalesce would mask the dict keys
+    val listKeys = filter(
+      transform(from_json(entries, entryListSchema), e => e.getField("key")),
+      k => k.isNotNull)
+    val dictKeys = json_object_keys(entries) // null on the list shape
+    val empty = array().cast("array<string>")
+    parsed
+      .select(explode_outer(array_union(
+        coalesce(listKeys, empty), coalesce(dictKeys, empty))).as("key"))
+      .filter(col("key").isNotNull)
+      .distinct()
+  }
+
+  /** Discovery-driven extraction: the key inventory (a driver-side collect
+    * of the KEY LIST — hundreds of form-field names, not data) feeds
+    * [[extractKeyValues]], so a form field added by a deployment becomes a
+    * column on the next run with no code change. Keys are sorted for a
+    * stable column order.
+    */
+  def extractAllKeys(parsed: DataFrame): DataFrame = {
+    val keys = discoverKeys(parsed).collect().map(_.getString(0)).sorted.toSeq
+    extractKeyValues(parsed, keys)
+  }
+
+  /** Key histogram over an arbitrary JSON-object column: (key, n rows
+    * carrying it). The monitoring twin of [[discoverKeys]] for any
+    * schema-on-read source.
+    */
+  def keyHistogram(df: DataFrame, jsonCol: Column): DataFrame =
+    df.select(explode_outer(json_object_keys(jsonCol)).as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy("key").agg(count(lit(1)).as("n"))
+
+  /** Repeated entry groups → per-measurement rows (reference:
+    * extract_key_values.py::format_repeatables_to_rows, imported at
+    * tidy_dynamic_tables.py:6): a session's `repeatables` holds
+    * {tableName: [entry, …]} where each entry carries id/createdAt plus
+    * form fields in either the dict {value,label} or bare-scalar shape.
+    * Entries missing id or createdAt are dropped, like the reference.
+    *
+    * Pure Generate chain over string-typed `from_json` (Spark stringifies
+    * nested objects under a StringType schema field, so each entry stays
+    * an opaque JSON string until its keyed extraction) — no shuffle, no
+    * UDFs, blob-free rows sized by the sampler not the session.
+    */
+  def explodeRepeatables(parsed: DataFrame, keys: Seq[String]): DataFrame = {
+    val rep = from_json(get_json_object(col("raw_json"), "$.repeatables"),
+      MapType(StringType, StringType))
+    val kvCols = keys.flatMap { k =>
+      Seq(
+        coalesce(get_json_object(col("e"), s"$$.$k.value"),
+          get_json_object(col("e"), s"$$.$k")).as(s"${k}_value"),
+        get_json_object(col("e"), s"$$.$k.label").as(s"${k}_label"))
+    }
+    parsed
+      .select(col("uid"), col("scriptid"), col("facility"),
+        explode_outer(rep).as(Seq("table_name", "entries_arr")))
+      .select(col("uid"), col("scriptid"), col("facility"), col("table_name"),
+        explode_outer(from_json(col("entries_arr"), ArrayType(StringType))).as("e"))
+      .select(Seq(col("uid"), col("scriptid"), col("facility"), col("table_name"),
+        get_json_object(col("e"), "$.id").as("form_id"),
+        get_json_object(col("e"), "$.createdAt").as("created_at")) ++ kvCols: _*)
+      .filter(col("form_id").isNotNull && col("created_at").isNotNull)
+  }
 }

@@ -70,6 +70,25 @@ object Sinks {
     AtomicSwap.replace(path, tmp)
   }
 
+  /** Schema-evolving append: later batches may carry MORE columns than
+    * earlier ones (dynamic form fields discovered at ingest —
+    * [[graft.operators.JsonImport.discoverKeys]]); parquet stores each
+    * file's own schema and [[readEvolved]] merges them, so a new form
+    * field becomes a column without rewriting history (old rows read as
+    * NULL). The lake analogue of the reference's runtime ALTER TABLE ADD
+    * COLUMN (reference: conf/common/sql_functions create_new_columns,
+    * used by data_tyding/tidy_dynamic_tables.py).
+    */
+  def appendEvolving(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** Union-schema read over an evolved dataset. mergeSchema costs a
+    * footer read per file — acceptable for batch analytics; pin a catalog
+    * schema instead when footer counts get large.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   // ── read side ──────────────────────────────────────────────────────────
 
   /** CSV reader with an explicit schema — never `inferSchema` at scale

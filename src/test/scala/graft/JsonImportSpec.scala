@@ -64,4 +64,63 @@ class JsonImportSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
     assert(nonNull == Set(("adm", "36.6", "Temperature"), ("dis", "37.1", null)))
   }
+
+  test("discoverKeys inventories keys across BOTH entries shapes") {
+    val parsed = JsonImport.parseSessions(raw, "json")
+    val keys = JsonImport.discoverKeys(parsed).collect().map(_.getString(0)).toSet
+    assert(keys == Set("NeoTreeID", "Temp", "UID"))
+  }
+
+  test("extractAllKeys: a never-seen form field becomes a column, no code change") {
+    import spark.implicits._
+    // second batch adds a key ("NewField") that batch one never carried
+    val batch2 = Seq(
+      """{"scriptid":"adm","uid":"gh-78","entries":[{"key":"NewField","values":[{"value":"x1","label":"New"}]}]}"""
+    ).toDF("json")
+    val wide = JsonImport.extractAllKeys(
+      JsonImport.parseSessions(raw.unionByName(batch2), "json"))
+    assert(wide.columns.contains("NewField_value"))
+    // new rows carry the value; pre-existing rows read NULL
+    assert(wide.filter(col("NewField_value") === "x1").count() == 1)
+    assert(wide.filter(col("uid") === "AB-12")
+      .head.getAs[String]("NewField_value") == null)
+  }
+
+  test("schema-evolving sink: new column appears on merged read, old rows null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    graft.sources.Sinks.appendEvolving(
+      Seq(("u1", "36.6")).toDF("uid", "temp_value"), dir)
+    graft.sources.Sinks.appendEvolving(
+      Seq(("u2", "37.0", "yes")).toDF("uid", "temp_value", "newfield_value"), dir)
+    val merged = graft.sources.Sinks.readEvolved(spark, dir)
+    assert(merged.columns.toSet == Set("uid", "temp_value", "newfield_value"))
+    val byUid = merged.collect().map(r =>
+      r.getAs[String]("uid") -> r.getAs[String]("newfield_value")).toMap
+    assert(byUid == Map("u1" -> null, "u2" -> "yes"))
+  }
+
+  test("explodeRepeatables: 3-measurement session yields 3 rows, both field shapes") {
+    import spark.implicits._
+    val session =
+      """{"scriptid":"adm","uid":"ab-12","facility":"F1","entries":[],
+         "repeatables":{"vitals":[
+           {"id":"m1","createdAt":"2026-01-01T08:00:00","Temp":{"value":"36.5","label":"36.5 C"},"Note":"ok"},
+           {"id":"m2","createdAt":"2026-01-01T12:00:00","Temp":{"value":"37.1"}},
+           {"id":"m3","createdAt":"2026-01-01T16:00:00","Temp":{"value":"38.0","label":"38 C"}},
+           {"createdAt":"2026-01-01T20:00:00","Temp":{"value":"39.9"}}],
+          "feeds":[{"id":"f1","createdAt":"2026-01-02T08:00:00","Type":"EBM"}]}}"""
+        .replaceAll("\n\\s*", "")
+    val parsed = JsonImport.parseSessions(Seq(session).toDF("json"), "json")
+    val rows = JsonImport.explodeRepeatables(parsed, Seq("Temp", "Type"))
+    // entry without id is dropped (reference behavior); 3 vitals + 1 feed
+    assert(rows.filter(col("table_name") === "vitals").count() == 3)
+    assert(rows.count() == 4)
+    val m1 = rows.filter(col("form_id") === "m1").head
+    assert(m1.getAs[String]("Temp_value") == "36.5")
+    assert(m1.getAs[String]("Temp_label") == "36.5 C")
+    val f1 = rows.filter(col("form_id") === "f1").head
+    assert(f1.getAs[String]("Type_value") == "EBM") // bare-scalar shape
+    assert(f1.getAs[String]("Type_label") == null)
+  }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DeriveColumns, KeyRepair, Validation}
+
+/** Round-3 repair/rules operators: unique-key regeneration, profile-gated
+  * date cast, declarative validation rule-sets.
+  */
+class RepairRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("regenerateUniqueKeys: two DIFFERENT records sharing a uid survive distinctly") {
+    val df = Seq(
+      ("u1", "admission", "2026-01-01"), // u1 carries two different contents
+      ("u1", "discharge", "2026-01-02"), //   → collision: both get uid#date
+      ("u2", "admission", "2026-01-03"), // clean uid → unchanged
+      (null, "admission", "2026-01-04"), // missing uid → date fallback
+      ("u3", "admission", "2026-01-05"), // true duplicates (same content)
+      ("u3", "admission", "2026-01-05")  //   → NOT a collision, keep uid
+    ).toDF("uid", "content", "date_admission")
+    val out = KeyRepair.regenerateUniqueKeys(df, "uid",
+      Seq("content"), Seq(col("date_admission")))
+    val keys = out.select("unique_key").as[String].collect().toSeq
+    assert(keys.toSet == Set("u1#2026-01-01", "u1#2026-01-02", "u2",
+      "2026-01-04", "u3"))
+    // the colliding pair is now distinct; the true-dup pair still collapses
+    assert(keys.distinct.size == 5 && keys.size == 6)
+  }
+
+  test("regenerateUniqueKeys: fallback precedence follows the given order") {
+    val df = Seq(
+      (null.asInstanceOf[String], "a", null.asInstanceOf[String], "2026-02-02"),
+      (null.asInstanceOf[String], "b", "2026-02-01", "2026-02-02")
+    ).toDF("uid", "content", "date_admission", "date_death")
+    val out = KeyRepair.regenerateUniqueKeys(df, "uid", Seq("content"),
+      Seq(col("date_admission"), col("date_death")))
+    val keys = out.orderBy("content").select("unique_key").as[String].collect()
+    assert(keys.toSeq == Seq("2026-02-02", "2026-02-01"))
+  }
+
+  test("profileGatedDateCast: 95%-valid column casts, 50%-valid stays text") {
+    val rows = (1 to 100).map { i =>
+      (i.toLong,
+        if (i % 20 == 0) "junk" else "2026-01-15",  // 95% valid
+        if (i % 2 == 0) "junk" else "2026-01-15")   // 50% valid
+    }
+    val df = rows.toDF("id", "mostly_good", "half_bad")
+    val out = DeriveColumns.profileGatedDateCast(
+      DeriveColumns.profileGatedDateCast(df, "mostly_good", Seq("yyyy-MM-dd"), 90.0),
+      "half_bad", Seq("yyyy-MM-dd"), 90.0)
+    assert(out.schema("mostly_good").dataType.typeName == "timestamp")
+    assert(out.schema("half_bad").dataType.typeName == "string")
+    // invalid values in the cast column became NULL; valid ones parsed
+    assert(out.filter(col("mostly_good").isNull).count() == 5)
+  }
+
+  test("profileGatedDateCast: all-null column passes vacuously (nothing to disprove)") {
+    val df = Seq((1L, null.asInstanceOf[String])).toDF("id", "dt")
+    val out = DeriveColumns.profileGatedDateCast(df, "dt", Seq("yyyy-MM-dd"), 90.0)
+    assert(out.schema("dt").dataType.typeName == "timestamp")
+  }
+
+  test("validation exceptions: one row per violated rule, with reason codes") {
+    val df = Seq(
+      (1L, Some(5.0), "OK"),    // too low
+      (2L, Some(50.0), "BAD"),  // set violation
+      (3L, None, "BAD"),        // null AND set violation → two rows
+      (4L, Some(20.0), "OK")    // clean
+    ).toDF("id", "v", "s")
+    val out = Validation.exceptions(df, Seq("id"), Seq(
+      Validation.NotNull("v", "v_null"),
+      Validation.Min("v", 10.0, "v_low"),
+      Validation.InSet("s", Seq("OK"), "bad_s")))
+    val got = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      (1L, "v", "v_low", "5.0"),
+      (2L, "s", "bad_s", "BAD"),
+      (3L, "v", "v_null", null),
+      (3L, "s", "bad_s", "BAD")))
+  }
+
+  test("firstViolation: rule order is reason precedence (the q18 shape)") {
+    val rules = Seq(
+      Validation.NotNull("v", "null_value"),
+      Validation.Min("v", 10.0, "too_low"),
+      Validation.Max("v", 990.0, "too_high"))
+    val df = Seq((Some(5.0), "too_low"), (None, "null_value"),
+      (Some(1000.0), "too_high"), (Some(500.0), null.asInstanceOf[String]))
+      .toDF("v", "expected")
+    val out = df.withColumn("reason", Validation.firstViolation(rules))
+    assert(out.filter(!(col("reason") <=> col("expected"))).count() == 0)
+  }
+}
