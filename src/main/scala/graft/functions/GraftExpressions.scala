@@ -104,6 +104,47 @@ case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** IVF nearest-centroid assignment: the centroid matrix is a plan-time
+  * constant shipped as ONE reference object, so the expression tree is a
+  * single node and the generated code one kernel call — where composing
+  * `least(struct(l2sq, cid) × k)` from combinators builds an O(k × dim)
+  * literal tree whose codegen source dominates compile time.
+  */
+case class IvfNearestExpr(child: Expression, cents: Array[Array[Float]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(FloatType)))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ivf_nearest"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.ivfNearest(v.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("ivfCents", cents, "float[][]")
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = graft.functions.VectorOps.ivfNearest($v, $c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** IVF probe list: the nProbe nearest centroid ids, ascending (distance,
+  * cid) — see [[IvfNearestExpr]] for why this is a kernel.
+  */
+case class IvfProbesExpr(child: Expression, cents: Array[Array[Float]], nProbe: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(FloatType)))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_ivf_probes"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.ivfProbes(v.asInstanceOf[ArrayData], cents, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("ivfCents", cents, "float[][]")
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = graft.functions.VectorOps.ivfProbes($v, $c, $nProbe);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Marker-word language ID over a token array. `markers` is plan-time
   * constant (parsed from the SQL literal in the function builder), so the
   * kernel — marker hash map included — is built once and shipped inside
@@ -220,6 +261,16 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
   }
 
+  /** Centroid-matrix literal format for the IVF kernels: rows `;`-joined,
+    * elements `,`-joined. Float.toString round-trips exactly, so the
+    * matrix survives the literal encoding bit-for-bit.
+    */
+  def encodeCents(cents: Array[Array[Float]]): String =
+    cents.map(_.mkString(",")).mkString(";")
+
+  private def decodeCents(s: String): Array[Array[Float]] =
+    s.split(';').map(_.split(',').map(_.toFloat))
+
   /** Markers literal format for graft_lang_id: `lang:w1,w2|lang2:w3`. */
   def encodeMarkers(markers: Map[String, Seq[String]]): String =
     markers.toSeq.sortBy(_._1)
@@ -243,6 +294,11 @@ object GraftFunctions {
       RhpBucketExpr(es(0), intLit(es(1), "nPlanes"), intLit(es(2), "seed"))),
     "graft_simhash64" -> (es => SimHash64Expr(es(0))),
     "graft_simhash_md5" -> (es => SimHashMd5Expr(es(0))),
+    "graft_ivf_nearest" -> (es =>
+      IvfNearestExpr(es(0), decodeCents(stringLit(es(1), "centroids")))),
+    "graft_ivf_probes" -> (es =>
+      IvfProbesExpr(es(0), decodeCents(stringLit(es(1), "centroids")),
+        intLit(es(2), "nProbe"))),
     "graft_lang_id" -> (es =>
       LangIdExpr(es(0), decodeMarkers(stringLit(es(1), "markers")))),
     "graft_lang_id_ngram" -> (es =>

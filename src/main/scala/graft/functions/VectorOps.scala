@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.StringType
 
 /** Tight-loop kernels called from generated code — one static call per row.
@@ -127,6 +127,63 @@ object VectorOps {
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  /** Squared L2 between a row vector and a centroid (same ltr double
+    * accumulation as [[l2sqF]], so engine-external replicas agree).
+    */
+  private def l2sqCent(v: ArrayData, c: Array[Float]): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var i = 0
+    var s = 0.0
+    while (i < n) {
+      val dv = v.getFloat(i).toDouble - c(i).toDouble
+      s += dv * dv
+      i += 1
+    }
+    s
+  }
+
+  /** IVF assignment: id of the nearest centroid by (L2², cid) — strict
+    * `<` keeps the LOWEST cid on exact ties, matching lexicographic
+    * `least(struct(d, cid))`.
+    */
+  def ivfNearest(v: ArrayData, cents: Array[Array[Float]]): Int = {
+    var best = Double.MaxValue
+    var bi = 0
+    var cid = 0
+    while (cid < cents.length) {
+      val d = l2sqCent(v, cents(cid))
+      if (d < best) { best = d; bi = cid }
+      cid += 1
+    }
+    bi
+  }
+
+  /** IVF probe list: the `nProbe` nearest centroid ids ascending by
+    * (L2², cid) — the kernel form of sort-all-centroids-take-n.
+    */
+  def ivfProbes(v: ArrayData, cents: Array[Array[Float]], nProbe: Int): ArrayData = {
+    val k = cents.length
+    val d = new Array[Double](k)
+    var i = 0
+    while (i < k) { d(i) = l2sqCent(v, cents(i)); i += 1 }
+    val take = math.min(nProbe, k)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](k)
+    var m = 0
+    while (m < take) { // selection over ≤16 centroids: O(k·nProbe), no alloc
+      var bi = -1
+      var cid = 0
+      while (cid < k) {
+        if (!used(cid) && (bi < 0 || d(cid) < d(bi))) bi = cid
+        cid += 1
+      }
+      used(bi) = true
+      out(m) = bi
+      m += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** 64-bit SimHash over a token array: per-bit ±1 vote of xxhash64(token)

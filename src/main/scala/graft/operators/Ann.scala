@@ -78,33 +78,30 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val cents: Array[(Int, Array[Float])] = corpus
+    val cents: Array[Array[Float]] = corpus
       .orderBy(col(idCol)).limit(nCentroids * 8) // deterministic pool
       .select(col(idCol), col(vecCol)).collect()
-      .zipWithIndex.collect { case (r, i) if i % 8 == 0 => (i / 8, r.getSeq[Float](1).toArray) }
-    // nearest-centroid id as a single expression: argmin over literal centroids
-    def nearestCid(vec: Column): Column = {
-      val scored = cents.map { case (cid, cv) =>
-        struct(Similarity.l2sqFast(vec, typedLit(cv)).as("d"), lit(cid).as("cid"))
-      }
-      least(scored.toIndexedSeq: _*).getField("cid")
-    }
-    // probe list: the nProbe nearest centroid ids per query vector
-    def probeCids(vec: Column): Column = {
-      val scored = cents.map { case (cid, cv) =>
-        struct(Similarity.l2sqFast(vec, typedLit(cv)).as("d"), lit(cid).as("cid"))
-      }
-      slice(transform(array_sort(array(scored.toIndexedSeq: _*)), s => s.getField("cid")), 1, nProbe)
-    }
+      .zipWithIndex.collect { case (r, i) if i % 8 == 0 => r.getSeq[Float](1).toArray }
+    // assignment + probing run as single kernel expressions carrying the
+    // centroid matrix as ONE plan constant — the combinator form
+    // (least/array_sort over k literal structs) built an O(k × dim) tree
+    // whose generated source alone took seconds to compile per run
+    val centsLit = lit(GraftFunctions.encodeCents(cents))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      nearestCid(col(vecCol)).as("cid"))
+      call_function("graft_ivf_nearest", col(vecCol), centsLit).as("cid"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(probeCids(col(vecCol))).as("cid"))
+        explode_outer(call_function("graft_ivf_probes", col(vecCol), centsLit,
+          lit(nProbe))).as("cid"))
+      .filter(col("cid").isNotNull)
+    // no pair dedup: a corpus vector has exactly ONE cid and a query's
+    // probe cids are distinct, so a (query, neighbor) pair meets at most
+    // once — a dropDuplicates here would be a semantic no-op paying a
+    // full candidate-set shuffle (LSH genuinely needs one: its pairs can
+    // meet in several tables)
     val scored = c.join(broadcast(q), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosineFast(col("qv"), col("cv")).as("cos"))
-      .dropDuplicates("query_id", "neighbor_id")
     topKPerQuery(scored, k)
   }
 

@@ -60,24 +60,49 @@ object NearDup {
     // sides shuffling on h the second exchange is a ReusedExchange and the
     // string work runs once. At 100 TB neither side is broadcastable
     // anyway — this is also the only strategy that scales.
+    //
+    // Exact-duplicate texts are collapsed BEFORE shingling (the simhash /
+    // embedding move, SURVEY §8): a doc with d copies would otherwise put
+    // d identical shingle sets through the self-join and emit C(d,2)
+    // full-overlap candidate pairs PER SHARED SHINGLE — measured 14.6×
+    // time at 10× on a dup-heavy corpus. Shingling runs per distinct
+    // normalized text (8-byte xxhash64 identity, same 2^-64 collision
+    // acceptance as the shingle hashes); id pairs come back via slim
+    // membership joins, and intra-group pairs (identical text, ≥1
+    // shingle) are jaccard 1.0 by construction.
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val st = docs
-      .select(col(idCol).as("id"),
-        call_function("graft_ngram_hashes",
-          split(lower(trim(col(textCol))), "\\s+"), lit(n)).as("sh"))
-      .select(col("id"), size(col("sh")).as("nsh"), explode_outer(col("sh")).as("h"))
+    val norm = docs.select(col(idCol).as("id"), lower(trim(col(textCol))).as("t"))
+    val members = norm.select(col("id"), xxhash64(col("t")).as("th"))
+    val sigs = norm.select(xxhash64(col("t")).as("th"), col("t"))
+      .dropDuplicates("th")
+      .select(col("th"),
+        call_function("graft_ngram_hashes", split(col("t"), "\\s+"), lit(n)).as("sh"))
+    val st = sigs
+      .select(col("th"), size(col("sh")).as("nsh"), explode_outer(col("sh")).as("h"))
       .filter(col("h").isNotNull)
       .hint("shuffle_hash")
-    st.as("a").join(st.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val sigPairs = st.as("a").join(st.as("b"),
+        col("a.h") === col("b.h") && col("a.th") < col("b.th"))
+      .groupBy(col("a.th").as("th_a"), col("b.th").as("th_b"))
       .agg(count(lit(1)).as("common"),
         any_value(col("a.nsh")).as("nsh_a"), any_value(col("b.nsh")).as("nsh_b"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("nsh_a") + col("nsh_b") - col("common")))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val intra = members.as("m1").join(members.as("m2"),
+        col("m1.th") === col("m2.th") && col("m1.id") < col("m2.id"))
+      .join(sigs.select(col("th").as("th_s"), size(col("sh")).as("nsh_s")),
+        col("m1.th") === col("th_s"))
+      .filter(col("nsh_s") >= 1) // shingle-less docs pair with nothing
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    val inter = sigPairs
+      .join(members.as("ma"), col("ma.th") === col("th_a"))
+      .join(members.as("mb"), col("mb.th") === col("th_b"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"), col("jaccard"))
+    intra.unionByName(inter)
   }
 
   /** MinHash signature: one minimum per seed over md5(seed || shingle).

@@ -24,6 +24,7 @@ object ReferencePipeline {
   case class Outputs(
       admissions: DataFrame,
       discharges: DataFrame,
+      repeatables: DataFrame,
       joined: DataFrame,
       summaryCounts: DataFrame,
       completeness: DataFrame,
@@ -33,12 +34,27 @@ object ReferencePipeline {
     * string per row (column `jsonCol`).
     *
     * @param keys the clinical keys to widen into `<key>_value` columns
+    * @param repeatableKeys fields to extract from repeated entry groups
     */
-  def run(raw: DataFrame, jsonCol: String, keys: Seq[String]): Outputs = {
+  def run(raw: DataFrame, jsonCol: String, keys: Seq[String],
+          repeatableKeys: Seq[String] = Nil): Outputs = {
     // 1. import: parse + uid recovery; corrupt rows routed out, not dropped
     val parsed = JsonImport.parseSessions(raw, jsonCol)
-    val wellFormed = parsed.filter(!col("is_corrupt") && col("uid").isNotNull)
-    val exceptions = parsed.filter(col("is_corrupt") || col("uid").isNull)
+
+    // 1b. key repair (reference: regenerate_unique_key.py): a session
+    //     without a recoverable uid takes its first present date entry as
+    //     the key; a uid shared by different payloads becomes uid#date so
+    //     both records survive dedup. Only sessions with NEITHER uid NOR
+    //     any date entry remain exceptions.
+    val dateFallbacks = KeyRepair.referenceFallbackKeys
+      .map(k => JsonImport.entryValue(col("entries_json"), k))
+    val keyed = KeyRepair.regenerateUniqueKeys(
+        parsed.filter(!col("is_corrupt")), "uid",
+        Seq("scriptid", "entries_json"), dateFallbacks)
+      .withColumn("uid", col("unique_key")).drop("unique_key")
+    val wellFormed = keyed.filter(col("uid").isNotNull)
+    val exceptions = parsed.filter(col("is_corrupt"))
+      .unionByName(keyed.filter(col("uid").isNull))
 
     // 2. dedup: one row per (uid, script), keep latest by started_at
     val deduped = Dedup.keepLatest(wellFormed, Seq("uid", "scriptid"),
@@ -54,6 +70,10 @@ object ReferencePipeline {
     }
     val admissions0 = route(AdmissionScript)
     val discharges = route(DischargeScript)
+
+    // 3b. repeated entry groups → per-measurement rows (reference:
+    //     format_repeatables_to_rows): keyed (uid, table, form_id)
+    val repeatables = JsonImport.explodeRepeatables(wellFormed, repeatableKeys)
 
     // 4. manual fix + label recode on the admissions route (illustrative
     //    targeted repair, like admissions_manually_fix_records_sql)
@@ -84,6 +104,7 @@ object ReferencePipeline {
       joined.withColumn("los_days_s", col("los_days").cast("string")),
       Seq("uid", "facility", "los_days_s"))
 
-    Outputs(admissions, discharges, joined, summaryCounts, completeness, exceptions)
+    Outputs(admissions, discharges, repeatables, joined, summaryCounts,
+      completeness, exceptions)
   }
 }

@@ -51,6 +51,18 @@ class PlanSpec extends SparkSpec {
     assert(leaves.contains("ReadSchema") && !leaves.contains("props"), leaves.take(1500))
   }
 
+  test("q29 embedding near-dup shuffles key on 8-byte hashes, never vectors") {
+    val df: DataFrame = Queries.all("q29_embed_neardup")(spark, sf)
+    df.collect() // run so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    // every Exchange must partition on scalar keys (vh/bkt/ids) — a
+    // hashpartitioning over the raw vector column means 256-byte+ shuffle
+    // keys crept back in
+    val bad = "hashpartitioning\\((v|embedding|qv|cv|v_a|v_b)#".r
+    assert(bad.findFirstIn(p).isEmpty,
+      bad.findFirstIn(p).map(m => p.substring(p.indexOf(m.toString).max(0)).take(400)).getOrElse(""))
+  }
+
   test("whole-stage codegen covers the text-analysis hot paths") {
     // the `*(n)` marker on the Project = inside a WholeStageCodegen stage.
     // q23 needs the native set-probe counter for this — the HOF stopword

@@ -63,4 +63,44 @@ class ReferencePipelineSpec extends SparkSpec {
     val c = out.completeness.head
     assert(c.getDouble(0) == 1.0) // uid always present post-filter
   }
+
+  test("uid-less session WITH a date entry is repaired, not excepted") {
+    val withDate =
+      """{"scriptid":"adm","facility":"F1","started_at":"2026-03-01T08:00:00",
+         "entries":[{"key":"DateAdmission","values":[{"value":"2026-03-01","label":"Admitted"}]}]}"""
+        .replaceAll("\n\\s*", "")
+    val out2 = ReferencePipeline.run(
+      raw.unionByName(Seq(withDate).toDF("json")), "json", Seq("Temp"))
+    assert(out2.exceptions.count() == 2) // still only corrupt + date-less
+    assert(out2.admissions.filter(col("uid") === "2026-03-01").count() == 1)
+  }
+
+  test("two DIFFERENT records sharing a uid both survive with distinct keys") {
+    def collider(temp: String, dateAdm: String): String =
+      s"""{"scriptid":"adm","facility":"F1","uid":"u9",
+          "started_at":"${dateAdm}T08:00:00","completed_at":"${dateAdm}T09:00:00",
+          "entries":[{"key":"Temp","values":[{"value":"$temp","label":"T"}]},
+                     {"key":"DateAdmission","values":[{"value":"$dateAdm","label":"D"}]}]}"""
+        .replaceAll("\n\\s*", "")
+    val out2 = ReferencePipeline.run(
+      raw.unionByName(Seq(collider("36.0", "2026-01-05"),
+        collider("39.9", "2026-01-06")).toDF("json")), "json", Seq("Temp"))
+    val u9 = out2.admissions.filter(col("uid").startsWith("U9#"))
+      .select("uid").as[String].collect().toSet
+    assert(u9 == Set("U9#2026-01-05", "U9#2026-01-06")) // dedup swallowed neither
+  }
+
+  test("repeatables output: per-measurement rows ride the pipeline keys") {
+    val s =
+      """{"scriptid":"adm","uid":"u5","facility":"F1","started_at":"2026-01-05T08:00:00",
+         "entries":[],"repeatables":{"vitals":[
+           {"id":"m1","createdAt":"2026-01-05T08:10:00","Temp":{"value":"36.5"}},
+           {"id":"m2","createdAt":"2026-01-05T12:10:00","Temp":{"value":"37.5"}}]}}"""
+        .replaceAll("\n\\s*", "")
+    val out2 = ReferencePipeline.run(
+      raw.unionByName(Seq(s).toDF("json")), "json", Seq("Temp"), Seq("Temp"))
+    val vitals = out2.repeatables.filter(col("uid") === "U5")
+    assert(vitals.count() == 2)
+    assert(vitals.select("Temp_value").as[String].collect().toSet == Set("36.5", "37.5"))
+  }
 }

@@ -49,20 +49,47 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plain == 0.75 && strict == 0.25)
   }
 
-  test("IVF topK finds the same top-1 as brute force for clustered data") {
+  // 4 tight clusters (deterministic seed): approximate methods cannot
+  // miss the true neighbor, so agreement with brute force is exact
+  private lazy val clustered = {
     val rnd = new scala.util.Random(11)
-    // 4 tight clusters so IVF probing cannot miss the true neighbor
     val base = Array.tabulate(4)(c => Array.fill(16)(rnd.nextFloat() * 2f - 1f))
-    val vecs = (0 until 200).map { i =>
+    (0 until 200).map { i =>
       val c = i % 4
       (i.toLong, base(c).map(v => v + rnd.nextFloat() * 0.01f))
     }.toDF("vec_id", "embedding")
-    val queries = vecs.filter(col("vec_id") < 4)
-    val ivf = Ann.ivfTopK(queries, vecs, "vec_id", "embedding",
+  }
+
+  test("IVF topK finds the same top-1 as brute force for clustered data") {
+    val queries = clustered.filter(col("vec_id") < 4)
+    val ivf = Ann.ivfTopK(queries, clustered, "vec_id", "embedding",
       k = 1, nCentroids = 8, nProbe = 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
-    val bf = Ann.bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 1)
+    val bf = Ann.bruteForceTopK(queries, clustered, "vec_id", "embedding", k = 1)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
     assert(ivf == bf)
+  }
+
+  test("LSH topK finds the same top-1 as brute force for clustered data") {
+    val queries = clustered.filter(col("vec_id") < 4)
+    val lsh = Ann.lshTopK(queries, clustered, "vec_id", "embedding",
+      k = 1, nPlanes = 8, nTables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val bf = Ann.bruteForceTopK(queries, clustered, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(lsh == bf)
+  }
+
+  test("embedding near-dup pair set equals brute force at high threshold") {
+    import graft.functions.Similarity
+    val lshPairs = Ann.embeddingNearDupPairs(clustered, "vec_id", "embedding",
+        threshold = 0.99, nPlanes = 6, nTables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = clustered.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = clustered.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(round(Similarity.cosineFast(col("va"), col("vb")), 4) >= 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty && lshPairs == brute)
   }
 }
