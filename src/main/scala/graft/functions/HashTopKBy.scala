@@ -12,6 +12,13 @@ import org.apache.spark.sql.types._
 final class TopKBuf(val k: Int, goodness: Ordering[(Any, Any)]) {
   val heap = new scala.collection.mutable.PriorityQueue[(Any, Any, Any)]()(
     Ordering.by[(Any, Any, Any), (Any, Any)](e => (e._1, e._2))(goodness.reverse))
+  /** Would (o, t) make the cut? Callers use this to skip evaluating and
+    * copying the VALUE for losing rows — with k « rows, almost all of
+    * them — so the steady-state per-row cost is two evals + one compare,
+    * no allocation of the carried struct.
+    */
+  def accepts(o: Any, t: Any): Boolean =
+    heap.size < k || goodness.compare((o, t), (heap.head._1, heap.head._2)) > 0
   def offer(o: Any, t: Any, v: Any): Unit =
     if (heap.size < k) heap.enqueue((o, t, v))
     else if (goodness.compare((o, t), (heap.head._1, heap.head._2)) > 0) {
@@ -65,8 +72,10 @@ case class HashTopKBy(
   override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
     val o = orderExpr.eval(input)
     val t = tieExpr.eval(input)
-    if (o != null && t != null) {
-      // copy before heap insert — Spark reuses the input row's backing
+    if (o != null && t != null && buf.accepts(o, t)) {
+      // losing rows never reach here: the value struct is evaluated and
+      // copied only for the ≤k current winners (copy before heap insert —
+      // Spark reuses the input row's backing)
       val v = valueExpr.eval(input)
       buf.offer(InternalRow.copyValue(o), InternalRow.copyValue(t),
         if (v == null) null else InternalRow.copyValue(v))
