@@ -210,7 +210,18 @@ object NearDup {
     val width = 64 / nBlocks // low width*nBlocks bits covered; uncovered
                              // bits only make blocks MORE likely intact
     val sigOf = if (portable) simhashMd5Fast(_) else simhashFast(_)
-    val members = docs.select(col(idCol).as("id"), sigOf(col(textCol)).as("sh"))
+    // hash each DISTINCT normalized text once, not once per copy: on a
+    // dup-heavy corpus the per-token digest work is the dominant cost and
+    // shrinks by the duplication factor; ids rejoin through an 8-byte
+    // text-hash key (lower/trim is idempotent, so sigOf over the
+    // normalized text equals sigOf over the raw text)
+    val norm = docs.select(col(idCol).as("id"), lower(trim(col(textCol))).as("t"))
+    val textSigs = norm.select(xxhash64(col("t")).as("th"), col("t"))
+      .dropDuplicates("th")
+      .select(col("th"), sigOf(col("t")).as("sh"))
+    val members = norm.select(col("id"), xxhash64(col("t")).as("th"))
+      .join(textSigs.select("th", "sh"), "th")
+      .select("id", "sh")
 
     // Exact duplicates (identical text ⇒ identical simhash) are collapsed
     // BEFORE blocking: real corpora carry heavy exact-dup mass, and every
