@@ -149,6 +149,14 @@ class StreamBucketSpec extends SparkSpec {
       .collect().map(r2 => r2.getString(0) -> r2.getBoolean(1))
     assert(changed.filter(_._1 == "audio").forall(_._2))
     assert(changed.filter(_._1 != "audio").forall(!_._2))
+    // the stub derives from the ORIGINAL payload and the FINAL (scaled)
+    // dims — pins against recomputing dims off the replaced meta struct
+    val expectedBytes = media.filter(col("media_id") === 2)
+      .select(sha2(concat(base64(col("bytes")), lit("320"), lit("180")), 256))
+      .head.getString(0)
+    val actualBytes = out.filter(col("media_id") === 2)
+      .select(col("bytes").cast("string")).head.getString(0)
+    assert(actualBytes == expectedBytes)
   }
 
   test("cleanup normalizes names and drops redundant columns defensively") {
