@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{coalesce, col}
 
 /** Post-derivation cleanup: column drops and name normalization.
   *
@@ -18,6 +19,25 @@ object Cleanup {
     */
   def dropRedundant(df: DataFrame, cols: Seq[String]): DataFrame =
     df.drop(cols: _*)
+
+  /** Merge a legacy column into its successor: where both exist, the
+    * successor keeps its value and falls back to the legacy one; where
+    * only the legacy column exists, it is renamed. The legacy column is
+    * dropped either way; a frame with neither passes through unchanged.
+    * (Reference: data_tyding/tidy_dynamic_tables.py::
+    * fix_facility_phc_columns — Facility.value folded into PHC.value —
+    * the column-naming drift every long-lived form deployment
+    * accumulates.) Pure projection, zero runtime cost.
+    */
+  def coalesceInto(df: DataFrame, legacy: String, successor: String): DataFrame = {
+    val has = df.columns.toSet
+    (has.contains(legacy), has.contains(successor)) match {
+      case (true, true) =>
+        df.withColumn(successor, coalesce(col(successor), col(legacy))).drop(legacy)
+      case (true, false) => df.withColumnRenamed(legacy, successor)
+      case _             => df
+    }
+  }
 
   /** Normalize column names to snake_case: camelCase humps and runs of
     * non-alphanumerics become single underscores, lowercased

@@ -80,6 +80,35 @@ class RepairRulesSpec extends SparkSpec {
       (3L, "s", "bad_s", "BAD")))
   }
 
+  test("validation rules compose onto a stream unchanged (stateless exceptions feed)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val df = in.toDF().toDF("id", "v")
+    val exc = Validation.exceptions(df, Seq("id"), Seq(
+      Validation.Min("v", 10.0, "v_low"), Validation.Max("v", 100.0, "v_high")))
+    val q = exc.writeStream.format("memory").queryName("rules_exc")
+      .outputMode("append").start()
+    in.addData((1L, 5.0), (2L, 50.0), (3L, 500.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rules_exc").select("id", "code")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "v_low"), (3L, "v_high")))
+  }
+
+  test("coalesceInto folds a legacy column into its successor") {
+    import graft.operators.Cleanup
+    val both = Seq(("f1", null.asInstanceOf[String]),
+      (null.asInstanceOf[String], "p2"), ("f3", "p3")).toDF("facility", "phc")
+    val folded = Cleanup.coalesceInto(both, "facility", "phc")
+    assert(folded.columns.toSeq == Seq("phc"))
+    assert(folded.as[String].collect().toSet == Set("f1", "p2", "p3"))
+    val renamed = Cleanup.coalesceInto(Seq("f").toDF("facility"), "facility", "phc")
+    assert(renamed.columns.toSeq == Seq("phc"))
+    val untouched = Cleanup.coalesceInto(Seq("p").toDF("phc"), "facility", "phc")
+    assert(untouched.columns.toSeq == Seq("phc"))
+  }
+
   test("firstViolation: rule order is reason precedence (the q18 shape)") {
     val rules = Seq(
       Validation.NotNull("v", "null_value"),
