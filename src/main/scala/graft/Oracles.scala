@@ -526,6 +526,28 @@ object Oracles {
              AND NOT regexp_matches(o_orderstatus, '^[A-Z]$')
          ) t""",
 
+    // session_window semantics: a new session starts when the exact-micros
+    // gap is >= the window gap (half-open [ts, ts+gap) windows); the
+    // session END is last event + gap, unlike q33's max(ts)
+    "q46_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                  WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                     - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) >= 1800000000 THEN 1
+                  ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         idx AS (
+           SELECT user_id, tsu,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si
+           FROM flagged)
+         SELECT user_id, min(tsu) AS session_start,
+           max(tsu) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+         FROM idx GROUP BY user_id, si""",
+
     "q33_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,

@@ -373,6 +373,17 @@ object Queries {
         // never fires on clean data — exercises the rule-passes path
         Validation.MatchesRegex("o_orderstatus", "^[A-Z]$", "bad_status")))),
 
+    // the SCALE form of sessionization: gap-merged session aggregation —
+    // no per-user window sort (q33 keeps the lag/cumsum form because the
+    // reference numbers sessions; this is what a 100 TB run should use)
+    "q46_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

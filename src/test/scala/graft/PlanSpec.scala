@@ -63,6 +63,13 @@ class PlanSpec extends SparkSpec {
       bad.findFirstIn(p).map(m => p.substring(p.indexOf(m.toString).max(0)).take(400)).getOrElse(""))
   }
 
+  test("q46 session_window aggregates without a Window operator") {
+    // the point of the scale form: gap-merge runs as aggregation, not as
+    // a per-user row_number/lag window chain
+    val p = plan("q46_session_window")
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the text-analysis hot paths") {
     // the `*(n)` marker on the Project = inside a WholeStageCodegen stage.
     // q23 needs the native set-probe counter for this — the HOF stopword
