@@ -29,30 +29,39 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     var failed = List.empty[String]
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        if (!failed.contains(name)) failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // Two passes per query, reporting the per-query MIN: pass 1 pays
+    // Two passes per query, reporting the per-query MIN over SUCCESSFUL
+    // passes (a fast crash must not masquerade as a fast run): pass 1 pays
     // driver-side plan + codegen compile (noise at bench SF, irrelevant at
     // 100 TB); the min is the repeatable statistic and makes early/late
     // queries comparable. Between queries a driver GC drains ContextCleaner
     // (accumulated shuffle files / broadcasts), outside the timed window,
     // so no query pays for its predecessors' leftovers.
-    def pass(): Seq[(String, Double)] =
+    def pass(): Seq[(String, (Double, Boolean))] =
       names.map { case (n, fn) => val t = timeOne(n, fn); System.gc(); n -> t }
     val cold = pass()
     val steady = pass()
-    val results = cold.zip(steady).map { case ((n, c), (_, s)) => n -> math.min(c, s) }
+    val results = cold.zip(steady).map { case ((n, (c, okc)), (_, (s, oks))) =>
+      n -> ((okc, oks) match {
+        case (true, false)  => c
+        case (false, true)  => s
+        case _              => math.min(c, s) // both ok, or both failed (exit 1 anyway)
+      })
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val coldTotal = cold.map(_._2).sum
+    val coldTotal = cold.map(_._2._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"timing":"min-of-2","cold_total":$coldTotal,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

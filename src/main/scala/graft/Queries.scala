@@ -358,9 +358,8 @@ object Queries {
         .withColumn("bad_dt",
           when(pmod(col("o_orderkey"), lit(2)) === 0, "garbage")
             .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
-      val gated = DeriveColumns.profileGatedDateCast(
-        DeriveColumns.profileGatedDateCast(o, "good_dt", Seq("yyyy-MM-dd"), 90.0),
-        "bad_dt", Seq("yyyy-MM-dd"), 90.0)
+      val gated = DeriveColumns.profileGatedDateCasts(o, Seq(
+        ("good_dt", Seq("yyyy-MM-dd"), 90.0), ("bad_dt", Seq("yyyy-MM-dd"), 90.0)))
       gated.select("o_orderkey", "good_dt", "bad_dt")
     }),
 

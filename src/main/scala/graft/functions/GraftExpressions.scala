@@ -268,8 +268,10 @@ object GraftFunctions {
   def encodeCents(cents: Array[Array[Float]]): String =
     cents.map(_.mkString(",")).mkString(";")
 
-  private def decodeCents(s: String): Array[Array[Float]] =
+  private def decodeCents(s: String): Array[Array[Float]] = {
+    require(s.nonEmpty, "IVF kernels need at least one centroid (empty corpus?)")
     s.split(';').map(_.split(',').map(_.toFloat))
+  }
 
   /** Markers literal format for graft_lang_id: `lang:w1,w2|lang2:w3`. */
   def encodeMarkers(markers: Map[String, Seq[String]]): String =

@@ -82,6 +82,7 @@ object Ann {
       .orderBy(col(idCol)).limit(nCentroids * 8) // deterministic pool
       .select(col(idCol), col(vecCol)).collect()
       .zipWithIndex.collect { case (r, i) if i % 8 == 0 => r.getSeq[Float](1).toArray }
+    require(cents.nonEmpty, "ivfTopK needs a non-empty corpus to derive centroids")
     // assignment + probing run as single kernel expressions carrying the
     // centroid matrix as ONE plan constant — the combinator form
     // (least/array_sort over k literal structs) built an O(k × dim) tree

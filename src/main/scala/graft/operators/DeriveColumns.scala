@@ -78,12 +78,27 @@ object DeriveColumns {
     * ALTER TABLE). Returns the frame with the column cast, or untouched.
     */
   def profileGatedDateCast(df: DataFrame, colName: String, formats: Seq[String],
-                           minValidPercent: Double = 90.0): DataFrame = {
-    val parsed = multiFormatTimestamp(col(colName), formats)
-    val profile = df.agg(
-      count(col(colName)).as("nonnull"), count(parsed).as("valid")).head()
-    val nonnull = profile.getLong(0)
-    val pct = if (nonnull == 0L) 100.0 else profile.getLong(1) * 100.0 / nonnull
-    if (pct >= minValidPercent) df.withColumn(colName, parsed) else df
+                           minValidPercent: Double = 90.0): DataFrame =
+    profileGatedDateCasts(df, Seq((colName, formats, minValidPercent)))
+
+  /** Multi-column form: ONE aggregation pass profiles every candidate
+    * (two counts per column), then the per-column gate decisions apply —
+    * N gated columns cost one extra scan, not N.
+    */
+  def profileGatedDateCasts(df: DataFrame,
+      specs: Seq[(String, Seq[String], Double)]): DataFrame = {
+    if (specs.isEmpty) return df
+    val aggs = specs.flatMap { case (c, formats, _) =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        count(multiFormatTimestamp(col(c), formats)).as(s"__v_$c"))
+    }
+    val profile = df.agg(aggs.head, aggs.tail: _*).head()
+    specs.foldLeft(df) { case (acc, (c, formats, minPct)) =>
+      val nonnull = profile.getAs[Long](s"__nn_$c")
+      val valid = profile.getAs[Long](s"__v_$c")
+      val pct = if (nonnull == 0L) 100.0 else valid * 100.0 / nonnull
+      if (pct >= minPct) acc.withColumn(c, multiFormatTimestamp(col(c), formats))
+      else acc
+    }
   }
 }

@@ -43,14 +43,17 @@ object ReferencePipeline {
 
     // 1b. key repair (reference: regenerate_unique_key.py): a session
     //     without a recoverable uid takes its first present date entry as
-    //     the key; a uid shared by different payloads becomes uid#date so
-    //     both records survive dedup. Only sessions with NEITHER uid NOR
-    //     any date entry remain exceptions.
+    //     the key; within one script, a uid shared by different payloads
+    //     becomes uid#date so two DIFFERENT records survive dedup while a
+    //     resubmission (same date) still collapses to keep-latest. The
+    //     script id scopes collision detection — a patient's admission
+    //     and discharge share a uid by design. Only sessions with NEITHER
+    //     uid NOR any date entry remain exceptions.
     val dateFallbacks = KeyRepair.referenceFallbackKeys
       .map(k => JsonImport.entryValue(col("entries_json"), k))
     val keyed = KeyRepair.regenerateUniqueKeys(
         parsed.filter(!col("is_corrupt")), "uid",
-        Seq("scriptid", "entries_json"), dateFallbacks)
+        Seq("entries_json"), dateFallbacks, scopeCols = Seq("scriptid"))
       .withColumn("uid", col("unique_key")).drop("unique_key")
     val wellFormed = keyed.filter(col("uid").isNotNull)
     val exceptions = parsed.filter(col("is_corrupt"))
@@ -72,8 +75,9 @@ object ReferencePipeline {
     val discharges = route(DischargeScript)
 
     // 3b. repeated entry groups → per-measurement rows (reference:
-    //     format_repeatables_to_rows): keyed (uid, table, form_id)
-    val repeatables = JsonImport.explodeRepeatables(wellFormed, repeatableKeys)
+    //     format_repeatables_to_rows), from the DEDUPED sessions — a
+    //     resubmitted session must not contribute its measurements twice
+    val repeatables = JsonImport.explodeRepeatables(deduped, repeatableKeys)
 
     // 4. manual fix + label recode on the admissions route (illustrative
     //    targeted repair, like admissions_manually_fix_records_sql)

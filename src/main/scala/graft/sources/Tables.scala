@@ -23,7 +23,9 @@ object Tables {
     * toward zero): pre-epoch nanos would otherwise round up by 1us.
     */
   private def withNanosTs(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+    // value check, not getOption: a registered SQLConf always answers with
+    // its default ("false"), so an Option-emptiness guard would never fire
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, name)
     raw.schema("ts").dataType match {

@@ -27,6 +27,42 @@ class RepairRulesSpec extends SparkSpec {
     assert(keys.distinct.size == 5 && keys.size == 6)
   }
 
+  test("regenerateUniqueKeys: collision WITHOUT a fallback keeps the bare uid (keep-latest wins)") {
+    val df = Seq(
+      ("u4", "v1", null.asInstanceOf[String]),
+      ("u4", "v2", null.asInstanceOf[String])
+    ).toDF("uid", "content", "date_admission")
+    val keys = KeyRepair.regenerateUniqueKeys(df, "uid", Seq("content"),
+      Seq(col("date_admission"))).select("unique_key").as[String].collect()
+    // nothing distinguishes a resubmission from a shared-uid pair here;
+    // the reference's default is keep-latest dedup on the uid
+    assert(keys.toSeq == Seq("u4", "u4"))
+  }
+
+  test("regenerateUniqueKeys: scope columns keep cross-script uid sharing out of collision") {
+    val df = Seq(
+      ("u6", "adm", "admission-payload", "2026-01-01"),
+      ("u6", "dis", "discharge-payload", "2026-01-02")
+    ).toDF("uid", "script", "content", "d")
+    val scoped = KeyRepair.regenerateUniqueKeys(df, "uid", Seq("content"),
+      Seq(col("d")), scopeCols = Seq("script"))
+      .select("unique_key").as[String].collect().toSet
+    assert(scoped == Set("u6")) // same patient, two forms — NOT a collision
+    val unscoped = KeyRepair.regenerateUniqueKeys(df, "uid", Seq("content"),
+      Seq(col("d"))).select("unique_key").as[String].collect().toSet
+    assert(unscoped == Set("u6#2026-01-01", "u6#2026-01-02"))
+  }
+
+  test("regenerateUniqueKeys: all-null content adds no phantom variant (COUNT DISTINCT parity)") {
+    val df = Seq(
+      ("u5", null.asInstanceOf[String], "2026-01-01"),
+      ("u5", "a", "2026-01-02")
+    ).toDF("uid", "content", "date_admission")
+    val keys = KeyRepair.regenerateUniqueKeys(df, "uid", Seq("content"),
+      Seq(col("date_admission"))).select("unique_key").as[String].collect().toSet
+    assert(keys == Set("u5")) // one real variant → no collision
+  }
+
   test("regenerateUniqueKeys: fallback precedence follows the given order") {
     val df = Seq(
       (null.asInstanceOf[String], "a", null.asInstanceOf[String], "2026-02-02"),

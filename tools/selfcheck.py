@@ -27,14 +27,14 @@ def main():
     n_pass = n_fail = n_skip = 0
     # a query that threw in Verify must not silently vanish from the gate
     err_path = f"{out_dir}/_verify_errors.json"
-    if os.path.exists(err_path):
-        verrs = json.load(open(err_path))
-        for k, v in sorted(verrs.items()):
-            if not only or k in only:
-                print(f"FAIL {k}: verify error {v}"); n_fail += 1
+    verrs = json.load(open(err_path)) if os.path.exists(err_path) else {}
+    for k, v in sorted(verrs.items()):
+        if not only or k in only:
+            print(f"FAIL {k}: verify error {v}"); n_fail += 1
     dumped = {d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d))}
     for k in sorted(oracle):
-        if (not only or k in only) and k not in dumped:
+        # keys already reported as verify errors are counted once, above
+        if (not only or k in only) and k not in dumped and k not in verrs:
             print(f"FAIL {k}: oracle present but no dump directory"); n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
