@@ -57,6 +57,18 @@ object DeriveColumns {
     }
   }
 
+  /** Per-script dictionary recode: each script id carries its own
+    * value→label mapping, applied only to that script's rows (reference:
+    * utils/field_info.py::transform_matching_labels — scriptid-based
+    * metadata recode). Unmapped scripts and values pass through. Still a
+    * pure literal-map expression — no join, no shuffle.
+    */
+  def recodeByScript(scriptId: Column, value: Column,
+                     mappings: Map[String, Map[String, String]]): Column =
+    mappings.toSeq.sortBy(_._1).foldLeft(value) { case (acc, (sid, m)) =>
+      when(scriptId === sid, recode(value, m)).otherwise(acc)
+    }
+
   /** Conditional record repair: where `cond`, replace `colName` with
     * `fixed`, else keep (reference manual-fix nodes).
     */

@@ -96,6 +96,17 @@ class RepairRulesSpec extends SparkSpec {
     assert(out.schema("dt").dataType.typeName == "timestamp")
   }
 
+  test("recodeByScript applies each script's own mapping, passthrough otherwise") {
+    val df = Seq(("adm", "DC"), ("dis", "DC"), ("oth", "DC"), ("adm", "X"))
+      .toDF("scriptid", "v")
+    val out = df.select(col("scriptid"), DeriveColumns.recodeByScript(
+        col("scriptid"), col("v"),
+        Map("adm" -> Map("DC" -> "Discharged"), "dis" -> Map("DC" -> "Deceased")))
+      .as("label")).as[(String, String)].collect().toSet
+    assert(out == Set(("adm", "Discharged"), ("dis", "Deceased"),
+      ("oth", "DC"), ("adm", "X")))
+  }
+
   test("validation exceptions: one row per violated rule, with reason codes") {
     val df = Seq(
       (1L, Some(5.0), "OK"),    // too low
