@@ -34,4 +34,18 @@ object StreamCounts {
         col("window.end").as("window_end") +:
         (groupCols.map(col) ++ flags.map(f => col(f._1))): _*)
   }
+
+  /** Streaming gap sessions via the built-in `session_window`: the
+    * streaming form of q46 (same gap-merge semantics, state bounded by
+    * the watermark, sessions emitted when the watermark passes their
+    * close). One state row per OPEN session per key — no per-event state.
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, delay: String,
+                    gap: String, keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start") +:
+        col("session_window.end").as("session_end") +:
+        (keyCols.map(col) :+ col("n_events")): _*)
 }

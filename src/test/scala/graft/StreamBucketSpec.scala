@@ -117,6 +117,28 @@ class StreamBucketSpec extends SparkSpec {
     assert(out.contains((ts(10), "F1", 1L, 0L)))
   }
 
+  test("streaming session_window emits gap-merged sessions on watermark close") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDS().toDF("ts", "user_id")
+    val q = graft.streaming.StreamCounts.sessionCounts(
+        df, "ts", delay = "5 minutes", gap = "10 minutes", keyCols = Seq("user_id"))
+      .writeStream.format("memory").queryName("sw_out").outputMode("append").start()
+    // user 1: events 2 min apart (one session), then a 20-min gap
+    in.addData((ts(0), 1L), (ts(2), 1L), (ts(22), 1L), (ts(3), 2L))
+    q.processAllAvailable()
+    in.addData((ts(59), 9L)) // watermark far past every session's close
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sw_out")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(out.contains((1L, ts(0), ts(12), 2L)))  // end = last event + gap
+    assert(out.contains((1L, ts(22), ts(32), 1L)))
+    assert(out.contains((2L, ts(3), ts(13), 1L)))
+  }
+
   test("multimodal frameFeatures emits one row per sampled frame, batched per partition") {
     val media = Multimodal.synthesize((1 to 20).map(i => Tuple1(i.toLong)).toDF("id"), "id")
     val feats = Multimodal.frameFeatures(media, everyNth = 2)
