@@ -39,6 +39,16 @@ object Sinks {
   def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** ORC write — the other columnar lake format Spark executes natively
+    * (vectorized reader, predicate pushdown, column pruning, same
+    * partitioned-write discipline as parquet).
+    */
+  def orc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Bucketed catalog table: co-locates rows by hash(bucketCols) at WRITE
     * time, so every later equi-join or aggregation on those columns skips
     * its shuffle entirely (scans are already hash-partitioned). The 100 TB

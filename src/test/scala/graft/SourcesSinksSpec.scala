@@ -31,6 +31,20 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.count() == 100)
   }
 
+  test("orc round-trip preserves schema, prunes columns, pushes filters") {
+    val dir = tmp("orc")
+    Sinks.orc(sample, dir)
+    val back = Sinks.readOrc(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      sample.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() == 100)
+    val scan = back.filter(col("id") > 90).select("name")
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(id,90)"),
+      scan.take(2000))
+    assert(scan.contains("ReadSchema") && !scan.contains("score"), scan.take(2000))
+  }
+
   test("csv and json round-trip with explicit schema") {
     val csvDir = tmp("csv")
     val jsonDir = tmp("json")
