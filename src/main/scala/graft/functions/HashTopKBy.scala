@@ -7,23 +7,38 @@ import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
 /** Buffer: up to k (order, tie, value) triples in a min-heap on goodness
-  * (the root is the weakest survivor, evicted first).
+  * (the root is the weakest survivor, evicted first). Holds the two
+  * scalar orderings directly: the per-row accept check runs millions of
+  * times per task and must not allocate (tuple-wrapping the comparands
+  * showed up as ~40% of brute-force ANN time at 30× scale).
   */
-final class TopKBuf(val k: Int, goodness: Ordering[(Any, Any)]) {
+final class TopKBuf(val k: Int, ordCmp: Ordering[Any], tieCmp: Ordering[Any]) {
+  /** greater = better: order desc, then tie asc. */
+  private val goodness: Ordering[(Any, Any)] = new Ordering[(Any, Any)] {
+    def compare(a: (Any, Any), b: (Any, Any)): Int = {
+      val c = ordCmp.compare(a._1, b._1)
+      if (c != 0) c else tieCmp.compare(b._2, a._2)
+    }
+  }
   val heap = new scala.collection.mutable.PriorityQueue[(Any, Any, Any)]()(
     Ordering.by[(Any, Any, Any), (Any, Any)](e => (e._1, e._2))(goodness.reverse))
   /** Would (o, t) make the cut? Callers use this to skip evaluating and
     * copying the VALUE for losing rows — with k « rows, almost all of
-    * them — so the steady-state per-row cost is two evals + one compare,
-    * no allocation of the carried struct.
+    * them — so the steady-state per-row cost is two evals + one or two
+    * compares, zero allocation.
     */
   def accepts(o: Any, t: Any): Boolean =
-    heap.size < k || goodness.compare((o, t), (heap.head._1, heap.head._2)) > 0
+    heap.size < k || {
+      val h = heap.head
+      val c = ordCmp.compare(o, h._1)
+      c > 0 || (c == 0 && tieCmp.compare(h._2, t) > 0)
+    }
   def offer(o: Any, t: Any, v: Any): Unit =
     if (heap.size < k) heap.enqueue((o, t, v))
-    else if (goodness.compare((o, t), (heap.head._1, heap.head._2)) > 0) {
-      heap.dequeue(); heap.enqueue((o, t, v))
-    }
+    else if (accepts(o, t)) { heap.dequeue(); heap.enqueue((o, t, v)) }
+  /** Best-first drain (order desc, tie asc). */
+  def sortedEntries: Seq[(Any, Any, Any)] =
+    heap.toSeq.sortBy(e => (e._1, e._2))(goodness.reverse)
 }
 
 /** Bounded-heap top-k aggregation: keeps the k values with the greatest
@@ -58,16 +73,9 @@ case class HashTopKBy(
     TypeUtils.getInterpretedOrdering(orderExpr.dataType).asInstanceOf[Ordering[Any]]
   @transient private lazy val tieOrdering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(tieExpr.dataType).asInstanceOf[Ordering[Any]]
-  /** greater = better: order desc, then tie asc. */
-  @transient private lazy val goodness: Ordering[(Any, Any)] =
-    new Ordering[(Any, Any)] {
-      def compare(a: (Any, Any), b: (Any, Any)): Int = {
-        val c = ordOrdering.compare(a._1, b._1)
-        if (c != 0) c else tieOrdering.compare(b._2, a._2)
-      }
-    }
 
-  override def createAggregationBuffer(): TopKBuf = new TopKBuf(k, goodness)
+  override def createAggregationBuffer(): TopKBuf =
+    new TopKBuf(k, ordOrdering, tieOrdering)
 
   override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
     val o = orderExpr.eval(input)
@@ -89,8 +97,7 @@ case class HashTopKBy(
   }
 
   override def eval(buf: TopKBuf): Any =
-    new GenericArrayData(
-      buf.heap.toSeq.sortBy(e => (e._1, e._2))(goodness.reverse).map(_._3))
+    new GenericArrayData(buf.sortedEntries.map(_._3))
 
   // (de)serialize as a single-field UnsafeRow holding array<struct<o,t,v>>
   @transient private lazy val entryStruct = StructType(Seq(

@@ -19,25 +19,39 @@ import org.apache.spark.sql.types.StringType
   */
 object VectorOps {
 
+  // Every kernel bulk-copies its ArrayData inputs to primitive arrays
+  // FIRST (one bounds-checked Platform.copyMemory for UnsafeArrayData),
+  // then loops over float[]. Looping on the abstract ArrayData getters
+  // instead is fast in a fresh JVM but collapses in a long-lived one:
+  // once several ArrayData implementations (Unsafe/Generic/Columnar) have
+  // flowed through the getFloat call site it goes megamorphic, the JIT
+  // stops inlining, and the same kernel measured 30× slower late in a
+  // 46-query benchmark run than in isolation. Primitive-array loops are
+  // immune to profile pollution (and vectorize better).
+
   /** Dot product over float arrays, accumulated in double (ltr order). */
   def dotF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val xs = a.toFloatArray()
+    val ys = b.toFloatArray()
+    val n = math.min(xs.length, ys.length)
     var i = 0
     var s = 0.0
-    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) { s += xs(i).toDouble * ys(i).toDouble; i += 1 }
     s
   }
 
   /** One-pass cosine similarity; 0.0 when either vector has zero norm. */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val xs = a.toFloatArray()
+    val ys = b.toFloatArray()
+    val n = math.min(xs.length, ys.length)
     var i = 0
     var d = 0.0
     var na = 0.0
     var nb = 0.0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = xs(i).toDouble
+      val y = ys(i).toDouble
       d += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -47,11 +61,13 @@ object VectorOps {
 
   /** Squared L2 distance over float arrays. */
   def l2sqF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val xs = a.toFloatArray()
+    val ys = b.toFloatArray()
+    val n = math.min(xs.length, ys.length)
     var i = 0
     var s = 0.0
     while (i < n) {
-      val dv = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      val dv = xs(i).toDouble - ys(i).toDouble
       s += dv * dv
       i += 1
     }
@@ -63,7 +79,8 @@ object VectorOps {
     * [[Similarity.rhpBucket]].
     */
   def rhpBucket(v: ArrayData, nPlanes: Int, seed: Int): Long = {
-    val dim = v.numElements()
+    val xs = v.toFloatArray()
+    val dim = xs.length
     var bucket = 0L
     var p = 0
     while (p < nPlanes) {
@@ -71,7 +88,7 @@ object VectorOps {
       var i = 0
       while (i < dim) {
         val s = ((p * 1103515245 + i * 12345 + seed) >>> 16) & 1
-        proj += v.getFloat(i).toDouble * (if (s == 1) 1.0 else -1.0)
+        proj += xs(i).toDouble * (if (s == 1) 1.0 else -1.0)
         i += 1
       }
       if (proj >= 0.0) bucket += (1L << p)
@@ -132,12 +149,12 @@ object VectorOps {
   /** Squared L2 between a row vector and a centroid (same ltr double
     * accumulation as [[l2sqF]], so engine-external replicas agree).
     */
-  private def l2sqCent(v: ArrayData, c: Array[Float]): Double = {
-    val n = math.min(v.numElements(), c.length)
+  private def l2sqCent(v: Array[Float], c: Array[Float]): Double = {
+    val n = math.min(v.length, c.length)
     var i = 0
     var s = 0.0
     while (i < n) {
-      val dv = v.getFloat(i).toDouble - c(i).toDouble
+      val dv = v(i).toDouble - c(i).toDouble
       s += dv * dv
       i += 1
     }
@@ -149,11 +166,12 @@ object VectorOps {
     * `least(struct(d, cid))`.
     */
   def ivfNearest(v: ArrayData, cents: Array[Array[Float]]): Int = {
+    val xs = v.toFloatArray()
     var best = Double.MaxValue
     var bi = 0
     var cid = 0
     while (cid < cents.length) {
-      val d = l2sqCent(v, cents(cid))
+      val d = l2sqCent(xs, cents(cid))
       if (d < best) { best = d; bi = cid }
       cid += 1
     }
@@ -164,10 +182,11 @@ object VectorOps {
     * (L2², cid) — the kernel form of sort-all-centroids-take-n.
     */
   def ivfProbes(v: ArrayData, cents: Array[Array[Float]], nProbe: Int): ArrayData = {
+    val xs = v.toFloatArray()
     val k = cents.length
     val d = new Array[Double](k)
     var i = 0
-    while (i < k) { d(i) = l2sqCent(v, cents(i)); i += 1 }
+    while (i < k) { d(i) = l2sqCent(xs, cents(i)); i += 1 }
     val take = math.min(nProbe, k)
     val out = new Array[Int](take)
     val used = new Array[Boolean](k)
