@@ -31,8 +31,11 @@ object Sessions {
     // plan still prints ObjectHashAggregate, so only runtime profiling
     // shows the per-task sort of the full input. graft's typed aggregates
     // (graft_max_by / graft_min_by / graft_top_k_by) carry small bounded
-    // buffers (a row or a k-element heap), so tens of thousands of keys
-    // per task are cheap; measured: 1200-group top-k over 72M candidate
-    // rows went 190 s → 3 s with the fallback lifted
+    // buffers (a row or a k-element heap), so 64k keys per task are a few
+    // MB; measured: 1200-group top-k over 72M candidate rows went
+    // 190 s → 36 s with the fallback lifted. CAVEAT: this is the memory-
+    // safety valve for UNBOUNDED typed-agg buffers too (collect_list,
+    // percentile, …) — a job aggregating those over high-cardinality keys
+    // through this session factory should lower the threshold per query.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
 }

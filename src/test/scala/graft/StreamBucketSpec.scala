@@ -119,7 +119,6 @@ class StreamBucketSpec extends SparkSpec {
 
   test("streaming session_window emits gap-merged sessions on watermark close") {
     implicit val sqlCtx = spark.sqlContext
-    import org.apache.spark.sql.functions._
     val in = MemoryStream[(Timestamp, Long)]
     val df = in.toDS().toDF("ts", "user_id")
     val q = graft.streaming.StreamCounts.sessionCounts(
