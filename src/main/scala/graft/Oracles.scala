@@ -563,6 +563,31 @@ object Oracles {
            FROM flagged)
          SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
            count(*) AS n_events
-         FROM idx GROUP BY user_id, session_idx"""
+         FROM idx GROUP BY user_id, session_idx""",
+
+    "q47_fuzzy_recode" -> q47Sql
   )
+
+  /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —
+    * same rule list as the Spark plan. Rules are reversed because SQL CASE
+    * is first-match-wins while the operator contract (and the reference's
+    * sequential if-chain) is last-match-wins.
+    */
+  private def fuzzyCaseSql(textExpr: String, pick: graft.operators.FuzzyRecode.Rule => String): String =
+    "CASE " + Queries.q47Rules.reverse.map { r =>
+      val cond = r.patterns.map(p => s"$textExpr LIKE '%$p%'").mkString(" OR ")
+      s"WHEN $cond THEN '${pick(r)}'"
+    }.mkString(" ") + " END"
+
+  private def q47Sql: String =
+    s"""WITH p AS (SELECT p_partkey, lower(p_name) AS nm,
+         CASE WHEN p_partkey % 4 = 0 THEN 'Oth' ELSE p_brand END AS v0,
+         p_type AS l0 FROM part),
+       m AS (SELECT p_partkey, v0, l0,
+         ${fuzzyCaseSql("nm", _.value)} AS mv,
+         ${fuzzyCaseSql("nm", _.label)} AS ml FROM p)
+       SELECT p_partkey,
+         CASE WHEN v0 = 'Oth' AND mv IS NOT NULL THEN mv ELSE v0 END AS org_value,
+         CASE WHEN v0 = 'Oth' AND mv IS NOT NULL THEN ml ELSE l0 END AS org_label
+       FROM m"""
 }

@@ -26,6 +26,16 @@ object Queries {
 
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
 
+  /** q47's rule list — shared with the oracle generator so the Spark plan
+    * and the DuckDB LIKE-chain are compiled from the same source of truth.
+    * Rule 3 overlaps rule 2 on purpose ("large rod" rows match both):
+    * last-match-wins precedence is part of the verified contract.
+    */
+  val q47Rules: Seq[FuzzyRecode.Rule] = Seq(
+    FuzzyRecode.Rule(Seq("widget", "widgt", "wdget"), "WID", "Widget"),
+    FuzzyRecode.Rule(Seq("rod"), "ROD", "Rod"),
+    FuzzyRecode.Rule(Seq("large rod"), "LROD", "Large rod"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── reference surface ────────────────────────────────────────────────
     "q01_agg_summary" -> ((s, d) => {
@@ -382,6 +392,20 @@ object Queries {
         .select(col("user_id"),
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"), col("n_events"))),
+
+    // ── round 4: fuzzy canonicalization / MCL discovery / composition ────
+    // free-text canonicalization under the reference's 'Oth' gate: every
+    // 4th part is coded 'Oth'; its name is probed against the substring
+    // rule chain (bolt rows match nothing → sentinel passes through,
+    // proving non-destructive no-match behavior)
+    "q47_fuzzy_recode" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .withColumn("org_value",
+          when(pmod(col("p_partkey"), lit(4)) === 0, "Oth").otherwise(col("p_brand")))
+        .withColumn("org_label", col("p_type"))
+      FuzzyRecode.canonicalize(p, "org_value", "org_label", col("p_name"), q47Rules)
+        .select("p_partkey", "org_value", "org_label")
+    }),
 
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
