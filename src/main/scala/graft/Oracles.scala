@@ -565,7 +565,34 @@ object Oracles {
            count(*) AS n_events
          FROM idx GROUP BY user_id, session_idx""",
 
-    "q47_fuzzy_recode" -> q47Sql
+    "q47_fuzzy_recode" -> q47Sql,
+
+    // mixed-shape MCL discovery: the list shape counts $.values per entry,
+    // the dict shape the label/value arrays under each key; name rule
+    // (LIKE '%Oth' / AdmReason) only fires for keys carrying >= 1 value
+    "q48_mcl_discovery" ->
+      """WITH o AS (
+           SELECT CASE WHEN o_orderkey % 2 = 0 THEN
+             concat('[{"key": "Status", "values": [{"value": "', o_orderstatus, '"}]}, {"key": "DiagOth", "values": [{"value": "free"}]}',
+               CASE WHEN o_orderkey % 6 = 0 THEN ', {"key": "Diag", "values": [{"value": "A"}, {"value": "B"}]}'
+                    ELSE ', {"key": "Diag", "values": [{"value": "A"}]}' END, ']')
+           ELSE
+             concat('{"Status": {"values": {"value": ["', o_orderstatus, '"], "label": ["s"]}}, "AdmReason": {"values": {"value": ["R"], "label": ["Reason"]}}',
+               CASE WHEN o_orderkey % 5 = 0 THEN ', "Diag": {"values": {"value": ["A","B"], "label": ["La","Lb"]}}' ELSE '' END, '}')
+           END AS entries FROM orders
+         ),
+         kv AS (
+           SELECT unnest(CASE WHEN substr(entries, 1, 1) = '['
+             THEN [{'key': json_extract_string(e, '$.key'), 'nv': CAST(json_array_length(e, '$.values') AS INT)} for e in json_extract(entries, '$[*]')]
+             ELSE [{'key': k, 'nv': CAST(greatest(
+                 coalesce(json_array_length(entries, '$."' || k || '".values.label'), 0),
+                 coalesce(json_array_length(entries, '$."' || k || '".values.value'), 0)) AS INT)} for k in json_keys(entries)]
+             END, recursive := true)
+           FROM o
+         )
+         SELECT key, CAST(max(nv) AS BIGINT) AS max_vals,
+           (max(nv) > 1 OR (max(nv) >= 1 AND (key LIKE '%Oth' OR key = 'AdmReason'))) AS is_mcl
+         FROM kv GROUP BY key"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

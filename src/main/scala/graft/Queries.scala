@@ -407,6 +407,32 @@ object Queries {
         .select("p_partkey", "org_value", "org_label")
     }),
 
+    // MCL auto-detection over a mixed-shape batch: even orders carry the
+    // legacy LIST entries shape, odd orders the new DICT shape; Diag is
+    // multi-valued on a subset of rows, DiagOth/AdmReason trigger the
+    // name rule, Status stays single-valued everywhere
+    "q48_mcl_discovery" -> ((s, d) => {
+      val listJson = concat(
+        lit("""[{"key": "Status", "values": [{"value": """"), col("o_orderstatus"),
+        lit(""""}]}, {"key": "DiagOth", "values": [{"value": "free"}]}"""),
+        when(pmod(col("o_orderkey"), lit(6)) === 0,
+          lit(""", {"key": "Diag", "values": [{"value": "A"}, {"value": "B"}]}"""))
+          .otherwise(lit(""", {"key": "Diag", "values": [{"value": "A"}]}""")),
+        lit("]"))
+      val dictJson = concat(
+        lit("""{"Status": {"values": {"value": [""""), col("o_orderstatus"),
+        lit(""""], "label": ["s"]}}, "AdmReason": {"values": {"value": ["R"], "label": ["Reason"]}}"""),
+        when(pmod(col("o_orderkey"), lit(5)) === 0,
+          lit(""", "Diag": {"values": {"value": ["A","B"], "label": ["La","Lb"]}}"""))
+          .otherwise(lit("")),
+        lit("}"))
+      val parsed = Tables.orders(s, d).select(
+        when(pmod(col("o_orderkey"), lit(2)) === 0, listJson)
+          .otherwise(dictJson).as("entries_json"))
+      JsonImport.discoverMclKeys(parsed)
+        .select(col("key"), col("max_vals").cast("long").as("max_vals"), col("is_mcl"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -143,6 +143,62 @@ object JsonImport {
       .distinct()
   }
 
+  /** MCL (multi-choice-list) key auto-detection — the twin of
+    * [[discoverKeys]]: which keys hold multi-select answers. Reference
+    * semantics (reference: data_tyding/json_restructure.py:9-60): a key is
+    * MCL when its values list carries more than one element anywhere in
+    * the batch, or — for keys that do carry a value — when its name ends
+    * with "Oth" or equals "AdmReason" (the reference applies the name rule
+    * in the single-value branch, so value-less keys never trigger it).
+    * The legacy list shape counts `len(values)`; the new dict shape counts
+    * the label/value arrays under `values` (restructure_new_format).
+    *
+    * One Generate + one hash aggregate over the (small) key domain — the
+    * same plan shape as [[discoverKeys]], so a 100 TB batch pays a single
+    * scan and shuffles only (key, count) pairs.
+    */
+  def discoverMclKeys(parsed: DataFrame,
+                      suffixRules: Seq[String] = Seq("Oth"),
+                      exactRules: Seq[String] = Seq("AdmReason")): DataFrame = {
+    val entries = col("entries_json")
+    // list shape: (key, len(values)) per entry; dict-shape rows parse to
+    // partial structs with null keys and are filtered (same reasoning as
+    // discoverKeys: coalesce would mask the other shape)
+    val listKv = filter(
+      transform(from_json(entries, entryListSchema),
+        e => struct(e.getField("key").as("key"),
+          coalesce(size(e.getField("values")), lit(0)).as("nv"))),
+      s => s.getField("key").isNotNull)
+    // dict shape: values stay opaque JSON strings under a string-valued
+    // map schema; count the label list, falling back to the value list
+    val dictKv = transform(
+      map_entries(from_json(entries, MapType(StringType, StringType))),
+      kv => struct(kv.getField("key").as("key"),
+        greatest(
+          coalesce(size(from_json(get_json_object(kv.getField("value"), "$.values.label"),
+            ArrayType(StringType))), lit(0)),
+          coalesce(size(from_json(get_json_object(kv.getField("value"), "$.values.value"),
+            ArrayType(StringType))), lit(0))).as("nv")))
+    val empty = array().cast("array<struct<key:string,nv:int>>")
+    val nameRule = (suffixRules.map(s => col("key").endsWith(s)) ++
+      exactRules.map(n => col("key") === n)).foldLeft(lit(false))(_ || _)
+    parsed
+      .select(explode_outer(concat(
+        coalesce(listKv, empty), coalesce(dictKv, empty))).as("kv"))
+      .filter(col("kv").isNotNull)
+      .groupBy(col("kv.key").as("key"))
+      .agg(max(col("kv.nv")).as("max_vals"))
+      .withColumn("is_mcl", col("max_vals") > 1 || (col("max_vals") >= 1 && nameRule))
+  }
+
+  /** Plan-time MCL key list (sorted), for feeding table routing /
+    * explosion — a driver-side collect of the KEY LIST, like
+    * [[extractAllKeys]]'s inventory.
+    */
+  def discoverMclKeyList(parsed: DataFrame): Seq[String] =
+    discoverMclKeys(parsed).filter(col("is_mcl"))
+      .select("key").collect().map(_.getString(0)).sorted.toSeq
+
   /** Discovery-driven extraction: the key inventory (a driver-side collect
     * of the KEY LIST — hundreds of form-field names, not data) feeds
     * [[extractKeyValues]], so a form field added by a deployment becomes a

@@ -46,6 +46,33 @@ class RecodeDiscoverySpec extends SparkSpec {
     assert(out === ("KLS", "Klebsiella sp."))
   }
 
+  test("discoverMclKeys: mixed-shape batch, multi-value + name rules") {
+    val batch = Seq(
+      // legacy list shape: Diag multi-valued here, Fever single, NoneOth empty
+      """[{"key": "Diag", "values": [{"value": "A"}, {"value": "B"}]},
+          {"key": "Fever", "values": [{"value": "yes"}]},
+          {"key": "NoneOth", "values": []}]""",
+      // dict shape: Diag single HERE (batch-wide max still 2), AdmReason
+      // name rule, Temp single
+      """{"Diag": {"values": {"value": ["A"], "label": ["La"]}},
+          "AdmReason": {"values": {"value": ["R"], "label": ["Re"]}},
+          "Temp": {"values": {"value": ["37"], "label": ["37"]}}}""",
+      // list shape: ReasOth single → name rule fires (has a value)
+      """[{"key": "ReasOth", "values": [{"value": "free text"}]}]"""
+    ).toDF("entries_json")
+    val out = JsonImport.discoverMclKeys(batch)
+      .orderBy("key").as[(String, Int, Boolean)].collect()
+    assert(out === Array(
+      ("AdmReason", 1, true),  // exact-name rule
+      ("Diag", 2, true),       // >1 values somewhere in the batch
+      ("Fever", 1, false),
+      ("NoneOth", 0, false),   // name rule needs >= 1 value (reference branch)
+      ("ReasOth", 1, true),    // suffix rule
+      ("Temp", 1, false)))
+    assert(JsonImport.discoverMclKeyList(batch) ===
+      Seq("AdmReason", "Diag", "ReasOth"))
+  }
+
   test("fuzzyRecode: label decision uses the ORIGINAL value column") {
     // regression guard for the withColumn-sequencing trap: if the label
     // replacement re-read the already-rewritten value column the gate
