@@ -592,7 +592,16 @@ object Oracles {
          )
          SELECT key, CAST(max(nv) AS BIGINT) AS max_vals,
            (max(nv) > 1 OR (max(nv) >= 1 AND (key LIKE '%Oth' OR key = 'AdmReason'))) AS is_mcl
-         FROM kv GROUP BY key"""
+         FROM kv GROUP BY key""",
+
+    // the exploded side reduces to one row per order's label list entry;
+    // the direct side is a straight projection — the UNION ALL is the view
+    "q49_combined_diagnoses" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS uid, o_orderstatus AS diagnosis FROM orders
+         UNION ALL
+         SELECT CAST(o_orderkey AS VARCHAR), o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
+         UNION ALL
+         SELECT CAST(c_custkey AS VARCHAR), c_mktsegment FROM customer"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

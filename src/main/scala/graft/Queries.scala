@@ -433,6 +433,28 @@ object Queries {
         .select(col("key"), col("max_vals").cast("long").as("max_vals"), col("is_mcl"))
     }),
 
+    // combined cross-source diagnoses: session-JSON MCL labels exploded
+    // (multi-label entries on every 3rd order) UNION ALL a second direct
+    // source — the create_combined_diagnoses composition over graft's
+    // explodeMclKey + unionByName
+    "q49_combined_diagnoses" -> ((s, d) => {
+      val entries = concat(
+        lit("""[{"key": "Diagnoses", "values": [{"value": "V1", "label": """"),
+        col("o_orderstatus"), lit("\"}"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0,
+          concat(lit(""", {"value": "V2", "label": """"), col("o_orderpriority"), lit("\"}")))
+          .otherwise(lit("")),
+        lit("]}]"))
+      val parsed = Tables.orders(s, d).select(
+        col("o_orderkey").cast("string").as("uid"),
+        lit("adm").as("scriptid"), entries.as("entries_json"))
+      val exploded = JsonImport.explodeMclKey(parsed, "Diagnoses")
+        .select(col("uid"), col("label").as("diagnosis"))
+      val direct = Tables.customer(s, d).select(
+        col("c_custkey").cast("string").as("uid"), col("c_mktsegment").as("diagnosis"))
+      exploded.unionByName(direct)
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

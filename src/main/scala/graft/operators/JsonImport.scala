@@ -143,6 +143,40 @@ object JsonImport {
       .distinct()
   }
 
+  /** ALL (value, label) pairs for `key` across both entries shapes — the
+    * multi-select twin of [[entryValue]]: an MCL answer's full list, not
+    * just the first element. NULL when the key is absent; the dict shape
+    * zips its parallel value/label arrays (unequal lengths pad with NULL,
+    * like the reference's per-index dict rebuild).
+    */
+  def entryValueLabels(entriesJson: Column, key: String): Column = {
+    val listVals = try_element_at(
+      filter(from_json(entriesJson, entryListSchema), e => e.getField("key") === key),
+      lit(1)).getField("values")
+    val dictVals = zip_with(
+      coalesce(from_json(get_json_object(entriesJson, s"$$.$key.values.value"),
+        ArrayType(StringType)), array().cast("array<string>")),
+      coalesce(from_json(get_json_object(entriesJson, s"$$.$key.values.label"),
+        ArrayType(StringType)), array().cast("array<string>")),
+      (v, l) => struct(v.as("value"), l.as("label")))
+    coalesce(listVals, when(size(dictVals) > 0, dictVals))
+  }
+
+  /** One row per selected choice of an MCL key: (uid, scriptid, value,
+    * label) — the reference's per-key `exploded_<key>` tables
+    * (reference: data_tyding/explode_mcl_columns.py; queries feed
+    * derived."exploded_Diagnoses.label"). Rows without the key emit
+    * nothing. Pure Generate — no shuffle; the explode_outer +
+    * generated-column filter avoids the plan-duplication trap documented
+    * at [[Mcl.explodeChoices]].
+    */
+  def explodeMclKey(parsed: DataFrame, key: String): DataFrame =
+    parsed.select(col("uid"), col("scriptid"),
+        explode_outer(entryValueLabels(col("entries_json"), key)).as("kv"))
+      .filter(col("kv").isNotNull)
+      .select(col("uid"), col("scriptid"),
+        col("kv.value").as("value"), col("kv.label").as("label"))
+
   /** MCL (multi-choice-list) key auto-detection — the twin of
     * [[discoverKeys]]: which keys hold multi-select answers. Reference
     * semantics (reference: data_tyding/json_restructure.py:9-60): a key is

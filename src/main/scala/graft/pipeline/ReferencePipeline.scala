@@ -28,16 +28,25 @@ object ReferencePipeline {
       joined: DataFrame,
       summaryCounts: DataFrame,
       completeness: DataFrame,
-      exceptions: DataFrame)
+      exceptions: DataFrame,
+      mclKeys: Seq[String] = Nil,
+      mclTables: Map[String, DataFrame] = Map.empty,
+      combinedDiagnoses: DataFrame = null)
 
   /** Run the full flow from a DataFrame bearing one raw session JSON
     * string per row (column `jsonCol`).
     *
     * @param keys the clinical keys to widen into `<key>_value` columns
     * @param repeatableKeys fields to extract from repeated entry groups
+    * @param diagnosesKey the MCL key whose exploded labels feed the
+    *   combined cross-source diagnoses view, unioned with repeatable-group
+    *   rows from `diagnosesRepeatTable` (reference:
+    *   queries/create_combined_diagnoses_sql.py:1-11)
     */
   def run(raw: DataFrame, jsonCol: String, keys: Seq[String],
-          repeatableKeys: Seq[String] = Nil): Outputs = {
+          repeatableKeys: Seq[String] = Nil,
+          diagnosesKey: String = "Diagnoses",
+          diagnosesRepeatTable: String = "diagnoses"): Outputs = {
     // 1. import: parse + uid recovery; corrupt rows routed out, not dropped
     val parsed = JsonImport.parseSessions(raw, jsonCol)
 
@@ -79,6 +88,30 @@ object ReferencePipeline {
     //     resubmitted session must not contribute its measurements twice
     val repeatables = JsonImport.explodeRepeatables(deduped, repeatableKeys)
 
+    // 3c. MCL tables: keys DISCOVERED from the batch's entries shape
+    //     (reference: json_restructure.py marks multi-valued / *Oth /
+    //     AdmReason keys; explode_mcl_columns.py materializes one exploded
+    //     table per MCL column). The key list is a plan-time collect of
+    //     key NAMES — same class of driver decision as extractAllKeys.
+    val mclKeys = JsonImport.discoverMclKeyList(deduped)
+    val mclTables = mclKeys.map(k => k -> JsonImport.explodeMclKey(deduped, k)).toMap
+
+    // 3d. combined cross-source diagnoses: exploded MCL labels UNION ALL
+    //     repeatable-group diagnosis rows (reference:
+    //     create_combined_diagnoses_sql.py — exploded_Diagnoses.label
+    //     UNION ALL derived.diagnoses). Each side is already keyed by uid,
+    //     so the union is shuffle-free.
+    val explodedDiag = mclTables.getOrElse(diagnosesKey,
+        JsonImport.explodeMclKey(deduped.limit(0), diagnosesKey))
+      .select(col("uid"), coalesce(col("label"), col("value")).as("diagnosis"))
+    val repeatDiag = repeatables
+      .filter(col("table_name") === diagnosesRepeatTable)
+      .select(col("uid"),
+        coalesce(repeatableKeys.map(k => col(s"${k}_value")) :+
+          lit(null).cast("string"): _*).as("diagnosis"))
+      .filter(col("diagnosis").isNotNull)
+    val combinedDiagnoses = explodedDiag.unionByName(repeatDiag)
+
     // 4. manual fix + label recode on the admissions route (illustrative
     //    targeted repair, like admissions_manually_fix_records_sql)
     val admissions = Cleanup.snakeCaseColumns(admissions0)
@@ -109,6 +142,6 @@ object ReferencePipeline {
       Seq("uid", "facility", "los_days_s"))
 
     Outputs(admissions, discharges, repeatables, joined, summaryCounts,
-      completeness, exceptions)
+      completeness, exceptions, mclKeys, mclTables, combinedDiagnoses)
   }
 }

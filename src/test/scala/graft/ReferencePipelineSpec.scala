@@ -90,6 +90,35 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(u9 == Set("U9#2026-01-05", "U9#2026-01-06")) // dedup swallowed neither
   }
 
+  test("MCL tables are DISCOVERED from the batch and combined diagnoses unions both sources") {
+    val multiDiag =
+      """{"scriptid":"adm","uid":"u6","facility":"F1","started_at":"2026-01-06T08:00:00",
+         "entries":[{"key":"Diagnoses","values":[{"value":"SEP","label":"Sepsis"},
+                                                 {"value":"JAU","label":"Jaundice"}]},
+                    {"key":"Temp","values":[{"value":"38.0","label":"T"}]}],
+         "repeatables":{"diagnoses":[
+           {"id":"d1","createdAt":"2026-01-06T09:00:00","Diag":{"value":"Asphyxia"}}]}}"""
+        .replaceAll("\n\\s*", "")
+    val singleDiag =
+      """{"scriptid":"adm","uid":"u7","facility":"F1","started_at":"2026-01-07T08:00:00",
+         "entries":[{"key":"Diagnoses","values":[{"value":"PRE","label":"Prematurity"}]}]}"""
+        .replaceAll("\n\\s*", "")
+    val out2 = ReferencePipeline.run(
+      raw.unionByName(Seq(multiDiag, singleDiag).toDF("json")),
+      "json", Seq("Temp"), repeatableKeys = Seq("Diag"))
+    // Diagnoses is multi-valued on u6 → discovered as MCL; Temp never is
+    assert(out2.mclKeys === Seq("Diagnoses"))
+    val exploded = out2.mclTables("Diagnoses")
+    assert(exploded.filter(col("uid") === "U6").select("label")
+      .as[String].collect().toSet === Set("Sepsis", "Jaundice"))
+    // combined view: exploded labels (3) + repeatable-group diagnosis (1)
+    val combined = out2.combinedDiagnoses.select("uid", "diagnosis")
+      .as[(String, String)].collect().toSet
+    assert(combined === Set(
+      ("U6", "Sepsis"), ("U6", "Jaundice"), ("U7", "Prematurity"),
+      ("U6", "Asphyxia")))
+  }
+
   test("repeatables output: per-measurement rows ride the pipeline keys") {
     val s =
       """{"scriptid":"adm","uid":"u5","facility":"F1","started_at":"2026-01-05T08:00:00",
