@@ -601,7 +601,44 @@ object Oracles {
          UNION ALL
          SELECT CAST(o_orderkey AS VARCHAR), o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
          UNION ALL
-         SELECT CAST(c_custkey AS VARCHAR), c_mktsegment FROM customer"""
+         SELECT CAST(c_custkey AS VARCHAR), c_mktsegment FROM customer""",
+
+    // replicates the rules fromFieldInfo compiles for q50's metadata, in
+    // sorted-key order (adm, price, prio) with the reference's regexes;
+    // range checks go through TRY_CAST like Spark's string→double coercion
+    "q50_metadata_rules" ->
+      """WITH w AS (SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                WHEN o_orderkey % 13 = 0 THEN 'oops'
+                ELSE CAST(o_totalprice AS VARCHAR) END AS price_value,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'NaT'
+                ELSE strftime(o_orderdate, '%Y-%m-%d') END AS adm_value,
+           o_orderpriority AS prio_value
+           FROM orders)
+         SELECT o_orderkey, col_name, code, offending_value FROM (
+           SELECT o_orderkey, 'adm_value' AS col_name, 'adm_bad_datetime' AS code,
+             adm_value AS offending_value
+           FROM w WHERE adm_value IS NOT NULL
+             AND NOT regexp_matches(adm_value, '^\s*$|^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:\d{2})?)?$')
+           UNION ALL
+           SELECT o_orderkey, 'price_value', 'price_required', price_value
+           FROM w WHERE price_value IS NULL
+             OR trim(price_value) IN ('', 'nan', '<NA>', 'None', 'null', 'NAT', 'NaT')
+           UNION ALL
+           SELECT o_orderkey, 'price_value', 'price_below_min', price_value
+           FROM w WHERE price_value IS NOT NULL AND TRY_CAST(price_value AS DOUBLE) < 50000.0
+           UNION ALL
+           SELECT o_orderkey, 'price_value', 'price_above_max', price_value
+           FROM w WHERE price_value IS NOT NULL AND TRY_CAST(price_value AS DOUBLE) > 400000.0
+           UNION ALL
+           SELECT o_orderkey, 'price_value', 'price_non_numeric', price_value
+           FROM w WHERE price_value IS NOT NULL
+             AND NOT regexp_matches(price_value, '^\s*$|^-?\d+(\.\d+)?([eE][+-]?\d+)?$')
+           UNION ALL
+           SELECT o_orderkey, 'prio_value', 'prio_bad_value', prio_value
+           FROM w WHERE prio_value IS NOT NULL
+             AND prio_value NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+         ) t"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

@@ -455,6 +455,28 @@ object Queries {
       exploded.unionByName(direct)
     }),
 
+    // metadata-compiled validation: the rule list is GENERATED from a
+    // field-info frame (key/type/optional/range/options), then run through
+    // the same exceptions engine as q45 — the reference's runtime
+    // expectation-suite build
+    "q50_metadata_rules" -> ((s, d) => {
+      import s.implicits._
+      val meta = Seq(
+        ("price", "number", false, Some(50000.0), Some(400000.0), Seq.empty[String]),
+        ("adm", "date", true, None, None, Seq.empty[String]),
+        ("prio", "", true, None, None, Seq("1-URGENT", "2-HIGH", "3-MEDIUM")))
+        .toDF("key", "data_type", "optional", "min_value", "max_value", "options")
+      val rules = Validation.fromFieldInfoDf(meta)
+      val w = Tables.orders(s, d).select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null).cast("string"))
+          .when(pmod(col("o_orderkey"), lit(13)) === 0, "oops")
+          .otherwise(col("o_totalprice").cast("string")).as("price_value"),
+        when(pmod(col("o_orderkey"), lit(11)) === 0, "NaT")
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("adm_value"),
+        col("o_orderpriority").as("prio_value"))
+      Validation.exceptions(w, Seq("o_orderkey"), rules)
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Declarative validation rule-sets: a (column, rule, code) list becomes
   * an exceptions DataFrame with reason codes — the engine form of the
@@ -33,15 +34,27 @@ object Validation {
   }
 
   /** Lower bound (reference: minValue). Null values pass — pair with
-    * [[NotNull]] when the field is also required.
+    * [[NotNull]] when the field is also required. The comparison goes
+    * through `try_cast` so a non-numeric STRING value doesn't fire (or
+    * throw under ANSI mode) — format violations are the regex rules'
+    * business, the same convert-then-check split as the reference.
     */
   final case class Min(column: String, bound: Double, code: String) extends Rule {
-    def violated: Column = col(column).isNotNull && col(column) < bound
+    def violated: Column = {
+      val v = col(column).try_cast(DoubleType)
+      // !isnan: a stringified 'NaN' would otherwise compare GREATER than
+      // any bound (SQL NaN ordering) and fire Max spuriously — NaN is
+      // format garbage, not an out-of-range measurement
+      v.isNotNull && !isnan(v) && v < bound
+    }
   }
 
   /** Upper bound (reference: maxValue). */
   final case class Max(column: String, bound: Double, code: String) extends Rule {
-    def violated: Column = col(column).isNotNull && col(column) > bound
+    def violated: Column = {
+      val v = col(column).try_cast(DoubleType)
+      v.isNotNull && !isnan(v) && v > bound
+    }
   }
 
   /** Enumerated domain (reference: value sets in the field metadata). */
@@ -60,6 +73,93 @@ object Validation {
   final case class DateParses(column: String, formats: Seq[String], code: String) extends Rule {
     def violated: Column = col(column).isNotNull &&
       DeriveColumns.multiFormatTimestamp(col(column), formats).isNull
+  }
+
+  /** Required-field check with the reference's missing-value sentinels:
+    * pandas stringification leaves 'nan'/'None'/'NaT'… artifacts that the
+    * reference scrubs to NaN before its not-null expectation
+    * (validate.py::_validate_subset, the `.replace([...], '')` chain).
+    */
+  final case class RequiredPresent(column: String, code: String) extends Rule {
+    def violated: Column = col(column).isNull ||
+      trim(col(column)).isin(RequiredPresent.missingSentinels: _*)
+  }
+  object RequiredPresent {
+    val missingSentinels: Seq[String] = Seq("", "nan", "<NA>", "None", "null", "NAT", "NaT")
+  }
+
+  /** One field's validation metadata — the engine-side shape of the
+    * reference's per-script field_info entries (utils/field_info.py:
+    * key/dataType/optional/minValue/maxValue/options).
+    */
+  final case class FieldInfo(
+      key: String,
+      dataType: String = "",
+      optional: Boolean = true,
+      minValue: Option[Double] = None,
+      maxValue: Option[Double] = None,
+      options: Seq[String] = Nil)
+
+  // the reference's format regexes (validate.py:470-537), each allowing
+  // blank — blanks are the required-check's business, not the type check's
+  private val NumericRegex  = """^\s*$|^-?\d+(\.\d+)?([eE][+-]?\d+)?$"""
+  private val DatetimeRegex = """^\s*$|^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:\d{2})?)?$"""
+  private val BooleanRegex  = """(?i)^\s*$|^(true|false|1|0|y|n|yes|no)$"""
+
+  /** Compile field metadata into the rule ADT — the reference's
+    * metadata-driven expectation suite (validate.py::
+    * validate_dataframe_with_ge builds its checks from field_info at
+    * runtime) as a pure rule-list generator. Per-field emission order
+    * mirrors the reference's loop: required → range → type format →
+    * allowed values; fields are processed in the given order.
+    *
+    * `colName` maps a metadata key to its frame column (default: graft's
+    * wide-table `<key>_value` convention). Range rules compare through
+    * Spark's string→double cast, so non-numeric values skip the range
+    * check and fire the format rule instead — the same split as the
+    * reference's convert-then-check.
+    */
+  def fromFieldInfo(fields: Seq[FieldInfo],
+                    colName: String => String = k => s"${k}_value"): Seq[Rule] =
+    fields.flatMap { f =>
+      val c = colName(f.key)
+      val required = if (!f.optional) Seq(RequiredPresent(c, s"${f.key}_required")) else Nil
+      val range = f.minValue.map(m => Min(c, m, s"${f.key}_below_min")).toSeq ++
+        f.maxValue.map(m => Max(c, m, s"${f.key}_above_max")).toSeq
+      val format = f.dataType match {
+        case "number" | "integer" | "float" | "timer" =>
+          Seq(MatchesRegex(c, NumericRegex, s"${f.key}_non_numeric"))
+        case "datetime" | "timestamp" | "date" =>
+          Seq(MatchesRegex(c, DatetimeRegex, s"${f.key}_bad_datetime"))
+        case "boolean" | "yesno" =>
+          Seq(MatchesRegex(c, BooleanRegex, s"${f.key}_bad_boolean"))
+        case _ => Nil
+      }
+      val domain = if (f.options.nonEmpty)
+        Seq(InSet(c, f.options, s"${f.key}_bad_value")) else Nil
+      required ++ range ++ format ++ domain
+    }
+
+  /** DataFrame form of [[fromFieldInfo]]: a metadata frame with columns
+    * (key, data_type, optional, min_value, max_value, options) — e.g. the
+    * parsed script-config JSON — collected to the driver (plan-time: the
+    * metadata IS the schema, hundreds of rows at most) and compiled.
+    * Fields are sorted by key for a deterministic rule order.
+    */
+  def fromFieldInfoDf(meta: DataFrame,
+                      colName: String => String = k => s"${k}_value"): Seq[Rule] = {
+    val fields = meta
+      .select(col("key"), col("data_type"), col("optional"),
+        col("min_value").cast("double"), col("max_value").cast("double"), col("options"))
+      .collect().map { r =>
+        FieldInfo(r.getString(0),
+          Option(r.getString(1)).getOrElse(""),
+          if (r.isNullAt(2)) true else r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) Nil else r.getSeq[String](5))
+      }.sortBy(_.key).toSeq
+    fromFieldInfo(fields, colName)
   }
 
   /** Exceptions table: one row per (record, violated rule), columns

@@ -143,6 +143,51 @@ class RepairRulesSpec extends SparkSpec {
     assert(got == Set((1L, "v_low"), (3L, "v_high")))
   }
 
+  test("fromFieldInfoDf compiles a metadata frame to the hand-authored rule list") {
+    val meta = Seq(
+      ("temp", "number", false, Some(30.0), Some(45.0), Seq.empty[String]),
+      ("adm", "date", true, None, None, Seq.empty[String]),
+      ("mode", "", true, None, None, Seq("SVD", "CS")))
+      .toDF("key", "data_type", "optional", "min_value", "max_value", "options")
+    val rules = Validation.fromFieldInfoDf(meta)
+    // sorted by key (adm, mode, temp); per field: required → range →
+    // format → options, with the derived code naming scheme
+    assert(rules.map(r => (r.column, r.code)) === Seq(
+      ("adm_value", "adm_bad_datetime"),
+      ("mode_value", "mode_bad_value"),
+      ("temp_value", "temp_required"),
+      ("temp_value", "temp_below_min"),
+      ("temp_value", "temp_above_max"),
+      ("temp_value", "temp_non_numeric")))
+    // and the generated rules behave: sentinels fire required, garbage
+    // fires format not range, out-of-range numerics fire range
+    val df = Seq(
+      (1L, "36.5", "2026-01-01", "SVD"),  // clean
+      (2L, "nan", "2026-01-01", "SVD"),   // temp_required (pandas sentinel)
+      (3L, "abc", "NaT", "SVD"),          // temp_non_numeric + adm_bad_datetime
+      (4L, "99.0", "2026-01-01", "HOME")  // temp_above_max + mode_bad_value
+    ).toDF("id", "temp_value", "adm_value", "mode_value")
+    val out = Validation.exceptions(df, Seq("id"), rules)
+      .select("id", "code").as[(Long, String)].collect().toSet
+    assert(out === Set(
+      // 'nan' is missing (required) AND format garbage (non-numeric) —
+      // but NOT out of range: NaN must not trip the max-bound comparison
+      (2L, "temp_required"), (2L, "temp_non_numeric"),
+      (3L, "temp_non_numeric"), (3L, "adm_bad_datetime"),
+      (4L, "temp_above_max"), (4L, "mode_bad_value")))
+  }
+
+  test("fromFieldInfo: boolean type and custom column naming") {
+    val rules = Validation.fromFieldInfo(
+      Seq(Validation.FieldInfo("alive", dataType = "yesno", optional = false)),
+      colName = identity)
+    assert(rules.map(_.code) === Seq("alive_required", "alive_bad_boolean"))
+    val out = Validation.exceptions(
+      Seq((1L, "Y"), (2L, "maybe"), (3L, "")).toDF("id", "alive"),
+      Seq("id"), rules).select("id", "code").as[(Long, String)].collect().toSet
+    assert(out === Set((2L, "alive_bad_boolean"), (3L, "alive_required")))
+  }
+
   test("coalesceInto folds a legacy column into its successor") {
     import graft.operators.Cleanup
     val both = Seq(("f1", null.asInstanceOf[String]),
