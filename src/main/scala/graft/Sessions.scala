@@ -36,6 +36,34 @@ object Sessions {
     // 190 s → 36 s with the fallback lifted. CAVEAT: this is the memory-
     // safety valve for UNBOUNDED typed-agg buffers too (collect_list,
     // percentile, …) — a job aggregating those over high-cardinality keys
-    // through this session factory should lower the threshold per query.
-    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    // should re-lower the threshold for that query via
+    // [[withObjectAggThreshold]].
+    .config(ObjectAggThresholdKey, "65536")
+
+  val ObjectAggThresholdKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+
+  /** Run `body` with SQL confs temporarily overridden, restoring the prior
+    * values (set or unset) afterwards — even on exception. The conf is
+    * read when a query EXECUTES, so the collect/write/show must happen
+    * inside `body`; a DataFrame merely DEFINED inside inherits nothing.
+    */
+  def withConf[T](spark: SparkSession, pairs: (String, String)*)(body: => T): T = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  /** Scope the ObjectHashAggregate sort-fallback threshold to one job:
+    * graft's session default (65536) is sized for BOUNDED typed-agg
+    * buffers; a query aggregating unbounded buffers (collect_list,
+    * percentiles) over high-cardinality keys should run under the stock
+    * safety valve — `withObjectAggThreshold(spark, 128) { df.write... }`.
+    */
+  def withObjectAggThreshold[T](spark: SparkSession, threshold: Int)(body: => T): T =
+    withConf(spark, ObjectAggThresholdKey -> threshold.toString)(body)
 }

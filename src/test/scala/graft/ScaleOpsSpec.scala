@@ -92,4 +92,26 @@ class ScaleOpsSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(brute.nonEmpty && lshPairs == brute)
   }
+
+  test("withObjectAggThreshold scopes the fallback per job and restores the default") {
+    val key = Sessions.ObjectAggThresholdKey
+    assert(spark.conf.get(key) === "65536") // session default (bounded buffers)
+    val inside = Sessions.withObjectAggThreshold(spark, 128) {
+      // an unbounded-buffer aggregation would EXECUTE here under the
+      // stock safety valve; assert the conf a running job would read
+      spark.conf.get(key)
+    }
+    assert(inside === "128")
+    assert(spark.conf.get(key) === "65536") // restored
+    // restored even when the body throws
+    intercept[RuntimeException] {
+      Sessions.withObjectAggThreshold(spark, 128) { throw new RuntimeException("boom") }
+    }
+    assert(spark.conf.get(key) === "65536")
+    // and an unset key is unset again afterwards, not pinned to a value
+    Sessions.withConf(spark, "graft.test.ephemeral" -> "x") {
+      assert(spark.conf.get("graft.test.ephemeral") === "x")
+    }
+    assert(spark.conf.getOption("graft.test.ephemeral").isEmpty)
+  }
 }
