@@ -76,13 +76,68 @@ object Ann {
     * plumbing; only `centroids` changes, the plan shape is identical.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
-    GraftFunctions.ensureRegistered(corpus.sparkSession)
+              vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame =
+    ivfTopKWith(queries, corpus, idCol, vecCol, k,
+      strideCentroids(corpus, idCol, vecCol, nCentroids), nProbe)
+
+  /** Deterministic stride-sampled centroid pool (every 8th of the first
+    * `nCentroids * 8` vectors by id) — the zero-pass baseline;
+    * [[kmeansCentroids]] is the learned upgrade. The collect is the k×dim
+    * CENTROID MATRIX — a plan-time constant by definition — not data.
+    */
+  def strideCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int): Array[Array[Float]] = {
     val cents: Array[Array[Float]] = corpus
       .orderBy(col(idCol)).limit(nCentroids * 8) // deterministic pool
       .select(col(idCol), col(vecCol)).collect()
       .zipWithIndex.collect { case (r, i) if i % 8 == 0 => r.getSeq[Float](1).toArray }
-    require(cents.nonEmpty, "ivfTopK needs a non-empty corpus to derive centroids")
+    require(cents.nonEmpty, "IVF needs a non-empty corpus to derive centroids")
+    cents
+  }
+
+  /** Lloyd's k-means over the corpus, Spark-native: each iteration is ONE
+    * distributed pass — assignment via the `graft_ivf_nearest` kernel
+    * (centroid matrix as a single plan constant, no per-row join, no
+    * assignment shuffle) and the mean update as posexplode →
+    * groupBy(cid, dim) → avg, whose shuffle carries at most
+    * partitions × k × dim partial sums regardless of corpus size. Only
+    * the k×dim mean matrix reaches the driver per iteration. Clusters
+    * that lose all members keep their previous centroid (standard
+    * empty-cluster handling). Deterministic given `init` — recall at
+    * 100 TB tracks centroid quality, so feed this into [[ivfTopKWith]]
+    * instead of the stride sample when the corpus isn't uniformly shuffled.
+    */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String,
+                      init: Array[Array[Float]], iters: Int = 5): Array[Array[Float]] = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    require(init.nonEmpty && iters >= 0, "kmeans needs >= 1 initial centroid")
+    var cents = init
+    for (_ <- 0 until iters) {
+      val centsLit = lit(GraftFunctions.encodeCents(cents))
+      val means = corpus
+        .select(call_function("graft_ivf_nearest", col(vecCol), centsLit).as("cid"),
+          col(vecCol).as("v"))
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF plumbing with caller-supplied centroids (stride-sampled, k-means,
+    * or externally trained): only the matrix changes, the plan shape is
+    * identical to [[ivfTopK]].
+    */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, k: Int, cents: Array[Array[Float]],
+                  nProbe: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    require(cents.nonEmpty, "ivfTopKWith needs at least one centroid")
     // assignment + probing run as single kernel expressions carrying the
     // centroid matrix as ONE plan constant — the combinator form
     // (least/array_sort over k literal structs) built an O(k × dim) tree

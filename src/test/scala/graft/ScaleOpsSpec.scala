@@ -93,6 +93,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(brute.nonEmpty && lshPairs == brute)
   }
 
+  test("kmeans centroids: recall on testdata embeddings >= stride-sample baseline") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val queries = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val truth = Ann.bruteForceTopK(queries, e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(cents: Array[Array[Float]]): Double = {
+      val got = Ann.ivfTopKWith(queries, e, "vec_id", "embedding", 5, cents, nProbe = 4)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val stride = Ann.strideCentroids(e, "vec_id", "embedding", 16)
+    val km = Ann.kmeansCentroids(e, "embedding", stride, iters = 5)
+    val (rs, rk) = (recall(stride), recall(km))
+    info(s"recall stride=$rs kmeans=$rk")
+    assert(rk >= rs, s"kmeans recall $rk fell below stride baseline $rs")
+    // and k-means actually moved the centroids (it LEARNED something)
+    assert(km.zip(stride).exists { case (a, b) => !a.sameElements(b) })
+  }
+
+  test("kmeans: empty clusters keep their previous centroid (no NaN poisoning)") {
+    // two tight groups, FOUR initial centroids — at least two go empty
+    val vecs = (0 until 8).map { i =>
+      val base = if (i < 4) 1.0f else -1.0f
+      (i.toLong, Array.fill(4)(base + i * 1e-3f).toSeq)
+    }.toDF("id", "v")
+    val init = Array(
+      Array.fill(4)(1.0f), Array.fill(4)(-1.0f),
+      Array.fill(4)(100.0f), Array.fill(4)(-100.0f)) // far away → empty
+    val out = Ann.kmeansCentroids(vecs, "v", init, iters = 3)
+    assert(out.length === 4)
+    assert(out.forall(_.forall(x => !x.isNaN)))
+    assert(out(2).sameElements(init(2)) && out(3).sameElements(init(3)))
+  }
+
   test("withObjectAggThreshold scopes the fallback per job and restores the default") {
     val key = Sessions.ObjectAggThresholdKey
     assert(spark.conf.get(key) === "65536") // session default (bounded buffers)
