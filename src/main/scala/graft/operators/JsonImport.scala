@@ -244,6 +244,37 @@ object JsonImport {
     extractKeyValues(parsed, keys)
   }
 
+  /** Sampled key discovery: inventory a row FRACTION instead of the full
+    * batch — the cheap monitoring probe when a full [[discoverKeys]] scan
+    * (which reads every entries blob) is too expensive to run casually.
+    * Sampling can miss RARE keys by construction; for a lossless
+    * inventory at scale use the incremental path ([[unionInventory]] over
+    * per-increment discovery) instead.
+    */
+  def discoverKeysSampled(parsed: DataFrame, fraction: Double,
+                          seed: Long = 42L): DataFrame =
+    discoverKeys(parsed.sample(withReplacement = false, fraction, seed))
+
+  /** Incremental key inventory: the stored inventory (one `key` column —
+    * the output of a previous discovery, read back from its sink) unioned
+    * with keys discovered on TODAY'S INCREMENT only. Discovery cost
+    * becomes O(increment), not O(history): a 100 TB lake never rescans
+    * old blobs to learn that a deployment added a form field. The union
+    * is a distinct over the (hundreds-of-strings) key domain — free.
+    */
+  def unionInventory(stored: DataFrame, discovered: DataFrame): DataFrame =
+    stored.select("key").unionByName(discovered.select("key")).distinct()
+
+  /** [[extractAllKeys]] driven by a maintained inventory instead of a
+    * fresh discovery scan: widening today's rows costs zero extra passes
+    * over the data. Keys are sorted for a stable column order, so the
+    * same inventory always yields the same schema.
+    */
+  def extractWithInventory(parsed: DataFrame, inventory: DataFrame): DataFrame = {
+    val keys = inventory.select("key").collect().map(_.getString(0)).sorted.toSeq
+    extractKeyValues(parsed, keys)
+  }
+
   /** Key histogram over an arbitrary JSON-object column: (key, n rows
     * carrying it). The monitoring twin of [[discoverKeys]] for any
     * schema-on-read source.

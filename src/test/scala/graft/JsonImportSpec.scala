@@ -71,6 +71,38 @@ class JsonImportSpec extends SparkSpec {
     assert(keys == Set("NeoTreeID", "Temp", "UID"))
   }
 
+  test("incremental inventory: stored keys + increment discovery == full rescan") {
+    import spark.implicits._
+    val increment = Seq(
+      """{"scriptid":"adm","uid":"inc-1","entries":[{"key":"NewField","values":[{"value":"x1","label":"New"}]},{"key":"Temp","values":[{"value":"36","label":"T"}]}]}"""
+    ).toDF("json")
+    // day 1: full discovery, stored; day 2: discover the INCREMENT only
+    val stored = JsonImport.discoverKeys(JsonImport.parseSessions(raw, "json"))
+    val incremental = JsonImport.unionInventory(stored,
+      JsonImport.discoverKeys(JsonImport.parseSessions(increment, "json")))
+    val fullRescan = JsonImport.discoverKeys(
+      JsonImport.parseSessions(raw.unionByName(increment), "json"))
+    assert(incremental.as[String].collect().toSet ===
+      fullRescan.as[String].collect().toSet)
+    // and the maintained inventory widens WITHOUT a discovery scan,
+    // with the same stable column order as extractAllKeys
+    val wide = JsonImport.extractWithInventory(
+      JsonImport.parseSessions(raw.unionByName(increment), "json"), incremental)
+    val wideFull = JsonImport.extractAllKeys(
+      JsonImport.parseSessions(raw.unionByName(increment), "json"))
+    assert(wide.columns.toSeq === wideFull.columns.toSeq)
+    assert(wide.filter(col("NewField_value") === "x1").count() == 1)
+  }
+
+  test("sampled discovery: fraction 1.0 equals the full inventory (subset contract)") {
+    val parsed = JsonImport.parseSessions(raw, "json")
+    val full = JsonImport.discoverKeys(parsed).collect().map(_.getString(0)).toSet
+    val all = JsonImport.discoverKeysSampled(parsed, 1.0).collect().map(_.getString(0)).toSet
+    assert(all === full)
+    val some = JsonImport.discoverKeysSampled(parsed, 0.5).collect().map(_.getString(0)).toSet
+    assert(some.subsetOf(full)) // sampling may MISS keys, never invent them
+  }
+
   test("extractAllKeys: a never-seen form field becomes a column, no code change") {
     import spark.implicits._
     // second batch adds a key ("NewField") that batch one never carried
