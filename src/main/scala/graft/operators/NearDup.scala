@@ -45,9 +45,22 @@ object NearDup {
     * collision between distinct shingles of two compared docs would
     * perturb a count; at 10^9 distinct shingles the expected number of
     * colliding pairs is ~10^18/2^65 ≈ 0.03 — accepted for the speedup.
+    *
+    * Dup-ratio fast path: the distinct-text collapse + membership joins
+    * exist to tame DUP-HEAVY corpora (measured 14.6× blowup at 10× on one)
+    * but tax a dup-FREE corpus with three extra joins. When
+    * `collapseDuplicates` is None, ONE cheap profile aggregation (count +
+    * approx_count_distinct over the 8-byte text hashes) picks the path:
+    * ≥95% distinct → shingle-join directly on ids (correct for all
+    * inputs — identical texts share every shingle and emit jaccard 1.0 —
+    * merely quadratic in dup-group sizes); below that → collapse. Both
+    * paths produce the same pair set; the 5% approx-distinct error can
+    * only flip WHICH equivalent plan runs near the boundary. Pass
+    * Some(true/false) to skip the profile when the corpus shape is known.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double,
+                        collapseDuplicates: Option[Boolean] = None): DataFrame = {
     // explode_outer, NOT explode: plain explode makes Catalyst infer a
     // `size(sh) > 0 AND isnotnull(sh)` filter and push it below the
     // projection, duplicating the whole shingle expression (regex split +
@@ -72,6 +85,34 @@ object NearDup {
     // shingle) are jaccard 1.0 by construction.
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val norm = docs.select(col(idCol).as("id"), lower(trim(col(textCol))).as("t"))
+    val collapse = collapseDuplicates.getOrElse {
+      // one profile pass over (count, approx distinct of the 8-byte text
+      // hashes) — far cheaper than the shingle work either path does
+      val r = norm.agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64(col("t"))).as("d")).head()
+      r.getLong(0) > 0 && r.getLong(1) < r.getLong(0) * 0.95
+    }
+    if (!collapse) {
+      // dup-free path: shingle-join keyed on ids directly — no distinct
+      // collapse, no membership joins; identical-text pairs still emit
+      // jaccard exactly 1.0 (they share every shingle)
+      val st = norm
+        .select(col("id"),
+          call_function("graft_ngram_hashes", split(col("t"), "\\s+"), lit(n)).as("sh"))
+        .select(col("id"), size(col("sh")).as("nsh"), explode_outer(col("sh")).as("h"))
+        .filter(col("h").isNotNull)
+        .hint("shuffle_hash")
+      return st.as("a").join(st.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("common"),
+          any_value(col("a.nsh")).as("nsh_a"), any_value(col("b.nsh")).as("nsh_b"))
+        .withColumn("jaccard",
+          col("common").cast("double") /
+            (col("nsh_a") + col("nsh_b") - col("common")))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
     val members = norm.select(col("id"), xxhash64(col("t")).as("th"))
     val sigs = norm.select(xxhash64(col("t")).as("th"), col("t"))
       .dropDuplicates("th")

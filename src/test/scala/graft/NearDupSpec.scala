@@ -29,6 +29,29 @@ class NearDupSpec extends SparkSpec {
     assert(out === Array((1L, 2L, 0.5)))
   }
 
+  test("ngramJaccard: dup-free fast path and collapse path emit the same pair set") {
+    // mixed corpus: exact dups (1,2), a near pair (3,4), an orphan (5),
+    // and a shingle-less short doc (6) — every code path in both plans
+    val docs = Seq(
+      (1L, "the cat sat on the mat today"),
+      (2L, "the cat sat on the mat today"), // exact dup of 1 → jaccard 1.0
+      (3L, "the cat sat on the red mat today"),
+      (4L, "a cat sat on the red mat today"),
+      (5L, "completely different words everywhere"),
+      (6L, "too short")).toDF("doc_id", "text")
+    def run(collapse: Boolean) =
+      NearDup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.1,
+          collapseDuplicates = Some(collapse))
+        .as[(Long, Long, Double)].collect().toSet
+    val (fast, collapsed) = (run(false), run(true))
+    assert(fast === collapsed)
+    assert(fast.contains((1L, 2L, 1.0))) // dup pair present with exact 1.0
+    // and the auto-profile (None) agrees with both on this corpus
+    val auto = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto === fast)
+  }
+
   test("minhash LSH banding finds the near-identical pair, skips far pairs") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away today"
     val docs = Seq(
