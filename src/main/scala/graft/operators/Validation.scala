@@ -88,6 +88,43 @@ object Validation {
     val missingSentinels: Seq[String] = Seq("", "nan", "<NA>", "None", "null", "NAT", "NaT")
   }
 
+  /** Value→label pair check: when a coded value has an expected display
+    * label in the field's options, the row's label must match it
+    * case-insensitively (reference: validate.py:575-610 — the per-row
+    * value/label mismatch scan over field options). Values without a
+    * mapping, and blank values, pass. The mapping is a plan literal —
+    * no join.
+    */
+  final case class LabelMatchesOption(column: String, labelColumn: String,
+      mapping: Map[String, String], code: String) extends Rule {
+    def violated: Column = {
+      val v = trim(col(column))
+      val expected = element_at(typedLit(mapping.map { case (k, l) =>
+        k -> l.trim.toLowerCase }), v)
+      v.isNotNull && (v =!= "") && expected.isNotNull &&
+        (lower(trim(coalesce(col(labelColumn), lit("")))) =!= expected)
+    }
+  }
+
+  /** Fuzzy label-similarity gate, the engine form of the reference's
+    * `not_90_percent_similar_to_label` (validate.py:891-897): flag a
+    * label that is LESS than `minRatio` similar to the expected text,
+    * case-insensitive. Similarity here is normalized edit-distance
+    * (1 − levenshtein/max-length) via Spark's codegen'd `levenshtein` —
+    * a declared analogue of difflib's SequenceMatcher ratio with the
+    * same contract (≈identical strings score ~1, unrelated ~0).
+    */
+  final case class SimilarToLabel(column: String, expected: String,
+      minRatio: Double, code: String) extends Rule {
+    def violated: Column = {
+      val a = lower(trim(col(column)))
+      val b = lit(expected.trim.toLowerCase)
+      val ratio = lit(1.0) - levenshtein(a, b).cast("double") /
+        greatest(length(a), length(b), lit(1))
+      col(column).isNotNull && ratio < minRatio
+    }
+  }
+
   /** One field's validation metadata — the engine-side shape of the
     * reference's per-script field_info entries (utils/field_info.py:
     * key/dataType/optional/minValue/maxValue/options).
@@ -98,7 +135,8 @@ object Validation {
       optional: Boolean = true,
       minValue: Option[Double] = None,
       maxValue: Option[Double] = None,
-      options: Seq[String] = Nil)
+      options: Seq[String] = Nil,
+      optionLabels: Map[String, String] = Map.empty)
 
   // the reference's format regexes (validate.py:470-537), each allowing
   // blank — blanks are the required-check's business, not the type check's
@@ -137,8 +175,14 @@ object Validation {
       }
       val domain = if (f.options.nonEmpty)
         Seq(InSet(c, f.options, s"${f.key}_bad_value")) else Nil
-      required ++ range ++ format ++ domain
+      val labels = if (f.optionLabels.nonEmpty)
+        Seq(LabelMatchesOption(c, labelColName(f.key), f.optionLabels,
+          s"${f.key}_label_mismatch")) else Nil
+      required ++ range ++ format ++ domain ++ labels
     }
+
+  /** Metadata key → its label column (graft wide-table convention). */
+  def labelColName(key: String): String = s"${key}_label"
 
   /** DataFrame form of [[fromFieldInfo]]: a metadata frame with columns
     * (key, data_type, optional, min_value, max_value, options) — e.g. the
@@ -148,16 +192,23 @@ object Validation {
     */
   def fromFieldInfoDf(meta: DataFrame,
                       colName: String => String = k => s"${k}_value"): Seq[Rule] = {
+    // option_labels (map<value, expected label>) is an optional metadata
+    // column — older metadata frames without it compile the same suite
+    val labelsCol =
+      if (meta.columns.contains("option_labels")) col("option_labels")
+      else lit(null).cast("map<string,string>")
     val fields = meta
       .select(col("key"), col("data_type"), col("optional"),
-        col("min_value").cast("double"), col("max_value").cast("double"), col("options"))
+        col("min_value").cast("double"), col("max_value").cast("double"),
+        col("options"), labelsCol.as("option_labels"))
       .collect().map { r =>
         FieldInfo(r.getString(0),
           Option(r.getString(1)).getOrElse(""),
           if (r.isNullAt(2)) true else r.getBoolean(2),
           if (r.isNullAt(3)) None else Some(r.getDouble(3)),
           if (r.isNullAt(4)) None else Some(r.getDouble(4)),
-          if (r.isNullAt(5)) Nil else r.getSeq[String](5))
+          if (r.isNullAt(5)) Nil else r.getSeq[String](5),
+          if (r.isNullAt(6)) Map.empty else r.getMap[String, String](6).toMap)
       }.sortBy(_.key).toSeq
     fromFieldInfo(fields, colName)
   }

@@ -188,6 +188,51 @@ class RepairRulesSpec extends SparkSpec {
     assert(out === Set((2L, "alive_bad_boolean"), (3L, "alive_required")))
   }
 
+  test("LabelMatchesOption: coded value must carry its expected label (case-insensitive)") {
+    val rules = Seq(Validation.LabelMatchesOption(
+      "mode_value", "mode_label", Map("SVD" -> "Normal delivery", "CS" -> "Caesarean"),
+      "mode_label_mismatch"))
+    val df = Seq(
+      (1L, "SVD", "normal delivery"), // case-insensitive match → clean
+      (2L, "SVD", "Caesarean"),       // wrong label → flagged
+      (3L, "OTH", "whatever"),        // value not in options → passes
+      (4L, "CS", null),               // missing label for mapped value → flagged
+      (5L, "", "x")                   // blank value → passes
+    ).toDF("id", "mode_value", "mode_label")
+    val out = Validation.exceptions(df, Seq("id"), rules)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(2L, 4L))
+  }
+
+  test("SimilarToLabel: levenshtein-ratio gate mirrors the 90%-similar contract") {
+    val rules = Seq(Validation.SimilarToLabel(
+      "lbl", "Coagulase negative staphylococcus", 0.9, "lbl_drift"))
+    val df = Seq(
+      (1L, "Coagulase negative staphylococcus"),  // exact → clean
+      (2L, "coagulase negative Staphylococcus"),  // case only → clean
+      (3L, "Coagulase negative staphylococus"),   // one-char typo ≈ 0.97 → clean
+      (4L, "Klebsiella sp.")                      // unrelated → flagged
+    ).toDF("id", "lbl")
+    val out = Validation.exceptions(df, Seq("id"), rules)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(4L))
+  }
+
+  test("fromFieldInfo emits the label rule when option labels exist in metadata") {
+    val meta = Seq(
+      ("mode", "", true, None: Option[Double], None: Option[Double],
+        Seq("SVD", "CS"), Map("SVD" -> "Normal delivery", "CS" -> "Caesarean")))
+      .toDF("key", "data_type", "optional", "min_value", "max_value",
+        "options", "option_labels")
+    val rules = Validation.fromFieldInfoDf(meta)
+    assert(rules.map(_.code) === Seq("mode_bad_value", "mode_label_mismatch"))
+    val df = Seq((1L, "CS", "Caesarean"), (2L, "CS", "C-section"))
+      .toDF("id", "mode_value", "mode_label")
+    val out = Validation.exceptions(df, Seq("id"), rules)
+      .select("id", "code").as[(Long, String)].collect().toSet
+    assert(out === Set((2L, "mode_label_mismatch")))
+  }
+
   test("coalesceInto folds a legacy column into its successor") {
     import graft.operators.Cleanup
     val both = Seq(("f1", null.asInstanceOf[String]),
