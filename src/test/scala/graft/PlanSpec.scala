@@ -36,6 +36,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p.take(2000))
   }
 
+  test("q47 fuzzy recode is one shuffle-free codegen projection") {
+    val p = plan("q47_fuzzy_recode")
+    // the whole rule chain must compile into the scan's projection: no
+    // exchange, no join (a rule list implemented as a lookup JOIN would
+    // shuffle), no sort
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
+      p.take(1500))
+    assert(p.contains("*(1)"), p.take(1500)) // whole-stage codegen stage marker
+  }
+
+  test("q48 MCL discovery: one Generate into hash aggregation, no sorts") {
+    val p = plan("q48_mcl_discovery")
+    assert(p.contains("Generate"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("SortAggregate") && !p.contains("Window"), p.take(2000))
+    // exactly the aggregation exchange — key domain, not data, shuffles
+    assert(p.split("Exchange").length - 1 <= 2, p.take(2000))
+  }
+
+  test("q49 combined diagnoses union adds no shuffle of its own") {
+    val p = plan("q49_combined_diagnoses")
+    assert(p.contains("Union"), p.take(1500))
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(1500))
+  }
+
+  test("q50 metadata-compiled validation runs as one scan + one Generate") {
+    val p = plan("q50_metadata_rules")
+    assert(p.contains("Generate"), p.take(1500))
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
+      p.take(1500))
+  }
+
   test("q01 lineitem scan prunes to the referenced columns only") {
     val leaves = Queries.all("q01_agg_summary")(spark, sf)
       .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
