@@ -42,11 +42,17 @@ object ReferencePipeline {
     *   combined cross-source diagnoses view, unioned with repeatable-group
     *   rows from `diagnosesRepeatTable` (reference:
     *   queries/create_combined_diagnoses_sql.py:1-11)
+    * @param fuzzyRules free-text canonicalization on the admissions route
+    *   (reference: neolab_data_cleanup.py): each (codedKey, freeTextKey,
+    *   rules) rewrites `<codedKey>_value`/`_label` from the substring rule
+    *   chain over `<freeTextKey>_value` when the coded value is the 'Oth'
+    *   sentinel — both keys must be in `keys`
     */
   def run(raw: DataFrame, jsonCol: String, keys: Seq[String],
           repeatableKeys: Seq[String] = Nil,
           diagnosesKey: String = "Diagnoses",
-          diagnosesRepeatTable: String = "diagnoses"): Outputs = {
+          diagnosesRepeatTable: String = "diagnoses",
+          fuzzyRules: Seq[(String, String, Seq[FuzzyRecode.Rule])] = Nil): Outputs = {
     // 1. import: parse + uid recovery; corrupt rows routed out, not dropped
     val parsed = JsonImport.parseSessions(raw, jsonCol)
 
@@ -112,9 +118,16 @@ object ReferencePipeline {
       .filter(col("diagnosis").isNotNull)
     val combinedDiagnoses = explodedDiag.unionByName(repeatDiag)
 
-    // 4. manual fix + label recode on the admissions route (illustrative
-    //    targeted repair, like admissions_manually_fix_records_sql)
-    val admissions = Cleanup.snakeCaseColumns(admissions0)
+    // 4. manual fix + label recode + fuzzy free-text canonicalization on
+    //    the admissions route (reference: admissions_manually_fix_records
+    //    + neolab_data_cleanup.py — the 'Oth'-gated substring rule chain
+    //    rewrites the coded value/label pair from the companion free text)
+    val canonical = fuzzyRules.foldLeft(admissions0) {
+      case (df, (codedKey, freeKey, rules)) =>
+        FuzzyRecode.canonicalize(df, s"${codedKey}_value", s"${codedKey}_label",
+          col(s"${freeKey}_value"), rules)
+    }
+    val admissions = Cleanup.snakeCaseColumns(canonical)
 
     // 5. join + derived outcome columns (LOS, month buckets, flags)
     val adm = admissions.as("a")

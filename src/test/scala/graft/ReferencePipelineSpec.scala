@@ -119,6 +119,28 @@ class ReferencePipelineSpec extends SparkSpec {
       ("U6", "Asphyxia")))
   }
 
+  test("fuzzy canonicalization rewrites 'Oth' coded organisms from free text in the DAG") {
+    def labSession(uid: String, orgValue: String, orgLabel: String, other: String): String =
+      s"""{"scriptid":"adm","uid":"$uid","facility":"F1","started_at":"2026-01-08T08:00:00",
+          "entries":[{"key":"Org1","values":[{"value":"$orgValue","label":"$orgLabel"}]},
+                     {"key":"OtherOrg1","values":[{"value":"$other","label":"Other"}]}]}"""
+        .replaceAll("\n\\s*", "")
+    val rules = Seq(
+      graft.operators.FuzzyRecode.Rule(
+        Seq("klesiella", "klebsiella", "kleb"), "KLS", "Klebsiella sp."))
+    val out2 = ReferencePipeline.run(
+      raw.unionByName(Seq(
+        labSession("u8", "Oth", "Other organism", "found KLESIELLA colonies"),
+        labSession("u9", "SA", "Staph aureus", "klebsiella mention ignored")).toDF("json")),
+      "json", Seq("Org1", "OtherOrg1"),
+      fuzzyRules = Seq(("Org1", "OtherOrg1", rules)))
+    val got = out2.admissions.filter(col("uid").isin("U8", "U9"))
+      .select("uid", "org1_value", "org1_label")
+      .as[(String, String, String)].collect().map { case (k, v, l) => k -> ((v, l)) }.toMap
+    assert(got("U8") === (("KLS", "Klebsiella sp.")))   // misspelled free text → canonical
+    assert(got("U9") === (("SA", "Staph aureus")))      // gate not met → untouched
+  }
+
   test("repeatables output: per-measurement rows ride the pipeline keys") {
     val s =
       """{"scriptid":"adm","uid":"u5","facility":"F1","started_at":"2026-01-05T08:00:00",
