@@ -638,7 +638,34 @@ object Oracles {
            SELECT o_orderkey, 'prio_value', 'prio_bad_value', prio_value
            FROM w WHERE prio_value IS NOT NULL
              AND prio_value NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
-         ) t"""
+         ) t""",
+
+    // q26's exact pair graph wrapped in a recursive min-label closure:
+    // reach(id, lbl) enumerates every label reachable over the symmetric
+    // edge list; min per node = the component minimum
+    "q51_neardup_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(t[i:i+6], ' ')
+                                        for i in range(1, greatest(len(t) - 6, 0) + 1)])) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.2),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT DISTINCT src AS id, src AS lbl FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
+         SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

@@ -477,6 +477,15 @@ object Queries {
       Validation.exceptions(w, Seq("o_orderkey"), rules)
     }),
 
+    // pairs → groups: connected components over the near-dup pair graph
+    // (min-label propagation, localCheckpoint per round) — the dedup
+    // DECISION step the pair emitters feed
+    "q51_neardup_components" -> ((s, d) => {
+      val pairs = NearDup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 7, 0.2)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").cast("long").as("doc_id"), col("comp").cast("long").as("comp"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -78,4 +78,64 @@ object Dedup {
       .agg(min(col(idCol)).as("__keep"))
     df.join(winners, df(idCol) === winners("__keep"), "left_semi")
   }
+
+  /** Connected components over an undirected near-dup pair list — the
+    * step that turns PAIRS (what the near-dup family emits) into GROUPS
+    * (what a dedup decision needs): every doc gets its component's
+    * minimum id as `comp`. Classic iterative min-label propagation: each
+    * round every node adopts the smallest label in its closed
+    * neighborhood, converging in O(component diameter) rounds — near-dup
+    * clusters are near-cliques (diameter 1-2), so 2-3 rounds in practice,
+    * `maxIter` bounds adversarial chains.
+    *
+    * Scale notes: each round is two shuffles over the EDGE list (join +
+    * min-aggregate) — no per-component state, no driver data. Iterative
+    * DataFrame algorithms accumulate lineage (round k would otherwise
+    * replay rounds 1..k-1 every action), so labels are localCheckpoint'ed
+    * each round; on a cluster prefer `spark.sparkContext.setCheckpointDir`
+    * + `checkpoint()` for fault tolerance. For graphs with long chains at
+    * extreme scale, swap in large-star/small-star contraction (Kiveris et
+    * al., "Connected Components in MapReduce") — same API, O(log² n)
+    * rounds.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint() // edges are reused every round — cut the pair-gen plan
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("nc")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nc")).as("nbr"))
+      val next = labels.as("l").join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") =!= col("prev"))
+        .head(1).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate removal end-to-end: keep one canonical doc (minimum
+    * id) per connected component of the pair graph; docs in no pair
+    * survive untouched. The loser set is component members whose id isn't
+    * the component minimum — an anti-join on the unique id.
+    */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, pairs: DataFrame,
+                         idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, idA, idB)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

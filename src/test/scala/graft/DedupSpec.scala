@@ -98,4 +98,38 @@ class DedupSpec extends SparkSpec {
       .orderBy("id").as[(Long, String, Double)].collect()
     assert(out === Array((1L, "dup", 1.5), (3L, "uniq", 3.5)))
   }
+
+  test("connectedComponents: chain, clique, and disjoint pair resolve to min labels") {
+    // chain 1-2-3-4 (diameter 3 → needs >1 propagation round),
+    // clique {10,11,12}, lone pair {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: a long chain still converges (label shortcuts compound)") {
+    // path 0-1-2-...-12: diameter 12, maxIter 15 must suffice and the
+    // whole component must collapse to label 0
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(out.length === 13 && out.forall(_._2 === 0L))
+  }
+
+  test("dropNearDuplicates keeps one canonical doc per component, unpaired docs survive") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a'"), (3L, "a''"), // one near-dup cluster
+      (7L, "lonely")                      // in no pair
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 7L))
+  }
 }
