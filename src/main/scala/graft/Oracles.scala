@@ -665,7 +665,32 @@ object Oracles {
            SELECT DISTINCT src AS id, src AS lbl FROM edges
            UNION
            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
-         SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id"""
+         SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id""",
+
+    "q52_token_budget_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (SELECT doc_id, lang, n_tok,
+           sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+         SELECT doc_id, lang, n_tok FROM c WHERE cum - n_tok < 2000""",
+
+    // patterns live in the Java-regex ∩ RE2 common subset; DuckDB needs
+    // the explicit 'g' flag where Spark replaces all matches by default
+    "q53_clean_redact" ->
+      """WITH dirty AS (SELECT doc_id,
+           concat('<p class="x">', text, '</p> contact: user',
+                  CAST(doc_id AS VARCHAR), '@example.com tel: +263 771 23 45 67') AS raw
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[+(]?[0-9][0-9()\- ]{5,}[0-9]', '<PHONE>', 'g') AS clean
+         FROM dirty"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

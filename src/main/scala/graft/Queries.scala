@@ -486,6 +486,25 @@ object Queries {
         .select(col("id").cast("long").as("doc_id"), col("comp").cast("long").as("comp"))
     }),
 
+    // training-mix curation: take docs per language, in id order, until a
+    // 2k-token budget is spent (the doc crossing the line is kept)
+    "q52_token_budget_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      Sampling.tokenBudgetPerStratum(docs, col("lang"), Seq(col("doc_id")),
+        col("n_tok"), budget = 2000L)
+    }),
+
+    // pre-tokenization scrub stack: markup strip + email/phone redaction
+    // over deterministically-dirtied text (PII synthesized in both engines)
+    "q53_clean_redact" -> ((s, d) => {
+      val dirty = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("<p class=\"x\">"), col("text"),
+          lit("</p> contact: user"), col("doc_id"),
+          lit("@example.com tel: +263 771 23 45 67")).as("raw"))
+      dirty.select(col("doc_id"), TextAnalysis.cleanForTraining(col("raw")).as("clean"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

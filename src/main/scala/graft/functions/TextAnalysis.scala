@@ -125,4 +125,30 @@ object TextAnalysis {
     val toks = split(trim(text), "\\s+")
     aggregate(toks, lit(0L), (acc, t) => acc * 31L + crc32(t))
   }
+
+  // ── cleaning (CCNet/Dolma-style pre-tokenization scrubs) ──────────────
+  // Patterns stay in the Java-regex ∩ RE2 common subset so the DuckDB
+  // oracle reproduces them verbatim (no lookarounds, no backrefs).
+
+  /** Strip markup tags and collapse the leftover whitespace — the cheap
+    * `<[^>]*>` cut, not an HTML parser (good enough for tag-debris
+    * removal in crawled text; a real extraction belongs upstream).
+    */
+  def stripHtml(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "<[^>]*>", " "), "\\s+", " "))
+
+  /** Redact email addresses with a placeholder token. */
+  def redactEmails(text: Column, token: String = "<EMAIL>"): Column =
+    regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", token)
+
+  /** Redact phone-shaped digit runs (7+ digits with optional +, spaces,
+    * dashes, parens). Deliberately conservative: plain long numbers in
+    * prose DO match — PII scrubbing errs toward redaction.
+    */
+  def redactPhones(text: Column, token: String = "<PHONE>"): Column =
+    regexp_replace(text, "[+(]?[0-9][0-9()\\- ]{5,}[0-9]", token)
+
+  /** The standard scrub stack: strip markup, then redact emails/phones. */
+  def cleanForTraining(text: Column): Column =
+    redactPhones(redactEmails(stripHtml(text)))
 }

@@ -46,4 +46,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) === out(1))
     assert(out(0) !== out(2))
   }
+
+  test("cleanForTraining strips markup and redacts emails/phones") {
+    val out = Seq(
+      "<p>hello <b>world</b></p> mail a.b+c@test.org now",
+      "call +263 771 234 567 or (555) 123-4567 today",
+      "no pii here at all").toDF("t")
+      .select(TextAnalysis.cleanForTraining(col("t"))).as[String].collect()
+    assert(out(0) === "hello world mail <EMAIL> now")
+    assert(out(1) === "call <PHONE> or <PHONE> today")
+    assert(out(2) === "no pii here at all")
+  }
+
+  test("tokenBudgetPerStratum: per-stratum cut keeps the budget-crossing doc") {
+    val docs = Seq(
+      (1L, "en", 40L), (2L, "en", 50L), (3L, "en", 30L), // cum 40,90,120
+      (4L, "de", 80L), (5L, "de", 10L)                   // cum 80,90
+    ).toDF("doc_id", "lang", "n_tok")
+    val kept = graft.operators.Sampling.tokenBudgetPerStratum(
+        docs, col("lang"), Seq(col("doc_id")), col("n_tok"), budget = 85L)
+      .select("doc_id").as[Long].collect().toSet
+    // en: doc2 crosses 85 (started at 40 < 85) → kept; doc3 starts at 90 → cut
+    // de: doc5 starts at 80 < 85 → kept
+    assert(kept === Set(1L, 2L, 4L, 5L))
+  }
+
+  test("stratifiedFractions is deterministic and repartition-stable") {
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("lang", when(pmod(col("id"), lit(2)) === 0, "en").otherwise("de"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.stratifiedFractions(d, col("lang"), col("id"),
+        Map("en" -> 0.5, "de" -> 0.1)).select("id").as[Long].collect().toSet
+    val a = run(df)
+    assert(a === run(df.repartition(7))) // pure function of (id, seed)
+    val enN = a.count(_ % 2 == 0).toDouble / 1000
+    val deN = a.count(_ % 2 == 1).toDouble / 1000
+    assert(math.abs(enN - 0.5) < 0.1 && math.abs(deN - 0.1) < 0.06)
+    // unknown stratum → dropped
+    val b = graft.operators.Sampling.stratifiedFractions(df, col("lang"), col("id"),
+      Map("en" -> 0.5)).select("lang").as[String].collect().toSet
+    assert(b === Set("en"))
+  }
 }
