@@ -77,4 +77,54 @@ class KernelPropertySpec extends SparkSpec {
     }.toMap
     assert(got == expected)
   }
+
+  test("connectedComponents matches a union-find model on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val edges = (1 to 55).map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b).toLong, math.max(a, b).toLong) }
+        .distinct
+      // driver-side union-find oracle (min-id representative per component)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inPairs = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expected = (0 until n).groupBy(find).values
+        .flatMap { g => val m = g.min.toLong; g.map(_.toLong -> m) }
+        .filter { case (id, _) => inPairs.contains(id) }.toMap
+      val got = graft.operators.Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected)
+    }
+  }
+
+  test("fuzzyRecode matched() agrees with the last-match-wins model on random soup") {
+    import graft.operators.FuzzyRecode
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("kleb", "klebsiella", "proteus", "staph", "yeast",
+      "coagulase", "negative", "species", "group", "viridans")
+    val rules = Seq(
+      FuzzyRecode.Rule(Seq("kleb", "klesiella"), "KLS", "Klebsiella sp."),
+      FuzzyRecode.Rule(Seq("proteus"), "Prot", "Proteus sp."),
+      FuzzyRecode.Rule(Seq("coagulase negative", "staph"), "CONS", "CoNS"),
+      FuzzyRecode.Rule(Seq("viridans"), "VirSt", "Viridans strep"))
+    def model(text: String): Option[String] =
+      rules.foldLeft(Option.empty[String]) { (acc, r) =>
+        if (r.patterns.exists(text.toLowerCase.contains(_))) Some(r.value) else acc
+      }
+    val texts = (1 to 200).map { i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(6)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = texts.toDF("id", "t")
+      .select(col("id"), FuzzyRecode.matched(col("t"), rules).getField("value").as("v"))
+      .as[(Long, Option[String])].collect().toMap
+    texts.foreach { case (id, t) => assert(got(id) === model(t), s"text: $t") }
+  }
 }

@@ -68,6 +68,18 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q53 scrub stack is one shuffle-free codegen projection") {
+    val p = plan("q53_clean_redact")
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(1500))
+    assert(p.contains("*(1)"), p.take(1500))
+  }
+
+  test("q52 budget cut costs exactly one stratum shuffle + sort (the honest window price)") {
+    val p = plan("q52_token_budget_sample")
+    assert(p.contains("Window"), p.take(1500))
+    assert(p.split("Exchange").length - 1 == 1, p.take(1500))
+  }
+
   test("q01 lineitem scan prunes to the referenced columns only") {
     val leaves = Queries.all("q01_agg_summary")(spark, sf)
       .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
