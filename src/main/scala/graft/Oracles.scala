@@ -690,7 +690,21 @@ object Oracles {
                trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '[+(]?[0-9][0-9()\- ]{5,}[0-9]', '<PHONE>', 'g') AS clean
-         FROM dirty"""
+         FROM dirty""",
+
+    "q54_extract_years" ->
+      """WITH c AS (SELECT c_custkey, CAST(c_custkey % 80 AS VARCHAR) AS num FROM customer),
+         r AS (SELECT c_custkey,
+           CASE WHEN c_custkey % 5 = 0 THEN num || ' years'
+                WHEN c_custkey % 5 = 1 THEN 'aged ' || num || '.5 years old'
+                WHEN c_custkey % 5 = 2 THEN num
+                WHEN c_custkey % 5 = 3 THEN 'unknown'
+                ELSE num || ' YEARS' END AS age_raw FROM c)
+         SELECT c_custkey, age_raw,
+           CAST(floor(CAST(coalesce(
+             nullif(regexp_extract(trim(age_raw), '(?i)^(\d+(\.\d+)?)\s*(years?)?$', 1), ''),
+             nullif(regexp_extract(trim(age_raw), '(?i)(\d+(\.\d+)?)\s*years?', 1), '')) AS DOUBLE)) AS INTEGER) AS years
+         FROM r"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

@@ -505,6 +505,20 @@ object Queries {
       dirty.select(col("doc_id"), TextAnalysis.cleanForTraining(col("raw")).as("clean"))
     }),
 
+    // free-text age normalization (assorted_fixes.extract_years): bare
+    // numbers, '<n> years' phrases (any case, embedded), garbage → NULL
+    "q54_extract_years" -> ((s, d) => {
+      val num = pmod(col("c_custkey"), lit(80)).cast("string")
+      val raw = when(pmod(col("c_custkey"), lit(5)) === 0, concat(num, lit(" years")))
+        .when(pmod(col("c_custkey"), lit(5)) === 1,
+          concat(lit("aged "), num, lit(".5 years old")))
+        .when(pmod(col("c_custkey"), lit(5)) === 2, num)
+        .when(pmod(col("c_custkey"), lit(5)) === 3, lit("unknown"))
+        .otherwise(concat(num, lit(" YEARS")))
+      Tables.customer(s, d).select(col("c_custkey"), raw.as("age_raw"))
+        .withColumn("years", DeriveColumns.extractYears(col("age_raw")))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

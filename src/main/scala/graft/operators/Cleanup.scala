@@ -39,6 +39,27 @@ object Cleanup {
     }
   }
 
+  /** Guarantee columns exist: any missing name is added as a typed NULL
+    * column (reference: utils/set_key_to_none.py — downstream summaries
+    * select fixed column sets, so a deployment that never filled a form
+    * field must still present it). Pure projection.
+    */
+  def ensureColumns(df: DataFrame, cols: Seq[String],
+                    dataType: String = "string"): DataFrame = {
+    val present = df.columns.toSet
+    cols.filterNot(present.contains).foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, org.apache.spark.sql.functions.lit(null).cast(dataType))
+    }
+  }
+
+  /** Rename a column only when it exists (reference: utils/key_change.py —
+    * form-key drift means a batch may carry either spelling). When both
+    * old and new exist, values fold via [[coalesceInto]] semantics.
+    */
+  def renameIfPresent(df: DataFrame, oldName: String, newName: String): DataFrame =
+    if (!df.columns.contains(oldName)) df
+    else coalesceInto(df, oldName, newName)
+
   /** Normalize column names to snake_case: camelCase humps and runs of
     * non-alphanumerics become single underscores, lowercased
     * (`Visit.Date` → `visit_date`, `NeoTreeID` → `neo_tree_id`).

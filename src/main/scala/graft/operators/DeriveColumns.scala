@@ -78,6 +78,21 @@ object DeriveColumns {
   /** 0/1 outcome flag (reference DeathCount / PrematureCount columns). */
   def flag(cond: Column): Column = when(cond, 1).otherwise(0)
 
+  /** Normalize free-text ages to whole years (reference:
+    * utils/assorted_fixes.py::extract_years): a bare number (optionally
+    * suffixed 'years') parses whole; otherwise the first '<n> years'
+    * phrase anywhere in the text ("aged 23.5 years old" → 23); otherwise
+    * NULL. Truncates like the reference's int(float(...)). Patterns stay
+    * in the Java∩RE2 subset so SQL oracles reproduce them.
+    */
+  def extractYears(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    val whole = regexp_extract(s, "(?i)^(\\d+(\\.\\d+)?)\\s*(years?)?$", 1)
+    val embedded = regexp_extract(s, "(?i)(\\d+(\\.\\d+)?)\\s*years?", 1)
+    floor(coalesce(nullif(whole, lit("")), nullif(embedded, lit(""))).cast("double"))
+      .cast("int")
+  }
+
   /** Profile-gated date cast: convert a text column to timestamp ONLY
     * when at least `minValidPercent` of its non-null values parse under
     * `formats` (reference: queries/data_fix.py:592

@@ -73,6 +73,27 @@ class RecodeDiscoverySpec extends SparkSpec {
       Seq("AdmReason", "Diag", "ReasOth"))
   }
 
+  test("extractYears parses bare numbers, year phrases, and rejects garbage") {
+    val out = Seq("23", " 23 years ", "23.5", "aged 23.5 years old", "23.9 YEARS",
+        "unknown", "", "3 months")
+      .toDF("raw")
+      .select(DeriveColumns.extractYears(col("raw"))).as[Option[Int]].collect()
+    assert(out === Array(Some(23), Some(23), Some(23), Some(23), Some(23),
+      None, None, None))
+  }
+
+  test("ensureColumns adds typed NULLs only for missing names; renameIfPresent folds drift") {
+    val df = Seq((1L, "x")).toDF("id", "a")
+    val out = Cleanup.ensureColumns(df, Seq("a", "b", "c"))
+    assert(out.columns.toSeq === Seq("id", "a", "b", "c"))
+    assert(out.select("b").head.isNullAt(0))
+    // renameIfPresent: absent old name → no-op; present → fold into new
+    assert(Cleanup.renameIfPresent(df, "zz", "a").columns.toSeq === Seq("id", "a"))
+    val renamed = Cleanup.renameIfPresent(df, "a", "a2")
+    assert(renamed.columns.toSeq === Seq("id", "a2"))
+    assert(renamed.select("a2").as[String].head() === "x")
+  }
+
   test("fuzzyRecode: label decision uses the ORIGINAL value column") {
     // regression guard for the withColumn-sequencing trap: if the label
     // replacement re-read the already-rewritten value column the gate
