@@ -69,6 +69,22 @@ object DeriveColumns {
       when(scriptId === sid, recode(value, m)).otherwise(acc)
     }
 
+  /** Restore a missing display label from the script metadata's
+    * value→label mapping: labels that are NULL or a stringified-None
+    * sentinel take the mapped label for their coded value; known labels
+    * and unmapped values pass through (reference:
+    * utils/data_label_fix_new.py::bulk_fix_data_labels — the
+    * label = '["None"]' repair — and the fix_data_labels dictionaries,
+    * whose 1.5k lines are this mechanism times deployment config).
+    */
+  def fillLabelFromMetadata(value: Column, label: Column,
+                            mapping: Map[String, String]): Column = {
+    val missing = label.isNull || trim(label).isin("", "None", "null", "nan")
+    if (mapping.isEmpty) label
+    else when(missing, coalesce(element_at(typedLit(mapping), value), label))
+      .otherwise(label)
+  }
+
   /** Conditional record repair: where `cond`, replace `colName` with
     * `fixed`, else keep (reference manual-fix nodes).
     */

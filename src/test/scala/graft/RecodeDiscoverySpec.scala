@@ -94,6 +94,19 @@ class RecodeDiscoverySpec extends SparkSpec {
     assert(renamed.select("a2").as[String].head() === "x")
   }
 
+  test("fillLabelFromMetadata restores None-ish labels from the value map only") {
+    val m = Map("SVD" -> "Normal delivery", "CS" -> "Caesarean")
+    val out = Seq(
+      ("SVD", null.asInstanceOf[String]), // null label → mapped
+      ("CS", "None"),                     // stringified None → mapped
+      ("SVD", "Hand-entered"),            // present label → untouched
+      ("OTH", "None")                     // unmapped value → sentinel kept
+    ).toDF("v", "l")
+      .select(DeriveColumns.fillLabelFromMetadata(col("v"), col("l"), m))
+      .as[String].collect()
+    assert(out === Array("Normal delivery", "Caesarean", "Hand-entered", "None"))
+  }
+
   test("fuzzyRecode: label decision uses the ORIGINAL value column") {
     // regression guard for the withColumn-sequencing trap: if the label
     // replacement re-read the already-rewritten value column the gate
