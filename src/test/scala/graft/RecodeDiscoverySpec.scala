@@ -107,6 +107,22 @@ class RecodeDiscoverySpec extends SparkSpec {
     assert(out === Array("Normal delivery", "Caesarean", "Hand-entered", "None"))
   }
 
+  test("discoverMclKeys and explodeMclKey tolerate malformed/corrupt entries rows") {
+    val batch = Seq(
+      """[{"key": "Diag", "values": [{"value": "A"}, {"value": "B"}]}]""",
+      """not json at all""",
+      """{"Diag": "shape surprise — values not an object"}""",
+      """[]""",
+      null.asInstanceOf[String]
+    ).toDF("entries_json")
+    val keys = JsonImport.discoverMclKeys(batch)
+      .as[(String, Int, Boolean)].collect().toSet
+    assert(keys === Set(("Diag", 2, true))) // garbage rows contribute nothing
+    val exploded = JsonImport.explodeMclKey(
+      batch.withColumn("uid", lit("u1")).withColumn("scriptid", lit("adm")), "Diag")
+    assert(exploded.select("value").as[String].collect().toSet === Set("A", "B"))
+  }
+
   test("fuzzyRecode: label decision uses the ORIGINAL value column") {
     // regression guard for the withColumn-sequencing trap: if the label
     // replacement re-read the already-rewritten value column the gate
