@@ -704,7 +704,27 @@ object Oracles {
            CAST(floor(CAST(coalesce(
              nullif(regexp_extract(trim(age_raw), '(?i)^(\d+(\.\d+)?)\s*(years?)?$', 1), ''),
              nullif(regexp_extract(trim(age_raw), '(?i)(\d+(\.\d+)?)\s*years?', 1), '')) AS DOUBLE)) AS INTEGER) AS years
-         FROM r"""
+         FROM r""",
+
+    "q55_typed_coercion" ->
+      """WITH w AS (SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN 'oops'
+                ELSE CAST(o_totalprice AS VARCHAR) END AS price_value,
+           CASE WHEN o_orderkey % 4 = 0 THEN 'Y'
+                WHEN o_orderkey % 4 = 1 THEN 'no'
+                WHEN o_orderkey % 4 = 2 THEN '1'
+                ELSE 'maybe' END AS flag_value,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'NaT'
+                ELSE strftime(o_orderdate, '%Y-%m-%d') END AS adm_value,
+           o_orderpriority AS mode_value
+           FROM orders)
+         SELECT o_orderkey,
+           TRY_CAST(price_value AS DOUBLE) AS price_value,
+           CASE WHEN lower(trim(flag_value)) IN ('y', 'yes', 'true', '1') THEN true
+                ELSE false END AS flag_value,
+           try_strptime(adm_value, '%Y-%m-%d') AS adm_value,
+           mode_value
+         FROM w"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

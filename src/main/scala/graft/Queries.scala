@@ -519,6 +519,28 @@ object Queries {
         .withColumn("years", DeriveColumns.extractYears(col("age_raw")))
     }),
 
+    // metadata-driven type coercion of the wide table: number/date/boolean
+    // columns cast per field metadata, garbage → null (booleans → false,
+    // the reference's fillna); selects stay strings
+    "q55_typed_coercion" -> ((s, d) => {
+      val meta = Seq(
+        Validation.FieldInfo("price", dataType = "number"),
+        Validation.FieldInfo("flag", dataType = "boolean"),
+        Validation.FieldInfo("adm", dataType = "date"),
+        Validation.FieldInfo("mode", dataType = "dropdown"))
+      val w = Tables.orders(s, d).select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(13)) === 0, "oops")
+          .otherwise(col("o_totalprice").cast("string")).as("price_value"),
+        when(pmod(col("o_orderkey"), lit(4)) === 0, "Y")
+          .when(pmod(col("o_orderkey"), lit(4)) === 1, "no")
+          .when(pmod(col("o_orderkey"), lit(4)) === 2, "1")
+          .otherwise("maybe").as("flag_value"),
+        when(pmod(col("o_orderkey"), lit(11)) === 0, "NaT")
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("adm_value"),
+        col("o_orderpriority").as("mode_value"))
+      DeriveColumns.coerceByFieldInfo(w, meta)
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -109,6 +109,40 @@ object DeriveColumns {
       .cast("int")
   }
 
+  /** Metadata-driven type coercion of a wide key-value table: every
+    * `<key>_value` string column whose field metadata declares a type is
+    * cast to it (reference: conf/common/scripts.py::
+    * process_dataframe_with_types — the typed-table step between
+    * extraction and publishing). Semantics mirrored from the reference:
+    * numbers coerce-to-null on garbage, dates parse under the given
+    * formats (null on failure), booleans map y/yes/true/1 → true and
+    * n/no/false/0 → false with EVERYTHING else (nulls included) → false
+    * (the reference's `fillna(False)`), select types stay strings.
+    * Columns without metadata, and metadata without columns, pass
+    * through. Pure projection — schema changes, no data moves.
+    */
+  def coerceByFieldInfo(df: DataFrame, fields: Seq[Validation.FieldInfo],
+                        colName: String => String = k => s"${k}_value",
+                        dateFormats: Seq[String] = Seq("yyyy-MM-dd")): DataFrame = {
+    val present = df.columns.toSet
+    fields.filter(f => present.contains(colName(f.key))).foldLeft(df) { (acc, f) =>
+      val c = colName(f.key)
+      f.dataType match {
+        case "number" | "integer" | "float" | "timer" =>
+          acc.withColumn(c, col(c).try_cast(org.apache.spark.sql.types.DoubleType))
+        case "datetime" | "timestamp" | "date" =>
+          acc.withColumn(c, multiFormatTimestamp(col(c), dateFormats))
+        case "boolean" | "yesno" =>
+          val v = lower(trim(col(c)))
+          acc.withColumn(c,
+            when(v.isin("y", "yes", "true", "1"), true)
+              .when(v.isin("n", "no", "false", "0"), false)
+              .otherwise(false))
+        case _ => acc // select/dropdown/free text stay strings
+      }
+    }
+  }
+
   /** Profile-gated date cast: convert a text column to timestamp ONLY
     * when at least `minValidPercent` of its non-null values parse under
     * `formats` (reference: queries/data_fix.py:592

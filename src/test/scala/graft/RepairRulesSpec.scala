@@ -233,6 +233,28 @@ class RepairRulesSpec extends SparkSpec {
     assert(out === Set((2L, "mode_label_mismatch")))
   }
 
+  test("coerceByFieldInfo casts wide columns per metadata, reference null semantics") {
+    val meta = Seq(
+      Validation.FieldInfo("temp", dataType = "number"),
+      Validation.FieldInfo("alive", dataType = "boolean"),
+      Validation.FieldInfo("adm", dataType = "date"),
+      Validation.FieldInfo("mode", dataType = "dropdown"),
+      Validation.FieldInfo("ghost", dataType = "number")) // no such column → skipped
+    val df = Seq(
+      (1L, "36.5", "Yes", "2026-01-01", "SVD"),
+      (2L, "oops", "maybe", "NaT", "CS"),
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String], null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("id", "temp_value", "alive_value", "adm_value", "mode_value")
+    val out = DeriveColumns.coerceByFieldInfo(df, meta).orderBy("id")
+    val types = out.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("temp_value") === "double" && types("alive_value") === "boolean")
+    assert(types("adm_value") === "timestamp" && types("mode_value") === "string")
+    val rows = out.collect()
+    assert(rows(0).getDouble(1) === 36.5 && rows(0).getBoolean(2))
+    assert(rows(1).isNullAt(1) && !rows(1).getBoolean(2) && rows(1).isNullAt(3))
+    assert(rows(2).isNullAt(1) && !rows(2).getBoolean(2)) // null bool → false (fillna)
+  }
+
   test("coalesceInto folds a legacy column into its successor") {
     import graft.operators.Cleanup
     val both = Seq(("f1", null.asInstanceOf[String]),
