@@ -31,7 +31,8 @@ object ReferencePipeline {
       exceptions: DataFrame,
       mclKeys: Seq[String] = Nil,
       mclTables: Map[String, DataFrame] = Map.empty,
-      combinedDiagnoses: DataFrame = null)
+      combinedDiagnoses: DataFrame = null,
+      ruleExceptions: DataFrame = null)
 
   /** Run the full flow from a DataFrame bearing one raw session JSON
     * string per row (column `jsonCol`).
@@ -47,12 +48,18 @@ object ReferencePipeline {
     *   rules) rewrites `<codedKey>_value`/`_label` from the substring rule
     *   chain over `<freeTextKey>_value` when the coded value is the 'Oth'
     *   sentinel — both keys must be in `keys`
+    * @param fieldInfo per-key metadata driving BOTH the typed coercion of
+    *   the wide tables (process_dataframe_with_types) and the generated
+    *   validation rules feeding `Outputs.ruleExceptions`
+    *   (validate_dataframe_with_ge) — one metadata frame, two derived
+    *   behaviors, like the reference's script-config JSON
     */
   def run(raw: DataFrame, jsonCol: String, keys: Seq[String],
           repeatableKeys: Seq[String] = Nil,
           diagnosesKey: String = "Diagnoses",
           diagnosesRepeatTable: String = "diagnoses",
-          fuzzyRules: Seq[(String, String, Seq[FuzzyRecode.Rule])] = Nil): Outputs = {
+          fuzzyRules: Seq[(String, String, Seq[FuzzyRecode.Rule])] = Nil,
+          fieldInfo: Seq[Validation.FieldInfo] = Nil): Outputs = {
     // 1. import: parse + uid recovery; corrupt rows routed out, not dropped
     val parsed = JsonImport.parseSessions(raw, jsonCol)
 
@@ -127,7 +134,19 @@ object ReferencePipeline {
         FuzzyRecode.canonicalize(df, s"${codedKey}_value", s"${codedKey}_label",
           col(s"${freeKey}_value"), rules)
     }
-    val admissions = Cleanup.snakeCaseColumns(canonical)
+
+    // 4b. metadata-compiled validation + typed coercion: rules run over
+    //     the STRING form (the reference validates before casting nulls
+    //     garbage), then the same metadata casts the published table
+    val ruleExceptions =
+      if (fieldInfo.isEmpty) canonical.limit(0)
+        .select(col("uid"), lit("").as("col_name"), lit("").as("code"),
+          lit("").as("offending_value"))
+      else Validation.exceptions(canonical, Seq("uid"),
+        Validation.fromFieldInfo(fieldInfo))
+    val typed = if (fieldInfo.isEmpty) canonical
+      else DeriveColumns.coerceByFieldInfo(canonical, fieldInfo)
+    val admissions = Cleanup.snakeCaseColumns(typed)
 
     // 5. join + derived outcome columns (LOS, month buckets, flags)
     val adm = admissions.as("a")
@@ -155,6 +174,7 @@ object ReferencePipeline {
       Seq("uid", "facility", "los_days_s"))
 
     Outputs(admissions, discharges, repeatables, joined, summaryCounts,
-      completeness, exceptions, mclKeys, mclTables, combinedDiagnoses)
+      completeness, exceptions, mclKeys, mclTables, combinedDiagnoses,
+      ruleExceptions)
   }
 }

@@ -141,6 +141,26 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(got("U9") === (("SA", "Staph aureus")))      // gate not met → untouched
   }
 
+  test("one fieldInfo frame drives typed coercion AND generated validation") {
+    val meta = Seq(
+      graft.operators.Validation.FieldInfo("Temp", dataType = "number",
+        optional = false, minValue = Some(30.0), maxValue = Some(43.0)))
+    val hot =
+      """{"scriptid":"adm","uid":"u9","facility":"F1","started_at":"2026-01-09T08:00:00",
+         "entries":[{"key":"Temp","values":[{"value":"98.6","label":"T"}]}]}"""
+        .replaceAll("\n\\s*", "")
+    val out2 = ReferencePipeline.run(
+      raw.unionByName(Seq(hot).toDF("json")), "json", Seq("Temp"),
+      fieldInfo = meta)
+    // coercion: temp_value published as a DOUBLE column
+    assert(out2.admissions.schema("temp_value").dataType.simpleString === "double")
+    // validation: the Fahrenheit outlier lands in ruleExceptions with the
+    // generated range code; clean rows do not
+    val ex = out2.ruleExceptions.select("uid", "code")
+      .as[(String, String)].collect().toSet
+    assert(ex === Set(("U9", "Temp_above_max")))
+  }
+
   test("repeatables output: per-measurement rows ride the pipeline keys") {
     val s =
       """{"scriptid":"adm","uid":"u5","facility":"F1","started_at":"2026-01-05T08:00:00",
