@@ -626,10 +626,14 @@ object Oracles {
              OR trim(price_value) IN ('', 'nan', '<NA>', 'None', 'null', 'NAT', 'NaT')
            UNION ALL
            SELECT o_orderkey, 'price_value', 'price_below_min', price_value
-           FROM w WHERE price_value IS NOT NULL AND TRY_CAST(price_value AS DOUBLE) < 50000.0
+           FROM w WHERE TRY_CAST(price_value AS DOUBLE) IS NOT NULL
+             AND NOT isnan(TRY_CAST(price_value AS DOUBLE))
+             AND TRY_CAST(price_value AS DOUBLE) < 50000.0
            UNION ALL
            SELECT o_orderkey, 'price_value', 'price_above_max', price_value
-           FROM w WHERE price_value IS NOT NULL AND TRY_CAST(price_value AS DOUBLE) > 400000.0
+           FROM w WHERE TRY_CAST(price_value AS DOUBLE) IS NOT NULL
+             AND NOT isnan(TRY_CAST(price_value AS DOUBLE))
+             AND TRY_CAST(price_value AS DOUBLE) > 400000.0
            UNION ALL
            SELECT o_orderkey, 'price_value', 'price_non_numeric', price_value
            FROM w WHERE price_value IS NOT NULL
@@ -732,10 +736,20 @@ object Oracles {
     * is first-match-wins while the operator contract (and the reference's
     * sequential if-chain) is last-match-wins.
     */
+  /** Substring-contains as LIKE, robust to metacharacters: `%`/`_` in a
+    * pattern are escaped (backslash + ESCAPE clause) so the SQL matches
+    * Spark's LITERAL `contains`, and single quotes double for SQL — a
+    * rule list with "100%_pure" or "o'brien" stays oracle-equivalent.
+    */
+  private def sq(s: String): String = s.replace("'", "''")
+  private def likeEsc(s: String): String =
+    sq(s).replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+
   private def fuzzyCaseSql(textExpr: String, pick: graft.operators.FuzzyRecode.Rule => String): String =
     "CASE " + Queries.q47Rules.reverse.map { r =>
-      val cond = r.patterns.map(p => s"$textExpr LIKE '%$p%'").mkString(" OR ")
-      s"WHEN $cond THEN '${pick(r)}'"
+      val cond = r.patterns
+        .map(p => s"$textExpr LIKE '%${likeEsc(p)}%' ESCAPE '\\'").mkString(" OR ")
+      s"WHEN $cond THEN '${sq(pick(r))}'"
     }.mkString(" ") + " END"
 
   private def q47Sql: String =

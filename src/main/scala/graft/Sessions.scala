@@ -46,6 +46,12 @@ object Sessions {
     * values (set or unset) afterwards — even on exception. The conf is
     * read when a query EXECUTES, so the collect/write/show must happen
     * inside `body`; a DataFrame merely DEFINED inside inherits nothing.
+    *
+    * CONCURRENCY: this mutates the SESSION-global conf — a job racing on
+    * another thread of the same session reads the override (or the
+    * restore). Fine for the usual one-driver-thread batch loop; for
+    * concurrent schedulers use [[withConfIsolated]], which scopes the
+    * override to a fresh child session instead.
     */
   def withConf[T](spark: SparkSession, pairs: (String, String)*)(body: => T): T = {
     val conf = spark.conf
@@ -56,6 +62,20 @@ object Sessions {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None)    => conf.unset(k)
     }
+  }
+
+  /** Concurrency-safe conf scoping: `body` receives a CHILD session
+    * (`newSession` — same SparkContext and cached data, separate SQL
+    * conf) carrying the overrides, so parallel jobs on the parent session
+    * never observe them. Build the DataFrames INSIDE `body` from the
+    * session it is handed — frames bound to the parent session keep the
+    * parent's conf.
+    */
+  def withConfIsolated[T](spark: SparkSession, pairs: (String, String)*)
+                         (body: SparkSession => T): T = {
+    val child = spark.newSession()
+    pairs.foreach { case (k, v) => child.conf.set(k, v) }
+    body(child)
   }
 
   /** Scope the ObjectHashAggregate sort-fallback threshold to one job:

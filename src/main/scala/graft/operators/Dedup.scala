@@ -129,6 +129,14 @@ object Dedup {
       labels = next
       i += 1
     }
+    // an unconverged exit would silently return SPLIT components (several
+    // labels for one true component) — fail loudly instead; near-dup
+    // graphs converge in a few rounds, so hitting this means a long-chain
+    // graph that needs a higher maxIter or star-contraction
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter or use star-contraction for long-chain graphs")
     labels
   }
 

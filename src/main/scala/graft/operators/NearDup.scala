@@ -55,8 +55,12 @@ object NearDup {
     * inputs — identical texts share every shingle and emit jaccard 1.0 —
     * merely quadratic in dup-group sizes); below that → collapse. Both
     * paths produce the same pair set; the 5% approx-distinct error can
-    * only flip WHICH equivalent plan runs near the boundary. Pass
-    * Some(true/false) to skip the profile when the corpus shape is known.
+    * only flip WHICH equivalent plan runs near the boundary. NOTE the
+    * profile job runs at DataFrame CONSTRUCTION (the path choice is a
+    * plan-shape decision, like profileGatedDateCasts) and is frozen
+    * there — pass Some(true/false) to keep construction lazy, to pin the
+    * path for a plan executed later against changed data, or when the
+    * corpus shape is already known.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,

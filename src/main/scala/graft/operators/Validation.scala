@@ -158,7 +158,8 @@ object Validation {
     * reference's convert-then-check.
     */
   def fromFieldInfo(fields: Seq[FieldInfo],
-                    colName: String => String = k => s"${k}_value"): Seq[Rule] =
+                    colName: String => String = k => s"${k}_value",
+                    labelColName: String => String = k => s"${k}_label"): Seq[Rule] =
     fields.flatMap { f =>
       val c = colName(f.key)
       val required = if (!f.optional) Seq(RequiredPresent(c, s"${f.key}_required")) else Nil
@@ -181,9 +182,6 @@ object Validation {
       required ++ range ++ format ++ domain ++ labels
     }
 
-  /** Metadata key → its label column (graft wide-table convention). */
-  def labelColName(key: String): String = s"${key}_label"
-
   /** DataFrame form of [[fromFieldInfo]]: a metadata frame with columns
     * (key, data_type, optional, min_value, max_value, options) — e.g. the
     * parsed script-config JSON — collected to the driver (plan-time: the
@@ -191,7 +189,8 @@ object Validation {
     * Fields are sorted by key for a deterministic rule order.
     */
   def fromFieldInfoDf(meta: DataFrame,
-                      colName: String => String = k => s"${k}_value"): Seq[Rule] = {
+                      colName: String => String = k => s"${k}_value",
+                      labelColName: String => String = k => s"${k}_label"): Seq[Rule] = {
     // option_labels (map<value, expected label>) is an optional metadata
     // column — older metadata frames without it compile the same suite
     val labelsCol =
@@ -210,7 +209,7 @@ object Validation {
           if (r.isNullAt(5)) Nil else r.getSeq[String](5),
           if (r.isNullAt(6)) Map.empty else r.getMap[String, String](6).toMap)
       }.sortBy(_.key).toSeq
-    fromFieldInfo(fields, colName)
+    fromFieldInfo(fields, colName, labelColName)
   }
 
   /** Exceptions table: one row per (record, violated rule), columns

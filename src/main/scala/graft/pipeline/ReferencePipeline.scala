@@ -11,9 +11,11 @@ import graft.operators._
   * (reference: src/data_pipeline/pipelines/data_engineering/pipeline.py),
   * declared as one lazy Spark plan per output table.
   *
-  * Nothing here collects to the driver; every stage is a DataFrame
-  * transform, so the whole flow inherits Spark's partitioning/pushdown and
-  * runs identically over 10 rows or 100 TB of exports.
+  * Every stage is a DataFrame transform, so the flow inherits Spark's
+  * partitioning/pushdown and runs identically over 10 rows or 100 TB of
+  * exports. The single construction-time job is the MCL key discovery
+  * (a plan-time KEY LIST, like `extractAllKeys`); pass `knownMclKeys`
+  * to make construction fully lazy.
   */
 object ReferencePipeline {
 
@@ -58,8 +60,10 @@ object ReferencePipeline {
           repeatableKeys: Seq[String] = Nil,
           diagnosesKey: String = "Diagnoses",
           diagnosesRepeatTable: String = "diagnoses",
+          diagnosesRepeatField: String = "Diag",
           fuzzyRules: Seq[(String, String, Seq[FuzzyRecode.Rule])] = Nil,
-          fieldInfo: Seq[Validation.FieldInfo] = Nil): Outputs = {
+          fieldInfo: Seq[Validation.FieldInfo] = Nil,
+          knownMclKeys: Option[Seq[String]] = None): Outputs = {
     // 1. import: parse + uid recovery; corrupt rows routed out, not dropped
     val parsed = JsonImport.parseSessions(raw, jsonCol)
 
@@ -105,8 +109,11 @@ object ReferencePipeline {
     //     (reference: json_restructure.py marks multi-valued / *Oth /
     //     AdmReason keys; explode_mcl_columns.py materializes one exploded
     //     table per MCL column). The key list is a plan-time collect of
-    //     key NAMES — same class of driver decision as extractAllKeys.
-    val mclKeys = JsonImport.discoverMclKeyList(deduped)
+    //     key NAMES — same class of driver decision as extractAllKeys —
+    //     and the ONE place this module runs a job at construction time;
+    //     callers who maintain an inventory (or re-run daily at 100 TB)
+    //     pass knownMclKeys to skip the discovery scan entirely.
+    val mclKeys = knownMclKeys.getOrElse(JsonImport.discoverMclKeyList(deduped))
     val mclTables = mclKeys.map(k => k -> JsonImport.explodeMclKey(deduped, k)).toMap
 
     // 3d. combined cross-source diagnoses: exploded MCL labels UNION ALL
@@ -114,15 +121,24 @@ object ReferencePipeline {
     //     create_combined_diagnoses_sql.py — exploded_Diagnoses.label
     //     UNION ALL derived.diagnoses). Each side is already keyed by uid,
     //     so the union is shuffle-free.
+    //     The entries side explodes diagnosesKey UNCONDITIONALLY —
+    //     explodeMclKey handles single-valued keys too, so a batch where
+    //     every session happens to carry exactly one diagnosis (key not
+    //     discovered as MCL) still publishes its diagnoses instead of
+    //     silently vanishing from the view.
     val explodedDiag = mclTables.getOrElse(diagnosesKey,
-        JsonImport.explodeMclKey(deduped.limit(0), diagnosesKey))
+        JsonImport.explodeMclKey(deduped, diagnosesKey))
       .select(col("uid"), coalesce(col("label"), col("value")).as("diagnosis"))
-    val repeatDiag = repeatables
-      .filter(col("table_name") === diagnosesRepeatTable)
-      .select(col("uid"),
-        coalesce(repeatableKeys.map(k => col(s"${k}_value")) :+
-          lit(null).cast("string"): _*).as("diagnosis"))
-      .filter(col("diagnosis").isNotNull)
+    //     The repeat-group side reads the DIAGNOSIS field only — a
+    //     coalesce over every repeatable key would let an earlier-listed
+    //     unrelated field (a weight, a date) masquerade as the diagnosis.
+    val repeatDiag =
+      if (!repeatableKeys.contains(diagnosesRepeatField))
+        repeatables.limit(0).select(col("uid"), lit(null).cast("string").as("diagnosis"))
+      else repeatables
+        .filter(col("table_name") === diagnosesRepeatTable)
+        .select(col("uid"), col(s"${diagnosesRepeatField}_value").as("diagnosis"))
+        .filter(col("diagnosis").isNotNull)
     val combinedDiagnoses = explodedDiag.unionByName(repeatDiag)
 
     // 4. manual fix + label recode + fuzzy free-text canonicalization on

@@ -122,6 +122,16 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 13 && out.forall(_._2 === 0L))
   }
 
+  test("connectedComponents FAILS LOUDLY instead of returning split components") {
+    // a 10-node path needs 9 rounds; maxIter 3 must throw, not silently
+    // hand back a partially-merged labeling
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dropNearDuplicates keeps one canonical doc per component, unpaired docs survive") {
     val docs = Seq(
       (1L, "a"), (2L, "a'"), (3L, "a''"), // one near-dup cluster

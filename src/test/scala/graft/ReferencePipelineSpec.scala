@@ -141,6 +141,27 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(got("U9") === (("SA", "Staph aureus")))      // gate not met → untouched
   }
 
+  test("combined diagnoses still publishes when the batch's Diagnoses are all single-valued") {
+    // no session carries >1 diagnosis → the key is NOT discovered as MCL;
+    // the entries side must still reach the combined view
+    val single =
+      """{"scriptid":"adm","uid":"u7","facility":"F1","started_at":"2026-01-07T08:00:00",
+         "entries":[{"key":"Diagnoses","values":[{"value":"PRE","label":"Prematurity"}]}]}"""
+        .replaceAll("\n\\s*", "")
+    val out2 = ReferencePipeline.run(
+      raw.unionByName(Seq(single).toDF("json")), "json", Seq("Temp"))
+    assert(out2.mclKeys.isEmpty)
+    assert(out2.combinedDiagnoses.select("uid", "diagnosis")
+      .as[(String, String)].collect().toSet === Set(("U7", "Prematurity")))
+  }
+
+  test("knownMclKeys skips discovery and pins the MCL table set") {
+    val out2 = ReferencePipeline.run(raw, "json", Seq("Temp"),
+      knownMclKeys = Some(Seq("Temp")))
+    assert(out2.mclKeys === Seq("Temp"))
+    assert(out2.mclTables.keySet === Set("Temp"))
+  }
+
   test("one fieldInfo frame drives typed coercion AND generated validation") {
     val meta = Seq(
       graft.operators.Validation.FieldInfo("Temp", dataType = "number",

@@ -149,4 +149,13 @@ class ScaleOpsSpec extends SparkSpec {
     }
     assert(spark.conf.getOption("graft.test.ephemeral").isEmpty)
   }
+
+  test("withConfIsolated scopes overrides to a child session, parent untouched") {
+    val key = Sessions.ObjectAggThresholdKey
+    val (childVal, parentDuring) = Sessions.withConfIsolated(spark, key -> "128") { child =>
+      (child.conf.get(key), spark.conf.get(key)) // parent readable CONCURRENTLY
+    }
+    assert(childVal === "128" && parentDuring === "65536")
+    assert(spark.conf.get(key) === "65536")
+  }
 }
