@@ -193,4 +193,37 @@ object ReferencePipeline {
       completeness, exceptions, mclKeys, mclTables, combinedDiagnoses,
       ruleExceptions)
   }
+
+  /** Materialize every output table under `baseDir/<name>` — the
+    * reference's final publish into the `derived` schema
+    * (create table → swap), as parquet directories with crash-safe
+    * replacement: each table writes to a sibling `.tmp` dir first and
+    * swaps in only when fully written (graft.sources.AtomicSwap), so a
+    * failed run never leaves a half-published table where a BI reader
+    * (the reference's Metabase) would see it. Tables publish
+    * independently; a failure leaves earlier tables at their NEW version
+    * and later ones at their OLD — the same per-table semantics as the
+    * reference's sequential CREATE TABLE statements.
+    */
+  def publish(out: Outputs, baseDir: String): Unit = {
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "admissions" -> out.admissions,
+      "discharges" -> out.discharges,
+      "repeatables" -> out.repeatables,
+      "joined" -> out.joined,
+      "summary_counts" -> out.summaryCounts,
+      "completeness" -> out.completeness,
+      "exceptions" -> out.exceptions,
+      "combined_diagnoses" -> out.combinedDiagnoses,
+      "rule_exceptions" -> out.ruleExceptions) ++
+      out.mclTables.toSeq.sortBy(_._1).map { case (k, df) =>
+        s"exploded_${k.toLowerCase}" -> df // reference: derived."exploded_<key>"
+      }
+    tables.filter(_._2 != null).foreach { case (name, df) =>
+      val target = s"$baseDir/$name"
+      val tmp = s"$target.tmp"
+      graft.sources.Sinks.parquet(df, tmp)
+      graft.sources.AtomicSwap.replace(target, tmp)
+    }
+  }
 }

@@ -182,6 +182,20 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(ex === Set(("U9", "Temp_above_max")))
   }
 
+  test("publish materializes every table atomically and re-reads round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_publish").toString
+    ReferencePipeline.publish(out, dir)
+    val published = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(published.contains("admissions") && published.contains("joined")
+      && published.contains("combined_diagnoses") && published.contains("rule_exceptions"))
+    assert(!published.exists(_.endsWith(".tmp"))) // all swaps completed
+    val back = spark.read.parquet(s"$dir/admissions")
+    assert(back.count() === out.admissions.count())
+    // republish over existing tables (the daily-cron path) keeps working
+    ReferencePipeline.publish(out, dir)
+    assert(spark.read.parquet(s"$dir/joined").count() === out.joined.count())
+  }
+
   test("repeatables output: per-measurement rows ride the pipeline keys") {
     val s =
       """{"scriptid":"adm","uid":"u5","facility":"F1","started_at":"2026-01-05T08:00:00",
