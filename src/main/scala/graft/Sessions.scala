@@ -74,6 +74,13 @@ object Sessions {
   def withConfIsolated[T](spark: SparkSession, pairs: (String, String)*)
                          (body: SparkSession => T): T = {
     val child = spark.newSession()
+    // newSession starts from BUILDER-time options only — copy the
+    // parent's current runtime conf first, so the child differs from the
+    // parent in exactly the requested pairs (static/unsettable keys are
+    // skipped; they cannot differ between sessions anyway)
+    spark.conf.getAll.foreach { case (k, v) =>
+      try child.conf.set(k, v) catch { case _: Exception => () }
+    }
     pairs.foreach { case (k, v) => child.conf.set(k, v) }
     body(child)
   }

@@ -47,9 +47,13 @@ object Cleanup {
   def ensureColumns(df: DataFrame, cols: Seq[String],
                     dataType: String = "string"): DataFrame = {
     val present = df.columns.toSet
-    cols.filterNot(present.contains).foldLeft(df) { (acc, c) =>
-      acc.withColumn(c, org.apache.spark.sql.functions.lit(null).cast(dataType))
-    }
+    val missing = cols.filterNot(present.contains)
+    if (missing.isEmpty) df
+    // ONE withColumns projection — a per-column withColumn fold re-runs
+    // analysis over the whole plan per column (quadratic for the
+    // hundreds-of-fields metadata this serves)
+    else df.withColumns(missing.map(c =>
+      c -> org.apache.spark.sql.functions.lit(null).cast(dataType)).toMap)
   }
 
   /** Rename a column only when it exists (reference: utils/key_change.py —
@@ -60,17 +64,18 @@ object Cleanup {
     if (!df.columns.contains(oldName)) df
     else coalesceInto(df, oldName, newName)
 
-  /** Normalize column names to snake_case: camelCase humps and runs of
-    * non-alphanumerics become single underscores, lowercased
-    * (`Visit.Date` → `visit_date`, `NeoTreeID` → `neo_tree_id`).
+  /** snake_case one name: camelCase humps and runs of non-alphanumerics
+    * become single underscores, lowercased (`Visit.Date` → `visit_date`,
+    * `NeoTreeID` → `neo_tree_id`).
     */
-  def snakeCaseColumns(df: DataFrame): DataFrame = {
-    def norm(name: String): String =
-      name.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
-        .replaceAll("[^A-Za-z0-9]+", "_")
-        .replaceAll("_+", "_")
-        .stripPrefix("_").stripSuffix("_")
-        .toLowerCase
-    df.toDF(df.columns.map(norm).toIndexedSeq: _*)
-  }
+  def snakeCase(name: String): String =
+    name.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
+      .replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("_+", "_")
+      .stripPrefix("_").stripSuffix("_")
+      .toLowerCase
+
+  /** Normalize every column name to snake_case via [[snakeCase]]. */
+  def snakeCaseColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(snakeCase).toIndexedSeq: _*)
 }

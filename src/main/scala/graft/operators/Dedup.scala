@@ -146,8 +146,9 @@ object Dedup {
     * the component minimum — an anti-join on the unique id.
     */
   def dropNearDuplicates(docs: DataFrame, idCol: String, pairs: DataFrame,
-                         idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    val losers = connectedComponents(pairs, idA, idB)
+                         idA: String = "id_a", idB: String = "id_b",
+                         maxIter: Int = 15): DataFrame = {
+    val losers = connectedComponents(pairs, idA, idB, maxIter)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")

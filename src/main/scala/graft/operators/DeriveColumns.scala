@@ -79,7 +79,10 @@ object DeriveColumns {
     */
   def fillLabelFromMetadata(value: Column, label: Column,
                             mapping: Map[String, String]): Column = {
-    val missing = label.isNull || trim(label).isin("", "None", "null", "nan")
+    // sentinels include the stringified-LIST form the reference repairs
+    // (label = '["None"]' in bulk_fix_data_labels)
+    val missing = label.isNull ||
+      trim(label).isin("", "None", "null", "nan", """["None"]""", "[]")
     if (mapping.isEmpty) label
     else when(missing, coalesce(element_at(typedLit(mapping), value), label))
       .otherwise(label)
@@ -123,25 +126,37 @@ object DeriveColumns {
     */
   def coerceByFieldInfo(df: DataFrame, fields: Seq[Validation.FieldInfo],
                         colName: String => String = k => s"${k}_value",
-                        dateFormats: Seq[String] = Seq("yyyy-MM-dd")): DataFrame = {
+                        dateFormats: Seq[String] = DefaultDateFormats): DataFrame = {
     val present = df.columns.toSet
-    fields.filter(f => present.contains(colName(f.key))).foldLeft(df) { (acc, f) =>
+    // ONE withColumns projection: a per-field withColumn fold re-analyzes
+    // the whole plan per field — quadratic for the hundreds-of-fields
+    // metadata frames this serves
+    val casts = fields.filter(f => present.contains(colName(f.key))).flatMap { f =>
       val c = colName(f.key)
       f.dataType match {
         case "number" | "integer" | "float" | "timer" =>
-          acc.withColumn(c, col(c).try_cast(org.apache.spark.sql.types.DoubleType))
+          Some(c -> col(c).try_cast(org.apache.spark.sql.types.DoubleType))
         case "datetime" | "timestamp" | "date" =>
-          acc.withColumn(c, multiFormatTimestamp(col(c), dateFormats))
+          Some(c -> multiFormatTimestamp(col(c), dateFormats))
         case "boolean" | "yesno" =>
           val v = lower(trim(col(c)))
-          acc.withColumn(c,
-            when(v.isin("y", "yes", "true", "1"), true)
-              .when(v.isin("n", "no", "false", "0"), false)
-              .otherwise(false))
-        case _ => acc // select/dropdown/free text stay strings
+          Some(c -> when(v.isin("y", "yes", "true", "1"), true)
+            .when(v.isin("n", "no", "false", "0"), false)
+            .otherwise(false))
+        case _ => None // select/dropdown/free text stay strings
       }
-    }
+    }.toMap
+    if (casts.isEmpty) df else df.withColumns(casts)
   }
+
+  /** Default formats for metadata-driven date coercion — the same shapes
+    * the validation DatetimeRegex accepts (date-only and ISO datetime),
+    * so a value the generated rules pass is not silently nulled by the
+    * coercion half of the same metadata.
+    */
+  val DefaultDateFormats: Seq[String] = Seq(
+    "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm", "yyyy-MM-dd HH:mm", "yyyy-MM-dd")
 
   /** Profile-gated date cast: convert a text column to timestamp ONLY
     * when at least `minValidPercent` of its non-null values parse under

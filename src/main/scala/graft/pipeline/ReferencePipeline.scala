@@ -63,7 +63,9 @@ object ReferencePipeline {
           diagnosesRepeatField: String = "Diag",
           fuzzyRules: Seq[(String, String, Seq[FuzzyRecode.Rule])] = Nil,
           fieldInfo: Seq[Validation.FieldInfo] = Nil,
-          knownMclKeys: Option[Seq[String]] = None): Outputs = {
+          knownMclKeys: Option[Seq[String]] = None,
+          dateFormats: Seq[String] = DeriveColumns.DefaultDateFormats,
+          persistShared: Boolean = false): Outputs = {
     // 1. import: parse + uid recovery; corrupt rows routed out, not dropped
     val parsed = JsonImport.parseSessions(raw, jsonCol)
 
@@ -85,9 +87,15 @@ object ReferencePipeline {
     val exceptions = parsed.filter(col("is_corrupt"))
       .unionByName(keyed.filter(col("uid").isNull))
 
-    // 2. dedup: one row per (uid, script), keep latest by started_at
-    val deduped = Dedup.keepLatest(wellFormed, Seq("uid", "scriptid"),
+    // 2. dedup: one row per (uid, script), keep latest by started_at.
+    //    Every output table fans out from here — persistShared caches it
+    //    so materializing all outputs (publish) scans the raw JSON once,
+    //    not once per table.
+    val deduped0 = Dedup.keepLatest(wellFormed, Seq("uid", "scriptid"),
       col("started_at"), col("completed_at"))
+    val deduped = if (persistShared)
+      deduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else deduped0
 
     // 3. tidy: wide key-value extraction per script route
     def route(script: String): DataFrame = {
@@ -154,14 +162,24 @@ object ReferencePipeline {
     // 4b. metadata-compiled validation + typed coercion: rules run over
     //     the STRING form (the reference validates before casting nulls
     //     garbage), then the same metadata casts the published table
+    //     Rules for metadata keys outside `keys` are dropped (the script
+    //     config covers every form field; the wide table only the
+    //     requested subset) — mirroring coerceByFieldInfo's
+    //     present-columns filter, instead of failing column resolution.
+    val wideCols = canonical.columns.toSet
+    val presentRules = Validation.fromFieldInfo(fieldInfo).filter {
+      case l: Validation.LabelMatchesOption =>
+        wideCols.contains(l.column) && wideCols.contains(l.labelColumn)
+      case r => wideCols.contains(r.column)
+    }
     val ruleExceptions =
-      if (fieldInfo.isEmpty) canonical.limit(0)
+      if (presentRules.isEmpty) canonical.limit(0)
         .select(col("uid"), lit("").as("col_name"), lit("").as("code"),
           lit("").as("offending_value"))
-      else Validation.exceptions(canonical, Seq("uid"),
-        Validation.fromFieldInfo(fieldInfo))
+      else Validation.exceptions(canonical, Seq("uid"), presentRules)
     val typed = if (fieldInfo.isEmpty) canonical
-      else DeriveColumns.coerceByFieldInfo(canonical, fieldInfo)
+      else DeriveColumns.coerceByFieldInfo(canonical, fieldInfo,
+        dateFormats = dateFormats)
     val admissions = Cleanup.snakeCaseColumns(typed)
 
     // 5. join + derived outcome columns (LOS, month buckets, flags)
@@ -196,14 +214,18 @@ object ReferencePipeline {
 
   /** Materialize every output table under `baseDir/<name>` — the
     * reference's final publish into the `derived` schema
-    * (create table → swap), as parquet directories with crash-safe
-    * replacement: each table writes to a sibling `.tmp` dir first and
-    * swaps in only when fully written (graft.sources.AtomicSwap), so a
-    * failed run never leaves a half-published table where a BI reader
-    * (the reference's Metabase) would see it. Tables publish
-    * independently; a failure leaves earlier tables at their NEW version
-    * and later ones at their OLD — the same per-table semantics as the
-    * reference's sequential CREATE TABLE statements.
+    * (create table → swap), as parquet directories. Each table writes to
+    * a sibling `.tmp` dir first and swaps in only when fully written
+    * (graft.sources.AtomicSwap), so no data version is ever lost and a
+    * HALF-written table is never visible; the swap itself is
+    * delete-then-rename on plain filesystems, so a reader racing the
+    * swap instant (or a crash inside it) can see the table briefly
+    * MISSING — its data intact under `.tmp`. ACID table formats replace
+    * this class when that window matters. Tables publish independently;
+    * a failure leaves earlier tables at their NEW version and later ones
+    * at their OLD — the reference's sequential CREATE TABLE semantics.
+    * Pair with `run(..., persistShared = true)` so the fan-out doesn't
+    * rescan the raw JSON once per table.
     */
   def publish(out: Outputs, baseDir: String): Unit = {
     val tables: Seq[(String, DataFrame)] = Seq(
@@ -217,9 +239,15 @@ object ReferencePipeline {
       "combined_diagnoses" -> out.combinedDiagnoses,
       "rule_exceptions" -> out.ruleExceptions) ++
       out.mclTables.toSeq.sortBy(_._1).map { case (k, df) =>
-        s"exploded_${k.toLowerCase}" -> df // reference: derived."exploded_<key>"
+        // reference: derived."exploded_<key>"; snake_case like the columns
+        s"exploded_${Cleanup.snakeCase(k)}" -> df
       }
-    tables.filter(_._2 != null).foreach { case (name, df) =>
+    val live = tables.filter(_._2 != null)
+    val dupNames = live.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }
+    require(dupNames.isEmpty,
+      s"publish would overwrite itself: duplicate table names ${dupNames.mkString(", ")} " +
+        "(MCL keys colliding after snake_casing?)")
+    live.foreach { case (name, df) =>
       val target = s"$baseDir/$name"
       val tmp = s"$target.tmp"
       graft.sources.Sinks.parquet(df, tmp)

@@ -99,12 +99,25 @@ class RecodeDiscoverySpec extends SparkSpec {
     val out = Seq(
       ("SVD", null.asInstanceOf[String]), // null label → mapped
       ("CS", "None"),                     // stringified None → mapped
+      ("CS", """["None"]"""),             // the reference's LIST-form sentinel
       ("SVD", "Hand-entered"),            // present label → untouched
       ("OTH", "None")                     // unmapped value → sentinel kept
     ).toDF("v", "l")
       .select(DeriveColumns.fillLabelFromMetadata(col("v"), col("l"), m))
       .as[String].collect()
-    assert(out === Array("Normal delivery", "Caesarean", "Hand-entered", "None"))
+    assert(out === Array("Normal delivery", "Caesarean", "Caesarean",
+      "Hand-entered", "None"))
+  }
+
+  test("coerceByFieldInfo date default accepts what the validation regex accepts") {
+    // an ISO datetime passes the generated DatetimeRegex rule — the
+    // coercion half of the same metadata must not silently NULL it
+    val meta = Seq(Validation.FieldInfo("visit", dataType = "datetime"))
+    val out = DeriveColumns.coerceByFieldInfo(
+      Seq((1L, "2026-01-07T08:00:00"), (2L, "2026-01-07"), (3L, "NaT"))
+        .toDF("id", "visit_value"), meta)
+      .orderBy("id").select("visit_value").collect()
+    assert(!out(0).isNullAt(0) && !out(1).isNullAt(0) && out(2).isNullAt(0))
   }
 
   test("discoverMclKeys and explodeMclKey tolerate malformed/corrupt entries rows") {

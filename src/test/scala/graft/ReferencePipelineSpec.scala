@@ -165,7 +165,11 @@ class ReferencePipelineSpec extends SparkSpec {
   test("one fieldInfo frame drives typed coercion AND generated validation") {
     val meta = Seq(
       graft.operators.Validation.FieldInfo("Temp", dataType = "number",
-        optional = false, minValue = Some(30.0), maxValue = Some(43.0)))
+        optional = false, minValue = Some(30.0), maxValue = Some(43.0)),
+      // script metadata covers MORE fields than the widened key set —
+      // rules for absent columns must be skipped, not crash resolution
+      graft.operators.Validation.FieldInfo("Ghost", dataType = "number",
+        optional = false))
     val hot =
       """{"scriptid":"adm","uid":"u9","facility":"F1","started_at":"2026-01-09T08:00:00",
          "entries":[{"key":"Temp","values":[{"value":"98.6","label":"T"}]}]}"""
