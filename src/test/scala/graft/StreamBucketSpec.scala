@@ -32,6 +32,34 @@ class StreamBucketSpec extends SparkSpec {
     assert(out == Set((1L, "first"), (2L, "other"), (3L, "new")))
   }
 
+  test("LLM ingest chain (scrub -> quality gate -> dedup) runs unchanged on a file stream") {
+    import graft.functions.TextAnalysis
+    // a REAL file stream (not MemoryStream): parquet files land in a dir,
+    // the chain scrubs markup/PII, gates on token count, and drops exact
+    // dups within the watermark — every operator is the same stateless
+    // Column expression the batch queries use
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val batch1 = Seq(
+      (1L, ts(0), "<p>the quick brown fox jumps over the lazy dog</p> mail me a@b.org"),
+      (2L, ts(1), "too short"),
+      (3L, ts(2), "the quick brown fox jumps over the lazy dog")) // dup of 1 post-scrub
+    batch1.toDF("doc_id", "ts", "raw").write.parquet(s"$dir/in1")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in*")
+    val cleaned = stream
+      .withColumn("clean", TextAnalysis.cleanForTraining(col("raw")))
+      .withColumn("clean", regexp_replace(col("clean"), " mail me <EMAIL>", ""))
+      .filter(TextAnalysis.tokenCountWs(col("clean")) >= 5)
+    val deduped = StreamDedup.withinWatermark(
+      cleaned.withColumn("th", xxhash64(col("clean"))), Seq("th"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("ingest_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ingest_out").select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L)) // 2 gated out (short), 3 deduped against 1
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val facts = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
     val dims = (0 to 49).map(i => (i.toLong, s"label_$i")).toDF("k", "name")
