@@ -67,6 +67,16 @@ object JsonImport {
       entryValue(entries, "NeoTreeIDBC")))
   }
 
+  /** Read a directory of raw session exports (one JSON document per line,
+    * the reference's export drop format) straight into the parsed ingest
+    * frame — `spark.read.text` keeps each line opaque so malformed
+    * documents reach [[parseSessions]]'s corrupt-row routing instead of
+    * being dropped by a schema-inferring reader. Supports glob paths and
+    * is the batch twin of `spark.readStream.text` for continuous ingest.
+    */
+  def readRawSessions(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    parseSessions(spark.read.text(path).withColumnRenamed("value", "json"), "json")
+
   /** Parse a DataFrame bearing one raw session JSON string per row into
     * the flat ingest columns (uid, script id, versions, facility, started/
     * completed timestamps) plus the original payload for downstream

@@ -71,6 +71,19 @@ class JsonImportSpec extends SparkSpec {
     assert(keys == Set("NeoTreeID", "Temp", "UID"))
   }
 
+  test("readRawSessions: a text-dir export parses with corrupt rows routed, not dropped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_raw").toString
+    Seq(
+      """{"scriptid":"adm","uid":"rr-1","entries":[{"key":"Temp","values":[{"value":"36","label":"T"}]}]}""",
+      """definitely not json"""
+    ).toDF("value").coalesce(1).write.text(s"$dir/day1")
+    val parsed = JsonImport.readRawSessions(spark, s"$dir/day*")
+    assert(parsed.count() === 2)
+    assert(parsed.filter(col("is_corrupt")).count() === 1)
+    assert(parsed.filter(col("uid") === "RR-1").count() === 1)
+  }
+
   test("incremental inventory: stored keys + increment discovery == full rescan") {
     import spark.implicits._
     val increment = Seq(

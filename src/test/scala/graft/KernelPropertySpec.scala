@@ -104,6 +104,31 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("extractYears agrees with a port of the reference model on random age strings") {
+    import graft.operators.DeriveColumns
+    // reference model (utils/assorted_fixes.py::extract_years): anchored
+    // number (optional 'years') wins whole; else first '<n> years' phrase
+    // anywhere; else None — int(float(...)) truncation
+    val whole = """(?i)^(\d+(\.\d+)?)\s*(years?)?$""".r
+    val embedded = """(?i)(\d+(\.\d+)?)\s*years?""".r
+    def model(v: String): Option[Int] = {
+      val s = v.trim
+      whole.findFirstMatchIn(s).map(_.group(1))
+        .orElse(embedded.findFirstMatchIn(s).map(_.group(1)))
+        .map(n => n.toDouble.toInt)
+    }
+    val rnd = new scala.util.Random(13)
+    val bits = Vector("23", "23.5", "years", "year", "YEARS", "old", "aged",
+      "unknown", "", " ", "3 months", "about")
+    val cases = (1 to 300).map { i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(3))).map(_ => bits(rnd.nextInt(bits.size))).mkString(" "))
+    }
+    val got = cases.toDF("id", "raw")
+      .select(col("id"), DeriveColumns.extractYears(col("raw")).as("y"))
+      .as[(Long, Option[Int])].collect().toMap
+    cases.foreach { case (id, s) => assert(got(id) === model(s), s"input: '$s'") }
+  }
+
   test("fuzzyRecode matched() agrees with the last-match-wins model on random soup") {
     import graft.operators.FuzzyRecode
     val rnd = new scala.util.Random(11)
