@@ -138,17 +138,20 @@ object JsonImport {
     */
   def discoverKeys(parsed: DataFrame): DataFrame = {
     val entries = col("entries_json")
-    // union of both shape extractions, not coalesce: parsing a dict-shape
-    // row under the list schema yields a PARTIAL result (non-null array of
-    // null keys) rather than null, so coalesce would mask the dict keys
     val listKeys = filter(
       transform(from_json(entries, entryListSchema), e => e.getField("key")),
       k => k.isNotNull)
     val dictKeys = json_object_keys(entries) // null on the list shape
     val empty = array().cast("array<string>")
+    // a row is ONE shape — dispatch on the first character (CaseWhen
+    // branches evaluate lazily per row) so each row pays exactly one
+    // parse, the same move as discoverMclKeys; dispatching also avoids
+    // the old both-sides parse where the list schema yields a PARTIAL
+    // (all-null-keys) result on dict rows
+    val shaped = when(startswith(ltrim(entries), lit("[")), listKeys)
+      .otherwise(dictKeys)
     parsed
-      .select(explode_outer(array_union(
-        coalesce(listKeys, empty), coalesce(dictKeys, empty))).as("key"))
+      .select(explode_outer(coalesce(shaped, empty)).as("key"))
       .filter(col("key").isNotNull)
       .distinct()
   }
