@@ -24,6 +24,14 @@ import org.apache.spark.sql.types._
   */
 object JsonImport {
 
+  /** First non-whitespace character is '[' — the legacy LIST shape.
+    * Regex \s, not `ltrim`: ltrim strips only ASCII spaces, so a document
+    * led by a tab/newline would otherwise mis-route to the dict branch
+    * and silently drop its keys.
+    */
+  private def isListShape(entries: Column): Column =
+    regexp_extract(entries, "^\\s*(.)", 1) === "["
+
   /** Legacy list shape of `entries`. */
   val entryListSchema: DataType = ArrayType(StructType(Seq(
     StructField("key", StringType),
@@ -148,7 +156,7 @@ object JsonImport {
     // parse, the same move as discoverMclKeys; dispatching also avoids
     // the old both-sides parse where the list schema yields a PARTIAL
     // (all-null-keys) result on dict rows
-    val shaped = when(startswith(ltrim(entries), lit("[")), listKeys)
+    val shaped = when(isListShape(entries), listKeys)
       .otherwise(dictKeys)
     parsed
       .select(explode_outer(coalesce(shaped, empty)).as("key"))
@@ -236,7 +244,7 @@ object JsonImport {
     // a row is ONE shape — dispatch on the first character (CaseWhen
     // branches evaluate lazily per row) so each row pays exactly one
     // from_json instead of both parsers attempting it
-    val shaped = when(startswith(ltrim(col("entries_json")), lit("[")), listKv)
+    val shaped = when(isListShape(col("entries_json")), listKv)
       .otherwise(dictKv)
     parsed
       .select(explode_outer(coalesce(shaped, empty)).as("kv"))

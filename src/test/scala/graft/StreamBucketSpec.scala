@@ -57,7 +57,10 @@ class StreamBucketSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val out = spark.table("ingest_out").select("doc_id").as[Long].collect().toSet
-    assert(out === Set(1L)) // 2 gated out (short), 3 deduped against 1
+    // 2 gated out (short); 1 and 3 are identical post-scrub so exactly ONE
+    // survives — WHICH one is unspecified for same-key rows in one
+    // micro-batch (state-store arrival order), so assert the set shape
+    assert(out.size === 1 && out.subsetOf(Set(1L, 3L)), out.toString)
   }
 
   test("bucketed tables join without any shuffle exchange") {
