@@ -161,6 +161,30 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** PCA-reduce an embedding column to `dims` components (Spark MLlib's
+    * distributed PCA: one covariance aggregation over the corpus + a
+    * driver-side eigendecomposition of the d×d matrix — d is the
+    * embedding width, not the corpus size). The scale lever for the ANN
+    * stack: 64-d → 16-d cuts every cosine and every shuffled vector
+    * payload 4× while near-dup/top-k recall tracks the retained
+    * variance. Returns (the frame with `outCol: Array[Float]`, the
+    * fitted model for transforming FUTURE batches with the same basis —
+    * reusing it is what keeps reduced vectors comparable across runs).
+    */
+  def pcaReduce(df: DataFrame, vecCol: String, dims: Int,
+                outCol: String): (DataFrame, org.apache.spark.ml.feature.PCAModel) = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val withVec = df.withColumn("__pca_in",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new PCA().setInputCol("__pca_in").setOutputCol("__pca_out")
+      .setK(dims).fit(withVec)
+    val out = model.transform(withVec)
+      .withColumn(outCol, vector_to_array(col("__pca_out"), "float32"))
+      .drop("__pca_in", "__pca_out")
+    (out, model)
+  }
+
   /** Top-k by (cos desc, neighbor_id asc) via graft's bounded-heap
     * aggregate: O(log k) per candidate in ObjectHashAggregate, only k rows
     * per query per map task shuffle — a `row_number` window would sort
