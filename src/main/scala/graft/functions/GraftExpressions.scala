@@ -274,14 +274,24 @@ object GraftFunctions {
   }
 
   /** Markers literal format for graft_lang_id: `lang:w1,w2|lang2:w3`. */
+  // the separators are escaped percent-style so a marker/gram containing
+  // ':' ',' or '|' (routine in CHARACTER n-gram profiles) round-trips
+  // instead of being silently split into wrong grams
+  private def escMarker(s: String): String = s
+    .replace("%", "%25").replace(":", "%3A").replace(",", "%2C").replace("|", "%7C")
+  private def unescMarker(s: String): String = s
+    .replace("%7C", "|").replace("%2C", ",").replace("%3A", ":").replace("%25", "%")
+
   def encodeMarkers(markers: Map[String, Seq[String]]): String =
     markers.toSeq.sortBy(_._1)
-      .map { case (l, ws) => s"$l:${ws.mkString(",")}" }.mkString("|")
+      .map { case (l, ws) => s"${escMarker(l)}:${ws.map(escMarker).mkString(",")}" }
+      .mkString("|")
 
   private def decodeMarkers(s: String): Seq[(String, Seq[String])] =
     s.split('|').toSeq.map { part =>
       part.split(":", 2) match {
-        case Array(lang, words) => lang -> words.split(',').toSeq
+        case Array(lang, words) =>
+          unescMarker(lang) -> words.split(',').toSeq.map(unescMarker)
         case _ => throw new IllegalArgumentException(
           s"graft_lang_id markers must be 'lang:w1,w2|lang2:w3', got segment '$part'")
       }
@@ -306,8 +316,13 @@ object GraftFunctions {
     "graft_lang_id_ngram" -> (es =>
       LangIdNgramExpr(es(0), decodeMarkers(stringLit(es(1), "profiles")),
         intLit(es(2), "n"))),
-    "graft_ngram_hashes" -> (es =>
-      NgramHashesExpr(es(0), intLit(es(1), "n"))),
+    "graft_ngram_hashes" -> (es => {
+      val n = intLit(es(1), "n")
+      // plan-time guard: n <= 0 would allocate a negative-size scratch
+      // array PER ROW deep in execution instead of failing here
+      require(n >= 1, s"graft_ngram_hashes needs n >= 1, got $n")
+      NgramHashesExpr(es(0), n)
+    }),
     "graft_count_in_set" -> (es =>
       TokenInSetCountExpr(es(0), stringLit(es(1), "words").split(',').toSeq)),
     "graft_max_by" -> (es => HashExtremumBy(es(0), es(1), isMax = true)),

@@ -91,7 +91,10 @@ object TextKernels {
   final class LangIdNgramKernel(profiles: Seq[(String, Seq[String])], n: Int)
       extends LangScorer[String](profiles, identity) {
     def eval(text: UTF8String): UTF8String = {
-      val s = text.toString.toLowerCase
+      // Locale.ROOT: default-locale lowercasing makes classification
+      // depend on the executor JVM's locale (Turkish dotless-i etc.),
+      // breaking the cross-machine determinism these kernels exist for
+      val s = text.toString.toLowerCase(java.util.Locale.ROOT)
       val counts = new Array[Int](langs.length)
       var i = 0
       val last = s.length - n

@@ -45,8 +45,12 @@ object Dedup {
   def keepFirst(df: DataFrame, keys: Seq[Column], orderKey: Column, tieBreak: Column): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    // leading isNull field: struct ordering is nulls-FIRST, so without it
+    // a row with a NULL orderKey would beat every real row under min —
+    // the opposite of min_by / Postgres ORDER BY, which put nulls last
     df.groupBy(keys.toIndexedSeq: _*)
-      .agg(call_function("graft_min_by", payload, struct(orderKey, tieBreak)).as("__row"))
+      .agg(call_function("graft_min_by", payload,
+        struct(orderKey.isNull, orderKey, tieBreak)).as("__row"))
       .select(col("__row.*"))
   }
 

@@ -25,7 +25,11 @@ object Mcl {
     */
   def explodeChoices(df: DataFrame, mclCol: Column, sep: String = ",",
                      outCol: String = "choice"): DataFrame = {
-    val choices = filter(transform(split(mclCol, sep), trim(_)), c => length(c) > 0)
+    // Pattern.quote: `sep` is a plain delimiter in this API, but split()
+    // takes a REGEX — an unquoted "|" or "." would split on every char
+    val choices = filter(
+      transform(split(mclCol, java.util.regex.Pattern.quote(sep)), trim(_)),
+      c => length(c) > 0)
     // explode_outer, NOT explode: plain explode makes Catalyst infer
     // `size(choices) > 0` and push it below the Generate, re-evaluating
     // the split/transform/filter chain a second (and third) time per row —

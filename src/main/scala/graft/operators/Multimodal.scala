@@ -75,6 +75,12 @@ object Multimodal {
     val scale = least(
       lit(maxW.toDouble) / col("meta.width"),
       lit(maxH.toDouble) / col("meta.height"), lit(1.0))
+    // resizable = image/video WITH usable dimensions: a NULL meta (or a
+    // zero width/height, whose division nulls out `scale`) must pass the
+    // row through untouched — resizing would otherwise propagate NULL
+    // into `bytes` and silently destroy the payload
+    val resizable = col("kind").isin("image", "video") &&
+      col("meta.width") > 0 && col("meta.height") > 0
     // target dims are computed ONCE against the ORIGINAL meta (as temp
     // columns) before meta is replaced — referencing meta.width in a later
     // withColumn would silently re-evaluate against the resized struct
@@ -82,10 +88,10 @@ object Multimodal {
       .withColumn("__w", (col("meta.width") * scale).cast("int"))
       .withColumn("__h", (col("meta.height") * scale).cast("int"))
       .withColumn("bytes",
-        when(col("kind").isin("image", "video"),
+        when(resizable,
           udfFreeResizeBytes(col("bytes"), col("__w"), col("__h"))).otherwise(col("bytes")))
       .withColumn("meta",
-        when(col("kind").isin("image", "video"), struct(
+        when(resizable, struct(
           col("__w").as("width"), col("__h").as("height"),
           col("meta.sample_rate"), col("meta.n_frames"), col("meta.mime")))
           .otherwise(col("meta")))
@@ -105,6 +111,9 @@ object Multimodal {
     * batched per partition. The decode is [[MediaCodec.decodeStub]].
     */
   def frameFeatures(media: DataFrame, everyNth: Int): DataFrame = {
+    // API-boundary guard: 0 would throw 'step cannot be 0' per-row deep
+    // inside mapPartitions, and a negative stride silently samples nothing
+    require(everyNth >= 1, s"frameFeatures needs everyNth >= 1, got $everyNth")
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),

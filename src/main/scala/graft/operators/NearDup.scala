@@ -171,6 +171,11 @@ object NearDup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, numHashes: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
+    // rowsPerBand > numHashes would give numBands = 0, whose descending
+    // sequence(0, -1) drives candidate generation off a nonsense band
+    // (slice from the array END) — near-zero recall instead of an error
+    require(rowsPerBand >= 1 && rowsPerBand <= numHashes,
+      s"minhashLshPairs needs 1 <= rowsPerBand <= numHashes, got $rowsPerBand/$numHashes")
     val numBands = numHashes / rowsPerBand
     // docs with < n tokens have empty shingle sets → all-null signatures
     // that would all collide in one md5-of-nothing band; they cannot be

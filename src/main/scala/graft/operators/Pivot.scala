@@ -24,9 +24,12 @@ object Pivot {
       .pivot(kvKey, keyValues)
       .agg(agg)
 
-  /** Conditional-aggregation form of the same pivot — the exact plan a
-    * hand-written `SUM(CASE WHEN k='a' ...)` would give; useful when
-    * column naming must be controlled precisely.
+  /** Conditional-aggregation form — the plan a hand-written
+    * `SUM(CASE WHEN k='a' THEN v ELSE 0 END)` gives; useful when column
+    * naming must be controlled precisely. NOT result-identical to
+    * [[toWide]]: the `ELSE 0` makes groups where a key never occurs read
+    * 0, where the pivot form reads NULL — pick the form whose
+    * absent-vs-zero semantics the consumer needs.
     */
   def toWideConditional(df: DataFrame, groupKeys: Seq[String], kvKey: String,
                         keyValues: Seq[String], valueExpr: Column): DataFrame = {

@@ -122,6 +122,21 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 13 && out.forall(_._2 === 0L))
   }
 
+  test("keepFirst: a NULL orderKey row loses to every real row (nulls-last)") {
+    val df = Seq(
+      (1L, "u1", null.asInstanceOf[java.sql.Timestamp]), // garbage ingest ts
+      (2L, "u1", java.sql.Timestamp.valueOf("2026-01-02 00:00:00")),
+      (3L, "u1", java.sql.Timestamp.valueOf("2026-01-03 00:00:00"))
+    ).toDF("id", "uid", "ts")
+    val kept = Dedup.keepFirst(df, Seq(col("uid")), col("ts"), col("id"))
+      .select("id").as[Long].head()
+    assert(kept === 2L) // NOT the null-ts row (struct ordering is nulls-first)
+    // an all-null group still yields a row
+    val allNull = Seq((9L, "u2", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "uid", "ts")
+    assert(Dedup.keepFirst(allNull, Seq(col("uid")), col("ts"), col("id")).count() === 1)
+  }
+
   test("connectedComponents FAILS LOUDLY instead of returning split components") {
     // a 10-node path needs 9 rounds; maxIter 3 must throw, not silently
     // hand back a partially-merged labeling

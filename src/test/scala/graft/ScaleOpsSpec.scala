@@ -128,6 +128,12 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(2).sameElements(init(2)) && out(3).sameElements(init(3)))
   }
 
+  test("explodeChoices treats the separator literally, not as a regex") {
+    val out = Mcl.explodeChoices(Seq("a|b|c").toDF("mcl"), col("mcl"), sep = "|")
+      .select("choice").as[String].collect().toSeq
+    assert(out === Seq("a", "b", "c")) // unquoted "|" would split per char
+  }
+
   test("pcaReduce: top-k over an 8-d reduction preserves neighbors of low-rank data") {
     // embeddings with genuine low-dim structure: 64-d vectors living in a
     // 4-d subspace plus small noise (real text/image embeddings are

@@ -86,4 +86,29 @@ class TextExprSpec extends SparkSpec {
         split(lower(trim(col("text"))), "\\s+"), lit(3))).as("fast"))
     assert(cmp.filter(not(col("ref") === col("fast"))).count() === 0)
   }
+
+  test("char n-gram profiles containing separators round-trip the marker encoding") {
+    GraftFunctions.ensureRegistered(spark)
+    // grams with ',' ':' '|' '%' — raw separators would split them into
+    // wrong grams (or crash decode) and silently misclassify
+    val profiles = Map(
+      "pt" -> Seq("e, ", ", a"),
+      "tb" -> Seq("a|b", "x:y", "50%"))
+    val out = Seq("foo e, bar", "val a|b end", "val x:y end", "50% off", "zzzz")
+      .toDF("t")
+      .select(TextAnalysis.langIdNgram(col("t"), profiles))
+      .as[String].collect()
+    assert(out(0) === "pt")
+    assert(out(1) === "tb" && out(2) === "tb" && out(3) === "tb")
+    assert(out(4) === "und")
+  }
+
+  test("graft_ngram_hashes rejects non-positive n at plan time") {
+    GraftFunctions.ensureRegistered(spark)
+    val e = intercept[IllegalArgumentException] {
+      docs.select(call_function("graft_ngram_hashes",
+        split(col("text"), " "), lit(0))).collect()
+    }
+    assert(e.getMessage.contains("n >= 1"))
+  }
 }
