@@ -58,6 +58,8 @@ object Sinks {
     */
   def parquetBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                       nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty && nBuckets >= 1,
+      s"parquetBucketed needs >= 1 bucket column and nBuckets >= 1, got $bucketCols/$nBuckets")
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
@@ -73,12 +75,37 @@ object Sinks {
     */
   def compact(spark: SparkSession, path: String, rowsPerFile: Long): Unit = {
     val df = spark.read.parquet(path)
-    val n = df.count()
+    // the sizing count reads parquet FOOTER row counts, not data: with
+    // aggregate pushdown the scan emits per-row-group statistics only —
+    // without it compaction pays a full extra pass just to pick a file
+    // count (scoped per job; graft.Sessions.withConf semantics inlined
+    // here to keep sources/ free of a graft-core dependency)
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val n = try df.count()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
     val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
-    val tmp = path + "__compact"
-    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    rewriteSwapped(df.repartition(files), path, suffix = "__compact")
+  }
+
+  /** Rewrite `path` in place via write-to-temp + atomic swap — THE one
+    * implementation of the rewrite protocol (compaction, streaming
+    * upsert), so swap-recovery semantics can't drift between call sites.
+    */
+  def rewriteSwapped(df: DataFrame, path: String, suffix: String = "__tmp"): Unit = {
+    val tmp = path + suffix
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
     AtomicSwap.replace(path, tmp)
   }
+
+  /** The temp path [[rewriteSwapped]] uses for `path` — exposed so crash
+    * recovery can look for a stranded replacement.
+    */
+  def rewriteTmpPath(path: String): String = path + "__tmp"
 
   /** Schema-evolving append: later batches may carry MORE columns than
     * earlier ones (dynamic form fields discovered at ingest —

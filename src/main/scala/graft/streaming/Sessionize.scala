@@ -35,9 +35,9 @@ object Sessionize {
 
   /** Sessionize a (possibly streaming) Dataset of events.
     *
-    * @param gapSeconds silence longer than this closes a session
-    * @param emitOpenOnTimeout when the watermark passes an open session's
-    *   gap horizon the session is emitted and its state dropped
+    * @param gapSeconds silence longer than this closes a session; when
+    *   the watermark passes an open session's gap horizon the session is
+    *   emitted and its state dropped (event-time timeout)
     */
   def sessions(events: Dataset[Evt], gapSeconds: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -76,7 +76,11 @@ object Sessionize {
           case Some(s) if s.nEvents == 0 => // resume after a flushed session
             open = Some(OpenSession(t, t, 1, s.idx + 1))
           case Some(s) if t - s.end <= gapMs =>
-            open = Some(s.copy(end = math.max(s.end, t), nEvents = s.nEvents + 1))
+            // min on start too: an out-of-order event that is late but
+            // within the watermark can precede the session's first seen
+            // event — the batch twin's min(ts) must still match
+            open = Some(s.copy(start = math.min(s.start, t),
+              end = math.max(s.end, t), nEvents = s.nEvents + 1))
           case Some(s) =>
             closed += SessionOut(userId, s.idx, new Timestamp(s.start),
               new Timestamp(s.end), s.nEvents)
@@ -107,7 +111,13 @@ object Sessionize {
     */
   def fromRaw(df: DataFrame): Dataset[Evt] = {
     import df.sparkSession.implicits._
+    // drop null keys/timestamps BEFORE the typed boundary: a malformed
+    // row (cast → null) would otherwise NPE inside the stateful fold and
+    // crash-loop the query on the same checkpointed offsets forever
     df.select(col("user_id").cast("long"), col("ts").cast("timestamp"),
-        col("event_id").cast("long")).as[Evt]
+        col("event_id").cast("long"))
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
+      .as[Evt]
   }
 }

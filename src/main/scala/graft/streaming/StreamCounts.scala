@@ -26,6 +26,7 @@ object StreamCounts {
   def windowedFlagCounts(events: DataFrame, tsCol: String, delay: String,
                          windowLen: String, groupCols: Seq[String],
                          flags: Seq[(String, Column)]): DataFrame = {
+    require(flags.nonEmpty, "windowedFlagCounts needs at least one flag")
     val aggs = flags.map { case (name, cond) => sum(when(cond, 1L).otherwise(0L)).as(name) }
     events.withWatermark(tsCol, delay)
       .groupBy(window(col(tsCol), windowLen) +: groupCols.map(col): _*)

@@ -39,12 +39,31 @@ object StreamUpsert {
       upsertBatch(batch.sparkSession, batch, path, keys, orderCol, tieBreak)
     }
 
+  /** Any parquet part file anywhere under `dir` — a PARTITIONED table
+    * keeps its files in key=value subdirectories, so a top-level-only
+    * listing would declare an existing table absent and the merge would
+    * silently discard its history.
+    */
+  private def containsParquet(dir: java.io.File): Boolean = {
+    val children = dir.listFiles()
+    children != null && children.exists(f =>
+      (f.isFile && f.getName.endsWith(".parquet")) ||
+        (f.isDirectory && containsParquet(f)))
+  }
+
   /** One merge step: current ∪ batch → keep-latest → rewrite. */
   private[streaming] def upsertBatch(spark: SparkSession, batch: DataFrame, path: String,
                                      keys: Seq[String], orderCol: String, tieBreak: String): Unit = {
+    // crash recovery: a previous run that died inside the swap leaves the
+    // ONLY full copy under the rewrite's temp dir with the target gone —
+    // finish that swap before merging, or the Overwrite below would
+    // destroy the surviving copy and the stream would continue green with
+    // one micro-batch of history
     val dir = new java.io.File(path)
-    val hasTable = dir.exists() && dir.listFiles() != null &&
-      dir.listFiles().exists(_.getName.endsWith(".parquet"))
+    val tmpDir = new java.io.File(graft.sources.Sinks.rewriteTmpPath(path))
+    if (!dir.exists() && tmpDir.isDirectory && containsParquet(tmpDir))
+      graft.sources.AtomicSwap.replace(path, tmpDir.getPath)
+    val hasTable = dir.exists() && containsParquet(dir)
     // the batch itself must ALSO dedup — a micro-batch can carry several
     // versions of one key (caught by a file-stream probe: 1000 events of
     // 15 users landed unmerged on the empty-table path)
@@ -52,8 +71,6 @@ object StreamUpsert {
     val merged = Dedup.keepLatest(input, keys, col(orderCol), col(tieBreak))
     // rewrite via a temp dir + swap: reading and overwriting the same
     // path in one job is unsafe with plain parquet
-    val tmp = path + "__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    graft.sources.AtomicSwap.replace(path, tmp)
+    graft.sources.Sinks.rewriteSwapped(merged, path)
   }
 }

@@ -45,6 +45,27 @@ class SessionizeSpec extends SparkSpec {
     assert(out.contains((2L, 0L, ts(1), ts(1), 1L)))
   }
 
+  test("a late-but-within-watermark event LOWERS session_start (batch-twin parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = Sessionize.sessions(in.toDS(), gapSeconds = 600).writeStream
+      .format("memory").queryName("sess_late").outputMode("append").start()
+    in.addData(Evt(1L, ts(10), 1)) // session opens at 10:10
+    q.processAllAvailable()        // watermark trails by the 10-min delay
+    // out-of-order event BEFORE the open session's start, above watermark:
+    // must merge AND pull start back, like the batch twin's min(ts)
+    in.addData(Evt(1L, ts(5), 2))
+    q.processAllAvailable()
+    in.addData(Evt(99L, ts(59), 100)) // flush via watermark timeout
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_late").as[SessionOut].collect()
+      .filter(_.user_id == 1L)
+      .map(s => (s.session_start, s.session_end, s.n_events)).toSet
+    assert(out === Set((ts(5), ts(10), 2L)))
+  }
+
   test("session numbering continues after a timeout flush (no duplicate keys)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
