@@ -728,7 +728,47 @@ object Oracles {
                 ELSE false END AS flag_value,
            try_strptime(adm_value, '%Y-%m-%d') AS adm_value,
            mode_value
-         FROM w"""
+         FROM w""",
+
+    // best-match resolution replicated literally: all candidates scored
+    // (TRY_CAST + NOT isnan = the Spark comparability gate), row_number
+    // over (score DESC, linenumber ASC) = graft_min_by(payload,
+    // struct(-score, key)); contributions sum left-to-right like the
+    // Scala reduce, so the doubles are bit-identical
+    "q56_best_match_join" ->
+      """WITH adm AS (SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE CAST((o_orderkey * 13) % 97 AS VARCHAR) END AS adm_ofc,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'unknown' ELSE CAST((o_orderkey * 7) % 45 AS VARCHAR) END AS adm_gest,
+           CAST((o_orderkey % 30) * 100 + 1000 AS VARCHAR) AS adm_bw
+           FROM orders),
+         dis AS (SELECT l_orderkey AS o_orderkey, l_linenumber,
+           CASE WHEN l_suppkey % 3 = 0 THEN NULL ELSE CAST(l_partkey % 97 AS VARCHAR) END AS dis_ofc,
+           CAST(l_suppkey % 45 AS VARCHAR) AS dis_gest,
+           CAST((l_partkey % 30) * 100 + 1000 AS VARCHAR) AS dis_bw
+           FROM lineitem WHERE l_quantity < 30),
+         j AS (SELECT a.o_orderkey, a.adm_ofc, a.adm_gest, a.adm_bw,
+                      d.l_linenumber, d.dis_ofc, d.dis_gest, d.dis_bw
+               FROM adm a LEFT JOIN dis d ON a.o_orderkey = d.o_orderkey),
+         c AS (SELECT *,
+           (TRY_CAST(adm_ofc AS DOUBLE) IS NOT NULL AND NOT isnan(TRY_CAST(adm_ofc AS DOUBLE))
+            AND TRY_CAST(dis_ofc AS DOUBLE) IS NOT NULL AND NOT isnan(TRY_CAST(dis_ofc AS DOUBLE))) AS ok1,
+           (TRY_CAST(adm_gest AS DOUBLE) IS NOT NULL AND NOT isnan(TRY_CAST(adm_gest AS DOUBLE))
+            AND TRY_CAST(dis_gest AS DOUBLE) IS NOT NULL AND NOT isnan(TRY_CAST(dis_gest AS DOUBLE))) AS ok2,
+           (TRY_CAST(adm_bw AS DOUBLE) IS NOT NULL AND NOT isnan(TRY_CAST(adm_bw AS DOUBLE))
+            AND TRY_CAST(dis_bw AS DOUBLE) IS NOT NULL AND NOT isnan(TRY_CAST(dis_bw AS DOUBLE))) AS ok3
+           FROM j),
+         s AS (SELECT o_orderkey, l_linenumber,
+           CASE WHEN (CASE WHEN ok1 THEN 1 ELSE 0 END + CASE WHEN ok2 THEN 1 ELSE 0 END
+                      + CASE WHEN ok3 THEN 1 ELSE 0 END) = 0 THEN -1.0
+           ELSE (CASE WHEN ok1 THEN greatest(0.0, 10.0 - abs(TRY_CAST(adm_ofc AS DOUBLE) - TRY_CAST(dis_ofc AS DOUBLE)) / 1.0) ELSE 0.0 END
+               + CASE WHEN ok2 THEN greatest(0.0, 10.0 - abs(TRY_CAST(adm_gest AS DOUBLE) - TRY_CAST(dis_gest AS DOUBLE)) / 1.0) ELSE 0.0 END
+               + CASE WHEN ok3 THEN greatest(0.0, 5.0 - abs(TRY_CAST(adm_bw AS DOUBLE) - TRY_CAST(dis_bw AS DOUBLE)) / 500.0) ELSE 0.0 END)
+           END AS score FROM c),
+         r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                 ORDER BY score DESC, (l_linenumber IS NULL), l_linenumber) AS rn FROM s)
+       SELECT o_orderkey, CAST(l_linenumber AS BIGINT) AS best_line,
+              round(score, 4) AS match_score
+       FROM r WHERE rn = 1"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

@@ -541,6 +541,38 @@ object Queries {
       DeriveColumns.coerceByFieldInfo(w, meta)
     }),
 
+    // best-match duplicate resolution: orders ≈ admissions, lineitems ≈
+    // candidate discharges (several per order; quantity filter leaves some
+    // orders with NO candidate → unmatched-left path). Clinical fields are
+    // integer-derived STRINGS with nulls ('ofc') and garbage ('unknown'
+    // gest on every 7th order → all candidates score −1 → keep-first by
+    // linenumber), exercising every branch of calculate_match_score /
+    // resolve_duplicate_matches
+    "q56_best_match_join" -> ((s, d) => {
+      val adm = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null).cast("string"))
+          .otherwise(pmod(col("o_orderkey") * 13, lit(97)).cast("string")).as("adm_ofc"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit("unknown"))
+          .otherwise(pmod(col("o_orderkey") * 7, lit(45)).cast("string")).as("adm_gest"),
+        (pmod(col("o_orderkey"), lit(30)) * 100 + 1000).cast("string").as("adm_bw"))
+      val dis = Tables.lineitem(s, d).filter(col("l_quantity") < 30)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          when(pmod(col("l_suppkey"), lit(3)) === 0, lit(null).cast("string"))
+            .otherwise(pmod(col("l_partkey"), lit(97)).cast("string")).as("dis_ofc"),
+          pmod(col("l_suppkey"), lit(45)).cast("string").as("dis_gest"),
+          (pmod(col("l_partkey"), lit(30)) * 100 + 1000).cast("string").as("dis_bw"))
+      def score(j: DataFrame): Column = Joins.matchScore(Seq(
+        (col("adm_ofc"), col("dis_ofc"), 10.0, 1.0),
+        (col("adm_gest"), col("dis_gest"), 10.0, 1.0),
+        (col("adm_bw"), col("dis_bw"), 5.0, 500.0)))
+      Joins.bestMatch(adm, dis, Seq("o_orderkey"), Seq("o_orderkey"),
+          score, _ => col("l_linenumber"))
+        .select(col("o_orderkey"),
+          col("l_linenumber").cast("long").as("best_line"),
+          round(score(null), 4).as("match_score"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -20,6 +20,41 @@ object Cleanup {
   def dropRedundant(df: DataFrame, cols: Seq[String]): DataFrame =
     df.drop(cols: _*)
 
+  /** Drop columns whose NAMES mark confidential content, by
+    * case-insensitive substring match (reference: queries/data_fix.py:
+    * 77-104 `drop_confidential_columns` — `column_name ILIKE '%dobtob%'
+    * OR ... '%firstname%' OR ... '%lastname%'` before publish). Pure
+    * metadata projection; the publish path applies it to every table so
+    * a confidential column can never reach disk.
+    */
+  val DefaultConfidentialMarkers: Seq[String] =
+    Seq("dobtob", "firstname", "lastname")
+
+  def dropConfidential(df: DataFrame,
+                       markers: Seq[String] = DefaultConfidentialMarkers): DataFrame = {
+    val lowered = markers.map(_.toLowerCase(java.util.Locale.ROOT))
+    df.drop(df.columns.filter { c =>
+      // match with underscores stripped as well: graft snake_cases
+      // "FirstName_value" to "first_name_value", which no longer CONTAINS
+      // "firstname" byte-wise but is exactly the column the reference's
+      // ILIKE '%firstname%' would have caught pre-snake_casing
+      val lc = c.toLowerCase(java.util.Locale.ROOT)
+      val flat = lc.replace("_", "")
+      lowered.exists(m => lc.contains(m) || flat.contains(m))
+    }.toIndexedSeq: _*)
+  }
+
+  /** Drop single-letter column names — artifact columns from bad
+    * extractions that accumulate in long-lived deployments (reference:
+    * queries/data_fix.py:106-241 `drop_single_letter_columns`, and the
+    * joined-table regex scrub `^\d+$|^[a-zA-Z]$` in
+    * create_joined_table_and_derived_columns.py:249). Also drops all-digit
+    * names, matching that joined-table regex.
+    */
+  def dropSingleLetterColumns(df: DataFrame): DataFrame =
+    df.drop(df.columns.filter(c =>
+      c.length == 1 || c.forall(_.isDigit)).toIndexedSeq: _*)
+
   /** Merge a legacy column into its successor: where both exist, the
     * successor keeps its value and falls back to the legacy one; where
     * only the legacy column exists, it is renamed. The legacy column is

@@ -97,6 +97,45 @@ object DeriveColumns {
   /** 0/1 outcome flag (reference DeathCount / PrematureCount columns). */
   def flag(cond: Column): Column = when(cond, 1).otherwise(0)
 
+  /** Outcome-count flag, 1-or-NULL form: the reference's joined-table
+    * flag family is `CASE WHEN cond THEN 1 END` — NULL (not 0) when the
+    * condition fails, so `SUM(flag)` and `COUNT(flag)` both count hits
+    * (reference: queries/create_convenience_views_sql.py:85-113,
+    * DeathCount / Death<24hrsCount / PrematureCount / HypothermiaCount …).
+    */
+  def outcomeFlag(cond: Column): Column = when(cond, 1)
+
+  /** The reference's outcome-flag family as named 1-or-NULL columns over
+    * a joined admissions⟕discharges frame (reference:
+    * create_convenience_views_sql.py:88-113): death / death-by-age-bracket
+    * from the outcome label, premature from birth weight, hypothermia from
+    * the derived thermia bucket. Column names are graft snake_case of the
+    * reference's aliases. All pure projections — zero runtime cost.
+    *
+    * @param outcomeLabel discharge NeoTreeOutcome label column
+    * @param birthWeight  admission birth weight (numeric or numeric string)
+    * @param thermia      derived TempThermia bucket column
+    */
+  def referenceOutcomeFlags(outcomeLabel: Column, birthWeight: Column,
+                            thermia: Column): Seq[(String, Column)] = {
+    val bw = birthWeight.try_cast(org.apache.spark.sql.types.DoubleType)
+    Seq(
+      "death_count" -> outcomeFlag(outcomeLabel.contains("Death") ||
+        outcomeLabel.contains("Died") || outcomeLabel.contains("NND") ||
+        outcomeLabel.contains("BID")),
+      "death_lt_24hrs_count" -> outcomeFlag(outcomeLabel.isin(
+        "Death (at LESS than 24 hrs of age)", "NND less than 24 hrs old")),
+      "death_gt_24hrs_count" -> outcomeFlag(outcomeLabel.isin(
+        "Death (at MORE than 24 hrs of age)", "NND more than 24 hrs old")),
+      "discharge_count" -> outcomeFlag(outcomeLabel === "Discharged"),
+      "transferred_out_count" -> outcomeFlag(
+        outcomeLabel === "Transferred to other hospital"),
+      "absconded_count" -> outcomeFlag(outcomeLabel === "Absconded"),
+      "neo_tree_outcome_count" -> outcomeFlag(outcomeLabel.isNotNull),
+      "premature_count" -> outcomeFlag(!isnan(bw) && bw < 2500.0),
+      "hypothermia_count" -> outcomeFlag(thermia === "Hypothermia"))
+  }
+
   /** Normalize free-text ages to whole years (reference:
     * utils/assorted_fixes.py::extract_years): a bare number (optionally
     * suffixed 'years') parses whole; otherwise the first '<n> years'

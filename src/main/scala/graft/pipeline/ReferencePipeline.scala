@@ -23,6 +23,20 @@ object ReferencePipeline {
   val AdmissionScript = "adm"
   val DischargeScript = "dis"
 
+  /** Suffix for discharge-side columns whose names collide with admission
+    * columns in the joined table — the reference's pandas
+    * `suffixes=('', '_discharge')` merge convention.
+    */
+  val DischargeSuffix = "_discharge"
+
+  /** The reference's clinical match-score fields: (form key, max points,
+    * penalty unit) — OFC ±1 pt/cm to 10, Gestation ±1 pt/week to 10,
+    * BirthWeight ±1 pt/500 g to 5 ("not to be trusted", so weighted less)
+    * (reference: create_joined_table_and_derived_columns.py:268-330).
+    */
+  val DefaultMatchScoreFields: Seq[(String, Double, Double)] =
+    Seq(("OFC", 10.0, 1.0), ("Gestation", 10.0, 1.0), ("BirthWeight", 5.0, 500.0))
+
   case class Outputs(
       admissions: DataFrame,
       discharges: DataFrame,
@@ -34,7 +48,8 @@ object ReferencePipeline {
       mclKeys: Seq[String] = Nil,
       mclTables: Map[String, DataFrame] = Map.empty,
       combinedDiagnoses: DataFrame = null,
-      ruleExceptions: DataFrame = null)
+      ruleExceptions: DataFrame = null,
+      dayVitals: Map[Int, DataFrame] = Map.empty)
 
   /** Run the full flow from a DataFrame bearing one raw session JSON
     * string per row (column `jsonCol`).
@@ -65,6 +80,9 @@ object ReferencePipeline {
           fieldInfo: Seq[Validation.FieldInfo] = Nil,
           knownMclKeys: Option[Seq[String]] = None,
           dateFormats: Seq[String] = DeriveColumns.DefaultDateFormats,
+          matchScoreFields: Seq[(String, Double, Double)] = DefaultMatchScoreFields,
+          outcomeFlags: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+          vitalsDays: Seq[Int] = Seq(1, 2, 3),
           persistShared: Boolean = false): Outputs = {
     // 1. import: parse + uid recovery; corrupt rows routed out, not dropped
     val parsed = JsonImport.parseSessions(raw, jsonCol)
@@ -182,18 +200,61 @@ object ReferencePipeline {
         dateFormats = dateFormats)
     val admissions = Cleanup.snakeCaseColumns(typed)
 
-    // 5. join + derived outcome columns (LOS, month buckets, flags)
-    val adm = admissions.as("a")
-    val dis = discharges.as("d")
-    val joined = adm.join(dis, col("a.uid") === col("d.uid"), "left")
-      .select(col("a.uid").as("uid"), col("a.facility").as("facility"),
-        col("a.started_at").as("admitted_at"),
-        col("d.completed_at").as("discharged_at"))
+    // 5. join + best-match duplicate resolution + derived outcome columns.
+    //    The reference merges admissions ⟕ discharges on (uid, facility)
+    //    where uid is NOT unique (twins, re-admissions, repaired
+    //    collisions) and then keeps the best-scoring discharge per
+    //    admission (reference: create_joined_table_and_derived_columns.py
+    //    :268 calculate_match_score, :330-395 resolve_duplicate_matches).
+    //    graft's repaired keys are `uid#fallback`, so the BASE uid (before
+    //    '#') is the reference's join key: an admission can meet several
+    //    discharge candidates, and bestMatch scores each on clinical-field
+    //    agreement — exactly one output row per admission, so a
+    //    multi-discharge uid can no longer inflate downstream counts.
+    val admJ = admissions.withColumn("base_uid", substring_index(col("uid"), "#", 1))
+    val disJ = discharges.withColumn("base_uid", substring_index(col("uid"), "#", 1))
+    // admission columns are snake_cased by step 4b; discharge columns
+    // keep raw key names. Collisions are CASE-INSENSITIVE (Spark's
+    // resolver), so "Temp_value" on the discharge side collides with
+    // admission "temp_value" and takes the suffix — same rule as
+    // bestMatch's own rename.
+    val admCols =
+      admJ.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def disCol(c: String): String =
+      if (admCols.contains(c.toLowerCase(java.util.Locale.ROOT)))
+        c + DischargeSuffix
+      else c
+    val scorePairs = matchScoreFields.flatMap { case (k, maxPts, perUnit) =>
+      val a = Cleanup.snakeCase(s"${k}_value")
+      val d = s"${k}_value"
+      if (admCols.contains(a.toLowerCase(java.util.Locale.ROOT)) &&
+          disJ.columns.contains(d))
+        Some((col(a), col(disCol(d)), maxPts, perUnit))
+      else None
+    }
+    val resolved = Joins.bestMatch(admJ, disJ, Seq("base_uid", "facility"),
+      leftId = Seq("uid"),
+      score = _ =>
+        if (scorePairs.isEmpty) lit(-1.0) else Joins.matchScore(scorePairs),
+      keepFirstBy = _ => col(disCol("started_at")),
+      rightSuffix = DischargeSuffix)
+    val derived = resolved
+      .withColumn("admitted_at", col("started_at"))
+      .withColumn("discharged_at", col(disCol("completed_at")))
+      .drop("base_uid")
       .withColumn("month_year", DeriveColumns.monthYear(col("admitted_at")))
       .withColumn("month_year_sort", DeriveColumns.monthYearSort(col("admitted_at")))
       .withColumn("los_days",
         datediff(to_date(col("discharged_at")), to_date(col("admitted_at"))))
       .withColumn("no_discharge", DeriveColumns.flag(col("discharged_at").isNull))
+    // 5b. outcome-flag family (reference: create_convenience_views_sql.py
+    //     :85-113 — DeathCount / Death<24hrsCount / PrematureCount /
+    //     HypothermiaCount …, 1-or-NULL so SUM and COUNT both count hits).
+    //     Callers compose DeriveColumns.referenceOutcomeFlags over their
+    //     joined-table column names; one withColumns projection, no scan.
+    val joined =
+      if (outcomeFlags.isEmpty) derived
+      else derived.withColumns(outcomeFlags.toMap)
 
     // 6. summary counts: facility × month of flag sums
     val summaryCounts = Summaries.flagCounts(joined,
@@ -207,9 +268,21 @@ object ReferencePipeline {
       joined.withColumn("los_days_s", col("los_days").cast("string")),
       Seq("uid", "facility", "los_days_s"))
 
+    // 7b. day-1/2/3 vitals: per-admission date-offset slices of the
+    //     repeated-measurement rows (reference: queries/
+    //     create_summary_day_one_vitals_sql.py et al. — one table per day
+    //     offset). dayOffsetSlice's baseline is an unordered window MIN
+    //     (no sort buffer); each slice shares the one repeatables scan.
+    val vitalsTs = col("created_at")
+      .try_cast(org.apache.spark.sql.types.TimestampType)
+    val dayVitals =
+      if (repeatableKeys.isEmpty) Map.empty[Int, DataFrame]
+      else vitalsDays.map(n =>
+        n -> Windows.dayOffsetSlice(repeatables, Seq("uid"), vitalsTs, n)).toMap
+
     Outputs(admissions, discharges, repeatables, joined, summaryCounts,
       completeness, exceptions, mclKeys, mclTables, combinedDiagnoses,
-      ruleExceptions)
+      ruleExceptions, dayVitals)
   }
 
   /** Materialize every output table under `baseDir/<name>` — the
@@ -227,31 +300,86 @@ object ReferencePipeline {
     * Pair with `run(..., persistShared = true)` so the fan-out doesn't
     * rescan the raw JSON once per table.
     */
-  def publish(out: Outputs, baseDir: String): Unit = {
-    val tables: Seq[(String, DataFrame)] = Seq(
-      "admissions" -> out.admissions,
-      "discharges" -> out.discharges,
-      "repeatables" -> out.repeatables,
-      "joined" -> out.joined,
-      "summary_counts" -> out.summaryCounts,
-      "completeness" -> out.completeness,
-      "exceptions" -> out.exceptions,
-      "combined_diagnoses" -> out.combinedDiagnoses,
-      "rule_exceptions" -> out.ruleExceptions) ++
-      out.mclTables.toSeq.sortBy(_._1).map { case (k, df) =>
-        // reference: derived."exploded_<key>"; snake_case like the columns
-        s"exploded_${Cleanup.snakeCase(k)}" -> df
-      }
-    val live = tables.filter(_._2 != null)
-    val dupNames = live.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }
+  /** The named output tables of one run, publish order. Null frames
+    * (features not configured) are filtered out.
+    */
+  def tableList(out: Outputs): Seq[(String, DataFrame)] = (Seq(
+    "admissions" -> out.admissions,
+    "discharges" -> out.discharges,
+    "repeatables" -> out.repeatables,
+    "joined" -> out.joined,
+    "summary_counts" -> out.summaryCounts,
+    "completeness" -> out.completeness,
+    "exceptions" -> out.exceptions,
+    "combined_diagnoses" -> out.combinedDiagnoses,
+    "rule_exceptions" -> out.ruleExceptions) ++
+    out.dayVitals.toSeq.sortBy(_._1).map { case (n, df) =>
+      // reference: derived.summary_day1_vitals / _day2_ / _day3_
+      s"summary_day${n}_vitals" -> df
+    } ++
+    out.mclTables.toSeq.sortBy(_._1).map { case (k, df) =>
+      // reference: derived."exploded_<key>"; snake_case like the columns
+      s"exploded_${Cleanup.snakeCase(k)}" -> df
+    }).filter(_._2 != null)
+
+  /** Publish-time hygiene (reference: data_fix.py:77-104, :106-241 — run
+    * against every derived table before it is published): confidential
+    * column names and single-letter/all-digit artifact columns never
+    * reach disk. Pure projections.
+    */
+  def hygiene(df: DataFrame): DataFrame =
+    Cleanup.dropSingleLetterColumns(Cleanup.dropConfidential(df))
+
+  def publish(out: Outputs, baseDir: String): Unit =
+    publishTables(tableList(out), baseDir)
+
+  private def publishTables(tables: Seq[(String, DataFrame)], baseDir: String): Unit = {
+    val dupNames = tables.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }
     require(dupNames.isEmpty,
       s"publish would overwrite itself: duplicate table names ${dupNames.mkString(", ")} " +
         "(MCL keys colliding after snake_casing?)")
-    live.foreach { case (name, df) =>
+    tables.foreach { case (name, df) =>
       val target = s"$baseDir/$name"
       val tmp = s"$target.tmp"
-      graft.sources.Sinks.parquet(df, tmp)
+      graft.sources.Sinks.parquet(hygiene(df), tmp)
       graft.sources.AtomicSwap.replace(target, tmp)
     }
+  }
+
+  /** Cross-facility union views: for each table name present in any run,
+    * a `<name>_all` view unioning every facility's table with schema
+    * alignment — missing columns NULL-padded (reference:
+    * derive_data/create_union_views.py — the `*_all` country views over
+    * per-facility tables).
+    *
+    * Scale notes: `unionByName` is a plan-level concat — each branch
+    * keeps its own partitioning and the union adds NO shuffle of its own
+    * (PlanSpec-pinned). The per-facility frames are already fully
+    * projected, so the union sits ABOVE the heavy projections: each
+    * branch compiles its own whole-stage-codegen once (the SURVEY §8
+    * per-branch-recompile trap applies to projections placed below a
+    * many-way union, not to this shape).
+    */
+  def unionViews(runs: Seq[Outputs]): Seq[(String, DataFrame)] = {
+    val perRun = runs.map(tableList)
+    val names = perRun.flatMap(_.map(_._1)).distinct
+    names.map { n =>
+      s"${n}_all" -> Unions.unionViews(perRun.flatMap(_.collect {
+        case (`n`, df) => df
+      }))
+    }
+  }
+
+  /** Publish several facility runs plus their cross-facility `*_all`
+    * union views: per-facility tables land under `baseDir/<facility>/`,
+    * unions under `baseDir/all/` — the reference's per-facility derived
+    * tables + create_union_views composition, with the same atomic-swap
+    * discipline per table.
+    */
+  def publishWithUnions(runs: Seq[(String, Outputs)], baseDir: String): Unit = {
+    require(runs.map(_._1).distinct.size == runs.size,
+      "duplicate facility names in publishWithUnions")
+    runs.foreach { case (facility, out) => publish(out, s"$baseDir/$facility") }
+    publishTables(unionViews(runs.map(_._2)), s"$baseDir/all")
   }
 }

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Joins, Cleanup, DeriveColumns}
+import graft.pipeline.ReferencePipeline
+
+/** Best-match duplicate resolution (reference: create_joined_table_and_
+  * derived_columns.py calculate_match_score / resolve_duplicate_matches):
+  * operator semantics, the clinical score formula, and the pipeline
+  * wiring that keeps a multi-discharge uid from inflating `joined`.
+  */
+class BestMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val adm = Seq(
+    // picks the closer-OFC candidate
+    ("u1", "F1", "34", "38", "2500"),
+    // every field null/garbage → all candidates score −1 → keep-first
+    ("u2", "F1", null, "oops", null),
+    // no candidate at all → survives null-padded
+    ("u3", "F2", "30", "30", "1500")
+  ).toDF("uid", "facility", "ofc", "gest", "bw")
+
+  private lazy val dis = Seq(
+    ("u1", "F1", "d_far", "40", "38", "2500", 1),
+    ("u1", "F1", "d_near", "35", "38", "2500", 2),
+    ("u2", "F1", "d_b", null, null, null, 2),
+    ("u2", "F1", "d_a", null, null, null, 1)
+  ).toDF("uid", "facility", "did", "ofc", "gest", "bw", "seq")
+
+  private def score(j: org.apache.spark.sql.DataFrame) = Joins.matchScore(Seq(
+    (col("ofc"), col("ofc_r"), 10.0, 1.0),
+    (col("gest"), col("gest_r"), 10.0, 1.0),
+    (col("bw"), col("bw_r"), 5.0, 500.0)))
+
+  private lazy val resolved = Joins.bestMatch(adm, dis,
+    on = Seq("uid", "facility"), leftId = Seq("uid"),
+    score = score, keepFirstBy = _ => col("seq"))
+
+  test("exactly one output row per left row — a multi-match right cannot inflate the left") {
+    assert(resolved.count() === adm.count())
+    assert(resolved.select("uid").distinct().count() === 3)
+  }
+
+  test("the highest-scoring candidate wins") {
+    // u1: d_near scores 10−1 (ofc) + 10 (gest) + 5 (bw) = 24 vs d_far 19
+    val r = resolved.filter(col("uid") === "u1").select("did").as[String].head()
+    assert(r === "d_near")
+  }
+
+  test("all-scores-−1 falls back to keep-first by the tie key") {
+    // u2: no comparable field on either candidate → both −1 → min seq
+    val r = resolved.filter(col("uid") === "u2").select("did").as[String].head()
+    assert(r === "d_a")
+  }
+
+  test("an unmatched left row survives with null right columns") {
+    val r = resolved.filter(col("uid") === "u3").select("did").head()
+    assert(r.isNullAt(0))
+  }
+
+  test("matchScore mirrors calculate_match_score branch by branch") {
+    val df = Seq(
+      ("10", "12", "30", "40", "2000", "3000"), // 8 + 0 + 3 = 11
+      ("x", null, "30", "30", null, "1000"),    // gest only → 10
+      (null, "5", "oops", "nan", "", "1")       // nothing comparable → −1
+    ).toDF("a1", "b1", "a2", "b2", "a3", "b3")
+    val got = df.select(Joins.matchScore(Seq(
+      (col("a1"), col("b1"), 10.0, 1.0),
+      (col("a2"), col("b2"), 10.0, 1.0),
+      (col("a3"), col("b3"), 5.0, 500.0))).as("s")).as[Double].collect().toSeq
+    assert(got === Seq(11.0, 10.0, -1.0))
+  }
+
+  test("score ties resolve to the smallest tie key (reference idxmax-first semantics)") {
+    val a = Seq(("k", "10")).toDF("uid", "v")
+    val b = Seq(("k", "10", 7), ("k", "10", 3)).toDF("uid", "v", "seq")
+    val r = Joins.bestMatch(a, b, Seq("uid"), Seq("uid"),
+      _ => Joins.matchScore(Seq((col("v"), col("v_r"), 10.0, 1.0))),
+      _ => col("seq"))
+    assert(r.select("seq").as[Int].head() === 3)
+  }
+
+  // ── pipeline wiring ────────────────────────────────────────────────────
+
+  private def session(uid: String, script: String, started: String,
+                      ofc: String, extraDate: String = ""): String = {
+    val dateEntry = if (extraDate.isEmpty) ""
+      else s""",{"key":"DateDischarge","values":[{"value":"$extraDate","label":"D"}]}"""
+    s"""{"scriptid":"$script","facility":"F1","uid":"$uid",
+        "started_at":"$started","completed_at":"$started",
+        "entries":[{"key":"OFC","values":[{"value":"$ofc","label":"OFC"}]}$dateEntry]}"""
+      .replaceAll("\n\\s*", "")
+  }
+
+  test("pipeline: a multi-discharge uid resolves to the clinically closest discharge") {
+    // two DIFFERENT discharges share uid u1 → KeyRepair gives them
+    // distinct keys (u1#date); the base-uid join sees BOTH as candidates
+    // for u1's admission and bestMatch keeps the closer OFC
+    val raw = Seq(
+      session("u1", "adm", "2026-01-01T08:00:00", "34"),
+      session("u1", "dis", "2026-01-03T08:00:00", "39", "2026-01-03"),
+      session("u1", "dis", "2026-01-04T09:00:00", "35", "2026-01-04"),
+      session("u2", "adm", "2026-01-02T08:00:00", "31")
+    ).toDF("json")
+    val out = ReferencePipeline.run(raw, "json", Seq("OFC"))
+    // joined row count equals admission count — no inflation
+    assert(out.joined.count() === out.admissions.count())
+    val u1 = out.joined.filter(col("uid") === "U1")
+      .select(col(s"OFC_value${ReferencePipeline.DischargeSuffix}")).as[String].head()
+    assert(u1 === "35")
+    // u2 has no discharge → still present, flagged
+    assert(out.joined.filter(col("uid") === "U2")
+      .select("no_discharge").head().getInt(0) === 1)
+  }
+
+  test("pipeline: all-candidates-incomparable keeps the first discharge by start time") {
+    val raw = Seq(
+      session("u5", "adm", "2026-01-01T08:00:00", "garbage"),
+      session("u5", "dis", "2026-01-09T08:00:00", "39", "2026-01-09"),
+      session("u5", "dis", "2026-01-03T08:00:00", "35", "2026-01-03")
+    ).toDF("json")
+    val out = ReferencePipeline.run(raw, "json", Seq("OFC"))
+    assert(out.joined.count() === 1L)
+    val kept = out.joined
+      .select(col(s"OFC_value${ReferencePipeline.DischargeSuffix}")).as[String].head()
+    assert(kept === "35") // earliest discharge start wins when scores are −1
+  }
+}

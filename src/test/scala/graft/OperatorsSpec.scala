@@ -6,6 +6,21 @@ import graft.operators._
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dropConfidential drops by marker, case- and underscore-insensitive") {
+    val df = Seq(("x", "y", "z", "w", "v")).toDF(
+      "FirstName_value", "babylastname", "dob_tob_value", "temp_value", "DOBTOB")
+    val kept = Cleanup.dropConfidential(df).columns.toSeq
+    assert(kept === Seq("temp_value"))
+    // custom markers replace the defaults
+    val kept2 = Cleanup.dropConfidential(df, Seq("temp")).columns.toSet
+    assert(!kept2.contains("temp_value") && kept2.contains("FirstName_value"))
+  }
+
+  test("dropSingleLetterColumns drops 1-char and all-digit artifact names only") {
+    val df = Seq((1, 2, 3, 4, 5)).toDF("a", "Q", "123", "ab", "a1")
+    assert(Cleanup.dropSingleLetterColumns(df).columns.toSeq === Seq("ab", "a1"))
+  }
+
   test("unmatched (anti) and existing (semi) joins") {
     val left = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val right = Seq((2L, "x")).toDF("k2", "w")

@@ -55,6 +55,16 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 <= 2, p.take(2000))
   }
 
+  test("q56 best-match join resolves via hash aggregation: one shuffle, zero sorts") {
+    val p = plan("q56_best_match_join")
+    // graft_min_by over (−score, tie) must run in ObjectHashAggregate with
+    // a map-side partial before the single hash exchange; a window
+    // row_number form would sort every candidate per admission instead
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("SortAggregate") && !p.contains("Window"), p.take(2000))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(2000))
+  }
+
   test("q49 combined diagnoses union adds no shuffle of its own") {
     val p = plan("q49_combined_diagnoses")
     assert(p.contains("Union"), p.take(1500))

@@ -200,6 +200,119 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/joined").count() === out.joined.count())
   }
 
+  test("outcome-flag family rides the joined table as 1-or-NULL columns") {
+    def dis(uid: String, outcome: String): String =
+      s"""{"scriptid":"dis","facility":"F1","uid":"$uid",
+          "started_at":"2026-01-03T10:00:00","completed_at":"2026-01-03T10:30:00",
+          "entries":[{"key":"NeoTreeOutcome","values":[{"value":"D","label":"$outcome"}]},
+                     {"key":"BirthWeight","values":[{"value":"2000","label":"BW"}]}]}"""
+        .replaceAll("\n\\s*", "")
+    def adm(uid: String): String =
+      s"""{"scriptid":"adm","facility":"F1","uid":"$uid",
+          "started_at":"2026-01-01T08:00:00","completed_at":"2026-01-01T08:30:00",
+          "entries":[{"key":"BirthWeight","values":[{"value":"2000","label":"BW"}]}]}"""
+        .replaceAll("\n\\s*", "")
+    val raw2 = Seq(
+      adm("f1"), dis("f1", "NND less than 24 hrs old"),
+      adm("f2"), dis("f2", "Discharged")).toDF("json")
+    val flags = graft.operators.DeriveColumns.referenceOutcomeFlags(
+      outcomeLabel = col("NeoTreeOutcome_label"),
+      birthWeight = col("birth_weight_value"),
+      thermia = lit(null).cast("string"))
+    val out2 = ReferencePipeline.run(raw2, "json",
+      Seq("NeoTreeOutcome", "BirthWeight"), outcomeFlags = flags)
+    val got = out2.joined
+      .select("uid", "death_count", "death_lt_24hrs_count", "discharge_count",
+        "premature_count", "hypothermia_count")
+      .collect().map(r => r.getString(0) ->
+        (1 until 6).map(i => if (r.isNullAt(i)) null else r.getInt(i))).toMap
+    // reference CASE WHEN ... THEN 1 END: NULL (not 0) on miss, so
+    // SUM/COUNT both count hits
+    assert(got("F1") === Seq(1, 1, null, 1, null)) // NND<24h: death + <24h + premature(BW 2000)
+    assert(got("F2") === Seq(null, null, 1, 1, null)) // discharged, still premature
+  }
+
+  test("day-1/2/3 vitals slices publish per-admission date-offset tables") {
+    val s =
+      """{"scriptid":"adm","uid":"u5","facility":"F1","started_at":"2026-01-05T08:00:00",
+         "entries":[],"repeatables":{"vitals":[
+           {"id":"m1","createdAt":"2026-01-05T08:10:00","Temp":{"value":"36.5"}},
+           {"id":"m2","createdAt":"2026-01-05T12:10:00","Temp":{"value":"36.9"}},
+           {"id":"m3","createdAt":"2026-01-06T08:10:00","Temp":{"value":"37.5"}},
+           {"id":"m4","createdAt":"2026-01-07T08:10:00","Temp":{"value":"38.5"}}]}}"""
+        .replaceAll("\n\\s*", "")
+    val out2 = ReferencePipeline.run(
+      raw.unionByName(Seq(s).toDF("json")), "json", Seq("Temp"), Seq("Temp"))
+    assert(out2.dayVitals.keySet === Set(1, 2, 3))
+    def temps(n: Int) = out2.dayVitals(n).filter(col("uid") === "U5")
+      .select("Temp_value").as[String].collect().toSet
+    assert(temps(1) === Set("36.5", "36.9")) // both day-1 measurements
+    assert(temps(2) === Set("37.5"))
+    assert(temps(3) === Set("38.5"))
+    // publish emits the reference's summary_day<N>_vitals table names
+    val dir = java.nio.file.Files.createTempDirectory("graft_vitals").toString
+    ReferencePipeline.publish(out2, dir)
+    val published = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(Set("summary_day1_vitals", "summary_day2_vitals", "summary_day3_vitals")
+      .subsetOf(published))
+  }
+
+  test("publish hygiene: confidential and artifact columns never reach disk") {
+    val s =
+      """{"scriptid":"adm","uid":"u8","facility":"F1","started_at":"2026-01-08T08:00:00",
+         "entries":[{"key":"FirstName","values":[{"value":"Ada","label":"First name"}]},
+                    {"key":"DOBTOB","values":[{"value":"2026-01-01T01:00","label":"DOB"}]},
+                    {"key":"X","values":[{"value":"artifact","label":"junk"}]},
+                    {"key":"Temp","values":[{"value":"36.6","label":"T"}]}]}"""
+        .replaceAll("\n\\s*", "")
+    val out2 = ReferencePipeline.run(
+      raw.unionByName(Seq(s).toDF("json")), "json",
+      Seq("Temp", "FirstName", "DOBTOB", "X"))
+    // in-memory frame still carries them (analysis needs them pre-publish)
+    assert(out2.admissions.columns.exists(_.contains("first_name")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hygiene").toString
+    ReferencePipeline.publish(out2, dir)
+    val back = spark.read.parquet(s"$dir/admissions")
+    val lc = back.columns.map(_.toLowerCase).toSet
+    assert(!lc.exists(_.contains("firstname")) && !lc.exists(_.contains("first_name")),
+      back.columns.mkString(","))
+    assert(!lc.exists(_.contains("dobtob")), back.columns.mkString(","))
+    assert(!back.columns.exists(_.length == 1), back.columns.mkString(","))
+    assert(lc.contains("temp_value")) // clinical content survives
+  }
+
+  test("cross-facility union views align drifting schemas and publish as *_all") {
+    def fac(uid: String, facility: String, key: String): String =
+      s"""{"scriptid":"adm","uid":"$uid","facility":"$facility",
+          "started_at":"2026-01-02T08:00:00","completed_at":"2026-01-02T08:30:00",
+          "entries":[{"key":"$key","values":[{"value":"36.6","label":"T"}]}]}"""
+        .replaceAll("\n\\s*", "")
+    // schema drift: facility A widened Temp, facility B TempNew
+    val outA = ReferencePipeline.run(Seq(fac("a1", "FA", "Temp")).toDF("json"),
+      "json", Seq("Temp"))
+    val outB = ReferencePipeline.run(Seq(fac("b1", "FB", "TempNew")).toDF("json"),
+      "json", Seq("TempNew"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_union").toString
+    ReferencePipeline.publishWithUnions(Seq("fa" -> outA, "fb" -> outB), dir)
+    val all = spark.read.parquet(s"$dir/all/admissions_all")
+    assert(all.count() === 2)
+    val lc = all.columns.map(_.toLowerCase).toSet
+    assert(lc.contains("temp_value") && lc.contains("temp_new_value"))
+    // NULL-padded where the facility never had the column
+    assert(all.filter(col("uid") === "B1").select("temp_value").head.isNullAt(0))
+    // per-facility tables also published
+    assert(new java.io.File(s"$dir/fa/admissions").isDirectory)
+    // the union itself adds no shuffle: no Exchange directly above the
+    // union branches beyond what each branch already contains
+    val u = ReferencePipeline.unionViews(Seq(outA, outB))
+      .find(_._1 == "admissions_all").get._2
+    val p = u.queryExecution.executedPlan.toString
+    val branchExchanges = Seq(outA, outB).map(o =>
+      "Exchange".r.findAllIn(o.admissions.queryExecution.executedPlan.toString).size).sum
+    assert("Exchange".r.findAllIn(p).size <= branchExchanges, p.take(2000))
+    assert(p.contains("Union"), p.take(2000))
+  }
+
   test("repeatables output: per-measurement rows ride the pipeline keys") {
     val s =
       """{"scriptid":"adm","uid":"u5","facility":"F1","started_at":"2026-01-05T08:00:00",
