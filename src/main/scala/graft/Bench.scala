@@ -62,8 +62,51 @@ object Bench {
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val coldTotal = cold.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"timing":"min-of-2","cold_total":$coldTotal,"sf":"$sfDir"}""")
+    // In-repo regression gate (BASELINE.md): compare each query's min-of-2
+    // against tools/bench_baseline.json when benchmarking the SAME sf dir.
+    // >1.8× AND >0.5 s slower counts as a regression — measured same-code
+    // run-to-run noise on a busy host is ~20%, so a tighter cut against a
+    // fastest-observed baseline cries wolf; a real de-optimization (lost
+    // broadcast, added sort) shows 2×+. The TOTAL gets its own 1.4× check
+    // (noise averages out across 56 queries; a broad slowdown is real).
+    // Loud on stderr, fatal only under GRAFT_BENCH_STRICT=1 so new queries
+    // and deliberate trade-offs don't hard-fail the harness run.
+    val regressions: Seq[(String, Double, Double)] = {
+      val path = sys.env.getOrElse("GRAFT_BENCH_BASELINE", "tools/bench_baseline.json")
+      val f = new java.io.File(path)
+      if (!f.isFile) Nil
+      else {
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath))
+        val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(text)
+          .forall(_.group(1) == sfDir)
+        if (!sfOk) Nil
+        else {
+          val base = "\"(q[0-9][0-9a-z_]+)\"\\s*:\\s*([0-9.]+)".r
+            .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val perQuery = results.flatMap { case (name, t) =>
+            base.get(name).collect {
+              case b if t > b * 1.8 && t - b > 0.5 => (name, t, b)
+            }
+          }
+          val baseTotal = results.flatMap(r => base.get(r._1)).sum
+          val sharedTotal = results.filter(r => base.contains(r._1)).map(_._2).sum
+          val totalReg =
+            if (baseTotal > 0 && sharedTotal > baseTotal * 1.4)
+              Seq(("total(shared)", sharedTotal, baseTotal))
+            else Nil
+          perQuery ++ totalReg
+        }
+      }
+    }
+    regressions.foreach { case (n, t, b) =>
+      System.err.println(f"[bench] REGRESSION $n: $t%.2fs vs baseline $b%.2fs (${t / b}%.2fx)")
+    }
+    val regs = regressions.map { case (n, t, b) =>
+      s"""{"query":"$n","sec":$t,"baseline_sec":$b}""" }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"regressions":$regs,"timing":"min-of-2","cold_total":$coldTotal,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
+    if (regressions.nonEmpty && sys.env.get("GRAFT_BENCH_STRICT").contains("1"))
+      sys.exit(1)
   }
 }

@@ -98,12 +98,19 @@ object Dedup {
     * replay rounds 1..k-1 every action), so labels are localCheckpoint'ed
     * each round; on a cluster prefer `spark.sparkContext.setCheckpointDir`
     * + `checkpoint()` for fault tolerance. For graphs with long chains at
-    * extreme scale, swap in large-star/small-star contraction (Kiveris et
-    * al., "Connected Components in MapReduce") — same API, O(log² n)
-    * rounds.
+    * extreme scale [[connectedComponentsStar]] (large-star/small-star
+    * contraction) converges in O(log² n) rounds regardless of diameter;
+    * `algorithm = "auto"` (the default) starts on label propagation —
+    * cheaper on the near-clique graphs near-dup emits — and switches to
+    * star-contraction if propagation exceeds `maxIter`.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 15): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 15,
+                          algorithm: String = "auto"): DataFrame = {
+    require(Set("auto", "label", "star").contains(algorithm),
+      s"algorithm must be auto|label|star, got '$algorithm'")
+    if (algorithm == "star")
+      return connectedComponentsStar(pairs, idA, idB)
     // No distinct(): duplicate edges only repeat rows under an idempotent
     // min — deduping them would cost a full extra shuffle of the edge
     // list. No pre-partitioning either: the label set is orders of
@@ -134,14 +141,102 @@ object Dedup {
       i += 1
     }
     // an unconverged exit would silently return SPLIT components (several
-    // labels for one true component) — fail loudly instead; near-dup
-    // graphs converge in a few rounds, so hitting this means a long-chain
-    // graph that needs a higher maxIter or star-contraction
-    if (!converged)
+    // labels for one true component). Near-dup graphs (near-cliques)
+    // converge in 2-3 rounds, so exceeding maxIter means a long-chain
+    // graph: under "auto" restart on the O(log² n)-round star-contraction
+    // form; under "label" fail loudly.
+    if (!converged) {
+      if (algorithm == "auto") {
+        System.err.println(
+          s"[graft] connectedComponents: min-label propagation did not " +
+            s"converge in $maxIter rounds (long-chain graph) — switching " +
+            "to star-contraction")
+        return connectedComponentsStar(pairs, idA, idB)
+      }
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
-          "raise maxIter or use star-contraction for long-chain graphs")
+          "raise maxIter or use algorithm=star (star-contraction) for " +
+          "long-chain graphs")
+    }
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * converges in O(log² n) rounds on ANY graph shape — the scale path for
+    * long-chain graphs where min-label propagation needs O(diameter)
+    * rounds. Same output contract as [[connectedComponents]]: one row per
+    * node, `comp` = component minimum id.
+    *
+    * Each round is two aggregate+join passes over the edge list (min per
+    * node is an aggregation, never a neighbor-list collect, so a hot node
+    * with millions of neighbors stays a streaming aggregate, not a
+    * buffered array). Edge sets are deduplicated per round — contraction
+    * REWRITES edges (unlike label propagation, where duplicate edges just
+    * repeat rows under an idempotent min), so without the distinct the
+    * multiplicity would compound per round. localCheckpoint cuts the
+    * iterative lineage exactly like the label-propagation form.
+    */
+  def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
+                              idB: String = "id_b",
+                              maxIter: Int = 40): DataFrame = {
+    val nodes = pairs.select(col(idA).as("id"))
+      .unionByName(pairs.select(col(idB).as("id")))
+      .distinct()
+      .localCheckpoint()
+    var edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .dropDuplicates()
+      .localCheckpoint()
+
+    // large-star: every neighbor v > u connects to min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src").as("u"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, col("src") === col("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .dropDuplicates()
+    }
+
+    // small-star: direct edges high→low; every low neighbor (and the
+    // center) connects to the minimum neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val joined = dir.join(mins, "u")
+      joined.filter(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .unionByName(mins.select(col("u").as("src"), col("m").as("dst")))
+        .dropDuplicates()
+    }
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // exact set-equality convergence check: same row count AND nothing
+      // new — a hash-sum probe would be cheaper but probabilistic, and
+      // this gates a CORRECTNESS claim
+      converged = next.count() == edges.count() &&
+        next.except(edges).head(1).isEmpty
+      edges = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds — " +
+          "this exceeds the O(log² n) bound; raise maxIter")
+    // converged edges form stars: every non-root points at its component
+    // minimum; roots (and singleton inputs like self-pairs) label
+    // themselves
+    nodes.join(edges.select(col("src").as("id"), col("dst").as("root")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
   }
 
   /** Near-duplicate removal end-to-end: keep one canonical doc (minimum

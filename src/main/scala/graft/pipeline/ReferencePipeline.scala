@@ -49,7 +49,8 @@ object ReferencePipeline {
       mclTables: Map[String, DataFrame] = Map.empty,
       combinedDiagnoses: DataFrame = null,
       ruleExceptions: DataFrame = null,
-      dayVitals: Map[Int, DataFrame] = Map.empty)
+      dayVitals: Map[Int, DataFrame] = Map.empty,
+      shared: Option[DataFrame] = None)
 
   /** Run the full flow from a DataFrame bearing one raw session JSON
     * string per row (column `jsonCol`).
@@ -282,7 +283,8 @@ object ReferencePipeline {
 
     Outputs(admissions, discharges, repeatables, joined, summaryCounts,
       completeness, exceptions, mclKeys, mclTables, combinedDiagnoses,
-      ruleExceptions, dayVitals)
+      ruleExceptions, dayVitals,
+      shared = if (persistShared) Some(deduped) else None)
   }
 
   /** Materialize every output table under `baseDir/<name>` — the
@@ -330,8 +332,17 @@ object ReferencePipeline {
   def hygiene(df: DataFrame): DataFrame =
     Cleanup.dropSingleLetterColumns(Cleanup.dropConfidential(df))
 
-  def publish(out: Outputs, baseDir: String): Unit =
+  /** Publishes every table, then releases the shared persist (if `run`
+    * was called with `persistShared = true`). The unpersist matters in a
+    * LONG-LIVED session re-running the cron loop: Spark's cache is keyed
+    * by logical plan, so a second `run` over the SAME source path would
+    * silently reuse the previous increment's cached rows — stale derived
+    * tables with no error anywhere (caught by IncrementalPipelineSpec).
+    */
+  def publish(out: Outputs, baseDir: String): Unit = {
     publishTables(tableList(out), baseDir)
+    out.shared.foreach(_.unpersist())
+  }
 
   private def publishTables(tables: Seq[(String, DataFrame)], baseDir: String): Unit = {
     val dupNames = tables.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }
@@ -379,7 +390,11 @@ object ReferencePipeline {
   def publishWithUnions(runs: Seq[(String, Outputs)], baseDir: String): Unit = {
     require(runs.map(_._1).distinct.size == runs.size,
       "duplicate facility names in publishWithUnions")
-    runs.foreach { case (facility, out) => publish(out, s"$baseDir/$facility") }
+    // keep shared persists alive until AFTER the union views (which scan
+    // the same frames) have materialized, then release them all
+    runs.foreach { case (facility, out) =>
+      publishTables(tableList(out), s"$baseDir/$facility") }
     publishTables(unionViews(runs.map(_._2)), s"$baseDir/all")
+    runs.foreach(_._2.shared.foreach(_.unpersist()))
   }
 }

@@ -137,14 +137,49 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.keepFirst(allNull, Seq(col("uid")), col("ts"), col("id")).count() === 1)
   }
 
-  test("connectedComponents FAILS LOUDLY instead of returning split components") {
+  test("connectedComponents algorithm=label FAILS LOUDLY instead of returning split components") {
     // a 10-node path needs 9 rounds; maxIter 3 must throw, not silently
     // hand back a partially-merged labeling
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(pairs, maxIter = 3).collect()
+      Dedup.connectedComponents(pairs, maxIter = 3, algorithm = "label").collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents auto: long-chain graph falls back to star-contraction and converges") {
+    // a 300-node path: label propagation would need ~300 rounds; the auto
+    // fallback must still produce the exact labeling
+    val pairs = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, maxIter = 5).as[(Long, Long)].collect()
+    assert(out.length === 300 && out.forall(_._2 === 0L))
+  }
+
+  test("connectedComponentsStar: chain converges in O(log² n) rounds (in-bound maxIter)") {
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // 12 rounds ≈ (log₂ 1000)² / 8 headroom — far below the 999 rounds
+    // min-propagation would need; a blown bound throws rather than lies
+    val out = Dedup.connectedComponentsStar(pairs, maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(out.length === 1000 && out.forall(_._2 === 0L))
+  }
+
+  test("connectedComponentsStar equals label propagation on random graphs (property)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 30 + trial * 10
+      val edges = (0 until n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val pairs = edges.toDF("id_a", "id_b")
+        val star = Dedup.connectedComponentsStar(pairs)
+          .as[(Long, Long)].collect().toMap
+        val label = Dedup.connectedComponents(pairs, maxIter = 50,
+          algorithm = "label").as[(Long, Long)].collect().toMap
+        assert(star === label, s"trial $trial: star/label disagree")
+      }
+    }
   }
 
   test("dropNearDuplicates keeps one canonical doc per component, unpaired docs survive") {

@@ -169,6 +169,46 @@ class ScaleOpsSpec extends SparkSpec {
     assert(again.select("emb8").head.getSeq[Float](0).length === 8)
   }
 
+  test("sliced token-budget cut equals the single-phase window on a skewed corpus") {
+    import graft.operators.Sampling
+    // mega-stratum: 'en' is ~80% of the corpus — the exact shape that
+    // serializes the single-phase form onto one task chain at scale
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 4000).map { i =>
+      val lang = if (i % 5 != 0) "en" else Seq("de", "es", "zh")(i % 3)
+      (i.toLong, lang, (rnd.nextInt(50) + 1).toLong)
+    }.toDF("doc_id", "lang", "n_tok")
+    val single = Sampling.tokenBudgetPerStratum(
+      docs, col("lang"), Seq(col("doc_id")), col("n_tok"), budget = 5000L)
+    val sliced = Sampling.tokenBudgetPerStratumSliced(
+      docs, col("lang"), Seq(col("doc_id")), col("n_tok"), budget = 5000L,
+      slices = 16)
+    assert(sliced.columns.sorted === single.columns.sorted)
+    assert(sliced.select("doc_id").as[Long].collect().sorted
+      === single.select("doc_id").as[Long].collect().sorted)
+    // the mega-stratum really does spread: >1 range slice holds 'en' rows
+    val enSlices = docs.withColumn("__stratum", col("lang"))
+      .repartitionByRange(16, col("__stratum"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .filter(col("lang") === "en").select("__pid").distinct().count()
+    assert(enSlices > 1, s"expected the mega-stratum to span slices, got $enSlices")
+  }
+
+  test("sliced token-budget cut handles a null stratum and keeps budget semantics") {
+    import graft.operators.Sampling
+    val docs = Seq(
+      (1L, null.asInstanceOf[String], 600L), (2L, null.asInstanceOf[String], 600L),
+      (3L, "en", 600L), (4L, "en", 300L), (5L, "en", 300L)
+    ).toDF("doc_id", "lang", "n_tok")
+    val single = Sampling.tokenBudgetPerStratum(
+      docs, col("lang"), Seq(col("doc_id")), col("n_tok"), budget = 1000L)
+    val sliced = Sampling.tokenBudgetPerStratumSliced(
+      docs, col("lang"), Seq(col("doc_id")), col("n_tok"), budget = 1000L,
+      slices = 3)
+    assert(sliced.select("doc_id").as[Long].collect().sorted
+      === single.select("doc_id").as[Long].collect().sorted)
+  }
+
   test("withObjectAggThreshold scopes the fallback per job and restores the default") {
     val key = Sessions.ObjectAggThresholdKey
     assert(spark.conf.get(key) === "65536") // session default (bounded buffers)
