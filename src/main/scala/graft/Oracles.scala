@@ -768,7 +768,77 @@ object Oracles {
                  ORDER BY score DESC, (l_linenumber IS NULL), l_linenumber) AS rn FROM s)
        SELECT o_orderkey, CAST(l_linenumber AS BIGINT) AS best_line,
               round(score, 4) AS match_score
-       FROM r WHERE rn = 1"""
+       FROM r WHERE rn = 1""",
+
+    // the flag family is CASE WHEN ... THEN 1 END (1-or-NULL, no ELSE):
+    // a NULL label/weight yields NULL flags in both engines, and the
+    // premature flag's TRY_CAST gate nulls on garbage instead of firing
+    "q57_outcome_flags" ->
+      """WITH b AS (SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'NND less than 24 hrs old'
+                WHEN o_orderkey % 5 = 1 THEN 'Discharged'
+                WHEN o_orderkey % 5 = 2 THEN 'Death (at MORE than 24 hrs of age)'
+                WHEN o_orderkey % 5 = 3 THEN NULL
+                ELSE 'Transferred to other hospital' END AS lbl,
+           CASE WHEN o_orderkey % 9 = 0 THEN 'oops'
+                ELSE CAST((o_orderkey % 40) * 100 AS VARCHAR) END AS bw,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'Hypothermia'
+                ELSE 'Normothermia' END AS th
+           FROM orders)
+         SELECT o_orderkey,
+           CASE WHEN (lbl LIKE '%Death%' OR lbl LIKE '%Died%'
+                      OR lbl LIKE '%NND%' OR lbl LIKE '%BID%') THEN 1 END AS death_count,
+           CASE WHEN lbl IN ('Death (at LESS than 24 hrs of age)', 'NND less than 24 hrs old') THEN 1 END AS death_lt_24hrs_count,
+           CASE WHEN lbl IN ('Death (at MORE than 24 hrs of age)', 'NND more than 24 hrs old') THEN 1 END AS death_gt_24hrs_count,
+           CASE WHEN lbl = 'Discharged' THEN 1 END AS discharge_count,
+           CASE WHEN lbl = 'Transferred to other hospital' THEN 1 END AS transferred_out_count,
+           CASE WHEN lbl = 'Absconded' THEN 1 END AS absconded_count,
+           CASE WHEN lbl IS NOT NULL THEN 1 END AS neo_tree_outcome_count,
+           CASE WHEN (NOT isnan(TRY_CAST(bw AS DOUBLE)) AND TRY_CAST(bw AS DOUBLE) < 2500.0) THEN 1 END AS premature_count,
+           CASE WHEN th = 'Hypothermia' THEN 1 END AS hypothermia_count
+         FROM b""",
+
+    "q58_maternal_summary" ->
+      """WITH b AS (SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                ELSE CAST(o_orderkey % 50 AS DOUBLE) END AS gest,
+           CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                ELSE CAST((o_orderkey % 45) * 100 AS DOUBLE) END AS bwt,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderdate END AS adm,
+           o_orderpriority FROM orders)
+         SELECT o_orderkey AS uid, CAST(adm AS TIMESTAMP) AS date_of_admission,
+           o_orderpriority AS neonate_outcome,
+           gest AS gestation, bwt AS birth_weight,
+           CASE WHEN adm IS NOT NULL THEN 1 END AS birth_count,
+           CASE WHEN gest IS NULL THEN 'Unknown'
+                WHEN gest < 28 THEN '<28wks'
+                WHEN gest < 32 THEN '28-32wks'
+                WHEN gest < 34 THEN '32-34wks'
+                WHEN gest < 37 THEN '34-36wks'
+                WHEN gest < 42 THEN 'Term'
+                ELSE 'Post Term' END AS gestation_group,
+           CASE WHEN gest IS NULL THEN 7
+                WHEN gest < 28 THEN 1
+                WHEN gest < 32 THEN 2
+                WHEN gest < 34 THEN 3
+                WHEN gest < 37 THEN 4
+                WHEN gest < 42 THEN 5
+                ELSE 6 END AS gestation_group_sort,
+           CASE WHEN bwt IS NULL THEN 'Unknown'
+                WHEN bwt < 1000 THEN '<1000g'
+                WHEN bwt < 1500 THEN '1000-1500g'
+                WHEN bwt < 2500 THEN '1500-2500g'
+                WHEN bwt < 3500 THEN '2500-3500g'
+                WHEN bwt < 4000 THEN '3500-4000g'
+                ELSE '>4000g' END AS birth_weight_group,
+           CASE WHEN bwt IS NULL THEN 7
+                WHEN bwt < 1000 THEN 1
+                WHEN bwt < 1500 THEN 2
+                WHEN bwt < 2500 THEN 3
+                WHEN bwt < 3500 THEN 4
+                WHEN bwt < 4000 THEN 5
+                ELSE 6 END AS birth_weight_group_sort
+         FROM b"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

@@ -573,6 +573,57 @@ object Queries {
           round(score(null), 4).as("match_score"))
     }),
 
+    // the reference's joined-table outcome-flag family (DeathCount /
+    // Death<24hrsCount / … / PrematureCount / HypothermiaCount) as
+    // 1-or-NULL columns — label-driven flags over synthetic outcome
+    // labels, try_cast-gated weight flag with garbage ('oops') rows
+    "q57_outcome_flags" -> ((s, d) => {
+      val label = when(pmod(col("o_orderkey"), lit(5)) === 0, "NND less than 24 hrs old")
+        .when(pmod(col("o_orderkey"), lit(5)) === 1, "Discharged")
+        .when(pmod(col("o_orderkey"), lit(5)) === 2, "Death (at MORE than 24 hrs of age)")
+        .when(pmod(col("o_orderkey"), lit(5)) === 3, lit(null).cast("string"))
+        .otherwise(lit("Transferred to other hospital"))
+      val bw = when(pmod(col("o_orderkey"), lit(9)) === 0, "oops")
+        .otherwise((pmod(col("o_orderkey"), lit(40)) * 100).cast("string"))
+      val th = when(pmod(col("o_orderkey"), lit(7)) === 0, "Hypothermia")
+        .otherwise(lit("Normothermia"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), label.as("outcome_label"),
+          bw.as("bw_value"), th.as("thermia"))
+        .withColumns(DeriveColumns.referenceOutcomeFlags(
+          col("outcome_label"), col("bw_value"), col("thermia")).toMap)
+        .drop("outcome_label", "bw_value", "thermia")
+    }),
+
+    // the maternal-outcomes summary shape (create_summary_maternal_
+    // outcomes_sql.py): sentinel-scrubbed admission date, label/value
+    // projection, BirthCount 1-or-NULL flag, and the PAIRED bucket
+    // families — label + numeric sort key with an explicit NULL bucket
+    "q58_maternal_summary" -> ((s, d) => {
+      val gest = when(pmod(col("o_orderkey"), lit(11)) === 0, lit(null).cast("double"))
+        .otherwise(pmod(col("o_orderkey"), lit(50)).cast("double"))
+      val bwt = when(pmod(col("o_orderkey"), lit(13)) === 0, lit(null).cast("double"))
+        .otherwise((pmod(col("o_orderkey"), lit(45)) * 100).cast("double"))
+      val rawDt = when(pmod(col("o_orderkey"), lit(7)) === 0, "NaT")
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      val (gestGrp, gestSort) = DeriveColumns.bucketWithSort(gest,
+        Seq((28.0, "<28wks"), (32.0, "28-32wks"), (34.0, "32-34wks"),
+          (37.0, "34-36wks"), (42.0, "Term")), "Post Term", "Unknown")
+      val (bwtGrp, bwtSort) = DeriveColumns.bucketWithSort(bwt,
+        Seq((1000.0, "<1000g"), (1500.0, "1000-1500g"), (2500.0, "1500-2500g"),
+          (3500.0, "2500-3500g"), (4000.0, "3500-4000g")), ">4000g", "Unknown")
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("uid"),
+        // timestamp, not date: both engines' dataframe bridges agree on
+        // timestamp representation (the q41 convention)
+        Views.scrubbedDate(rawDt).cast("timestamp").as("date_of_admission"),
+        col("o_orderpriority").as("neonate_outcome"),
+        gest.as("gestation"), bwt.as("birth_weight"),
+        DeriveColumns.outcomeFlag(Views.scrubbedDate(rawDt).isNotNull).as("birth_count"),
+        gestGrp.as("gestation_group"), gestSort.as("gestation_group_sort"),
+        bwtGrp.as("birth_weight_group"), bwtSort.as("birth_weight_group_sort"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -33,6 +33,28 @@ object DeriveColumns {
         case (acc, (upper, label)) => when(value < upper, label).otherwise(acc)
       })
 
+  /** Paired bucket LABEL + numeric SORT key — the reference's BI-facing
+    * bucket families carry both, so dashboards order categorical buckets
+    * correctly ("<28wks" < "Term" numerically, not alphabetically), and
+    * NULL gets an explicit bucket instead of vanishing (reference:
+    * queries/create_summary_maternal_outcomes_sql.py GestationGroup /
+    * GestationGroupSort, BirthWeightGroup/BirthWeightGroupSort — null →
+    * 'Unknown' with the LAST sort position). Sort keys are 1-based bucket
+    * indexes; `lastLabel` gets thresholds.size+1, null thresholds.size+2.
+    * Pure codegen expressions.
+    */
+  def bucketWithSort(value: Column, thresholds: Seq[(Double, String)],
+                     lastLabel: String, nullLabel: String): (Column, Column) = {
+    val label = when(value.isNull, lit(nullLabel))
+      .otherwise(bucket(value, thresholds, lastLabel))
+    val sortBase = thresholds.zipWithIndex.reverse
+      .foldLeft(lit(thresholds.size + 1): Column) {
+        case (acc, ((upper, _), i)) => when(value < upper, lit(i + 1)).otherwise(acc)
+      }
+    val sort = when(value.isNull, lit(thresholds.size + 2)).otherwise(sortBase)
+    (label, sort)
+  }
+
   /** "Mon-YYYY" bucket + numeric sortable key (reference MonthYear /
     * MonthYearSort columns).
     */

@@ -6,6 +6,18 @@ import graft.operators._
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bucketWithSort pairs labels with ordered sort keys, null gets the last bucket") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 20.0), (2L, 30.0), (3L, 45.0), (4L, null)).toDF("id", "gest")
+    val (lbl, srt) = DeriveColumns.bucketWithSort(col("gest"),
+      Seq((28.0, "<28wks"), (42.0, "Term")), "Post Term", "Unknown")
+    val out = df.select(col("id"), lbl.as("g"), srt.as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out === Map(
+      1L -> (("<28wks", 1)), 2L -> (("Term", 2)),
+      3L -> (("Post Term", 3)), 4L -> (("Unknown", 4))))
+  }
+
   test("dropConfidential drops by marker, case- and underscore-insensitive") {
     val df = Seq(("x", "y", "z", "w", "v")).toDF(
       "FirstName_value", "babylastname", "dob_tob_value", "temp_value", "DOBTOB")
