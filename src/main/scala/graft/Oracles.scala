@@ -739,7 +739,7 @@ object Oracles {
       """WITH adm AS (SELECT o_orderkey,
            CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE CAST((o_orderkey * 13) % 97 AS VARCHAR) END AS adm_ofc,
            CASE WHEN o_orderkey % 7 = 0 THEN 'unknown' ELSE CAST((o_orderkey * 7) % 45 AS VARCHAR) END AS adm_gest,
-           CAST((o_orderkey % 30) * 100 + 1000 AS VARCHAR) AS adm_bw
+           CASE WHEN o_orderkey % 7 = 0 THEN 'n/a' ELSE CAST((o_orderkey % 30) * 100 + 1000 AS VARCHAR) END AS adm_bw
            FROM orders),
          dis AS (SELECT l_orderkey AS o_orderkey, l_linenumber,
            CASE WHEN l_suppkey % 3 = 0 THEN NULL ELSE CAST(l_partkey % 97 AS VARCHAR) END AS dis_ofc,

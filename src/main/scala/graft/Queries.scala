@@ -555,7 +555,11 @@ object Queries {
           .otherwise(pmod(col("o_orderkey") * 13, lit(97)).cast("string")).as("adm_ofc"),
         when(pmod(col("o_orderkey"), lit(7)) === 0, lit("unknown"))
           .otherwise(pmod(col("o_orderkey") * 7, lit(45)).cast("string")).as("adm_gest"),
-        (pmod(col("o_orderkey"), lit(30)) * 100 + 1000).cast("string").as("adm_bw"))
+        // every 7th order garbles ALL THREE fields so its whole candidate
+        // group scores −1 — the multi-candidate keep-first path must be
+        // live in the oracle data, not only in the unit spec
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit("n/a"))
+          .otherwise((pmod(col("o_orderkey"), lit(30)) * 100 + 1000).cast("string")).as("adm_bw"))
       val dis = Tables.lineitem(s, d).filter(col("l_quantity") < 30)
         .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
           when(pmod(col("l_suppkey"), lit(3)) === 0, lit(null).cast("string"))

@@ -88,7 +88,8 @@ object Joins {
   def bestMatch(left: DataFrame, right: DataFrame, on: Seq[String],
                 leftId: Seq[String], score: DataFrame => Column,
                 keepFirstBy: DataFrame => Column,
-                rightSuffix: String = "_r"): DataFrame = {
+                rightSuffix: String = "_r",
+                nullSafeOn: Boolean = false): DataFrame = {
     // named import: the wildcard would shadow the left/right params with
     // functions.left/right
     import org.apache.spark.sql.functions.{call_function, col, struct}
@@ -100,13 +101,34 @@ object Joins {
     val leftCols =
       left.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val onLower = on.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    // a pre-existing left "<col><suffix>" would make the rename COLLIDE
+    // (two case-equal names post-join) — refuse rather than bind wrong
+    right.columns.foreach { c =>
+      val lc = c.toLowerCase(java.util.Locale.ROOT)
+      if (leftCols.contains(lc) && !onLower.contains(lc))
+        require(!leftCols.contains(lc + rightSuffix.toLowerCase(java.util.Locale.ROOT)),
+          s"bestMatch rename target '$c$rightSuffix' already exists on the " +
+            "left side — pick a different rightSuffix")
+    }
     val renamed = right.columns.foldLeft(right) { (df, c) =>
       val lc = c.toLowerCase(java.util.Locale.ROOT)
       if (leftCols.contains(lc) && !onLower.contains(lc))
         df.withColumnRenamed(c, c + rightSuffix)
       else df
     }
-    val joined = left.join(renamed, on, "left")
+    // nullSafeOn: a NULL join-key value matches NULL (pandas merge
+    // semantics — the reference joins on (uid, facility) where facility
+    // may be missing on BOTH sides of a real pair). Plain using-join
+    // EqualTo would silently never match those rows.
+    val joined =
+      if (!nullSafeOn) left.join(renamed, on, "left")
+      else {
+        val onSuffix = "__on"
+        val rightOn = on.foldLeft(renamed)((df, c) =>
+          df.withColumnRenamed(c, c + onSuffix))
+        val cond = on.map(c => left(c) <=> rightOn(c + onSuffix)).reduce(_ && _)
+        left.join(rightOn, cond, "left").drop(on.map(_ + onSuffix): _*)
+      }
     val payload = struct(joined.columns.map(col).toIndexedSeq: _*)
     val s = score(joined)
     val kf = keepFirstBy(joined)

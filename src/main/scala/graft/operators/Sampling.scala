@@ -45,8 +45,12 @@ object Sampling {
     * stratum and no task ever sorts more than its slice.
     *
     * Output is EXACTLY [[tokenBudgetPerStratum]]'s (spec-pinned) provided
-    * `order` is a total order within each stratum — the same requirement
-    * the single-phase form has for determinism.
+    * `order` is a total order within each stratum (the same requirement
+    * the single-phase form has for determinism) and `tokenCount` is
+    * INTEGRAL — counts are cast to long here so the driver-side offset
+    * fold and the executor-side running sum share one arithmetic domain;
+    * fractional counts would truncate and diverge from the single-phase
+    * form, so use that form (or pre-round) for fractional weights.
     *
     * Cost: one range exchange + a localCheckpoint materialization (the
     * slice ids must stay FIXED between the totals pass and the final

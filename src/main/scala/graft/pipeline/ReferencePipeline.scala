@@ -84,6 +84,7 @@ object ReferencePipeline {
           matchScoreFields: Seq[(String, Double, Double)] = DefaultMatchScoreFields,
           outcomeFlags: Seq[(String, org.apache.spark.sql.Column)] = Nil,
           vitalsDays: Seq[Int] = Seq(1, 2, 3),
+          vitalsTables: Seq[String] = Nil,
           persistShared: Boolean = false): Outputs = {
     // 1. import: parse + uid recovery; corrupt rows routed out, not dropped
     val parsed = JsonImport.parseSessions(raw, jsonCol)
@@ -221,8 +222,12 @@ object ReferencePipeline {
     // bestMatch's own rename.
     val admCols =
       admJ.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val joinKeys = Seq("base_uid", "facility")
+    // mirrors bestMatch's rename rule EXACTLY: join keys are never
+    // suffixed (they appear once in the using-join output)
     def disCol(c: String): String =
-      if (admCols.contains(c.toLowerCase(java.util.Locale.ROOT)))
+      if (!joinKeys.contains(c) &&
+          admCols.contains(c.toLowerCase(java.util.Locale.ROOT)))
         c + DischargeSuffix
       else c
     val scorePairs = matchScoreFields.flatMap { case (k, maxPts, perUnit) =>
@@ -233,12 +238,15 @@ object ReferencePipeline {
         Some((col(a), col(disCol(d)), maxPts, perUnit))
       else None
     }
-    val resolved = Joins.bestMatch(admJ, disJ, Seq("base_uid", "facility"),
+    // nullSafeOn: facility may be missing on BOTH sides of a real pair —
+    // the reference's pandas merge matches NaN keys, so a null facility
+    // must not silently orphan an admission from its discharge
+    val resolved = Joins.bestMatch(admJ, disJ, joinKeys,
       leftId = Seq("uid"),
       score = _ =>
         if (scorePairs.isEmpty) lit(-1.0) else Joins.matchScore(scorePairs),
       keepFirstBy = _ => col(disCol("started_at")),
-      rightSuffix = DischargeSuffix)
+      rightSuffix = DischargeSuffix, nullSafeOn = true)
     val derived = resolved
       .withColumn("admitted_at", col("started_at"))
       .withColumn("discharged_at", col(disCol("completed_at")))
@@ -274,12 +282,19 @@ object ReferencePipeline {
     //     create_summary_day_one_vitals_sql.py et al. — one table per day
     //     offset). dayOffsetSlice's baseline is an unordered window MIN
     //     (no sort buffer); each slice shares the one repeatables scan.
+    //     `vitalsTables` restricts WHICH repeat groups count as vitals —
+    //     without it, a diagnoses row logged before the first measurement
+    //     would set the day-1 baseline and shift every slice (the
+    //     reference slices its vitalsigns table only).
     val vitalsTs = col("created_at")
       .try_cast(org.apache.spark.sql.types.TimestampType)
+    val vitalsSrc =
+      if (vitalsTables.isEmpty) repeatables
+      else repeatables.filter(col("table_name").isin(vitalsTables.map(t => t: Any): _*))
     val dayVitals =
       if (repeatableKeys.isEmpty) Map.empty[Int, DataFrame]
       else vitalsDays.map(n =>
-        n -> Windows.dayOffsetSlice(repeatables, Seq("uid"), vitalsTs, n)).toMap
+        n -> Windows.dayOffsetSlice(vitalsSrc, Seq("uid"), vitalsTs, n)).toMap
 
     Outputs(admissions, discharges, repeatables, joined, summaryCounts,
       completeness, exceptions, mclKeys, mclTables, combinedDiagnoses,
@@ -325,9 +340,17 @@ object ReferencePipeline {
     }).filter(_._2 != null)
 
   /** Publish-time hygiene (reference: data_fix.py:77-104, :106-241 — run
-    * against every derived table before it is published): confidential
-    * column names and single-letter/all-digit artifact columns never
-    * reach disk. Pure projections.
+    * against every derived table before it is published): no confidential
+    * COLUMN name and no single-letter/all-digit artifact column reaches
+    * disk. Pure projections.
+    *
+    * Scope honesty: this is the reference's NAME-based guarantee. The
+    * `exceptions` table intentionally keeps `raw_json`/`entries_json`
+    * verbatim (its purpose is repairing corrupt exports, exactly like the
+    * reference's raw schema), so confidential VALUES can appear inside
+    * those payload strings — access-control the exceptions output like
+    * the raw zone, or scrub values with `TextAnalysis.cleanForTraining`
+    * before publishing it more widely.
     */
   def hygiene(df: DataFrame): DataFrame =
     Cleanup.dropSingleLetterColumns(Cleanup.dropConfidential(df))
@@ -390,11 +413,23 @@ object ReferencePipeline {
   def publishWithUnions(runs: Seq[(String, Outputs)], baseDir: String): Unit = {
     require(runs.map(_._1).distinct.size == runs.size,
       "duplicate facility names in publishWithUnions")
-    // keep shared persists alive until AFTER the union views (which scan
-    // the same frames) have materialized, then release them all
     runs.foreach { case (facility, out) =>
       publishTables(tableList(out), s"$baseDir/$facility") }
-    publishTables(unionViews(runs.map(_._2)), s"$baseDir/all")
     runs.foreach(_._2.shared.foreach(_.unpersist()))
+    // union views read the tables JUST PUBLISHED instead of re-deriving
+    // them from raw (the original plans would re-execute every stage per
+    // facility — roughly doubling publish cost); reading the materialized
+    // parquet back also means the *_all views reflect exactly what the
+    // per-facility tables contain, hygiene included
+    val spark = runs.head._2.admissions.sparkSession
+    val names = runs.flatMap { case (_, out) => tableList(out).map(_._1) }.distinct
+    val unions = names.map { n =>
+      val parts = runs.collect {
+        case (facility, out) if tableList(out).exists(_._1 == n) =>
+          spark.read.parquet(s"$baseDir/$facility/$n")
+      }
+      s"${n}_all" -> Unions.unionViews(parts)
+    }
+    publishTables(unions, s"$baseDir/all")
   }
 }

@@ -114,6 +114,22 @@ class BestMatchSpec extends SparkSpec {
       .select("no_discharge").head().getInt(0) === 1)
   }
 
+  test("pipeline: a NULL facility still matches its discharge (pandas NaN-key merge semantics)") {
+    def bare(uid: String, script: String, started: String): String =
+      s"""{"scriptid":"$script","uid":"$uid",
+          "started_at":"$started","completed_at":"$started",
+          "entries":[{"key":"OFC","values":[{"value":"34","label":"OFC"}]}]}"""
+        .replaceAll("\n\\s*", "")
+    val raw = Seq(
+      bare("u4", "adm", "2026-01-01T08:00:00"),
+      bare("u4", "dis", "2026-01-03T08:00:00")
+    ).toDF("json")
+    val out = ReferencePipeline.run(raw, "json", Seq("OFC"))
+    val r = out.joined.select("no_discharge", "los_days").head()
+    assert(r.getInt(0) === 0, "null-facility admission lost its discharge")
+    assert(r.getInt(1) === 2)
+  }
+
   test("pipeline: all-candidates-incomparable keeps the first discharge by start time") {
     val raw = Seq(
       session("u5", "adm", "2026-01-01T08:00:00", "garbage"),

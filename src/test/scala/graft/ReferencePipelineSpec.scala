@@ -257,6 +257,28 @@ class ReferencePipelineSpec extends SparkSpec {
       .subsetOf(published))
   }
 
+  test("vitalsTables keeps a pre-admission diagnoses row from shifting the day baseline") {
+    val s =
+      """{"scriptid":"adm","uid":"u5","facility":"F1","started_at":"2026-01-05T08:00:00",
+         "entries":[],"repeatables":{
+           "diagnoses":[{"id":"d1","createdAt":"2026-01-04T22:00:00","Temp":{"value":"x"}}],
+           "vitals":[{"id":"m1","createdAt":"2026-01-05T08:10:00","Temp":{"value":"36.5"}},
+                     {"id":"m2","createdAt":"2026-01-06T08:10:00","Temp":{"value":"37.5"}}]}}"""
+        .replaceAll("\n\\s*", "")
+    val raw2 = raw.unionByName(Seq(s).toDF("json"))
+    // unfiltered: the day-earlier diagnoses row IS the baseline → the
+    // first vitals land on day 2 (the failure mode the filter fixes)
+    val unfiltered = ReferencePipeline.run(raw2, "json", Seq("Temp"), Seq("Temp"))
+    assert(unfiltered.dayVitals(1).filter(col("uid") === "U5")
+      .select("Temp_value").as[String].collect().toSet === Set("x"))
+    // filtered to the vitals table: baseline = first VITALS row
+    val out2 = ReferencePipeline.run(raw2, "json", Seq("Temp"), Seq("Temp"),
+      vitalsTables = Seq("vitals"))
+    def temps(n: Int) = out2.dayVitals(n).filter(col("uid") === "U5")
+      .select("Temp_value").as[String].collect().toSet
+    assert(temps(1) === Set("36.5") && temps(2) === Set("37.5"))
+  }
+
   test("publish hygiene: confidential and artifact columns never reach disk") {
     val s =
       """{"scriptid":"adm","uid":"u8","facility":"F1","started_at":"2026-01-08T08:00:00",
