@@ -838,7 +838,42 @@ object Oracles {
                 WHEN bwt < 3500 THEN 4
                 WHEN bwt < 4000 THEN 5
                 ELSE 6 END AS birth_weight_group_sort
-         FROM b"""
+         FROM b""",
+
+    "q59_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, source,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id, source,
+                  unnest(list_distinct([array_to_string(t[i:i+3], ' ')
+                                        for i in range(1, greatest(len(t) - 3, 0) + 1)])) AS s
+                FROM toks),
+         bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+         SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM sh a JOIN bench b ON a.s = b.s
+         WHERE a.source <> 'src0'
+         GROUP BY 1
+         HAVING count(*) >= 1""",
+
+    "q60_repetition_profile" ->
+      """WITH toks AS (SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         tc AS (SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+         tp AS (SELECT doc_id,
+                  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_frac,
+                  CAST(sum(c) AS BIGINT) AS n_tokens
+                FROM tc GROUP BY 1),
+         gc AS (SELECT doc_id, g, count(*) AS c
+                FROM (SELECT doc_id,
+                        unnest([array_to_string(t[i:i+2], ' ')
+                                for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS g
+                      FROM toks) GROUP BY 1, 2),
+         gp AS (SELECT doc_id,
+                  CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_ngram_frac
+                FROM gc GROUP BY 1)
+         SELECT tp.doc_id, n_tokens, top_token_frac,
+           coalesce(dup_ngram_frac, 0.0) AS dup_ngram_frac
+         FROM tp LEFT JOIN gp ON tp.doc_id = gp.doc_id"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

@@ -628,6 +628,26 @@ object Queries {
         bwtGrp.as("birth_weight_group"), bwtSort.as("birth_weight_group_sort"))
     }),
 
+    // benchmark decontamination: corpus docs sharing >= 1 distinct word
+    // 4-gram with the benchmark slice (source src0), with the per-doc
+    // count of leaked n-grams — the standard eval-leak removal step
+    "q59_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Quality.contaminationHits(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 4)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_hits").cast("long").as("n_hits"))
+    }),
+
+    // Gopher-style repetition profile: token count, most-frequent-token
+    // fraction, duplicate word-3-gram instance fraction per document
+    "q60_repetition_profile" -> ((s, d) =>
+      Quality.repetitionProfile(Tables.documents(s, d), "doc_id", "text", n = 3)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_tokens"), col("top_token_frac"), col("dup_ngram_frac"))),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus quality operators: benchmark decontamination and
+  * repetition profiling (the Gopher-style heuristics from Rae et al. 2021,
+  * "Scaling Language Models", appendix A1.1 — public paper).
+  *
+  * Scale notes:
+  *  - Decontamination joins the corpus shingle stream against the
+  *    BENCHMARK shingle set. Benchmarks (eval suites) are tiny relative
+  *    to a 100 TB corpus — thousands of documents — so the benchmark side
+  *    is collected into a broadcast and the corpus side never shuffles for
+  *    the join; the only exchange is the per-doc hit count aggregation
+  *    (map-side partial combine on an 8-byte id).
+  *  - Repetition profiling is explode → two-level hash aggregation. The
+  *    per-(doc, token) partial aggregates combine map-side, so the shuffle
+  *    carries one row per distinct token per doc, not one per token
+  *    instance. No windows, no sorts, no per-doc quadratic higher-order
+  *    functions (a `transform × filter` counting loop would be O(doc²)
+  *    per row and hostile to 100k-token documents).
+  */
+object Quality {
+
+  /** Word n-gram instances (NOT deduplicated — repetition analysis needs
+    * every occurrence; [[NearDup.shingles]] is the set-semantics twin).
+    * Docs with fewer than n tokens yield an empty array.
+    */
+  def ngramInstances(tokens: Column, n: Int): Column = {
+    val count = size(tokens) - (n - 1)
+    when(count < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), count),
+        i => concat_ws(" ", slice(tokens, i, lit(n)))))
+  }
+
+  /** Per-document contamination hits against a benchmark corpus: the
+    * number of distinct word n-grams of each corpus doc that also appear
+    * anywhere in the benchmark. Docs with no overlap are dropped (the
+    * common case — emitting them would be a full-corpus output).
+    *
+    * This is the standard n-gram decontamination step of an LLM training
+    * pipeline (remove training docs that leak eval data). The benchmark
+    * shingle set is deduplicated then broadcast; disable via
+    * `broadcastBenchmark = false` only if the benchmark is too large for
+    * an executor broadcast (then the join shuffles both sides on the
+    * 8-byte shingle hash).
+    *
+    * Output: (idCol, n_hits) for docs with n_hits >= minOverlap.
+    */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, n: Int,
+                        minOverlap: Int = 1,
+                        broadcastBenchmark: Boolean = true): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    // join on the 8-byte hash of the shingle, not the string: smaller
+    // broadcast, codegen'd long equality. Same collision stance as
+    // ngramJaccardPairs (NearDup.scala): a 64-bit collision adds ~0
+    // expected false hits at 10^9 distinct shingles. Hashes come from the
+    // graft_ngram_hashes kernel (one pass, per-doc distinct, no string
+    // array materialization — measured 7× over the concat_ws/transform
+    // form at sf0.1), exploded OUTER so Catalyst's inferred size>0 filter
+    // can't duplicate the kernel below the Generate (q26's lesson).
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    def shingleHashes(df: DataFrame, extra: Column*): DataFrame = df
+      .select(extra :+ explode_outer(call_function("graft_ngram_hashes",
+        split(lower(trim(col(textCol))), "\\s+"), lit(n))).as("h"): _*)
+      .filter(col("h").isNotNull)
+    val benchSh = shingleHashes(benchmark).distinct()
+    val bench = if (broadcastBenchmark) broadcast(benchSh) else benchSh
+    shingleHashes(corpus, col(idCol).as("id"))
+      .join(bench, "h")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minOverlap)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Per-document repetition profile: token count, fraction of token
+    * instances that are the single most frequent token, and fraction of
+    * word n-gram instances that are repeats of an earlier instance
+    * (1 − distinct/total). High values on either fraction mark the
+    * boilerplate / degenerate-repetition docs the Gopher rules cut.
+    *
+    * Docs with fewer than n tokens have dup_ngram_frac = 0.0 (nothing can
+    * repeat). Tokenization matches the rest of the text stack: lower,
+    * trim, split on whitespace runs.
+    *
+    * Shuffle shape: two independent two-level aggregations (token stats,
+    * n-gram stats), each keyed by doc id after its first level, then an
+    * id-equality join — both sides arrive hash-partitioned on id from
+    * their final aggregate, so the join itself adds no exchange.
+    */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2 for repetition analysis, got $n")
+    val base = docs.select(col(idCol).as("id"),
+      split(lower(trim(col(textCol))), "\\s+").as("t"))
+    val tokStats = base
+      .select(col("id"), explode(col("t")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        (max("c").cast("double") / sum("c").cast("double")).as("top_token_frac"),
+        sum("c").cast("long").as("n_tokens"))
+    // grams shuffle as 8-byte hashes, not n-word strings (same collision
+    // stance as the decontamination join); explode OUTER keeps the
+    // inferred size>0 filter from duplicating the array expression
+    val gramStats = base
+      .select(col("id"), explode_outer(ngramInstances(col("t"), n)).as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy(col("id"), xxhash64(col("g")).as("g")).agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        ((sum("c") - count(lit(1))).cast("double") / sum("c").cast("double"))
+          .as("dup_ngram_frac"))
+    tokStats.join(gramStats, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"), col("top_token_frac"),
+        coalesce(col("dup_ngram_frac"), lit(0.0)).as("dup_ngram_frac"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quality
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contaminationHits counts distinct leaked n-grams per doc") {
+    // bench doc: "a b c d e" → 2-grams {a b, b c, c d, d e}
+    val bench = Seq("a b c d e").toDF("text")
+    val corpus = Seq(
+      (1L, "a b c x"),       // shares {a b, b c} → 2 hits
+      (2L, "x y z"),         // clean
+      (3L, "d e d e d e"),   // shares {d e} (distinct per doc) → 1 hit
+      (4L, "A B c")          // lowercased → shares {a b, b c} → 2 hits
+    ).toDF("doc_id", "text")
+    val out = Quality.contaminationHits(corpus, bench, "doc_id", "text", n = 2)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out === Array((1L, 2L), (3L, 1L), (4L, 2L)))
+  }
+
+  test("contaminationHits respects minOverlap and short-doc edge") {
+    val bench = Seq("a b c d e").toDF("text")
+    val corpus = Seq((1L, "a b c x"), (3L, "d e q"), (5L, "a")).toDF("doc_id", "text")
+    val out = Quality.contaminationHits(corpus, bench, "doc_id", "text",
+      n = 2, minOverlap = 2).as[(Long, Long)].collect()
+    assert(out === Array((1L, 2L)))
+  }
+
+  test("contaminationHits broadcasts the benchmark side") {
+    val bench = Seq("a b c d e").toDF("text")
+    val corpus = Seq((1L, "a b c x")).toDF("doc_id", "text")
+    val p = Quality.contaminationHits(corpus, bench, "doc_id", "text", n = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // only the benchmark-side distinct and the hit-count aggregation may
+    // shuffle — the corpus stream itself must not
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2, p.take(2000))
+  }
+
+  test("repetitionProfile computes exact fractions") {
+    val docs = Seq(
+      (1L, "a a a b"),   // 4 toks, top a=3/4; 3-grams: [a a a, a a b] → 0 dups
+      (2L, "a b a b a b a b"), // 8 toks, top 4/8; 3-grams: aba×3, bab×3 → 6 inst, 2 distinct → 4/6
+      (3L, "x y"),       // shorter than n → dup frac 0.0
+      (4L, "c c c c")    // 4 toks top 1.0; 3-grams: ccc ccc → 1/2
+    ).toDF("doc_id", "text")
+    val out = Quality.repetitionProfile(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 4L, 0.75, 0.0)))
+    assert(out(1) === ((2L, 8L, 0.5, 4.0 / 6.0)))
+    assert(out(2) === ((3L, 2L, 0.5, 0.0)))
+    assert(out(3) === ((4L, 4L, 1.0, 0.5)))
+  }
+
+  test("repetitionProfile join adds no exchange beyond the four aggregations") {
+    val docs = Seq((1L, "a a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val p = Quality.repetitionProfile(docs, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    // 2 per aggregation chain (partial→final over (id,key) then (id));
+    // the final id-keyed join must reuse that partitioning, not add a 5th
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 4, p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+}
