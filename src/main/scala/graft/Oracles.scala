@@ -873,7 +873,46 @@ object Oracles {
                 FROM gc GROUP BY 1)
          SELECT tp.doc_id, n_tokens, top_token_frac,
            coalesce(dup_ngram_frac, 0.0) AS dup_ngram_frac
-         FROM tp LEFT JOIN gp ON tp.doc_id = gp.doc_id"""
+         FROM tp LEFT JOIN gp ON tp.doc_id = gp.doc_id""",
+
+    "q61_sequence_pack" ->
+      """WITH d AS (SELECT doc_id, lang,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok
+           FROM documents),
+         s AS (SELECT doc_id, lang, n_tok,
+           sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS strt FROM d)
+         SELECT doc_id, lang, n_tok,
+           CAST(strt // 512 AS BIGINT) AS seq_id,
+           CAST(strt % 512 AS BIGINT) AS seq_offset
+         FROM s""",
+
+    "q62_numeric_profile" ->
+      """WITH p AS (
+           SELECT 'l_quantity' AS column_name,
+             count(l_quantity) AS n_non_null,
+             count(*) - count(l_quantity) AS n_null,
+             min(CAST(l_quantity AS DOUBLE)) AS min,
+             max(CAST(l_quantity AS DOUBLE)) AS max,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(l_quantity) AS mean,
+             quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice',
+             count(l_extendedprice), count(*) - count(l_extendedprice),
+             min(CAST(l_extendedprice AS DOUBLE)), max(CAST(l_extendedprice AS DOUBLE)),
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(l_extendedprice),
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_discount',
+             count(l_discount), count(*) - count(l_discount),
+             min(CAST(l_discount AS DOUBLE)), max(CAST(l_discount AS DOUBLE)),
+             CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(l_discount),
+             quantile_cont(CAST(l_discount AS DOUBLE), 0.5)
+           FROM lineitem)
+         SELECT * FROM p"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

@@ -648,6 +648,23 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_tokens"), col("top_token_frac"), col("dup_ngram_frac"))),
 
+    // concat-and-chunk sequence packing: where each doc's first token
+    // lands (sequence id + offset) when each language's id-ordered token
+    // stream is cut into 512-token training sequences
+    "q61_sequence_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      Sampling.packSequences(docs, col("lang"), Seq(col("doc_id")),
+        col("n_tok"), seqLen = 512L)
+    }),
+
+    // dataset-card numeric profile of lineitem's measure columns: count /
+    // nulls / min / max / exact-decimal mean / median per column (exact
+    // percentile = the declared oracle yardstick; approx is the scale path)
+    "q62_numeric_profile" -> ((s, d) =>
+      Summaries.numericProfile(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), exact = true)),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

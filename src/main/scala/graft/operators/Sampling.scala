@@ -106,6 +106,32 @@ object Sampling {
         "__cum", "__tok")
   }
 
+  /** Concat-and-chunk sequence packing: assign each document its position
+    * in the fixed-length training sequences a pretraining run would cut
+    * from the stratum's concatenated token stream. With documents ordered
+    * by `order` within each stratum, a doc starting at token offset s goes
+    * to sequence `s / seqLen` at offset `s % seqLen` — exactly where its
+    * first token lands when the stream is chunked every seqLen tokens
+    * (docs may straddle a boundary; the id/offset name where they START,
+    * which is all a loader needs to reassemble chunks).
+    *
+    * Adds `seq_id` and `seq_offset`. Deterministic — no RNG, stable
+    * across retries and engines. Same window shape (and therefore the
+    * same mega-stratum caveat and sliced escape path) as
+    * [[tokenBudgetPerStratum]]: one shuffle on the stratum key + one
+    * per-stratum sort.
+    */
+  def packSequences(df: DataFrame, stratumCol: Column, order: Seq[Column],
+                    tokenCount: Column, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy(stratumCol).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__start", sum(tokenCount.cast("long")).over(w) - tokenCount.cast("long"))
+      .withColumn("seq_id", (col("__start") / seqLen).cast("long"))
+      .withColumn("seq_offset", pmod(col("__start"), lit(seqLen)).cast("long"))
+      .drop("__start")
+  }
+
   /** Deterministic per-stratum fraction sampling WITHOUT a shuffle: keep a
     * row iff a uniform hash of its id lands under the stratum's fraction.
     * Unlike `DataFrame.sampleBy` (seeded RNG over row order) the decision

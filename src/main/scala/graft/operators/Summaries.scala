@@ -36,6 +36,44 @@ object Summaries {
     df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 
+  /** Per-column numeric profile — one row per column with count / null
+    * count / min / max / mean / median — the dataset-card statistics a
+    * corpus release ships. ONE aggregation pass over all columns, then a
+    * `stack` unpivot of the single result row (driver-side-tiny).
+    *
+    * Mean follows the float discipline: exact decimal(28,6) sum cast to
+    * double, then divided — order-independent, engine-portable. Median is
+    * `approx_percentile` (t-digest-style sketch, partial-aggregable,
+    * bounded memory) by default; `exact = true` switches to the exact
+    * `percentile` aggregate, which BUFFERS every value of the column per
+    * partial — the declared small-data/oracle yardstick, not the 100 TB
+    * path.
+    */
+  def numericProfile(df: DataFrame, cols: Seq[String],
+                     exact: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "numericProfile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      val d = col(c).cast("double")
+      val p50 =
+        if (exact) call_function("percentile", d, lit(0.5))
+        else call_function("approx_percentile", d, lit(0.5), lit(10000))
+      Seq(
+        count(col(c)).as(s"__n__$c"),
+        count(when(col(c).isNull, 1)).as(s"__nn__$c"),
+        min(d).as(s"__min__$c"),
+        max(d).as(s"__max__$c"),
+        sum(col(c).cast("decimal(28,6)")).cast("double").as(s"__sum__$c"),
+        p50.as(s"__p50__$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __n__$c, __nn__$c, __min__$c, __max__$c, __sum__$c, __p50__$c").mkString(", ")
+    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_non_null, n_null, min, max, __sum, p50)")
+      .withColumn("mean", col("__sum") / col("n_non_null"))
+      .select("column_name", "n_non_null", "n_null", "min", "max", "mean", "p50")
+  }
+
   /** Completeness counting only non-null AND non-blank values — the
     * reference's string-column semantics (maternal_completeness treats ''
     * as missing). Same single-pass shape as [[completeness]].

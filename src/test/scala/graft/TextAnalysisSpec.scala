@@ -71,6 +71,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept === Set(1L, 2L, 4L, 5L))
   }
 
+  test("packSequences assigns chunk id and offset of each doc's first token") {
+    val docs = Seq(
+      (1L, "en", 40L), (2L, "en", 50L), (3L, "en", 30L), // starts 0, 40, 90
+      (4L, "de", 80L)                                    // starts 0
+    ).toDF("doc_id", "lang", "n_tok")
+    val out = graft.operators.Sampling.packSequences(
+        docs, col("lang"), Seq(col("doc_id")), col("n_tok"), seqLen = 64L)
+      .select("doc_id", "seq_id", "seq_offset").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // en: doc1 @0 → (0,0); doc2 @40 → (0,40); doc3 @90 → (1,26)
+    assert(out === Array((1L, 0L, 0L), (2L, 0L, 40L), (3L, 1L, 26L), (4L, 0L, 0L)))
+  }
+
+  test("numericProfile: one row per column, exact stats") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, null), (3.0, 30.0), (4.0, null))
+      .toDF("a", "b")
+    val out = graft.operators.Summaries.numericProfile(df, Seq("a", "b"), exact = true)
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toList
+    assert(out(0) === (("a", 4L, 0L, 1.0, 4.0, 2.5, 2.5)))
+    assert(out(1) === (("b", 2L, 2L, 10.0, 30.0, 20.0, 20.0)))
+  }
+
   test("stratifiedFractions is deterministic and repartition-stable") {
     val df = spark.range(0, 2000).toDF("id")
       .withColumn("lang", when(pmod(col("id"), lit(2)) === 0, "en").otherwise("de"))
