@@ -856,12 +856,20 @@ object Oracles {
 
     "q60_repetition_profile" ->
       """WITH toks AS (SELECT doc_id,
-                  regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+                  CASE WHEN text IS NULL OR length(trim(text)) = 0
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+                FROM documents),
          tc AS (SELECT doc_id, tok, count(*) AS c
-                FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+                FROM (SELECT doc_id,
+                        unnest(CASE WHEN len(t) = 0 THEN [NULL] ELSE t END) AS tok
+                      FROM toks) GROUP BY 1, 2),
          tp AS (SELECT doc_id,
-                  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_frac,
-                  CAST(sum(c) AS BIGINT) AS n_tokens
+                  coalesce(CAST(max(CASE WHEN tok IS NOT NULL THEN c END) AS DOUBLE)
+                    / CAST(sum(CASE WHEN tok IS NOT NULL THEN c END) AS DOUBLE), 0.0)
+                    AS top_token_frac,
+                  CAST(coalesce(sum(CASE WHEN tok IS NOT NULL THEN c END), 0) AS BIGINT)
+                    AS n_tokens
                 FROM tc GROUP BY 1),
          gc AS (SELECT doc_id, g, count(*) AS c
                 FROM (SELECT doc_id,

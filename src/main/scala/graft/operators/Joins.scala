@@ -101,14 +101,23 @@ object Joins {
     val leftCols =
       left.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val onLower = on.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    // a pre-existing left "<col><suffix>" would make the rename COLLIDE
-    // (two case-equal names post-join) — refuse rather than bind wrong
+    // a pre-existing "<col><suffix>" would make the rename COLLIDE (two
+    // case-equal names post-join) — refuse rather than bind wrong. The
+    // right side can collide too: right {c, c+suffix} with left {c}
+    // renames c onto the UNRENAMED right c+suffix.
+    val rightLower =
+      right.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val suffixLower = rightSuffix.toLowerCase(java.util.Locale.ROOT)
     right.columns.foreach { c =>
       val lc = c.toLowerCase(java.util.Locale.ROOT)
-      if (leftCols.contains(lc) && !onLower.contains(lc))
-        require(!leftCols.contains(lc + rightSuffix.toLowerCase(java.util.Locale.ROOT)),
+      if (leftCols.contains(lc) && !onLower.contains(lc)) {
+        require(!leftCols.contains(lc + suffixLower),
           s"bestMatch rename target '$c$rightSuffix' already exists on the " +
             "left side — pick a different rightSuffix")
+        require(!rightLower.contains(lc + suffixLower),
+          s"bestMatch rename target '$c$rightSuffix' already exists on the " +
+            "right side — pick a different rightSuffix")
+      }
     }
     val renamed = right.columns.foldLeft(right) { (df, c) =>
       val lc = c.toLowerCase(java.util.Locale.ROOT)

@@ -94,14 +94,23 @@ object Quality {
   def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2 for repetition analysis, got $n")
-    val base = docs.select(col(idCol).as("id"),
-      split(lower(trim(col(textCol))), "\\s+").as("t"))
+    // null/blank text → ZERO tokens (tokenCountWs semantics), and the doc
+    // still gets an output row (zeros) — a downstream quality gate that
+    // joins against this profile must see failed-extraction docs, not
+    // silently pass them through. explode_outer keeps the empty-array
+    // row as one null token that the aggregates mask out.
+    val toks = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    val base = docs.select(col(idCol).as("id"), toks.as("t"))
+    val realC = when(col("tok").isNotNull, col("c"))
     val tokStats = base
-      .select(col("id"), explode(col("t")).as("tok"))
+      .select(col("id"), explode_outer(col("t")).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("id").agg(
-        (max("c").cast("double") / sum("c").cast("double")).as("top_token_frac"),
-        sum("c").cast("long").as("n_tokens"))
+        coalesce(max(realC).cast("double") / sum(realC).cast("double"), lit(0.0))
+          .as("top_token_frac"),
+        coalesce(sum(realC), lit(0L)).cast("long").as("n_tokens"))
     // grams shuffle as 8-byte hashes, not n-word strings (same collision
     // stance as the decontamination join); explode OUTER keeps the
     // inferred size>0 filter from duplicating the array expression

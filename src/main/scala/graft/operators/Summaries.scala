@@ -52,6 +52,11 @@ object Summaries {
   def numericProfile(df: DataFrame, cols: Seq[String],
                      exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
+    // helper aliases go through selectExpr — backtick-quote them (and
+    // escape the label literal) so names like `price-usd` or `a.b` don't
+    // parse as arithmetic / struct access
+    def q(name: String) = "`" + name.replace("`", "``") + "`"
+    def lit_(s: String) = "'" + s.replace("'", "''") + "'"
     val aggs = cols.flatMap { c =>
       val d = col(c).cast("double")
       val p50 =
@@ -67,7 +72,8 @@ object Summaries {
     }
     val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
     val stackArgs = cols.map(c =>
-      s"'$c', __n__$c, __nn__$c, __min__$c, __max__$c, __sum__$c, __p50__$c").mkString(", ")
+      s"${lit_(c)}, ${q(s"__n__$c")}, ${q(s"__nn__$c")}, ${q(s"__min__$c")}, " +
+        s"${q(s"__max__$c")}, ${q(s"__sum__$c")}, ${q(s"__p50__$c")}").mkString(", ")
     one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, n_non_null, n_null, min, max, __sum, p50)")
       .withColumn("mean", col("__sum") / col("n_non_null"))

@@ -233,8 +233,12 @@ object ReferencePipeline {
     val scorePairs = matchScoreFields.flatMap { case (k, maxPts, perUnit) =>
       val a = Cleanup.snakeCase(s"${k}_value")
       val d = s"${k}_value"
+      // case-INSENSITIVE presence check on BOTH sides (Spark's resolver
+      // is): a match-score key cased differently from the discharge
+      // column must still score, not silently drop to keep-first
+      val disCols = disJ.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
       if (admCols.contains(a.toLowerCase(java.util.Locale.ROOT)) &&
-          disJ.columns.contains(d))
+          disCols.contains(d.toLowerCase(java.util.Locale.ROOT)))
         Some((col(a), col(disCol(d)), maxPts, perUnit))
       else None
     }
@@ -247,9 +251,11 @@ object ReferencePipeline {
         if (scorePairs.isEmpty) lit(-1.0) else Joins.matchScore(scorePairs),
       keepFirstBy = _ => col(disCol("started_at")),
       rightSuffix = DischargeSuffix, nullSafeOn = true)
+    // RENAME, not copy: a withColumn copy would publish both the raw and
+    // the aliased timestamp on every joined/joined_all table
     val derived = resolved
-      .withColumn("admitted_at", col("started_at"))
-      .withColumn("discharged_at", col(disCol("completed_at")))
+      .withColumnRenamed("started_at", "admitted_at")
+      .withColumnRenamed(disCol("completed_at"), "discharged_at")
       .drop("base_uid")
       .withColumn("month_year", DeriveColumns.monthYear(col("admitted_at")))
       .withColumn("month_year_sort", DeriveColumns.monthYearSort(col("admitted_at")))
@@ -282,19 +288,23 @@ object ReferencePipeline {
     //     create_summary_day_one_vitals_sql.py et al. — one table per day
     //     offset). dayOffsetSlice's baseline is an unordered window MIN
     //     (no sort buffer); each slice shares the one repeatables scan.
-    //     `vitalsTables` restricts WHICH repeat groups count as vitals —
-    //     without it, a diagnoses row logged before the first measurement
-    //     would set the day-1 baseline and shift every slice (the
-    //     reference slices its vitalsigns table only).
+    //     `vitalsTables` names WHICH repeat groups are vitals — REQUIRED
+    //     for day-N outputs: slicing every repeat group would let a
+    //     diagnoses row logged before the first measurement set the day-1
+    //     baseline, shift every slice, and publish non-vitals rows inside
+    //     summary_day<N>_vitals (the reference slices its vitalsigns
+    //     table only). An unscoped run emits NO day tables rather than
+    //     wrong ones.
     val vitalsTs = col("created_at")
       .try_cast(org.apache.spark.sql.types.TimestampType)
-    val vitalsSrc =
-      if (vitalsTables.isEmpty) repeatables
-      else repeatables.filter(col("table_name").isin(vitalsTables.map(t => t: Any): _*))
     val dayVitals =
-      if (repeatableKeys.isEmpty) Map.empty[Int, DataFrame]
-      else vitalsDays.map(n =>
-        n -> Windows.dayOffsetSlice(vitalsSrc, Seq("uid"), vitalsTs, n)).toMap
+      if (repeatableKeys.isEmpty || vitalsTables.isEmpty) Map.empty[Int, DataFrame]
+      else {
+        val vitalsSrc = repeatables
+          .filter(col("table_name").isin(vitalsTables.map(t => t: Any): _*))
+        vitalsDays.map(n =>
+          n -> Windows.dayOffsetSlice(vitalsSrc, Seq("uid"), vitalsTs, n)).toMap
+      }
 
     Outputs(admissions, discharges, repeatables, joined, summaryCounts,
       completeness, exceptions, mclKeys, mclTables, combinedDiagnoses,

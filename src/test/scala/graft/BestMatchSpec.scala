@@ -93,6 +93,29 @@ class BestMatchSpec extends SparkSpec {
       .replaceAll("\n\\s*", "")
   }
 
+  test("rename-collision guards refuse BOTH a left and a right pre-existing target") {
+    val l = Seq(("u1", "x", "y")).toDF("uid", "v", "v_r")
+    val r1 = Seq(("u1", "z")).toDF("uid", "v")
+    // left already has v_r → renaming right v to v_r would be ambiguous
+    intercept[IllegalArgumentException] {
+      Joins.bestMatch(l, r1, Seq("uid"), Seq("uid"),
+        _ => lit(-1.0), _ => lit(1))
+    }
+    // right has BOTH v and v_r, left has only v: renaming right v to v_r
+    // lands on the unrenamed right v_r — must refuse too
+    val l2 = Seq(("u1", "x")).toDF("uid", "v")
+    val r2 = Seq(("u1", "z", "w")).toDF("uid", "v", "v_r")
+    intercept[IllegalArgumentException] {
+      Joins.bestMatch(l2, r2, Seq("uid"), Seq("uid"),
+        _ => lit(-1.0), _ => lit(1))
+    }
+    // a different suffix sidesteps both collisions
+    val out = Joins.bestMatch(l2, r2, Seq("uid"), Seq("uid"),
+      _ => lit(-1.0), _ => lit(1), rightSuffix = "_dis")
+    assert(out.columns.toSeq.map(_.toLowerCase).sorted ===
+      Seq("uid", "v", "v_dis", "v_r"))
+  }
+
   test("pipeline: a multi-discharge uid resolves to the clinically closest discharge") {
     // two DIFFERENT discharges share uid u1 → KeyRepair gives them
     // distinct keys (u1#date); the base-uid join sees BOTH as candidates

@@ -39,19 +39,24 @@ class QualitySpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 == 2, p.take(2000))
   }
 
-  test("repetitionProfile computes exact fractions") {
+  test("repetitionProfile computes exact fractions; null/blank docs get zero rows") {
     val docs = Seq(
       (1L, "a a a b"),   // 4 toks, top a=3/4; 3-grams: [a a a, a a b] → 0 dups
       (2L, "a b a b a b a b"), // 8 toks, top 4/8; 3-grams: aba×3, bab×3 → 6 inst, 2 distinct → 4/6
       (3L, "x y"),       // shorter than n → dup frac 0.0
-      (4L, "c c c c")    // 4 toks top 1.0; 3-grams: ccc ccc → 1/2
+      (4L, "c c c c"),   // 4 toks top 1.0; 3-grams: ccc ccc → 1/2
+      (5L, null),        // failed extraction: still profiled, zeros
+      (6L, "   ")        // blank: zero tokens (tokenCountWs semantics)
     ).toDF("doc_id", "text")
     val out = Quality.repetitionProfile(docs, "doc_id", "text", n = 3)
       .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.length === 6) // EVERY doc gets a row — quality gates join this
     assert(out(0) === ((1L, 4L, 0.75, 0.0)))
     assert(out(1) === ((2L, 8L, 0.5, 4.0 / 6.0)))
     assert(out(2) === ((3L, 2L, 0.5, 0.0)))
     assert(out(3) === ((4L, 4L, 1.0, 0.5)))
+    assert(out(4) === ((5L, 0L, 0.0, 0.0)))
+    assert(out(5) === ((6L, 0L, 0.0, 0.0)))
   }
 
   test("repetitionProfile join adds no exchange beyond the four aggregations") {

@@ -242,7 +242,8 @@ class ReferencePipelineSpec extends SparkSpec {
            {"id":"m4","createdAt":"2026-01-07T08:10:00","Temp":{"value":"38.5"}}]}}"""
         .replaceAll("\n\\s*", "")
     val out2 = ReferencePipeline.run(
-      raw.unionByName(Seq(s).toDF("json")), "json", Seq("Temp"), Seq("Temp"))
+      raw.unionByName(Seq(s).toDF("json")), "json", Seq("Temp"), Seq("Temp"),
+      vitalsTables = Seq("vitals"))
     assert(out2.dayVitals.keySet === Set(1, 2, 3))
     def temps(n: Int) = out2.dayVitals(n).filter(col("uid") === "U5")
       .select("Temp_value").as[String].collect().toSet
@@ -266,11 +267,11 @@ class ReferencePipelineSpec extends SparkSpec {
                      {"id":"m2","createdAt":"2026-01-06T08:10:00","Temp":{"value":"37.5"}}]}}"""
         .replaceAll("\n\\s*", "")
     val raw2 = raw.unionByName(Seq(s).toDF("json"))
-    // unfiltered: the day-earlier diagnoses row IS the baseline → the
-    // first vitals land on day 2 (the failure mode the filter fixes)
+    // unscoped: no vitalsTables → NO day tables (slicing every repeat
+    // group would let the day-earlier diagnoses row set the baseline and
+    // publish itself as a day-1 'vital' — refuse rather than emit that)
     val unfiltered = ReferencePipeline.run(raw2, "json", Seq("Temp"), Seq("Temp"))
-    assert(unfiltered.dayVitals(1).filter(col("uid") === "U5")
-      .select("Temp_value").as[String].collect().toSet === Set("x"))
+    assert(unfiltered.dayVitals.isEmpty)
     // filtered to the vitals table: baseline = first VITALS row
     val out2 = ReferencePipeline.run(raw2, "json", Seq("Temp"), Seq("Temp"),
       vitalsTables = Seq("vitals"))

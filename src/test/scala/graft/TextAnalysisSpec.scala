@@ -95,6 +95,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) === (("b", 2L, 2L, 10.0, 30.0, 20.0, 20.0)))
   }
 
+  test("numericProfile survives non-bare-identifier column names") {
+    val df = Seq((1.0, 2.0)).toDF("price-usd", "it's")
+    val out = graft.operators.Summaries.numericProfile(
+        df, Seq("price-usd", "it's"), exact = true)
+      .select("column_name", "mean").as[(String, Double)].collect().sortBy(_._1)
+    assert(out === Array(("it's", 2.0), ("price-usd", 1.0)))
+  }
+
   test("stratifiedFractions is deterministic and repartition-stable") {
     val df = spark.range(0, 2000).toDF("id")
       .withColumn("lang", when(pmod(col("id"), lit(2)) === 0, "en").otherwise("de"))
