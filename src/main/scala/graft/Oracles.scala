@@ -152,8 +152,32 @@ object Oracles {
          FROM cass JOIN qprobe USING (cid) WHERE query_id <> neighbor_id),
        ${topKSelect(5)}"""
 
+  /** q63: replicates the SemDeDup plumbing — the q37 centroid pool (every
+    * 8th of the first 128 by vec_id), argmin-L2 assignment with cid
+    * tie-break, greedy drop of any id with a smaller-id cluster-mate at
+    * rounded cosine ≥ 0.4.
+    */
+  private def semanticDedupOracle: String =
+    s"""WITH pool AS (
+         SELECT embedding AS centv, row_number() OVER (ORDER BY vec_id) - 1 AS i
+         FROM embeddings ORDER BY vec_id LIMIT 128),
+       cents AS (SELECT CAST(i // 8 AS INTEGER) AS cid, centv FROM pool WHERE i % 8 = 0),
+       c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       cd AS (
+         SELECT id, v, cid,
+           row_number() OVER (PARTITION BY id ORDER BY ${l2sqSql("v", "centv")}, cid) AS rn
+         FROM c CROSS JOIN cents),
+       ass AS (SELECT id, v, cid FROM cd WHERE rn = 1),
+       drops AS (
+         SELECT DISTINCT y.id FROM ass x JOIN ass y
+         ON x.cid = y.cid AND x.id < y.id
+         WHERE round(${cosSql("x.v", "y.v")}, 4) >= 0.4)
+       SELECT a.id AS vec_id, a.cid FROM ass a
+       LEFT JOIN drops d ON a.id = d.id WHERE d.id IS NULL"""
+
   val all: Map[String, String] = Map(
     "q28_simhash" -> simhashOracle,
+    "q63_semantic_dedup" -> semanticDedupOracle,
     "q29_embed_neardup" -> embedNearDupOracle,
     "q30_ann_topk" -> annTopKOracle,
     "q31_ann_lsh" -> annLshOracle,

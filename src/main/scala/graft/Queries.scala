@@ -665,6 +665,17 @@ object Queries {
       Summaries.numericProfile(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount"), exact = true)),
 
+    // SemDeDup: cluster-bucketed semantic dedup — 16 deterministic
+    // centroids, greedy keep-smallest-id within each cluster's cos>=0.4
+    // near-dup sets; output = kept vectors with their cluster
+    "q63_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.semanticDedup(emb, "vec_id", "embedding",
+        Ann.strideCentroids(emb, "vec_id", "embedding", 16), threshold = 0.4)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("cid").cast("int").as("cid"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

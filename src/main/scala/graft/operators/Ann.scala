@@ -161,6 +161,43 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"
+    * — public paper): assign every vector to its nearest centroid, search
+    * for near-duplicates WITHIN each cluster only, and greedily drop any
+    * vector whose cosine to a smaller-id cluster-mate reaches `threshold`
+    * (one deterministic representative per semantic near-dup set — the
+    * paper keeps one item per ε-ball; id order stands in for its
+    * keep-rule). Returns the KEPT (id, cid) rows.
+    *
+    * Scale notes: the centroid matrix rides the plan as one constant
+    * (`graft_ivf_nearest` kernel — no assignment shuffle, same as IVF),
+    * so the only shuffles are the cluster-keyed self-join and the drop
+    * anti-join. The within-cluster pair space is the quadratic SemDeDup
+    * itself prescribes — cluster count must scale with the corpus
+    * (k ≈ √n keeps E[cluster] ≈ √n); a hot cluster is AQE skew-join
+    * territory. Dup-heavy corpora should collapse identical vectors
+    * first ([[embeddingNearDupPairs]]'s distinct-vector move) so exact
+    * dups don't re-pair inside every cluster.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[Array[Float]], threshold: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    require(cents.nonEmpty, "semanticDedup needs at least one centroid")
+    val centsLit = lit(GraftFunctions.encodeCents(cents))
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        call_function("graft_ivf_nearest", col(vecCol), centsLit).as("cid"))
+      .hint("shuffle_hash") // self-join: shuffle both sides → ReusedExchange
+    val drops = assigned.as("x").join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+      // round before the threshold like the rest of the ANN family: the
+      // compare is then stable across engines' float printing
+      .filter(round(Similarity.cosineFast(col("x.v"), col("y.v")), 4) >= threshold)
+      .select(col("y.id").as("id")).distinct()
+    assigned.join(drops, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cid"))
+  }
+
   /** PCA-reduce an embedding column to `dims` components (Spark MLlib's
     * distributed PCA: one covariance aggregation over the corpus + a
     * driver-side eigendecomposition of the d×d matrix — d is the

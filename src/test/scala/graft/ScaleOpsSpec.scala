@@ -60,6 +60,28 @@ class ScaleOpsSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
   }
 
+  // 4 axis-aligned clusters with explicit orthogonal centroids: every
+  // vector lands on its own axis' centroid, intra-cluster cosine ≈ 1,
+  // cross-cluster ≈ 0 — assignment and dedup decisions are unambiguous
+  private lazy val axisCents = Array.tabulate(4)(c =>
+    Array.tabulate(16)(j => if (j == c) 1f else 0f))
+  private lazy val axisVecs = (0 until 40).map { i =>
+    val c = i % 4
+    (i.toLong, Array.tabulate(16)(j =>
+      (if (j == c) 1f else 0f) + (if (j == 8 + c) 0.001f * (i / 4 + 1) else 0f)).toSeq)
+  }.toDF("vec_id", "embedding")
+
+  test("semanticDedup keeps one representative per tight cluster") {
+    val kept = Ann.semanticDedup(axisVecs, "vec_id", "embedding", axisCents, 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 1L, 2L, 3L)) // smallest id per cluster survives
+  }
+
+  test("semanticDedup keeps everything when the threshold is unreachable") {
+    val kept = Ann.semanticDedup(axisVecs, "vec_id", "embedding", axisCents, 1.1)
+    assert(kept.count() === 40L)
+  }
+
   test("IVF topK finds the same top-1 as brute force for clustered data") {
     val queries = clustered.filter(col("vec_id") < 4)
     val ivf = Ann.ivfTopK(queries, clustered, "vec_id", "embedding",
