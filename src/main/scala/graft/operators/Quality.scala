@@ -76,6 +76,37 @@ object Quality {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Collect the benchmark's distinct n-gram hashes to the driver — a
+    * plan-time CONSTANT (same stance as the IVF centroid matrix): eval
+    * suites are thousands of documents, so the set is small enough to
+    * ride the plan and make [[contaminatedFlag]] a pure stateless
+    * projection. For benchmark sets beyond ~10⁶ n-grams use
+    * [[contaminationHits]]'s broadcast-join form instead.
+    */
+  def benchmarkHashes(benchmark: DataFrame, textCol: String, n: Int): Array[Long] = {
+    graft.functions.GraftFunctions.ensureRegistered(benchmark.sparkSession)
+    benchmark
+      .select(explode_outer(call_function("graft_ngram_hashes",
+        split(lower(trim(col(textCol))), "\\s+"), lit(n))).as("h"))
+      .filter(col("h").isNotNull).distinct()
+      .orderBy(col("h")) // deterministic plan constant run-to-run
+      .collect().map(_.getLong(0))
+  }
+
+  /** TRUE iff the text shares at least one word n-gram with the benchmark
+    * hash set. A codegen'd projection — no join, no aggregation, no
+    * state — so it drops straight into an append-mode streaming ingest
+    * chain as a `filter(!contaminatedFlag(...))` gate, where the
+    * count-based [[contaminationHits]] would force update-mode
+    * aggregation state.
+    */
+  def contaminatedFlag(text: Column, benchHashes: Array[Long], n: Int): Column = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    arrays_overlap(
+      call_function("graft_ngram_hashes", split(lower(trim(text)), "\\s+"), lit(n)),
+      typedLit(benchHashes.toSeq))
+  }
+
   /** Per-document repetition profile: token count, fraction of token
     * instances that are the single most frequent token, and fraction of
     * word n-gram instances that are repeats of an earlier instance

@@ -39,6 +39,18 @@ class QualitySpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 == 2, p.take(2000))
   }
 
+  test("contaminatedFlag marks exactly the docs contaminationHits reports") {
+    val bench = Seq("a b c d e", "q r s t").toDF("text")
+    val corpus = Seq((1L, "a b c x"), (2L, "x y z"), (3L, "r s t u"),
+      (4L, "nothing shared here"), (5L, "d e only")).toDF("doc_id", "text")
+    val viaHits = Quality.contaminationHits(corpus, bench, "doc_id", "text", n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    val hashes = Quality.benchmarkHashes(bench, "text", n = 2)
+    val viaFlag = corpus.filter(Quality.contaminatedFlag(col("text"), hashes, n = 2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaFlag === viaHits && viaFlag === Set(1L, 3L, 5L))
+  }
+
   test("repetitionProfile computes exact fractions; null/blank docs get zero rows") {
     val docs = Seq(
       (1L, "a a a b"),   // 4 toks, top a=3/4; 3-grams: [a a a, a a b] → 0 dups

@@ -63,6 +63,29 @@ class StreamBucketSpec extends SparkSpec {
     assert(out.size === 1 && out.subsetOf(Set(1L, 3L)), out.toString)
   }
 
+  test("streaming decontamination gates leaked docs with a stateless flag") {
+    import graft.operators.Quality
+    // benchmark hash set is a plan constant → the gate is a pure
+    // projection, append-mode safe, no stream-static join state
+    val bench = Seq("the secret eval answer is forty two exactly").toDF("text")
+    val hashes = Quality.benchmarkHashes(bench, "text", n = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    Seq(
+      (1L, ts(0), "clean document about spark joins and shuffles here"),
+      (2L, ts(1), "leaked: the secret eval answer is forty two exactly wow"),
+      (3L, ts(2), "another clean one with enough words to pass easily"))
+      .toDF("doc_id", "ts", "raw").write.parquet(s"$dir/in1")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val gated = spark.readStream.schema(schema).parquet(s"$dir/in*")
+      .filter(!Quality.contaminatedFlag(col("raw"), hashes, n = 4))
+    val q = gated.writeStream.format("memory")
+      .queryName("decon_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("decon_out").select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 3L))
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val facts = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
     val dims = (0 to 49).map(i => (i.toLong, s"label_$i")).toDF("k", "name")
