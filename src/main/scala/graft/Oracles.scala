@@ -175,9 +175,27 @@ object Oracles {
        SELECT a.id AS vec_id, a.cid FROM ass a
        LEFT JOIN drops d ON a.id = d.id WHERE d.id IS NULL"""
 
+  /** q64: replays the portable uniform — first 8 hex digits of
+    * md5(id || ':42') as an integer over 2^32 — and the cumulative-weight
+    * CASE. 16**(7-i) is exact in double below 2^32, so both engines
+    * compute the identical uniform.
+    */
+  private def splitAssignOracle: String =
+    s"""WITH u AS (SELECT doc_id, lang,
+           list_sum([(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR) || ':42'), i + 1, 1)) - 1)
+                     * 16**(7 - i) for i in range(0, 8)]) / 4294967296.0 AS uv
+         FROM documents)
+       SELECT doc_id, lang,
+         CASE WHEN uv < 0.8 THEN 'train'
+              WHEN uv < ${0.8 + 0.1} THEN 'val'
+              ELSE 'test' END AS split
+       FROM u"""
+
   val all: Map[String, String] = Map(
     "q28_simhash" -> simhashOracle,
     "q63_semantic_dedup" -> semanticDedupOracle,
+    "q64_split_assign" -> splitAssignOracle,
     "q29_embed_neardup" -> embedNearDupOracle,
     "q30_ann_topk" -> annTopKOracle,
     "q31_ann_lsh" -> annLshOracle,

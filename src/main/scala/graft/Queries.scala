@@ -676,6 +676,14 @@ object Queries {
           col("cid").cast("int").as("cid"))
     }),
 
+    // deterministic corpus split: 80/10/10 train/val/test as a pure
+    // function of doc_id (portable md5 uniform — the oracle replays it)
+    "q64_split_assign" -> ((s, d) =>
+      Sampling.assignSplit(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("doc_id"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), portable = true)),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -132,11 +132,25 @@ object Sampling {
       .drop("__start")
   }
 
+  /** Uniform value in [0, 1) as a pure function of (id, seed) — the
+    * deterministic randomness every sampling decision here builds on:
+    * stable across retries, repartitions, and engines (unlike seeded-RNG
+    * `sample`, whose draw depends on row order). `portable = true`
+    * derives it from the first 8 hex digits of md5 (reproducible in ANY
+    * SQL engine, the oracle's form); the default xxhash64 is the faster
+    * production path (xxhash64 is fixed by spec, 52 mantissa-safe bits).
+    */
+  def uniform01(id: Column, seed: Long = 42L, portable: Boolean = false): Column =
+    if (portable)
+      conv(substring(md5(concat(id.cast("string"), lit(s":$seed"))), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0)
+    else
+      pmod(xxhash64(id, lit(seed)), lit(1L << 52)).cast("double") /
+        lit((1L << 52).toDouble)
+
   /** Deterministic per-stratum fraction sampling WITHOUT a shuffle: keep a
     * row iff a uniform hash of its id lands under the stratum's fraction.
-    * Unlike `DataFrame.sampleBy` (seeded RNG over row order) the decision
-    * is a pure function of (id, seed), so it is stable across retries,
-    * repartitions, and engines. Unknown strata default to fraction 0.
+    * Unknown strata default to fraction 0.
     */
   def stratifiedFractions(df: DataFrame, stratumCol: Column, idCol: Column,
                           fractions: Map[String, Double],
@@ -144,10 +158,28 @@ object Sampling {
     require(fractions.values.forall(f => f >= 0 && f <= 1),
       "fractions must be in [0, 1]")
     val frac = coalesce(element_at(typedLit(fractions), stratumCol), lit(0.0))
-    // uniform in [0, 1): low 52 bits of xxhash64 → double — plenty of
-    // entropy, engine-reproducible (xxhash64 is fixed by spec)
-    val u = (pmod(xxhash64(idCol, lit(seed)), lit(1L << 52)).cast("double")
-      / lit((1L << 52).toDouble))
-    df.filter(u < frac)
+    df.filter(uniform01(idCol, seed) < frac)
+  }
+
+  /** Deterministic train/validation/test split assignment: each row gets
+    * the label whose cumulative weight interval contains its
+    * [[uniform01]] draw. A pure map-side projection — no shuffle, no
+    * state — and re-running over a GROWN corpus never reassigns an
+    * existing id (the property that keeps eval sets stable as a 100 TB
+    * corpus accretes). Weights must sum to 1.
+    */
+  def assignSplit(df: DataFrame, id: Column, splits: Seq[(String, Double)],
+                  outCol: String = "split", seed: Long = 42L,
+                  portable: Boolean = false): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0), "weights must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val u = uniform01(id, seed, portable)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = splits.init.zip(cums.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), cum)) =>
+        Some(acc.fold(when(u < cum, name))(_.when(u < cum, name)))
+      }
+      .fold(lit(splits.last._1))(_.otherwise(splits.last._1))
+    df.withColumn(outCol, label)
   }
 }

@@ -103,6 +103,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Array(("it's", 2.0), ("price-usd", 1.0)))
   }
 
+  test("assignSplit is deterministic, stable under corpus growth, and ~honors weights") {
+    import graft.operators.Sampling
+    val small = spark.range(0, 1000).toDF("id")
+    val big = spark.range(0, 5000).toDF("id")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      Sampling.assignSplit(df, col("id"), splits, portable = true)
+        .select("id", "split").as[(Long, String)].collect().toMap
+    val a = labels(small); val b = labels(big)
+    // growing the corpus never reassigns an existing id
+    assert(a.forall { case (id, s) => b(id) == s })
+    val frac = b.values.groupBy(identity).view.mapValues(_.size / 5000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.03, frac.toMap.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.03, frac.toMap.toString)
+    // fast (xxhash64) path: same API, same determinism
+    val f1 = Sampling.assignSplit(small, col("id"), splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val f2 = Sampling.assignSplit(small.repartition(7), col("id"), splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(f1 === f2)
+  }
+
   test("stratifiedFractions is deterministic and repartition-stable") {
     val df = spark.range(0, 2000).toDF("id")
       .withColumn("lang", when(pmod(col("id"), lit(2)) === 0, "en").otherwise("de"))
