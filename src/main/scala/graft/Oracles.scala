@@ -196,6 +196,26 @@ object Oracles {
     "q28_simhash" -> simhashOracle,
     "q63_semantic_dedup" -> semanticDedupOracle,
     "q64_split_assign" -> splitAssignOracle,
+
+    "q65_unigram_logprob" ->
+      """WITH base AS (SELECT doc_id,
+                  unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                              THEN [NULL]
+                              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS tok
+                FROM documents),
+         vocab AS (SELECT tok, count(*) AS c FROM base WHERE tok IS NOT NULL GROUP BY 1),
+         tot AS (SELECT greatest(sum(c), 1) AS total FROM vocab),
+         top AS (SELECT tok, c FROM vocab ORDER BY c DESC, tok LIMIT 24),
+         scored AS (
+           SELECT b.doc_id, b.tok,
+             round(ln(coalesce(CAST(t.c AS DOUBLE), 1.0) / CAST(total AS DOUBLE)), 5) AS lnp
+           FROM base b CROSS JOIN tot LEFT JOIN top t ON b.tok = t.tok)
+         SELECT doc_id,
+           CAST(count(tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tok IS NOT NULL
+                         THEN CAST(lnp AS DECIMAL(18,5)) END) AS DOUBLE)
+             / count(tok) AS mean_logprob
+         FROM scored GROUP BY 1""",
     "q29_embed_neardup" -> embedNearDupOracle,
     "q30_ann_topk" -> annTopKOracle,
     "q31_ann_lsh" -> annLshOracle,

@@ -684,6 +684,14 @@ object Queries {
         col("doc_id"),
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), portable = true)),
 
+    // unigram-LM quality score: mean ln p(token) under the corpus's own
+    // top-24 unigram distribution, OOV at the 1/total smoothing floor
+    "q65_unigram_logprob" -> ((s, d) =>
+      Quality.unigramLogProb(Tables.documents(s, d), "doc_id", "text",
+        maxVocab = 24)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_tokens"), col("mean_logprob"))),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

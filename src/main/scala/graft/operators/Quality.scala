@@ -107,6 +107,53 @@ object Quality {
       typedLit(benchHashes.toSeq))
   }
 
+  /** Unigram language-model quality score: mean natural-log probability
+    * of the document's tokens under the corpus's own unigram
+    * distribution, vocabulary capped at the `maxVocab` most frequent
+    * tokens (ties broken by token) with out-of-vocabulary tokens taking
+    * the `alpha / total` smoothing floor. The CCNet-style perplexity
+    * filter's statistical stand-in when no external LM is available:
+    * boilerplate and natural text score high, token soup scores low.
+    *
+    * Output: (idCol, n_tokens, mean_logprob); docs with zero tokens
+    * (null/blank text) keep a row with a NULL score.
+    *
+    * Float discipline: per-token ln p is rounded to 5 dp and summed as an
+    * exact decimal, so the mean is order-independent and engine-portable
+    * (p itself is a ratio of exact counts — identical doubles in any
+    * IEEE engine; only ln's last ulp varies, which 5 dp absorbs).
+    *
+    * Shuffle shape: one (tok) aggregation for the vocabulary, a top-K
+    * sort-limit (per-partition top-K then a single merge — never a full
+    * sort), the corpus total collected at CONSTRUCTION as a plan
+    * constant (the same plan-time-decision class as ngramJaccard's
+    * profile), a BROADCAST join of the capped vocabulary onto the token
+    * stream, and the per-doc aggregation. The vocabulary cap is what
+    * keeps the join broadcastable at any corpus size — vocabulary grows
+    * sublinearly but unboundedly; the tail lives in the smoothing floor.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     maxVocab: Int = 1 << 16, alpha: Double = 1.0): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val toks = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    val base = docs.select(col(idCol).as("id"), explode_outer(toks).as("tok"))
+    val vocab = base.filter(col("tok").isNotNull)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c")).head().getLong(0).max(1L)
+    val top = vocab.orderBy(col("c").desc, col("tok")).limit(maxVocab)
+    val lnp = round(
+      log(coalesce(col("c").cast("double"), lit(alpha)) / lit(total.toDouble)), 5)
+    base.join(broadcast(top), Seq("tok"), "left")
+      .groupBy("id").agg(
+        count(col("tok")).as("n_tokens"), // 0 for the null-token row of empty docs
+        (sum(when(col("tok").isNotNull, lnp).cast("decimal(18,5)")).cast("double")
+          / count(col("tok"))).as("mean_logprob")) // 0 tokens → null score
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Per-document repetition profile: token count, fraction of token
     * instances that are the single most frequent token, and fraction of
     * word n-gram instances that are repeats of an earlier instance

@@ -51,6 +51,23 @@ class QualitySpec extends SparkSpec {
     assert(viaFlag === viaHits && viaFlag === Set(1L, 3L, 5L))
   }
 
+  test("unigramLogProb scores docs under the capped corpus distribution") {
+    // vocab: a×2, b×1, z×1 → total 4; maxVocab=1 keeps only 'a'
+    // (count desc, tok tie-break); b and z take the 1/total floor
+    val docs = Seq((1L, "a a b"), (2L, "z"), (3L, null))
+      .toDF("doc_id", "text")
+    val out = Quality.unigramLogProb(docs, "doc_id", "text", maxVocab = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    val lnA = BigDecimal(math.log(2.0 / 4.0)).setScale(5, BigDecimal.RoundingMode.HALF_UP)
+    val lnF = BigDecimal(math.log(1.0 / 4.0)).setScale(5, BigDecimal.RoundingMode.HALF_UP)
+    // Spark divides AFTER the decimal→double cast — mirror that exactly
+    assert(out(0) === ((1L, 3L, (lnA * 2 + lnF).toDouble / 3)))
+    assert(out(1) === ((2L, 1L, lnF.toDouble / 1)))
+    assert(out(2) === ((3L, 0L, null))) // empty doc: row kept, null score
+  }
+
   test("repetitionProfile computes exact fractions; null/blank docs get zero rows") {
     val docs = Seq(
       (1L, "a a a b"),   // 4 toks, top a=3/4; 3-grams: [a a a, a a b] → 0 dups
