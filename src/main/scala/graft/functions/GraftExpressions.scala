@@ -207,6 +207,28 @@ case class LangIdNgramExpr(child: Expression, profiles: Seq[(String, Seq[String]
     copy(child = newChild)
 }
 
+/** TRUE iff any word n-gram of the token array hashes into the fixed
+  * sorted set — the decontamination gate's plan constant, shipped as ONE
+  * reference object and probed by binary search (see
+  * [[TextKernels.ngramAnyIn]]).
+  */
+case class NgramAnyInExpr(child: Expression, n: Int, sorted: Array[Long])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_ngram_any_in"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.ngramAnyIn(v.asInstanceOf[ArrayData], n, sorted)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("ngramSet", sorted, "long[]")
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.TextKernels.ngramAnyIn($v, $n, $s);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Count of tokens present in a fixed word set (plan-time literal). */
 case class TokenInSetCountExpr(child: Expression, words: Seq[String])
     extends UnaryExpression {
@@ -273,6 +295,14 @@ object GraftFunctions {
     s.split(';').map(_.split(',').map(_.toFloat))
   }
 
+  /** Hash-set literal format for graft_ngram_any_in (comma-joined
+    * decimals — ~20 bytes/hash in the plan; fine for eval-suite-sized
+    * sets, the ~10⁶ ceiling contaminatedFlag documents).
+    */
+  def encodeLongs(a: Array[Long]): String = a.mkString(",")
+  private def decodeLongs(s: String): Array[Long] =
+    if (s.isEmpty) Array.empty[Long] else s.split(',').map(_.toLong)
+
   /** Markers literal format for graft_lang_id: `lang:w1,w2|lang2:w3`. */
   // the separators are escaped percent-style so a marker/gram containing
   // ':' ',' or '|' (routine in CHARACTER n-gram profiles) round-trips
@@ -325,6 +355,13 @@ object GraftFunctions {
     }),
     "graft_count_in_set" -> (es =>
       TokenInSetCountExpr(es(0), stringLit(es(1), "words").split(',').toSeq)),
+    "graft_ngram_any_in" -> (es => {
+      val n = intLit(es(1), "n")
+      require(n >= 1, s"graft_ngram_any_in needs n >= 1, got $n")
+      val sorted = decodeLongs(stringLit(es(2), "hashes"))
+      java.util.Arrays.sort(sorted) // binary search contract
+      NgramAnyInExpr(es(0), n, sorted)
+    }),
     "graft_max_by" -> (es => HashExtremumBy(es(0), es(1), isMax = true)),
     "graft_min_by" -> (es => HashExtremumBy(es(0), es(1), isMax = false)),
     "graft_top_k_by" -> (es => HashTopKBy(es(0), es(1), es(2), intLit(es(3), "k")))

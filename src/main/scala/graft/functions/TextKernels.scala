@@ -127,6 +127,34 @@ object TextKernels {
     }
   }
 
+  /** TRUE iff any word n-gram of `toks` hashes into `sorted` (an
+    * ASCENDING xxhash64 array): binary search per gram, early exit on
+    * the first hit — O(grams × log |set|), zero allocation beyond the
+    * gram bytes. The membership twin of [[ngramHashes]]; the set rides
+    * the plan as ONE reference object (an `arrays_overlap` against a
+    * big literal array would rescan the whole set per row).
+    */
+  def ngramAnyIn(toks: ArrayData, n: Int, sorted: Array[Long]): Boolean = {
+    val count = toks.numElements() - (n - 1)
+    if (count < 1 || sorted.length == 0) return false
+    val sp = UTF8String.fromString(" ")
+    var i = 0
+    while (i < count) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        val t = toks.getUTF8String(i + j)
+        parts(2 * j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        if (j < n - 1) parts(2 * j + 1) = sp
+        j += 1
+      }
+      val h = XxHash64Function.hash(UTF8String.concat(parts: _*), StringType, 42L)
+      if (java.util.Arrays.binarySearch(sorted, h) >= 0) return true
+      i += 1
+    }
+    false
+  }
+
   /** Distinct xxhash64 values of the word n-grams of a token array: the
     * hashed-shingle set for Jaccard/minhash work, without materializing
     * any n-gram string. Hashes each n-gram's bytes (tokens joined by a

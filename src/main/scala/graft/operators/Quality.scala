@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** THE tokenization of this module — every operator here (and its
+    * oracle) derives from this one expression, so a change can't drift
+    * one gate away from another.
+    */
+  private[operators] def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Distinct n-gram hashes of a text column via the codegen kernel. */
+  private[operators] def ngramHashesOf(text: Column, n: Int): Column =
+    call_function("graft_ngram_hashes", tokens(text), lit(n))
+
   /** Word n-gram instances (NOT deduplicated — repetition analysis needs
     * every occurrence; [[NearDup.shingles]] is the set-semantics twin).
     * Docs with fewer than n tokens yield an empty array.
@@ -64,8 +75,7 @@ object Quality {
     // can't duplicate the kernel below the Generate (q26's lesson).
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     def shingleHashes(df: DataFrame, extra: Column*): DataFrame = df
-      .select(extra :+ explode_outer(call_function("graft_ngram_hashes",
-        split(lower(trim(col(textCol))), "\\s+"), lit(n))).as("h"): _*)
+      .select(extra :+ explode_outer(ngramHashesOf(col(textCol), n)).as("h"): _*)
       .filter(col("h").isNotNull)
     val benchSh = shingleHashes(benchmark).distinct()
     val bench = if (broadcastBenchmark) broadcast(benchSh) else benchSh
@@ -86,25 +96,30 @@ object Quality {
   def benchmarkHashes(benchmark: DataFrame, textCol: String, n: Int): Array[Long] = {
     graft.functions.GraftFunctions.ensureRegistered(benchmark.sparkSession)
     benchmark
-      .select(explode_outer(call_function("graft_ngram_hashes",
-        split(lower(trim(col(textCol))), "\\s+"), lit(n))).as("h"))
+      .select(explode_outer(ngramHashesOf(col(textCol), n)).as("h"))
       .filter(col("h").isNotNull).distinct()
-      .orderBy(col("h")) // deterministic plan constant run-to-run
+      .orderBy(col("h")) // ascending: the membership kernel binary-searches
       .collect().map(_.getLong(0))
   }
 
   /** TRUE iff the text shares at least one word n-gram with the benchmark
-    * hash set. A codegen'd projection — no join, no aggregation, no
-    * state — so it drops straight into an append-mode streaming ingest
-    * chain as a `filter(!contaminatedFlag(...))` gate, where the
-    * count-based [[contaminationHits]] would force update-mode
-    * aggregation state.
+    * hash set; FALSE (never NULL) for null text, so
+    * `filter(!contaminatedFlag(...))` keeps failed-extraction rows for
+    * the downstream profile gates instead of silently dropping them. A
+    * codegen'd projection — the set rides the plan as one reference
+    * object probed by binary search with early exit (an `arrays_overlap`
+    * literal would rescan the whole set per row), no join, no state — so
+    * it drops straight into an append-mode streaming ingest chain where
+    * the count-based [[contaminationHits]] would force update-mode
+    * aggregation state. Requires graft function registration
+    * (`GraftFunctions.ensureRegistered`; [[benchmarkHashes]] does it).
     */
   def contaminatedFlag(text: Column, benchHashes: Array[Long], n: Int): Column = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
-    arrays_overlap(
-      call_function("graft_ngram_hashes", split(lower(trim(text)), "\\s+"), lit(n)),
-      typedLit(benchHashes.toSeq))
+    coalesce(
+      call_function("graft_ngram_any_in", tokens(text), lit(n),
+        lit(graft.functions.GraftFunctions.encodeLongs(benchHashes))),
+      lit(false))
   }
 
   /** Unigram language-model quality score: mean natural-log probability
@@ -123,27 +138,46 @@ object Quality {
     * (p itself is a ratio of exact counts — identical doubles in any
     * IEEE engine; only ln's last ulp varies, which 5 dp absorbs).
     *
-    * Shuffle shape: one (tok) aggregation for the vocabulary, a top-K
-    * sort-limit (per-partition top-K then a single merge — never a full
-    * sort), the corpus total collected at CONSTRUCTION as a plan
-    * constant (the same plan-time-decision class as ngramJaccard's
-    * profile), a BROADCAST join of the capped vocabulary onto the token
-    * stream, and the per-doc aggregation. The vocabulary cap is what
-    * keeps the join broadcastable at any corpus size — vocabulary grows
+    * Shuffle shape: ONE (tok) aggregation job computes the corpus total
+    * AND the top-K vocabulary together (`graft_top_k_by` — bounded-heap
+    * aggregate, never a full sort); both are collected at CONSTRUCTION
+    * as plan constants (the same plan-time-decision class as
+    * ngramJaccard's profile — at most maxVocab+1 values reach the
+    * driver). The scoring pass then BROADCAST-joins the capped
+    * vocabulary onto the token stream and aggregates per doc: two scans
+    * of the token stream total. The vocabulary cap is what keeps the
+    * join broadcastable at any corpus size — vocabulary grows
     * sublinearly but unboundedly; the tail lives in the smoothing floor.
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                      maxVocab: Int = 1 << 16, alpha: Double = 1.0): DataFrame = {
     require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
     require(alpha > 0, s"alpha must be > 0, got $alpha")
-    val toks = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val toksArr = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
         array().cast("array<string>"))
-      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
-    val base = docs.select(col(idCol).as("id"), explode_outer(toks).as("tok"))
-    val vocab = base.filter(col("tok").isNotNull)
+      .otherwise(tokens(col(textCol)))
+    val base = docs.select(col(idCol).as("id"), explode_outer(toksArr).as("tok"))
+    val vstats = base.filter(col("tok").isNotNull)
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = vocab.agg(sum("c")).head().getLong(0).max(1L)
-    val top = vocab.orderBy(col("c").desc, col("tok")).limit(maxVocab)
+      .agg(sum("c").as("t"),
+        call_function("graft_top_k_by",
+          struct(col("tok"), col("c")), col("c"), col("tok"), lit(maxVocab)).as("top"))
+      .head()
+    // empty/all-blank corpus: sum is NULL, top is empty — total clamps to
+    // 1 and every (nonexistent) token would take the floor; no NPE
+    val total = (if (vstats.isNullAt(0)) 1L else vstats.getLong(0)).max(1L)
+    val spark = docs.sparkSession
+    val topRows = vstats.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => org.apache.spark.sql.Row(r.getString(0), r.getLong(1)))
+    val topSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tok",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.LongType)))
+    val top = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(topRows).asJava), topSchema)
     val lnp = round(
       log(coalesce(col("c").cast("double"), lit(alpha)) / lit(total.toDouble)), 5)
     base.join(broadcast(top), Seq("tok"), "left")

@@ -68,6 +68,22 @@ class QualitySpec extends SparkSpec {
     assert(out(2) === ((3L, 0L, null))) // empty doc: row kept, null score
   }
 
+  test("unigramLogProb survives an all-blank corpus; flag is FALSE for null text") {
+    val blank = Seq((1L, null.asInstanceOf[String]), (2L, "  "))
+      .toDF("doc_id", "text")
+    val out = Quality.unigramLogProb(blank, "doc_id", "text", maxVocab = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2)))
+    assert(out === Array((1L, 0L, true), (2L, 0L, true)))
+    // null-text rows must NOT be dropped by the decontamination gate
+    val hashes = Quality.benchmarkHashes(Seq("a b c").toDF("text"), "text", 2)
+    val kept = Seq((1L, null.asInstanceOf[String]), (2L, "a b x"))
+      .toDF("doc_id", "text")
+      .filter(!Quality.contaminatedFlag(col("text"), hashes, 2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L)) // doc 2 is contaminated; doc 1 (null) passes
+  }
+
   test("repetitionProfile computes exact fractions; null/blank docs get zero rows") {
     val docs = Seq(
       (1L, "a a a b"),   // 4 toks, top a=3/4; 3-grams: [a a a, a a b] → 0 dups
