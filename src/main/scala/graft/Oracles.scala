@@ -197,6 +197,25 @@ object Oracles {
     "q63_semantic_dedup" -> semanticDedupOracle,
     "q64_split_assign" -> splitAssignOracle,
 
+    "q66_cross_neardup" ->
+      """WITH toks AS (SELECT doc_id, source,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id, source,
+                  unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                        for i in range(1, greatest(len(t) - 2, 0) + 1)])) AS s
+                FROM toks),
+         szs AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         p AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS common
+               FROM sh a JOIN sh b ON a.s = b.s
+               WHERE a.source = 'src1' AND b.source <> 'src1'
+               GROUP BY 1, 2)
+         SELECT id_l, id_r,
+           CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) AS jaccard,
+           CAST(common AS DOUBLE) / sa.nsh AS containment_l
+         FROM p
+         JOIN szs sa ON sa.doc_id = id_l
+         JOIN szs sb ON sb.doc_id = id_r""",
+
     "q65_unigram_logprob" ->
       """WITH base AS (SELECT doc_id,
                   unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0

@@ -692,6 +692,20 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_tokens"), col("mean_logprob"))),
 
+    // incremental dedup primitive: every (increment src1, history) doc
+    // pair sharing a word 3-gram, with jaccard + left containment —
+    // thresholds are the caller's cut, both coefficients verified here
+    "q66_cross_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      NearDup.crossNgramPairs(
+        docs.filter(col("source") === "src1"),
+        docs.filter(col("source") =!= "src1"),
+        "doc_id", "doc_id", "text", "text", n = 3)
+        .select(col("id_l").cast("long").as("id_l"),
+          col("id_r").cast("long").as("id_r"),
+          col("jaccard"), col("containment_l"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -150,6 +150,46 @@ object NearDup {
     intra.unionByName(inter)
   }
 
+  /** Cross-corpus n-gram similarity: every (left, right) pair sharing at
+    * least one word n-gram, with its Jaccard AND the left-side
+    * containment coefficient |A∩B| / |A| (1.0 = the left doc's whole
+    * shingle set lives inside the right doc — substring-style inclusion
+    * at shingle granularity). The INCREMENTAL dedup primitive: left =
+    * today's crawl increment, right = the historical index, keep the
+    * left rows with no emitted pair (or below the cut).
+    *
+    * Shuffle shape mirrors ngramJaccardPairs' dup-free path: kernel
+    * shingle hashes, per-doc sizes riding the exploded stream, one
+    * hash-join on the 8-byte shingle hash, one pair aggregation — no
+    * windows, no second scan for sizes. Left docs with zero shingles
+    * (shorter than n tokens) emit nothing: they have no n-gram identity
+    * at this granularity; gate them on length upstream.
+    */
+  def crossNgramPairs(left: DataFrame, right: DataFrame,
+                      leftId: String, rightId: String,
+                      leftText: String, rightText: String,
+                      n: Int, minJaccard: Double = 0.0,
+                      minContainment: Double = 0.0): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    graft.functions.GraftFunctions.ensureRegistered(left.sparkSession)
+    def side(df: DataFrame, id: String, text: String): DataFrame = df
+      .select(col(id).as("id"),
+        call_function("graft_ngram_hashes",
+          split(lower(trim(col(text))), "\\s+"), lit(n)).as("sh"))
+      .select(col("id"), size(col("sh")).as("nsh"), explode_outer(col("sh")).as("h"))
+      .filter(col("h").isNotNull)
+    side(left, leftId, leftText).as("a")
+      .join(side(right, rightId, rightText).as("b"), col("a.h") === col("b.h"))
+      .groupBy(col("a.id").as("id_l"), col("b.id").as("id_r"))
+      .agg(count(lit(1)).as("common"),
+        any_value(col("a.nsh")).as("nsh_l"), any_value(col("b.nsh")).as("nsh_r"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("nsh_l") + col("nsh_r") - col("common")))
+      .withColumn("containment_l", col("common").cast("double") / col("nsh_l"))
+      .filter(col("jaccard") >= minJaccard && col("containment_l") >= minContainment)
+      .select("id_l", "id_r", "jaccard", "containment_l")
+  }
+
   /** MinHash signature: one minimum per seed over md5(seed || shingle).
     * String-min over hex md5 is engine-portable (same result in any ANSI
     * SQL engine), which is what the oracle check needs; swap in xxhash64

@@ -20,6 +20,25 @@ class NearDupSpec extends SparkSpec {
     assert(out.forall(_.split(" ").length == 3))
   }
 
+  test("crossNgramPairs computes jaccard + containment across two corpora") {
+    // left doc 1: {a b, b c, c d}; right doc 10: {b c, c d, d e};
+    // right doc 11: {a b, b c, c d, d x} fully CONTAINS doc 1's set
+    val inc = Seq((1L, "a b c d"), (2L, "q r s")).toDF("doc_id", "text")
+    val hist = Seq((10L, "b c d e"), (11L, "a b c d x")).toDF("doc_id", "text")
+    val out = graft.operators.NearDup.crossNgramPairs(
+        inc, hist, "doc_id", "doc_id", "text", "text", n = 2)
+      .as[(Long, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out === Array(
+      (1L, 10L, 2.0 / 4.0, 2.0 / 3.0),  // common {b c, c d}
+      (1L, 11L, 3.0 / 4.0, 1.0)))       // doc 1 contained in doc 11
+    // threshold cut keeps only the containment hit
+    val cut = graft.operators.NearDup.crossNgramPairs(
+        inc, hist, "doc_id", "doc_id", "text", "text", n = 2,
+        minContainment = 1.0)
+      .select("id_l", "id_r").as[(Long, Long)].collect()
+    assert(cut === Array((1L, 11L)))
+  }
+
   test("ngramJaccardPairs computes exact jaccard on a known pair") {
     // doc1: shingles {a b, b c, c d}; doc2: {b c, c d, d e}
     // intersection 2, union 4 → jaccard 0.5
