@@ -164,6 +164,13 @@ object NearDup {
     * windows, no second scan for sizes. Left docs with zero shingles
     * (shorter than n tokens) emit nothing: they have no n-gram identity
     * at this granularity; gate them on length upstream.
+    *
+    * Dup-heavy corpora: exact-duplicate docs on EITHER side multiply the
+    * pair space (d copies × e copies = d·e identical pairs — measured
+    * 900× output inflation on a 30×-replicated probe). Collapse each
+    * side to distinct normalized texts first (ngramJaccardPairs'
+    * xxhash64-identity move) and fan ids back via membership joins when
+    * increments are resubmission-heavy.
     */
   def crossNgramPairs(left: DataFrame, right: DataFrame,
                       leftId: String, rightId: String,

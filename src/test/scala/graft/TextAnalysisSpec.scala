@@ -103,6 +103,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Array(("it's", 2.0), ("price-usd", 1.0)))
   }
 
+  test("packSequences agrees with tokenBudgetPerStratum at chunk boundaries") {
+    import graft.operators.Sampling
+    // for budget = m × seqLen, "kept by the budget cut" must equal
+    // "starts in one of the first m sequences" — the two operators are
+    // views of the same running sum
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"s${i % 3}", (rnd.nextInt(120) + 1).toLong))
+      .toDF("doc_id", "lang", "n_tok")
+    val (seqLen, m) = (64L, 5L)
+    val kept = Sampling.tokenBudgetPerStratum(docs, col("lang"),
+        Seq(col("doc_id")), col("n_tok"), budget = seqLen * m)
+      .select("doc_id").as[Long].collect().toSet
+    val packed = Sampling.packSequences(docs, col("lang"),
+        Seq(col("doc_id")), col("n_tok"), seqLen)
+      .filter(col("seq_id") < m).select("doc_id").as[Long].collect().toSet
+    assert(packed === kept)
+  }
+
   test("assignSplit is deterministic, stable under corpus growth, and ~honors weights") {
     import graft.operators.Sampling
     val small = spark.range(0, 1000).toDF("id")
