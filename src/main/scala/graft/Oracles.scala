@@ -197,6 +197,21 @@ object Oracles {
     "q63_semantic_dedup" -> semanticDedupOracle,
     "q64_split_assign" -> splitAssignOracle,
 
+    "q67_chunk_tokens" ->
+      """WITH toks AS (SELECT doc_id,
+                  CASE WHEN text IS NULL OR length(trim(text)) = 0
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+                FROM documents),
+         n AS (SELECT doc_id, t, len(t) AS tn,
+                 CAST(greatest(ceil(CAST(len(t) - 3 AS DOUBLE) / 9), 1) AS INTEGER) AS nc
+               FROM toks WHERE len(t) > 0),
+         ch AS (SELECT doc_id, unnest(range(0, nc)) AS k, t, tn FROM n)
+         SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+           array_to_string(t[k*9+1 : k*9+12], ' ') AS chunk_text,
+           CAST(least(12, tn - k*9) AS INTEGER) AS n_tok
+         FROM ch""",
+
     "q66_cross_neardup" ->
       """WITH toks AS (SELECT doc_id, source,
                   regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),

@@ -706,6 +706,22 @@ object Queries {
           col("jaccard"), col("containment_l"))
     }),
 
+    // RAG/long-context chunking: 12-token windows, 3-token overlap —
+    // one row per chunk with its index, text, and token count
+    "q67_chunk_tokens" -> ((s, d) =>
+      // explode_OUTER: plain explode would infer a size>0 filter below
+      // the Generate, duplicating the whole chunking expression (the
+      // q26/q59 trap); empty docs surface as one null chunk, dropped on
+      // the GENERATED column
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode_outer(TextAnalysis.chunkTokens(col("text"), size = 12, overlap = 3)).as("ch"))
+        .filter(col("ch").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("ch.chunk_idx").cast("int").as("chunk_idx"),
+          col("ch.chunk_text").as("chunk_text"),
+          col("ch.n_tok").cast("int").as("n_tok"))),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

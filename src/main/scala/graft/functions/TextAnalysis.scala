@@ -151,4 +151,37 @@ object TextAnalysis {
   /** The standard scrub stack: strip markup, then redact emails/phones. */
   def cleanForTraining(text: Column): Column =
     redactPhones(redactEmails(stripHtml(text)))
+
+  /** Overlapping token-window chunks as an array of (chunk_idx,
+    * chunk_text, n_tok) structs — the RAG / long-context splitting step.
+    * Chunks start every `size - overlap` tokens and carry up to `size`
+    * tokens; the final chunk may be shorter (it is never dropped — the
+    * tail tokens must land somewhere). Null/blank text yields an empty
+    * array. A pure projection: explode the result for one row per chunk,
+    * and partition count/pruning carry over from the parent scan.
+    */
+  def chunkTokens(text: Column, size: Int, overlap: Int): Column = {
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap (size $size)")
+    val step = size - overlap
+    val toks = when(text.isNull || length(trim(text)) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "\\s+"))
+    // the `size` param shadows functions.size — qualify the array length
+    val nToks = org.apache.spark.sql.functions.size(toks)
+    // ceil((T − overlap)/step), floored at 1 for any non-empty doc (a doc
+    // with tokens ≤ overlap still gets its one chunk); the empty branch
+    // guards sequence(0, −1), which would run DESCENDING
+    val nChunks = greatest(
+      ceil((nToks - lit(overlap)).cast("double") / lit(step.toDouble)).cast("int"),
+      lit(1))
+    when(nToks === 0,
+        array().cast("array<struct<chunk_idx:int,chunk_text:string,n_tok:int>>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        k => struct(
+          k.as("chunk_idx"),
+          concat_ws(" ", slice(toks, k * step + 1, lit(size))).as("chunk_text"),
+          least(lit(size), nToks - k * step).as("n_tok"))))
+  }
 }

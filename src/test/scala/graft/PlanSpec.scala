@@ -46,6 +46,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), p.take(1500)) // whole-stage codegen stage marker
   }
 
+  test("q67 chunking: one Generate, no shuffle, no join, no sort") {
+    val p = plan("q67_chunk_tokens")
+    assert(p.contains("Generate"), p.take(1500))
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
+      p.take(1500))
+  }
+
   test("q48 MCL discovery: one Generate into hash aggregation, no sorts") {
     val p = plan("q48_mcl_discovery")
     assert(p.contains("Generate"), p.take(2000))

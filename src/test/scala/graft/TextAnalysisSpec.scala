@@ -103,6 +103,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Array(("it's", 2.0), ("price-usd", 1.0)))
   }
 
+  test("chunkTokens windows with overlap; tail chunk kept; edge docs covered") {
+    def chunks(text: String, size: Int, overlap: Int) =
+      Seq(text).toDF("t")
+        .select(explode(TextAnalysis.chunkTokens(col("t"), size, overlap)).as("c"))
+        .select("c.chunk_idx", "c.chunk_text", "c.n_tok")
+        .as[(Int, String, Int)].collect().toSeq
+    // 10 tokens, size 4, overlap 1 → ceil((10−1)/3) = 3 chunks; the last
+    // starts at 6 and covers the tail exactly
+    assert(chunks("a b c d e f g h i j", 4, 1) === Seq(
+      (0, "a b c d", 4), (1, "d e f g", 4), (2, "g h i j", 4)))
+    // 11 tokens: a short tail chunk appears
+    assert(chunks("a b c d e f g h i j k", 4, 1) === Seq(
+      (0, "a b c d", 4), (1, "d e f g", 4), (2, "g h i j", 4), (3, "j k", 2)))
+    // doc shorter than overlap still gets its chunk
+    assert(chunks("x", 4, 1) === Seq((0, "x", 1)))
+    // null/blank → no chunks
+    for (t <- Seq(null.asInstanceOf[String], "   "))
+      assert(chunks(t, 4, 1).isEmpty)
+    // every token appears in some chunk (coverage property)
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 20) {
+      val n = rnd.nextInt(40) + 1
+      val words = (1 to n).map(i => s"w$i")
+      val (z, v) = (rnd.nextInt(8) + 2, rnd.nextInt(2))
+      val got = chunks(words.mkString(" "), z, v)
+      assert(got.flatMap(_._2.split(" ")).toSet === words.toSet,
+        s"n=$n size=$z overlap=$v")
+      assert(got.map(_._1) === got.indices.toSeq) // contiguous chunk ids
+    }
+  }
+
   test("packSequences agrees with tokenBudgetPerStratum at chunk boundaries") {
     import graft.operators.Sampling
     // for budget = m × seqLen, "kept by the budget cut" must equal
