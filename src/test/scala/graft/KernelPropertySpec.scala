@@ -13,6 +13,29 @@ import graft.operators.{KeyRepair, NearDup}
 class KernelPropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("ngramAnyIn membership equals hash-set intersection across random corpora") {
+    import graft.operators.Quality
+    val rnd = new scala.util.Random(19)
+    val words = Vector("a", "bb", "ccc", "δδ", "e e".trim, "φ", "g", "hi")
+    def doc() = (1 to rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    for (trial <- 1 to 10) {
+      val n = rnd.nextInt(3) + 1
+      val bench = (1 to 5).map(_ => doc()).toDF("text")
+      val corpus = (1 to 40).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+      val hashes = Quality.benchmarkHashes(bench, "text", n)
+      // reference model: doc flagged ⟺ its distinct n-gram hash set
+      // intersects the benchmark set (the graft_ngram_hashes kernel)
+      val expected = corpus
+        .select(col("doc_id"), call_function("graft_ngram_hashes",
+          split(lower(trim(col("text"))), "\\s+"), lit(n)).as("sh"))
+        .as[(Long, Seq[Long])].collect()
+        .filter(_._2.exists(hashes.toSet)).map(_._1).toSet
+      val got = corpus.filter(Quality.contaminatedFlag(col("text"), hashes, n))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === expected, s"trial $trial n=$n")
+    }
+  }
+
   test("top-k agg equals window rank across random k / groups / heavy ties") {
     GraftFunctions.ensureRegistered(spark)
     val rnd = new scala.util.Random(13)
