@@ -100,12 +100,7 @@ object NearDup {
       // dup-free path: shingle-join keyed on ids directly — no distinct
       // collapse, no membership joins; identical-text pairs still emit
       // jaccard exactly 1.0 (they share every shingle)
-      val st = norm
-        .select(col("id"),
-          call_function("graft_ngram_hashes", split(col("t"), "\\s+"), lit(n)).as("sh"))
-        .select(col("id"), size(col("sh")).as("nsh"), explode_outer(col("sh")).as("h"))
-        .filter(col("h").isNotNull)
-        .hint("shuffle_hash")
+      val st = shingleHashTable(norm, "id", split(col("t"), "\\s+"), n)
       return st.as("a").join(st.as("b"),
           col("a.h") === col("b.h") && col("a.id") < col("b.id"))
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -150,6 +145,19 @@ object NearDup {
     intra.unionByName(inter)
   }
 
+  /** The shared (key, nsh, h) exploded shingle-hash table every pair
+    * join here builds on: kernel hashes, per-key set size riding the
+    * stream, null shingles (short docs) dropped on the GENERATED column,
+    * and the shuffle_hash hint — without it preferSortMergeJoin would
+    * fully SORT both 8-byte-hash streams at scale.
+    */
+  private def shingleHashTable(df: DataFrame, key: String,
+                               toks: Column, n: Int): DataFrame = df
+    .select(col(key), call_function("graft_ngram_hashes", toks, lit(n)).as("sh"))
+    .select(col(key), size(col("sh")).as("nsh"), explode_outer(col("sh")).as("h"))
+    .filter(col("h").isNotNull)
+    .hint("shuffle_hash")
+
   /** Cross-corpus n-gram similarity: every (left, right) pair sharing at
     * least one word n-gram, with its Jaccard AND the left-side
     * containment coefficient |A∩B| / |A| (1.0 = the left doc's whole
@@ -179,12 +187,9 @@ object NearDup {
                       minContainment: Double = 0.0): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
     graft.functions.GraftFunctions.ensureRegistered(left.sparkSession)
-    def side(df: DataFrame, id: String, text: String): DataFrame = df
-      .select(col(id).as("id"),
-        call_function("graft_ngram_hashes",
-          split(lower(trim(col(text))), "\\s+"), lit(n)).as("sh"))
-      .select(col("id"), size(col("sh")).as("nsh"), explode_outer(col("sh")).as("h"))
-      .filter(col("h").isNotNull)
+    def side(df: DataFrame, id: String, text: String): DataFrame =
+      shingleHashTable(df.select(col(id).as("id"), col(text).as("__tx")),
+        "id", split(lower(trim(col("__tx"))), "\\s+"), n)
     side(left, leftId, leftText).as("a")
       .join(side(right, rightId, rightText).as("b"), col("a.h") === col("b.h"))
       .groupBy(col("a.id").as("id_l"), col("b.id").as("id_r"))

@@ -46,6 +46,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), p.take(1500)) // whole-stage codegen stage marker
   }
 
+  test("q66 cross near-dup joins shingle hashes with shuffle_hash, not sort-merge") {
+    val p = plan("q66_cross_neardup")
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("q67 chunking: one Generate, no shuffle, no join, no sort") {
     val p = plan("q67_chunk_tokens")
     assert(p.contains("Generate"), p.take(1500))
