@@ -246,8 +246,8 @@ object Oracles {
            FROM base b CROSS JOIN tot LEFT JOIN top t ON b.tok = t.tok)
          SELECT doc_id,
            CAST(count(tok) AS BIGINT) AS n_tokens,
-           CAST(sum(CASE WHEN tok IS NOT NULL
-                         THEN CAST(lnp AS DECIMAL(18,5)) END) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN tok IS NOT NULL
+                         THEN CAST(lnp AS DECIMAL(18,5)) END) AS VARCHAR) AS DOUBLE)
              / count(tok) AS mean_logprob
          FROM scored GROUP BY 1""",
     "q29_embed_neardup" -> embedNearDupOracle,
@@ -257,10 +257,10 @@ object Oracles {
     "q01_agg_summary" ->
       """SELECT l_returnflag, l_linestatus,
          count(*) AS count_rows,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 
     "q02_dedup_keep_latest" ->
@@ -270,7 +270,7 @@ object Oracles {
 
     "q03_join_enrich" ->
       """SELECT n_name, r_name, count(*) AS num_orders,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_revenue
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -312,7 +312,7 @@ object Oracles {
                      WHEN l_quantity < 40 THEN 'large'
                      ELSE 'xlarge' END AS qty_group,
          count(*) AS n_items,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
          FROM lineitem GROUP BY 1""",
 
     "q10_date_derive" ->
@@ -544,7 +544,7 @@ object Oracles {
                           ELSE l_orderkey % 100 END AS hot_key
            FROM lineitem)
          SELECT n_name, count(*) AS n_lines,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
          FROM li JOIN nation ON hot_key = n_nationkey
          GROUP BY n_name""",
 
@@ -999,21 +999,21 @@ object Oracles {
              count(*) - count(l_quantity) AS n_null,
              min(CAST(l_quantity AS DOUBLE)) AS min,
              max(CAST(l_quantity AS DOUBLE)) AS max,
-             CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(l_quantity) AS mean,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / count(l_quantity) AS mean,
              quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50
            FROM lineitem
            UNION ALL
            SELECT 'l_extendedprice',
              count(l_extendedprice), count(*) - count(l_extendedprice),
              min(CAST(l_extendedprice AS DOUBLE)), max(CAST(l_extendedprice AS DOUBLE)),
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(l_extendedprice),
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / count(l_extendedprice),
              quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
            FROM lineitem
            UNION ALL
            SELECT 'l_discount',
              count(l_discount), count(*) - count(l_discount),
              min(CAST(l_discount AS DOUBLE)), max(CAST(l_discount AS DOUBLE)),
-             CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(l_discount),
+             CAST(CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / count(l_discount),
              quantile_cont(CAST(l_discount AS DOUBLE), 0.5)
            FROM lineitem)
          SELECT * FROM p"""
