@@ -71,6 +71,30 @@ class ScaleOpsSpec extends SparkSpec {
       (if (j == c) 1f else 0f) + (if (j == 8 + c) 0.001f * (i / 4 + 1) else 0f)).toSeq)
   }.toDF("vec_id", "embedding")
 
+  test("exactQuantile matches the percentile aggregate across random data, ties, edges") {
+    import graft.operators.Summaries
+    val rnd = new scala.util.Random(23)
+    def check(values: Seq[Double], q: Double, threshold: Int): Unit = {
+      val df = values.map(Tuple1(_)).toDF("x")
+      val expected = df.agg(expr(s"percentile(x, $q)")).head().getDouble(0)
+      val got = Summaries.exactQuantile(df, "x", q, collectThreshold = threshold)
+      assert(got === Some(expected), s"q=$q threshold=$threshold n=${values.size}")
+    }
+    // random continuous data, forced through several narrowing rounds
+    val cont = Seq.fill(5000)(rnd.nextDouble() * 1e6 - 5e5)
+    for (q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) check(cont, q, threshold = 64)
+    // heavy ties (11 distinct values over 5000 rows)
+    val tied = Seq.fill(5000)((rnd.nextInt(11) * 0.05 * 100).toDouble)
+    for (q <- Seq(0.1, 0.5, 0.99)) check(tied, q, threshold = 64)
+    // all-equal column, singleton, interpolated even-count median
+    check(Seq.fill(100)(42.0), 0.5, 16)
+    check(Seq(7.0), 0.5, 16)
+    check(Seq(1.0, 2.0), 0.5, 16)
+    // empty / all-null
+    assert(Summaries.exactQuantile(
+      Seq.empty[Tuple1[java.lang.Double]].toDF("x"), "x", 0.5) === None)
+  }
+
   test("semanticDedup keeps one representative per tight cluster") {
     val kept = Ann.semanticDedup(axisVecs, "vec_id", "embedding", axisCents, 0.99)
       .select("vec_id").as[Long].collect().toSet
