@@ -144,11 +144,16 @@ object Summaries {
         // NO PROGRESS (a tie cluster denser than the threshold, or width
         // underflow): the candidates share at most a handful of DISTINCT
         // values — select among those exactly instead of looping forever
-        if (in2 >= inCount) {
+        val below2 = vals.filter(col("v") < lo2).agg(count(lit(1))).head().getLong(0)
+        // commit the narrowed interval only if it (a) made progress and
+        // (b) still CONTAINS rank j — float-floor can bucket a borderline
+        // value a slot off; on either failure fall back to exact
+        // distinct-value selection over the CURRENT (provably containing)
+        // interval instead of narrowing wrong
+        if (in2 >= inCount || !(below2 <= j && j < below2 + in2)) {
           stalled = true
         } else {
-          lo = lo2; hi = hi2; inCount = in2
-          below = vals.filter(col("v") < lo).agg(count(lit(1))).head().getLong(0)
+          lo = lo2; hi = hi2; inCount = in2; below = below2
         }
       }
       if (stalled || inCount > collectThreshold) {
