@@ -197,6 +197,31 @@ object Oracles {
     "q63_semantic_dedup" -> semanticDedupOracle,
     "q64_split_assign" -> splitAssignOracle,
 
+    "q68_token_budget_mix" ->
+      """WITH d AS (SELECT doc_id, lang,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (SELECT doc_id, lang, n_tok,
+           sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1200 END AS budget
+           FROM d)
+         SELECT doc_id, lang, n_tok FROM c WHERE cum - n_tok < budget""",
+
+    "q69_upsample_mix" ->
+      """WITH u AS (SELECT doc_id, lang,
+           list_sum([(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR) || ':42'), i + 1, 1)) - 1)
+                     * 16**(7 - i) for i in range(0, 8)]) / 4294967296.0 AS uv,
+           CASE lang WHEN 'de' THEN 2.5 WHEN 'zh' THEN 0.0 ELSE 1.0 END AS f
+         FROM documents),
+         n AS (SELECT doc_id, lang,
+                 CAST(floor(f) + (CASE WHEN uv < f - floor(f) THEN 1 ELSE 0 END) AS INTEGER) AS reps
+               FROM u)
+         SELECT doc_id, lang, CAST(unnest(range(0, reps)) AS INTEGER) AS repeat
+         FROM n WHERE reps > 0""",
+
     "q67_chunk_tokens" ->
       """WITH toks AS (SELECT doc_id,
                   CASE WHEN text IS NULL OR length(trim(text)) = 0

@@ -722,6 +722,24 @@ object Queries {
           col("ch.chunk_text").as("chunk_text"),
           col("ch.n_tok").cast("int").as("n_tok"))),
 
+    // training-mix composition: per-language token budgets (en 3000,
+    // de 1200; others dropped), id order, budget-crossing doc kept
+    "q68_token_budget_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      Sampling.tokenBudgetMix(docs, col("lang"), Seq(col("doc_id")),
+        col("n_tok"), Map("en" -> 3000L, "de" -> 1200L))
+    }),
+
+    // mix balancing: deterministic upsampling (de ×2.5, en ×1, zh ×0)
+    // — whole repeats plus a hash-decided fractional copy, no RNG
+    "q69_upsample_mix" -> ((s, d) =>
+      Sampling.upsampleByFactor(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"),
+        Map("de" -> 2.5, "zh" -> 0.0), portable = true)
+        .select(col("doc_id"), col("lang"), col("repeat").cast("int").as("repeat"))),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

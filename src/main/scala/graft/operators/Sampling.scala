@@ -132,6 +132,50 @@ object Sampling {
       .drop("__start")
   }
 
+  /** Per-stratum token budgets — the training-mix composition step
+    * ("600 M tokens of en, 200 M of de, 50 M of code"): the same
+    * running-sum cut as [[tokenBudgetPerStratum]], but each stratum
+    * reads its own budget from the map (strata absent from the map are
+    * DROPPED — an unlisted source contributes nothing to the mix).
+    * One window over the stratum key, identical scale posture and
+    * sliced escape as the single-budget form.
+    */
+  def tokenBudgetMix(df: DataFrame, stratumCol: Column, order: Seq[Column],
+                     tokenCount: Column, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0),
+      "budgets must be non-empty and >= 0")
+    val budget = element_at(typedLit(budgets), stratumCol.cast("string"))
+    val w = Window.partitionBy(stratumCol).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(tokenCount).over(w))
+      .filter(col("__cum") - tokenCount < budget) // null budget → filter false → dropped
+      .drop("__cum")
+  }
+
+  /** Deterministic per-stratum upsampling for mix balancing: every row
+    * repeats floor(factor) times, plus one more with probability
+    * frac(factor) decided by the [[uniform01]] hash of (id, repeat) — no
+    * RNG, stable across retries and engines. `repeat` (0-based copy
+    * index) is exposed so downstream shuffling/packing can
+    * differentiate copies. Factors default to 1.0 for unlisted strata;
+    * factor 0 drops the stratum. A pure generator projection — no
+    * shuffle; the explode multiplies rows map-side.
+    */
+  def upsampleByFactor(df: DataFrame, stratumCol: Column, idCol: Column,
+                       factors: Map[String, Double],
+                       seed: Long = 42L, portable: Boolean = false): DataFrame = {
+    require(factors.values.forall(f => f >= 0 && f <= 1000),
+      "factors must be in [0, 1000]")
+    val f = coalesce(element_at(typedLit(factors), stratumCol.cast("string")), lit(1.0))
+    val whole = floor(f).cast("int")
+    val frac = f - floor(f)
+    val extra = (uniform01(idCol, seed, portable) < frac).cast("int")
+    df.withColumn("__n", whole + extra)
+      .filter(col("__n") > 0)
+      .withColumn("repeat", explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Uniform value in [0, 1) as a pure function of (id, seed) — the
     * deterministic randomness every sampling decision here builds on:
     * stable across retries, repartitions, and engines (unlike seeded-RNG

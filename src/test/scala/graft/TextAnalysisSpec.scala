@@ -134,6 +134,42 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetMix applies per-stratum budgets and drops unlisted strata") {
+    import graft.operators.Sampling
+    val docs = Seq(
+      (1L, "en", 40L), (2L, "en", 50L), (3L, "en", 30L), // en cum 40,90,120
+      (4L, "de", 80L), (5L, "de", 10L),                  // de cum 80,90
+      (6L, "zh", 5L)                                     // unlisted → dropped
+    ).toDF("doc_id", "lang", "n_tok")
+    val kept = Sampling.tokenBudgetMix(docs, col("lang"), Seq(col("doc_id")),
+        col("n_tok"), Map("en" -> 85L, "de" -> 50L))
+      .select("doc_id").as[Long].collect().toSet
+    // en: 1, 2 (crosses 85 having started at 40); de: 4 (crosses 50 at 0)
+    assert(kept === Set(1L, 2L, 4L))
+  }
+
+  test("upsampleByFactor repeats whole factors and hash-decides the fraction") {
+    import graft.operators.Sampling
+    val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.upsampleByFactor(docs, col("lang"), col("doc_id"),
+      Map("de" -> 2.5, "zh" -> 0.0))
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") === 200L) // default factor 1.0: unchanged
+    // de: 200 ids × (2 + Bernoulli(0.5)) → between 400 and 600, ≈ 500
+    assert(byLang("de") >= 440L && byLang("de") <= 560L, byLang.toString)
+    // copies are distinguishable and contiguous per id
+    val reps = out.filter(col("lang") === "de").groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("repeat").as("mx"))
+      .as[(Long, Long, Int)].collect()
+    assert(reps.forall(r => r._3 === r._2 - 1))
+    // determinism across repartition
+    val again = Sampling.upsampleByFactor(docs.repartition(7), col("lang"),
+      col("doc_id"), Map("de" -> 2.5, "zh" -> 0.0))
+      .select("doc_id", "repeat").as[(Long, Int)].collect().toSet
+    assert(again === out.select("doc_id", "repeat").as[(Long, Int)].collect().toSet)
+  }
+
   test("packSequences agrees with tokenBudgetPerStratum at chunk boundaries") {
     import graft.operators.Sampling
     // for budget = m × seqLen, "kept by the budget cut" must equal
