@@ -26,7 +26,15 @@ object Sampling {
     * is kept, matching "take until you have at least N tokens").
     */
   def tokenBudgetPerStratum(df: DataFrame, stratumCol: Column, order: Seq[Column],
-                            tokenCount: Column, budget: Long): DataFrame = {
+                            tokenCount: Column, budget: Long): DataFrame =
+    budgetCut(df, stratumCol, order, tokenCount, lit(budget))
+
+  /** The one running-sum cut both budget forms share: keep a row iff its
+    * stratum budget was not already spent when it started (null budget →
+    * filter false → row dropped).
+    */
+  private def budgetCut(df: DataFrame, stratumCol: Column, order: Seq[Column],
+                        tokenCount: Column, budget: Column): DataFrame = {
     val w = Window.partitionBy(stratumCol).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(tokenCount).over(w))
@@ -137,29 +145,29 @@ object Sampling {
     * running-sum cut as [[tokenBudgetPerStratum]], but each stratum
     * reads its own budget from the map (strata absent from the map are
     * DROPPED — an unlisted source contributes nothing to the mix).
-    * One window over the stratum key, identical scale posture and
-    * sliced escape as the single-budget form.
+    * One window over the stratum key, same scale posture as the
+    * single-budget form. NOTE the sliced mega-stratum escape
+    * ([[tokenBudgetPerStratumSliced]]) currently takes ONE budget — for
+    * a mix whose dominant stratum needs slicing, run the sliced form on
+    * that stratum alone and this cut on the rest.
     */
   def tokenBudgetMix(df: DataFrame, stratumCol: Column, order: Seq[Column],
                      tokenCount: Column, budgets: Map[String, Long]): DataFrame = {
     require(budgets.nonEmpty && budgets.values.forall(_ >= 0),
       "budgets must be non-empty and >= 0")
-    val budget = element_at(typedLit(budgets), stratumCol.cast("string"))
-    val w = Window.partitionBy(stratumCol).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(tokenCount).over(w))
-      .filter(col("__cum") - tokenCount < budget) // null budget → filter false → dropped
-      .drop("__cum")
+    budgetCut(df, stratumCol, order, tokenCount,
+      element_at(typedLit(budgets), stratumCol.cast("string")))
   }
 
   /** Deterministic per-stratum upsampling for mix balancing: every row
-    * repeats floor(factor) times, plus one more with probability
-    * frac(factor) decided by the [[uniform01]] hash of (id, repeat) — no
-    * RNG, stable across retries and engines. `repeat` (0-based copy
-    * index) is exposed so downstream shuffling/packing can
-    * differentiate copies. Factors default to 1.0 for unlisted strata;
-    * factor 0 drops the stratum. A pure generator projection — no
-    * shuffle; the explode multiplies rows map-side.
+    * repeats floor(factor) times, plus one more when the [[uniform01]]
+    * hash of its id (ONE draw per source row — the fractional part
+    * yields at most one extra copy) lands under frac(factor) — no RNG,
+    * stable across retries and engines. `repeat` (0-based copy index)
+    * is exposed so downstream shuffling/packing can differentiate
+    * copies. Factors default to 1.0 for unlisted strata; factor 0 drops
+    * the stratum. A pure generator projection — no shuffle; the explode
+    * multiplies rows map-side.
     */
   def upsampleByFactor(df: DataFrame, stratumCol: Column, idCol: Column,
                        factors: Map[String, Double],
@@ -169,7 +177,10 @@ object Sampling {
     val f = coalesce(element_at(typedLit(factors), stratumCol.cast("string")), lit(1.0))
     val whole = floor(f).cast("int")
     val frac = f - floor(f)
-    val extra = (uniform01(idCol, seed, portable) < frac).cast("int")
+    // coalesce: a NULL id hashes to NULL → NULL extra would null __n and
+    // silently DROP the row; a null-id row keeps its whole repeats
+    val extra = coalesce(
+      (uniform01(idCol, seed, portable) < frac).cast("int"), lit(0))
     df.withColumn("__n", whole + extra)
       .filter(col("__n") > 0)
       .withColumn("repeat", explode(sequence(lit(0), col("__n") - 1)))

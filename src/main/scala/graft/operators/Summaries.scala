@@ -84,18 +84,24 @@ object Summaries {
   /** EXACT interpolated quantile (percentile_cont semantics — identical
     * to Spark's `percentile` and DuckDB's `quantile_cont`) computed by
     * iterative histogram narrowing instead of buffering every value:
-    * each round is ONE distributed conditional-count pass over 128
-    * equal-width buckets of the candidate interval, the interval narrows
-    * to the bucket(s) holding the target ranks, and once few enough
-    * candidates remain they are collected and selected exactly. O(log)
-    * passes, bounded driver data — the 100 TB path for exact medians,
-    * where the `percentile` aggregate (which holds a value→count map per
-    * partial) and [[numericProfile]]'s exact mode stop scaling.
+    * each round is one distributed pass that buckets the candidate
+    * interval into 128 equal widths and fuses the boundary recounts,
+    * the interval narrows to the bucket holding the target rank, and
+    * once few enough candidates remain they are collected and selected
+    * exactly. O(log) passes, bounded driver data — the 100 TB path for
+    * exact medians, where the `percentile` aggregate (which holds a
+    * value→count map per partial) and [[numericProfile]]'s exact mode
+    * stop scaling.
     *
-    * Massive ties converge by interval collapse (a bucket whose bounds
-    * are consecutive doubles yields its candidates directly). NaNs are
-    * excluded (SQL aggregate semantics); returns None for an empty/all-
-    * null column.
+    * Both ranks of a non-integral target share ONE narrowing (adjacent
+    * order statistics land in the same collected interval; the second
+    * is re-narrowed only in the boundary-straddling case). ±Infinity
+    * values are counted once and selected positionally — narrowing runs
+    * over the finite range only, so the interval arithmetic can't
+    * overflow (width is computed as hi/128 − lo/128 for the same
+    * reason). Massive tie clusters resolve exactly via distinct-value
+    * selection. NaNs are excluded (SQL aggregate semantics); None for
+    * an empty/all-null column.
     */
   def exactQuantile(df: DataFrame, c: String, q: Double,
                     collectThreshold: Int = 1 << 20): Option[Double] = {
@@ -103,82 +109,127 @@ object Summaries {
     require(collectThreshold >= 2, "collectThreshold must be >= 2")
     val v = col(c).cast("double")
     val vals = df.select(v.as("v")).filter(col("v").isNotNull && !isnan(col("v")))
-    val head0 = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
-    val n = head0.getLong(0)
+    val stats = vals.agg(count(lit(1)),
+      count(when(col("v") === Double.NegativeInfinity, 1)),
+      count(when(col("v") === Double.PositiveInfinity, 1))).head()
+    val n = stats.getLong(0)
     if (n == 0) return None
-    if (n == 1 || head0.getDouble(1) == head0.getDouble(2))
-      return Some(head0.getDouble(1)) // single value or all-equal column
-    // percentile_cont: 0-based real rank r = q(n−1); need order statistics
-    // at floor(r) and ceil(r), then linear interpolation
+    val (nNeg, nPos) = (stats.getLong(1), stats.getLong(2))
+    // percentile_cont: 0-based real rank r = q(n−1); interpolate between
+    // the order statistics at floor(r) and ceil(r)
     val r = q * (n - 1)
-    val kLo = math.floor(r).toLong // 0-based
+    val kLo = math.floor(r).toLong
     val kHi = math.ceil(r).toLong
-    // selectKth: exact j-th smallest (0-based) by narrowing [lo, hi]
-    def selectKth(j: Long): Double = {
-      var lo = head0.getDouble(1); var hi = head0.getDouble(2)
-      var below = 0L                    // count of values < lo
-      var inCount = n                   // count of values in [lo, hi]
-      var stalled = false
-      while (inCount > collectThreshold && lo < hi && !stalled) {
-        val width = (hi - lo) / 128.0
-        val bucket = least(floor((col("v") - lit(lo)) / lit(width)), lit(127.0))
-          .cast("int")
-        val counts = vals.filter(col("v") >= lo && col("v") <= hi)
-          .groupBy(bucket.as("b")).agg(count(lit(1)).as("c"))
-          .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
-        var acc = below; var chosen = -1
-        var b = 0
-        while (b < 128 && chosen < 0) {
-          val cb = counts.getOrElse(b, 0L)
-          if (acc + cb > j) chosen = b else acc += cb
-          b += 1
-        }
-        if (chosen < 0) chosen = 127 // float-boundary shortfall: take the top bucket
-        val newLo = lo + chosen * width
-        val newHi = if (chosen == 127) hi else lo + (chosen + 1) * width
-        // floor() in double math can place boundary values a bucket off;
-        // widen by one ulp each side and recount authoritatively
-        val lo2 = math.nextDown(newLo); val hi2 = math.nextUp(newHi)
-        val in2 = vals.filter(col("v") >= lo2 && col("v") <= hi2)
-          .agg(count(lit(1))).head().getLong(0)
-        // NO PROGRESS (a tie cluster denser than the threshold, or width
-        // underflow): the candidates share at most a handful of DISTINCT
-        // values — select among those exactly instead of looping forever
-        val below2 = vals.filter(col("v") < lo2).agg(count(lit(1))).head().getLong(0)
-        // commit the narrowed interval only if it (a) made progress and
-        // (b) still CONTAINS rank j — float-floor can bucket a borderline
-        // value a slot off; on either failure fall back to exact
-        // distinct-value selection over the CURRENT (provably containing)
-        // interval instead of narrowing wrong
-        if (in2 >= inCount || !(below2 <= j && j < below2 + in2)) {
-          stalled = true
-        } else {
-          lo = lo2; hi = hi2; inCount = in2; below = below2
+    val finite = vals.filter(
+      col("v") > Double.NegativeInfinity && col("v") < Double.PositiveInfinity)
+    val nFin = n - nNeg - nPos
+
+    // Narrow toward finite rank j (0-based among FINITE values); returns
+    // (below, candidates) where candidates are either the sorted values
+    // of the final interval or sorted (value, count) pairs (tie path).
+    def narrowTo(j: Long): (Long, Either[Array[Double], Array[(Double, Long)]]) = {
+      val mm = finite.agg(min(col("v")), max(col("v"))).head()
+      var lo = mm.getDouble(0); var hi = mm.getDouble(1)
+      var below = 0L
+      var inCount = nFin
+      var rounds = 0
+      var stalled = java.lang.Double.compare(lo, hi) == 0 // incl. all −0.0 vs 0.0 mixes
+      while (inCount > collectThreshold && !stalled && rounds < 80) {
+        rounds += 1
+        // hi/128 − lo/128, NOT (hi−lo)/128: the subtraction can overflow
+        // to Inf when the column spans most of the double range
+        val width = hi / 128.0 - lo / 128.0
+        if (width <= 0) stalled = true
+        else {
+          // v/width − lo/width keeps the quotient bounded (~±128) for the
+          // same overflow reason; clamp float-edge strays into [0, 127]
+          val bucket = greatest(least(
+            floor(col("v") / lit(width) - lit(lo) / lit(width)), lit(127.0)), lit(0.0))
+            .cast("int")
+          val counts = finite.filter(col("v") >= lo && col("v") <= hi)
+            .groupBy(bucket.as("b")).agg(count(lit(1)).as("c"))
+            .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+          var acc = below; var chosen = -1
+          var b = 0
+          while (b < 128 && chosen < 0) {
+            val cb = counts.getOrElse(b, 0L)
+            if (acc + cb > j) chosen = b else acc += cb
+            b += 1
+          }
+          if (chosen < 0) chosen = 127
+          val lo2 = math.nextDown(lo + chosen * width)
+          val hi2 = math.nextUp(if (chosen == 127) hi else lo + (chosen + 1) * width)
+          // ONE fused recount pass: floor() bucketing is only approximate
+          // in float math, so the committed interval is recounted
+          // authoritatively — and TIGHTENED to the candidates' actual
+          // min/max, so the interval never crawls through empty value
+          // space (a [0, 1e304] bucket holding values ≤ 1e6 collapses to
+          // [min, 1e6] in one round instead of 128×-per-round for ~140)
+          val inI = col("v") >= lo2 && col("v") <= hi2
+          val re = finite.agg(
+            count(when(col("v") < lo2, 1)), count(when(inI, 1)),
+            min(when(inI, col("v"))), max(when(inI, col("v")))).head()
+          val (below2, in2) = (re.getLong(0), re.getLong(1))
+          // progress = the interval strictly shrank (count-based progress
+          // stalls while a wide range collapses onto a dense cluster);
+          // rank j must still be contained after the recount
+          if (in2 == 0 || !(below2 <= j && j < below2 + in2)) stalled = true
+          else {
+            val (lo3, hi3) = (re.getDouble(2), re.getDouble(3))
+            if (!(lo3 > lo || hi3 < hi)) stalled = true
+            else { lo = lo3; hi = hi3; below = below2; inCount = in2 }
+          }
         }
       }
-      if (stalled || inCount > collectThreshold) {
-        // distinct-value selection: exact for any tie profile with a
-        // bounded number of distinct candidates in the final interval
-        val dv = vals.filter(col("v") >= lo && col("v") <= hi)
+      if (inCount > collectThreshold) {
+        // tie cluster denser than the threshold (or interval collapsed):
+        // the candidates share few DISTINCT values — select among those.
+        // groupBy normalizes −0.0 to 0.0, matching percentile_cont's
+        // interpolated result on signed-zero mixes.
+        val dv = finite.filter(col("v") >= lo && col("v") <= hi)
           .groupBy(col("v")).agg(count(lit(1)).as("c")).orderBy(col("v"))
           .limit(collectThreshold + 1).collect()
+          .map(row => (row.getDouble(0), row.getLong(1)))
         require(dv.length <= collectThreshold,
           "exactQuantile: narrowing stalled with too many distinct candidates " +
             "— raise collectThreshold")
-        var acc2 = below
-        for (row <- dv) {
-          if (acc2 + row.getLong(1) > j) return row.getDouble(0)
-          acc2 += row.getLong(1)
-        }
-        return dv.last.getDouble(0)
+        (below, Right(dv))
+      } else {
+        val remaining = finite.filter(col("v") >= lo && col("v") <= hi)
+          .orderBy(col("v")).collect().map(_.getDouble(0))
+        (below, Left(remaining))
       }
-      if (lo >= hi) return lo // interval closed: every remaining value is lo
-      val remaining = vals.filter(col("v") >= lo && col("v") <= hi)
-        .orderBy(col("v")).collect().map(_.getDouble(0))
-      remaining((j - below).toInt)
     }
-    val loV = selectKth(kLo)
-    val hiV = if (kHi == kLo) loV else selectKth(kHi)
+    def covers(state: (Long, Either[Array[Double], Array[(Double, Long)]]),
+               j: Long): Boolean = state match {
+      case (below, Left(a)) => j >= below && j - below < a.length
+      case (below, Right(dv)) => j >= below && j - below < dv.map(_._2).sum
+    }
+    def pick(state: (Long, Either[Array[Double], Array[(Double, Long)]]),
+             j: Long): Double = state match {
+      case (below, Left(a)) => a((j - below).toInt)
+      case (below, Right(dv)) =>
+        var acc = below
+        dv.collectFirst { case (value, cnt) if { acc += cnt; acc > j } => value }
+          .getOrElse(dv.last._1)
+    }
+    // ±Inf are positional extremes: rank below nNeg is −Inf, rank at or
+    // past n − nPos is +Inf, everything between selects among finite
+    var cached: Option[(Long, Either[Array[Double], Array[(Double, Long)]])] = None
+    def orderStat(k: Long): Double =
+      if (k < nNeg) Double.NegativeInfinity
+      else if (k >= n - nPos) Double.PositiveInfinity
+      else {
+        val j = k - nNeg
+        val state = cached.filter(covers(_, j)).getOrElse {
+          val s = narrowTo(j); cached = Some(s); s
+        }
+        pick(state, j)
+      }
+    val loV = orderStat(kLo)
+    // exact rank: no interpolation — −Inf + 0·NaN would poison it to NaN
+    if (kHi == kLo) return Some(loV)
+    val hiV = orderStat(kHi)
     Some(loV + (r - kLo) * (hiV - loV))
   }
 

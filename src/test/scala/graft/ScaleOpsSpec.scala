@@ -93,6 +93,18 @@ class ScaleOpsSpec extends SparkSpec {
     // empty / all-null
     assert(Summaries.exactQuantile(
       Seq.empty[Tuple1[java.lang.Double]].toDF("x"), "x", 0.5) === None)
+    // ±Infinity selects positionally, like the percentile aggregate
+    check(Seq(Double.NegativeInfinity, 1.0, 2.0, 3.0, Double.PositiveInfinity), 0.5, 16)
+    check(Seq(Double.NegativeInfinity, Double.NegativeInfinity, 5.0), 0.0, 16)
+    check(Seq(1.0, Double.PositiveInfinity), 1.0, 16)
+    // full-double-range column: interval arithmetic must not overflow
+    check(Seq(-1.6e308, 1.6e308) ++ Seq.fill(500)(rnd.nextDouble() * 1e6), 0.5, 64)
+    // signed zero: numerically equal to percentile; the BIT pattern is
+    // unpinnable — the percentile aggregate's own -0.0/0.0 representative
+    // depends on partial-merge order (observed -0.0 single-partition)
+    val sz = Seq(-0.0, 0.0).map(Tuple1(_)).toDF("x")
+    val got = Summaries.exactQuantile(sz, "x", 0.5, collectThreshold = 16)
+    assert(got.get == 0.0, s"got $got")
   }
 
   test("semanticDedup keeps one representative per tight cluster") {
