@@ -792,6 +792,51 @@ object Oracles {
            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
          SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id""",
 
+    "q70_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(t[i:i+6], ' ')
+                                        for i in range(1, greatest(len(t) - 6, 0) + 1)])) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.2),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                   UNION ALL SELECT id_b, id_a FROM prs),
+         reach AS (
+           SELECT DISTINCT src AS id, src AS lbl FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+         comps AS (SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id),
+         qual AS (
+           SELECT doc_id,
+             round(greatest(least(
+               (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+                + least(round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                  / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) * 4.0, 1.0) * 0.5)
+               - round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1), 4) * 2.0,
+               1.0), 0.0), 4) AS quality
+           FROM documents),
+         labeled AS (
+           SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp, q.quality
+           FROM documents d
+           LEFT JOIN comps c ON c.doc_id = d.doc_id
+           JOIN qual q ON q.doc_id = d.doc_id),
+         ranked AS (
+           SELECT comp, doc_id, quality,
+             row_number() OVER (PARTITION BY comp ORDER BY quality DESC, doc_id) AS rn
+           FROM labeled)
+         SELECT comp, doc_id AS kept_doc_id, quality FROM ranked WHERE rn = 1""",
+
     "q52_token_budget_sample" ->
       """WITH d AS (SELECT doc_id, lang,
            CAST(CASE WHEN length(trim(text)) = 0 THEN 0

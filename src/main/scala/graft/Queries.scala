@@ -740,6 +740,18 @@ object Queries {
         Map("de" -> 2.5, "zh" -> 0.0), portable = true)
         .select(col("doc_id"), col("lang"), col("repeat").cast("int").as("repeat"))),
 
+    // the full dedup decision: near-dup pairs → components → keep the
+    // HIGHEST-quality doc per group (tie: smallest id); singletons survive
+    "q70_dedup_keep_best" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScoreFast(col("text"), stopwords).as("quality"))
+      val pairs = NearDup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 7, 0.2)
+      Dedup.keepBestPerComponent(docs, "doc_id", pairs, col("quality"))
+        .select(col("comp").cast("long").as("comp"),
+          col("doc_id").cast("long").as("kept_doc_id"), col("quality"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -265,4 +265,39 @@ object Dedup {
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** The full dedup DECISION: pairs → components → keep the BEST-scoring
+    * row of each near-dup group (ties → smallest id), the rule real
+    * curation uses — keep the highest-quality copy, not an arbitrary
+    * one ([[dropNearDuplicates]] is the keep-smallest-id simplification).
+    * Rows in no pair are their own singleton component and always
+    * survive. Adds `comp` (the component label) to the kept rows.
+    *
+    * Shuffle shape: the component labels (one slim (id, comp) row per
+    * PAIRED doc — near-dup groups are a small fraction of a deduped
+    * corpus) left-join the rows, then ONE `graft_min_by` hash
+    * aggregation keyed by component picks winners — map-side partial,
+    * no window sort, same posture as keepLatest.
+    */
+  def keepBestPerComponent(rows: DataFrame, idCol: String, pairs: DataFrame,
+                           score: Column, idA: String = "id_a",
+                           idB: String = "id_b", maxIter: Int = 15,
+                           algorithm: String = "auto"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(rows.sparkSession)
+    require(!rows.columns.exists(_.equalsIgnoreCase("comp")),
+      "keepBestPerComponent adds a 'comp' column — rename the existing one")
+    val comps = connectedComponents(pairs, idA, idB, maxIter, algorithm)
+      .withColumnRenamed("id", "__cc_id")
+    val labeled = rows
+      .join(comps, rows(idCol) === col("__cc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), rows(idCol)))
+      .drop("__cc_id")
+    val payload = struct(labeled.columns.map(col).toIndexedSeq: _*)
+    // min_by over (−score, id): highest score wins, then the smallest id
+    // (the same negate-the-score trick as Joins.bestMatch)
+    labeled.groupBy(col("comp"))
+      .agg(call_function("graft_min_by", payload,
+        struct(-score, col(idCol))).as("__row"))
+      .select(col("__row.*"))
+  }
 }

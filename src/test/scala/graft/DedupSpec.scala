@@ -192,4 +192,16 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out === Set(1L, 7L))
   }
+
+  test("keepBestPerComponent keeps the highest score per group, ties to smallest id") {
+    val docs = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.9), // cluster {1,2,3}: 2 and 3 tie at 0.9 → 2
+      (5L, 0.1), (6L, 0.8),            // cluster {5,6}: 6 wins
+      (7L, 0.0)                        // singleton: survives despite score 0
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerComponent(docs, "doc_id", pairs, col("quality"))
+      .select("comp", "doc_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (5L, 6L), (7L, 7L)))
+  }
 }
