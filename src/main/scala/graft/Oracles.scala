@@ -53,6 +53,46 @@ object Oracles {
     * output contract is exactly the brute-force pair set — which is what
     * this oracle computes, over md5-derived (portable) signatures.
     */
+  /** The 7-gram Jaccard component CTE chain (q51's closure) — interpolated
+    * into every oracle that needs components so the shingle/threshold/
+    * closure SQL exists ONCE and cannot drift between queries.
+    */
+  private val componentCtes: String =
+    """toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(t[i:i+6], ' ')
+                                        for i in range(1, greatest(len(t) - 6, 0) + 1)])) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT id_a, id_b FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.2),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                   UNION ALL SELECT id_b, id_a FROM prs),
+         reach AS (
+           SELECT DISTINCT src AS id, src AS lbl FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)"""
+
+  /** q23's quality scalar over a `text` reference — the ONE copy of the
+    * formula, shared by q23 and q70.
+    */
+  private def qualityScalarSql(text: String): String =
+    s"""round(greatest(least(
+             (least(CAST(length($text) AS DOUBLE) / 500.0, 1.0) * 0.5
+              + least(round(CAST(len(list_filter(regexp_split_to_array(trim($text), '\\s+'),
+                  x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                / greatest(len(regexp_split_to_array(trim($text), '\\s+')), 1), 4) * 4.0, 1.0) * 0.5)
+             - round(CAST(length(regexp_replace($text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                / greatest(length($text), 1), 4) * 2.0,
+             1.0), 0.0), 4)"""
+
   private def simhashOracle: String = {
     val digits = (0 until 16).map(p =>
       s"strpos('0123456789abcdef', substr(hx, ${p + 1}, 1)) - 1 AS d$p").mkString(", ")
@@ -442,18 +482,15 @@ object Oracles {
          FROM documents""",
 
     "q23_quality_score" ->
-      """WITH t AS (SELECT doc_id, text,
-           round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+      s"""WITH t AS (SELECT doc_id, text,
+           round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
              / greatest(length(text), 1), 4) AS punct_ratio,
-           round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+           round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
-             / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS stopword_ratio
+             / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4) AS stopword_ratio
            FROM documents)
          SELECT doc_id, punct_ratio, stopword_ratio,
-           round(greatest(least(
-             (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
-              + least(stopword_ratio * 4.0, 1.0) * 0.5) - punct_ratio * 2.0,
-             1.0), 0.0), 4) AS quality
+           ${qualityScalarSql("text")} AS quality
          FROM t""",
 
     "q24_lang_id" ->
@@ -769,63 +806,13 @@ object Oracles {
     // reach(id, lbl) enumerates every label reachable over the symmetric
     // edge list; min per node = the component minimum
     "q51_neardup_components" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
-         sh AS (SELECT doc_id,
-                  unnest(list_distinct([array_to_string(t[i:i+6], ' ')
-                                        for i in range(1, greatest(len(t) - 6, 0) + 1)])) AS s
-                FROM toks),
-         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS (
-           SELECT id_a, id_b FROM common
-           JOIN sizes sa ON sa.doc_id = id_a
-           JOIN sizes sb ON sb.doc_id = id_b
-           WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.2),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                   UNION ALL SELECT id_b, id_a FROM pairs),
-         reach AS (
-           SELECT DISTINCT src AS id, src AS lbl FROM edges
-           UNION
-           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
+      s"""WITH RECURSIVE $componentCtes
          SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id""",
 
     "q70_dedup_keep_best" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
-         sh AS (SELECT doc_id,
-                  unnest(list_distinct([array_to_string(t[i:i+6], ' ')
-                                        for i in range(1, greatest(len(t) - 6, 0) + 1)])) AS s
-                FROM toks),
-         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
-         common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         prs AS (
-           SELECT id_a, id_b FROM common
-           JOIN sizes sa ON sa.doc_id = id_a
-           JOIN sizes sb ON sb.doc_id = id_b
-           WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.2),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-                   UNION ALL SELECT id_b, id_a FROM prs),
-         reach AS (
-           SELECT DISTINCT src AS id, src AS lbl FROM edges
-           UNION
-           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+      s"""WITH RECURSIVE $componentCtes,
          comps AS (SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id),
-         qual AS (
-           SELECT doc_id,
-             round(greatest(least(
-               (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
-                + least(round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                    x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
-                  / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) * 4.0, 1.0) * 0.5)
-               - round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-                  / greatest(length(text), 1), 4) * 2.0,
-               1.0), 0.0), 4) AS quality
-           FROM documents),
+         qual AS (SELECT doc_id, ${qualityScalarSql("text")} AS quality FROM documents),
          labeled AS (
            SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp, q.quality
            FROM documents d

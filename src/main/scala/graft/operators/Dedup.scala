@@ -277,7 +277,9 @@ object Dedup {
     * PAIRED doc — near-dup groups are a small fraction of a deduped
     * corpus) left-join the rows, then ONE `graft_min_by` hash
     * aggregation keyed by component picks winners — map-side partial,
-    * no window sort, same posture as keepLatest.
+    * no window sort, same posture as keepLatest. NULL-id rows can't
+    * join any pair and pass through UNTOUCHED (with a null comp) —
+    * grouping them would collapse all of them into one survivor.
     */
   def keepBestPerComponent(rows: DataFrame, idCol: String, pairs: DataFrame,
                            score: Column, idA: String = "id_a",
@@ -288,16 +290,21 @@ object Dedup {
       "keepBestPerComponent adds a 'comp' column — rename the existing one")
     val comps = connectedComponents(pairs, idA, idB, maxIter, algorithm)
       .withColumnRenamed("id", "__cc_id")
-    val labeled = rows
+    val labeled = rows.filter(col(idCol).isNotNull)
       .join(comps, rows(idCol) === col("__cc_id"), "left")
       .withColumn("comp", coalesce(col("comp"), rows(idCol)))
       .drop("__cc_id")
     val payload = struct(labeled.columns.map(col).toIndexedSeq: _*)
-    // min_by over (−score, id): highest score wins, then the smallest id
-    // (the same negate-the-score trick as Joins.bestMatch)
-    labeled.groupBy(col("comp"))
+    // min_by over (scoreIsNull, −score, id): highest score wins, then the
+    // smallest id — the isNull field keeps a NULL score from WINNING
+    // under min (struct ordering is nulls-first; same guard as keepFirst)
+    val kept = labeled.groupBy(col("comp"))
       .agg(call_function("graft_min_by", payload,
-        struct(-score, col(idCol))).as("__row"))
+        struct(score.isNull, -score, col(idCol))).as("__row"))
       .select(col("__row.*"))
+    kept.unionByName(
+      rows.filter(col(idCol).isNull)
+        .withColumn("comp", lit(null).cast(kept.schema("comp").dataType)),
+      allowMissingColumns = false)
   }
 }

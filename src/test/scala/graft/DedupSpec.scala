@@ -204,4 +204,21 @@ class DedupSpec extends SparkSpec {
       .select("comp", "doc_id").as[(Long, Long)].collect().toSet
     assert(out === Set((1L, 2L), (5L, 6L), (7L, 7L)))
   }
+
+  test("keepBestPerComponent: null scores never win; null-id rows all pass through") {
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Double.valueOf(0.2)),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Double]), // failed score
+      (null.asInstanceOf[java.lang.Long], java.lang.Double.valueOf(0.5)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Double.valueOf(0.6))
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerComponent(docs, "doc_id", pairs, col("quality"))
+      .select("doc_id", "quality").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))
+    // cluster {1,2}: the real score wins over null; BOTH null-id rows survive
+    assert(out.count(_._1 == 1L) === 1 && out.count(_._1 == -1L) === 2)
+    assert(!out.exists(_._1 == 2L))
+  }
 }
