@@ -230,7 +230,10 @@ object Summaries {
     // exact rank: no interpolation — −Inf + 0·NaN would poison it to NaN
     if (kHi == kLo) return Some(loV)
     val hiV = orderStat(kHi)
-    Some(loV + (r - kLo) * (hiV - loV))
+    // the WEIGHTED form, not loV + frac·(hiV−loV): it is what Spark's
+    // percentile computes, and the two differ by an ulp on some inputs —
+    // "identical to percentile" means matching its float ops exactly
+    Some((kHi - r) * loV + (r - kLo) * hiV)
   }
 
   /** Completeness counting only non-null AND non-blank values — the

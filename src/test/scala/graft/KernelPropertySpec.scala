@@ -36,6 +36,28 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("exactQuantile fuzz: equals percentile across distributions, thresholds, q") {
+    import graft.operators.Summaries
+    val rnd = new scala.util.Random(31)
+    def gen(kind: Int, n: Int): Seq[Double] = kind match {
+      case 0 => Seq.fill(n)(rnd.nextDouble() * 2e4 - 1e4)               // uniform
+      case 1 => Seq.fill(n)(math.exp(rnd.nextGaussian() * 6))           // lognormal, extreme spread
+      case 2 => Seq.fill(n)((rnd.nextInt(4) * 10).toDouble)             // few heavy ties
+      case 3 => Seq.fill(n)(5.0) ++ Seq(1e12, -1e12)                    // constant + outliers
+      case 4 => Seq.fill(n)(rnd.nextDouble() * 4.9e-324 * 100)          // subnormal zone
+    }
+    for (trial <- 1 to 15) {
+      val values = gen(trial % 5, rnd.nextInt(900) + 100)
+      val q = Seq(0.0, 0.01, 0.37, 0.5, 0.93, 1.0)(rnd.nextInt(6))
+      val threshold = Seq(2, 8, 64, 1 << 20)(rnd.nextInt(4))
+      val df = values.map(Tuple1(_)).toDF("x")
+      val expected = df.agg(expr(s"percentile(x, $q)")).head().getDouble(0)
+      val got = Summaries.exactQuantile(df, "x", q, threshold)
+      assert(got === Some(expected),
+        s"trial $trial kind=${trial % 5} n=${values.size} q=$q thr=$threshold")
+    }
+  }
+
   test("top-k agg equals window rank across random k / groups / heavy ties") {
     GraftFunctions.ensureRegistered(spark)
     val rnd = new scala.util.Random(13)

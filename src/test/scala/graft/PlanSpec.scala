@@ -52,6 +52,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q69 upsampling is a pure generator projection: no shuffle, no join") {
+    val p = plan("q69_upsample_mix")
+    assert(p.contains("Generate"), p.take(1500))
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(1500))
+  }
+
+  test("q70 keep-best resolves via hash aggregation, not a window sort") {
+    val p = plan("q70_dedup_keep_best")
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("q67 chunking: one Generate, no shuffle, no join, no sort") {
     val p = plan("q67_chunk_tokens")
     assert(p.contains("Generate"), p.take(1500))
