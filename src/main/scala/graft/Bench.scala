@@ -103,7 +103,14 @@ object Bench {
     }
     val regs = regressions.map { case (n, t, b) =>
       s"""{"query":"$n","sec":$t,"baseline_sec":$b}""" }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"regressions":$regs,"timing":"min-of-2","cold_total":$coldTotal,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"regressions":$regs,"timing":"min-of-2","cold_total":$coldTotal,"sf":"$sfDir"}"""
+    println(json)
+    // the driver captures only a bounded log TAIL (the r5 artifact lost
+    // q01-q13's timings to the 2,000-char cut) — persist the full line to
+    // a file so every per-query timing survives regardless of log volume
+    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
     if (regressions.nonEmpty && sys.env.get("GRAFT_BENCH_STRICT").contains("1"))

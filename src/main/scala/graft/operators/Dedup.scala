@@ -288,6 +288,13 @@ object Dedup {
     graft.functions.GraftFunctions.ensureRegistered(rows.sparkSession)
     require(!rows.columns.exists(_.equalsIgnoreCase("comp")),
       "keepBestPerComponent adds a 'comp' column — rename the existing one")
+    // the internal working names would silently produce an ambiguous join
+    // (__cc_id) or be swallowed by the payload unwrap (__row) — reject them
+    // as loudly as the output column
+    Seq("__cc_id", "__row").foreach { reserved =>
+      require(!rows.columns.exists(_.equalsIgnoreCase(reserved)),
+        s"keepBestPerComponent uses '$reserved' internally — rename the existing column")
+    }
     val comps = connectedComponents(pairs, idA, idB, maxIter, algorithm)
       .withColumnRenamed("id", "__cc_id")
     val labeled = rows.filter(col(idCol).isNotNull)

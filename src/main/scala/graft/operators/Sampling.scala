@@ -222,6 +222,13 @@ object Sampling {
     * state — and re-running over a GROWN corpus never reassigns an
     * existing id (the property that keeps eval sets stable as a 100 TB
     * corpus accretes). Weights must sum to 1.
+    *
+    * NULL ids land in the LAST split: a NULL id makes the uniform draw
+    * NULL, every `when(u < cum)` branch is NULL, and the row falls through
+    * to the `otherwise` — the same `CASE ... ELSE` fall-through a SQL
+    * twin of this assignment has. That default silently concentrates
+    * failed-id rows in the final (usually eval) split, so gate NULL ids
+    * upstream (`filter(id.isNotNull)`) unless that is genuinely wanted.
     */
   def assignSplit(df: DataFrame, id: Column, splits: Seq[(String, Double)],
                   outCol: String = "split", seed: Long = 42L,

@@ -100,8 +100,11 @@ object Summaries {
     * over the finite range only, so the interval arithmetic can't
     * overflow (width is computed as hi/128 − lo/128 for the same
     * reason). Massive tie clusters resolve exactly via distinct-value
-    * selection. NaNs are excluded (SQL aggregate semantics); None for
-    * an empty/all-null column.
+    * selection, and a narrowing stall on an adversarially dense interval
+    * degrades to an exact distributed sort-selection (slower, never a
+    * failure — data shape alone can't abort a long pipeline). NaNs are
+    * excluded (SQL aggregate semantics); None for an empty/all-null
+    * column.
     */
   def exactQuantile(df: DataFrame, c: String, q: Double,
                     collectThreshold: Int = 1 << 20): Option[Double] = {
@@ -190,10 +193,24 @@ object Summaries {
           .groupBy(col("v")).agg(count(lit(1)).as("c")).orderBy(col("v"))
           .limit(collectThreshold + 1).collect()
           .map(row => (row.getDouble(0), row.getLong(1)))
-        require(dv.length <= collectThreshold,
-          "exactQuantile: narrowing stalled with too many distinct candidates " +
-            "— raise collectThreshold")
-        (below, Right(dv))
+        if (dv.length <= collectThreshold) (below, Right(dv))
+        else {
+          // narrowing stalled on a dense MANY-distinct-value interval (an
+          // adversarial distribution the histogram rounds can't split):
+          // degrade to an exact distributed sort-selection of the one
+          // order statistic this call needs instead of failing the job on
+          // data shape. orderBy range-partitions the interval's rows and
+          // zipWithIndex adds one count pass — distributed and
+          // memory-bounded, just slower than the histogram path. The
+          // result covers ONLY rank j; an adjacent rank re-enters here at
+          // most once (the interpolation pair).
+          val idx = j - below
+          val v = finite.filter(col("v") >= lo && col("v") <= hi)
+            .orderBy(col("v")).select(col("v"))
+            .rdd.zipWithIndex()
+            .filter(_._2 == idx).map(_._1.getDouble(0)).first()
+          (j, Left(Array(v)))
+        }
       } else {
         val remaining = finite.filter(col("v") >= lo && col("v") <= hi)
           .orderBy(col("v")).collect().map(_.getDouble(0))
