@@ -1073,7 +1073,53 @@ object Oracles {
              CAST(CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / count(l_discount),
              quantile_cont(CAST(l_discount AS DOUBLE), 0.5)
            FROM lineitem)
-         SELECT * FROM p"""
+         SELECT * FROM p""",
+
+    // q71: the summary_neolab CASE/keep-latest/census semantics over the
+    // same deterministic synth (CURRENT_DATE pinned to 2024-01-31, one day
+    // past the events range, so the 5-day awaiting window is data-stable)
+    "q71_neolab_episodes" ->
+      """WITH nl AS (
+           SELECT
+             CASE WHEN user_id % 29 = 0 THEN concat('0000', CAST(user_id AS VARCHAR))
+                  WHEN user_id % 31 = 0 THEN concat('***', CAST(user_id AS VARCHAR))
+                  ELSE CAST(user_id AS VARCHAR) END AS uid,
+             concat('F', CAST(user_id % 3 AS VARCHAR)) AS facility,
+             event_id % 25 + 1 AS episode,
+             strftime(ts, '%Y-%m-%d') AS bcr,
+             list_extract(['GRAM STAIN PRELIMINARY','CULTURE FINAL','INTERIM',NULL],
+               CAST(event_id % 4 + 1 AS INTEGER)) AS bctype,
+             list_extract(['Pos','Neg','PC','NegP','PosP',NULL],
+               CAST(event_id % 6 + 1 AS INTEGER)) AS res,
+             CASE WHEN event_id % 5 = 0 THEN 'CONS'
+                  ELSE concat('ORG', CAST(event_id % 7 AS VARCHAR)) END AS o1v,
+             concat('Organism ', CAST(event_id % 7 AS VARCHAR)) AS o1l,
+             CASE WHEN event_id % 9 = 0 THEN 'other-org' END AS oo1,
+             CASE WHEN event_id % 17 = 0 THEN 'NaT'
+                  ELSE strftime(CAST(ts AS DATE) + 1, '%Y-%m-%d') END AS bct
+           FROM events),
+         latest AS (
+           SELECT facility, uid, episode, max(bcr) AS date_bcr
+           FROM nl WHERE uid NOT LIKE '0000%' AND uid NOT LIKE '***%'
+           GROUP BY 1, 2, 3),
+         census AS (
+           SELECT uid AS c_uid, episode AS c_episode,
+             count(uid) AS n_cultures_episode
+           FROM nl GROUP BY 1, 2)
+         SELECT l.facility, l.uid, l.episode, l.date_bcr,
+           n.o1l AS org1_label, n.o1v AS org1_value, n.oo1 AS other_org1_value,
+           n.res AS bc_result,
+           CASE WHEN n.bctype LIKE '%PRELIMINARY%' THEN 'PRELIMINARY'
+                WHEN n.bctype LIKE '%FINAL%' THEN 'FINAL' END AS status,
+           CAST(TRY_CAST(n.bct AS DATE) AS TIMESTAMP) AS date_bct,
+           c.n_cultures_episode,
+           CASE WHEN (n.res = 'Pos' AND n.o1v = 'CONS') OR n.res = 'PC' THEN 'Contaminant'
+                WHEN (DATE '2024-01-31' - TRY_CAST(n.bcr AS DATE)) <= 5
+                     AND n.res IN ('NegP', 'PosP') THEN 'Awaiting Final Result'
+                ELSE n.res END AS combined_result
+         FROM latest l
+         JOIN nl n ON l.uid = n.uid AND l.date_bcr = n.bcr
+         JOIN census c ON l.uid = c.c_uid AND l.episode = c.c_episode"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

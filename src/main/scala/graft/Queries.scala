@@ -752,6 +752,42 @@ object Queries {
           col("doc_id").cast("long").as("kept_doc_id"), col("quality"))
     }),
 
+    // the neolab blood-culture episode summary (create_summary_neolab_sql):
+    // test-uid scrub, keep-latest upload per (facility, uid, episode) with
+    // the deliberate fan-out join back, per-episode culture census as a
+    // groupBy join, the BCType LIKE-recode, and the CombinedResult CASE
+    // family with a parameterized as-of date (events end 2024-01-30, so
+    // the 5-day awaiting window is live for late uploads and expired for
+    // early ones)
+    "q71_neolab_episodes" -> ((s, d) => {
+      val nl = Tables.events(s, d).select(
+        when(pmod(col("user_id"), lit(29)) === 0,
+            concat(lit("0000"), col("user_id").cast("string")))
+          .when(pmod(col("user_id"), lit(31)) === 0,
+            concat(lit("***"), col("user_id").cast("string")))
+          .otherwise(col("user_id").cast("string")).as("uid"),
+        concat(lit("F"), pmod(col("user_id"), lit(3))).as("facility"),
+        (pmod(col("event_id"), lit(25)) + 1).as("episode"),
+        date_format(col("ts"), "yyyy-MM-dd").as("DateBCR_value"),
+        element_at(array(lit("GRAM STAIN PRELIMINARY"), lit("CULTURE FINAL"),
+            lit("INTERIM"), lit(null).cast("string")),
+          (pmod(col("event_id"), lit(4)) + 1).cast("int")).as("BCType_value"),
+        element_at(array(lit("Pos"), lit("Neg"), lit("PC"), lit("NegP"),
+            lit("PosP"), lit(null).cast("string")),
+          (pmod(col("event_id"), lit(6)) + 1).cast("int")).as("BCResult_value"),
+        when(pmod(col("event_id"), lit(5)) === 0, "CONS")
+          .otherwise(concat(lit("ORG"), pmod(col("event_id"), lit(7)))).as("Org1_value"),
+        concat(lit("Organism "), pmod(col("event_id"), lit(7))).as("Org1_label"),
+        when(pmod(col("event_id"), lit(9)) === 0, "other-org")
+          .otherwise(lit(null).cast("string")).as("OtherOrg1_value"),
+        when(pmod(col("event_id"), lit(17)) === 0, "NaT")
+          .otherwise(date_format(date_add(to_date(col("ts")), 1), "yyyy-MM-dd"))
+          .as("DateBCT_value"))
+      // timestamp, not date: the q41/q58 dataframe-bridge convention
+      Neolab.episodeSummary(nl, lit("2024-01-31"))
+        .withColumn("date_bct", col("date_bct").cast("timestamp"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -125,17 +125,28 @@ object JsonImport {
     * per-row restructure loop (extract_key_values.py). Label only exists
     * in the list shape; dict-shape rows get NULL labels.
     */
-  def extractKeyValues(parsed: DataFrame, keys: Seq[String]): DataFrame = {
+  def extractKeyValues(parsed: DataFrame, keys: Seq[String]): DataFrame =
+    withKeyValues(parsed, keys).select(
+      col("uid") +: col("scriptid") +:
+        keys.flatMap(k => Seq(col(s"${k}_value"), col(s"${k}_label"))): _*)
+
+  /** [[extractKeyValues]] APPENDING the pairs to the existing columns
+    * (one withColumns projection) instead of projecting down to them —
+    * for routes whose rows are NOT uniquely keyed by uid (e.g. the
+    * neolab lab stream, many cultures per uid), where a widen-then-join
+    * would fan out.
+    */
+  def withKeyValues(parsed: DataFrame, keys: Seq[String]): DataFrame = {
     val entries = col("entries_json")
     val parsedList = from_json(entries, entryListSchema)
     val cols = keys.flatMap { k =>
       val entry = try_element_at(filter(parsedList, e => e.getField("key") === k), lit(1))
       val listVal = try_element_at(entry.getField("values"), lit(1))
       Seq(
-        coalesce(listVal.getField("value"), dictEntryValue(entries, k)).as(s"${k}_value"),
-        listVal.getField("label").as(s"${k}_label"))
+        s"${k}_value" -> coalesce(listVal.getField("value"), dictEntryValue(entries, k)),
+        s"${k}_label" -> listVal.getField("label"))
     }
-    parsed.select(col("uid") +: col("scriptid") +: cols: _*)
+    parsed.withColumns(cols.toMap)
   }
 
   /** Distinct entry keys present in a batch, across BOTH entries shapes —

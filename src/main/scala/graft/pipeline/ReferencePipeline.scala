@@ -50,6 +50,7 @@ object ReferencePipeline {
       combinedDiagnoses: DataFrame = null,
       ruleExceptions: DataFrame = null,
       dayVitals: Map[Int, DataFrame] = Map.empty,
+      summaryNeolab: DataFrame = null,
       shared: Option[DataFrame] = None)
 
   /** Run the full flow from a DataFrame bearing one raw session JSON
@@ -85,6 +86,10 @@ object ReferencePipeline {
           outcomeFlags: Seq[(String, org.apache.spark.sql.Column)] = Nil,
           vitalsDays: Seq[Int] = Seq(1, 2, 3),
           vitalsTables: Seq[String] = Nil,
+          neolabScript: Option[String] = None,
+          neolabAsOf: org.apache.spark.sql.Column = current_date(),
+          neolabKeys: Seq[String] = Seq("Episode", "DateBCR", "Org1",
+            "OtherOrg1", "BCResult", "BCType", "DateBCT"),
           persistShared: Boolean = false): Outputs = {
     // 1. import: parse + uid recovery; corrupt rows routed out, not dropped
     val parsed = JsonImport.parseSessions(raw, jsonCol)
@@ -168,6 +173,38 @@ object ReferencePipeline {
         .select(col("uid"), col(s"${diagnosesRepeatField}_value").as("diagnosis"))
         .filter(col("diagnosis").isNotNull)
     val combinedDiagnoses = explodedDiag.unionByName(repeatDiag)
+
+    // 3e. neolab route → summary_neolab (reference: assorted_queries.py
+    //     deduplicate_neolab_query + create_summary_neolab_sql.py). Lab
+    //     sessions pass through NEITHER the (uid, scriptid) dedup of step
+    //     2 NOR KeyRepair's collision splitting — one patient uid
+    //     legitimately uploads MANY cultures, so splitting "same uid,
+    //     different payload" into uid#date keys would atomize every
+    //     episode. The route branches from the PARSED rows (uid present,
+    //     not corrupt — the reference's `unique_key is not null` gate on
+    //     clean_sessions) with the reference's own keep-latest key: (uid,
+    //     upload month, culture-date key). The reference's date_key is
+    //     LEFT(COALESCE(DateBCT, DateBCR), 10) gated on both being
+    //     present (its second COALESCE arm is a positional JSON access of
+    //     the first entry — an artifact of entry ordering, expressed here
+    //     as the DateBCR field it resolves to on neolab forms).
+    val summaryNeolab = neolabScript.map { script =>
+      val sessions = JsonImport.routeByScript(
+        parsed.filter(!col("is_corrupt") && col("uid").isNotNull), script)
+      val bct = JsonImport.entryValue(col("entries_json"), "DateBCT")
+      val bcr = JsonImport.entryValue(col("entries_json"), "DateBCR")
+      val withKey = sessions
+        .withColumn("__ym", date_format(col("started_at"), "yyyy-MM"))
+        .withColumn("__date_key",
+          when(bct.isNull || bcr.isNull, lit(null).cast("string"))
+            .otherwise(substring(coalesce(bct, bcr), 1, 10)))
+      val dedup = Dedup.keepLatest(withKey, Seq("uid", "__ym", "__date_key"),
+        col("started_at"), col("completed_at"))
+      // APPEND the kv columns (rows here are NOT unique per uid — a
+      // widen-then-join on uid would fan out culture rows quadratically)
+      val nl = JsonImport.withKeyValues(dedup, neolabKeys)
+      Neolab.episodeSummary(nl, neolabAsOf, episodeCol = "Episode_value")
+    }.orNull
 
     // 4. manual fix + label recode + fuzzy free-text canonicalization on
     //    the admissions route (reference: admissions_manually_fix_records
@@ -308,7 +345,7 @@ object ReferencePipeline {
 
     Outputs(admissions, discharges, repeatables, joined, summaryCounts,
       completeness, exceptions, mclKeys, mclTables, combinedDiagnoses,
-      ruleExceptions, dayVitals,
+      ruleExceptions, dayVitals, summaryNeolab,
       shared = if (persistShared) Some(deduped) else None)
   }
 
@@ -339,11 +376,22 @@ object ReferencePipeline {
     "completeness" -> out.completeness,
     "exceptions" -> out.exceptions,
     "combined_diagnoses" -> out.combinedDiagnoses,
-    "rule_exceptions" -> out.ruleExceptions) ++
+    "rule_exceptions" -> out.ruleExceptions,
+    // reference: derived.summary_neolab (create_summary_neolab_sql.py)
+    "summary_neolab" -> out.summaryNeolab) ++
     out.dayVitals.toSeq.sortBy(_._1).map { case (n, df) =>
       // reference: derived.summary_day1_vitals / _day2_ / _day3_
       s"summary_day${n}_vitals" -> df
     } ++
+    // reference: derived.summary_joined_vitals — the day-N tables UNION
+    // ALL'd into one, each row tagged with its day
+    // (create_summary_joined_vitals_sql.py:8-95). A plan-level concat of
+    // the per-day slices (no shuffle of its own); published only when the
+    // day tables themselves are configured.
+    (if (out.dayVitals.isEmpty) Nil
+     else Seq("summary_joined_vitals" -> Unions.taggedUnion(
+       out.dayVitals.toSeq.sortBy(_._1).map { case (n, df) => (n.toString, df) },
+       tagCol = "day"))) ++
     out.mclTables.toSeq.sortBy(_._1).map { case (k, df) =>
       // reference: derived."exploded_<key>"; snake_case like the columns
       s"exploded_${Cleanup.snakeCase(k)}" -> df

@@ -254,8 +254,71 @@ class ReferencePipelineSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_vitals").toString
     ReferencePipeline.publish(out2, dir)
     val published = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(Set("summary_day1_vitals", "summary_day2_vitals", "summary_day3_vitals")
-      .subsetOf(published))
+    assert(Set("summary_day1_vitals", "summary_day2_vitals", "summary_day3_vitals",
+      "summary_joined_vitals").subsetOf(published))
+    // the joined table is the UNION ALL of the day tables, each row
+    // tagged with its day (create_summary_joined_vitals_sql.py)
+    val joined = spark.read.parquet(s"$dir/summary_joined_vitals")
+    val dayTotals = (1 to 3)
+      .map(n => spark.read.parquet(s"$dir/summary_day${n}_vitals").count()).sum
+    assert(joined.count() === dayTotals)
+    assert(joined.filter(col("uid") === "U5").groupBy("day").count()
+      .as[(String, Long)].collect().toMap === Map("1" -> 2L, "2" -> 1L, "3" -> 1L))
+  }
+
+  test("neolab route publishes the episode summary without re-keying cultures") {
+    def lab(uid: String, episode: String, bcr: String, bct: String,
+            bcType: String, bcResult: String, org1v: String, org1l: String,
+            started: String): String =
+      s"""{"scriptid":"lab","uid":"$uid","facility":"F1",
+          "started_at":"$started","completed_at":"$started",
+          "entries":[{"key":"Episode","values":[{"value":"$episode","label":"Episode"}]},
+                     {"key":"DateBCR","values":[{"value":"$bcr","label":"Reported"}]},
+                     {"key":"DateBCT","values":[{"value":"$bct","label":"Taken"}]},
+                     {"key":"BCType","values":[{"value":"$bcType","label":"Type"}]},
+                     {"key":"BCResult","values":[{"value":"$bcResult","label":"Result"}]},
+                     {"key":"Org1","values":[{"value":"$org1v","label":"$org1l"}]},
+                     {"key":"OtherOrg1","values":[{"value":"","label":""}]}]}"""
+        .replaceAll("\n\\s*", "")
+    val labs = Seq(
+      // episode 1, culture 1 (older report date — loses the keep-latest
+      // MAX(DateBCR) within the episode, still counted in the census)
+      lab("n1", "1", "2026-01-10", "2026-01-08", "CULTURE FINAL", "Pos",
+        "CONS", "CoNS", "2026-01-10T08:00:00"),
+      // episode 1, culture 2: submitted twice with the same culture-date
+      // key — the resubmission (later started_at) must win the dedup
+      lab("n1", "1", "2026-01-12", "2026-01-09", "GRAM PRELIMINARY", "PosP",
+        "ECOLI", "E. coli", "2026-01-12T08:00:00"),
+      lab("n1", "1", "2026-01-12", "2026-01-09", "GRAM PRELIMINARY", "NegP",
+        "ECOLI", "E. coli", "2026-01-12T09:00:00"),
+      // episode 2: final positive, old enough to be outside the window
+      lab("n1", "2", "2026-01-02", "2026-01-01", "CULTURE FINAL", "Pos",
+        "GBS", "Group B strep", "2026-01-02T08:00:00"),
+      // test uid → scrubbed from the summary entirely
+      lab("0000t", "1", "2026-01-05", "2026-01-04", "CULTURE FINAL", "Pos",
+        "CONS", "CoNS", "2026-01-05T08:00:00"))
+    val out2 = ReferencePipeline.run(
+      raw.unionByName(labs.toDF("json")), "json", Seq("Temp"),
+      neolabScript = Some("lab"), neolabAsOf = lit("2026-01-14"))
+    val rows = out2.summaryNeolab
+      .select("uid", "episode", "date_bcr", "bc_result", "status",
+        "n_cultures_episode", "combined_result")
+      .as[(String, String, String, String, String, Long, String)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // keep-latest joined culture 2's CORRECTED row: NegP, within 5 days of
+    // asOf → awaiting; census counts both deduped cultures of episode 1
+    assert(rows(("N1", "1")) === (("N1", "1", "2026-01-12", "NegP",
+      "PRELIMINARY", 2L, "Awaiting Final Result")))
+    // 12 days old → window expired; plain result passes through
+    assert(rows(("N1", "2")) === (("N1", "2", "2026-01-02", "Pos",
+      "FINAL", 1L, "Pos")))
+    assert(rows.size === 2) // the 0000-prefixed test uid never publishes
+    // a run with no neolab script configured emits no table
+    assert(out2.summaryNeolab != null && out.summaryNeolab == null)
+    val dir = java.nio.file.Files.createTempDirectory("graft_neolab").toString
+    ReferencePipeline.publish(out2, dir)
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet
+      .contains("summary_neolab"))
   }
 
   test("vitalsTables keeps a pre-admission diagnoses row from shifting the day baseline") {
