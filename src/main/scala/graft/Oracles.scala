@@ -1119,7 +1119,41 @@ object Oracles {
                 ELSE n.res END AS combined_result
          FROM latest l
          JOIN nl n ON l.uid = n.uid AND l.date_bcr = n.bcr
-         JOIN census c ON l.uid = c.c_uid AND l.episode = c.c_episode"""
+         JOIN census c ON l.uid = c.c_uid AND l.episode = c.c_episode""",
+
+    // q72: the strict validity gate (regex + parse + representable range)
+    // and the either-date era window, replicated clause for clause
+    "q72_migration_view" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'SMCH' ELSE 'OTH' END AS facility,
+             CASE WHEN o_orderkey % 6 = 0 THEN 'NaT'
+                  WHEN o_orderkey % 6 = 1 THEN ''
+                  WHEN o_orderkey % 6 = 2 THEN '1995-13-45'
+                  WHEN o_orderkey % 6 = 3 THEN '0000-01-01'
+                  ELSE strftime(o_orderdate, '%Y-%m-%d') END AS dis_raw,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d')
+                  WHEN o_orderkey % 5 = 1 THEN '96/01/01'
+                  ELSE NULL END AS death_raw
+           FROM orders),
+         s AS (
+           SELECT o_orderkey, facility,
+             CASE WHEN regexp_matches(dis_raw, '^\d{4}-\d{2}-\d{2}$')
+                       AND TRY_CAST(dis_raw AS DATE)
+                           BETWEEN DATE '0001-01-01' AND DATE '9999-12-31'
+                  THEN TRY_CAST(dis_raw AS DATE) END AS dis_d,
+             CASE WHEN regexp_matches(death_raw, '^\d{4}-\d{2}-\d{2}$')
+                       AND TRY_CAST(death_raw AS DATE)
+                           BETWEEN DATE '0001-01-01' AND DATE '9999-12-31'
+                  THEN TRY_CAST(death_raw AS DATE) END AS death_d
+           FROM o)
+         SELECT o_orderkey, facility,
+           CAST(dis_d AS TIMESTAMP) AS discharge_date,
+           CAST(death_d AS TIMESTAMP) AS death_date
+         FROM s
+         WHERE facility = 'SMCH'
+           AND (dis_d >= DATE '1995-06-01' OR death_d >= DATE '1995-06-01')"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

@@ -788,6 +788,33 @@ object Queries {
         .withColumn("date_bct", col("date_bct").cast("timestamp"))
     }),
 
+    // the SMCH legacy-era migration view (read_new_smch_discharges_query):
+    // facility gate + either-date era window over STRICTLY validity-gated
+    // date columns — the synth plants every garbage class the reference's
+    // CASE enumerates (sentinel, empty, calendar-invalid 1995-13-45,
+    // range-invalid year 0000, regex-failing 96/01/01)
+    "q72_migration_view" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val disRaw = when(pmod(col("o_orderkey"), lit(6)) === 0, "NaT")
+        .when(pmod(col("o_orderkey"), lit(6)) === 1, "")
+        .when(pmod(col("o_orderkey"), lit(6)) === 2, "1995-13-45")
+        .when(pmod(col("o_orderkey"), lit(6)) === 3, "0000-01-01")
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      val deathRaw = when(pmod(col("o_orderkey"), lit(5)) === 0,
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd"))
+        .when(pmod(col("o_orderkey"), lit(5)) === 1, "96/01/01")
+        .otherwise(lit(null).cast("string"))
+      val w = o.select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0, "SMCH").otherwise("OTH").as("facility"),
+        disRaw.as("dis_raw"), deathRaw.as("death_raw"))
+      Views.eraMigrationView(w, Seq("dis_raw", "death_raw"),
+          col("facility") === "SMCH", lit("1995-06-01").cast("date"))
+        .select(col("o_orderkey"), col("facility"),
+          // timestamp, not date: the q41/q58 dataframe-bridge convention
+          col("dis_raw").cast("timestamp").as("discharge_date"),
+          col("death_raw").cast("timestamp").as("death_date"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)
