@@ -559,15 +559,16 @@ object Oracles {
            md5(m12 || '|' || m13 || '|' || m14 || '|' || m15) AS b3
          FROM mins""",
 
+    // q32: the Spark side ENCODES a solid-color PNG per row and DECODES it
+    // back through javax.imageio; these formulas are the synth parameters,
+    // so a hash match proves the real decode read the container correctly
     "q32_multimodal_meta" ->
-      """SELECT c_custkey AS media_id,
-         CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         CAST(64 AS INTEGER) AS n_bytes,
-         CAST((c_custkey % 4) * 160 + 320 AS INTEGER) AS width,
-         CAST((c_custkey % 4) * 90 + 180 AS INTEGER) AS height,
-         CAST(16000 AS INTEGER) AS sample_rate,
-         CAST((c_custkey % 8) + 1 AS INTEGER) AS n_frames,
-         'application/octet-stream' AS mime
+      """SELECT c_custkey AS media_id, 'image' AS kind,
+         CAST((c_custkey % 4) * 16 + 32 AS INTEGER) AS width,
+         CAST((c_custkey % 3) * 16 + 32 AS INTEGER) AS height,
+         CAST(c_custkey % 256 AS INTEGER) AS mean_r,
+         CAST((c_custkey * 7) % 256 AS INTEGER) AS mean_g,
+         CAST((c_custkey * 13) % 256 AS INTEGER) AS mean_b
          FROM customer""",
 
     "q34_day_slice" ->

@@ -253,8 +253,14 @@ object Queries {
         "vec_id", "embedding", k = 5, nPlanes = 10)
     }),
 
+    // REAL decode in the loop: solid-color PNGs are encoded per row
+    // (dims/fill = pure functions of the id), then decodeMeta parses the
+    // actual container bytes via javax.imageio — the oracle's arithmetic
+    // only matches if the decoder truly read the payload
     "q32_multimodal_meta" -> ((s, d) =>
-      Multimodal.metadataOnly(Multimodal.synthesize(Tables.customer(s, d), "c_custkey"))),
+      Multimodal.decodeMeta(
+        Multimodal.synthesizeImages(Tables.customer(s, d), "c_custkey"),
+        ImageIoCodec)),
 
     "q34_day_slice" -> ((s, d) =>
       Windows.dayOffsetSlice(Tables.events(s, d), Seq("user_id"), col("ts"), day = 2)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * Media travel as opaque `binary` columns with a typed metadata struct —
   * the lakehouse-standard shape (mirrors Spark's own `image` schema and
   * parquet BYTE_ARRAY storage). Decode / feature-extraction runs
-  * per-partition in batches via `mapPartitions`; the decode kernel itself
-  * is STUBBED (no codec libs in this container) behind
-  * [[MediaCodec.decodeStub]] — a deterministic fake that preserves the
-  * real batch shape, schema and partitioning so the Spark-side plumbing is
-  * fully exercised and tested.
+  * per-partition in batches via `mapPartitions` behind the pluggable
+  * [[MediaCodec]] boundary: [[ImageIoCodec]] is a REAL decoder (JDK
+  * `javax.imageio`, PNG/JPEG/BMP/GIF — no external codec libs needed);
+  * [[StubCodec]] is the deterministic fake for formats this container
+  * can't decode (audio/video), preserving batch shape, schema and
+  * partitioning so the plumbing is exercised either way.
   *
   * Scale notes: binary blobs never participate in shuffles here — metadata
   * extraction projects the blob away before any wide operation; frame
@@ -55,6 +56,33 @@ object Multimodal {
         lit("application/octet-stream").as("mime")
       ).as("meta"))
 
+  /** Synthesize REAL image media: one solid-color PNG per source row,
+    * dimensions and fill color pure functions of the id (width =
+    * id%4·16+32, height = id%3·16+32, RGB = (id, 7id, 13id) mod 256).
+    * Encoding runs batched per partition through the JDK PNG writer, so
+    * a decode of these bytes only reproduces the formulas if the codec
+    * genuinely parses the container — which is exactly what the q32
+    * oracle verifies.
+    */
+  def synthesizeImages(src: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    src.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = ((id % 4) * 16 + 32).toInt
+        val h = ((id % 3) * 16 + 32).toInt
+        val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, w, h, Array.fill(w * h)(rgb), 0, w)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, "image", bos.toByteArray,
+          Row(w, h, null, Integer.valueOf(1), "image/png"))
+      }
+    }(enc)
+  }
+
   /** Blob-free metadata projection (what a catalog scan should read —
     * column pruning keeps the bytes on disk).
     */
@@ -63,6 +91,40 @@ object Multimodal {
       length(col("bytes")).as("n_bytes"),
       col("meta.width"), col("meta.height"), col("meta.sample_rate"),
       col("meta.n_frames"), col("meta.mime"))
+
+  /** DECODED metadata: parse each image row's container through `codec`
+    * and emit the measured width/height and mean channel values —
+    * ground truth from the bytes themselves, where [[metadataOnly]]
+    * merely projects the declared struct. Non-image kinds and
+    * undecodable payloads surface with NULL measurements (routed, not
+    * dropped — a corrupt blob in 100 TB of media must be countable).
+    * One mapPartitions batch; the blob never leaves the partition.
+    */
+  def decodeMeta(media: DataFrame, codec: MediaCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_r", IntegerType, nullable = true),
+      StructField("mean_g", IntegerType, nullable = true),
+      StructField("mean_b", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "kind", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val kind = if (r.isNullAt(1)) null else r.getString(1)
+        val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        val dec = if (kind == "image") codec.decodeImage(bytes) else None
+        dec match {
+          case Some(d) => Row(id, kind, Integer.valueOf(d.width),
+            Integer.valueOf(d.height), Integer.valueOf(d.meanR),
+            Integer.valueOf(d.meanG), Integer.valueOf(d.meanB))
+          case None => Row(id, kind, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
 
   /** Resize: fit image/video media into a target box, keeping the
     * metadata struct honest (aspect-preserving scaled width/height; audio
@@ -108,13 +170,14 @@ object Multimodal {
     unbase64(base64(sha2(concat(base64(bytes), w.cast("string"), h.cast("string")), 256).cast("binary")))
 
   /** Frame-sample features: one row per sampled frame per media item,
-    * batched per partition. The decode is [[MediaCodec.decodeStub]].
+    * batched per partition through `codec` (default [[StubCodec]] — video
+    * containers have no JDK decoder; swap a real codec in production).
     */
-  def frameFeatures(media: DataFrame, everyNth: Int): DataFrame = {
+  def frameFeatures(media: DataFrame, everyNth: Int,
+                    codec: MediaCodec = StubCodec): DataFrame = {
     // API-boundary guard: 0 would throw 'step cannot be 0' per-row deep
     // inside mapPartitions, and a negative stride silently samples nothing
     require(everyNth >= 1, s"frameFeatures needs everyNth >= 1, got $everyNth")
-    val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_no", IntegerType, nullable = false),
@@ -127,20 +190,75 @@ object Multimodal {
           val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
           val nFrames = if (r.isNullAt(2)) 0 else r.getInt(2)
           (0 until nFrames by everyNth).iterator.map { f =>
-            Row(id, f, MediaCodec.decodeStub(bytes, f))
+            Row(id, f, codec.decodeFrame(bytes, f))
           }
         }
       }(enc)
   }
 }
 
-/** The decode kernel boundary. In production this wraps a real codec
-  * (libjpeg/ffmpeg/…) over the byte batch; none ship in this container, so
-  * the stub derives a deterministic 8-dim feature from the bytes — same
+/** One decoded image: container header dims + integer mean per channel
+  * (exact for solid-color test images; floor-of-mean otherwise).
+  */
+case class DecodedImage(width: Int, height: Int, meanR: Int, meanG: Int, meanB: Int)
+
+/** The decode kernel boundary. Implementations run INSIDE mapPartitions
+  * batches (must be Serializable); they see raw bytes and nothing else,
+  * so swapping a production codec (libjpeg/ffmpeg via JNI, a Pandas-UDF
+  * sidecar, …) never touches the Spark-side plumbing.
+  */
+trait MediaCodec extends Serializable {
+  /** Parse an image container; None when the bytes aren't decodable. */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage]
+  /** Frame-level feature vector for video/audio sampling. */
+  def decodeFrame(bytes: Array[Byte], frame: Int): Array[Float]
+}
+
+/** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF —
+  * ships with every JVM, no container dependency). Mean channel values
+  * are computed over every pixel, so the result is ground truth from the
+  * payload, not the declared metadata. Corrupt/unknown bytes → None.
+  */
+object ImageIoCodec extends MediaCodec {
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else scala.util.Try(
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    ).toOption.flatten.map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      DecodedImage(w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+    }
+
+  /** Frame feature from the decoded image itself: dims + channel means
+    * (+ the frame index) — pixel-derived, unlike the stub.
+    */
+  def decodeFrame(bytes: Array[Byte], frame: Int): Array[Float] =
+    decodeImage(bytes) match {
+      case Some(d) => Array(d.width.toFloat, d.height.toFloat,
+        d.meanR / 255.0f, d.meanG / 255.0f, d.meanB / 255.0f, frame.toFloat)
+      case None => null
+    }
+}
+
+/** Deterministic fake for formats with no in-container decoder
+  * (audio/video): derives an 8-dim feature from the bytes — same
   * signature, same batch shape, honest plumbing.
   */
-object MediaCodec {
-  def decodeStub(bytes: Array[Byte], frame: Int): Array[Float] = {
+object StubCodec extends MediaCodec {
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = None
+  def decodeFrame(bytes: Array[Byte], frame: Int): Array[Float] = {
     val h = java.util.Arrays.hashCode(bytes) * 31 + frame
     Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xff).toFloat / 255.0f)
   }

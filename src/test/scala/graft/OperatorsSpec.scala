@@ -100,4 +100,35 @@ class OperatorsSpec extends SparkSpec {
     assert(kinds.subsetOf(Set("image", "audio", "video")))
     assert(media.schema("bytes").dataType.typeName === "binary")
   }
+
+  test("ImageIoCodec decodes REAL PNG bytes back to the synth parameters") {
+    val ids = Seq(0L, 1L, 5L, 300L) // 300 wraps the 256 color space
+    val media = Multimodal.synthesizeImages(ids.map(Tuple1(_)).toDF("id"), "id")
+    // the payload is a genuine PNG container, not a hash
+    val first = media.orderBy("media_id").select("bytes").head.getAs[Array[Byte]](0)
+    assert(first.take(4).map(_ & 0xff).sameElements(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)))
+    val got = Multimodal.decodeMeta(media, ImageIoCodec)
+      .select("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+      .as[(Long, Int, Int, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    ids.foreach { id =>
+      assert(got(id) === ((id, (id % 4 * 16 + 32).toInt, (id % 3 * 16 + 32).toInt,
+        (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)))
+    }
+    // pixel-derived frame features (not the stub's byte hash)
+    val f = Multimodal.frameFeatures(
+      media.filter(col("media_id") === 5L)
+        .withColumn("meta", struct(col("meta.width"), col("meta.height"),
+          col("meta.sample_rate"), lit(2).as("n_frames"), col("meta.mime"))),
+      everyNth = 1, codec = ImageIoCodec)
+      .select("feature").as[Array[Float]].collect()
+    assert(f.length === 2 && f(0)(0) === 48.0f && f(0)(1) === 64.0f) // 5%4*16+32, 5%3*16+32
+  }
+
+  test("decodeMeta routes corrupt and non-image payloads to NULL measurements") {
+    val junk = Multimodal.synthesize(Seq(1L, 2L, 3L).toDF("c_custkey"), "c_custkey")
+    val out = Multimodal.decodeMeta(junk, ImageIoCodec).collect()
+    // sha-derived fake bytes decode as nothing, audio/video never decode —
+    // every row SURVIVES with null width (countable, not dropped)
+    assert(out.length === 3 && out.forall(_.isNullAt(2)))
+  }
 }
