@@ -46,13 +46,19 @@ object Summaries {
     * `approx_percentile` (t-digest-style sketch, partial-aggregable,
     * bounded memory) by default; `exact = true` switches to the exact
     * `percentile` aggregate, which BUFFERS every value of the column per
-    * partial — the declared small-data/oracle yardstick. When the median
-    * must be EXACT at scale, use [[exactQuantile]] (iterative histogram
-    * narrowing: O(log) passes, bounded memory) per column instead.
+    * partial — the declared small-data/oracle yardstick. `exact = true,
+    * scalable = true` keeps the median EXACT while staying
+    * memory-bounded: the other stats still run in the ONE aggregation
+    * pass, and each median routes through [[exactQuantile]] (iterative
+    * histogram narrowing, O(log) passes) — no value→count buffered
+    * aggregate anywhere in the plan, spec-proven equal to the
+    * `percentile` form. That is the 100 TB dataset-card profile.
     */
   def numericProfile(df: DataFrame, cols: Seq[String],
-                     exact: Boolean = false): DataFrame = {
+                     exact: Boolean = false,
+                     scalable: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
+    val scalableExact = exact && scalable
     // helper aliases go through selectExpr — backtick-quote them (and
     // escape the label literal) so names like `price-usd` or `a.b` don't
     // parse as arithmetic / struct access
@@ -61,24 +67,39 @@ object Summaries {
     val aggs = cols.flatMap { c =>
       val d = col(c).cast("double")
       val p50 =
-        if (exact) call_function("percentile", d, lit(0.5))
-        else call_function("approx_percentile", d, lit(0.5), lit(10000))
+        if (scalableExact) Nil // narrowing passes below, not a buffered agg
+        else if (exact) Seq(call_function("percentile", d, lit(0.5)).as(s"__p50__$c"))
+        else Seq(call_function("approx_percentile", d, lit(0.5), lit(10000)).as(s"__p50__$c"))
       Seq(
         count(col(c)).as(s"__n__$c"),
         count(when(col(c).isNull, 1)).as(s"__nn__$c"),
         min(d).as(s"__min__$c"),
         max(d).as(s"__max__$c"),
-        sum(col(c).cast("decimal(28,6)")).cast("double").as(s"__sum__$c"),
-        p50.as(s"__p50__$c"))
+        sum(col(c).cast("decimal(28,6)")).cast("double").as(s"__sum__$c")) ++ p50
     }
     val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val p50Arg = (c: String) =>
+      if (scalableExact) "CAST(NULL AS DOUBLE)" else q(s"__p50__$c")
     val stackArgs = cols.map(c =>
       s"${lit_(c)}, ${q(s"__n__$c")}, ${q(s"__nn__$c")}, ${q(s"__min__$c")}, " +
-        s"${q(s"__max__$c")}, ${q(s"__sum__$c")}, ${q(s"__p50__$c")}").mkString(", ")
-    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        s"${q(s"__max__$c")}, ${q(s"__sum__$c")}, ${p50Arg(c)}").mkString(", ")
+    val unpivoted = one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, n_non_null, n_null, min, max, __sum, p50)")
       .withColumn("mean", col("__sum") / col("n_non_null"))
-      .select("column_name", "n_non_null", "n_null", "min", "max", "mean", "p50")
+    val withP50 =
+      if (!scalableExact) unpivoted
+      else {
+        // exactQuantile runs its narrowing jobs NOW (plan-time, like the
+        // centroid collects) and the tiny per-column results re-enter the
+        // plan as a CASE literal over column_name
+        val medians = cols.map(c => c -> exactQuantile(df, c, 0.5))
+        unpivoted.withColumn("p50",
+          medians.foldLeft(lit(null).cast("double")) { case (acc, (c, m)) =>
+            when(col("column_name") === c,
+              m.map(lit(_)).getOrElse(lit(null).cast("double"))).otherwise(acc)
+          })
+      }
+    withP50.select("column_name", "n_non_null", "n_null", "min", "max", "mean", "p50")
   }
 
   /** EXACT interpolated quantile (percentile_cont semantics — identical

@@ -84,4 +84,53 @@ class IncrementalPipelineSpec extends SparkSpec {
     // row per admission, resubmission not duplicated
     assert(spark.read.parquet(s"$pubDir/joined").count() === 3)
   }
+
+  test("republish recovers a publish killed mid-swap AND mid-write, losing nothing") {
+    val rawTable = Files.createTempDirectory("crash_tbl").toString + "/raw"
+    val pubDir = Files.createTempDirectory("crash_pub").toString
+    graft.operators.JsonImport.parseSessions(
+        Seq(session("u1", "35.0", "2026-01-01T08:00:00"),
+          session("u2", "36.5", "2026-01-01T09:00:00")).toDF("json"), "json")
+      .filter(!col("is_corrupt") && col("uid").isNotNull)
+      .write.parquet(rawTable)
+    def republish(): Unit = {
+      val out = ReferencePipeline.run(
+        spark.read.parquet(rawTable), "raw_json", Seq("Temp"),
+        persistShared = true)
+      ReferencePipeline.publish(out, pubDir)
+    }
+    republish() // healthy baseline publish
+    assert(spark.read.parquet(s"$pubDir/admissions").count() === 2)
+
+    // ── crash point 1: INSIDE the swap, between the two renames ─────────
+    // AtomicSwap's sequence is tmp fully written → target renamed aside →
+    // CRASH. Observable state: target MISSING, the new version whole
+    // under .tmp, the previous version whole under __old.
+    val adm = new java.io.File(s"$pubDir/admissions")
+    val admTmp = new java.io.File(s"$pubDir/admissions.tmp")
+    val admOld = new java.io.File(s"$pubDir/admissions__old")
+    assert(adm.renameTo(admTmp)) // the fully-written replacement
+    new java.io.File(admOld, "part-stale.parquet").getParentFile.mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$admOld/part-stale.parquet"), "old version")
+    // the documented no-loss invariant holds AT the crash point: the data
+    // is still a readable parquet table under the temp name
+    assert(spark.read.parquet(admTmp.getPath).count() === 2)
+
+    // ── crash point 2: mid-WRITE of another table's replacement ─────────
+    // a killed Spark write leaves a half-written .tmp beside a still-
+    // intact target (this is the StreamUpsert stranded-tmp class, here
+    // proven through the pipeline's own publish path)
+    val joinedTmp = new java.io.File(s"$pubDir/joined.tmp")
+    joinedTmp.mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$joinedTmp/part-garbage"), "half-written")
+
+    // the cron tick just runs the SAME publish again — no special repair
+    republish()
+    assert(spark.read.parquet(s"$pubDir/admissions").count() === 2)
+    assert(spark.read.parquet(s"$pubDir/joined").count() === 2)
+    // every crash artifact swept: no stranded .tmp, no stale __old aside
+    val leftovers = new java.io.File(pubDir).listFiles().map(_.getName)
+      .filter(n => n.endsWith(".tmp") || n.endsWith("__old"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
 }

@@ -107,6 +107,52 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.get == 0.0, s"got $got")
   }
 
+  test("AQE splits the hot partition of a skewed shuffle join (pinned, not assumed)") {
+    // the scale notes for q38/q63 lean on "AQE handles residual skew" —
+    // this pins that the splitter actually FIRES on a hot-key join shape:
+    // 80% of the fact side hashes to one reduce partition, broadcast is
+    // disabled so the join must shuffle, and thresholds are scaled down
+    // to test-data sizes (the same ratios a 100 TB run sees vs defaults)
+    Sessions.withConfIsolated(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false"
+    ) { s =>
+      val fact = s.range(0, 50000).select(
+        when(col("id") % 5 =!= 0, 0L).otherwise(col("id") % 97).as("k"),
+        sha2(col("id").cast("string"), 256).as("payload")) // incompressible
+      val dim = s.range(0, 97).select(col("id").as("k"), col("id").cast("string").as("v"))
+      val j = fact.join(dim, "k")
+      j.collect() // run THIS queryExecution so AQE finalizes its plan
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(1500))
+    }
+  }
+
+  test("numericProfile's scalable exact path equals the percentile form") {
+    import graft.operators.Summaries
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 4000).map { i =>
+      (rnd.nextDouble() * 1e4,
+        if (i % 5 == 0) null else java.lang.Double.valueOf((i % 7).toDouble),
+        null: java.lang.Double) // an all-null column must profile, not throw
+    }.toDF("cont", "tied", "empty")
+    val cols = Seq("cont", "tied", "empty")
+    def rows(scalable: Boolean) =
+      Summaries.numericProfile(df, cols, exact = true, scalable = scalable)
+        .orderBy("column_name").collect().map(_.toSeq).toSeq
+    val buffered = rows(scalable = false)
+    val narrowed = rows(scalable = true)
+    assert(narrowed === buffered)
+    // and the scalable plan really dropped the buffered percentile agg
+    val plan = Summaries.numericProfile(df, cols, exact = true, scalable = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("), plan.take(500))
+  }
+
   test("semanticDedup keeps one representative per tight cluster") {
     val kept = Ann.semanticDedup(axisVecs, "vec_id", "embedding", axisCents, 0.99)
       .select("vec_id").as[Long].collect().toSet
