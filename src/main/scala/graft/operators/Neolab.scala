@@ -72,13 +72,21 @@ object Neolab {
     // NOT startsWith(p) for each prefix: a NULL uid makes the conjunction
     // NULL and the filter drops it — the same rows Postgres's NOT LIKE
     // chain drops
+    graft.functions.GraftFunctions.ensureRegistered(neolab.sparkSession)
     val scrub = testUidPrefixes
       .map(p => !col(uidCol).startsWith(p))
       .reduceOption(_ && _).getOrElse(lit(true))
+    // graft_max_by, not max: a STRING max carries a var-width agg buffer,
+    // which disqualifies HashAggregate and silently degrades the whole
+    // keep-latest pass to SortAggregate (a sort of every map and reduce
+    // partition); the typed-imperative form runs in ObjectHashAggregate —
+    // no sorts, identical null semantics (null dates never win; an
+    // all-null group yields null and is dropped by the inner join)
     val latest = neolab.filter(scrub)
       .groupBy(col(facilityCol).as("facility"), col(uidCol).as("uid"),
         col(episodeCol).as("episode"))
-      .agg(max(col(dateBcrCol)).as("date_bcr"))
+      .agg(call_function("graft_max_by", col(dateBcrCol), col(dateBcrCol))
+        .as("date_bcr"))
     // census over the FULL input (the reference's correlated count runs
     // against the unscrubbed table; only scrubbed uids can join it, and a
     // uid's scrub status is uniform across its rows, so this matches)

@@ -46,6 +46,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), p.take(1500)) // whole-stage codegen stage marker
   }
 
+  test("q71 neolab keep-latest hash-aggregates its string max (no sorts, no window)") {
+    val p = plan("q71_neolab_episodes")
+    // a plain max(stringCol) carries a var-width buffer → SortAggregate
+    // over every partition; the graft_max_by form must hold the
+    // ObjectHashAggregate plan
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("SortAggregate") && !p.contains("Window"), p.take(2000))
+  }
+
+  test("q72 migration view is one shuffle-free codegen stage") {
+    val p = plan("q72_migration_view")
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
+      p.take(1500))
+    assert(p.contains("*(1)"), p.take(1500)) // whole-stage codegen stage marker
+  }
+
+  test("q32 multimodal decode never shuffles the blobs") {
+    val p = plan("q32_multimodal_meta")
+    assert(p.contains("MapPartitions"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
   test("q66 cross near-dup joins shingle hashes with shuffle_hash, not sort-merge") {
     val p = plan("q66_cross_neardup")
     assert(p.contains("ShuffledHashJoin"), p.take(2000))
