@@ -28,7 +28,11 @@ object Bench {
       SparkEntry.queries("q03_join_enrich")(spark, warmDir).count()   // join path
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     var failed = List.empty[String]
+    // debugging/iteration knob: comma-separated query names to leave out
+    val exclude = sys.env.getOrElse("GRAFT_BENCH_EXCLUDE", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => exclude(n) }
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =

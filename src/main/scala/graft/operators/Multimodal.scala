@@ -67,6 +67,7 @@ object Multimodal {
   def synthesizeImages(src: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
     src.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      ImageIoCodec.disableDiskCache()
       rows.map { r =>
         val id = r.getLong(0)
         val w = ((id % 4) * 16 + 32).toInt
@@ -220,22 +221,33 @@ trait MediaCodec extends Serializable {
   * payload, not the declared metadata. Corrupt/unknown bytes → None.
   */
 object ImageIoCodec extends MediaCodec {
+
+  /** ImageIO defaults to DISK-backed stream caches — a temp-file write
+    * and read around every encode/decode, which measured ~30× slower on
+    * small images AND churned the whole shared JVM (the q32 bench
+    * regression). In-container media work is always byte-array-sized, so
+    * every codec entry point routes through the in-memory cache. The
+    * setting is JVM-global and idempotent; nothing here relies on the
+    * disk cache.
+    */
+  def disableDiskCache(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
     if (bytes == null || bytes.isEmpty) None
-    else scala.util.Try(
+    else scala.util.Try {
+      disableDiskCache()
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    ).toOption.flatten.map { img =>
+    }.toOption.flatten.map { img =>
       val w = img.getWidth; val h = img.getHeight
+      // ONE bulk color-converted grab, not w×h getRGB calls (each pays a
+      // color-model dispatch; the bulk call converts the scanline batch)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        i += 1
       }
       val n = w.toLong * h
       DecodedImage(w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
