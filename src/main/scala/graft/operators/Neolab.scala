@@ -111,12 +111,18 @@ object Neolab {
     latest
       .join(cultures,
         col("uid") === col("__r_uid") && col("date_bcr") === col("__r_bcr"))
+      // LEFT join + coalesce-to-0, not inner: the reference's census is a
+      // correlated scalar COUNT, which returns 0 — keeping the row — when
+      // the episode is NULL (SQL `=` never matches NULL, so the subquery
+      // sees no rows); an inner join here would silently DROP those rows
       .join(census,
-        col("uid") === col("__c_uid") && col("episode") === col("__c_episode"))
+        col("uid") === col("__c_uid") && col("episode") === col("__c_episode"),
+        "left")
       .select(col("facility"), col("uid"), col("episode"), col("date_bcr"),
         col("org1_label"), col("org1_value"), col("other_org1_value"),
         col("__r_result").as("bc_result"), status.as("status"),
         col("__r_bct").try_cast("date").as("date_bct"),
-        col("n_cultures_episode"), combined.as("combined_result"))
+        coalesce(col("n_cultures_episode"), lit(0L)).as("n_cultures_episode"),
+        combined.as("combined_result"))
   }
 }

@@ -101,6 +101,24 @@ class OperatorsSpec extends SparkSpec {
     assert(media.schema("bytes").dataType.typeName === "binary")
   }
 
+  test("neolab summary keeps NULL-episode rows with a zero census (correlated-COUNT semantics)") {
+    val nl = Seq(
+      ("F1", "u1", null.asInstanceOf[java.lang.Integer], "2026-01-10",
+        "lbl", "ECOLI", null, "Pos", "CULTURE FINAL", "2026-01-09"),
+      ("F1", "u1", java.lang.Integer.valueOf(2), "2026-01-11",
+        "lbl", "ECOLI", null, "Neg", "CULTURE FINAL", "2026-01-10"))
+      .toDF("facility", "uid", "episode", "DateBCR_value", "Org1_label",
+        "Org1_value", "OtherOrg1_value", "BCResult_value", "BCType_value",
+        "DateBCT_value")
+    val got = graft.operators.Neolab.episodeSummary(nl, lit("2026-01-14"))
+      .select("episode", "n_cultures_episode")
+      .as[(Option[Int], Long)].collect().toSet
+    // SQL `=` never matches NULL: the reference's correlated COUNT sees no
+    // rows for a NULL episode and returns 0 — the row must SURVIVE with 0,
+    // not vanish into an inner join
+    assert(got === Set((None, 0L), (Some(2), 1L)))
+  }
+
   test("ImageIoCodec decodes REAL PNG bytes back to the synth parameters") {
     val ids = Seq(0L, 1L, 5L, 300L) // 300 wraps the 256 color space
     val media = Multimodal.synthesizeImages(ids.map(Tuple1(_)).toDF("id"), "id")
