@@ -1154,7 +1154,62 @@ object Oracles {
            CAST(death_d AS TIMESTAMP) AS death_date
          FROM s
          WHERE facility = 'SMCH'
-           AND (dis_d >= DATE '1995-06-01' OR death_d >= DATE '1995-06-01')"""
+           AND (dis_d >= DATE '1995-06-01' OR death_d >= DATE '1995-06-01')""",
+
+    // q73: the DAX derived-column family — weight/temperature coerced with
+    // garbage → NULL, pandas-ladder buckets with Unknown-on-null, the
+    // absent-alias NULL branch, the LBWBinary NaN-comparisons-are-False
+    // flag, and the EXTERNALSOURCE cascade
+    "q73_dax_derived" ->
+      """WITH base AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0 THEN NULL
+                  WHEN c_custkey % 17 = 0 THEN NULL
+                  ELSE CAST((c_custkey % 50) * 100 AS DOUBLE) END AS weight,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL
+                  ELSE 30.0 + (c_custkey % 13) END AS temp,
+             CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE 'Ward A' END AS adm,
+             CASE WHEN c_custkey % 8 < 2 THEN NULL ELSE 'Clinic B' END AS ref1,
+             CASE WHEN c_custkey % 16 < 8 THEN NULL ELSE 'Clinic C' END AS ref2
+           FROM customer)
+         SELECT c_custkey, weight,
+           CASE WHEN weight IS NULL THEN 'Unknown'
+                WHEN weight < 1000 THEN 'ELBW'
+                WHEN weight < 1500 THEN 'VLBW'
+                WHEN weight < 2500 THEN 'LBW'
+                WHEN weight < 4000 THEN 'NBW'
+                ELSE 'HBW' END AS bw_group,
+           CAST(NULL AS DOUBLE) AS adm_weight,
+           CAST(NULL AS VARCHAR) AS aw_group,
+           CASE WHEN temp IS NULL THEN 'Unknown'
+                WHEN temp < 36.5 THEN 'Hypothermia'
+                WHEN temp < 37.5 THEN 'Normothermia'
+                ELSE 'Hyperthermia' END AS temp_thermia,
+           CAST(COALESCE(weight > 0 AND weight < 2500, FALSE) AS INT) AS lbw_binary,
+           COALESCE(adm, ref1, ref2, 'External Referral') AS external_source
+         FROM base""",
+
+    // q74: replays the 6-word paragraphing, the global keep-first rule
+    // (min (doc_id, idx) per distinct paragraph), and the ordered
+    // reassembly; a fully-duplicate doc's empty string_agg coalesces to ''
+    "q74_paragraph_dedup" ->
+      """WITH words AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         paras AS (
+           SELECT doc_id, i - 1 AS idx,
+             array_to_string(w[(i - 1) * 6 + 1 : i * 6], ' ') AS para
+           FROM words, LATERAL (
+             SELECT unnest(range(1, CAST(ceil(len(w) / 6.0) AS INT) + 1)) AS i)),
+         flagged AS (
+           SELECT doc_id, idx, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1 AS keep
+           FROM paras)
+         SELECT doc_id,
+           count(*) AS n_paras,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) || chr(10)
+                               ORDER BY idx), '') AS clean_text
+         FROM flagged GROUP BY doc_id"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

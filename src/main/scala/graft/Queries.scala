@@ -821,6 +821,66 @@ object Queries {
           col("death_raw").cast("timestamp").as("death_date"))
     }),
 
+    // the Power-BI/DAX derived-column replication (create_derived_columns
+    // .py): alias-gated weight ladder (BirthWeight→BW→Bw presence
+    // fallback) with garbage-coercion → Unknown, the absent-field branch
+    // (AW aliases missing → typed NULL columns), TempThermia ladder, the
+    // LBWBinary DAX flag (NaN comparisons are False → coalesce false),
+    // and the EXTERNALSOURCE cascade with its terminal default
+    "q73_dax_derived" -> ((s, d) => {
+      val base = Tables.customer(s, d).select(col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(13)) === 0, "garbage")
+          .when(pmod(col("c_custkey"), lit(17)) === 0, "")
+          .otherwise((pmod(col("c_custkey"), lit(50)) * 100).cast("string"))
+          .as("BW_value"),
+        when(pmod(col("c_custkey"), lit(11)) === 0, lit(null).cast("string"))
+          .otherwise((lit(30.0) + pmod(col("c_custkey"), lit(13))).cast("string"))
+          .as("Temperature_value"),
+        when(pmod(col("c_custkey"), lit(4)) === 0, lit(null).cast("string"))
+          .otherwise(lit("Ward A")).as("AdmittedFrom_value"),
+        when(pmod(col("c_custkey"), lit(8)) < 2, lit(null).cast("string"))
+          .otherwise(lit("Clinic B")).as("ReferredFrom_value"),
+        when(pmod(col("c_custkey"), lit(16)) < 8, lit(null).cast("string"))
+          .otherwise(lit("Clinic C")).as("ReferredFrom2_value"))
+      val laddered = DeriveColumns.aliasedLadders(base, Seq(
+        DeriveColumns.AliasedLadder(
+          Seq("BirthWeight_value", "BW_value", "Bw_value"), "weight", "bw_group",
+          Seq(1000.0 -> "ELBW", 1500.0 -> "VLBW", 2500.0 -> "LBW", 4000.0 -> "NBW"),
+          lastLabel = "HBW"),
+        DeriveColumns.AliasedLadder( // absent on purpose: the else-branch
+          Seq("AdmissionWeight_value", "AW_value"), "adm_weight", "aw_group",
+          Seq(1000.0 -> "<1000g"), lastLabel = ">=1000g"),
+        DeriveColumns.AliasedLadder(
+          Seq("Temperature_value"), "temp", "temp_thermia",
+          Seq(36.5 -> "Hypothermia", 37.5 -> "Normothermia"),
+          lastLabel = "Hyperthermia")))
+      laddered.select(col("c_custkey"), col("weight"), col("bw_group"),
+        col("adm_weight"), col("aw_group"), col("temp_thermia"),
+        coalesce(col("weight") > 0 && col("weight") < 2500, lit(false))
+          .cast("int").as("lbw_binary"),
+        DeriveColumns.cascadeSource(
+          Seq(col("AdmittedFrom_value"), col("ReferredFrom_value"),
+            col("ReferredFrom2_value")), lit("External Referral"))
+          .as("external_source"))
+    }),
+
+    // Dolma/RefinedWeb-style paragraph-level exact dedup: the corpus's
+    // word streams are paragraphed into 6-word windows (the synth text has
+    // no natural breaks), every later repeat of a paragraph seen earlier
+    // (by (doc_id, idx)) is removed, docs reassemble from what survives
+    "q74_paragraph_dedup" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val w = split(col("text"), " ")
+      val nChunks = ceil(size(w) / lit(6.0)).cast("int")
+      val paraText = array_join(
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(w, i * 6 + 1, lit(6)), " ")), "\n\n")
+      val paraDocs = Tables.documents(s, d)
+        .select(col("doc_id"), paraText.as("text"))
+      Dedup.dedupParagraphs(paraDocs, "doc_id", "text")
+        .select(col("doc_id"), col("n_paras"), col("n_kept"), col("clean_text"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -83,6 +83,53 @@ object Dedup {
     df.join(winners, df(idCol) === winners("__keep"), "left_semi")
   }
 
+  /** Paragraph-level exact deduplication (the Dolma/RefinedWeb curation
+    * step: duplicate PARAGRAPHS are removed corpus-wide while their host
+    * documents survive). Documents split on `sepPattern`; for every
+    * distinct paragraph the globally FIRST occurrence (minimum
+    * (id, paragraph-index), lexicographic) is kept and all later repeats
+    * are dropped; surviving paragraphs reassemble in original order.
+    * Returns one row per document: (idCol, n_paras, n_kept, clean_text) —
+    * a fully-duplicate document keeps zero paragraphs and comes back with
+    * `clean_text = ""` rather than vanishing (the caller decides whether
+    * empty docs die; Dolma drops them in a later length filter).
+    *
+    * Scale notes: the winner set is a hash AGGREGATION on the paragraph's
+    * md5 (128-bit — collision-safe where a 64-bit key would birthday at
+    * ~4B distinct paragraphs), `graft_min_by` keeping the buffer a single
+    * fixed-width row so ObjectHashAggregate holds (builtin `min(struct)`
+    * degrades to SortAggregate). The exploded paragraph stream shuffles
+    * twice (winner agg + winner join, same key → the join reuses the
+    * aggregation's partitioning) plus the per-document reassembly agg —
+    * no windows, no global sort, no driver state. The reassembly
+    * collect_list buffer is bounded by a single document's paragraph
+    * count, not the corpus.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sepPattern: String = "\n{2,}",
+                      joinSep: String = "\n\n"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    Seq("__h", "__idx", "__para").foreach { reserved =>
+      require(!df.columns.exists(_.equalsIgnoreCase(reserved)),
+        s"dedupParagraphs uses '$reserved' internally — rename the existing column")
+    }
+    val paras = df.select(col(idCol).as("__id"), posexplode(split(col(textCol), sepPattern)))
+      .select(col("__id"), col("pos").as("__idx"), col("col").as("__para"),
+        md5(col("col")).as("__h"))
+    val winners = paras.groupBy(col("__h"))
+      .agg(call_function("graft_min_by",
+        struct(col("__id"), col("__idx")), struct(col("__id"), col("__idx"))).as("__w"))
+      .select(col("__h"), col("__w.__id").as("__wid"), col("__w.__idx").as("__widx"))
+    val flagged = paras.join(winners, Seq("__h"))
+      .withColumn("__keep", col("__id") === col("__wid") && col("__idx") === col("__widx"))
+    flagged.groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"), struct(col("__idx"), col("__para"))))),
+          x => x.getField("__para")), joinSep).as("clean_text"))
+  }
+
   /** Connected components over an undirected near-dup pair list — the
     * step that turns PAIRS (what the near-dup family emits) into GROUPS
     * (what a dedup decision needs): every doc gets its component's

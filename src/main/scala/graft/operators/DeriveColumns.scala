@@ -24,6 +24,64 @@ import org.apache.spark.sql.functions._
   */
 object DeriveColumns {
 
+  /** First alias actually present in the frame's schema (case-insensitive)
+    * — the reference's column-presence gates over historical export
+    * schemas (`if 'BirthWeight.value' in table: … elif 'BW.value' …`,
+    * data_tyding/create_derived_columns.py:61-86/184-225, where the same
+    * clinical field arrived as BirthWeight/BW/Bw depending on script
+    * vintage). Plan-time schema resolution — never a data scan.
+    */
+  def firstPresent(df: DataFrame, aliases: Seq[String]): Option[String] = {
+    val have = df.columns.map(c => c.toLowerCase -> c).toMap
+    aliases.collectFirst { case a if have.contains(a.toLowerCase) => have(a.toLowerCase) }
+  }
+
+  /** [[bucket]] with the reference's pandas-ladder NULL semantics: the
+    * ladder's blanket "Unknown" assignment survives wherever no numeric
+    * condition overwrites it, so NULL (including coercion garbage that
+    * `try_cast` nulled) → `unknownLabel` instead of propagating
+    * (create_derived_columns.py:64 BWGroup, :93 AWGroup, :174 TempThermia).
+    */
+  def bucketOrUnknown(value: Column, thresholds: Seq[(Double, String)],
+                      lastLabel: String, unknownLabel: String): Column =
+    when(value.isNull, lit(unknownLabel)).otherwise(bucket(value, thresholds, lastLabel))
+
+  /** Cascading source fallback with a terminal default: the reference's
+    * AdmissionSource/EXTERNALSOURCE DAX replication (`IF(ISBLANK(
+    * AdmittedFrom), "External Referral", AdmittedFrom)` with ReferredFrom
+    * / ReferredFrom2 fallbacks, create_derived_columns.py:17-30). NOTE the
+    * reference fillna's AdmittedFrom with the default BEFORE cascading, so
+    * its fallbacks are unreachable; this operator applies the default
+    * LAST (the evident intent) — callers wanting the reference's literal
+    * behavior pass only the primary column.
+    */
+  def cascadeSource(sources: Seq[Column], default: Column): Column =
+    coalesce(sources :+ default: _*)
+
+  /** One alias-gated ladder derivation: pick the first present alias,
+    * numeric-coerce (garbage → NULL, `try_cast`), bucket with
+    * Unknown-on-null. Absent field (no alias present) → the reference's
+    * `else: table[out] = None` branch (create_derived_columns.py:116-118):
+    * both the coerced value column and the bucket column are typed NULLs,
+    * so downstream projections keep a stable schema across export eras.
+    */
+  case class AliasedLadder(aliases: Seq[String], valueOut: String, bucketOut: String,
+                           thresholds: Seq[(Double, String)], lastLabel: String,
+                           unknownLabel: String = "Unknown")
+
+  def aliasedLadders(df: DataFrame, ladders: Seq[AliasedLadder]): DataFrame =
+    ladders.foldLeft(df) { (acc, l) =>
+      firstPresent(acc, l.aliases) match {
+        case Some(src) =>
+          val v = col(src).try_cast(org.apache.spark.sql.types.DoubleType)
+          acc.withColumn(l.valueOut, v)
+            .withColumn(l.bucketOut, bucketOrUnknown(col(l.valueOut), l.thresholds, l.lastLabel, l.unknownLabel))
+        case None =>
+          acc.withColumn(l.valueOut, lit(null).cast("double"))
+            .withColumn(l.bucketOut, lit(null).cast("string"))
+      }
+    }
+
   /** Chained threshold bucketing: thresholds = (upperExclusive, label),
     * ascending; values ≥ last threshold get `lastLabel`. NULL-preserving.
     */

@@ -99,6 +99,28 @@ class DedupSpec extends SparkSpec {
     assert(out === Array((1L, "dup", 1.5), (3L, "uniq", 3.5)))
   }
 
+  test("dedupParagraphs: global keep-first, ordered reassembly, full-dup doc -> empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha\n\nbeta\n\ngamma"), // first occurrences all kept
+      (2L, "beta\n\ndelta"),          // beta seen in doc 1 -> dropped
+      (3L, "alpha\n\nbeta"),          // every paragraph seen -> empty doc
+      (4L, "eps\n\neps")              // self-repeat: only idx 0 survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out === Array(
+      (1L, 3L, 3L, "alpha\n\nbeta\n\ngamma"),
+      (2L, 2L, 1L, "delta"),
+      (3L, 2L, 0L, ""),
+      (4L, 2L, 1L, "eps")))
+    // reserved working names are rejected loudly, not silently shadowed
+    val bad = df.withColumn("__idx", lit(1))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupParagraphs(bad, "doc_id", "text")
+    }
+  }
+
   test("connectedComponents: chain, clique, and disjoint pair resolve to min labels") {
     // chain 1-2-3-4 (diameter 3 → needs >1 propagation round),
     // clique {10,11,12}, lone pair {20,21}

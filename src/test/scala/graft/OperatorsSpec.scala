@@ -18,6 +18,36 @@ class OperatorsSpec extends SparkSpec {
       3L -> (("Post Term", 3)), 4L -> (("Unknown", 4))))
   }
 
+  test("aliasedLadders: alias fallback, garbage coercion, absent branch, cascade") {
+    val df = Seq(
+      (1L, "800", "36.0"), (2L, "3000", "38.0"), (3L, "garbage", "37.0"), (4L, "4500", null))
+      .toDF("id", "BW_value", "Temperature_value")
+    // BirthWeight_value absent → falls back to BW_value (case-insensitive)
+    assert(DeriveColumns.firstPresent(df,
+      Seq("BirthWeight_value", "bw_VALUE", "Bw_value")).contains("BW_value"))
+    val out = DeriveColumns.aliasedLadders(df, Seq(
+      DeriveColumns.AliasedLadder(Seq("BirthWeight_value", "BW_value"), "w", "wg",
+        Seq(1000.0 -> "ELBW", 2500.0 -> "LBW"), lastLabel = "NBW"),
+      DeriveColumns.AliasedLadder(Seq("AW_value"), "aw", "awg", // absent
+        Seq(1000.0 -> "lo"), lastLabel = "hi"),
+      DeriveColumns.AliasedLadder(Seq("Temperature_value"), "t", "tg",
+        Seq(36.5 -> "Hypo", 37.5 -> "Normo"), lastLabel = "Hyper")))
+    val m = out.collect().map(r => r.getLong(0) ->
+      ((r.getString(out.columns.indexOf("wg")), r.getString(out.columns.indexOf("awg")),
+        r.getString(out.columns.indexOf("tg"))))).toMap
+    assert(m === Map(
+      1L -> (("ELBW", null, "Hypo")), 2L -> (("NBW", null, "Hyper")),
+      3L -> (("Unknown", null, "Normo")), 4L -> (("NBW", null, "Unknown"))))
+    // absent branch keeps typed columns (stable schema across export eras)
+    assert(out.schema("aw").dataType.typeName === "double")
+    assert(out.schema("awg").dataType.typeName === "string")
+    // cascade: default fires only when every source is null
+    val src = Seq((Some("a"), None: Option[String]), (None, Some("b")), (None, None))
+      .toDF("p", "q")
+      .select(DeriveColumns.cascadeSource(Seq(col("p"), col("q")), lit("dflt")).as("s"))
+    assert(src.collect().map(_.getString(0)).toSeq === Seq("a", "b", "dflt"))
+  }
+
   test("dropConfidential drops by marker, case- and underscore-insensitive") {
     val df = Seq(("x", "y", "z", "w", "v")).toDF(
       "FirstName_value", "babylastname", "dob_tob_value", "temp_value", "DOBTOB")

@@ -55,6 +55,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate") && !p.contains("Window"), p.take(2000))
   }
 
+  test("q73 DAX derived columns are one shuffle-free codegen projection") {
+    val p = plan("q73_dax_derived")
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
+      p.take(1500))
+    assert(p.contains("*(1)"), p.take(1500))
+  }
+
+  test("q74 paragraph dedup: hash aggregation winners, no window sort") {
+    val p = plan("q74_paragraph_dedup")
+    // the keep-first winner per paragraph must be the graft_min_by
+    // ObjectHashAggregate, not a row_number window (which would sort the
+    // whole exploded paragraph stream per partition)
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window") && !p.contains("SortAggregate"), p.take(2000))
+  }
+
   test("q72 migration view is one shuffle-free codegen stage") {
     val p = plan("q72_migration_view")
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
