@@ -1209,7 +1209,28 @@ object Oracles {
            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) || chr(10)
                                ORDER BY idx), '') AS clean_text
-         FROM flagged GROUP BY doc_id"""
+         FROM flagged GROUP BY doc_id""",
+
+    // q75: replays the q37 centroid pool, argmin-L2 assignment with cid
+    // tie-break, and the keep-5-most-central-per-cluster cut (order by
+    // exact distance, tie by id; distance printed rounded)
+    "q75_cluster_sample" ->
+      s"""WITH pool AS (
+           SELECT embedding AS centv, row_number() OVER (ORDER BY vec_id) - 1 AS i
+           FROM embeddings ORDER BY vec_id LIMIT 128),
+         cents AS (SELECT CAST(i // 8 AS INTEGER) AS cid, centv FROM pool WHERE i % 8 = 0),
+         c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         cd AS (
+           SELECT id, v, cid, ${l2sqSql("v", "centv")} AS dist,
+             row_number() OVER (PARTITION BY id ORDER BY ${l2sqSql("v", "centv")}, cid) AS rn
+           FROM c CROSS JOIN cents),
+         ass AS (SELECT id, cid, dist FROM cd WHERE rn = 1),
+         ranked AS (
+           SELECT id, cid, dist,
+             row_number() OVER (PARTITION BY cid ORDER BY dist, id) AS rank
+           FROM ass)
+         SELECT id AS vec_id, cid, round(dist, 4) AS dist, rank
+         FROM ranked WHERE rank <= 5"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

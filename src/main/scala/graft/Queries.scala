@@ -881,6 +881,17 @@ object Queries {
         .select(col("doc_id"), col("n_paras"), col("n_kept"), col("clean_text"))
     }),
 
+    // cluster-balanced diversity sampling: every semantic cluster (the
+    // q37/q63 stride-centroid pool) contributes at most 5 vectors — the
+    // most central ones — so no single semantic region dominates a mix
+    "q75_cluster_sample" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.clusterBalancedSample(emb, "vec_id", "embedding",
+        Ann.strideCentroids(emb, "vec_id", "embedding", 16), perCluster = 5)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("cid").cast("int").as("cid"), col("dist"), col("rank"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

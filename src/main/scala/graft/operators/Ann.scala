@@ -198,6 +198,42 @@ object Ann {
       .select(col("id").as(idCol), col("cid"))
   }
 
+  /** Cluster-balanced diversity sampling: cap every semantic cluster's
+    * representation at `perCluster` members, keeping the MOST CENTRAL
+    * vectors (smallest L2 to the assigned centroid, tie → smallest id).
+    * The complement of [[semanticDedup]]'s near-dup removal: instead of
+    * dropping ε-duplicates, it bounds how much any one semantic region
+    * contributes to a curated mix — the standard move for de-biasing a
+    * web corpus whose clusters are wildly unequal (boilerplate clusters
+    * hold millions, rare-topic clusters dozens).
+    *
+    * Scale notes: assignment AND the distance both run as codegen'd
+    * kernel projections with the centroid matrix as ONE plan constant —
+    * no assignment shuffle, no per-row join. The per-cluster cut is a
+    * `graft_top_k_by` bounded-heap aggregation (k-row buffer,
+    * ObjectHashAggregate, map-side partial): the only shuffle moves at
+    * most k rows per cluster per map task, and there is no window sort
+    * anywhere. Returns (idCol, cid, dist, rank), dist rounded 4dp.
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+                            cents: Array[Array[Float]], perCluster: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    require(cents.nonEmpty, "clusterBalancedSample needs at least one centroid")
+    require(perCluster >= 1, "perCluster must be >= 1")
+    val centsLit = lit(GraftFunctions.encodeCents(cents))
+    val centArr = typedLit(cents.map(_.toSeq).toSeq)
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cid", call_function("graft_ivf_nearest", col("v"), centsLit))
+      .withColumn("dist", call_function("graft_vec_l2sq", col("v"),
+        element_at(centArr, col("cid") + 1)))
+    assigned.groupBy(col("cid"))
+      .agg(call_function("graft_top_k_by",
+        struct(col("id"), col("dist")), -col("dist"), col("id"), lit(perCluster)).as("top"))
+      .select(col("cid"), posexplode(col("top")))
+      .select(col("col.id").as(idCol), col("cid"),
+        round(col("col.dist"), 4).as("dist"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** PCA-reduce an embedding column to `dims` components (Spark MLlib's
     * distributed PCA: one covariance aggregation over the corpus + a
     * driver-side eigendecomposition of the d×d matrix — d is the

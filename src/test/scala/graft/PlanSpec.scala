@@ -71,6 +71,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("SortAggregate"), p.take(2000))
   }
 
+  test("q75 cluster sample: kernel assignment (no join), heap top-k (no window)") {
+    val p = plan("q75_cluster_sample")
+    // centroid assignment + distance are plan-constant kernel projections;
+    // the per-cluster cut is the bounded-heap aggregate — a centroid JOIN
+    // or a row_number Window would both be scale regressions
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("SortAggregate"),
+      p.take(2000))
+  }
+
   test("q72 migration view is one shuffle-free codegen stage") {
     val p = plan("q72_migration_view")
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),

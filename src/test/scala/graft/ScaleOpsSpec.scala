@@ -164,6 +164,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(kept.count() === 40L)
   }
 
+  test("clusterBalancedSample caps each cluster at k, keeping the most central") {
+    // axisVecs' perturbation grows with i/4, so per cluster c the most
+    // central members are c, c+4, c+8, ... in that order
+    val out = Ann.clusterBalancedSample(axisVecs, "vec_id", "embedding",
+        axisCents, perCluster = 2)
+      .select("vec_id", "cid", "rank").as[(Long, Int, Long)].collect()
+    assert(out.length === 8) // 4 clusters x 2
+    assert(out.groupBy(_._2).forall(_._2.length == 2))
+    val byCluster = out.groupBy(_._2).map { case (c, rows) =>
+      c -> rows.sortBy(_._3).map(_._1).toSeq
+    }
+    assert(byCluster === Map(0 -> Seq(0L, 4L), 1 -> Seq(1L, 5L),
+      2 -> Seq(2L, 6L), 3 -> Seq(3L, 7L)))
+  }
+
   test("IVF topK finds the same top-1 as brute force for clustered data") {
     val queries = clustered.filter(col("vec_id") < 4)
     val ivf = Ann.ivfTopK(queries, clustered, "vec_id", "embedding",
