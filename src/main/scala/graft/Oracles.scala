@@ -1230,7 +1230,29 @@ object Oracles {
              row_number() OVER (PARTITION BY cid ORDER BY dist, id) AS rank
            FROM ass)
          SELECT id AS vec_id, cid, round(dist, 4) AS dist, rank
-         FROM ranked WHERE rank <= 5"""
+         FROM ranked WHERE rank <= 5""",
+
+    // q76: replays the unpivot, the per-value counts, the distinct/null
+    // census, and the top-3 cut (count desc, value asc)
+    "q76_categorical_profile" ->
+      """WITH pairs AS (
+           SELECT 'lang' AS col_name, lang AS value FROM documents
+           UNION ALL
+           SELECT 'source' AS col_name, source AS value FROM documents),
+         counts AS (
+           SELECT col_name, value, count(*) AS cnt
+           FROM pairs GROUP BY col_name, value),
+         census AS (
+           SELECT col_name,
+             count(CASE WHEN value IS NOT NULL THEN 1 END) AS n_distinct,
+             CAST(COALESCE(sum(CASE WHEN value IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls
+           FROM counts GROUP BY col_name),
+         ranked AS (
+           SELECT col_name, value, cnt,
+             row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, value) AS rank
+           FROM counts WHERE value IS NOT NULL)
+         SELECT r.col_name, c.n_distinct, c.n_nulls, r.value, r.cnt, r.rank
+         FROM ranked r JOIN census c USING (col_name) WHERE r.rank <= 3"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

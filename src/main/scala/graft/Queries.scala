@@ -892,6 +892,13 @@ object Queries {
           col("cid").cast("int").as("cid"), col("dist"), col("rank"))
     }),
 
+    // dataset-card categorical profile: exact distinct/null census + the
+    // top-3 most frequent values per label column, in one value-count pass
+    "q76_categorical_profile" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Summaries.categoricalProfile(Tables.documents(s, d), Seq("lang", "source"), k = 3)
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

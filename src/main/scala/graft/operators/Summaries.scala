@@ -24,6 +24,47 @@ object Summaries {
     df.groupBy(keys.map(col).toIndexedSeq: _*).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 
+  /** Categorical column profile — per column: exact distinct-value count,
+    * null count, and the top-k most frequent values with counts (rank by
+    * count desc, tie by value asc). The dataset-card counterpart of
+    * [[numericProfile]] for label/enum columns (lang, source, license,
+    * split, …). Returns one row per (column, top value):
+    * (col_name, n_distinct, n_nulls, value, cnt, rank).
+    *
+    * Scale notes: the frame unpivots to (col_name, value) pairs in the
+    * scan projection (one Generate — the scan is read once, multiplied
+    * |cols| times BEFORE the shuffle, with column pruning intact), then
+    * ONE hash aggregation with map-side combine produces per-value
+    * counts; everything downstream of it aggregates the already-tiny
+    * (distinct values × cols) stream: the top-k cut is a
+    * `graft_top_k_by` bounded heap per column (no window sort), the
+    * distinct/null census is a second agg of the same stream, and the
+    * final join is broadcast by size. An `approx_count_distinct` sketch
+    * would drop the value-count shuffle entirely — but a dataset card
+    * wants exact counts, and the per-value agg IS the exact price.
+    */
+  def categoricalProfile(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    require(cols.nonEmpty && k >= 1, "categoricalProfile needs columns and k >= 1")
+    val stackArgs = cols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    val pairs = df.select(stack(lit(cols.size) +: stackArgs: _*).as(Seq("col_name", "value")))
+    val counts = pairs.groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val census = counts.groupBy(col("col_name")).agg(
+      count(when(col("value").isNotNull, 1)).as("n_distinct"),
+      sum(when(col("value").isNull, col("cnt")).otherwise(0L)).as("n_nulls"))
+    val top = counts.filter(col("value").isNotNull)
+      .groupBy(col("col_name"))
+      .agg(call_function("graft_top_k_by",
+        struct(col("value"), col("cnt")), col("cnt"), col("value"), lit(k)).as("top"))
+      .select(col("col_name"), posexplode(col("top")))
+      .select(col("col_name"), col("col.value").as("value"),
+        col("col.cnt").as("cnt"), (col("pos") + 1).cast("long").as("rank"))
+    top.join(broadcast(census), Seq("col_name"))
+      .select(col("col_name"), col("n_distinct"), col("n_nulls"),
+        col("value"), col("cnt"), col("rank"))
+  }
+
   /** Single-row completeness summary: for each column, fraction non-null
     * (4 dp). One pass, one partial-aggregable plan.
     */

@@ -48,6 +48,21 @@ class OperatorsSpec extends SparkSpec {
     assert(src.collect().map(_.getString(0)).toSeq === Seq("a", "b", "dflt"))
   }
 
+  test("categoricalProfile: exact census, null accounting, top-k tie order") {
+    val df = Seq(
+      ("en", "web"), ("en", "web"), ("en", "books"), ("de", "web"),
+      ("de", null), ("fr", null), (null, "web")
+    ).toDF("lang", "source")
+    val out = Summaries.categoricalProfile(df, Seq("lang", "source"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toSet
+    assert(out === Set(
+      // lang: 3 distinct non-null, 1 null row; en(3) then de(2)
+      ("lang", 3L, 1L, "en", 3L, 1L), ("lang", 3L, 1L, "de", 2L, 2L),
+      // source: web(4) then books(1); two null rows counted
+      ("source", 2L, 2L, "web", 4L, 1L), ("source", 2L, 2L, "books", 1L, 2L)))
+  }
+
   test("dropConfidential drops by marker, case- and underscore-insensitive") {
     val df = Seq(("x", "y", "z", "w", "v")).toDF(
       "FirstName_value", "babylastname", "dob_tob_value", "temp_value", "DOBTOB")

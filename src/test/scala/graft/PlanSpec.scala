@@ -81,6 +81,16 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q76 categorical profile: heap top-k per column, broadcast census join") {
+    val p = plan("q76_categorical_profile")
+    // the top-k cut must be the bounded-heap aggregate and the tiny
+    // census must broadcast — a Window or a sort-merge join here would
+    // shuffle the full value-count stream again
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("q72 migration view is one shuffle-free codegen stage") {
     val p = plan("q72_migration_view")
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
