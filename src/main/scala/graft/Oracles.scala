@@ -1252,7 +1252,27 @@ object Oracles {
              row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, value) AS rank
            FROM counts WHERE value IS NOT NULL)
          SELECT r.col_name, c.n_distinct, c.n_nulls, r.value, r.cnt, r.rank
-         FROM ranked r JOIN census c USING (col_name) WHERE r.rank <= 3"""
+         FROM ranked r JOIN census c USING (col_name) WHERE r.rank <= 3""",
+
+    // q77: replays the α = 0.5 fraction computation (6-dp-rounded — the
+    // quantization that makes the threshold engine-portable) and the
+    // portable md5 uniform keep filter
+    "q77_temperature_mix" ->
+      """WITH sizes AS (
+           SELECT lang, CAST(count(*) AS DOUBLE) AS n
+           FROM documents GROUP BY lang),
+         fr AS (
+           SELECT lang,
+             round(least(1.0, 150 * (pow(n, 0.5) / (SELECT sum(pow(n, 0.5)) FROM sizes)) / n), 6) AS f
+           FROM sizes),
+         u AS (
+           SELECT doc_id, lang,
+             list_sum([(strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR) || ':42'), i + 1, 1)) - 1)
+                       * 16**(7 - i) for i in range(0, 8)]) / 4294967296.0 AS uv
+           FROM documents)
+         SELECT u.doc_id, u.lang
+         FROM u JOIN fr USING (lang) WHERE u.uv < fr.f"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

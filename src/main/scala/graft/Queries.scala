@@ -899,6 +899,17 @@ object Queries {
       Summaries.categoricalProfile(Tables.documents(s, d), Seq("lang", "source"), k = 3)
     }),
 
+    // temperature-balanced (α = 0.5) multilingual mix: keep fractions
+    // computed from observed lang sizes upweight small languages, then
+    // the deterministic hash filter samples — portable uniform so the
+    // oracle replays the exact keep set
+    "q77_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fr = Sampling.temperatureFractions(docs, col("lang"), total = 150, alpha = 0.5)
+      Sampling.stratifiedFractions(docs.select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), fr, portable = true)
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

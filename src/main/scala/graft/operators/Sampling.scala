@@ -209,11 +209,42 @@ object Sampling {
     */
   def stratifiedFractions(df: DataFrame, stratumCol: Column, idCol: Column,
                           fractions: Map[String, Double],
-                          seed: Long = 42L): DataFrame = {
+                          seed: Long = 42L, portable: Boolean = false): DataFrame = {
     require(fractions.values.forall(f => f >= 0 && f <= 1),
       "fractions must be in [0, 1]")
     val frac = coalesce(element_at(typedLit(fractions), stratumCol), lit(0.0))
-    df.filter(uniform01(idCol, seed) < frac)
+    df.filter(uniform01(idCol, seed, portable) < frac)
+  }
+
+  /** Temperature-balanced (α-sampling) mix fractions from OBSERVED stratum
+    * sizes: sampling weight p_s ∝ n_s^α normalized over strata, target
+    * take `total`·p_s, keep fraction min(1, total·p_s / n_s). α = 1 keeps
+    * strata proportional to their size; α = 0 flattens them to equal
+    * shares; the 0.3–0.7 range is the standard multilingual-LM move to
+    * upweight small languages without letting them dominate (the
+    * exponentiated-smoothing mix of the mBERT/XLM-R line of work; public
+    * papers). Feed the result straight into [[stratifiedFractions]].
+    *
+    * Fractions are rounded to 6 dp — the quantization makes the
+    * keep/drop threshold engine-portable (pow/division ulp differences
+    * can't flip a row's `u < f` compare). The per-stratum size collect is
+    * a plan-time constant (one row per stratum, like a centroid matrix),
+    * not a data-path collect; NULL strata carry no fraction (unknown
+    * strata sample at 0 in [[stratifiedFractions]]).
+    */
+  def temperatureFractions(df: DataFrame, stratumCol: Column, total: Double,
+                           alpha: Double, weight: Column = lit(1L)): Map[String, Double] = {
+    require(total > 0, "total must be positive")
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    val sizes = df.filter(stratumCol.isNotNull)
+      .groupBy(stratumCol.as("__s")).agg(sum(weight).cast("double").as("__n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val pw = sizes.map { case (s, n) => s -> math.pow(n, alpha) }
+    val z = pw.values.sum
+    sizes.map { case (s, n) =>
+      val f = math.min(1.0, total * (pw(s) / z) / n)
+      s -> BigDecimal(f).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
   }
 
   /** Deterministic train/validation/test split assignment: each row gets

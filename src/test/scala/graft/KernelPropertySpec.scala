@@ -36,6 +36,28 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupParagraphs equals a driver-side keep-first model on random corpora") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(47)
+    val paraPool = Vector("aa", "bb", "cc", "dd", "ee", "ff") // heavy dup rate
+    for (trial <- 1 to 8) {
+      val docs = (1 to (rnd.nextInt(15) + 3)).map { i =>
+        val ps = (1 to (rnd.nextInt(5) + 1)).map(_ => paraPool(rnd.nextInt(paraPool.size)))
+        (i.toLong, ps.mkString("\n\n"))
+      }
+      // reference model: first (doc, idx) per distinct paragraph wins
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = docs.map { case (id, text) =>
+        val ps = text.split("\n{2,}").toSeq
+        val kept = ps.filter(p => seen.add(p)) // add returns false on repeat
+        (id, ps.size.toLong, kept.size.toLong, kept.mkString("\n\n"))
+      }
+      val got = Dedup.dedupParagraphs(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("exactQuantile fuzz: equals percentile across distributions, thresholds, q") {
     import graft.operators.Summaries
     val rnd = new scala.util.Random(31)

@@ -227,4 +227,25 @@ class TextAnalysisSpec extends SparkSpec {
       Map("en" -> 0.5)).select("lang").as[String].collect().toSet
     assert(b === Set("en"))
   }
+
+  test("temperatureFractions: alpha endpoints, the cap, and null strata") {
+    import graft.operators.Sampling
+    // en 800, de 200, fr 8 (+ null rows that must not contribute)
+    val df = spark.range(0, 1008).toDF("id").withColumn("lang",
+      when(col("id") < 800, "en").when(col("id") < 1000, "de")
+        .when(col("id") < 1004, "fr").otherwise(lit(null).cast("string")))
+      .filter(col("id") < 1004 || col("id") >= 1000) // 800 en, 200 de, 4 fr, 4 null
+    // alpha = 1: proportional — every stratum keeps the same fraction T/N
+    val p1 = Sampling.temperatureFractions(df, col("lang"), total = 502, alpha = 1.0)
+    assert(p1.keySet === Set("en", "de", "fr"))
+    assert(p1.values.forall(f => math.abs(f - 502.0 / 1004) < 1e-6), p1.toString)
+    // alpha = 0: equal target takes (T/3 each); tiny fr caps at 1.0
+    val p0 = Sampling.temperatureFractions(df, col("lang"), total = 90, alpha = 0.0)
+    assert(math.abs(p0("en") - 30.0 / 800) < 1e-6, p0.toString)
+    assert(math.abs(p0("de") - 30.0 / 200) < 1e-6, p0.toString)
+    assert(p0("fr") === 1.0) // 30 wanted, only 4 exist
+    // intermediate alpha upweights small strata relative to their size
+    val p5 = Sampling.temperatureFractions(df, col("lang"), total = 100, alpha = 0.5)
+    assert(p5("de") > p5("en"), p5.toString)
+  }
 }
