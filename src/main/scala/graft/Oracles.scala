@@ -1272,7 +1272,32 @@ object Oracles {
                        * 16**(7 - i) for i in range(0, 8)]) / 4294967296.0 AS uv
            FROM documents)
          SELECT u.doc_id, u.lang
-         FROM u JOIN fr USING (lang) WHERE u.uv < fr.f"""
+         FROM u JOIN fr USING (lang) WHERE u.uv < fr.f""",
+
+    // q78: replays the positional 8-shingling with EXACT shingle strings
+    // (the Spark side joins 8-byte hashes; equal results absent
+    // collisions), the diagonal gaps-and-islands merge, and the >= 12
+    // span filter
+    "q78_shared_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, i AS pos,
+             array_to_string(t[i + 1 : i + 8], ' ') AS s
+           FROM toks, LATERAL (
+             SELECT unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS i)),
+         cand AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+         isl AS (
+           SELECT id_a, id_b, pa - pb AS d, pa,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+           FROM cand)
+         SELECT id_a, id_b, min(pa) AS a_start,
+           min(pa) - d AS b_start,
+           count(*) + 8 - 1 AS span_tokens
+         FROM isl GROUP BY id_a, id_b, d, grp
+         HAVING count(*) + 8 - 1 >= 12"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

@@ -910,6 +910,12 @@ object Queries {
         col("lang"), col("doc_id"), fr, portable = true)
     }),
 
+    // exact-substring duplication: maximal shared token spans >= 12 via
+    // 8-token positional shingles merged along match diagonals — the
+    // Spark-first stand-in for a suffix-array repeated-substring pass
+    "q78_shared_spans" -> ((s, d) =>
+      NearDup.sharedSpans(Tables.documents(s, d), "doc_id", "text", n = 8, minSpan = 12)),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -158,6 +158,65 @@ object NearDup {
     .filter(col("h").isNotNull)
     .hint("shuffle_hash")
 
+  /** Maximal shared token spans between document pairs — the
+    * exact-substring duplication primitive ("Deduplicating Training Data
+    * Makes Language Models Better", Lee et al. 2021, finds repeated
+    * ≥50-token spans; public paper). Single-node implementations build a
+    * corpus suffix array; this is the Spark-first form: positional
+    * n-token shingles meet in a hash join, and every run of CONSECUTIVE
+    * matching positions along a (id_a, id_b, pa − pb) diagonal merges
+    * into one maximal span via the gaps-and-islands trick (pa −
+    * row_number is constant exactly on a consecutive run). A shared
+    * span of L ≥ n tokens appears as L − n + 1 consecutive shingle
+    * matches on one diagonal, so every maximal shared span ≥ `minSpan`
+    * is recovered exactly — no suffix array, no global order.
+    *
+    * Returns (id_a, id_b, a_start, b_start, span_tokens), id_a < id_b,
+    * token positions 0-based.
+    *
+    * Scale notes: shingle hashes are 8-byte xxhash64 keys (collision ≈
+    * n²/2⁶⁵ false matches — same accepted trade as the other shingle
+    * ops); the join is shuffle_hash-hinted on the hash. The window sort
+    * runs over the MATCHED candidate stream only — at a Lee-et-al-style
+    * n (≈50) that stream is approximately the true duplicated-span resid,
+    * orders of magnitude below the corpus — never over the corpus
+    * itself. Periodic/boilerplate shingles that explode candidates
+    * should be length-gated upstream (raise n), exactly as the paper
+    * tunes its span threshold.
+    */
+  def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, minSpan: Int): DataFrame = {
+    require(n >= 2, s"shingle size n must be >= 2, got $n")
+    require(minSpan >= n, s"minSpan ($minSpan) must be >= n ($n)")
+    val t = split(col(textCol), " ")
+    // hash every position in ONE projection over the un-exploded row (the
+    // token array is read once), then explode only (pos, hash) longs —
+    // exploding positions first would copy the token array per position
+    val posHashes = when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(n))))))
+      .otherwise(array().cast("array<long>"))
+    val sh = docs
+      .select(col(idCol).as("__id"), posexplode(posHashes).as(Seq("pos", "h")))
+      .hint("shuffle_hash")
+    val cand = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("pa") - col("pb"))
+      .orderBy(col("pa"))
+    cand
+      .withColumn("__grp", col("pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), (col("pa") - col("pb")).as("__d"), col("__grp"))
+      .agg(min(col("pa")).cast("long").as("a_start"),
+        (count(lit(1)) + (n - 1)).as("span_tokens"))
+      .withColumn("b_start", col("a_start") - col("__d"))
+      .filter(col("span_tokens") >= minSpan)
+      .select(col("id_a"), col("id_b"), col("a_start"),
+        col("b_start").cast("long").as("b_start"), col("span_tokens"))
+  }
+
   /** Cross-corpus n-gram similarity: every (left, right) pair sharing at
     * least one word n-gram, with its Jaccard AND the left-side
     * containment coefficient |A∩B| / |A| (1.0 = the left doc's whole

@@ -20,6 +20,25 @@ class NearDupSpec extends SparkSpec {
     assert(out.forall(_.split(" ").length == 3))
   }
 
+  test("sharedSpans recovers maximal spans, splits gapped diagonals, skips short docs") {
+    val shared = (1 to 15).map(i => s"s$i").mkString(" ")  // 15-token run
+    val shared2 = (1 to 12).map(i => s"u$i").mkString(" ") // disjoint 12-token run
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared b1 b2 $shared2"),
+      (2L, s"c1 $shared d1 d2 d3 $shared2 e5"),
+      (3L, "short doc")) // < n tokens: no shingles, no crash
+      .toDF("doc_id", "text")
+    val out = NearDup.sharedSpans(docs, "doc_id", "text", n = 4, minSpan = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // two maximal spans on two diagonals — NOT one merged blob, and the
+    // boundary math (islands + n - 1) recovers the true token lengths
+    assert(out === Set((1L, 2L, 3L, 1L, 15L), (1L, 2L, 20L, 19L, 12L)))
+    // raising minSpan above a span's length drops exactly that span
+    val strict = NearDup.sharedSpans(docs, "doc_id", "text", n = 4, minSpan = 13)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(strict === Set((1L, 2L, 3L, 1L, 15L)))
+  }
+
   test("crossNgramPairs computes jaccard + containment across two corpora") {
     // left doc 1: {a b, b c, c d}; right doc 10: {b c, c d, d e};
     // right doc 11: {a b, b c, c d, d x} fully CONTAINS doc 1's set

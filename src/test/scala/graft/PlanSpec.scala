@@ -91,6 +91,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q78 shared spans: hash-join candidates; the window sees matches, not the corpus") {
+    val df: DataFrame = Queries.all("q78_shared_spans")(spark, sf)
+    df.collect() // AQE-finalize
+    val p = df.queryExecution.executedPlan.toString
+    // positional shingles must meet in a shuffle-hash join on the 8-byte
+    // hash — a SortMergeJoin would sort the full shingle stream, which is
+    // exactly the cost this operator exists to avoid
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("q72 migration view is one shuffle-free codegen stage") {
     val p = plan("q72_migration_view")
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
