@@ -1297,7 +1297,40 @@ object Oracles {
            min(pa) - d AS b_start,
            count(*) + 8 - 1 AS span_tokens
          FROM isl GROUP BY id_a, id_b, d, grp
-         HAVING count(*) + 8 - 1 >= 12"""
+         HAVING count(*) + 8 - 1 >= 12""",
+
+    // q79: replays the four Gopher signals (4-dp-rounded, thresholds on
+    // the rounded values) and the comma-joined fail list in rule order
+    "q79_gopher_filter" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS chars,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS syms,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS stops,
+             len(regexp_split_to_array(trim(text), '\s+')) AS raw_toks
+           FROM documents),
+         sig AS (
+           SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             round(chars / greatest(n_words, 1), 4) AS mean_word_len,
+             round(syms / greatest(n_words, 1), 4) AS symbol_ratio,
+             round(stops / greatest(raw_toks, 1), 4) AS stop_ratio
+           FROM s),
+         f AS (
+           SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_ratio,
+             concat_ws(',',
+               CASE WHEN n_words < 30 THEN 'too_few_words' END,
+               CASE WHEN n_words > 90 THEN 'too_many_words' END,
+               CASE WHEN mean_word_len < 3.0 THEN 'mean_word_len_low' END,
+               CASE WHEN mean_word_len > 5.0 THEN 'mean_word_len_high' END,
+               CASE WHEN symbol_ratio > 0.1 THEN 'symbol_ratio_high' END,
+               CASE WHEN stop_ratio < 0.02 THEN 'stopword_ratio_low' END) AS fails
+           FROM sig)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_ratio,
+           fails, CAST(fails = '' AS INT) AS keep
+         FROM f"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

@@ -916,6 +916,16 @@ object Queries {
     "q78_shared_spans" -> ((s, d) =>
       NearDup.sharedSpans(Tables.documents(s, d), "doc_id", "text", n = 8, minSpan = 12)),
 
+    // Gopher-rules quality gate with audit trail: signals + failed-rule
+    // names + keep verdict as one shuffle-free projection (thresholds
+    // tuned to the synth distribution so both verdicts occur)
+    "q79_gopher_filter" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Quality.gopherFilter(Tables.documents(s, d), "doc_id", "text", stopwords,
+        minWords = 30, maxWords = 90, minMeanLen = 3.0, maxMeanLen = 5.0,
+        maxSymbolRatio = 0.1, minStopRatio = 0.02)
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -149,6 +149,47 @@ object Quality {
     * join broadcastable at any corpus size — vocabulary grows
     * sublinearly but unboundedly; the tail lives in the smoothing floor.
     */
+  /** Gopher-style document quality gate (Rae et al. 2021 "Scaling
+    * Language Models", appendix A1.1 quality rules — public paper):
+    * word-count window, mean-word-length window, symbol-to-word ratio
+    * cap, minimum stopword ratio. Emits the measured signals, the
+    * comma-joined FAILED-rule names, and the keep verdict instead of
+    * silently dropping rows — the reference's exceptions-table philosophy
+    * (q45's validation engine) applied to corpus curation, so a curation
+    * run can audit WHY each document died.
+    *
+    * Scale notes: one pure codegen projection — zero shuffles, zero UDFs,
+    * zero HOFs (the fail list is `concat_ws`, which skips NULL branches,
+    * not a filtered array). Thresholds compare against the 4-dp-rounded
+    * signals so the emitted signal and the verdict can never disagree.
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String],
+                   minWords: Long = 50, maxWords: Long = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1,
+                   minStopRatio: Double = 0.02): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val text = col(textCol)
+    val nWords = graft.functions.TextAnalysis.tokenCountWs(text).cast("long")
+    val meanLen = round(length(regexp_replace(text, "\\s", "")).cast("double") /
+      greatest(nWords, lit(1L)), 4)
+    val symRatio = round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      greatest(nWords, lit(1L)), 4)
+    val stopRatio = graft.functions.TextAnalysis.stopwordRatioFast(text, stopwords)
+    val checks: Seq[(String, Column)] = Seq(
+      "too_few_words"      -> (nWords < minWords),
+      "too_many_words"     -> (nWords > maxWords),
+      "mean_word_len_low"  -> (meanLen < minMeanLen),
+      "mean_word_len_high" -> (meanLen > maxMeanLen),
+      "symbol_ratio_high"  -> (symRatio > maxSymbolRatio),
+      "stopword_ratio_low" -> (stopRatio < minStopRatio))
+    val fails = concat_ws(",", checks.map { case (n, c) => when(c, n) }: _*)
+    df.select(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), stopRatio.as("stop_ratio"),
+      fails.as("fails"), (fails === "").cast("int").as("keep"))
+  }
+
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                      maxVocab: Int = 1 << 16, alpha: Double = 1.0): DataFrame = {
     require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")

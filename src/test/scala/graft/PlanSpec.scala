@@ -102,6 +102,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q79 gopher filter is one shuffle-free codegen projection") {
+    val p = plan("q79_gopher_filter")
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
+      p.take(1500))
+    assert(p.contains("*(1)"), p.take(1500)) // concat_ws fail list stays codegen
+  }
+
   test("q72 migration view is one shuffle-free codegen stage") {
     val p = plan("q72_migration_view")
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),

@@ -51,6 +51,29 @@ class QualitySpec extends SparkSpec {
     assert(viaFlag === viaHits && viaFlag === Set(1L, 3L, 5L))
   }
 
+  test("gopherFilter: each rule fires on its own signal; clean doc keeps") {
+    import spark.implicits._
+    val stops = Seq("the", "a", "of")
+    val docs = Seq(
+      (1L, "the cat sat on a mat with the dog of the house now"), // clean
+      (2L, "the cat"),                                            // too few words
+      (3L, "cat dog bird fish mouse horse cow sheep goat pig hen duck"), // no stopwords
+      (4L, "the supercalifragilistic extraordinarily incomprehensible " +
+           "anthropomorphic a electroencephalographically the of"), // long words
+      (5L, "the !!! ??? *** ((( ))) $$$ %%% @@@ a of ###")          // symbol soup
+    ).toDF("doc_id", "text")
+    val out = Quality.gopherFilter(docs, "doc_id", "text", stops,
+        minWords = 5, maxWords = 50, minMeanLen = 2.0, maxMeanLen = 8.0,
+        maxSymbolRatio = 0.5, minStopRatio = 0.1)
+      .select("doc_id", "fails", "keep").as[(Long, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === (("", 1)))
+    assert(out(2L) === (("too_few_words", 0)))
+    assert(out(3L) === (("stopword_ratio_low", 0)))
+    assert(out(4L)._1.contains("mean_word_len_high") && out(4L)._2 === 0)
+    assert(out(5L)._1.contains("symbol_ratio_high") && out(5L)._2 === 0)
+  }
+
   test("unigramLogProb scores docs under the capped corpus distribution") {
     // vocab: a×2, b×1, z×1 → total 4; maxVocab=1 keeps only 'a'
     // (count desc, tok tie-break); b and z take the 1/total floor
