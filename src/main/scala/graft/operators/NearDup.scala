@@ -182,7 +182,11 @@ object NearDup {
     * orders of magnitude below the corpus — never over the corpus
     * itself. Periodic/boilerplate shingles that explode candidates
     * should be length-gated upstream (raise n), exactly as the paper
-    * tunes its span threshold.
+    * tunes its span threshold. Exact-duplicate documents inflate the
+    * pair space quadratically (d copies ⇒ d·(d−1)/2 full-length span
+    * pairs — measured 2.4× wall on a 10×-replica probe where ~90% of
+    * docs are copies): collapse exact dups first ([[graft.operators
+    * .Dedup.dedupExactRows]]) and span-mine the distinct texts.
     */
   def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
                   n: Int, minSpan: Int): DataFrame = {
