@@ -1330,7 +1330,28 @@ object Oracles {
            FROM sig)
          SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_ratio,
            fails, CAST(fails = '' AS INT) AS keep
-         FROM f"""
+         FROM f""",
+
+    // q80: replays the 6-word paragraphing and the WITHIN-doc keep-first
+    // rule (partition by doc AND paragraph, first index wins)
+    "q80_local_para_dedup" ->
+      """WITH words AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         paras AS (
+           SELECT doc_id, i - 1 AS idx,
+             array_to_string(w[(i - 1) * 6 + 1 : i * 6], ' ') AS para
+           FROM words, LATERAL (
+             SELECT unnest(range(1, CAST(ceil(len(w) / 6.0) AS INT) + 1)) AS i)),
+         flagged AS (
+           SELECT doc_id, idx, para,
+             row_number() OVER (PARTITION BY doc_id, para ORDER BY idx) = 1 AS keep
+           FROM paras)
+         SELECT doc_id,
+           count(*) AS n_paras,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) || chr(10)
+                               ORDER BY idx), '') AS clean_text
+         FROM flagged GROUP BY doc_id"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

@@ -926,6 +926,20 @@ object Queries {
         maxSymbolRatio = 0.1, minStopRatio = 0.02)
     }),
 
+    // WITHIN-doc repeated-paragraph scrub (local complement of q74's
+    // corpus-wide dedup): same 6-word paragraphing, but only a doc's own
+    // earlier paragraphs suppress a repeat — pure shuffle-free projection
+    "q80_local_para_dedup" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      val nChunks = ceil(size(w) / lit(6.0)).cast("int")
+      val paraText = array_join(
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(w, i * 6 + 1, lit(6)), " ")), "\n\n")
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.dropRepeatedParagraphs(paraText).as("r"))
+        .select(col("doc_id"), col("r.n_paras"), col("r.n_kept"), col("r.clean_text"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -152,6 +152,26 @@ object TextAnalysis {
   def cleanForTraining(text: Column): Column =
     redactPhones(redactEmails(stripHtml(text)))
 
+  /** Remove WITHIN-document repeated paragraphs, keeping each paragraph's
+    * first occurrence in order — the local boilerplate scrub (repeated
+    * nav bars, footers, chorus lines) that complements the corpus-wide
+    * [[graft.operators.Dedup.dedupParagraphs]]: no cross-document state,
+    * so this one is a pure projection — zero shuffles, applicable inside
+    * a streaming select. Returns (n_paras, n_kept, clean_text) as a
+    * struct; the seen-before probe is O(paragraphs²) per document —
+    * bounded by a single document, never the corpus.
+    */
+  def dropRepeatedParagraphs(text: Column, sepPattern: String = "\n{2,}",
+                             joinSep: String = "\n\n"): Column = {
+    val paras = split(text, sepPattern)
+    val kept = filter(paras, (p, i) =>
+      array_position(slice(paras, lit(1), i), p) === 0)
+    struct(
+      org.apache.spark.sql.functions.size(paras).cast("long").as("n_paras"),
+      org.apache.spark.sql.functions.size(kept).cast("long").as("n_kept"),
+      array_join(kept, joinSep).as("clean_text"))
+  }
+
   /** Overlapping token-window chunks as an array of (chunk_idx,
     * chunk_text, n_tok) structs — the RAG / long-context splitting step.
     * Chunks start every `size - overlap` tokens and carry up to `size`

@@ -109,6 +109,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), p.take(1500)) // concat_ws fail list stays codegen
   }
 
+  test("q80 local paragraph scrub: no shuffle, no join — doc-local by construction") {
+    val p = plan("q80_local_para_dedup")
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
+      p.take(1500))
+  }
+
   test("q72 migration view is one shuffle-free codegen stage") {
     val p = plan("q72_migration_view")
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),

@@ -228,6 +228,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(b === Set("en"))
   }
 
+  test("dropRepeatedParagraphs: local keep-first only — other docs don't suppress") {
+    import graft.functions.TextAnalysis
+    val df = Seq(
+      (1L, "x\n\ny\n\nx\n\nz\n\ny"), // x and y repeat within the doc
+      (2L, "x\n\ny")                 // same paragraphs — but doc-local, all kept
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.dropRepeatedParagraphs(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_paras"), col("r.n_kept"), col("r.clean_text"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out === Set(
+      (1L, 5L, 3L, "x\n\ny\n\nz"),
+      (2L, 2L, 2L, "x\n\ny")))
+  }
+
   test("temperatureFractions: alpha endpoints, the cap, and null strata") {
     import graft.operators.Sampling
     // en 800, de 200, fr 8 (+ null rows that must not contribute)
