@@ -1351,7 +1351,47 @@ object Oracles {
            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) || chr(10)
                                ORDER BY idx), '') AS clean_text
-         FROM flagged GROUP BY doc_id"""
+         FROM flagged GROUP BY doc_id""",
+
+    // q81: replays BOTH capped vocabularies (en corpus and whole corpus,
+    // top-24 by count desc tie token asc) and the one-pass double scoring
+    "q81_moore_lewis" ->
+      """WITH base AS (SELECT doc_id,
+             unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                         THEN [NULL]
+                         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS tok
+           FROM documents),
+         inbase AS (SELECT d.doc_id,
+             unnest(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS tok
+           FROM documents d WHERE d.lang = 'en'),
+         invocab AS (SELECT tok, count(*) AS c FROM inbase GROUP BY 1),
+         intot AS (SELECT greatest(sum(c), 1) AS total FROM invocab),
+         intop AS (SELECT tok, c FROM invocab ORDER BY c DESC, tok LIMIT 24),
+         genvocab AS (SELECT tok, count(*) AS c FROM base WHERE tok IS NOT NULL GROUP BY 1),
+         gentot AS (SELECT greatest(sum(c), 1) AS total FROM genvocab),
+         gentop AS (SELECT tok, c FROM genvocab ORDER BY c DESC, tok LIMIT 24),
+         scored AS (
+           SELECT b.doc_id, b.tok,
+             round(ln(coalesce(CAST(ti.c AS DOUBLE), 1.0)
+               / CAST((SELECT total FROM intot) AS DOUBLE)), 5) AS lnp_in,
+             round(ln(coalesce(CAST(tg.c AS DOUBLE), 1.0)
+               / CAST((SELECT total FROM gentot) AS DOUBLE)), 5) AS lnp_gen
+           FROM base b
+           LEFT JOIN intop ti ON b.tok = ti.tok
+           LEFT JOIN gentop tg ON b.tok = tg.tok),
+         agg AS (
+           SELECT doc_id,
+             CAST(count(tok) AS BIGINT) AS n_tokens,
+             CAST(CAST(sum(CASE WHEN tok IS NOT NULL
+                           THEN CAST(lnp_in AS DECIMAL(18,5)) END) AS VARCHAR) AS DOUBLE)
+               / count(tok) AS mean_logprob_in,
+             CAST(CAST(sum(CASE WHEN tok IS NOT NULL
+                           THEN CAST(lnp_gen AS DECIMAL(18,5)) END) AS VARCHAR) AS DOUBLE)
+               / count(tok) AS mean_logprob_gen
+           FROM scored GROUP BY 1)
+         SELECT doc_id, n_tokens, mean_logprob_in, mean_logprob_gen,
+           mean_logprob_in - mean_logprob_gen AS ml_score
+         FROM agg"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

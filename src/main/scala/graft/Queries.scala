@@ -940,6 +940,18 @@ object Queries {
         .select(col("doc_id"), col("r.n_paras"), col("r.n_kept"), col("r.clean_text"))
     }),
 
+    // Moore-Lewis data selection: cross-entropy difference under the
+    // en-corpus LM vs the whole-corpus LM (both capped at 24 tokens like
+    // q65), one token pass with both vocabularies broadcast
+    "q81_moore_lewis" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val inV = Quality.unigramVocab(docs.filter(col("lang") === "en"), "text", maxVocab = 24)
+      val genV = Quality.unigramVocab(docs, "text", maxVocab = 24)
+      Quality.mooreLewisScore(docs, "doc_id", "text", inV, genV)
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_tokens"),
+          col("mean_logprob_in"), col("mean_logprob_gen"), col("ml_score"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

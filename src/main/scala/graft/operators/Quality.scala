@@ -148,6 +148,11 @@ object Quality {
     * of the token stream total. The vocabulary cap is what keeps the
     * join broadcastable at any corpus size — vocabulary grows
     * sublinearly but unboundedly; the tail lives in the smoothing floor.
+    *
+    * [[unigramVocab]] exposes the vocabulary build on its own so a model
+    * trained on ONE corpus can score ANOTHER ([[scoreUnderVocab]]) — the
+    * primitive behind [[mooreLewisScore]]'s cross-entropy-difference
+    * data selection.
     */
   /** Gopher-style document quality gate (Rae et al. 2021 "Scaling
     * Language Models", appendix A1.1 quality rules — public paper):
@@ -191,15 +196,25 @@ object Quality {
   }
 
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
-                     maxVocab: Int = 1 << 16, alpha: Double = 1.0): DataFrame = {
+                     maxVocab: Int = 1 << 16, alpha: Double = 1.0): DataFrame =
+    scoreUnderVocab(docs, idCol, textCol,
+      unigramVocab(docs, textCol, maxVocab), alpha)
+
+  /** A capped unigram language model: the `maxVocab` most frequent tokens
+    * with counts, plus the corpus token total. At most maxVocab values —
+    * a plan constant, broadcastable at any corpus size.
+    */
+  case class UnigramVocab(top: Seq[(String, Long)], total: Long)
+
+  /** Build the capped vocabulary of `corpus` — ONE aggregation job
+    * computes the total and the top-K (bounded-heap) together; at most
+    * maxVocab+1 values reach the driver.
+    */
+  def unigramVocab(corpus: DataFrame, textCol: String,
+                   maxVocab: Int = 1 << 16): UnigramVocab = {
     require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
-    require(alpha > 0, s"alpha must be > 0, got $alpha")
-    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val toksArr = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
-        array().cast("array<string>"))
-      .otherwise(tokens(col(textCol)))
-    val base = docs.select(col(idCol).as("id"), explode_outer(toksArr).as("tok"))
-    val vstats = base.filter(col("tok").isNotNull)
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val vstats = tokenStream(corpus, lit(0L), textCol).filter(col("tok").isNotNull)
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .agg(sum("c").as("t"),
         call_function("graft_top_k_by",
@@ -208,24 +223,89 @@ object Quality {
     // empty/all-blank corpus: sum is NULL, top is empty — total clamps to
     // 1 and every (nonexistent) token would take the floor; no NPE
     val total = (if (vstats.isNullAt(0)) 1L else vstats.getLong(0)).max(1L)
-    val spark = docs.sparkSession
-    val topRows = vstats.getSeq[org.apache.spark.sql.Row](1)
-      .map(r => org.apache.spark.sql.Row(r.getString(0), r.getLong(1)))
-    val topSchema = org.apache.spark.sql.types.StructType(Seq(
+    UnigramVocab(vstats.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1))), total)
+  }
+
+  /** The (id, tok) token stream with the null/blank guard — one row per
+    * token, one NULL-token row for empty docs so they keep a result row.
+    */
+  private def tokenStream(docs: DataFrame, id: Column, textCol: String): DataFrame = {
+    val toksArr = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(tokens(col(textCol)))
+    docs.select(id.as("id"), explode_outer(toksArr).as("tok"))
+  }
+
+  private def vocabDf(spark: org.apache.spark.sql.SparkSession,
+                      v: UnigramVocab, cName: String): DataFrame = {
+    val rows = v.top.map(r => org.apache.spark.sql.Row(r._1, r._2))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("tok",
         org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("c",
+      org.apache.spark.sql.types.StructField(cName,
         org.apache.spark.sql.types.LongType)))
-    val top = spark.createDataFrame(
+    spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters
-        .SeqHasAsJava(topRows).asJava), topSchema)
-    val lnp = round(
-      log(coalesce(col("c").cast("double"), lit(alpha)) / lit(total.toDouble)), 5)
-    base.join(broadcast(top), Seq("tok"), "left")
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** Per-token 5-dp-rounded ln p under `v` (OOV → alpha / total). */
+  private def lnpExpr(countCol: Column, v: UnigramVocab, alpha: Double): Column =
+    round(log(coalesce(countCol.cast("double"), lit(alpha)) / lit(v.total.toDouble)), 5)
+
+  /** Score `docs` under an EXTERNALLY-built vocabulary — the corpus that
+    * trained the model need not be the corpus being scored.
+    */
+  def scoreUnderVocab(docs: DataFrame, idCol: String, textCol: String,
+                      v: UnigramVocab, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val base = tokenStream(docs, col(idCol), textCol)
+    base.join(broadcast(vocabDf(docs.sparkSession, v, "c")), Seq("tok"), "left")
       .groupBy("id").agg(
         count(col("tok")).as("n_tokens"), // 0 for the null-token row of empty docs
-        (sum(when(col("tok").isNotNull, lnp).cast("decimal(18,5)")).cast("double")
+        (sum(when(col("tok").isNotNull, lnpExpr(col("c"), v, alpha))
+          .cast("decimal(18,5)")).cast("double")
           / count(col("tok"))).as("mean_logprob")) // 0 tokens → null score
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Moore-Lewis data selection score (Moore & Lewis 2010, "Intelligent
+    * Selection of Language Model Training Data" — public paper): the
+    * cross-entropy DIFFERENCE of each document under an in-domain LM vs
+    * a general LM, here with the capped-unigram models of
+    * [[unigramVocab]]. `ml_score` = mean ln p_in − mean ln p_gen:
+    * HIGHER ⇒ the doc looks more like the in-domain corpus than the
+    * general one — the standard cheap filter for mining domain-relevant
+    * training data out of a web-scale pool. Use it as a RANKING (top-N
+    * or a threshold swept on held-out data, as the paper does): the
+    * absolute sign shifts with the two corpora's totals, because the
+    * OOV floor alpha/total is generous when the in-domain corpus is
+    * small.
+    *
+    * Scale notes: ONE pass over the token stream with BOTH capped
+    * vocabularies broadcast (left joins on the token), one per-doc
+    * aggregation computing both means together — not two scoring jobs
+    * joined after. Same float discipline as [[unigramLogProb]]: 5-dp
+    * per-token ln p, exact decimal sums, order-independent means.
+    */
+  def mooreLewisScore(docs: DataFrame, idCol: String, textCol: String,
+                      inDomain: UnigramVocab, general: UnigramVocab,
+                      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val spark = docs.sparkSession
+    val base = tokenStream(docs, col(idCol), textCol)
+    def meanOf(lnp: Column): Column =
+      sum(when(col("tok").isNotNull, lnp).cast("decimal(18,5)")).cast("double") /
+        count(col("tok"))
+    base
+      .join(broadcast(vocabDf(spark, inDomain, "c_in")), Seq("tok"), "left")
+      .join(broadcast(vocabDf(spark, general, "c_gen")), Seq("tok"), "left")
+      .groupBy("id").agg(
+        count(col("tok")).as("n_tokens"),
+        meanOf(lnpExpr(col("c_in"), inDomain, alpha)).as("mean_logprob_in"),
+        meanOf(lnpExpr(col("c_gen"), general, alpha)).as("mean_logprob_gen"))
+      .withColumn("ml_score", col("mean_logprob_in") - col("mean_logprob_gen"))
       .withColumnRenamed("id", idCol)
   }
 

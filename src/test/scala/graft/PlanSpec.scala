@@ -115,6 +115,17 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q81 moore-lewis: both vocabularies broadcast onto ONE token pass") {
+    val p = plan("q81_moore_lewis")
+    // both capped LMs must broadcast-join the same exploded stream and
+    // feed ONE per-doc aggregation — two scoring jobs joined afterwards
+    // would scan and shuffle the token stream twice
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size <= 4, // 1 agg = map+reduce (+AQE reuse)
+      p.take(2000))
+  }
+
   test("q72 migration view is one shuffle-free codegen stage") {
     val p = plan("q72_migration_view")
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),

@@ -74,6 +74,27 @@ class QualitySpec extends SparkSpec {
     assert(out(5L)._1.contains("symbol_ratio_high") && out(5L)._2 === 0)
   }
 
+  test("mooreLewisScore separates in-domain from out-of-domain docs") {
+    import spark.implicits._
+    val inDomain = Seq(
+      (1L, "spark join shuffle spark join shuffle spark plan"),
+      (2L, "spark shuffle plan spark join plan")).toDF("doc_id", "text")
+    val general = Seq(
+      (1L, "spark join shuffle spark join shuffle spark plan"),
+      (2L, "spark shuffle plan spark join plan"),
+      (3L, "cooking pasta with tomato sauce and basil leaves"),
+      (4L, "garden tomato plants need water and sunshine daily")).toDF("doc_id", "text")
+    val inV = Quality.unigramVocab(inDomain, "text", maxVocab = 16)
+    val genV = Quality.unigramVocab(general, "text", maxVocab = 16)
+    val out = Quality.mooreLewisScore(general, "doc_id", "text", inV, genV)
+      .select("doc_id", "ml_score").as[(Long, Double)].collect().toMap
+    // Moore-Lewis is a RANKING: spark-y docs must outscore cooking docs
+    // (the absolute sign shifts with the two corpora's totals — the OOV
+    // floor alpha/total is generous when the in-domain corpus is small)
+    assert(out(1L) > out(3L) && out(1L) > out(4L), out.toString)
+    assert(out(2L) > out(3L) && out(2L) > out(4L), out.toString)
+  }
+
   test("unigramLogProb scores docs under the capped corpus distribution") {
     // vocab: a×2, b×1, z×1 → total 4; maxVocab=1 keeps only 'a'
     // (count desc, tok tie-break); b and z take the 1/total floor

@@ -63,6 +63,36 @@ class StreamBucketSpec extends SparkSpec {
     assert(out.size === 1 && out.subsetOf(Set(1L, 3L)), out.toString)
   }
 
+  test("gopher gate + local paragraph scrub run as stateless streaming projections") {
+    import graft.operators.Quality
+    import graft.functions.TextAnalysis
+    // both new curation projections claim streaming safety (zero state,
+    // zero shuffles) — prove it on a real file stream in append mode
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
+    Seq(
+      (1L, "the cat sat on a mat with the dog of the house now"),
+      (2L, "nav\n\nthe quick brown fox jumps over a lazy dog\n\nnav"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in1")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in*")
+    val combined = stream.select(col("doc_id"),
+      TextAnalysis.dropRepeatedParagraphs(col("text")).as("r"))
+      .select(col("doc_id"), col("r.clean_text").as("text"))
+    val out = Quality.gopherFilter(combined, "doc_id", "text",
+      Seq("the", "a", "of"), minWords = 5, maxWords = 50,
+      minMeanLen = 2.0, maxMeanLen = 8.0,
+      maxSymbolRatio = 0.5, minStopRatio = 0.1)
+    val q = out.writeStream.format("memory")
+      .queryName("gopher_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val res = spark.table("gopher_out").select("doc_id", "keep")
+      .as[(Long, Int)].collect().toMap
+    // doc 2's repeated "nav" paragraph is scrubbed BEFORE the gate sees
+    // it; what remains (nav + 9-word sentence) passes every rule
+    assert(res === Map(1L -> 1, 2L -> 1))
+  }
+
   test("streaming decontamination gates leaked docs with a stateless flag") {
     import graft.operators.Quality
     // benchmark hash set is a plan constant → the gate is a pure
