@@ -1391,7 +1391,22 @@ object Oracles {
            FROM scored GROUP BY 1)
          SELECT doc_id, n_tokens, mean_logprob_in, mean_logprob_gen,
            mean_logprob_in - mean_logprob_gen AS ml_score
-         FROM agg"""
+         FROM agg""",
+
+    // q82: as-of semantics replayed as a theta-join + QUALIFY keep-best —
+    // fine at oracle SF, exactly what the operator's merge window avoids
+    "q82_asof_join" ->
+      """WITH views AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'view'),
+         clicks AS (SELECT user_id, ts, event_id, value FROM events
+             WHERE event_type = 'click')
+         SELECT v.event_id, v.user_id, v.ts,
+           c.ts AS asof_ts, c.event_id AS asof_event_id, c.value AS asof_value
+         FROM views v
+         LEFT JOIN clicks c ON c.user_id = v.user_id
+           AND c.ts <= v.ts AND c.ts >= v.ts - INTERVAL 1 HOUR
+         QUALIFY row_number() OVER (PARTITION BY v.event_id
+           ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) = 1"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

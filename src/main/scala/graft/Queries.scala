@@ -952,6 +952,23 @@ object Queries {
           col("mean_logprob_in"), col("mean_logprob_gen"), col("ml_score"))
     }),
 
+    // As-of join: each view event picks the user's latest click at-or-
+    // before it, but only within a 1-hour lookback — the point-in-time
+    // lookup pattern (last reading before an admission, last price before
+    // a trade) as a single-shuffle merge window, not a theta-join
+    "q82_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      Joins.asOf(views, clicks, Seq("user_id"), "ts", "ts",
+          Seq("event_id", "value"), tieCol = "event_id",
+          tolerance = Some(expr("INTERVAL 1 HOUR")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts"), col("asof_event_id"), col("asof_value"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -179,4 +179,88 @@ object Joins {
       explode(sequence(lit(0), lit(buckets - 1))))
     bigS.join(smallS, Seq(key, "__salt"), how).drop("__salt")
   }
+
+  /** As-of (temporal) left join: each `left` row picks the LATEST `right`
+    * row with `right.tsCol <= left.ts` on the same key — the point-in-time
+    * lookup ("what was the last reading/price/click before this event")
+    * that equi-joins can't express. Ties on the right timestamp resolve to
+    * the LARGEST `tieCol`, so the result is deterministic; `tolerance`
+    * (an interval) additionally requires `right.ts >= left.ts − tolerance`
+    * — older matches are returned as no-match.
+    *
+    * Matched right columns come back as `prefix+rightTs` (the matched
+    * timestamp) and `prefix+c` for each payload column; unmatched rows
+    * (including NULL-key and NULL-timestamp left rows, which per SQL
+    * comparison semantics can never match) keep them NULL.
+    *
+    * Scale notes: NOT a join at all — a per-row probe (theta-join) plan
+    * would be quadratic, and a broadcast build requires a small right
+    * side. Instead both sides are tagged and unioned, shuffled ONCE on
+    * the key, and a single running `last(payload, ignoreNulls)` window
+    * carries the newest right payload forward onto every left row — the
+    * merge-join formulation of as-of, one exchange + one sort regardless
+    * of either side's size or match fan-in. Right rows ride the wire as
+    * one slim struct; left columns never duplicate. A hot key is one
+    * sort partition — salt upstream or pre-slice by time range if a
+    * single key exceeds an executor.
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, payloadCols: Seq[String],
+           tieCol: String, tolerance: Option[Column] = None,
+           prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // named import: the wildcard would shadow the left/right params with
+    // functions.left/right (same trap as bestMatch)
+    import org.apache.spark.sql.functions.{col, last, lit, struct, when}
+    require(keys.nonEmpty, "asOf needs at least one key column")
+    require(prefix.nonEmpty, "asOf needs a non-empty prefix")
+    require(!payloadCols.contains(rightTs),
+      s"'$rightTs' is returned as '$prefix$rightTs' already — drop it from payloadCols")
+    val reserved = Seq("__ts", "__side", "__tie", "__p", "__fill")
+    val outCols = (rightTs +: payloadCols).map(prefix + _)
+    val leftLower = left.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    (reserved ++ outCols).foreach { c =>
+      require(!leftLower.contains(c.toLowerCase(java.util.Locale.ROOT)),
+        s"asOf output/working column '$c' already exists on the left side")
+    }
+    // the right side travels as ONE struct column; rows that can never
+    // match (NULL key or NULL timestamp — SQL comparisons with NULL are
+    // never true) are dropped before the shuffle
+    val pFields = (rightTs +: payloadCols).distinct
+    val rightSlim = right
+      .filter(col(rightTs).isNotNull && keys.map(col(_).isNotNull).reduce(_ && _))
+      .select((keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__side"), col(tieCol).as("__tie"),
+        struct(pFields.map(col): _*).as("__p"))): _*)
+    val pType = rightSlim.schema("__p").dataType
+    val tieType = rightSlim.schema("__tie").dataType
+    val leftTagged = left.select((left.columns.map(col) ++ Seq(
+      col(leftTs).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(tieType).as("__tie"), lit(null).cast(pType).as("__p"))): _*)
+    val rightTagged = left.columns.foldLeft(rightSlim) { (df, c) =>
+      if (keys.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    // at equal timestamps right rows (side 0) sort BEFORE the left row —
+    // `<=` semantics — and among them the largest tie is nearest the left
+    // row, so the running `last` picks exactly (max ts, then max tie)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = leftTagged.unionByName(rightTagged)
+      .withColumn("__fill", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    // NULL-key left rows form their own window partitions and could pick
+    // up NULL-key right fills — but those were filtered out above, so the
+    // only remaining guard is the tolerance cut
+    val inRange = tolerance match {
+      case Some(tol) => col("__fill").isNotNull &&
+        col("__fill")(rightTs) >= col("__ts") - tol
+      case None => col("__fill").isNotNull
+    }
+    val gated = filled.withColumn("__fill",
+      when(inRange, col("__fill")).otherwise(lit(null).cast(pType)))
+    gated.select((left.columns.map(col) ++
+      (rightTs +: payloadCols).map(c => col("__fill")(c).as(prefix + c))): _*)
+  }
 }

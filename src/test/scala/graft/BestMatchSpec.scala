@@ -165,4 +165,58 @@ class BestMatchSpec extends SparkSpec {
       .select(col(s"OFC_value${ReferencePipeline.DischargeSuffix}")).as[String].head()
     assert(kept === "35") // earliest discharge start wins when scores are −1
   }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOf picks the latest at-or-before right row, max tie on equal timestamps") {
+    val l = Seq(
+      (1L, "k1", ts("2026-01-01 10:00:00")), // after r10/r11, before r12
+      (2L, "k1", ts("2026-01-01 09:00:00")), // EQUAL to r10/r11's ts
+      (3L, "k1", ts("2026-01-01 08:59:59")), // before every right row
+      (4L, "k2", ts("2026-01-01 10:00:00")), // key with no right rows
+      (5L, null, ts("2026-01-01 10:00:00")), // null key never matches
+      (6L, "k1", null)                       // null ts never matches
+    ).toDF("id", "k", "t")
+    val r = Seq(
+      (10L, "k1", ts("2026-01-01 09:00:00"), 1.0),
+      (11L, "k1", ts("2026-01-01 09:00:00"), 2.0), // same ts: max rid wins
+      (12L, "k1", ts("2026-01-01 11:00:00"), 3.0),
+      (13L, null, ts("2026-01-01 09:30:00"), 9.9)  // null-key right dropped
+    ).toDF("rid", "k", "t", "v")
+    val out = Joins.asOf(l, r, Seq("k"), "t", "t", Seq("rid", "v"), tieCol = "rid")
+      .select("id", "asof_rid", "asof_v").as[(Long, Option[Long], Option[Double])]
+      .collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(out(1L) === ((Some(11L), Some(2.0)))) // latest <= 10:00 is 09:00, tie → 11
+    assert(out(2L) === ((Some(11L), Some(2.0)))) // equal ts matches (<=)
+    assert(out(3L) === ((None, None)))
+    assert(out(4L) === ((None, None)))
+    assert(out(5L) === ((None, None)))
+    assert(out(6L) === ((None, None)))
+  }
+
+  test("asOf tolerance turns too-old matches into no-match") {
+    val l = Seq((1L, "k", ts("2026-01-01 12:00:00"))).toDF("id", "k", "t")
+    val r = Seq((7L, "k", ts("2026-01-01 09:00:00"), 1.0)).toDF("rid", "k", "t", "v")
+    val hit = Joins.asOf(l, r, Seq("k"), "t", "t", Seq("v"), tieCol = "rid",
+      tolerance = Some(expr("INTERVAL 4 HOUR"))).select("asof_v").head()
+    val miss = Joins.asOf(l, r, Seq("k"), "t", "t", Seq("v"), tieCol = "rid",
+      tolerance = Some(expr("INTERVAL 2 HOUR"))).select("asof_v").head()
+    assert(hit.getDouble(0) === 1.0)
+    assert(miss.isNullAt(0))
+    // matched-ts column comes back too, for audit/debug
+    val tsCol = Joins.asOf(l, r, Seq("k"), "t", "t", Seq("v"), tieCol = "rid")
+      .select("asof_t").head().getTimestamp(0)
+    assert(tsCol === ts("2026-01-01 09:00:00"))
+  }
+
+  test("asOf refuses colliding output columns") {
+    val l = Seq((1L, "k", ts("2026-01-01 12:00:00"), 0.0)).toDF("id", "k", "t", "asof_v")
+    val r = Seq((7L, "k", ts("2026-01-01 09:00:00"), 1.0)).toDF("rid", "k", "t", "v")
+    intercept[IllegalArgumentException] {
+      Joins.asOf(l, r, Seq("k"), "t", "t", Seq("v"), tieCol = "rid")
+    }
+    intercept[IllegalArgumentException] { // rightTs repeated in payload
+      Joins.asOf(l.drop("asof_v"), r, Seq("k"), "t", "t", Seq("t", "v"), tieCol = "rid")
+    }
+  }
 }

@@ -126,6 +126,17 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q82 as-of join is one exchange + one window sort, no join operator") {
+    val p = plan("q82_asof_join")
+    // the merge-window formulation: a theta-join plan (BroadcastNestedLoop/
+    // cartesian) would be quadratic in the match fan-in; the union form
+    // shuffles ONCE on the key regardless of either side's size
+    assert(!p.contains("Join") && !p.contains("Cartesian"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2000)) // shuffle (+AQE reuse)
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(event_type)"), p.take(2000))
+  }
+
   test("q72 migration view is one shuffle-free codegen stage") {
     val p = plan("q72_migration_view")
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
