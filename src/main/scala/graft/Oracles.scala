@@ -1406,7 +1406,19 @@ object Oracles {
          LEFT JOIN clicks c ON c.user_id = v.user_id
            AND c.ts <= v.ts AND c.ts >= v.ts - INTERVAL 1 HOUR
          QUALIFY row_number() OVER (PARTITION BY v.event_id
-           ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) = 1"""
+           ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) = 1""",
+
+    // q83: the range predicate replayed directly as a theta-join — fine
+    // at oracle SF, exactly the nested-loop the operator's binning avoids
+    "q83_range_join" ->
+      """WITH err AS (SELECT event_id AS err_id, ts AS err_ts,
+             ts + INTERVAL 15 MINUTE AS err_end
+           FROM events WHERE event_type = 'error'),
+         clk AS (SELECT event_id AS click_id, ts AS click_ts, user_id
+           FROM events WHERE event_type = 'click')
+         SELECT e.err_id, c.click_id, c.user_id
+         FROM err e JOIN clk c
+           ON c.click_ts >= e.err_ts AND c.click_ts <= e.err_end"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

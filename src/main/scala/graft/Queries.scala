@@ -969,6 +969,23 @@ object Queries {
           col("asof_ts"), col("asof_event_id"), col("asof_value"))
     }),
 
+    // Binned range join, KEYLESS: every click inside any error's 15-min
+    // incident window — the interval-overlap shape Spark's planner can
+    // only do as a nested-loop; binning turns it into an equi-join on
+    // the time bucket
+    "q83_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val err = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("err_ts"),
+          (col("ts") + expr("INTERVAL 15 MINUTE")).as("err_end"))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id"))
+      Joins.rangeJoin(clk, err, Seq.empty, "click_ts", "err_ts", "err_end",
+          bucketWidthSec = 900)
+        .select(col("err_id"), col("click_id"), col("user_id"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -180,6 +180,65 @@ object Joins {
     bigS.join(smallS, Seq(key, "__salt"), how).drop("__salt")
   }
 
+  /** Binned range (interval) join: every (point, interval) pair with
+    * `start <= point <= end` on the same key — ad attribution windows,
+    * maintenance/incident windows, price-validity lookups. `keys` may be
+    * EMPTY: the pure interval-overlap case, exactly where Spark's own
+    * planner degenerates to BroadcastNestedLoopJoin / cartesian because
+    * there is no equi-key to hash on.
+    *
+    * Scale notes: both sides are quantized onto fixed-width time buckets
+    * (`bucketWidthSec`) — each interval explodes onto every bucket it
+    * overlaps, each point lands in exactly one — and the join becomes a
+    * plain equi-join on (keys, bucket) with the exact range predicate as
+    * a post-filter. Each qualifying pair meets in EXACTLY one bucket (the
+    * point's own), so no dedup pass is needed. Pick `bucketWidthSec`
+    * near the typical interval length: much smaller multiplies the
+    * interval side by span/width copies, much larger packs unrelated
+    * rows into one bucket and pushes work into the post-filter. An
+    * interval spanning more than `maxSpanBuckets` buckets fails loudly
+    * (a data bug — e.g. an open-ended interval — would otherwise explode
+    * the intermediate by millions of copies); invalid intervals
+    * (NULL bounds or end < start) can never match and are dropped.
+    * The equi-join is hinted shuffle_hash: bucket ids are dense longs and
+    * both sides are large — a sort-merge's double sort buys nothing.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                ptCol: String, startCol: String, endCol: String,
+                bucketWidthSec: Long, maxSpanBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, explode, floor, lit,
+      raise_error, sequence, unix_micros, when}
+    require(bucketWidthSec > 0, s"bucketWidthSec must be > 0, got $bucketWidthSec")
+    require(maxSpanBuckets >= 1, s"maxSpanBuckets must be >= 1, got $maxSpanBuckets")
+    val pLower = points.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val iLower = intervals.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val keyLower = keys.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val overlap = (pLower & iLower) -- keyLower - "__bucket"
+    require(overlap.isEmpty,
+      s"rangeJoin requires disjoint non-key columns; rename ${overlap.mkString(", ")}")
+    require(!pLower.contains("__bucket") && !iLower.contains("__bucket"),
+      "rangeJoin working column '__bucket' already exists")
+    val wUs = bucketWidthSec * 1000000L
+    def bucketOf(c: Column): Column = floor(unix_micros(c) / wUs)
+    val pTagged = points.filter(col(ptCol).isNotNull)
+      .withColumn("__bucket", bucketOf(col(ptCol)))
+    val span = bucketOf(col(endCol)) - bucketOf(col(startCol)) + 1
+    val iTagged = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol) >= col(startCol) &&
+        keys.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
+      .withColumn("__bucket", explode(
+        when(span > maxSpanBuckets, raise_error(concat(
+          lit(s"rangeJoin: interval spans more than $maxSpanBuckets buckets at "),
+          col(startCol).cast("string"), lit(".."), col(endCol).cast("string"),
+          lit(" — widen bucketWidthSec or fix the data"))))
+          .otherwise(sequence(bucketOf(col(startCol)), bucketOf(col(endCol))))))
+    pTagged.hint("shuffle_hash")
+      .join(iTagged, keys :+ "__bucket", "inner")
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
   /** As-of (temporal) left join: each `left` row picks the LATEST `right`
     * row with `right.tsCol <= left.ts` on the same key — the point-in-time
     * lookup ("what was the last reading/price/click before this event")

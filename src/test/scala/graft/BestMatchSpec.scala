@@ -209,6 +209,50 @@ class BestMatchSpec extends SparkSpec {
     assert(tsCol === ts("2026-01-01 09:00:00"))
   }
 
+  test("rangeJoin matches points to overlapping intervals across bucket boundaries") {
+    // bucket width 60 s; the interval crosses two buckets, and points sit
+    // on the exact bounds (inclusive both ends), outside, and in a
+    // different key
+    val pts = Seq(
+      (1L, "k1", ts("2026-01-01 10:00:30")), // inside
+      (2L, "k1", ts("2026-01-01 10:01:30")), // inside, NEXT bucket
+      (3L, "k1", ts("2026-01-01 10:00:00")), // == start
+      (4L, "k1", ts("2026-01-01 10:02:00")), // == end
+      (5L, "k1", ts("2026-01-01 10:02:01")), // just after
+      (6L, "k2", ts("2026-01-01 10:00:30"))  // wrong key
+    ).toDF("pid", "k", "t")
+    val ivs = Seq(
+      ("i1", "k1", ts("2026-01-01 10:00:00"), ts("2026-01-01 10:02:00")),
+      ("bad", "k1", ts("2026-01-01 11:00:00"), ts("2026-01-01 10:00:00")) // end<start
+    ).toDF("iid", "k", "s", "e")
+    val out = Joins.rangeJoin(pts, ivs, Seq("k"), "t", "s", "e", bucketWidthSec = 60)
+      .select("pid", "iid").as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "i1"), (2L, "i1"), (3L, "i1"), (4L, "i1")))
+  }
+
+  test("rangeJoin keyless form pairs every point with every overlapping interval") {
+    val pts = Seq((1L, ts("2026-01-01 10:00:30"))).toDF("pid", "t")
+    val ivs = Seq(
+      ("a", ts("2026-01-01 10:00:00"), ts("2026-01-01 10:01:00")),
+      ("b", ts("2026-01-01 09:59:00"), ts("2026-01-01 10:30:00")),
+      ("c", ts("2026-01-01 10:01:00"), ts("2026-01-01 10:02:00"))
+    ).toDF("iid", "s", "e")
+    val out = Joins.rangeJoin(pts, ivs, Seq.empty, "t", "s", "e", bucketWidthSec = 60)
+      .select("iid").as[String].collect().toSet
+    assert(out === Set("a", "b"))
+  }
+
+  test("rangeJoin fails loudly on an interval exceeding maxSpanBuckets") {
+    val pts = Seq((1L, ts("2026-01-01 10:00:30"))).toDF("pid", "t")
+    val ivs = Seq(("open", ts("2026-01-01 00:00:00"), ts("2026-12-31 00:00:00")))
+      .toDF("iid", "s", "e")
+    val e = intercept[Exception] {
+      Joins.rangeJoin(pts, ivs, Seq.empty, "t", "s", "e",
+        bucketWidthSec = 60, maxSpanBuckets = 100).count()
+    }
+    assert(e.getMessage != null) // raise_error propagates; pairs never explode
+  }
+
   test("asOf refuses colliding output columns") {
     val l = Seq((1L, "k", ts("2026-01-01 12:00:00"), 0.0)).toDF("id", "k", "t", "asof_v")
     val r = Seq((7L, "k", ts("2026-01-01 09:00:00"), 1.0)).toDF("rid", "k", "t", "v")

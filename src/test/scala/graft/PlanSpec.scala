@@ -137,6 +137,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(event_type)"), p.take(2000))
   }
 
+  test("q83 range join is a bucket equi-join, never a nested loop") {
+    val p = plan("q83_range_join")
+    // keyless interval overlap: Spark's native plan is BroadcastNestedLoop
+    // or cartesian — binning must turn it into a hash equi-join on the
+    // time bucket with the exact range predicate as a post-filter
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      p.take(2000))
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(event_type)"), p.take(2000))
+  }
+
   test("q72 migration view is one shuffle-free codegen stage") {
     val p = plan("q72_migration_view")
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
