@@ -1418,7 +1418,18 @@ object Oracles {
            FROM events WHERE event_type = 'click')
          SELECT e.err_id, c.click_id, c.user_id
          FROM err e JOIN clk c
-           ON c.click_ts >= e.err_ts AND c.click_ts <= e.err_end"""
+           ON c.click_ts >= e.err_ts AND c.click_ts <= e.err_end""",
+
+    // q84: LOCF replayed with DuckDB's IGNORE NULLS running last_value
+    "q84_forward_fill" ->
+      """WITH t AS (SELECT event_id, user_id, ts,
+             CASE WHEN event_type <> 'error' THEN value END AS value
+           FROM events)
+         SELECT event_id, user_id, ts,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+         FROM t"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

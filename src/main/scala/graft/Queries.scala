@@ -986,6 +986,18 @@ object Queries {
         .select(col("err_id"), col("click_id"), col("user_id"))
     }),
 
+    // Forward-fill: error readings are bad sensor values — carry each
+    // user's last good reading forward in time order (LOCF gap-fill)
+    "q84_forward_fill" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val flagged = e.select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") =!= "error", col("value")).as("value"))
+      Windows.forwardFill(flagged, Seq("user_id"),
+          Seq(col("ts"), col("event_id")), Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("value_filled"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

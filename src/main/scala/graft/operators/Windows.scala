@@ -47,4 +47,27 @@ object Windows {
       .filter(datediff(to_date(tsCol), col("__base_date")) === day - 1)
       .drop("__base_date")
   }
+
+  /** Forward-fill (last observation carried forward): NULLs in each of
+    * `cols` are replaced, IN PLACE, by the most recent non-NULL value of
+    * the same column earlier in `order` within the same key — the
+    * standard gap-fill for sparse time series (sensor dropouts, vitals
+    * charted only on change). Rows before a key's first observation stay
+    * NULL. Pass a total `order` (e.g. ts + a unique id) — with ties the
+    * fill would be nondeterministic.
+    *
+    * Scale notes: one shuffle on the key, one sort, and ONE window frame
+    * shared by every filled column (`last(c, ignoreNulls)` over
+    * unbounded-preceding..current) — a running O(1) state per column,
+    * not a per-row rescan. All columns fill in the same Window operator;
+    * n columns do not cost n sorts.
+    */
+  def forwardFill(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                  cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "forwardFill needs at least one column to fill")
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(order.toIndexedSeq: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumns(cols.map(c => c -> last(col(c), ignoreNulls = true).over(w)).toMap)
+  }
 }

@@ -136,6 +136,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Set(("a", 3.0), ("a", 2.0), ("b", 9.0)))
   }
 
+  test("forwardFill carries the last non-null value forward per key, in order") {
+    val df = Seq(
+      ("u1", 1L, Some(10.0), Some("a")),
+      ("u1", 2L, None, None),
+      ("u1", 3L, Some(7.0), None),
+      ("u1", 4L, None, Some("b")),
+      ("u2", 1L, None, None) // before any observation → stays null
+    ).toDF("u", "seq", "v", "s")
+    val out = Windows.forwardFill(df, Seq("u"), Seq(col("seq")), Seq("v", "s"))
+      .select("u", "seq", "v", "s").as[(String, Long, Option[Double], Option[String])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("u1", 2L)) === ((Some(10.0), Some("a")))) // both fill independently
+    assert(out(("u1", 3L)) === ((Some(7.0), Some("a"))))  // real value untouched
+    assert(out(("u1", 4L)) === ((Some(7.0), Some("b"))))
+    assert(out(("u2", 1L)) === ((None, None)))
+    // every filled column shares ONE Window operator: n columns ≠ n sorts
+    val p = Windows.forwardFill(df, Seq("u"), Seq(col("seq")), Seq("v", "s"))
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(p).size === 1, p.take(1200))
+  }
+
   test("multimodal synthesize produces binary payloads with typed metadata") {
     val base = Seq(1L, 2L, 3L).toDF("c_custkey")
     val media = Multimodal.synthesize(base, "c_custkey")
