@@ -1429,7 +1429,19 @@ object Oracles {
            last_value(value IGNORE NULLS) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
-         FROM t"""
+         FROM t""",
+
+    // q85: the gate's EXACT semantics (bloom is only a prefilter) — plain
+    // membership anti-join on the text key
+    "q85_bloom_dedup_gate" ->
+      """WITH hist AS (SELECT DISTINCT md5(text) AS k FROM documents
+             WHERE doc_id < 400),
+         inc AS (SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id >= 400
+             UNION ALL
+             SELECT doc_id + 10000000, md5(text) FROM documents WHERE doc_id < 50)
+         SELECT inc.doc_id,
+           CAST(CASE WHEN hist.k IS NULL THEN 1 ELSE 0 END AS INT) AS is_new
+         FROM inc LEFT JOIN hist ON inc.k = hist.k"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

@@ -998,6 +998,22 @@ object Queries {
           col("value").as("value_filled"))
     }),
 
+    // Incremental exact-dedup gate: an ingest batch (fresh docs + some
+    // re-uploads under new ids) is flagged against the already-ingested
+    // history via a bloom prefilter + exact confirm — history never
+    // shuffles, only the maybe-dup keys travel
+    "q85_bloom_dedup_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(col("doc_id") < 400)
+      val inc = docs.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      Dedup.bloomGate(inc, hist, "text", expectedItems = 1L << 16)
+        .select(col("doc_id"),
+          col("is_new").cast("int").as("is_new"))
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

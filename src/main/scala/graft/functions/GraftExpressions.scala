@@ -247,6 +247,34 @@ case class TokenInSetCountExpr(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Bloom-filter membership probe over an xxhash64 key. The filter
+  * arrives as a serialized-bytes plan literal (BinaryType, the
+  * `BloomFilter.writeTo` format — built by `Dataset.stat.bloomFilter`'s
+  * distributed tree-aggregation) and is deserialized ONCE per executor
+  * (`@transient lazy`), not per row or per task. Same role as Spark's
+  * internal runtime-filter might_contain, but public-API only and
+  * callable from the DataFrame layer.
+  */
+case class BloomContainsExpr(child: Expression, bytes: Array[Byte])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(LongType))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+  def contains(h: Long): Boolean = bloom.mightContainLong(h)
+  override protected def nullSafeEval(v: Any): Any = contains(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference THIS expression (bytes ride its Java serialization; the
+    // deserialized filter memoizes in the lazy val on each executor)
+    val self = ctx.addReferenceObj("bloomExpr", this, classOf[BloomContainsExpr].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.contains($v);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: the same builders serve `SparkSessionExtensions
   * .injectFunction` (cluster: `spark.sql.extensions=graft.plans
   * .GraftExtensions`) and runtime registration into an already-built
@@ -276,6 +304,11 @@ object GraftFunctions {
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private def binaryLit(e: Expression, what: String): Array[Byte] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Array[Byte], BinaryType) => v
+    case other => throw new IllegalArgumentException(s"$what must be a binary literal, got $other")
   }
 
   private def stringLit(e: Expression, what: String): String = e match {
@@ -362,6 +395,8 @@ object GraftFunctions {
       java.util.Arrays.sort(sorted) // binary search contract
       NgramAnyInExpr(es(0), n, sorted)
     }),
+    "graft_bloom_contains" -> (es =>
+      BloomContainsExpr(es(0), binaryLit(es(1), "bloom bytes"))),
     "graft_max_by" -> (es => HashExtremumBy(es(0), es(1), isMax = true)),
     "graft_min_by" -> (es => HashExtremumBy(es(0), es(1), isMax = false)),
     "graft_top_k_by" -> (es => HashTopKBy(es(0), es(1), es(2), intLit(es(3), "k")))

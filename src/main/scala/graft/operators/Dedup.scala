@@ -361,4 +361,66 @@ object Dedup {
         .withColumn("comp", lit(null).cast(kept.schema("comp").dataType)),
       allowMissingColumns = false)
   }
+
+  /** Incremental exact-dedup gate: flag each `increment` row `flagCol` =
+    * true when its `textCol` does NOT already appear in `history` — the
+    * per-ingest membership check of a continuously-growing corpus. The
+    * result is EXACT (a bloom false positive is resolved by a confirming
+    * join); NULL text counts as new, matching SQL equality semantics.
+    *
+    * Scale notes: the point is that the history NEVER shuffles, at any
+    * history:increment ratio. A plain anti-join would shuffle the full
+    * history's keys on every ingest. Here: (1) one scan of history
+    * tree-aggregates a bloom filter over xxhash64(text) (`Dataset.stat
+    * .bloomFilter` — distributed build, driver holds only the filter,
+    * sized by expectedItems/fpp: ~1.1 GB at 10⁹ docs / 3%); (2) the
+    * increment probes the filter with [[graft.functions
+    * .BloomContainsExpr]] — a codegen projection, filter deserialized
+    * once per executor — and only the "maybe" subset (true dups + fpp of
+    * the rest) ships its md5 keys; (3) a second history scan semi-joins
+    * those keys BROADCAST (history side stays shuffle-free) to confirm
+    * real dups; (4) the increment left-joins the confirmed keys
+    * (broadcast) for the final flag. The broadcasts are bounded by the
+    * maybe-set, i.e. by the increment's true-dup count + fpp·|increment|
+    * — if an increment is mostly dups of a huge history, set
+    * `broadcastConfirm = false` and let the confirm join shuffle the
+    * increment (still never the history).
+    *
+    * Note: steps (1)-(2) run EAGERLY at call time (the filter build is
+    * an action), unlike graft's otherwise-lazy operators.
+    */
+  def bloomGate(increment: DataFrame, history: DataFrame, textCol: String,
+                expectedItems: Long, fpp: Double = 0.03,
+                flagCol: String = "is_new",
+                broadcastConfirm: Boolean = true): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    (Seq("__k", "__dup", flagCol)).foreach { c =>
+      require(!increment.columns.exists(_.equalsIgnoreCase(c)),
+        s"bloomGate output/working column '$c' already exists on the increment")
+    }
+    graft.functions.GraftFunctions.ensureRegistered(increment.sparkSession)
+    val bloom = history.select(xxhash64(col(textCol)).as("__h"))
+      .filter(col("__h").isNotNull)
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = call_function("graft_bloom_contains",
+      xxhash64(col(textCol)), lit(bytes))
+    val maybeKeys = increment
+      .filter(col(textCol).isNotNull && probe)
+      .select(md5(col(textCol)).as("__k")).distinct()
+    val confirmed = history.select(md5(col(textCol)).as("__k"))
+      .filter(col("__k").isNotNull)
+      .join(broadcast(maybeKeys), Seq("__k"), "left_semi").distinct()
+      .withColumn("__dup", lit(true))
+    val confirmSide = if (broadcastConfirm) broadcast(confirmed) else confirmed
+    increment.withColumn("__k", md5(col(textCol)))
+      .join(confirmSide, Seq("__k"), "left")
+      .withColumn(flagCol, col("__dup").isNull)
+      .drop("__k", "__dup")
+  }
 }

@@ -243,4 +243,39 @@ class DedupSpec extends SparkSpec {
     assert(out.count(_._1 == 1L) === 1 && out.count(_._1 == -1L) === 2)
     assert(!out.exists(_._1 == 2L))
   }
+
+  test("bloomGate flags true membership exactly, null text counts as new") {
+    import spark.implicits._
+    val hist = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val inc = Seq((10L, "alpha"), (11L, "delta"), (12L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomGate(inc, hist, "text", expectedItems = 100)
+      .select("doc_id", "is_new").as[(Long, Boolean)].collect().toMap
+    assert(out === Map(10L -> false, 11L -> true, 12L -> true))
+  }
+
+  test("bloomGate stays exact under heavy bloom false positives") {
+    import spark.implicits._
+    // a 1-slot-ish filter over 200 history docs: nearly everything probes
+    // "maybe" — the confirming join must still separate real dups exactly
+    val hist = (0 until 200).map(i => (i.toLong, s"hist_$i")).toDF("doc_id", "text")
+    val inc = ((0 until 50).map(i => (1000L + i, s"hist_$i")) ++ // true dups
+      (0 until 50).map(i => (2000L + i, s"new_$i"))).toDF("doc_id", "text")
+    val out = Dedup.bloomGate(inc, hist, "text",
+        expectedItems = 2, fpp = 0.5) // deliberately undersized
+      .select("doc_id", "is_new").as[(Long, Boolean)].collect()
+    assert(out.count(!_._2) === 50 && out.count(_._2) === 50)
+    assert(out.filter(!_._2).map(_._1).forall(_ < 2000L))
+  }
+
+  test("bloomGate refuses colliding working columns and bad params") {
+    import spark.implicits._
+    val df = Seq((1L, "a", true)).toDF("doc_id", "text", "is_new")
+    intercept[IllegalArgumentException] {
+      Dedup.bloomGate(df, df.drop("is_new"), "text", expectedItems = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.bloomGate(df.drop("is_new"), df, "text", expectedItems = 0)
+    }
+  }
 }
