@@ -1441,7 +1441,27 @@ object Oracles {
              SELECT doc_id + 10000000, md5(text) FROM documents WHERE doc_id < 50)
          SELECT inc.doc_id,
            CAST(CASE WHEN hist.k IS NULL THEN 1 ELSE 0 END AS INT) AS is_new
-         FROM inc LEFT JOIN hist ON inc.k = hist.k"""
+         FROM inc LEFT JOIN hist ON inc.k = hist.k""",
+
+    // q86: PMI collocations replayed — adjacent pairs via 1-based list
+    // indexing, same 5-dp ln discipline, same (pmi desc, "w1 w2" asc) cut
+    "q86_collocations" ->
+      """WITH toks AS (SELECT CASE WHEN text IS NULL OR length(trim(text)) = 0
+             THEN [] ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+           FROM documents),
+         uni AS (SELECT unnest(t) AS tok FROM toks),
+         unic AS (SELECT tok, count(*) AS n_w FROM uni GROUP BY 1),
+         total AS (SELECT greatest(count(*), 1) AS n FROM uni),
+         pairs AS (SELECT t[i] AS w1, t[i + 1] AS w2
+           FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)),
+         pc AS (SELECT w1, w2, count(*) AS n_pair FROM pairs
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         scored AS (SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+           round(ln((CAST(n_pair AS DOUBLE) * (SELECT n FROM total))
+             / (CAST(u1.n_w AS DOUBLE) * u2.n_w)), 5) AS pmi
+           FROM pc JOIN unic u1 ON pc.w1 = u1.tok JOIN unic u2 ON pc.w2 = u2.tok)
+         SELECT w1, w2, n_pair, n_w1, n_w2, pmi FROM scored
+         ORDER BY pmi DESC, w1 || ' ' || w2 LIMIT 100"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

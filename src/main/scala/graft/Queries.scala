@@ -1014,6 +1014,14 @@ object Queries {
           col("is_new").cast("int").as("is_new"))
     }),
 
+    // PMI collocation mining: top adjacent word pairs by pointwise mutual
+    // information with an occurrence floor — phrase detection over the
+    // corpus (multi-word units worth single-token treatment)
+    "q86_collocations" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Quality.collocations(docs, "text", minCount = 5, topK = 100)
+    }),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

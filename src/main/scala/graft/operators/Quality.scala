@@ -309,6 +309,59 @@ object Quality {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Corpus collocation mining: the topK adjacent word pairs by pointwise
+    * mutual information, PMI = ln(n_pair · N / (n_w1 · n_w2)) with an
+    * `minCount` occurrence floor — the phrase-detection score family of
+    * Mikolov et al. 2013 ("Distributed Representations of Words and
+    * Phrases", public paper; their discounted ratio and this PMI rank the
+    * same way for fixed counts). Used to find multi-word units worth
+    * treating as single tokens before training.
+    *
+    * Scale notes: two map-side-combined hash aggregations (unigram and
+    * bigram counts — the bigram stream is one `zip_with` projection, no
+    * self-join), the `minCount` floor cuts the pair table BEFORE the two
+    * count-lookup joins (shuffle_hash on the word key — vocabulary is
+    * unbounded so neither side broadcasts), and the final top-K is ONE
+    * bounded-heap aggregation (`graft_top_k_by`, k rows per map task —
+    * no global sort). Token total = one scalar scan, a plan constant.
+    * Same 5-dp float discipline as [[unigramLogProb]].
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5,
+                   topK: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val toksArr = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(tokens(col(textCol)))
+    val toksDf = docs.select(toksArr.as("t"))
+    val totalRow = toksDf.agg(sum(size(col("t")))).head()
+    val total = (if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)).max(1L)
+    val uni = toksDf.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_w"))
+    val pairs = toksDf
+      .select(explode(zip_with(col("t"),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val scored = pairs
+      .hint("shuffle_hash")
+      .join(uni.select(col("tok").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
+      .hint("shuffle_hash")
+      .join(uni.select(col("tok").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
+      .withColumn("pmi", round(log(
+        (col("n_pair").cast("double") * lit(total.toDouble)) /
+          (col("n_w1").cast("double") * col("n_w2"))), 5))
+    scored.agg(call_function("graft_top_k_by",
+        struct(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+          col("pmi")),
+        col("pmi"), concat_ws(" ", col("w1"), col("w2")), lit(topK)).as("top"))
+      .select(explode(col("top")).as("r")).select(col("r.*"))
+  }
+
   /** Per-document repetition profile: token count, fraction of token
     * instances that are the single most frequent token, and fraction of
     * word n-gram instances that are repeats of an earlier instance

@@ -148,6 +148,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(event_type)"), p.take(2000))
   }
 
+  test("q86 collocations: hash joins + bounded-heap top-k, no global sort") {
+    val p = plan("q86_collocations")
+    // count-lookup joins are shuffle_hash (unbounded vocab — no broadcast
+    // build re-executing the agg subtree) and the top-K is an aggregation,
+    // not a global Sort + Limit over every scored pair
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(2000))
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+  }
+
   test("q72 migration view is one shuffle-free codegen stage") {
     val p = plan("q72_migration_view")
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),

@@ -95,6 +95,30 @@ class QualitySpec extends SparkSpec {
     assert(out(2L) > out(3L) && out(2L) > out(4L), out.toString)
   }
 
+  test("collocations surfaces high-PMI adjacent pairs above the count floor") {
+    import spark.implicits._
+    // "new york" always adjacent (PMI high); "the", "cat" frequent but
+    // unattached; "rare pair" appears only once → under minCount
+    val docs = Seq.tabulate(6)(i =>
+      (i.toLong, s"new york the cat sat $i times")).toDF("doc_id", "text")
+      .unionByName(Seq((10L, "rare pair")).toDF("doc_id", "text"))
+    val out = Quality.collocations(docs, "text", minCount = 3, topK = 5)
+      .select("w1", "w2", "n_pair").as[(String, String, Long)].collect()
+    // exactly 4 pairs recur in every doc: new-york, york-the, the-cat,
+    // cat-sat (the "sat <i> times" tail varies per doc)
+    assert(out.length === 4)
+    assert(out.map(r => (r._1, r._2)).contains(("new", "york")))
+    assert(!out.map(r => (r._1, r._2)).contains(("rare", "pair")))
+    val ny = out.find(r => (r._1, r._2) == (("new", "york"))).get
+    assert(ny._3 === 6L)
+    // top entry is deterministic: pmi desc, then "w1 w2" asc
+    val full = Quality.collocations(docs, "text", minCount = 3, topK = 100)
+      .select("w1", "w2", "pmi").as[(String, String, Double)].collect()
+    val expected = full.sortBy(r => (-r._3, r._1 + " " + r._2)).take(4)
+      .map(r => (r._1, r._2)).toSeq
+    assert(out.map(r => (r._1, r._2)).toSeq === expected)
+  }
+
   test("unigramLogProb scores docs under the capped corpus distribution") {
     // vocab: a×2, b×1, z×1 → total 4; maxVocab=1 keeps only 'a'
     // (count desc, tok tie-break); b and z take the 1/total floor
