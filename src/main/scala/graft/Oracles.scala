@@ -1461,7 +1461,29 @@ object Oracles {
              / (CAST(u1.n_w AS DOUBLE) * u2.n_w)), 5) AS pmi
            FROM pc JOIN unic u1 ON pc.w1 = u1.tok JOIN unic u2 ON pc.w2 = u2.tok)
          SELECT w1, w2, n_pair, n_w1, n_w2, pmi FROM scored
-         ORDER BY pmi DESC, w1 || ' ' || w2 LIMIT 100"""
+         ORDER BY pmi DESC, w1 || ' ' || w2 LIMIT 100""",
+
+    // q87: equi-width binning replayed with the same double arithmetic
+    // ((hi-lo)/10 width, floor, clamp into the last bin, 5-dp bounds)
+    "q87_histogram" ->
+      """WITH u AS (
+           SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v
+             FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+             FROM lineitem
+           UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE)
+             FROM lineitem),
+         s AS (SELECT col_name, min(v) AS lo, max(v) AS hi FROM u
+           WHERE v IS NOT NULL GROUP BY 1),
+         b AS (SELECT u.col_name,
+             CAST(CASE WHEN (s.hi - s.lo) / 10.0 = 0 THEN 0
+               ELSE least(greatest(floor((u.v - s.lo) / ((s.hi - s.lo) / 10.0)),
+                 0), 9) END AS BIGINT) AS bin,
+             s.lo AS slo, (s.hi - s.lo) / 10.0 AS w
+           FROM u JOIN s ON u.col_name = s.col_name WHERE u.v IS NOT NULL)
+         SELECT col_name, bin, round(slo + bin * w, 5) AS lo,
+           round(slo + (bin + 1) * w, 5) AS hi, count(*) AS n
+         FROM b GROUP BY 1, 2, slo, w"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

@@ -1022,6 +1022,12 @@ object Queries {
       Quality.collocations(docs, "text", minCount = 5, topK = 100)
     }),
 
+    // Equi-width histograms for the dataset card: distribution shape of
+    // the q62 profile columns, one stats job + one binning pass
+    "q87_histogram" -> ((s, d) =>
+      Summaries.histogram(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), nBins = 10)),
+
     "q33_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d)

@@ -65,6 +65,61 @@ object Summaries {
         col("value"), col("cnt"), col("rank"))
   }
 
+  /** Per-column equi-width histograms — the dataset-card distribution
+    * shape companion of [[numericProfile]] (which gives point stats) and
+    * [[categoricalProfile]] (discrete values). One row per non-empty bin:
+    * (col_name, bin, lo, hi, n); bin width = (max−min)/nBins from a
+    * single all-columns stats pass, the max value clamped into the last
+    * bin, a constant column (max == min) collapsing to bin 0. NULLs are
+    * excluded (the profile already counts them); empty bins are not
+    * emitted.
+    *
+    * Scale notes: ONE tiny stats job (min/max for every column together —
+    * bounds become plan constants), then ONE pass over the data: an
+    * all-columns explode + a per-column codegen CASE computes the bin,
+    * and a single map-side-combined hash agg counts — at most
+    * cols×nBins rows shuffle per map task. No per-column scans, no sort,
+    * no percentile buffers. 5-dp-rounded bounds for engine portability.
+    */
+  def histogram(df: DataFrame, cols: Seq[String], nBins: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "histogram needs at least one column")
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val statsRow = {
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c")))
+      df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    }
+    // (lo, width) per column; all-NULL columns produce no rows downstream
+    val bounds: Map[String, (Double, Double)] = cols.zipWithIndex.flatMap {
+      case (c, i) =>
+        if (statsRow.isNullAt(2 * i)) None
+        else {
+          val lo = statsRow.getDouble(2 * i)
+          val hi = statsRow.getDouble(2 * i + 1)
+          Some(c -> ((lo, (hi - lo) / nBins)))
+        }
+    }.toMap
+    val entries = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+      .filter(col("v").isNotNull)
+    def perCol(f: (String, Double, Double) => Column): Column =
+      bounds.foldLeft(lit(null).cast("double")) { case (acc, (c, (lo, w))) =>
+        when(col("col_name") === c, f(c, lo, w)).otherwise(acc)
+      }
+    val bin = perCol { (_, lo, w) =>
+      if (w == 0d) lit(0d)
+      else least(greatest(floor((col("v") - lo) / w), lit(0d)), lit((nBins - 1).toDouble))
+    }.cast("long")
+    val binned = entries.withColumn("bin", bin)
+      .groupBy("col_name", "bin").agg(count(lit(1)).as("n"))
+    binned
+      .withColumn("lo", round(perCol((_, lo, w) => lit(lo) + col("bin") * w), 5))
+      .withColumn("hi", round(perCol((_, lo, w) => lit(lo) + (col("bin") + 1) * w), 5))
+      .select(col("col_name"), col("bin"), col("lo"), col("hi"), col("n"))
+  }
+
   /** Single-row completeness summary: for each column, fraction non-null
     * (4 dp). One pass, one partial-aggregable plan.
     */

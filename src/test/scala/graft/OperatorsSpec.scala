@@ -136,6 +136,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Set(("a", 3.0), ("a", 2.0), ("b", 9.0)))
   }
 
+  test("histogram bins equi-width, clamps the max, skips nulls and all-null columns") {
+    val df = Seq[(Double, Option[Double], Option[Double])](
+      (0.0, Some(5.0), None),
+      (2.5, Some(5.0), None),
+      (5.0, Some(5.0), None),  // max of 'a' → clamped into the LAST bin
+      (10.0, None, None)
+    ).toDF("a", "c", "z")
+    val out = Summaries.histogram(df, Seq("a", "c", "z"), nBins = 2)
+      .select("col_name", "bin", "lo", "hi", "n")
+      .as[(String, Long, Double, Double, Long)].collect().toSet
+    assert(out === Set(
+      ("a", 0L, 0.0, 5.0, 2L),   // 0.0, 2.5
+      ("a", 1L, 5.0, 10.0, 2L),  // 5.0, 10.0 (max clamped in)
+      ("c", 0L, 5.0, 5.0, 3L)))  // constant column → single bin, null skipped
+  }
+
   test("forwardFill carries the last non-null value forward per key, in order") {
     val df = Seq(
       ("u1", 1L, Some(10.0), Some("a")),
