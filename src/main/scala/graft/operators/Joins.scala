@@ -219,7 +219,10 @@ object Joins {
     require(!pLower.contains("__bucket") && !iLower.contains("__bucket"),
       "rangeJoin working column '__bucket' already exists")
     val wUs = bucketWidthSec * 1000000L
-    def bucketOf(c: Column): Column = floor(unix_micros(c) / wUs)
+    // cast-to-TIMESTAMP first: parquet written by other engines often
+    // reads back TIMESTAMP_NTZ, which unix_micros rejects; both sides go
+    // through the SAME cast so bucketing stays consistent either way
+    def bucketOf(c: Column): Column = floor(unix_micros(c.cast("timestamp")) / wUs)
     val pTagged = points.filter(col(ptCol).isNotNull)
       .withColumn("__bucket", bucketOf(col(ptCol)))
     val span = bucketOf(col(endCol)) - bucketOf(col(startCol)) + 1
