@@ -1483,7 +1483,26 @@ object Oracles {
            FROM u JOIN s ON u.col_name = s.col_name WHERE u.v IS NOT NULL)
          SELECT col_name, bin, round(slo + bin * w, 5) AS lo,
            round(slo + (bin + 1) * w, 5) AS hi, count(*) AS n
-         FROM b GROUP BY 1, 2, slo, w"""
+         FROM b GROUP BY 1, 2, slo, w""",
+
+    // q88: TF-IDF replayed — same normalization, N = ALL docs, same
+    // 5-dp rounding and (score desc, term asc) cut
+    "q88_tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         tf AS (SELECT doc_id, term, count(*) AS n_td FROM toks GROUP BY 1, 2),
+         len AS (SELECT doc_id, sum(n_td) AS len FROM tf GROUP BY 1),
+         df AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+         n AS (SELECT greatest(count(*), 1) AS nd FROM documents),
+         scored AS (SELECT tf.doc_id, tf.term, tf.n_td,
+             round((CAST(tf.n_td AS DOUBLE) / len.len)
+               * ln(CAST((SELECT nd FROM n) AS DOUBLE) / df.df_t), 5) AS score
+           FROM tf JOIN len USING (doc_id) JOIN df USING (term))
+         SELECT doc_id, term, n_td, score, CAST(rank AS BIGINT) AS rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term) AS rank FROM scored)
+         WHERE rank <= 5"""
   )
 
   /** q47: the LIKE-chain CASE is generated from [[Queries.q47Rules]] —

@@ -1022,6 +1022,11 @@ object Queries {
       Quality.collocations(docs, "text", minCount = 5, topK = 100)
     }),
 
+    // TF-IDF keyword extraction: top-5 terms per document by normalized
+    // term frequency × inverse document frequency
+    "q88_tfidf_terms" -> ((s, d) =>
+      Quality.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", topK = 5)),
+
     // Equi-width histograms for the dataset card: distribution shape of
     // the q62 profile columns, one stats job + one binning pass
     "q87_histogram" -> ((s, d) =>

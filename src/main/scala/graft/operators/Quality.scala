@@ -362,6 +362,58 @@ object Quality {
       .select(explode(col("top")).as("r")).select(col("r.*"))
   }
 
+  /** TF-IDF keyword extraction: the topK terms per document by
+    * (n_td / len_d) · ln(N / df_t) — term frequency normalized by
+    * document length, weighted by inverse document frequency (classic
+    * Salton/Sparck-Jones weighting; public). N = ALL documents
+    * (including empty ones); a term in every document scores 0;
+    * documents with no tokens emit no rows. Ties resolve (score desc,
+    * term asc) — deterministic output.
+    *
+    * Scale notes: ONE scan, guaranteed — no fork that could silently
+    * rescan the corpus if exchange reuse doesn't fire. Document length
+    * rides the explode projection (`size` of the same token array), so
+    * no length window and no length join exist; document frequency is an
+    * UNORDERED count window over the term partition (key sort only, no
+    * frame buffer, no df join — the vocabulary is unbounded, so the join
+    * alternative can't broadcast either side). Per-doc top-K is
+    * `graft_top_k_by` (bounded heap, k rows per doc per map task — no
+    * rank window). The whole plan is: one (doc, term) hash agg, one
+    * term-keyed window, one top-K agg — zero joins, one corpus scan.
+    * N is one scalar count, a plan constant. 5-dp score rounding for
+    * engine portability.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val nDocs = docs.count().max(1L)
+    // explode_outer: plain explode makes Catalyst infer `size(arr) > 0`
+    // and push it BELOW the projection, re-evaluating the tokenization
+    // per row (the r2 journal lesson) — outer + null filter avoids it
+    val tf = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), size(col("__toks")).as("len"),
+        explode_outer(col("__toks")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("id", "term").agg(count(lit(1)).as("n_td"), max("len").as("len"))
+    val scored = tf
+      .withColumn("df_t", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
+      .withColumn("score", round(
+        (col("n_td").cast("double") / col("len")) *
+          log(lit(nDocs.toDouble) / col("df_t")), 5))
+    scored.groupBy("id")
+      .agg(call_function("graft_top_k_by",
+        struct(col("term"), col("n_td"), col("score")),
+        col("score"), col("term"), lit(topK)).as("top"))
+      .select(col("id"), posexplode(col("top")))
+      .select(col("id").as(idCol), col("col.term").as("term"),
+        col("col.n_td").as("n_td"), col("col.score").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Per-document repetition profile: token count, fraction of token
     * instances that are the single most frequent token, and fraction of
     * word n-gram instances that are repeats of an earlier instance

@@ -158,6 +158,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p.take(2000))
   }
 
+  test("q88 tfidf: ONE corpus scan, zero joins, heap top-k") {
+    val p = plan("q88_tfidf_terms")
+    // length rides the explode projection and df is an unordered term
+    // window, so the plan must have no join and exactly one scan — a
+    // forked tf (len window + df agg + join) would rescan the corpus
+    // whenever exchange reuse doesn't fire
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(2000))
+    assert("Window".r.findAllIn(p).size === 1, p.take(2000))
+    assert(p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"),
+      p.take(2000))
+  }
+
   test("q72 migration view is one shuffle-free codegen stage") {
     val p = plan("q72_migration_view")
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),

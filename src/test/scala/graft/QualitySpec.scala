@@ -119,6 +119,25 @@ class QualitySpec extends SparkSpec {
     assert(out.map(r => (r._1, r._2)).toSeq === expected)
   }
 
+  test("tfidfTopTerms ranks distinctive terms above ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared shared quantum"),
+      (2L, "shared shared shared plasma"),
+      (3L, "shared shared shared shared"),
+      (4L, null.asInstanceOf[String]), // no tokens → no rows, but counts in N
+      (5L, "  ")
+    ).toDF("doc_id", "text")
+    val out = Quality.tfidfTopTerms(docs, "doc_id", "text", topK = 2)
+      .select("doc_id", "term", "rank").as[(Long, String, Long)].collect()
+    // 'shared' is in every tokenized doc but N=5 counts the empty ones,
+    // so ln(5/3) > 0 — still, the unique term must outrank it
+    assert(out.filter(_._1 == 1L).minBy(_._3)._2 === "quantum")
+    assert(out.filter(_._1 == 2L).minBy(_._3)._2 === "plasma")
+    assert(!out.exists(r => r._1 == 4L || r._1 == 5L))
+    assert(out.count(_._1 == 3L) === 1) // only one distinct term exists
+  }
+
   test("unigramLogProb scores docs under the capped corpus distribution") {
     // vocab: a×2, b×1, z×1 → total 4; maxVocab=1 keeps only 'a'
     // (count desc, tok tie-break); b and z take the 1/total floor
