@@ -389,6 +389,36 @@ object Dedup {
     * Note: steps (1)-(2) run EAGERLY at call time (the filter build is
     * an action), unlike graft's otherwise-lazy operators.
     */
+  /** Serialized bloom filter over `history`'s text hashes — the build
+    * half of [[bloomGate]], exposed so a STREAMING ingest can probe it:
+    * build once per epoch from the batch history, then apply
+    * [[bloomProbe]] as a stateless projection on the stream. One
+    * distributed tree-aggregation pass; only the filter reaches the
+    * driver.
+    */
+  def historyBloom(history: DataFrame, textCol: String,
+                   expectedItems: Long, fpp: Double = 0.03): Array[Byte] = {
+    require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val bloom = history.select(xxhash64(col(textCol)).as("__h"))
+      .filter(col("__h").isNotNull)
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** TRUE when `textCol` is possibly in the filter's history (false
+    * positives at the filter's fpp rate; false ⇒ DEFINITELY new). A pure
+    * codegen projection — stateless, streaming-safe; the exact confirm
+    * join of [[bloomGate]] needs the increment's aggregated maybe-set,
+    * which a stream cannot produce, so a streaming gate uses this flag
+    * alone and routes the maybe-dups to a batch confirm. Caller must
+    * have run `GraftFunctions.ensureRegistered` on the session.
+    */
+  def bloomProbe(textCol: Column, bloomBytes: Array[Byte]): Column =
+    call_function("graft_bloom_contains", xxhash64(textCol), lit(bloomBytes))
+
   def bloomGate(increment: DataFrame, history: DataFrame, textCol: String,
                 expectedItems: Long, fpp: Double = 0.03,
                 flagCol: String = "is_new",
@@ -400,16 +430,8 @@ object Dedup {
         s"bloomGate output/working column '$c' already exists on the increment")
     }
     graft.functions.GraftFunctions.ensureRegistered(increment.sparkSession)
-    val bloom = history.select(xxhash64(col(textCol)).as("__h"))
-      .filter(col("__h").isNotNull)
-      .stat.bloomFilter("__h", expectedItems, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
-    val probe = call_function("graft_bloom_contains",
-      xxhash64(col(textCol)), lit(bytes))
+    val bytes = historyBloom(history, textCol, expectedItems, fpp)
+    val probe = bloomProbe(col(textCol), bytes)
     val maybeKeys = increment
       .filter(col(textCol).isNotNull && probe)
       .select(md5(col(textCol)).as("__k")).distinct()

@@ -93,6 +93,54 @@ class StreamBucketSpec extends SparkSpec {
     assert(res === Map(1L -> 1, 2L -> 1))
   }
 
+  test("streaming ingest probes the history bloom as a stateless projection") {
+    import graft.operators.Dedup
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val hist = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val bloom = Dedup.historyBloom(hist, "text", expectedItems = 100, fpp = 0.01)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_stream").toString
+    Seq((10L, "alpha"), (11L, "delta"), (12L, "beta"), (13L, "omega"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in1")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in*")
+      .withColumn("maybe_dup", Dedup.bloomProbe(col("text"), bloom))
+    val q = stream.writeStream.format("memory")
+      .queryName("bloom_stream").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val res = spark.table("bloom_stream").select("doc_id", "maybe_dup")
+      .as[(Long, Boolean)].collect().toMap
+    // history members MUST probe true (no false negatives); the fresh
+    // docs probe false at this sizing (a 1% filter over 3 items)
+    assert(res(10L) && res(12L), res.toString)
+    assert(!res(11L) && !res(13L), res.toString)
+  }
+
+  test("streaming forward-fill carries observations across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamFill
+    import graft.streaming.StreamFill.{Filled, Reading}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val in = MemoryStream[Reading]
+    val q = StreamFill.fill(in.toDS()).writeStream
+      .format("memory").queryName("fill_out").outputMode("append").start()
+    // batch 1: an observation, then a gap (arrives unsorted — the fold
+    // sorts per batch)
+    in.addData(Reading(1L, ts(2), 2L, None), Reading(1L, ts(1), 1L, Some(7.0)))
+    q.processAllAvailable()
+    // batch 2: the observation must carry over; a fresh key starts unfilled
+    in.addData(Reading(1L, ts(3), 3L, None), Reading(2L, ts(3), 4L, None))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("fill_out").as[Filled].collect()
+      .map(f => f.event_id -> ((f.value_filled, f.was_filled))).toMap
+    assert(out(1L) === ((Some(7.0), false)))
+    assert(out(2L) === ((Some(7.0), true)))  // intra-batch fill after sort
+    assert(out(3L) === ((Some(7.0), true)))  // carried ACROSS batches
+    assert(out(4L) === ((None, false)))      // fresh key: nothing to carry
+  }
+
   test("streaming decontamination gates leaked docs with a stateless flag") {
     import graft.operators.Quality
     // benchmark hash set is a plan constant → the gate is a pure
