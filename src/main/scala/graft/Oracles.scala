@@ -315,6 +315,36 @@ object Oracles {
                          THEN CAST(lnp AS DECIMAL(18,5)) END) AS VARCHAR) AS DOUBLE)
              / count(tok) AS mean_logprob
          FROM scored GROUP BY 1""",
+    "q89_perplexity_buckets" ->
+      """WITH base AS (SELECT doc_id,
+                  unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                              THEN [NULL]
+                              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS tok
+                FROM documents),
+         vocab AS (SELECT tok, count(*) AS c FROM base WHERE tok IS NOT NULL GROUP BY 1),
+         tot AS (SELECT greatest(sum(c), 1) AS total FROM vocab),
+         top AS (SELECT tok, c FROM vocab ORDER BY c DESC, tok LIMIT 24),
+         lnp AS (
+           SELECT b.doc_id, b.tok,
+             round(ln(coalesce(CAST(t.c AS DOUBLE), 1.0) / CAST(total AS DOUBLE)), 5) AS lnp
+           FROM base b CROSS JOIN tot LEFT JOIN top t ON b.tok = t.tok),
+         scored AS (
+           SELECT doc_id,
+             CAST(count(tok) AS BIGINT) AS n_tokens,
+             CAST(CAST(sum(CASE WHEN tok IS NOT NULL
+                           THEN CAST(lnp AS DECIMAL(18,5)) END) AS VARCHAR) AS DOUBLE)
+               / count(tok) AS mean_logprob
+           FROM lnp GROUP BY 1),
+         cuts AS (SELECT quantile_cont(mean_logprob, 1.0/3) AS lo,
+                         quantile_cont(mean_logprob, 2.0/3) AS hi
+                  FROM scored WHERE mean_logprob IS NOT NULL AND NOT isnan(mean_logprob))
+         SELECT doc_id, n_tokens, mean_logprob,
+           CASE WHEN mean_logprob IS NULL THEN NULL
+                WHEN mean_logprob < lo THEN 'tail'
+                WHEN mean_logprob < hi THEN 'middle'
+                ELSE 'head' END AS bucket
+         FROM scored CROSS JOIN cuts""",
+
     "q29_embed_neardup" -> embedNearDupOracle,
     "q30_ann_topk" -> annTopKOracle,
     "q31_ann_lsh" -> annLshOracle,

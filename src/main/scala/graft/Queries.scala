@@ -1022,6 +1022,15 @@ object Queries {
       Quality.collocations(docs, "text", minCount = 5, topK = 100)
     }),
 
+    // CCNet-style perplexity bucketing: head/middle/tail thirds by
+    // LM-score quantile — cutoffs are two scalar narrowing passes, the
+    // bucketing itself a plan-constant projection (no corpus rank window)
+    "q89_perplexity_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Quality.perplexityBuckets(docs, "doc_id", "text",
+        Quality.unigramVocab(docs, "text", maxVocab = 24))
+    }),
+
     // TF-IDF keyword extraction: top-5 terms per document by normalized
     // term frequency × inverse document frequency
     "q88_tfidf_terms" -> ((s, d) =>

@@ -309,6 +309,48 @@ object Quality {
       .withColumnRenamed("id", idCol)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
+    * public paper): score every document under a (capped-unigram) language
+    * model, then split the corpus into `head` / `middle` / `tail` thirds
+    * by LM-score quantile — head is the most-fluent slice that CCNet
+    * keeps for pretraining, tail the least. Output: the [[scoreUnderVocab]]
+    * columns plus a `bucket` column; docs with no tokens score NULL and
+    * bucket NULL (a downstream gate must see failed extractions, the q60
+    * rule).
+    *
+    * Bucket rule (strict-< boundaries so both engines agree on ties):
+    * score < q(qLow) ⇒ 'tail'; < q(qHigh) ⇒ 'middle'; else 'head'.
+    *
+    * Scale notes: the cutoffs are TWO scalar quantiles computed by
+    * [[Summaries.exactQuantile]]'s iterative 128-bucket narrowing (O(log)
+    * passes, never a value→count buffered aggregate), after which the
+    * bucketing itself is a pure plan-constant projection — no global
+    * sort, no rank window over the corpus. The scored frame is persisted
+    * (memory-and-disk, one slim row per doc) so the narrowing passes and
+    * the final projection share one scoring job; it stays cached for the
+    * returned DataFrame and is the caller's to unpersist.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        v: UnigramVocab, alpha: Double = 1.0,
+                        qLow: Double = 1.0 / 3,
+                        qHigh: Double = 2.0 / 3): DataFrame = {
+    require(qLow > 0 && qHigh < 1 && qLow < qHigh,
+      s"need 0 < qLow < qHigh < 1, got ($qLow, $qHigh)")
+    val scored = scoreUnderVocab(docs, idCol, textCol, v, alpha)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucket = (Summaries.exactQuantile(scored, "mean_logprob", qLow),
+      Summaries.exactQuantile(scored, "mean_logprob", qHigh)) match {
+      case (Some(lo), Some(hi)) =>
+        when(col("mean_logprob").isNull, lit(null).cast("string"))
+          .when(col("mean_logprob") < lit(lo), lit("tail"))
+          .when(col("mean_logprob") < lit(hi), lit("middle"))
+          .otherwise(lit("head"))
+      case _ => lit(null).cast("string") // no scored docs at all
+    }
+    scored.withColumn("bucket", bucket)
+  }
+
   /** Corpus collocation mining: the topK adjacent word pairs by pointwise
     * mutual information, PMI = ln(n_pair · N / (n_w1 · n_w2)) with an
     * `minCount` occurrence floor — the phrase-detection score family of

@@ -95,6 +95,32 @@ class QualitySpec extends SparkSpec {
     assert(out(2L) > out(3L) && out(2L) > out(4L), out.toString)
   }
 
+  test("perplexityBuckets splits the corpus into score-ordered thirds") {
+    import spark.implicits._
+    // 9 scorable docs with clearly separated fluency levels (repeated
+    // common tokens score high; rare-token soup scores low) + 1 empty
+    val docs = (Seq.tabulate(3)(i => (i.toLong, "the the the the the the")) ++
+      Seq.tabulate(3)(i => (i + 3L, "the cat sat on the mat")) ++
+      Seq.tabulate(3)(i => (i + 6L, s"zzq$i wxv$i qqj$i kkp$i mmr$i ttb$i")) :+
+      (9L, "")).toDF("doc_id", "text")
+    val v = Quality.unigramVocab(docs, "text", maxVocab = 8)
+    val out = Quality.perplexityBuckets(docs, "doc_id", "text", v)
+      .select("doc_id", "mean_logprob", "bucket")
+      .as[(Long, Option[Double], Option[String])].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // empty doc: NULL score, NULL bucket — but the row survives
+    assert(byId(9L)._2.isEmpty && byId(9L)._3.isEmpty)
+    // buckets are monotone in score: every head score >= every middle
+    // score >= every tail score
+    val g = out.filter(_._3.nonEmpty)
+      .groupBy(_._3.get).view.mapValues(_.flatMap(_._2)).toMap
+    assert(g.keySet === Set("head", "middle", "tail"), g.toString)
+    assert(g("head").min >= g("middle").max, g.toString)
+    assert(g("middle").min >= g("tail").max, g.toString)
+    // thirds: 9 scorable docs, 3 per bucket at the default quantiles
+    assert(g("head").size === 3 && g("middle").size === 3 && g("tail").size === 3)
+  }
+
   test("collocations surfaces high-PMI adjacent pairs above the count floor") {
     import spark.implicits._
     // "new york" always adjacent (PMI high); "the", "cat" frequent but
