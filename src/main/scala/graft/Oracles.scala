@@ -345,6 +345,34 @@ object Oracles {
                 ELSE 'head' END AS bucket
          FROM scored CROSS JOIN cuts""",
 
+    "q90_quality_classifier" -> {
+      // the same deterministic weights the catalog feeds the operator,
+      // interpolated as a literal — the model rides in the SQL too
+      val wlist = graft.operators.Quality.demoWeights(64)
+        .mkString("[", ", ", "]")
+      s"""WITH base AS (SELECT doc_id,
+                  unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                              THEN [NULL]
+                              ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS tok
+                FROM documents),
+         h AS (SELECT doc_id, tok,
+                 CAST(list_sum([(strpos('0123456789abcdef',
+                              substr(md5(tok), i + 1, 1)) - 1)
+                           * 16**(7 - i) for i in range(0, 8)]) AS BIGINT) % 64 AS b
+               FROM base),
+         w AS (SELECT doc_id, tok,
+                 round(($wlist)[CAST(b AS INT) + 1], 5) AS wt
+               FROM h),
+         s AS (SELECT doc_id,
+                 CAST(count(tok) AS BIGINT) AS n_tokens,
+                 CAST(CAST(sum(CASE WHEN tok IS NOT NULL
+                               THEN CAST(wt AS DECIMAL(18,5)) END) AS VARCHAR) AS DOUBLE)
+                   / count(tok) AS score
+               FROM w GROUP BY 1)
+         SELECT doc_id, n_tokens, score,
+           CAST(score >= 0.0 AS INT) AS keep FROM s"""
+    },
+
     "q29_embed_neardup" -> embedNearDupOracle,
     "q30_ann_topk" -> annTopKOracle,
     "q31_ann_lsh" -> annLshOracle,

@@ -1031,6 +1031,13 @@ object Queries {
         Quality.unigramVocab(docs, "text", maxVocab = 24))
     }),
 
+    // fastText-style hashed linear quality classifier: weights ride the
+    // plan as an array literal — one projection + one per-doc agg, zero
+    // joins/broadcasts at any corpus size
+    "q90_quality_classifier" -> ((s, d) =>
+      Quality.hashedLinearScore(Tables.documents(s, d), "doc_id", "text",
+        Quality.demoWeights(64))),
+
     // TF-IDF keyword extraction: top-5 terms per document by normalized
     // term frequency × inverse document frequency
     "q88_tfidf_terms" -> ((s, d) =>

@@ -351,6 +351,56 @@ object Quality {
     scored.withColumn("bucket", bucket)
   }
 
+  /** Linear quality classifier over hashed token features — the
+    * fastText-style filter (Joulin et al. 2017, "Bag of Tricks for
+    * Efficient Text Classification"; the GPT-3/WebText curation pattern:
+    * train a cheap linear model offline, score the whole crawl with it).
+    * Each token hashes into one of `weights.length` buckets (the hashing
+    * trick — no vocabulary table at all); a document's score is the mean
+    * bucket weight (+ `bias`), `keep` = score ≥ `threshold`. Docs with no
+    * tokens score NULL and keep NULL — the row survives for downstream
+    * gates.
+    *
+    * The hash is the PORTABLE md5 form (first 8 hex chars as an int), so
+    * an external trainer — or the DuckDB oracle — can reproduce bucket
+    * assignment exactly; per-token weights are 5-dp-rounded and summed as
+    * DECIMAL(18,5) (the q65 float discipline: order-independent,
+    * engine-portable means).
+    *
+    * Scale notes: the weight vector is a plan-constant array literal —
+    * scoring is ONE codegen projection + one per-doc hash aggregation;
+    * zero joins, zero broadcasts, no vocabulary shuffle at any corpus
+    * size. This is what makes classifier-scoring 100 TB-viable: the
+    * model rides in the plan, the corpus streams through it.
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        weights: Array[Double], bias: Double = 0.0,
+                        threshold: Double = 0.0): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val nB = weights.length
+    val base = tokenStream(docs, col(idCol), textCol)
+    val bucket = conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long") % nB
+    val wt = round(element_at(typedlit(weights.toSeq),
+      (bucket + 1).cast("int")), 5)
+    val mean = sum(when(col("tok").isNotNull, wt).cast("decimal(18,5)"))
+      .cast("double") / count(col("tok"))
+    val score = if (bias == 0.0) mean else mean + lit(bias)
+    base.groupBy("id").agg(
+        count(col("tok")).as("n_tokens"),
+        score.as("score"))
+      .withColumn("keep", (col("score") >= lit(threshold)).cast("int"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** A deterministic demo weight vector for [[hashedLinearScore]] —
+    * Knuth-hash integers quantized to 5 dp in [−1, 1], reproducible in
+    * any engine (the catalog's oracle interpolates the same values).
+    * Stands in for offline-trained weights; not a trained model.
+    */
+  def demoWeights(n: Int): Array[Double] =
+    Array.tabulate(n)(i => ((i * 2654435761L) % 200001L - 100000L) / 1e5)
+
   /** Corpus collocation mining: the topK adjacent word pairs by pointwise
     * mutual information, PMI = ln(n_pair · N / (n_w1 · n_w2)) with an
     * `minCount` occurrence floor — the phrase-detection score family of

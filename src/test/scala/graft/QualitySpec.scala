@@ -121,6 +121,30 @@ class QualitySpec extends SparkSpec {
     assert(g("head").size === 3 && g("middle").size === 3 && g("tail").size === 3)
   }
 
+  test("hashedLinearScore is the mean hashed-bucket weight; empty docs keep NULL") {
+    import spark.implicits._
+    val w = Quality.demoWeights(64)
+    def bucket(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(8), 16) % 64).toInt
+    }
+    val docs = Seq(
+      (1L, "alpha alpha alpha"),            // 3× one bucket → score = w[b]
+      (2L, "alpha beta"),                   // mean of two bucket weights
+      (3L, "")).toDF("doc_id", "text")
+    val out = Quality.hashedLinearScore(docs, "doc_id", "text", w)
+      .select("doc_id", "n_tokens", "score", "keep")
+      .as[(Long, Long, Option[Double], Option[Int])].collect()
+      .map(r => r._1 -> r).toMap
+    val wa = BigDecimal(w(bucket("alpha"))).setScale(5, BigDecimal.RoundingMode.HALF_UP)
+    val wb = BigDecimal(w(bucket("beta"))).setScale(5, BigDecimal.RoundingMode.HALF_UP)
+    assert(out(1L)._3.get === wa.toDouble)
+    assert(out(2L)._3.get === ((wa + wb) / 2).toDouble)
+    assert(out(1L)._4.get === (if (wa >= 0) 1 else 0))
+    assert(out(3L)._2 === 0L && out(3L)._3.isEmpty && out(3L)._4.isEmpty)
+  }
+
   test("collocations surfaces high-PMI adjacent pairs above the count floor") {
     import spark.implicits._
     // "new york" always adjacent (PMI high); "the", "cat" frequent but
