@@ -345,6 +345,22 @@ object Oracles {
                 ELSE 'head' END AS bucket
          FROM scored CROSS JOIN cuts""",
 
+    "q91_scd2_history" ->
+      """WITH runs AS (
+           SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+           FROM events),
+         r2 AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                FROM runs),
+         iv AS (SELECT user_id, event_type, run, min(ts) AS valid_from
+                FROM r2 GROUP BY 1, 2, 3)
+         SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+           CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL AS INT) AS is_current
+         FROM iv""",
+
     "q90_quality_classifier" -> {
       // the same deterministic weights the catalog feeds the operator,
       // interpolated as a literal — the model rides in the SQL too

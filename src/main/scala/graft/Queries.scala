@@ -1031,6 +1031,15 @@ object Queries {
         Quality.unigramVocab(docs, "text", maxVocab = 24))
     }),
 
+    // SCD type-2 history build: the events change-log collapsed into
+    // half-open validity intervals per user — one exchange end-to-end
+    "q91_scd2_history" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      Windows.scd2Intervals(e.select("user_id", "event_type", "ts", "event_id"),
+        Seq("user_id"), Seq(col("ts"), col("event_id")),
+        Seq("event_type"), col("ts"))
+    }),
+
     // fastText-style hashed linear quality classifier: weights ride the
     // plan as an array literal — one projection + one per-doc agg, zero
     // joins/broadcasts at any corpus size

@@ -70,4 +70,50 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumns(cols.map(c => c -> last(col(c), ignoreNulls = true).over(w)).toMap)
   }
+
+  /** Slowly-changing-dimension (SCD type 2) history build: collapse a
+    * change-log into validity intervals. Consecutive runs of identical
+    * `tracked` values per key (in `order`) become ONE row carrying
+    * `valid_from` (the run's first `tsCol`), `valid_to` (the NEXT run's
+    * `valid_from` — half-open [from, to) intervals, so an as-of lookup is
+    * `from <= t < to`) and `is_current` (1 on each key's last run). The
+    * standard Kimball type-2 dimension shape, built from raw events
+    * instead of per-load MERGE logic.
+    *
+    * Tracked-value changes are detected null-safely (NULL → value and
+    * value → NULL both open a new interval); a key whose value never
+    * changes yields exactly one current row.
+    *
+    * Scale notes: ONE exchange total. The run-id window shuffles on
+    * `keys` and sorts by `order`; the run aggregation groups by
+    * (keys, tracked, run) — clustered-satisfied by the window's hash
+    * partitioning, no second exchange — and the valid_to lead window
+    * rides the same partitioning. Runs, not raw rows, flow into the
+    * last two steps.
+    */
+  def scd2Intervals(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                    tracked: Seq[String], tsCol: Column): DataFrame = {
+    require(tracked.nonEmpty, "scd2Intervals needs at least one tracked column")
+    val reserved = Seq("__chg", "__run", "valid_from", "valid_to", "is_current")
+    df.columns.find(c => reserved.exists(_.equalsIgnoreCase(c))).foreach { c =>
+      throw new IllegalArgumentException(
+        s"scd2Intervals output/working column '$c' already exists on the input")
+    }
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(order.toIndexedSeq: _*)
+    val cur = struct(tracked.map(col).toIndexedSeq: _*)
+    // first row per key: lag is NULL, NULL <=> struct = false → run opens
+    val changed = when(!(lag(cur, 1).over(w) <=> cur), 1L).otherwise(0L)
+    val runs = df.withColumn("__chg", changed)
+      .withColumn("__run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val iv = runs
+      .groupBy(((keys ++ tracked).map(col) :+ col("__run")).toIndexedSeq: _*)
+      .agg(min(tsCol).as("valid_from"))
+    val w2 = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(col("__run"))
+    iv.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .drop("__run")
+  }
 }

@@ -173,6 +173,39 @@ class OperatorsSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size === 1, p.take(1200))
   }
 
+  test("scd2Intervals collapses value runs into half-open validity intervals") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val log = Seq(
+      ("u1", ts(1), 1L, Some("bronze")),
+      ("u1", ts(2), 2L, Some("bronze")),  // same value → same interval
+      ("u1", ts(3), 3L, Some("gold")),    // change → new interval
+      ("u1", ts(4), 4L, None),            // value → NULL opens an interval
+      ("u1", ts(5), 5L, Some("gold")),    // NULL → value opens another
+      ("u2", ts(9), 6L, Some("silver"))   // single-run key → one current row
+    ).toDF("u", "ts", "eid", "tier")
+    val out = Windows.scd2Intervals(log, Seq("u"), Seq(col("ts"), col("eid")),
+        Seq("tier"), col("ts"))
+      .select("u", "tier", "valid_from", "valid_to", "is_current")
+      .as[(String, Option[String], java.sql.Timestamp, Option[java.sql.Timestamp], Int)]
+      .collect().sortBy(r => (r._1, r._3.getTime))
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq === Seq(
+      ("u1", Some("bronze"), ts(1), Some(ts(3)), 0),
+      ("u1", Some("gold"), ts(3), Some(ts(4)), 0),
+      ("u1", None, ts(4), Some(ts(5)), 0),
+      ("u1", Some("gold"), ts(5), None, 1),
+      ("u2", Some("silver"), ts(9), None, 1)))
+    // one exchange end-to-end: run window, run agg, and lead window all
+    // share the hash(keys) partitioning
+    val p = Windows.scd2Intervals(log, Seq("u"), Seq(col("ts"), col("eid")),
+      Seq("tier"), col("ts")).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(1500))
+    // reserved-name guard
+    intercept[IllegalArgumentException] {
+      Windows.scd2Intervals(log.withColumnRenamed("tier", "valid_from"),
+        Seq("u"), Seq(col("ts")), Seq("valid_from"), col("ts"))
+    }
+  }
+
   test("multimodal synthesize produces binary payloads with typed metadata") {
     val base = Seq(1L, 2L, 3L).toDF("c_custkey")
     val media = Multimodal.synthesize(base, "c_custkey")
