@@ -345,6 +345,15 @@ object Oracles {
                 ELSE 'head' END AS bucket
          FROM scored CROSS JOIN cuts""",
 
+    "q92_sliding_stats" ->
+      """SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_1h,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE)
+             / count(value) OVER w AS avg_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
     "q91_scd2_history" ->
       """WITH runs AS (
            SELECT user_id, event_type, ts, event_id,

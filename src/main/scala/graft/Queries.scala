@@ -1031,6 +1031,17 @@ object Queries {
         Quality.unigramVocab(docs, "text", maxVocab = 24))
     }),
 
+    // Sliding time-window stats: per-user trailing-1h event count and
+    // mean value at every event — one key shuffle, incremental RANGE frame
+    "q92_sliding_stats" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      Windows.slidingRangeStats(
+          e.select("event_id", "user_id", "ts", "value"),
+          Seq("user_id"), col("ts"), col("value"), windowSec = 3600,
+          nName = "n_1h", avgName = "avg_1h")
+        .select("event_id", "user_id", "ts", "n_1h", "avg_1h")
+    }),
+
     // SCD type-2 history build: the events change-log collapsed into
     // half-open validity intervals per user — one exchange end-to-end
     "q91_scd2_history" -> ((s, d) => {

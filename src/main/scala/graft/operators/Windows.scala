@@ -71,6 +71,41 @@ object Windows {
     df.withColumns(cols.map(c => c -> last(col(c), ignoreNulls = true).over(w)).toMap)
   }
 
+  /** Sliding time-window statistics: per key, the row count and mean of
+    * `valueCol` over the trailing `windowSec`-second RANGE frame ending
+    * at each row (inclusive; rows with equal timestamps are frame peers).
+    * The rolling-rate / moving-average primitive — error rates over the
+    * last hour, per-sensor rolling means — that tumbling windows (q40)
+    * can't express because every row gets ITS OWN trailing frame.
+    *
+    * The frame is anchored on epoch MICROSECONDS (timestamps cast to
+    * session-zone TIMESTAMP first — `unix_micros` rejects NTZ inputs, the
+    * q83 lesson), so the window arithmetic is exact integer math. Mean
+    * follows the engine-portable float discipline: DECIMAL(18,4) sums
+    * cast to double, divided by the frame's non-null count (all-NULL
+    * frame → NULL mean).
+    *
+    * Scale notes: ONE exchange + one sort (the key/ts window); the RANGE
+    * frame is maintained incrementally by Spark's window operator —
+    * each partition streams once, no per-row rescans. Both added columns
+    * share the single Window operator.
+    */
+  def slidingRangeStats(df: DataFrame, keys: Seq[String], tsCol: Column,
+                        valueCol: Column, windowSec: Long,
+                        nName: String = "n_win",
+                        avgName: String = "avg_win"): DataFrame = {
+    require(windowSec > 0, s"windowSec must be > 0, got $windowSec")
+    val epochUs = unix_micros(tsCol.cast("timestamp"))
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(epochUs)
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    // one select, not chained withColumns: both expressions share the
+    // same window spec, so Catalyst plans ONE Window operator
+    df.select(col("*"),
+      count(lit(1)).over(w).as(nName),
+      (sum(valueCol.cast("decimal(18,4)")).over(w).cast("double") /
+        count(valueCol).over(w)).as(avgName))
+  }
+
   /** Slowly-changing-dimension (SCD type 2) history build: collapse a
     * change-log into validity intervals. Consecutive runs of identical
     * `tracked` values per key (in `order`) become ONE row carrying

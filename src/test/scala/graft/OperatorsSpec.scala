@@ -173,6 +173,30 @@ class OperatorsSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size === 1, p.take(1200))
   }
 
+  test("slidingRangeStats computes trailing-window count and mean per key") {
+    def ts(m: Int, s: Int = 0) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:$s%02d")
+    val df = Seq(
+      ("u1", 1L, ts(0), Some(10.0)),
+      ("u1", 2L, ts(30), Some(20.0)),   // frame: rows at 10:00..10:30
+      ("u1", 3L, ts(61), Some(30.0)),   // 10:00 fell out (61 min ago)
+      ("u1", 4L, ts(62), None),         // NULL value: counted in n, not avg
+      ("u2", 5L, ts(0), Some(5.0))
+    ).toDF("u", "eid", "ts", "v")
+    val out = Windows.slidingRangeStats(df, Seq("u"), col("ts"), col("v"),
+        windowSec = 3600)
+      .select("eid", "n_win", "avg_win")
+      .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((1L, Some(10.0))))
+    assert(out(2L) === ((2L, Some(15.0))))
+    assert(out(3L) === ((2L, Some(25.0))))  // 20 and 30 in frame
+    assert(out(4L) === ((3L, Some(25.0))))  // null v joins frame, avg unchanged
+    assert(out(5L) === ((1L, Some(5.0))))
+    // both stats share ONE Window operator
+    val p = Windows.slidingRangeStats(df, Seq("u"), col("ts"), col("v"), 3600)
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(p).size === 1, p.take(1200))
+  }
+
   test("scd2Intervals collapses value runs into half-open validity intervals") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
     val log = Seq(
