@@ -345,6 +345,17 @@ object Oracles {
                 ELSE 'head' END AS bucket
          FROM scored CROSS JOIN cuts""",
 
+    "q93_stratified_sample" ->
+      """WITH u AS (SELECT doc_id, lang,
+             list_sum([(strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR) || ':42'), i + 1, 1)) - 1)
+                       * 16**(7 - i) for i in range(0, 8)]) / 4294967296.0 AS uv
+           FROM documents),
+         r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY uv, doc_id) AS rnk
+               FROM u)
+         SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 40""",
+
     "q92_sliding_stats" ->
       """SELECT event_id, user_id, ts,
            count(*) OVER w AS n_1h,

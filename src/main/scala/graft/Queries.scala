@@ -1031,6 +1031,14 @@ object Queries {
         Quality.unigramVocab(docs, "text", maxVocab = 24))
     }),
 
+    // Exact-k deterministic stratified sample: each language keeps its
+    // 40 smallest-hash docs — bounded-heap agg, no window sort
+    "q93_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedExactK(
+          Tables.documents(s, d).select("doc_id", "lang", "text"),
+          col("lang"), col("doc_id"), k = 40, portable = true)
+        .select("doc_id", "lang", "rank")),
+
     // Sliding time-window stats: per-user trailing-1h event count and
     // mean value at every event — one key shuffle, incremental RANGE frame
     "q92_sliding_stats" -> ((s, d) => {

@@ -216,6 +216,40 @@ object Sampling {
     df.filter(uniform01(idCol, seed, portable) < frac)
   }
 
+  /** Deterministic EXACT-k sample per stratum — the distributed reservoir:
+    * every stratum keeps precisely min(k, |stratum|) rows, the ones whose
+    * uniform id-hash is smallest (tie → smallest id), plus a 1-based
+    * `rank` in hash order. Complements [[stratifiedFractions]] (expected
+    * fraction, zero shuffle) when the contract is an exact COUNT — eval
+    * sets, per-language audit samples, fixed-size dev splits — and stays
+    * reproducible under reruns, repartitioning, and corpus growth (a
+    * row's hash never changes, so adding data can only displace the
+    * largest kept hashes).
+    *
+    * NULL-id rows are excluded (sampling keys on identity), matching
+    * [[stratifiedFractions]].
+    *
+    * Scale notes: ONE `graft_top_k_by` bounded-heap aggregation over the
+    * full rows — each map task holds at most k rows per stratum, the
+    * shuffle moves only those k-row partials, and there is no window
+    * sort anywhere (a row_number formulation would sort every stratum).
+    * k×rowWidth per stratum per task is the only memory bound.
+    */
+  def stratifiedExactK(df: DataFrame, stratumCol: Column, idCol: Column,
+                       k: Int, seed: Long = 42L,
+                       portable: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val u = uniform01(idCol, seed, portable)
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.filter(idCol.isNotNull)
+      .groupBy(stratumCol.as("__stratum"))
+      .agg(call_function("graft_top_k_by", payload, -u, idCol, lit(k)).as("top"))
+      .select(posexplode(col("top")))
+      .select((df.columns.map(c => col(s"col.$c")) :+
+        (col("pos") + 1).cast("long").as("rank")).toIndexedSeq: _*)
+  }
+
   /** Temperature-balanced (α-sampling) mix fractions from OBSERVED stratum
     * sizes: sampling weight p_s ∝ n_s^α normalized over strata, target
     * take `total`·p_s, keep fraction min(1, total·p_s / n_s). α = 1 keeps

@@ -228,6 +228,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(b === Set("en"))
   }
 
+  test("stratifiedExactK keeps exactly k smallest-hash rows, grow-stable, no window") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("lang", when(pmod(col("id"), lit(4)) === 0, "en")
+        .when(pmod(col("id"), lit(4)) === 1, "de").otherwise("fr"))
+    def run(d: org.apache.spark.sql.DataFrame, k: Int) =
+      graft.operators.Sampling.stratifiedExactK(d, col("lang"), col("id"), k)
+        .select("id", "lang", "rank").as[(Long, String, Long)].collect()
+    val a = run(df, 10)
+    // exact k per stratum, ranks 1..k dense
+    assert(a.groupBy(_._2).view.mapValues(_.map(_._3).sorted.toSeq).toMap ===
+      Map("en" -> (1L to 10L), "de" -> (1L to 10L), "fr" -> (1L to 10L)))
+    // repartition-stable
+    assert(a.toSet === run(df.repartition(13), 10).toSet)
+    // grow-stable: the k=10 sample of a GROWN corpus still contains every
+    // survivor of the old corpus that wasn't displaced — and displacement
+    // only ever comes from NEW smaller hashes, so old ids selected at
+    // k=5 must be a subset of ids selected at k=10
+    val small = run(df, 5).map(r => (r._1, r._2)).toSet
+    assert(small.subsetOf(a.map(r => (r._1, r._2)).toSet))
+    // stratum smaller than k → whole stratum survives
+    val tiny = df.filter(col("id") < 3)
+    assert(run(tiny, 10).length === 3)
+    // null ids are excluded (sampling keys on identity)
+    val withNull = df.withColumn("id",
+      when(col("id") === 0, lit(null).cast("long")).otherwise(col("id")))
+    assert(!run(withNull, 10).exists(r => r._1 == 0))
+    // bounded-heap plan: no Window, no global Sort of the input
+    val p = graft.operators.Sampling.stratifiedExactK(df, col("lang"), col("id"), 10)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(1200))
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+  }
+
   test("dropRepeatedParagraphs: local keep-first only — other docs don't suppress") {
     import graft.functions.TextAnalysis
     val df = Seq(
