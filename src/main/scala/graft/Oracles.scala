@@ -345,6 +345,23 @@ object Oracles {
                 ELSE 'head' END AS bucket
          FROM scored CROSS JOIN cuts""",
 
+    "q94_inverted_index" ->
+      """WITH toks AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+         stats AS (SELECT term, count(*) AS n_docs, sum(tf) AS total_tf
+                   FROM tf GROUP BY 1),
+         ranked AS (SELECT term, doc_id, tf,
+                      row_number() OVER (PARTITION BY term
+                                         ORDER BY tf DESC, doc_id) AS rnk
+                    FROM tf)
+         SELECT r.term, s.n_docs, CAST(s.total_tf AS BIGINT) AS total_tf,
+           r.doc_id, r.tf, CAST(r.rnk AS BIGINT) AS rank
+         FROM ranked r JOIN stats s ON r.term = s.term
+         WHERE r.rnk <= 10""",
+
     "q93_stratified_sample" ->
       """WITH u AS (SELECT doc_id, lang,
              list_sum([(strpos('0123456789abcdef',

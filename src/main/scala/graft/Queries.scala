@@ -1031,6 +1031,11 @@ object Queries {
         Quality.unigramVocab(docs, "text", maxVocab = 24))
     }),
 
+    // Inverted index: term → document-frequency stats + top-10 postings
+    // by tf — two hash aggs + bounded heap, no joins, no windows
+    "q94_inverted_index" -> ((s, d) =>
+      Quality.invertedIndex(Tables.documents(s, d), "doc_id", "text")),
+
     // Exact-k deterministic stratified sample: each language keeps its
     // 40 smallest-hash docs — bounded-heap agg, no window sort
     "q93_stratified_sample" -> ((s, d) =>

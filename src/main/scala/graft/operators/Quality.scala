@@ -401,6 +401,40 @@ object Quality {
   def demoWeights(n: Int): Array[Double] =
     Array.tabulate(n)(i => ((i * 2654435761L) % 200001L - 100000L) / 1e5)
 
+  /** Inverted-index build: one row per (term, posting) with per-term
+    * document frequency, total term count, and the `topPostings`
+    * highest-tf documents (tf desc, doc asc; 1-based rank). The
+    * search/retrieval-side index the corpus tooling needs — keyword
+    * lookup, BM25-style retrieval feeds, duplicate-query mining — built
+    * as a table, not an in-memory structure.
+    *
+    * Scale notes: two map-side-combined hash aggregations — (doc, term)
+    * tf, then per-term stats + a `graft_top_k_by` bounded-heap posting
+    * cut (≤ topPostings rows per term per map task) — zero joins, zero
+    * windows, no global sort. Terms are the natural shuffle key; a
+    * skewed stop-word term still moves only its k-row partials.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    topPostings: Int = 10): DataFrame = {
+    require(topPostings >= 1, s"topPostings must be >= 1, got $topPostings")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val tf = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term").agg(
+        count(lit(1)).as("n_docs"),
+        sum("tf").as("total_tf"),
+        call_function("graft_top_k_by",
+          struct(col("id"), col("tf")), col("tf"), col("id"),
+          lit(topPostings)).as("top"))
+      .select(col("term"), col("n_docs"), col("total_tf"), posexplode(col("top")))
+      .select(col("term"), col("n_docs"), col("total_tf"),
+        col("col.id").as(idCol), col("col.tf").as("tf"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Corpus collocation mining: the topK adjacent word pairs by pointwise
     * mutual information, PMI = ln(n_pair · N / (n_w1 · n_w2)) with an
     * `minCount` occurrence floor — the phrase-detection score family of

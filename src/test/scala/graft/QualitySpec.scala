@@ -145,6 +145,32 @@ class QualitySpec extends SparkSpec {
     assert(out(3L)._2 === 0L && out(3L)._3.isEmpty && out(3L)._4.isEmpty)
   }
 
+  test("invertedIndex emits per-term stats and tf-ranked postings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Quality.invertedIndex(docs, "doc_id", "text", topPostings = 2)
+      .select("term", "n_docs", "total_tf", "doc_id", "tf", "rank")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val apple = out.filter(_._1 == "apple").sortBy(_._6)
+    // apple: df=2, total=3; postings ranked tf desc then doc asc
+    assert(apple.map(r => (r._2, r._3, r._4, r._5, r._6)).toSeq ===
+      Seq((2L, 3L, 1L, 2L, 1L), (2L, 3L, 2L, 1L, 2L)))
+    val banana = out.filter(_._1 == "banana").sortBy(_._6)
+    assert(banana.map(r => (r._4, r._5, r._6)).toSeq ===
+      Seq((3L, 3L, 1L), (1L, 1L, 2L)))
+    // topPostings caps the posting list, stats stay corpus-wide
+    val capped = Quality.invertedIndex(docs, "doc_id", "text", topPostings = 1)
+    assert(capped.filter(col("term") === "apple").count() === 1)
+    // empty doc contributes nothing; no joins/windows in the plan
+    val p = Quality.invertedIndex(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(1200))
+  }
+
   test("collocations surfaces high-PMI adjacent pairs above the count floor") {
     import spark.implicits._
     // "new york" always adjacent (PMI high); "the", "cat" frequent but
