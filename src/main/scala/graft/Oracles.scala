@@ -41,6 +41,48 @@ object Oracles {
   private def rhpBucketSql(v: String, nPlanes: Int, seed: String): String =
     s"""list_sum([CASE WHEN list_sum([CAST($v[i+1] AS DOUBLE) * (CASE WHEN ((1103515245*p + 12345*i + ($seed)) // 65536) % 2 = 1 THEN 1.0 ELSE -1.0 END) for i in range(0, 64)]) >= 0 THEN CAST(2**p AS BIGINT) ELSE 0 END for p in range(0, $nPlanes)])"""
 
+  /** Squared L2 over ONE PQ subspace: dims [1 + s·dsub, (s+1)·dsub] of a
+    * 1-based list; `s` may reference a column.
+    */
+  private def l2sqSubSql(a: String, b: String, s: String, dsub: Int): String =
+    s"""list_sum([(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))*(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE)) for i in range(1 + ($s)*$dsub, 1 + ($s)*$dsub + $dsub)])"""
+
+  /** q95: replicates PQ end-to-end — codebooks are the q37 stride pool
+    * sliced into 8 subspaces, codes are per-subspace argmin-L2 (cid
+    * tie-break, the graft_ivf_nearest contract), ADC = DECIMAL sum of
+    * 5-dp-rounded per-subspace distances (order-independent), top-5 by
+    * (adc, neighbor).
+    */
+  private def annPqOracle: String =
+    s"""WITH pool AS (
+         SELECT embedding AS centv, row_number() OVER (ORDER BY vec_id) - 1 AS i
+         FROM embeddings ORDER BY vec_id LIMIT 128),
+       cents AS (SELECT CAST(i // 8 AS INTEGER) AS cid, centv FROM pool WHERE i % 8 = 0),
+       sub AS (SELECT unnest(range(0, 8)) AS s),
+       c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       cd AS (
+         SELECT neighbor_id, s, cid,
+           row_number() OVER (PARTITION BY neighbor_id, s
+             ORDER BY ${l2sqSubSql("cv", "centv", "s", 8)}, cid) AS rn
+         FROM c CROSS JOIN cents CROSS JOIN sub),
+       code AS (SELECT neighbor_id, s, cid FROM cd WHERE rn = 1),
+       q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+       parts AS (
+         SELECT query_id, neighbor_id, code.s,
+           round(${l2sqSubSql("qv", "cents.centv", "code.s", 8)}, 5) AS pd
+         FROM q CROSS JOIN code JOIN cents ON cents.cid = code.cid
+         WHERE query_id <> neighbor_id),
+       scored AS (
+         SELECT query_id, neighbor_id,
+           CAST(CAST(sum(CAST(pd AS DECIMAL(18,5))) AS VARCHAR) AS DOUBLE) AS adc
+         FROM parts GROUP BY 1, 2),
+       ranked AS (
+         SELECT query_id, neighbor_id, adc,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+         FROM scored)
+       SELECT query_id, neighbor_id, round(adc, 4) AS adc, CAST(rank AS BIGINT) AS rank
+       FROM ranked WHERE rank <= 5"""
+
   private def topKSelect(k: Int): String =
     s"""ranked AS (
          SELECT query_id, neighbor_id, cos,
@@ -430,6 +472,7 @@ object Oracles {
     "q30_ann_topk" -> annTopKOracle,
     "q31_ann_lsh" -> annLshOracle,
     "q37_ann_ivf" -> annIvfOracle,
+    "q95_ann_pq" -> annPqOracle,
     "q01_agg_summary" ->
       """SELECT l_returnflag, l_linestatus,
          count(*) AS count_rows,

@@ -1031,6 +1031,18 @@ object Queries {
         Quality.unigramVocab(docs, "text", maxVocab = 24))
     }),
 
+    // Product-quantized ANN: corpus compressed to 8 subspace codes per
+    // vector (codebooks = the q37 stride pool sliced), ADC top-5 per
+    // query — the scan reads codes, never vectors
+    "q95_ann_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cbs = Ann.pqCodebooks(
+        Ann.strideCentroids(e, "vec_id", "embedding", nCentroids = 16), m = 8)
+      val codes = Ann.pqEncode(e, "vec_id", "embedding", cbs)
+      Ann.pqTopK(e.filter(pmod(col("vec_id"), lit(50)) === 0), codes,
+        "vec_id", "embedding", cbs, k = 5)
+    }),
+
     // Inverted index: term → document-frequency stats + top-10 postings
     // by tf — two hash aggs + bounded heap, no joins, no windows
     "q94_inverted_index" -> ((s, d) =>

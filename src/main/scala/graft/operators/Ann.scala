@@ -258,6 +258,90 @@ object Ann {
     (out, model)
   }
 
+  /** Split a centroid matrix into `m` per-subspace codebooks for product
+    * quantization: codebook s holds every centroid's s-th dim/m-wide
+    * slice. Deriving all subspace codebooks from ONE pool (stride sample
+    * or k-means) keeps training a single pass and makes the construction
+    * engine-replayable.
+    */
+  def pqCodebooks(cents: Array[Array[Float]], m: Int): Array[Array[Array[Float]]] = {
+    require(cents.nonEmpty, "pqCodebooks needs at least one centroid")
+    val dim = cents.head.length
+    require(m >= 1 && dim % m == 0,
+      s"subspace count $m must divide the vector dim $dim")
+    val dsub = dim / m
+    Array.tabulate(m)(s => cents.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** Product-quantization encode (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search" — public paper): each
+    * vector becomes `m` small codes, one per subspace — the nearest
+    * codebook centroid of that subspace's slice. With m=8 and 16
+    * centroids per codebook a 64-d float vector (256 B) compresses to 8
+    * codes (≤ 8 B) — the ~30× memory/IO reduction that lets a 100 TB
+    * embedding corpus's INDEX live in cluster memory while the raw
+    * vectors stay on disk.
+    *
+    * Scale notes: one codegen projection — every codebook rides the plan
+    * as a literal (`graft_ivf_nearest` per subspace slice), zero joins,
+    * zero shuffles, streaming-safe.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    require(codebooks.nonEmpty, "pqEncode needs at least one codebook")
+    val dsub = codebooks.head.head.length
+    val codes = array(codebooks.zipWithIndex.map { case (cb, s) =>
+      call_function("graft_ivf_nearest",
+        slice(col(vecCol), s * dsub + 1, dsub),
+        lit(GraftFunctions.encodeCents(cb)))
+    }.toIndexedSeq: _*)
+    df.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays a
+    * full vector, each candidate's distance is the sum of per-subspace
+    * L2² distances from the query's slice to the candidate's COded
+    * centroid — the corpus scan reads only the 8-byte code column, never
+    * the vectors. Per-subspace distances are 5-dp-rounded and summed as
+    * DECIMAL (order-independent, engine-portable — the q65 float
+    * discipline); output `adc` rounds to 4 dp with (adc asc, neighbor
+    * asc) ranking.
+    *
+    * Scale notes: queries broadcast (same contract as [[bruteForceTopK]]);
+    * the candidate scan is a codegen projection over codes with all m
+    * codebooks as plan constants; top-k is the bounded-heap aggregate —
+    * no window sort. Exactness: ADC is an approximation of true distance
+    * (quantization error); [[bruteForceTopK]] remains the declared
+    * yardstick.
+    */
+  def pqTopK(queries: DataFrame, codes: DataFrame, idCol: String,
+             vecCol: String, codebooks: Array[Array[Array[Float]]],
+             k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    require(codebooks.nonEmpty, "pqTopK needs at least one codebook")
+    val dsub = codebooks.head.head.length
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = codes.select(col(idCol).as("neighbor_id"), col("codes"))
+    val adc = codebooks.zipWithIndex.map { case (cb, s) =>
+      round(call_function("graft_vec_l2sq",
+        slice(col("qv"), s * dsub + 1, dsub),
+        element_at(typedLit(cb.map(_.toSeq).toSeq),
+          element_at(col("codes"), s + 1) + 1)), 5)
+        .cast("decimal(18,5)")
+    }.reduce(_ + _).cast("double")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+    scored.groupBy("query_id")
+      .agg(call_function("graft_top_k_by",
+        struct(col("neighbor_id"), col("adc")), -col("adc"),
+        col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        round(col("col.adc"), 4).as("adc"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Top-k by (cos desc, neighbor_id asc) via graft's bounded-heap
     * aggregate: O(log k) per candidate in ObjectHashAggregate, only k rows
     * per query per map task shuffle — a `row_number` window would sort

@@ -189,6 +189,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("PQ encodes per-subspace codes; ADC top-k stays within the true cluster") {
+    val cbs = Ann.pqCodebooks(
+      Ann.strideCentroids(clustered, "vec_id", "embedding", 16), m = 4)
+    assert(cbs.length === 4 &&
+      cbs.forall(cb => cb.length === 16 && cb.forall(_.length === 4)))
+    val codes = Ann.pqEncode(clustered, "vec_id", "embedding", cbs)
+    val carr = codes.select("codes").as[Seq[Int]].collect()
+    assert(carr.length === 200 &&
+      carr.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 16)))
+    val queries = clustered.filter(col("vec_id") < 4)
+    val top = Ann.pqTopK(queries, codes, "vec_id", "embedding", cbs, k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+    assert(top.length === 20)
+    // quantization error ≪ inter-cluster distance: every ADC neighbor
+    // must come from the query's own cluster (within-cluster ORDER may
+    // differ from exact — codes can tie — which is the declared
+    // approximation; bruteForceTopK stays the yardstick)
+    assert(top.forall(r => r._2 % 4 == r._1 % 4), top.sortBy(r => (r._1, r._3)).mkString(","))
+  }
+
   test("LSH topK finds the same top-1 as brute force for clustered data") {
     val queries = clustered.filter(col("vec_id") < 4)
     val lsh = Ann.lshTopK(queries, clustered, "vec_id", "embedding",
