@@ -387,6 +387,40 @@ object Oracles {
                 ELSE 'head' END AS bucket
          FROM scored CROSS JOIN cuts""",
 
+    "q96_funnel" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+         s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+         SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+           (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS steps_completed
+         FROM users u
+         LEFT JOIN s1 USING (user_id)
+         LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)""",
+
+    "q97_cohort_retention" ->
+      """WITH firsts AS (SELECT user_id,
+                  CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+                FROM events GROUP BY 1),
+         active AS (SELECT DISTINCT user_id,
+                  CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+         cells AS (SELECT cohort_week,
+                  CAST((week - cohort_week) // 7 AS INTEGER) AS week_offset,
+                  count(*) AS n_active
+                FROM active JOIN firsts USING (user_id) GROUP BY 1, 2),
+         sizes AS (SELECT cohort_week, count(*) AS n_cohort FROM firsts GROUP BY 1)
+         SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset, n_active, n_cohort
+         FROM cells JOIN sizes USING (cohort_week)""",
+
     "q94_inverted_index" ->
       """WITH toks AS (SELECT doc_id,
                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

@@ -1031,6 +1031,22 @@ object Queries {
         Quality.unigramVocab(docs, "text", maxVocab = 24))
     }),
 
+    // Ordered funnel: view → click → purchase progression per user, each
+    // step strictly after the previous; all shuffles share hash(user_id)
+    "q96_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      Funnel.funnelSteps(e.select("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    }),
+
+    // Weekly cohort-retention triangle: cohort by first-event week,
+    // activity cells with cohort sizes for rate computation
+    "q97_cohort_retention" -> ((s, d) =>
+      // date → string for the oracle compare (DuckDB DATEs surface as
+      // timestamps through pandas); the operator itself keeps DateType
+      Summaries.cohortRetention(Tables.events(s, d), "user_id", "ts")
+        .withColumn("cohort_week", col("cohort_week").cast("string"))),
+
     // Product-quantized ANN: corpus compressed to 8 subspace codes per
     // vector (codebooks = the q37 stride pool sliced), ADC top-5 per
     // query — the scan reads codes, never vectors

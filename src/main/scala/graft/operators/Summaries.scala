@@ -370,6 +370,34 @@ object Summaries {
     Some((kHi - r) * loV + (r - kLo) * hiV)
   }
 
+  /** Weekly cohort-retention matrix: entities are grouped into cohorts by
+    * the week of their FIRST event; each (cohort_week, week_offset) cell
+    * counts how many of that cohort were active `offset` weeks later —
+    * the standard retention triangle, plus `n_cohort` so rates are
+    * computable without a second query. Weeks are `date_trunc('week')`
+    * (ISO Monday) and the offset is exact integer day-arithmetic.
+    *
+    * Scale notes: first-event aggregation and the per-entity activity
+    * distinct are both keyed on the entity id — the join between them
+    * reuses that partitioning (no third exchange); the final cell
+    * aggregation runs over (entity, week) rows, already collapsed far
+    * below event cardinality by the map-side distinct. Cohort sizes ride
+    * a broadcast of the tiny per-cohort count.
+    */
+  def cohortRetention(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val firsts = df.groupBy(col(keyCol))
+      .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort_week"))
+    val active = df.select(col(keyCol),
+      date_trunc("week", col(tsCol)).cast("date").as("week")).distinct()
+    val cells = active.join(firsts, Seq(keyCol))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = firsts.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
+    cells.join(broadcast(sizes), Seq("cohort_week"))
+      .select("cohort_week", "week_offset", "n_active", "n_cohort")
+  }
+
   /** Completeness counting only non-null AND non-blank values — the
     * reference's string-column semantics (maternal_completeness treats ''
     * as missing). Same single-pass shape as [[completeness]].

@@ -197,6 +197,49 @@ class OperatorsSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size === 1, p.take(1200))
   }
 
+  test("funnelSteps enforces strict event order and reports the drop-off base") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val events = Seq(
+      // u1 completes in order
+      ("u1", ts(1), "view"), ("u1", ts(2), "click"), ("u1", ts(3), "purchase"),
+      // u2: purchase BEFORE click → funnel stops at click
+      ("u2", ts(1), "view"), ("u2", ts(3), "click"), ("u2", ts(2), "purchase"),
+      // u3: click before view → only the view counts
+      ("u3", ts(2), "view"), ("u3", ts(1), "click"),
+      // u4: never viewed → base row with zero steps
+      ("u4", ts(1), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnelSteps(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select("user_id", "steps_completed").as[(String, Int)].collect().toMap
+    assert(out === Map("u1" -> 3, "u2" -> 2, "u3" -> 1, "u4" -> 0))
+    // reserved-name guard
+    intercept[IllegalArgumentException] {
+      Funnel.funnelSteps(events.withColumn("t1", lit(1)), "user_id", "ts",
+        "event_type", Seq("view"))
+    }
+  }
+
+  test("cohortRetention counts cohort activity by week offset") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2026-03-$d%02d 12:00:00")
+    // 2026-03-02 is a Monday: w0 = Mar 2, w1 = Mar 9, w2 = Mar 16
+    val events = Seq(
+      ("u1", ts(2)), ("u1", ts(10)), ("u1", ts(17)),  // cohort w0, active w0/w1/w2
+      ("u2", ts(3)), ("u2", ts(4)),                   // cohort w0, active w0 only
+      ("u3", ts(9)), ("u3", ts(16))                   // cohort w1, active w1/w2
+    ).toDF("user_id", "ts")
+    val out = Summaries.cohortRetention(events, "user_id", "ts")
+      .select("cohort_week", "week_offset", "n_active", "n_cohort")
+      .as[(java.sql.Date, Int, Long, Long)].collect()
+      .map(r => (r._1.toString, r._2) -> ((r._3, r._4))).toMap
+    assert(out === Map(
+      ("2026-03-02", 0) -> ((2L, 2L)),
+      ("2026-03-02", 1) -> ((1L, 2L)),
+      ("2026-03-02", 2) -> ((1L, 2L)),
+      ("2026-03-09", 0) -> ((1L, 1L)),
+      ("2026-03-09", 1) -> ((1L, 1L))))
+  }
+
   test("scd2Intervals collapses value runs into half-open validity intervals") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
     val log = Seq(
