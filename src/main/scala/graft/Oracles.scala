@@ -387,6 +387,37 @@ object Oracles {
                 ELSE 'head' END AS bucket
          FROM scored CROSS JOIN cuts""",
 
+    "q98_bm25_topk" ->
+      """WITH base AS (SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         stats AS (SELECT greatest(count(*), 1) AS n,
+                     sum(len(toks)) AS tot FROM base),
+         terms AS (SELECT unnest(['spark', 'join', 'query']) AS term),
+         hits AS (SELECT doc_id, len(toks) AS dl,
+                    unnest(list_filter(toks,
+                      x -> list_contains(['spark', 'join', 'query'], x))) AS term
+                  FROM base),
+         tfc AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+                 FROM hits GROUP BY 1, 2),
+         dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+         idf AS (SELECT t.term,
+                   round(ln((n - coalesce(df, 0) + 0.5) / (coalesce(df, 0) + 0.5) + 1.0), 5) AS idf
+                 FROM terms t LEFT JOIN dfs USING (term) CROSS JOIN stats),
+         scored AS (SELECT doc_id,
+                      CAST(round((idf * (tf * (1.2 + 1.0)))
+                        / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / n)))), 5)
+                        AS DECIMAL(18,5)) AS s
+                    FROM tfc JOIN idf USING (term) CROSS JOIN stats),
+         agg AS (SELECT doc_id, CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE) AS bm25
+                 FROM scored GROUP BY 1),
+         ranked AS (SELECT doc_id, bm25,
+                      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+                    FROM agg)
+         SELECT doc_id, bm25, CAST(rnk AS BIGINT) AS rank
+         FROM ranked WHERE rnk <= 20""",
+
     "q96_funnel" ->
       """WITH users AS (SELECT DISTINCT user_id FROM events),
          s1 AS (SELECT user_id, min(ts) AS t1 FROM events

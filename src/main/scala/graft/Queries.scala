@@ -1031,6 +1031,13 @@ object Queries {
         Quality.unigramVocab(docs, "text", maxVocab = 24))
     }),
 
+    // BM25 ranked retrieval: top-20 docs for a fixed query — corpus
+    // stats and idf are plan constants, one filtered token pass, global
+    // bounded-heap top-k
+    "q98_bm25_topk" -> ((s, d) =>
+      Quality.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "query"))),
+
     // Ordered funnel: view → click → purchase progression per user, each
     // step strictly after the previous; all shuffles share hash(user_id)
     "q96_funnel" -> ((s, d) => {

