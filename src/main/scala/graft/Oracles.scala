@@ -387,6 +387,42 @@ object Oracles {
                 ELSE 'head' END AS bucket
          FROM scored CROSS JOIN cuts""",
 
+    "q99_top_paths" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                  WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+                  ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+         idx AS (
+           SELECT user_id, ts, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_type
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM flagged),
+         paths AS (
+           SELECT user_id, sess,
+             array_to_string((list(event_type ORDER BY ts, event_type))[1:8], '>') AS path
+           FROM idx GROUP BY 1, 2),
+         counts AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1),
+         ranked AS (SELECT path, n_sessions,
+             row_number() OVER (ORDER BY n_sessions DESC, path) AS rnk
+           FROM counts)
+         SELECT path, n_sessions, CAST(rnk AS BIGINT) AS rank
+         FROM ranked WHERE rnk <= 20""",
+
+    "q100_transitions" ->
+      """WITH pairs AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events),
+         m AS (SELECT from_type, to_type, count(*) AS n
+               FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, sum(n) AS n_from FROM m GROUP BY 1)
+         SELECT m.from_type, m.to_type, m.n, CAST(t.n_from AS BIGINT) AS n_from,
+           CAST(m.n AS DOUBLE) / t.n_from AS p
+         FROM m JOIN tot t USING (from_type)""",
+
     "q98_bm25_topk" ->
       """WITH base AS (SELECT doc_id,
                   regexp_split_to_array(lower(trim(text)), '\s+') AS toks

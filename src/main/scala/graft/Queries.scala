@@ -1031,6 +1031,19 @@ object Queries {
         Quality.unigramVocab(docs, "text", maxVocab = 24))
     }),
 
+    // Top session paths: most common first-8-event sequences across
+    // gap-split sessions — one session window, one path agg, global heap
+    "q99_top_paths" -> ((s, d) =>
+      Funnel.topPaths(Tables.events(s, d).select("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type")),
+
+    // Markov transition matrix: consecutive-event (from → to) counts and
+    // conditional probabilities per entity timeline
+    "q100_transitions" -> ((s, d) =>
+      Funnel.transitionMatrix(
+        Tables.events(s, d).select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type")),
+
     // BM25 ranked retrieval: top-20 docs for a fixed query — corpus
     // stats and idf are plan constants, one filtered token pass, global
     // bounded-heap top-k

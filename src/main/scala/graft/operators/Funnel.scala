@@ -50,4 +50,70 @@ object Funnel {
       steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
         .reduce(_ + _))
   }
+
+  /** Top-K most common session paths: sessions split on `gapSec`-second
+    * inactivity (the q33 rule), each session's first `maxLen` event types
+    * joined into a path string, counted corpus-wide, top-K by (count
+    * desc, path asc). The "what do users actually do" view — funnels
+    * measure ONE hypothesized sequence, paths surface the real ones.
+    *
+    * Scale notes: sessionization is the one key shuffle + sort; the path
+    * build is a per-session `sort_array(collect_list)` whose size is
+    * bounded by the session gap (and hard-capped at `maxLen` in the
+    * output), then ONE path-count hash agg and ONE global bounded-heap
+    * top-K — no second sort, no global ranking window.
+    */
+  def topPaths(df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+               gapSec: Long = 1800, maxLen: Int = 8,
+               topK: Int = 20): DataFrame = {
+    require(maxLen >= 1 && topK >= 1, "maxLen and topK must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(typeCol))
+    val newSess = when(unix_timestamp(col(tsCol)) -
+      unix_timestamp(lag(col(tsCol), 1).over(w)) > gapSec, 1L).otherwise(lit(0L))
+    val sessions = df
+      .withColumn("__new", coalesce(newSess, lit(0L)))
+      .withColumn("__sess", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sessions
+      .groupBy(col(keyCol), col("__sess"))
+      .agg(concat_ws(">", slice(transform(
+        sort_array(collect_list(struct(col(tsCol), col(typeCol)))),
+        s => s.getField(typeCol)), 1, maxLen)).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    paths.groupBy()
+      .agg(call_function("graft_top_k_by",
+        struct(col("path"), col("n_sessions")), col("n_sessions"), col("path"),
+        lit(topK)).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.path").as("path"), col("col.n_sessions").as("n_sessions"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** First-order (Markov) transition matrix over consecutive events per
+    * entity: for every (from_type → to_type) pair, the transition count
+    * and conditional probability p(to | from). The behavioral fingerprint
+    * that powers next-step prediction baselines and anomaly screens.
+    * `tieCol` must make (tsCol, tieCol) a total order per entity.
+    *
+    * Scale notes: one key shuffle + sort (the lead window), one pair hash
+    * agg; the per-from totals are an aggregation OF THE MATRIX (≤ |types|²
+    * rows), broadcast back — the raw events are scanned exactly once.
+    * p = exact integer count ÷ exact integer total: engine-portable
+    * without rounding.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .withColumn("__to", lead(col(typeCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .withColumn("p", col("n").cast("double") / col("n_from"))
+  }
 }

@@ -220,6 +220,45 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("topPaths splits on the gap, caps path length, ranks by frequency") {
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val events = Seq(
+      // u1 session 1: a>b ; session 2 after 1h gap: a>b
+      ("u1", ts(10, 0), "a"), ("u1", ts(10, 1), "b"),
+      ("u1", ts(12, 0), "a"), ("u1", ts(12, 1), "b"),
+      // u2: a>b once, then c alone in a later session
+      ("u2", ts(10, 0), "a"), ("u2", ts(10, 1), "b"),
+      ("u2", ts(13, 0), "c")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.topPaths(events, "user_id", "ts", "event_type",
+        gapSec = 1800, maxLen = 8, topK = 5)
+      .select("path", "n_sessions", "rank").as[(String, Long, Long)].collect()
+      .sortBy(_._3)
+    assert(out.map(r => (r._1, r._2)).toSeq === Seq(("a>b", 3L), ("c", 1L)))
+    // maxLen truncates the path
+    val long = Seq.tabulate(5)(i => ("u", ts(10, i), s"e$i")).toDF("user_id", "ts", "event_type")
+    val capped = Funnel.topPaths(long, "user_id", "ts", "event_type",
+      maxLen = 3, topK = 1).select("path").as[String].head()
+    assert(capped === "e0>e1>e2")
+  }
+
+  test("transitionMatrix counts consecutive pairs with exact probabilities") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val events = Seq(
+      ("u1", ts(1), 1L, "a"), ("u1", ts(2), 2L, "b"), ("u1", ts(3), 3L, "a"),
+      ("u2", ts(1), 4L, "a"), ("u2", ts(2), 5L, "c")
+      // u1: a→b, b→a ; u2: a→c — last events emit nothing
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Funnel.transitionMatrix(events, "user_id", "ts", "event_id", "event_type")
+      .select("from_type", "to_type", "n", "n_from", "p")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out === Map(
+      ("a", "b") -> ((1L, 2L, 0.5)),
+      ("a", "c") -> ((1L, 2L, 0.5)),
+      ("b", "a") -> ((1L, 1L, 1.0))))
+  }
+
   test("cohortRetention counts cohort activity by week offset") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2026-03-$d%02d 12:00:00")
     // 2026-03-02 is a Monday: w0 = Mar 2, w1 = Mar 9, w2 = Mar 16
