@@ -80,7 +80,7 @@ object Oracles {
          SELECT query_id, neighbor_id, adc,
            row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
          FROM scored)
-       SELECT query_id, neighbor_id, round(adc, 4) AS adc, CAST(rank AS BIGINT) AS rank
+       SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank
        FROM ranked WHERE rank <= 5"""
 
   private def topKSelect(k: Int): String =

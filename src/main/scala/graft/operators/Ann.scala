@@ -305,8 +305,12 @@ object Ann {
     * centroid — the corpus scan reads only the 8-byte code column, never
     * the vectors. Per-subspace distances are 5-dp-rounded and summed as
     * DECIMAL (order-independent, engine-portable — the q65 float
-    * discipline); output `adc` rounds to 4 dp with (adc asc, neighbor
-    * asc) ranking.
+    * discipline), so the output `adc` is ALREADY 5-dp-quantized — it is
+    * emitted as-is, NOT re-rounded coarser: re-rounding a quantized
+    * decimal at a coarser scale sits exactly on half-boundaries
+    * (x.xxxx5), where engines legitimately disagree (Spark rounds the
+    * decimal's string value, C engines round the double product).
+    * Ranking is (adc asc, neighbor asc).
     *
     * Scale notes: queries broadcast (same contract as [[bruteForceTopK]]);
     * the candidate scan is a codegen projection over codes with all m
@@ -339,7 +343,7 @@ object Ann {
         col("neighbor_id"), lit(k)).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
-        round(col("col.adc"), 4).as("adc"), (col("pos") + 1).cast("long").as("rank"))
+        col("col.adc").as("adc"), (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Top-k by (cos desc, neighbor_id asc) via graft's bounded-heap
