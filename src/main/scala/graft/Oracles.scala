@@ -49,9 +49,10 @@ object Oracles {
 
   /** q95: replicates PQ end-to-end — codebooks are the q37 stride pool
     * sliced into 8 subspaces, codes are per-subspace argmin-L2 (cid
-    * tie-break, the graft_ivf_nearest contract), ADC = DECIMAL sum of
-    * 5-dp-rounded per-subspace distances (order-independent), top-5 by
-    * (adc, neighbor).
+    * tie-break, the graft_ivf_nearest contract), ADC = long sum of
+    * `floor(d·1e5 + 0.5)` 5-dp part units (pure IEEE multiply/add/floor —
+    * byte-identical to the kernel, no decimal/round() string semantics),
+    * top-5 by (adc, neighbor).
     */
   private def annPqOracle: String =
     s"""WITH pool AS (
@@ -69,12 +70,12 @@ object Oracles {
        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
        parts AS (
          SELECT query_id, neighbor_id, code.s,
-           round(${l2sqSubSql("qv", "cents.centv", "code.s", 8)}, 5) AS pd
+           CAST(floor(${l2sqSubSql("qv", "cents.centv", "code.s", 8)} * 100000.0 + 0.5) AS BIGINT) AS pu
          FROM q CROSS JOIN code JOIN cents ON cents.cid = code.cid
          WHERE query_id <> neighbor_id),
        scored AS (
          SELECT query_id, neighbor_id,
-           CAST(CAST(sum(CAST(pd AS DECIMAL(18,5))) AS VARCHAR) AS DOUBLE) AS adc
+           CAST(sum(pu) AS DOUBLE) / 100000.0 AS adc
          FROM parts GROUP BY 1, 2),
        ranked AS (
          SELECT query_id, neighbor_id, adc,

@@ -126,6 +126,31 @@ case class IvfNearestExpr(child: Expression, cents: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** PQ asymmetric distance: query vector × code array against the full
+  * codebook set shipped as ONE reference object. A kernel for the same
+  * reason as [[IvfNearestExpr]] — the combinator form (per-subspace
+  * `element_at` into a 2-D array literal) walks generic array data and
+  * boxes per element, which measured ~70× slower over a 10× pair probe.
+  */
+case class PqAdcExpr(left: Expression, right: Expression,
+                     books: Array[Array[Array[Float]]])
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType),
+      Seq(ArrayType(FloatType), ArrayType(IntegerType)))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.pqAdc($a, $b, $c);")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** IVF probe list: the nProbe nearest centroid ids, ascending (distance,
   * cid) — see [[IvfNearestExpr]] for why this is a kernel.
   */
@@ -328,6 +353,17 @@ object GraftFunctions {
     s.split(';').map(_.split(',').map(_.toFloat))
   }
 
+  /** PQ codebook-set literal: `|`-joined [[encodeCents]] blocks, one per
+    * subspace — same bit-exact Float round-trip.
+    */
+  def encodeBooks(books: Array[Array[Array[Float]]]): String =
+    books.map(encodeCents).mkString("|")
+
+  private def decodeBooks(s: String): Array[Array[Array[Float]]] = {
+    require(s.nonEmpty, "PQ kernels need at least one codebook")
+    s.split('|').map(decodeCents)
+  }
+
   /** Hash-set literal format for graft_ngram_any_in (comma-joined
     * decimals — ~20 bytes/hash in the plan; fine for eval-suite-sized
     * sets, the ~10⁶ ceiling contaminatedFlag documents).
@@ -374,6 +410,8 @@ object GraftFunctions {
     "graft_ivf_probes" -> (es =>
       IvfProbesExpr(es(0), decodeCents(stringLit(es(1), "centroids")),
         intLit(es(2), "nProbe"))),
+    "graft_pq_adc" -> (es =>
+      PqAdcExpr(es(0), es(1), decodeBooks(stringLit(es(2), "codebooks")))),
     "graft_lang_id" -> (es =>
       LangIdExpr(es(0), decodeMarkers(stringLit(es(1), "markers")))),
     "graft_lang_id_ngram" -> (es =>

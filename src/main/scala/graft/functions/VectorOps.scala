@@ -205,6 +205,37 @@ object VectorOps {
     new GenericArrayData(out)
   }
 
+  /** PQ asymmetric distance (ADC): Σ over subspaces of the L2² between
+    * the query's s-th slice and the candidate's CODED centroid, each part
+    * quantized to 5 dp as `floor(d·1e5 + 0.5)` in exact long units (the
+    * engine-portable rounding: pure IEEE multiply/add/floor, no decimal
+    * string semantics) and the parts summed as longs — order-independent
+    * and allocation-free. One tight primitive loop per pair; the
+    * codebooks arrive as one reference object.
+    */
+  def pqAdc(q: ArrayData, codes: ArrayData,
+            books: Array[Array[Array[Float]]]): Double = {
+    val xs = q.toFloatArray()
+    val m = books.length
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      val cb = books(s)(codes.getInt(s))
+      val dsub = cb.length
+      val off = s * dsub
+      var d = 0.0
+      var i = 0
+      while (i < dsub) {
+        val dv = xs(off + i).toDouble - cb(i).toDouble
+        d += dv * dv
+        i += 1
+      }
+      acc += math.floor(d * 1e5 + 0.5).toLong
+      s += 1
+    }
+    acc / 1e5
+  }
+
   /** 64-bit SimHash over a token array: per-bit ±1 vote of xxhash64(token)
     * (seed 42 — identical to the builtin `xxhash64`), bit set when votes
     * are strictly positive.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions, Similarity}
 
@@ -301,39 +301,49 @@ object Ann {
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays a
     * full vector, each candidate's distance is the sum of per-subspace
-    * L2² distances from the query's slice to the candidate's COded
+    * L2² distances from the query's slice to the candidate's CODED
     * centroid — the corpus scan reads only the 8-byte code column, never
-    * the vectors. Per-subspace distances are 5-dp-rounded and summed as
-    * DECIMAL (order-independent, engine-portable — the q65 float
-    * discipline), so the output `adc` is ALREADY 5-dp-quantized — it is
-    * emitted as-is, NOT re-rounded coarser: re-rounding a quantized
-    * decimal at a coarser scale sits exactly on half-boundaries
-    * (x.xxxx5), where engines legitimately disagree (Spark rounds the
-    * decimal's string value, C engines round the double product).
-    * Ranking is (adc asc, neighbor asc).
+    * the vectors. Each part is 5-dp-quantized as `floor(d·1e5 + 0.5)` in
+    * exact long units and the parts summed as longs (order-independent,
+    * pure-IEEE — engine-portable without decimal string semantics); the
+    * output `adc` is emitted as-is, NOT re-rounded coarser (a quantized
+    * value re-rounded at a coarser scale sits exactly on half-boundaries,
+    * where engines legitimately disagree). Ranking is (adc asc,
+    * neighbor asc).
     *
-    * Scale notes: queries broadcast (same contract as [[bruteForceTopK]]);
-    * the candidate scan is a codegen projection over codes with all m
-    * codebooks as plan constants; top-k is the bounded-heap aggregate —
-    * no window sort. Exactness: ADC is an approximation of true distance
-    * (quantization error); [[bruteForceTopK]] remains the declared
-    * yardstick.
+    * Scale notes: the whole distance is ONE `graft_pq_adc` kernel call —
+    * all m codebooks ride as a single reference object and each pair is
+    * one tight primitive loop. The first cut composed per-subspace
+    * `element_at` lookups into a 2-D array literal instead: generic array
+    * traversal + per-element boxing made it ~70× slower at the 10× probe
+    * (252 s vs the kernel's brute-force-parity seconds) — the q37
+    * combinator-vs-kernel lesson again. Queries broadcast (same contract
+    * as [[bruteForceTopK]]); top-k is the bounded-heap aggregate — no
+    * window sort. ADC approximates true distance (quantization error);
+    * [[bruteForceTopK]] remains the declared yardstick.
+    *
+    * The codes side goes through an identity-`mapPartitions` CODEGEN
+    * BARRIER before the join. Whole-stage codegen fuses the stream-side
+    * projection into the nested-loop join and defers any expression the
+    * join condition doesn't reference into the inner loop — so when
+    * `codes` arrives as the UNMATERIALIZED [[pqEncode]] projection (the
+    * one-plan catalog composition), the full encode (m × |codebook| ×
+    * dsub multiplies per row) re-runs once per PAIR: measured 19.9 s vs
+    * 3.5 s stored-codes at the 10× probe. The barrier materializes each
+    * code row exactly once (4.2 s inline — brute-force parity); its cost
+    * is one row ser/deser per corpus row, O(N) against the join's O(N·Q)
+    * kernel work, so it stays on unconditionally even for stored codes.
     */
   def pqTopK(queries: DataFrame, codes: DataFrame, idCol: String,
              vecCol: String, codebooks: Array[Array[Array[Float]]],
              k: Int): DataFrame = {
     GraftFunctions.ensureRegistered(queries.sparkSession)
     require(codebooks.nonEmpty, "pqTopK needs at least one codebook")
-    val dsub = codebooks.head.head.length
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = codes.select(col(idCol).as("neighbor_id"), col("codes"))
-    val adc = codebooks.zipWithIndex.map { case (cb, s) =>
-      round(call_function("graft_vec_l2sq",
-        slice(col("qv"), s * dsub + 1, dsub),
-        element_at(typedLit(cb.map(_.toSeq).toSeq),
-          element_at(col("codes"), s + 1) + 1)), 5)
-        .cast("decimal(18,5)")
-    }.reduce(_ + _).cast("double")
+    val cRaw = codes.select(col(idCol).as("neighbor_id"), col("codes"))
+    val c = cRaw.mapPartitions(it => it)(Encoders.row(cRaw.schema))
+    val adc = call_function("graft_pq_adc", col("qv"), col("codes"),
+      lit(GraftFunctions.encodeBooks(codebooks)))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
