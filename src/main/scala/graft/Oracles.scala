@@ -1450,7 +1450,8 @@ object Oracles {
     // reassembly; a fully-duplicate doc's empty string_agg coalesces to ''
     "q74_paragraph_dedup" ->
       """WITH words AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           -- coalesce mirrors dedupParagraphs' NULL-text = empty-text rule
+           SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
          paras AS (
            SELECT doc_id, i - 1 AS idx,
              array_to_string(w[(i - 1) * 6 + 1 : i * 6], ' ') AS para
@@ -1559,7 +1560,7 @@ object Oracles {
     // the rounded values) and the comma-joined fail list in rule order
     "q79_gopher_filter" ->
       """WITH s AS (
-           SELECT doc_id,
+           SELECT doc_id, text IS NULL AS text_null,
              CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
              CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS chars,
@@ -1569,7 +1570,7 @@ object Oracles {
              len(regexp_split_to_array(trim(text), '\s+')) AS raw_toks
            FROM documents),
          sig AS (
-           SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           SELECT doc_id, text_null, CAST(n_words AS BIGINT) AS n_words,
              round(chars / greatest(n_words, 1), 4) AS mean_word_len,
              round(syms / greatest(n_words, 1), 4) AS symbol_ratio,
              round(stops / greatest(raw_toks, 1), 4) AS stop_ratio
@@ -1577,6 +1578,7 @@ object Oracles {
          f AS (
            SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_ratio,
              concat_ws(',',
+               CASE WHEN text_null THEN 'null_text' END,
                CASE WHEN n_words < 30 THEN 'too_few_words' END,
                CASE WHEN n_words > 90 THEN 'too_many_words' END,
                CASE WHEN mean_word_len < 3.0 THEN 'mean_word_len_low' END,

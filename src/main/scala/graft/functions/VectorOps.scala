@@ -217,6 +217,14 @@ object VectorOps {
             books: Array[Array[Array[Float]]]): Double = {
     val xs = q.toFloatArray()
     val m = books.length
+    // fail with the actual contract violation, not an
+    // ArrayIndexOutOfBoundsException from deep inside generated code
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"graft_pq_adc: code array has ${codes.numElements()} entries, codebooks expect $m")
+    if (xs.length != m * books(0)(0).length)
+      throw new IllegalArgumentException(
+        s"graft_pq_adc: query vector has dim ${xs.length}, codebooks expect ${m * books(0)(0).length}")
     var acc = 0L
     var s = 0
     while (s < m) {

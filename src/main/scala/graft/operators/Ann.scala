@@ -291,9 +291,18 @@ object Ann {
     GraftFunctions.ensureRegistered(df.sparkSession)
     require(codebooks.nonEmpty, "pqEncode needs at least one codebook")
     val dsub = codebooks.head.head.length
+    val dim = codebooks.length * dsub
+    // a vector of the wrong dim would SILENTLY encode garbage — slice()
+    // returns short arrays and the distance kernel's length guard scores
+    // truncated prefixes — so gate every row loudly instead
+    val guarded = when(col(vecCol).isNull || size(col(vecCol)) === lit(dim),
+        col(vecCol))
+      .otherwise(raise_error(concat(
+        lit("pqEncode: vector dim "), size(col(vecCol)).cast("string"),
+        lit(s" != codebook dim $dim"))))
     val codes = array(codebooks.zipWithIndex.map { case (cb, s) =>
       call_function("graft_ivf_nearest",
-        slice(col(vecCol), s * dsub + 1, dsub),
+        slice(guarded, s * dsub + 1, dsub),
         lit(GraftFunctions.encodeCents(cb)))
     }.toIndexedSeq: _*)
     df.select(col(idCol), codes.as("codes"))

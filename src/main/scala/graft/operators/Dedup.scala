@@ -92,7 +92,9 @@ object Dedup {
     * Returns one row per document: (idCol, n_paras, n_kept, clean_text) —
     * a fully-duplicate document keeps zero paragraphs and comes back with
     * `clean_text = ""` rather than vanishing (the caller decides whether
-    * empty docs die; Dolma drops them in a later length filter).
+    * empty docs die; Dolma drops them in a later length filter). NULL
+    * text is treated as empty text — the row survives with one empty
+    * paragraph, never silently dropped.
     *
     * Scale notes: the winner set is a hash AGGREGATION on the paragraph's
     * md5 (128-bit — collision-safe where a 64-bit key would birthday at
@@ -113,7 +115,12 @@ object Dedup {
       require(!df.columns.exists(_.equalsIgnoreCase(reserved)),
         s"dedupParagraphs uses '$reserved' internally — rename the existing column")
     }
-    val paras = df.select(col(idCol).as("__id"), posexplode(split(col(textCol), sepPattern)))
+    // NULL text coalesces to '' — split(NULL) is NULL and posexplode of
+    // NULL emits ZERO rows, which would vanish the document and break
+    // the one-row-per-doc contract; as '' it takes the same path as an
+    // empty-string doc (one empty paragraph, clean_text = "")
+    val paras = df.select(col(idCol).as("__id"),
+        posexplode(split(coalesce(col(textCol), lit("")), sepPattern)))
       .select(col("__id"), col("pos").as("__idx"), col("col").as("__para"),
         md5(col("col")).as("__h"))
     val winners = paras.groupBy(col("__h"))

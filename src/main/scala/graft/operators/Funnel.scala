@@ -68,6 +68,10 @@ object Funnel {
                topK: Int = 20): DataFrame = {
     require(maxLen >= 1 && topK >= 1, "maxLen and topK must be >= 1")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    Seq("__new", "__sess").foreach { reserved =>
+      require(!df.columns.exists(_.equalsIgnoreCase(reserved)),
+        s"topPaths uses '$reserved' internally — rename the existing column")
+    }
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(typeCol))
     val newSess = when(unix_timestamp(col(tsCol)) -

@@ -299,8 +299,13 @@ object Joins {
     val leftTagged = left.select((left.columns.map(col) ++ Seq(
       col(leftTs).as("__ts"), lit(1).as("__side"),
       lit(null).cast(tieType).as("__tie"), lit(null).cast(pType).as("__p"))): _*)
+    // match keys case-insensitively: col("USER_ID") RESOLVES against a
+    // physical user_id column, so an exact contains() here would treat
+    // the key as a payload column and null it out — silently unmatching
+    // every row (the reserved-name checks above are already
+    // case-insensitive for the same reason)
     val rightTagged = left.columns.foldLeft(rightSlim) { (df, c) =>
-      if (keys.contains(c)) df
+      if (keys.exists(_.equalsIgnoreCase(c))) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     // at equal timestamps right rows (side 0) sort BEFORE the left row —

@@ -182,7 +182,12 @@ object Quality {
     val symRatio = round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
       greatest(nWords, lit(1L)), 4)
     val stopRatio = graft.functions.TextAnalysis.stopwordRatioFast(text, stopwords)
+    // NULL text would NULL every signal, skip every when() branch and
+    // sail through with keep=1 — the one row a quality gate must never
+    // pass. An explicit first rule catches it (the other branches stay
+    // NULL and concat_ws skips them, so fails = "null_text" exactly).
     val checks: Seq[(String, Column)] = Seq(
+      "null_text"          -> text.isNull,
       "too_few_words"      -> (nWords < minWords),
       "too_many_words"     -> (nWords > maxWords),
       "mean_word_len_low"  -> (meanLen < minMeanLen),
@@ -327,9 +332,9 @@ object Quality {
     * passes, never a value→count buffered aggregate), after which the
     * bucketing itself is a pure plan-constant projection — no global
     * sort, no rank window over the corpus. The scored frame is persisted
-    * (memory-and-disk, one slim row per doc) so the narrowing passes and
-    * the final projection share one scoring job; it stays cached for the
-    * returned DataFrame and is the caller's to unpersist.
+    * (memory-and-disk, one slim row per doc) ONLY for the duration of the
+    * narrowing passes and unpersisted before returning — no cache outlives
+    * the call; the returned frame re-scores once when executed.
     */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                         v: UnigramVocab, alpha: Double = 1.0,
@@ -338,16 +343,19 @@ object Quality {
     require(qLow > 0 && qHigh < 1 && qLow < qHigh,
       s"need 0 < qLow < qHigh < 1, got ($qLow, $qHigh)")
     val scored = scoreUnderVocab(docs, idCol, textCol, v, alpha)
+    val cached = scored
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bucket = (Summaries.exactQuantile(scored, "mean_logprob", qLow),
-      Summaries.exactQuantile(scored, "mean_logprob", qHigh)) match {
-      case (Some(lo), Some(hi)) =>
-        when(col("mean_logprob").isNull, lit(null).cast("string"))
-          .when(col("mean_logprob") < lit(lo), lit("tail"))
-          .when(col("mean_logprob") < lit(hi), lit("middle"))
-          .otherwise(lit("head"))
-      case _ => lit(null).cast("string") // no scored docs at all
-    }
+    val bucket = try {
+      (Summaries.exactQuantile(cached, "mean_logprob", qLow),
+        Summaries.exactQuantile(cached, "mean_logprob", qHigh)) match {
+        case (Some(lo), Some(hi)) =>
+          when(col("mean_logprob").isNull, lit(null).cast("string"))
+            .when(col("mean_logprob") < lit(lo), lit("tail"))
+            .when(col("mean_logprob") < lit(hi), lit("middle"))
+            .otherwise(lit("head"))
+        case _ => lit(null).cast("string") // no scored docs at all
+      }
+    } finally cached.unpersist(blocking = false)
     scored.withColumn("bucket", bucket)
   }
 
@@ -572,7 +580,11 @@ object Quality {
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
     val statsRow = base.agg(count(lit(1)), sum(size(col("toks")))).head()
     val nDocs = math.max(statsRow.getLong(0), 1L)
-    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    // every-doc-null/blank corpus: count is 0 and sum is NULL — clamp
+    // avgdl to 1 instead of unboxing the NULL (the tf frame is empty, so
+    // the result is correctly empty either way)
+    val avgdl = (if (statsRow.isNullAt(1)) 1L else statsRow.getLong(1))
+      .toDouble / nDocs
     val dfMap = base
       .select(explode(array_intersect(col("toks"), termsLit)).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df")).collect()

@@ -194,6 +194,17 @@ class BestMatchSpec extends SparkSpec {
     assert(out(6L) === ((None, None)))
   }
 
+  test("asOf matches keys case-insensitively, like column resolution does") {
+    // col("K") RESOLVES against physical k, so the payload-nulling pass
+    // must not treat the differently-cased key as a payload column (that
+    // silently nulled the right side's key and unmatched every row)
+    val l = Seq((1L, "k1", ts("2026-01-01 10:00:00"))).toDF("id", "k", "t")
+    val r = Seq((10L, "k1", ts("2026-01-01 09:00:00"), 1.0)).toDF("rid", "k", "t", "v")
+    val out = Joins.asOf(l, r, Seq("K"), "t", "t", Seq("v"), tieCol = "rid")
+      .select("asof_v").head()
+    assert(out.getDouble(0) === 1.0)
+  }
+
   test("asOf tolerance turns too-old matches into no-match") {
     val l = Seq((1L, "k", ts("2026-01-01 12:00:00"))).toDF("id", "k", "t")
     val r = Seq((7L, "k", ts("2026-01-01 09:00:00"), 1.0)).toDF("rid", "k", "t", "v")

@@ -114,6 +114,13 @@ class DedupSpec extends SparkSpec {
       (2L, 2L, 1L, "delta"),
       (3L, 2L, 0L, ""),
       (4L, 2L, 1L, "eps")))
+    // NULL text = empty text: the doc survives as one empty paragraph
+    // (posexplode of split(NULL) emits ZERO rows and would vanish it)
+    val withNull = Seq((7L, Option("alpha")), (8L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val nulled = Dedup.dedupParagraphs(withNull, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(nulled === Array((7L, 1L, 1L, "alpha"), (8L, 1L, 1L, "")))
     // reserved working names are rejected loudly, not silently shadowed
     val bad = df.withColumn("__idx", lit(1))
     intercept[IllegalArgumentException] {

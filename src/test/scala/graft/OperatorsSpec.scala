@@ -240,6 +240,11 @@ class OperatorsSpec extends SparkSpec {
     val capped = Funnel.topPaths(long, "user_id", "ts", "event_type",
       maxLen = 3, topK = 1).select("path").as[String].head()
     assert(capped === "e0>e1>e2")
+    // reserved working names are rejected loudly, not silently shadowed
+    intercept[IllegalArgumentException] {
+      Funnel.topPaths(events.withColumn("__sess", lit(1)),
+        "user_id", "ts", "event_type")
+    }
   }
 
   test("transitionMatrix counts consecutive pairs with exact probabilities") {

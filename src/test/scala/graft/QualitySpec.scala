@@ -74,6 +74,22 @@ class QualitySpec extends SparkSpec {
     assert(out(5L)._1.contains("symbol_ratio_high") && out(5L)._2 === 0)
   }
 
+  test("gopherFilter rejects NULL text instead of passing it") {
+    import spark.implicits._
+    // NULL text NULLs every signal, so no threshold rule can fire — the
+    // explicit null_text rule must catch it (keep=1 here would pass the
+    // junkiest possible row through a quality gate)
+    val docs = Seq((1L, Option("the cat sat on a mat okay fine yes")),
+      (2L, None: Option[String])).toDF("doc_id", "text")
+    val out = Quality.gopherFilter(docs, "doc_id", "text", Seq("the", "a"),
+        minWords = 2, maxWords = 50, minMeanLen = 1.0, maxMeanLen = 8.0,
+        maxSymbolRatio = 0.5, minStopRatio = 0.01)
+      .select("doc_id", "fails", "keep").as[(Long, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === (("", 1)))
+    assert(out(2L) === (("null_text", 0)))
+  }
+
   test("mooreLewisScore separates in-domain from out-of-domain docs") {
     import spark.implicits._
     val inDomain = Seq(
@@ -170,6 +186,16 @@ class QualitySpec extends SparkSpec {
       Seq("rare", "rare", "common"), topK = 10)
       .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
     assert(dup === score)
+  }
+
+  test("bm25TopK returns empty (not NPE) when no document survives the text guard") {
+    import spark.implicits._
+    // count=0 / sum(size)=NULL at plan build — the avgdl read must not
+    // unbox the NULL
+    val docs = Seq((1L, None: Option[String]), (2L, Option("   ")))
+      .toDF("doc_id", "text")
+    val out = Quality.bm25TopK(docs, "doc_id", "text", Seq("rare"), topK = 5)
+    assert(out.count() === 0)
   }
 
   test("invertedIndex emits per-term stats and tf-ranked postings") {

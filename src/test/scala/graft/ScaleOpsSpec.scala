@@ -209,6 +209,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(top.forall(r => r._2 % 4 == r._1 % 4), top.sortBy(r => (r._1, r._3)).mkString(","))
   }
 
+  test("PQ rejects dimension-mismatched vectors loudly") {
+    val cbs = Ann.pqCodebooks(
+      Ann.strideCentroids(clustered, "vec_id", "embedding", 16), m = 4)
+    def rootMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+    // encode: a short vector would SILENTLY produce truncated-prefix codes
+    // (slice + the distance kernel's length guard) — must raise instead
+    val shortVecs = clustered.select(col("vec_id"),
+      slice(col("embedding"), 1, 5).as("embedding"))
+    val e1 = intercept[Throwable] {
+      Ann.pqEncode(shortVecs, "vec_id", "embedding", cbs).collect()
+    }
+    assert(rootMessages(e1).contains("pqEncode"), rootMessages(e1))
+    // ADC: a short QUERY vector must fail with the contract violation,
+    // not an ArrayIndexOutOfBoundsException from generated code
+    val codes = Ann.pqEncode(clustered, "vec_id", "embedding", cbs)
+    val e2 = intercept[Throwable] {
+      Ann.pqTopK(shortVecs.filter(col("vec_id") < 4), codes,
+        "vec_id", "embedding", cbs, k = 5).collect()
+    }
+    assert(rootMessages(e2).contains("graft_pq_adc"), rootMessages(e2))
+  }
+
   test("LSH topK finds the same top-1 as brute force for clustered data") {
     val queries = clustered.filter(col("vec_id") < 4)
     val lsh = Ann.lshTopK(queries, clustered, "vec_id", "embedding",
