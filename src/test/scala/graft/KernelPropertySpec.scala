@@ -219,4 +219,161 @@ class KernelPropertySpec extends SparkSpec {
       .as[(Long, Option[String])].collect().toMap
     texts.foreach { case (id, t) => assert(got(id) === model(t), s"text: $t") }
   }
+
+  private def secTs(s: Int) =
+    java.sql.Timestamp.valueOf(f"2026-01-01 ${s / 3600}%02d:${s / 60 % 60}%02d:${s % 60}%02d")
+
+  test("scd2Intervals equals a driver-side run-collapse model on random change-logs") {
+    import graft.operators.Windows
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 6) {
+      val rows = (1 to 80).map { i =>
+        val v: Option[String] =
+          if (rnd.nextInt(5) == 0) None else Some(('a' + rnd.nextInt(3)).toChar.toString)
+        (i.toLong, rnd.nextInt(4).toLong, secTs(rnd.nextInt(300)), v)
+      }
+      val got = Windows.scd2Intervals(
+          rows.toDF("event_id", "k", "ts", "v"),
+          keys = Seq("k"), order = Seq(col("ts"), col("event_id")),
+          tracked = Seq("v"), tsCol = col("ts"))
+        .select("k", "v", "valid_from", "valid_to", "is_current")
+        .as[(Long, Option[String], java.sql.Timestamp, Option[java.sql.Timestamp], Int)]
+        .collect().toSet
+      // model: sort per key, collapse null-safe runs, half-open intervals
+      val expected = rows.groupBy(_._2).flatMap { case (k, rs) =>
+        val runs = rs.sortBy(r => (r._3.getTime, r._1))
+          .foldLeft(List.empty[(Option[String], java.sql.Timestamp)]) { (acc, r) =>
+            if (acc.headOption.exists(_._1 == r._4)) acc else (r._4, r._3) :: acc
+          }.reverse
+        runs.zipWithIndex.map { case ((v, from), i) =>
+          val to = runs.lift(i + 1).map(_._2)
+          (k, v, from, to, if (to.isEmpty) 1 else 0)
+        }
+      }.toSet
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("stratifiedExactK (portable) equals the md5 hash-order model") {
+    import graft.operators.Sampling
+    def u(id: Long, seed: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:$seed".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble / 4294967296.0
+    }
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 6) {
+      val k = 1 + rnd.nextInt(5)
+      val seed = rnd.nextLong().abs
+      val rows = (1 to 120).map { i =>
+        val stratum: Option[String] =
+          if (rnd.nextInt(8) == 0) None else Some(('x' + rnd.nextInt(3)).toChar.toString)
+        (i.toLong, stratum)
+      }
+      val got = Sampling.stratifiedExactK(rows.toDF("id", "s"),
+          col("s"), col("id"), k, seed, portable = true)
+        .select("s", "id", "rank").as[(Option[String], Long, Long)].collect()
+        .groupBy(_._1).map { case (s, g) => s -> g.sortBy(_._3).map(_._2).toSeq }
+      // model: per stratum (NULL strata sample too), the k smallest hash
+      // values, tie by id, ranked in that order
+      val expected = rows.groupBy(_._2).map { case (s, g) =>
+        s -> g.map(_._1).sortBy(id => (u(id, seed), id)).take(k)
+      }
+      assert(got === expected, s"trial $trial k=$k seed=$seed")
+    }
+  }
+
+  test("funnelSteps equals the ordered min-timestamp model on random event streams") {
+    import graft.operators.Funnel
+    val rnd = new scala.util.Random(37)
+    val types = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 6) {
+      val steps = Seq("a", "b", "c").take(2 + rnd.nextInt(2))
+      val rows = (1 to 100).map { i =>
+        (rnd.nextInt(8).toLong, secTs(rnd.nextInt(200)), types(rnd.nextInt(types.size)))
+      }
+      val got = Funnel.funnelSteps(rows.toDF("u", "ts", "et"), "u", "ts", "et", steps)
+        .select(col("u") +: col("steps_completed") +:
+          steps.indices.map(i => col(s"t${i + 1}")): _*)
+        .collect().map { r =>
+          (r.getLong(0), r.getInt(1),
+            steps.indices.map(i => Option(r.getTimestamp(2 + i))))
+        }.toSet
+      // model: t1 = min ts of step 1; t(i+1) = min ts of step i+1 STRICTLY
+      // after t(i); steps_completed counts the non-null prefix
+      val expected = rows.groupBy(_._1).map { case (u, evs) =>
+        val ts = steps.foldLeft(List.empty[Option[java.sql.Timestamp]]) { (acc, st) =>
+          val after = acc.headOption
+          val gate: java.sql.Timestamp => Boolean = after match {
+            case Some(Some(prev)) => t => t.after(prev)
+            case Some(None) => _ => false
+            case None => _ => true
+          }
+          val cand = evs.filter(e => e._3 == st && gate(e._2)).map(_._2)
+          (if (cand.isEmpty) None else Some(cand.minBy(_.getTime))) :: acc
+        }.reverse
+        (u, ts.count(_.isDefined), ts.toIndexedSeq)
+      }.toSet
+      assert(got === expected, s"trial $trial steps=$steps")
+    }
+  }
+
+  test("transitionMatrix equals the driver-side bigram model") {
+    import graft.operators.Funnel
+    val rnd = new scala.util.Random(41)
+    val types = Vector("a", "b", "c")
+    for (trial <- 1 to 6) {
+      val rows = (1 to 90).map { i =>
+        (rnd.nextInt(6).toLong, secTs(rnd.nextInt(150)), i.toLong,
+          types(rnd.nextInt(types.size)))
+      }
+      val got = Funnel.transitionMatrix(rows.toDF("u", "ts", "eid", "et"),
+          "u", "ts", "eid", "et")
+        .select("from_type", "to_type", "n", "p")
+        .as[(String, String, Long, Double)].collect().toSet
+      val bigrams = rows.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+        val s = evs.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+        s.zip(s.drop(1))
+      }
+      val counts = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val fromTotals = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val expected = counts.map { case ((f, t), n) =>
+        (f, t, n, n.toDouble / fromTotals(f))
+      }.toSet
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("slidingRangeStats equals the brute-force trailing-window model") {
+    import graft.operators.Windows
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 6) {
+      val win = 30 + rnd.nextInt(60)
+      val rows = (1 to 80).map { i =>
+        val v: Option[Double] =
+          if (rnd.nextInt(7) == 0) None else Some(rnd.nextDouble() * 100 - 50)
+        (i.toLong, rnd.nextInt(4).toLong, secTs(rnd.nextInt(240)), v)
+      }
+      val got = Windows.slidingRangeStats(rows.toDF("eid", "k", "ts", "value"),
+          Seq("k"), col("ts"), col("value"), windowSec = win,
+          nName = "n", avgName = "avg")
+        .select("eid", "n", "avg").as[(Long, Long, Option[Double])]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      // model: [t-win, t] inclusive; values 4-dp-HALF_UP-rounded, summed
+      // exactly, divided by the NON-NULL count (the operator's decimal
+      // discipline)
+      rows.foreach { case (eid, k, ts, _) =>
+        val inWin = rows.filter(r => r._2 == k &&
+          !r._3.after(ts) && r._3.getTime >= ts.getTime - win * 1000L)
+        val vals = inWin.flatMap(_._4)
+          .map(BigDecimal(_).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        val expAvg = if (vals.isEmpty) None
+          else Some(vals.sum.toDouble / vals.size)
+        val (n, avg) = got(eid)
+        assert(n === inWin.size.toLong, s"trial $trial eid=$eid n")
+        assert(avg === expAvg, s"trial $trial eid=$eid avg")
+      }
+    }
+  }
 }

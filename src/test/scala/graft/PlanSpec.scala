@@ -171,6 +171,66 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q89 perplexity buckets: broadcast vocab, plan-constant cuts, no corpus window") {
+    val p = plan("q89_perplexity_buckets")
+    // the quantile cuts are computed at plan BUILD (exactQuantile) and
+    // baked in as literals — bucketing must never rank/sort the corpus
+    assert(!p.contains("Window") && !p.contains("SortAggregate"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      p.take(2000))
+    // one exchange end-to-end: the per-doc score aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("q91 scd2 intervals: one key exchange feeds every window and agg, no join") {
+    val p = plan("q91_scd2_history")
+    // change-flag window, run-id window, run agg and close-out window all
+    // cluster on user_id — a second exchange means a partitioning was lost
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("q93 stratified exact-k samples via bounded heap, never a rank window") {
+    val p = plan("q93_stratified_sample")
+    // the naive form (row_number over hash order) sorts EVERY stratum;
+    // the heap keeps k rows per stratum per map task
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window") && !p.contains("SortAggregate"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("q95 PQ: codes pass the codegen barrier before the nested-loop join") {
+    val p = plan("q95_ann_pq")
+    // WSCG defers stream-side expressions the join condition doesn't
+    // reference into the BNLJ inner loop — without the barrier the full
+    // encode re-runs once per PAIR (measured 19.9 s vs 5.0 s at the 10×
+    // probe); the identity mapPartitions materializes each code row once
+    assert(p.contains("MapPartitions"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("graft_pq_adc"), p.take(2000))
+    assert(p.contains("ObjectHashAggregate") && !p.contains("Window"), p.take(2000))
+  }
+
+  test("q98 bm25: plan-constant idf/avgdl, zero joins, heap top-k") {
+    val p = plan("q98_bm25_topk")
+    // corpus stats and idf are plan-time literals — scoring must never
+    // join the corpus against anything
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("ObjectHashAggregate") && !p.contains("Window") &&
+      !p.contains("SortAggregate"), p.take(2000))
+  }
+
+  test("q99 top paths: session agg reuses the window's partitioning") {
+    val p = plan("q99_top_paths")
+    // hashpartitioning(user_id) satisfies the (user_id, __sess) grouping,
+    // so the per-session path agg adds NO exchange of its own: exactly
+    // two key exchanges total (sessionize window + path count), plus the
+    // single-partition heap top-k
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p.take(2000))
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+  }
+
   test("q72 migration view is one shuffle-free codegen stage") {
     val p = plan("q72_migration_view")
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
