@@ -1745,6 +1745,17 @@ object Oracles {
 
     // q88: TF-IDF replayed — same normalization, N = ALL docs, same
     // 5-dp rounding and (score desc, term asc) cut
+    // q101: single-phase ROLLUP is the semantic ground truth the
+    // two-phase form must equal (counts sum, sums sum); GROUPING() uses
+    // the same first-dim-MSB bit layout as Spark's grouping_id()
+    "q101_rollup_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS level,
+           count(*) AS n,
+           CAST(sum(l_quantity) AS DOUBLE) AS total
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
     "q88_tfidf_terms" ->
       """WITH toks AS (SELECT doc_id,
              unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

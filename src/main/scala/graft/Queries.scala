@@ -1124,6 +1124,13 @@ object Queries {
     "q88_tfidf_terms" -> ((s, d) =>
       Quality.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", topK = 5)),
 
+    // OLAP rollup: counts + quantity totals at every (returnflag,
+    // linestatus) prefix level plus the grand total in one result —
+    // two-phase so the Expand multiplies the AGGREGATE, not the scan
+    "q101_rollup_summary" -> ((s, d) =>
+      Summaries.rollupSummary(Tables.lineitem(s, d),
+        Seq("l_returnflag", "l_linestatus"), col("l_quantity"))),
+
     // Equi-width histograms for the dataset card: distribution shape of
     // the q62 profile columns, one stats job + one binning pass
     "q87_histogram" -> ((s, d) =>

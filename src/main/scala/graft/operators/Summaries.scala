@@ -24,6 +24,36 @@ object Summaries {
     df.groupBy(keys.map(col).toIndexedSeq: _*).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 
+  /** Multi-granularity rollup summary: row count and Σ`value` at EVERY
+    * prefix level of `dims` — (d1, d2, …), (d1, …), …, () grand total —
+    * in one result, the classic OLAP subtotal table (SQL `GROUP BY
+    * ROLLUP`). `level` is `grouping_id()` (first dim = most significant
+    * bit; 0 = finest level, 2^|dims|−1 = grand total) — consult it, not
+    * the dim columns, to tell a rolled-up NULL from a genuinely NULL
+    * dimension value. `total` is emitted as DOUBLE (both engines cast
+    * the same exact decimal sum, so the doubles agree bit-for-bit).
+    *
+    * Scale notes: TWO-PHASE on purpose. Spark plans `rollup` as
+    * Expand × (levels+1) BELOW the aggregation — applied directly to a
+    * 100 TB scan that multiplies every input row before the partial agg.
+    * Aggregating the finest level FIRST (one ordinary hash agg, output =
+    * |distinct dim combos| rows) and rolling up THAT frame runs the
+    * Expand over the already-tiny aggregate: the raw data is scanned and
+    * partial-aggregated exactly once, identical results (counts sum,
+    * sums sum). The rollup phase costs one more (tiny) shuffle.
+    */
+  def rollupSummary(df: DataFrame, dims: Seq[String], value: Column,
+                    nName: String = "n", totalName: String = "total"): DataFrame = {
+    require(dims.nonEmpty, "rollupSummary needs at least one dimension")
+    val dimCols = dims.map(col)
+    val fine = df.groupBy(dimCols.toIndexedSeq: _*)
+      .agg(count(lit(1)).as(nName), sum(value).as(totalName))
+    fine.rollup(dimCols.toIndexedSeq: _*)
+      .agg(grouping_id().cast("long").as("level"),
+        sum(col(nName)).as(nName),
+        sum(col(totalName)).cast("double").as(totalName))
+  }
+
   /** Categorical column profile — per column: exact distinct-value count,
     * null count, and the top-k most frequent values with counts (rank by
     * count desc, tie by value asc). The dataset-card counterpart of

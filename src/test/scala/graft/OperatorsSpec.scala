@@ -247,6 +247,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("rollupSummary equals per-level groupBys; grouping_id tells NULLs apart") {
+    import graft.operators.Summaries
+    val df = Seq(
+      ("A", "x", 1.0), ("A", "x", 2.0), ("A", "y", 4.0),
+      ("B", "x", 8.0), ("B", null, 16.0) // genuine NULL dim value
+    ).toDF("d1", "d2", "v")
+    val out = Summaries.rollupSummary(df, Seq("d1", "d2"), col("v"))
+      .as[(Option[String], Option[String], Long, Long, Double)].collect().toSet
+    assert(out === Set(
+      (Some("A"), Some("x"), 0L, 2L, 3.0),
+      (Some("A"), Some("y"), 0L, 1L, 4.0),
+      (Some("B"), Some("x"), 0L, 1L, 8.0),
+      (Some("B"), None, 0L, 1L, 16.0),      // level 0: the REAL null d2
+      (Some("A"), None, 1L, 3L, 7.0),       // level 1: d2 rolled up
+      (Some("B"), None, 1L, 2L, 24.0),
+      (None, None, 3L, 5L, 31.0)))          // grand total
+  }
+
   test("transitionMatrix counts consecutive pairs with exact probabilities") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
     val events = Seq(

@@ -231,6 +231,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p.take(2000))
   }
 
+  test("q101 rollup expands the aggregate, not the scan") {
+    val p = plan("q101_rollup_summary")
+    // two-phase contract: the raw scan feeds an ordinary hash agg; the
+    // rollup Expand (which replicates its input ×levels) must sit ABOVE
+    // that agg — in the printed top-down tree, aggregation appears BELOW
+    // (after) the Expand. Single-phase rollup would put Expand deepest.
+    assert("Expand".r.findAllIn(p).size === 1, p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(2000))
+    assert(p.lastIndexOf("HashAggregate") > p.indexOf("Expand"), p.take(2000))
+  }
+
   test("q72 migration view is one shuffle-free codegen stage") {
     val p = plan("q72_migration_view")
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
