@@ -1745,6 +1745,27 @@ object Oracles {
 
     // q88: TF-IDF replayed — same normalization, N = ALL docs, same
     // 5-dp rounding and (score desc, term asc) cut
+    // q102: replays normalize (identical IEEE expression order: subtract,
+    // divide, multiply, floor, clamp) and the bit interleave as literal
+    // shift/mask/OR terms
+    "q102_zorder_key" -> {
+      def norm(v: String, lo: String, hi: String): String =
+        s"CAST(least(greatest(floor(($v - $lo) / ($hi - $lo) * 256.0), 0), 255) AS BIGINT)"
+      // every term fully parenthesized: DuckDB gives <<, &, | EQUAL
+      // precedence (left-assoc), so a bare chain folds wrongly
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((zx >> $i) & 1) << ${2 * i})", s"(((zy >> $i) & 1) << ${2 * i + 1})"))
+        .mkString(" | ")
+      s"""WITH b AS (SELECT CAST(min(user_id) AS DOUBLE) AS ulo,
+                 CAST(max(user_id) AS DOUBLE) AS uhi,
+                 min(value) AS vlo, max(value) AS vhi FROM events),
+         norm AS (SELECT event_id,
+             ${norm("CAST(user_id AS DOUBLE)", "ulo", "uhi")} AS zx,
+             ${norm("value", "vlo", "vhi")} AS zy
+           FROM events CROSS JOIN b)
+         SELECT event_id, zx, zy, CAST($terms AS BIGINT) AS zkey FROM norm"""
+    },
+
     // q101: single-phase ROLLUP is the semantic ground truth the
     // two-phase form must equal (counts sum, sums sum); GROUPING() uses
     // the same first-dim-MSB bit layout as Spark's grouping_id()

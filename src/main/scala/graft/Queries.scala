@@ -1131,6 +1131,20 @@ object Queries {
       Summaries.rollupSummary(Tables.lineitem(s, d),
         Seq("l_returnflag", "l_linestatus"), col("l_quantity"))),
 
+    // Z-order clustering key over (user_id, value): both dims normalized
+    // to the 256-cell grid from plan-constant min/max (one tiny agg at
+    // build, the centroid-matrix pattern), then bit-interleaved — the
+    // data-skipping key writeRangeClustered sorts files by
+    "q102_zorder_key" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val b = e.agg(min(col("user_id").cast("double")), max(col("user_id").cast("double")),
+        min(col("value")), max(col("value"))).head()
+      val zx = Layout.normalizeToBits(col("user_id"), b.getDouble(0), b.getDouble(1), 8)
+      val zy = Layout.normalizeToBits(col("value"), b.getDouble(2), b.getDouble(3), 8)
+      e.select(col("event_id"), zx.as("zx"), zy.as("zy"))
+        .withColumn("zkey", Layout.zorderKey(col("zx"), col("zy"), 8))
+    }),
+
     // Equi-width histograms for the dataset card: distribution shape of
     // the q62 profile columns, one stats job + one binning pass
     "q87_histogram" -> ((s, d) =>
