@@ -1745,6 +1745,29 @@ object Oracles {
 
     // q88: TF-IDF replayed — same normalization, N = ALL docs, same
     // 5-dp rounding and (score desc, term asc) cut
+    // q103: per column — quartile cuts (quantile_cont, 5-dp like the
+    // plan constants), bin = count of cuts <= v, outer-edge bounds NULL
+    "q103_equidepth_bins" -> {
+      def one(c: String): String =
+        s"""SELECT '$c' AS col_name, bin,
+             CASE bin WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3 END AS lo,
+             CASE bin WHEN 0 THEN c1 WHEN 1 THEN c2 WHEN 2 THEN c3 END AS hi,
+             count(*) AS n
+           FROM (
+             SELECT CAST(CAST(v >= c1 AS INT) + CAST(v >= c2 AS INT)
+                         + CAST(v >= c3 AS INT) AS BIGINT) AS bin, c1, c2, c3
+             FROM (SELECT CAST($c AS DOUBLE) AS v FROM lineitem
+                   WHERE $c IS NOT NULL)
+             CROSS JOIN (SELECT
+                 round(quantile_cont(CAST($c AS DOUBLE), 0.25), 5) AS c1,
+                 round(quantile_cont(CAST($c AS DOUBLE), 0.50), 5) AS c2,
+                 round(quantile_cont(CAST($c AS DOUBLE), 0.75), 5) AS c3
+               FROM lineitem))
+           GROUP BY bin, c1, c2, c3"""
+      Seq("l_quantity", "l_extendedprice", "l_discount")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+
     // q102: replays normalize (identical IEEE expression order: subtract,
     // divide, multiply, floor, clamp) and the bit interleave as literal
     // shift/mask/OR terms

@@ -1131,6 +1131,13 @@ object Queries {
       Summaries.rollupSummary(Tables.lineitem(s, d),
         Seq("l_returnflag", "l_linestatus"), col("l_quantity"))),
 
+    // Equi-depth (quartile) histograms of the q62 profile columns —
+    // cuts from one percentile agg (yardstick form; exactQuantile is the
+    // per-cut scale path), binning a plan-constant projection
+    "q103_equidepth_bins" -> ((s, d) =>
+      Summaries.equidepthBins(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), nBins = 4)),
+
     // Z-order clustering key over (user_id, value): both dims normalized
     // to the 256-cell grid from plan-constant min/max (one tiny agg at
     // build, the centroid-matrix pattern), then bit-interleaved — the

@@ -150,6 +150,65 @@ object Summaries {
       .select(col("col_name"), col("bin"), col("lo"), col("hi"), col("n"))
   }
 
+  /** Per-column equi-DEPTH (quantile) histograms — the skew-robust
+    * companion of [[histogram]]: bin boundaries sit at the j/nBins
+    * quantiles, so every bin holds ≈ n/nBins rows no matter how heavy
+    * the tail (an equi-width histogram of a power-law column piles
+    * everything into bin 0). One row per non-empty bin:
+    * (col_name, bin, lo, hi, n) — `lo`/`hi` are the interior cut values
+    * (5-dp, the portability discipline), NULL at the outer edges; a row
+    * lands in bin Σ(v ≥ cut_j) (strict-< boundaries, the q89 rule, so
+    * both engines agree on ties). NULLs are excluded; values tied AT a
+    * cut all land in the upper bin, so heavy ties can still skew counts
+    * — that is the data, not the operator.
+    *
+    * Scale notes: cuts come from ONE `percentile(col, array(qs))` agg
+    * over all columns together — the declared yardstick form, whose
+    * value→count buffer is the known non-scale path; [[exactQuantile]]
+    * (iterative 128-bucket narrowing, O(log) passes, bounded memory) is
+    * the drop-in scale path per cut. After that the binning is the
+    * histogram pipeline: cuts are plan constants, one explode + codegen
+    * CASE + a single map-side-combined hash agg.
+    */
+  def equidepthBins(df: DataFrame, cols: Seq[String], nBins: Int = 4): DataFrame = {
+    require(cols.nonEmpty, "equidepthBins needs at least one column")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val statsRow = {
+      val aggs = cols.map(c => call_function("percentile",
+        col(c).cast("double"), typedlit(qs)).as(s"__q_$c"))
+      df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    }
+    val cuts: Map[String, Seq[Double]] = cols.zipWithIndex.flatMap { case (c, i) =>
+      if (statsRow.isNullAt(i)) None // all-NULL column: no rows downstream
+      else Some(c -> statsRow.getSeq[Double](i).map(v =>
+        BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val entries = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+      .filter(col("v").isNotNull)
+    def perCol(f: Seq[Double] => Column): Column =
+      cuts.foldLeft(lit(null).cast("double")) { case (acc, (c, cs)) =>
+        when(col("col_name") === c, f(cs)).otherwise(acc)
+      }
+    val bin = perCol(cs =>
+      cs.map(cut => when(col("v") >= cut, 1d).otherwise(0d)).reduce(_ + _))
+      .cast("long")
+    def boundAt(sel: (Seq[Double], Int) => Option[Double]): Column =
+      cuts.foldLeft(lit(null).cast("double")) { case (acc, (c, cs)) =>
+        val inner = (0 until nBins).foldLeft(lit(null).cast("double")) { (a, b) =>
+          sel(cs, b).map(v => when(col("bin") === b, lit(v)).otherwise(a)).getOrElse(a)
+        }
+        when(col("col_name") === c, inner).otherwise(acc)
+      }
+    entries.withColumn("bin", bin)
+      .groupBy("col_name", "bin").agg(count(lit(1)).as("n"))
+      .withColumn("lo", boundAt((cs, b) => if (b > 0) Some(cs(b - 1)) else None))
+      .withColumn("hi", boundAt((cs, b) => if (b < nBins - 1) Some(cs(b)) else None))
+      .select(col("col_name"), col("bin"), col("lo"), col("hi"), col("n"))
+  }
+
   /** Single-row completeness summary: for each column, fraction non-null
     * (4 dp). One pass, one partial-aggregable plan.
     */

@@ -247,6 +247,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("equidepthBins balances a power-law column that equi-width cannot") {
+    import graft.operators.Summaries
+    val df = (1 to 1000).map(i => (i.toLong, math.pow(i.toDouble, 3)))
+      .toDF("id", "v")
+    val ed = Summaries.equidepthBins(df, Seq("v"), nBins = 4)
+      .select("bin", "n").as[(Long, Long)].collect().toMap
+    // quantile cuts put ~250 rows in every bin regardless of the tail
+    assert(ed.keySet === Set(0L, 1L, 2L, 3L), ed)
+    assert(ed.values.forall(n => n >= 245 && n <= 255), ed)
+    // the equi-width histogram of the same column piles the head into
+    // bin 0 — the skew equi-depth exists to avoid
+    val ew = Summaries.histogram(df, Seq("v"), nBins = 4)
+      .select("bin", "n").as[(Long, Long)].collect().toMap
+    assert(ew(0L) > 600L, ew)
+  }
+
   test("rollupSummary equals per-level groupBys; grouping_id tells NULLs apart") {
     import graft.operators.Summaries
     val df = Seq(
