@@ -1745,6 +1745,42 @@ object Oracles {
 
     // q88: TF-IDF replayed — same normalization, N = ALL docs, same
     // 5-dp rounding and (score desc, term asc) cut
+    // q104: per column — ref-bounded equi-width bins over both halves,
+    // floored proportions, 5-dp terms summed as DECIMAL (VARCHAR
+    // round-trip for the decimal→double cast), thresholds on the sum
+    "q104_psi_drift" -> {
+      def one(c: String): String =
+        s"""SELECT col_name, psi,
+             CASE WHEN psi IS NULL THEN NULL
+                  WHEN psi < 0.1 THEN 'stable'
+                  WHEN psi < 0.25 THEN 'moderate'
+                  ELSE 'major' END AS drift
+           FROM (
+             SELECT '$c' AS col_name,
+               CAST(CAST(sum(CAST(term AS DECIMAL(18,5))) AS VARCHAR) AS DOUBLE) AS psi
+             FROM (
+               SELECT round((pc - pr) * ln(pc / pr), 5) AS term FROM (
+                 SELECT
+                   greatest(CAST(cr AS DOUBLE) / (sum(cr) OVER ()), 0.0001) AS pr,
+                   greatest(CAST(cc AS DOUBLE) / (sum(cc) OVER ()), 0.0001) AS pc
+                 FROM (
+                   SELECT bin,
+                     sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS cr,
+                     sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS cc
+                   FROM (
+                     SELECT l_orderkey,
+                       CAST(least(greatest(floor((CAST($c AS DOUBLE) - lo) / w), 0),
+                         9) AS BIGINT) AS bin
+                     FROM lineitem CROSS JOIN (
+                       SELECT min(CAST($c AS DOUBLE)) AS lo,
+                         (max(CAST($c AS DOUBLE)) - min(CAST($c AS DOUBLE))) / 10 AS w
+                       FROM lineitem WHERE l_orderkey % 2 = 0)
+                     WHERE $c IS NOT NULL)
+                   GROUP BY bin))))"""
+      Seq("l_quantity", "l_extendedprice", "l_discount")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+
     // q103: per column — quartile cuts (quantile_cont, 5-dp like the
     // plan constants), bin = count of cuts <= v, outer-edge bounds NULL
     "q103_equidepth_bins" -> {

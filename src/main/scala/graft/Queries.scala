@@ -1131,6 +1131,17 @@ object Queries {
       Summaries.rollupSummary(Tables.lineitem(s, d),
         Seq("l_returnflag", "l_linestatus"), col("l_quantity"))),
 
+    // PSI distribution drift between the even/odd order-key halves of
+    // lineitem — reference-bounded bins, floor-guarded proportions,
+    // decimal term sums; the production drift monitor
+    "q104_psi_drift" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Summaries.psiDrift(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), nBins = 10)
+    }),
+
     // Equi-depth (quartile) histograms of the q62 profile columns —
     // cuts from one percentile agg (yardstick form; exactQuantile is the
     // per-cut scale path), binning a plan-constant projection

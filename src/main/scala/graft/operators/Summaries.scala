@@ -209,6 +209,86 @@ object Summaries {
       .select(col("col_name"), col("bin"), col("lo"), col("hi"), col("n"))
   }
 
+  /** Population-stability-index (PSI) drift between a reference and a
+    * current sample, per column — the standard production drift monitor
+    * (credit-scoring lineage, now the default ML-ops distribution check;
+    * public technique): bin BOTH samples on equi-width bins fixed from
+    * the REFERENCE min/max (out-of-range current values clamp into the
+    * edge bins, so new mass beyond the old range is still seen), then
+    * PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref), with `floor` as
+    * the conventional zero-proportion guard. Output one row per column:
+    * (col_name, psi, drift) — drift graded on the industry thresholds
+    * (< 0.1 stable, < 0.25 moderate, else major). A column that is
+    * all-NULL in the reference is dropped (no bins); a side with zero
+    * non-NULL rows yields NULL psi rather than NaN arithmetic.
+    *
+    * Float discipline: per-bin terms are 5-dp-rounded and summed as
+    * DECIMAL (order-independent, engine-replayable); the drift grade
+    * compares the rounded sum. Bins empty in BOTH samples contribute
+    * exactly zero (floor vs floor), so the sparse per-bin count frame
+    * needs no densification.
+    *
+    * Scale notes: reference bounds are plan constants (one tiny min/max
+    * agg); both samples then flow through ONE union + explode + codegen
+    * bin CASE and a single map-side-combined hash agg (at most
+    * cols×nBins×2 rows shuffle per map task); everything after operates
+    * on the ≤ cols×nBins frame with broadcast totals.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+               nBins: Int = 10, floor: Double = 1e-4): DataFrame = {
+    require(cols.nonEmpty, "psiDrift needs at least one column")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(floor > 0 && floor < 1, s"floor must be in (0, 1), got $floor")
+    val statsRow = {
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c")))
+      ref.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    }
+    val bounds: Map[String, (Double, Double)] = cols.zipWithIndex.flatMap {
+      case (c, i) =>
+        if (statsRow.isNullAt(2 * i)) None
+        else Some(c -> ((statsRow.getDouble(2 * i),
+          (statsRow.getDouble(2 * i + 1) - statsRow.getDouble(2 * i)) / nBins)))
+    }.toMap
+    def side(df: DataFrame, tag: String) =
+      df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("e"))
+        .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+        .filter(col("v").isNotNull)
+        .withColumn("side", lit(tag))
+    val entries = side(ref, "r").unionByName(side(cur, "c"))
+    val bin = bounds.foldLeft(lit(null).cast("double")) { case (acc, (c, (lo, w))) =>
+      val b = if (w == 0d) lit(0d)
+        else least(greatest(floor_((col("v") - lo) / w), lit(0d)),
+          lit((nBins - 1).toDouble))
+      when(col("col_name") === c, b).otherwise(acc)
+    }.cast("long")
+    val counts = entries.withColumn("bin", bin)
+      .filter(col("bin").isNotNull) // columns with no ref bounds drop out
+      .groupBy("col_name", "bin")
+      .agg(sum(when(col("side") === "r", 1L).otherwise(0L)).as("cr"),
+        sum(when(col("side") === "c", 1L).otherwise(0L)).as("cc"))
+    val totals = counts.groupBy("col_name")
+      .agg(sum("cr").as("tr"), sum("cc").as("tc"))
+    val pr = greatest(col("cr").cast("double") / col("tr"), lit(floor))
+    val pc = greatest(col("cc").cast("double") / col("tc"), lit(floor))
+    val term = round((pc - pr) * log(pc / pr), 5)
+    counts.join(broadcast(totals), Seq("col_name"))
+      .select(col("col_name"),
+        when(col("tr") === 0 || col("tc") === 0, lit(null).cast("decimal(18,5)"))
+          .otherwise(term.cast("decimal(18,5)")).as("t"))
+      .groupBy("col_name").agg(sum(col("t")).cast("double").as("psi"))
+      .withColumn("drift",
+        when(col("psi").isNull, lit(null).cast("string"))
+          .when(col("psi") < 0.1, lit("stable"))
+          .when(col("psi") < 0.25, lit("moderate"))
+          .otherwise(lit("major")))
+  }
+
+  // psiDrift's `floor` PARAMETER shadows functions.floor inside it
+  private def floor_(c: Column): Column = org.apache.spark.sql.functions.floor(c)
+
   /** Single-row completeness summary: for each column, fraction non-null
     * (4 dp). One pass, one partial-aggregable plan.
     */

@@ -247,6 +247,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("psiDrift: identical halves read stable, a shifted sample flags major") {
+    import graft.operators.Summaries
+    val base = (1 to 2000).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
+    val ref = base.filter(col("id") % 2 === 0)
+    val same = base.filter(col("id") % 2 === 1)
+    val stable = Summaries.psiDrift(ref, same, Seq("v"))
+      .as[(String, Double, String)].head()
+    assert(stable._3 === "stable" && stable._2 < 0.1, stable)
+    // shift most of the mass out of the reference bins (clamps into the
+    // top edge bin) — the canonical "population moved" signal
+    val shifted = same.withColumn("v", col("v") + 80.0)
+    val major = Summaries.psiDrift(ref, shifted, Seq("v"))
+      .as[(String, Double, String)].head()
+    assert(major._3 === "major" && major._2 >= 0.25, major)
+    // an all-NULL current side yields NULL psi, not NaN arithmetic
+    val allNull = same.withColumn("v", lit(null).cast("double"))
+    val nul = Summaries.psiDrift(ref, allNull, Seq("v"))
+      .select("psi", "drift").collect().head
+    assert(nul.isNullAt(0) && nul.isNullAt(1))
+  }
+
   test("equidepthBins balances a power-law column that equi-width cannot") {
     import graft.operators.Summaries
     val df = (1 to 1000).map(i => (i.toLong, math.pow(i.toDouble, 3)))
