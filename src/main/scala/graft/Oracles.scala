@@ -1745,6 +1745,17 @@ object Oracles {
 
     // q88: TF-IDF replayed — same normalization, N = ALL docs, same
     // 5-dp rounding and (score desc, term asc) cut
+    // q105: the naive quadratic levenshtein IS the ground truth — the
+    // gate passing proves the segment blocking lossless on real data
+    "q105_fuzzy_match" ->
+      """WITH f AS (SELECT doc_id, substring(text, 1, 40) AS s
+                    FROM documents
+                    WHERE text IS NOT NULL AND length(text) >= 40)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         FROM f a JOIN f b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.s, b.s) <= 3""",
+
     // q104: per column — ref-bounded equi-width bins over both halves,
     // floored proportions, 5-dp terms summed as DECIMAL (VARCHAR
     // round-trip for the decimal→double cast), thresholds on the sum

@@ -1131,6 +1131,16 @@ object Queries {
       Summaries.rollupSummary(Tables.lineitem(s, d),
         Seq("l_returnflag", "l_linestatus"), col("l_quantity"))),
 
+    // Edit-distance fuzzy self-join on 40-char document prefixes —
+    // PassJoin segment blocking + exact levenshtein verify, no cross
+    // join; catches the planted near-dup resubmissions
+    "q105_fuzzy_match" -> ((s, d) => {
+      val f = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 40)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+      NearDup.editDistancePairs(f, "doc_id", "prefix", maxDist = 3)
+    }),
+
     // PSI distribution drift between the even/odd order-key halves of
     // lineitem — reference-bounded bins, floor-guarded proportions,
     // decimal term sums; the production drift monitor

@@ -422,4 +422,74 @@ object NearDup {
         greatest(col("ma.id"), col("mb.id")).as("id_b"), col("hamming"))
     intra.unionByName(inter)
   }
+
+  /** Edit-distance similarity self-join: all pairs with
+    * `levenshtein ≤ maxDist`, WITHOUT a cross join — the record-linkage /
+    * fuzzy-dedup primitive (typo'd resubmissions, OCR noise, near-key
+    * matching) that the token-level family above can't express.
+    *
+    * Blocking is the PassJoin segment pigeonhole (Li et al. 2011, "PASS-
+    * JOIN: A Partition-based Method for Similarity Joins" — public
+    * algorithm): split every string into `maxDist + 1` disjoint segments;
+    * ≤ maxDist edits can touch at most maxDist of them, so for any true
+    * pair at least ONE segment of either string survives untouched and
+    * appears VERBATIM as a contiguous substring of the other. Candidates
+    * are therefore pairs where a segment hash of one side equals the hash
+    * of ANY same-length substring of the other; every candidate is then
+    * verified with the exact `levenshtein` kernel. No false negatives by
+    * the pigeonhole; false positives (including the ~2⁻⁶⁴ hash-collision
+    * tail) die in verification.
+    *
+    * Rows with NULL strings or fewer than `maxDist + 1` characters are
+    * dropped (a zero-length segment would match everywhere — PassJoin's
+    * own length precondition); returns (id_a, id_b, dist), id_a < id_b.
+    *
+    * Scale notes: the index side emits maxDist+1 8-byte segment hashes
+    * per row; the probe side O(len · segLenRange) substring hashes — the
+    * shuffle carries hashes, never the strings. The hash equi-join is
+    * shuffle_hash-hinted (build side = the slim index stream); verified
+    * pairs join the strings back by id. The O(len²) DP runs once per
+    * CANDIDATE, not per pair of rows — on random text the 10-char
+    * segments of a 40-char prefix collide only for genuinely close
+    * strings. A hot substring (boilerplate prefixes) skews the hash join:
+    * collapse exact duplicates first (the q66 move) and let AQE split the
+    * straggler.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val nseg = maxDist + 1
+    val s = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull && length(col("s")) >= nseg)
+    val L = length(col("s"))
+    // even split: segment i covers [i·L/nseg, (i+1)·L/nseg) — positive
+    // ints, so double-division + truncation IS integer division
+    def idiv(a: Column, b: Int): Column = (a / b).cast("int")
+    val segs = (0 until nseg).map { i =>
+      val st = idiv(L * i, nseg) + 1 // 1-based substr
+      val len = idiv(L * (i + 1), nseg) - idiv(L * i, nseg)
+      xxhash64(col("s").substr(st, len))
+    }
+    val index = s.select(col("id"), explode(array(segs: _*)).as("h"))
+    // probe every substring whose length could be a segment length of a
+    // partner string in the ±maxDist length band
+    val lmin = greatest(idiv(L - maxDist, nseg), lit(1))
+    val lmax = idiv(L + maxDist + nseg - 1, nseg)
+    val probe = s.select(col("id"), explode(flatten(
+      transform(sequence(lmin, lmax), l =>
+        transform(sequence(lit(1), L - l + 1), st =>
+          xxhash64(col("s").substr(st, l)))))).as("h"))
+    val cands = index.hint("shuffle_hash").as("i")
+      .join(probe.as("p"), col("i.h") === col("p.h") && col("i.id") =!= col("p.id"))
+      .select(least(col("i.id"), col("p.id")).as("id_a"),
+        greatest(col("i.id"), col("p.id")).as("id_b"))
+      .distinct()
+    cands
+      .join(s.select(col("id").as("id_a"), col("s").as("__sa")), Seq("id_a"))
+      .join(s.select(col("id").as("id_b"), col("s").as("__sb")), Seq("id_b"))
+      .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -220,6 +220,48 @@ class KernelPropertySpec extends SparkSpec {
     texts.foreach { case (id, t) => assert(got(id) === model(t), s"text: $t") }
   }
 
+  test("editDistancePairs equals naive levenshtein across random edit corpora") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 0 to a.length) dp(i)(0) = i
+      for (j <- 0 to b.length) dp(0)(j) = j
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(53)
+    val alpha = "abcd" // tiny alphabet: plenty of accidental closeness
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(4))).mkString
+    def mutate(s: String, k: Int): String = (1 to k).foldLeft(s) { (t, _) =>
+      if (t.isEmpty) randStr(1)
+      else rnd.nextInt(3) match {
+        case 0 => val i = rnd.nextInt(t.length) // substitute
+          t.updated(i, alpha(rnd.nextInt(4)))
+        case 1 => val i = rnd.nextInt(t.length + 1) // insert
+          t.take(i) + alpha(rnd.nextInt(4)) + t.drop(i)
+        case _ => val i = rnd.nextInt(t.length) // delete
+          t.take(i) + t.drop(i + 1)
+      }
+    }
+    for (trial <- 1 to 5) {
+      val maxDist = 1 + rnd.nextInt(3)
+      val bases = (1 to 12).map(_ => randStr(8 + rnd.nextInt(12)))
+      val strs = bases ++ (1 to 18).map(_ =>
+        mutate(bases(rnd.nextInt(bases.size)), rnd.nextInt(5)))
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = NearDup.editDistancePairs(rows.toDF("id", "s"), "id", "s", maxDist)
+        .as[(Long, Long, Long)].collect().toSet
+      // model over the operator's own domain: strings of length >= maxDist+1
+      val dom = rows.filter(_._2.length >= maxDist + 1)
+      val expected = (for {
+        (ia, sa) <- dom; (ib, sb) <- dom if ia < ib
+        d = lev(sa, sb) if d <= maxDist
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got === expected, s"trial $trial maxDist=$maxDist")
+    }
+  }
+
   private def secTs(s: Int) =
     java.sql.Timestamp.valueOf(f"2026-01-01 ${s / 3600}%02d:${s / 60 % 60}%02d:${s % 60}%02d")
 
