@@ -444,23 +444,34 @@ object NearDup {
     * dropped (a zero-length segment would match everywhere — PassJoin's
     * own length precondition); returns (id_a, id_b, dist), id_a < id_b.
     *
-    * Scale notes: the index side emits maxDist+1 8-byte segment hashes
-    * per row; the probe side O(len · segLenRange) substring hashes — the
-    * shuffle carries hashes, never the strings. The hash equi-join is
-    * shuffle_hash-hinted (build side = the slim index stream); verified
-    * pairs join the strings back by id. The O(len²) DP runs once per
-    * CANDIDATE, not per pair of rows — on random text the 10-char
-    * segments of a 40-char prefix collide only for genuinely close
-    * strings. A hot substring (boilerplate prefixes) skews the hash join:
-    * collapse exact duplicates first (the q66 move) and let AQE split the
-    * straggler.
+    * Scale notes: exact-duplicate strings are collapsed BEFORE blocking
+    * (built in — see the inline note), so the index side emits maxDist+1
+    * 8-byte segment hashes per DISTINCT string and the probe side
+    * O(len · segLenRange) substring hashes — the shuffle carries hashes,
+    * never the strings. The hash equi-join is shuffle_hash-hinted; the
+    * O(len²) DP runs once per distinct CANDIDATE pair, not per pair of
+    * rows — on random text the 10-char segments of a 40-char prefix
+    * collide only for genuinely close strings. A hot substring shared by
+    * many NON-identical strings (boilerplate prefixes) still skews the
+    * hash join: AQE's skew split covers the moderate case; strip the
+    * boilerplate upstream for the degenerate one.
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val nseg = maxDist + 1
-    val s = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val rows = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull && length(col("s")) >= nseg)
+    // collapse to DISTINCT strings first (the ngramJaccardPairs move,
+    // same 2^-64 xxhash64-identity acceptance): d copies of a string
+    // would otherwise push d identical segment/substring streams through
+    // the blocking join and make every replica pair a candidate —
+    // measured 48 s at a 10×-replicated probe vs ~4 s collapsed. Blocking
+    // and the DP verify run once per distinct pair; id pairs fan back via
+    // slim membership joins, intra-group pairs are dist 0 by identity.
+    val members = rows.select(col("id"), xxhash64(col("s")).as("th"))
+    val s = rows.select(xxhash64(col("s")).as("th"), col("s"))
+      .dropDuplicates("th")
     val L = length(col("s"))
     // even split: segment i covers [i·L/nseg, (i+1)·L/nseg) — positive
     // ints, so double-division + truncation IS integer division
@@ -470,26 +481,36 @@ object NearDup {
       val len = idiv(L * (i + 1), nseg) - idiv(L * i, nseg)
       xxhash64(col("s").substr(st, len))
     }
-    val index = s.select(col("id"), explode(array(segs: _*)).as("h"))
+    val index = s.select(col("th"), explode(array(segs: _*)).as("h"))
     // probe every substring whose length could be a segment length of a
     // partner string in the ±maxDist length band
     val lmin = greatest(idiv(L - maxDist, nseg), lit(1))
     val lmax = idiv(L + maxDist + nseg - 1, nseg)
-    val probe = s.select(col("id"), explode(flatten(
+    val probe = s.select(col("th"), explode(flatten(
       transform(sequence(lmin, lmax), l =>
         transform(sequence(lit(1), L - l + 1), st =>
           xxhash64(col("s").substr(st, l)))))).as("h"))
     val cands = index.hint("shuffle_hash").as("i")
-      .join(probe.as("p"), col("i.h") === col("p.h") && col("i.id") =!= col("p.id"))
-      .select(least(col("i.id"), col("p.id")).as("id_a"),
-        greatest(col("i.id"), col("p.id")).as("id_b"))
+      .join(probe.as("p"), col("i.h") === col("p.h") && col("i.th") =!= col("p.th"))
+      .select(least(col("i.th"), col("p.th")).as("th_a"),
+        greatest(col("i.th"), col("p.th")).as("th_b"))
       .distinct()
-    cands
-      .join(s.select(col("id").as("id_a"), col("s").as("__sa")), Seq("id_a"))
-      .join(s.select(col("id").as("id_b"), col("s").as("__sb")), Seq("id_b"))
+    val distinctPairs = cands
+      .join(s.select(col("th").as("th_a"), col("s").as("__sa")), Seq("th_a"))
+      .join(s.select(col("th").as("th_b"), col("s").as("__sb")), Seq("th_b"))
       .filter(abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
       .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
       .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(col("th_a"), col("th_b"), col("dist"))
+    val intra = members.as("m1").join(members.as("m2"),
+        col("m1.th") === col("m2.th") && col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+        lit(0L).as("dist"))
+    val inter = distinctPairs
+      .join(members.as("ma"), col("ma.th") === col("th_a"))
+      .join(members.as("mb"), col("mb.th") === col("th_b"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"), col("dist"))
+    intra.unionByName(inter)
   }
 }
