@@ -1594,7 +1594,8 @@ object Oracles {
     // rule (partition by doc AND paragraph, first index wins)
     "q80_local_para_dedup" ->
       """WITH words AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           -- coalesce mirrors the paragraph family's NULL-text = empty-text rule
+           SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
          paras AS (
            SELECT doc_id, i - 1 AS idx,
              array_to_string(w[(i - 1) * 6 + 1 : i * 6], ' ') AS para
@@ -1743,8 +1744,6 @@ object Oracles {
            round(slo + (bin + 1) * w, 5) AS hi, count(*) AS n
          FROM b GROUP BY 1, 2, slo, w""",
 
-    // q88: TF-IDF replayed — same normalization, N = ALL docs, same
-    // 5-dp rounding and (score desc, term asc) cut
     // q105: the naive quadratic levenshtein IS the ground truth — the
     // gate passing proves the segment blocking lossless on real data
     "q105_fuzzy_match" ->
@@ -1761,13 +1760,16 @@ object Oracles {
     // round-trip for the decimal→double cast), thresholds on the sum
     "q104_psi_drift" -> {
       def one(c: String): String =
-        s"""SELECT col_name, psi,
-             CASE WHEN psi IS NULL THEN NULL
+        s"""SELECT col_name,
+             CASE WHEN tr0 = 0 OR tc0 = 0 THEN NULL ELSE psi END AS psi,
+             CASE WHEN tr0 = 0 OR tc0 = 0 OR psi IS NULL THEN NULL
                   WHEN psi < 0.1 THEN 'stable'
                   WHEN psi < 0.25 THEN 'moderate'
                   ELSE 'major' END AS drift
            FROM (
              SELECT '$c' AS col_name,
+               (SELECT count($c) FROM lineitem WHERE l_orderkey % 2 = 0) AS tr0,
+               (SELECT count($c) FROM lineitem WHERE l_orderkey % 2 = 1) AS tc0,
                CAST(CAST(sum(CAST(term AS DECIMAL(18,5))) AS VARCHAR) AS DOUBLE) AS psi
              FROM (
                SELECT round((pc - pr) * ln(pc / pr), 5) AS term FROM (
@@ -1780,8 +1782,11 @@ object Oracles {
                      sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS cc
                    FROM (
                      SELECT l_orderkey,
-                       CAST(least(greatest(floor((CAST($c AS DOUBLE) - lo) / w), 0),
-                         9) AS BIGINT) AS bin
+                       CASE WHEN w = 0 THEN
+                           (CASE WHEN CAST($c AS DOUBLE) = lo THEN 0 ELSE 9 END)
+                         ELSE CAST(least(greatest(
+                           floor((CAST($c AS DOUBLE) - lo) / w), 0), 9) AS BIGINT)
+                       END AS bin
                      FROM lineitem CROSS JOIN (
                        SELECT min(CAST($c AS DOUBLE)) AS lo,
                          (max(CAST($c AS DOUBLE)) - min(CAST($c AS DOUBLE))) / 10 AS w
@@ -1847,6 +1852,8 @@ object Oracles {
          FROM lineitem
          GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
 
+    // q88: TF-IDF replayed — same normalization, N = ALL docs, same
+    // 5-dp rounding and (score desc, term asc) cut
     "q88_tfidf_terms" ->
       """WITH toks AS (SELECT doc_id,
              unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

@@ -930,7 +930,10 @@ object Queries {
     // corpus-wide dedup): same 6-word paragraphing, but only a doc's own
     // earlier paragraphs suppress a repeat — pure shuffle-free projection
     "q80_local_para_dedup" -> ((s, d) => {
-      val w = split(col("text"), " ")
+      // NULL text = empty text (the q74 paragraph-family rule): the doc
+      // keeps a row with one empty paragraph instead of NULL fields here
+      // vs vanishing in the oracle's LATERAL unnest
+      val w = split(coalesce(col("text"), lit("")), " ")
       val nChunks = ceil(size(w) / lit(6.0)).cast("int")
       val paraText = array_join(
         transform(sequence(lit(0), nChunks - 1),

@@ -48,10 +48,24 @@ object Summaries {
     val dimCols = dims.map(col)
     val fine = df.groupBy(dimCols.toIndexedSeq: _*)
       .agg(count(lit(1)).as(nName), sum(value).as(totalName))
-    fine.rollup(dimCols.toIndexedSeq: _*)
+    val rolled = fine.rollup(dimCols.toIndexedSeq: _*)
       .agg(grouping_id().cast("long").as("level"),
         sum(col(nName)).as(nName),
         sum(col(totalName)).cast("double").as(totalName))
+    // SQL GROUP BY ROLLUP (and the DuckDB oracle) emits the grand-total
+    // row even for EMPTY input (n = 0, total NULL); Spark's rollup of an
+    // empty frame emits nothing. Supply it declaratively: every `fine`
+    // row has n >= 1, so coalesce(sum(n), 0) = 0 exactly when the input
+    // was empty — the filter keeps this one-row agg only in that case.
+    val grandOnEmpty = fine
+      .agg(coalesce(sum(col(nName)), lit(0L)).as(nName),
+        sum(col(totalName)).cast("double").as(totalName))
+      .filter(col(nName) === 0L)
+      .select(dims.map(c =>
+        lit(null).cast(df.schema(c).dataType).as(c)) ++ Seq(
+        lit(((1L << dims.size) - 1)).as("level"),
+        col(nName), col(totalName)): _*)
+    rolled.unionByName(grandOnEmpty)
   }
 
   /** Categorical column profile — per column: exact distinct-value count,
@@ -111,29 +125,43 @@ object Summaries {
     * cols×nBins rows shuffle per map task. No per-column scans, no sort,
     * no percentile buffers. 5-dp-rounded bounds for engine portability.
     */
-  def histogram(df: DataFrame, cols: Seq[String], nBins: Int = 10): DataFrame = {
-    require(cols.nonEmpty, "histogram needs at least one column")
-    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+  /** (col_name, v) numeric entries for the dataset-card family: every
+    * column exploded to rows in the scan projection (one Generate, one
+    * data pass, column pruning intact), NULL values excluded.
+    */
+  private def numericEntries(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+      .filter(col("v").isNotNull)
+
+  /** Equi-width (lo, binWidth) per column from ONE all-columns min/max
+    * pass over `df`; all-NULL columns are absent from the result.
+    */
+  private def equiWidthBounds(df: DataFrame, cols: Seq[String],
+                              nBins: Int): Map[String, (Double, Double)] = {
     val statsRow = {
       val aggs = cols.flatMap(c => Seq(
         min(col(c).cast("double")).as(s"__mn_$c"),
         max(col(c).cast("double")).as(s"__mx_$c")))
       df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
     }
-    // (lo, width) per column; all-NULL columns produce no rows downstream
-    val bounds: Map[String, (Double, Double)] = cols.zipWithIndex.flatMap {
-      case (c, i) =>
-        if (statsRow.isNullAt(2 * i)) None
-        else {
-          val lo = statsRow.getDouble(2 * i)
-          val hi = statsRow.getDouble(2 * i + 1)
-          Some(c -> ((lo, (hi - lo) / nBins)))
-        }
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      if (statsRow.isNullAt(2 * i)) None
+      else {
+        val lo = statsRow.getDouble(2 * i)
+        val hi = statsRow.getDouble(2 * i + 1)
+        Some(c -> ((lo, (hi - lo) / nBins)))
+      }
     }.toMap
-    val entries = df.select(explode(array(cols.map(c =>
-        struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("e"))
-      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
-      .filter(col("v").isNotNull)
+  }
+
+  def histogram(df: DataFrame, cols: Seq[String], nBins: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "histogram needs at least one column")
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    // all-NULL columns produce no rows downstream
+    val bounds = equiWidthBounds(df, cols, nBins)
+    val entries = numericEntries(df, cols)
     def perCol(f: (String, Double, Double) => Column): Column =
       bounds.foldLeft(lit(null).cast("double")) { case (acc, (c, (lo, w))) =>
         when(col("col_name") === c, f(c, lo, w)).otherwise(acc)
@@ -184,10 +212,7 @@ object Summaries {
       else Some(c -> statsRow.getSeq[Double](i).map(v =>
         BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble))
     }.toMap
-    val entries = df.select(explode(array(cols.map(c =>
-        struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("e"))
-      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
-      .filter(col("v").isNotNull)
+    val entries = numericEntries(df, cols)
     def perCol(f: Seq[Double] => Column): Column =
       cuts.foldLeft(lit(null).cast("double")) { case (acc, (c, cs)) =>
         when(col("col_name") === c, f(cs)).otherwise(acc)
@@ -218,9 +243,14 @@ object Summaries {
     * PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref), with `floor` as
     * the conventional zero-proportion guard. Output one row per column:
     * (col_name, psi, drift) — drift graded on the industry thresholds
-    * (< 0.1 stable, < 0.25 moderate, else major). A column that is
-    * all-NULL in the reference is dropped (no bins); a side with zero
-    * non-NULL rows yields NULL psi rather than NaN arithmetic.
+    * (< 0.1 stable, < 0.25 moderate, else major). A CONSTANT reference
+    * column (min == max) keeps exact matches in bin 0 and sends any
+    * deviating current value to the far edge bin — clamping everything
+    * into one cell would report psi 0 for a total shift, the one signal
+    * a drift monitor must never hide. Every requested column gets a
+    * row: zero non-NULL rows on either side (including an all-NULL
+    * reference) yields NULL psi/drift — undefined, not NaN and not
+    * silently dropped.
     *
     * Float discipline: per-bin terms are 5-dp-rounded and summed as
     * DECIMAL (order-independent, engine-replayable); the drift grade
@@ -239,27 +269,16 @@ object Summaries {
     require(cols.nonEmpty, "psiDrift needs at least one column")
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     require(floor > 0 && floor < 1, s"floor must be in (0, 1), got $floor")
-    val statsRow = {
-      val aggs = cols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__mn_$c"),
-        max(col(c).cast("double")).as(s"__mx_$c")))
-      ref.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
-    }
-    val bounds: Map[String, (Double, Double)] = cols.zipWithIndex.flatMap {
-      case (c, i) =>
-        if (statsRow.isNullAt(2 * i)) None
-        else Some(c -> ((statsRow.getDouble(2 * i),
-          (statsRow.getDouble(2 * i + 1) - statsRow.getDouble(2 * i)) / nBins)))
-    }.toMap
-    def side(df: DataFrame, tag: String) =
-      df.select(explode(array(cols.map(c =>
-          struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("e"))
-        .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
-        .filter(col("v").isNotNull)
-        .withColumn("side", lit(tag))
-    val entries = side(ref, "r").unionByName(side(cur, "c"))
+    val bounds = equiWidthBounds(ref, cols, nBins)
+    val entries = numericEntries(ref, cols).withColumn("side", lit("r"))
+      .unionByName(numericEntries(cur, cols).withColumn("side", lit("c")))
     val bin = bounds.foldLeft(lit(null).cast("double")) { case (acc, (c, (lo, w))) =>
-      val b = if (w == 0d) lit(0d)
+      // constant reference (w == 0): a drift MONITOR must not clamp every
+      // current value into the reference's single cell — exact matches
+      // stay in bin 0, any deviation lands in the far edge bin so the
+      // shift registers (histogram's bin-0 collapse is correct THERE,
+      // where only the reference's own values flow through)
+      val b = if (w == 0d) when(col("v") === lo, 0d).otherwise((nBins - 1).toDouble)
         else least(greatest(floor_((col("v") - lo) / w), lit(0d)),
           lit((nBins - 1).toDouble))
       when(col("col_name") === c, b).otherwise(acc)
@@ -274,16 +293,28 @@ object Summaries {
     val pr = greatest(col("cr").cast("double") / col("tr"), lit(floor))
     val pc = greatest(col("cc").cast("double") / col("tc"), lit(floor))
     val term = round((pc - pr) * log(pc / pr), 5)
-    counts.join(broadcast(totals), Seq("col_name"))
+    val scored = counts.join(broadcast(totals), Seq("col_name"))
       .select(col("col_name"),
         when(col("tr") === 0 || col("tc") === 0, lit(null).cast("decimal(18,5)"))
           .otherwise(term.cast("decimal(18,5)")).as("t"))
       .groupBy("col_name").agg(sum(col("t")).cast("double").as("psi"))
-      .withColumn("drift",
-        when(col("psi").isNull, lit(null).cast("string"))
-          .when(col("psi") < 0.1, lit("stable"))
-          .when(col("psi") < 0.25, lit("moderate"))
-          .otherwise(lit("major")))
+    // a column with an all-NULL reference has no bins and vanished from
+    // `counts` — the monitor still owes the caller a row (NULL psi, the
+    // same undefined-PSI signal as an empty current side)
+    val missing = cols.filterNot(bounds.contains)
+    val all =
+      if (missing.isEmpty) scored
+      else {
+        val spark = ref.sparkSession
+        import spark.implicits._
+        scored.unionByName(missing.toDF("col_name")
+          .withColumn("psi", lit(null).cast("double")))
+      }
+    all.withColumn("drift",
+      when(col("psi").isNull, lit(null).cast("string"))
+        .when(col("psi") < 0.1, lit("stable"))
+        .when(col("psi") < 0.25, lit("moderate"))
+        .otherwise(lit("major")))
   }
 
   // psiDrift's `floor` PARAMETER shadows functions.floor inside it

@@ -268,6 +268,40 @@ class OperatorsSpec extends SparkSpec {
     assert(nul.isNullAt(0) && nul.isNullAt(1))
   }
 
+  test("psiDrift: constant reference still sees drift; all-NULL ref keeps its row") {
+    import graft.operators.Summaries
+    // constant reference (bin width 0): a wholesale shift must NOT clamp
+    // into the reference's single cell and read psi = 0
+    val refC = (1 to 100).map(i => (i.toLong, 5.0)).toDF("id", "v")
+    val curC = (1 to 100).map(i => (i.toLong, 100.0)).toDF("id", "v")
+    val shifted = Summaries.psiDrift(refC, curC, Seq("v"))
+      .as[(String, Double, String)].head()
+    assert(shifted._3 === "major", shifted)
+    val sameC = Summaries.psiDrift(refC, refC, Seq("v"))
+      .as[(String, Double, String)].head()
+    assert(sameC._3 === "stable" && sameC._2 === 0.0, sameC)
+    // an all-NULL reference column still yields its row (NULL psi), and
+    // healthy columns in the same call are unaffected
+    val ref2 = (1 to 50).map(i =>
+      (i.toLong, i.toDouble, None: Option[Double])).toDF("id", "a", "b")
+    val cur2 = (1 to 50).map(i =>
+      (i.toLong, i.toDouble, Some(1.0): Option[Double])).toDF("id", "a", "b")
+    val rows = Summaries.psiDrift(ref2, cur2, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> ((r.isNullAt(1), r.isNullAt(2)))).toMap
+    assert(rows("a") === ((false, false)))
+    assert(rows("b") === ((true, true)))
+  }
+
+  test("rollupSummary on empty input emits the SQL grand-total row") {
+    import graft.operators.Summaries
+    val empty = Seq.empty[(String, String, Double)].toDF("d1", "d2", "v")
+    val out = Summaries.rollupSummary(empty, Seq("d1", "d2"), col("v")).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) === 3L &&
+      r.getLong(3) === 0L && r.isNullAt(4), r)
+  }
+
   test("equidepthBins balances a power-law column that equi-width cannot") {
     import graft.operators.Summaries
     val df = (1 to 1000).map(i => (i.toLong, math.pow(i.toDouble, 3)))
