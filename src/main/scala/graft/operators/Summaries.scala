@@ -57,6 +57,9 @@ object Summaries {
     // empty frame emits nothing. Supply it declaratively: every `fine`
     // row has n >= 1, so coalesce(sum(n), 0) = 0 exactly when the input
     // was empty — the filter keeps this one-row agg only in that case.
+    // The second reference to `fine` shares its shuffle subtree, so AQE
+    // resolves this branch to a ReusedExchange — ONE physical scan +
+    // partial agg at runtime (plan-pinned).
     val grandOnEmpty = fine
       .agg(coalesce(sum(col(nName)), lit(0L)).as(nName),
         sum(col(totalName)).cast("double").as(totalName))

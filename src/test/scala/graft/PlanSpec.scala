@@ -231,15 +231,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p.take(2000))
   }
 
-  test("q101 rollup expands the aggregate, not the scan") {
-    val p = plan("q101_rollup_summary")
+  test("q101 rollup expands the aggregate, not the scan; fallback reuses the exchange") {
+    val df: DataFrame = Queries.all("q101_rollup_summary")(spark, sf)
+    df.collect() // AQE must finalize to materialize the exchange reuse
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
     // two-phase contract: the raw scan feeds an ordinary hash agg; the
     // rollup Expand (which replicates its input ×levels) must sit ABOVE
     // that agg — in the printed top-down tree, aggregation appears BELOW
     // (after) the Expand. Single-phase rollup would put Expand deepest.
     assert("Expand".r.findAllIn(p).size === 1, p.take(2000))
-    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(2000))
     assert(p.lastIndexOf("HashAggregate") > p.indexOf("Expand"), p.take(2000))
+    // the empty-input grand-total fallback references the fine aggregate
+    // a second time — at runtime that branch must resolve to a
+    // ReusedExchange of the first scan's shuffle, ONE physical scan total
+    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(3000))
+    assert(p.contains("ReusedExchange"), p.take(3000))
   }
 
   test("q72 migration view is one shuffle-free codegen stage") {
