@@ -84,6 +84,39 @@ object Oracles {
        SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank
        FROM ranked WHERE rank <= 5"""
 
+  /** q106: recall@5 of the q31 LSH replay against the q30 exact replay —
+    * both CTE chains inlined (identical formulas to their own oracles),
+    * left-joined on (query, neighbor) so a fully-missed query scores 0.
+    */
+  private def annRecallOracle: String = {
+    val tbls = "(SELECT unnest(range(0, 4)) AS tbl) t"
+    def top5(src: String): String =
+      s"""SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM $src) WHERE rank <= 5"""
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+       c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       exact_scored AS (
+         SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+         FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+       exact AS (${top5("exact_scored")}),
+       qb AS (SELECT query_id, qv, tbl, ${rhpBucketSql("qv", 10, "42 + 7919*tbl")} AS bkt
+              FROM q CROSS JOIN $tbls),
+       cb AS (SELECT neighbor_id, cv, tbl, ${rhpBucketSql("cv", 10, "42 + 7919*tbl")} AS bkt
+              FROM c CROSS JOIN $tbls),
+       approx_scored AS (
+         SELECT DISTINCT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+         FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bkt = qb.bkt AND query_id <> neighbor_id),
+       approx AS (${top5("approx_scored")})
+       SELECT e.query_id,
+         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS recall
+       FROM exact e LEFT JOIN approx a
+         ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       GROUP BY e.query_id"""
+  }
+
   private def topKSelect(k: Int): String =
     s"""ranked AS (
          SELECT query_id, neighbor_id, cos,
@@ -575,6 +608,7 @@ object Oracles {
     "q31_ann_lsh" -> annLshOracle,
     "q37_ann_ivf" -> annIvfOracle,
     "q95_ann_pq" -> annPqOracle,
+    "q106_ann_recall" -> annRecallOracle,
     "q01_agg_summary" ->
       """SELECT l_returnflag, l_linestatus,
          count(*) AS count_rows,

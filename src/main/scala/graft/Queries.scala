@@ -1134,6 +1134,16 @@ object Queries {
       Summaries.rollupSummary(Tables.lineitem(s, d),
         Seq("l_returnflag", "l_linestatus"), col("l_quantity"))),
 
+    // Recall@5 of the q31 LSH index against the q30 exact yardstick —
+    // the measure-your-index-before-trusting-it evaluator
+    "q106_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Ann.recallAtK(
+        Ann.lshTopK(queries, e, "vec_id", "embedding", k = 5, nPlanes = 10),
+        Ann.bruteForceTopK(queries, e, "vec_id", "embedding", k = 5), k = 5)
+    }),
+
     // Edit-distance fuzzy self-join on 40-char document prefixes —
     // PassJoin segment blocking + exact levenshtein verify, no cross
     // join; catches the planted near-dup resubmissions

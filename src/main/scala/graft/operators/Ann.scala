@@ -365,6 +365,33 @@ object Ann {
         col("col.adc").as("adc"), (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact one — the
+    * index-quality measurement every production ANN deployment runs
+    * before trusting an index (tune nPlanes/nProbe/codebooks until
+    * recall clears the bar, THEN deploy). Both inputs are
+    * (query_id, neighbor_id, …) frames — the shape every topK operator
+    * here emits — so any approximate method can be scored against any
+    * exact yardstick. One row per EXACT-side query:
+    * (query_id, n_matched, recall = n_matched / k) — a query the
+    * approximate side missed entirely still scores (0, 0.0), never
+    * vanishes; macro-average is one `avg(recall)` away.
+    *
+    * Scale notes: one left join on (query_id, neighbor_id) — both sides
+    * are already tiny (queries × k rows) relative to the corpora that
+    * produced them — and one hash agg on query_id; recall is exact
+    * integer count ÷ k, engine-portable with no rounding.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    exact.select("query_id", "neighbor_id")
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+      .withColumn("recall", col("n_matched").cast("double") / k)
+  }
+
   /** Top-k by (cos desc, neighbor_id asc) via graft's bounded-heap
     * aggregate: O(log k) per candidate in ObjectHashAggregate, only k rows
     * per query per map task shuffle — a `row_number` window would sort

@@ -233,6 +233,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rootMessages(e2).contains("graft_pq_adc"), rootMessages(e2))
   }
 
+  test("recallAtK: per-query overlap over k; fully-missed queries keep a 0 row") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 99L)).toDF("query_id", "neighbor_id")
+    val out = Ann.recallAtK(approx, exact, k = 2)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((1L, 0.5)))
+    assert(out(2L) === ((0L, 0.0))) // query 2 absent from approx entirely
+  }
+
   test("LSH topK finds the same top-1 as brute force for clustered data") {
     val queries = clustered.filter(col("vec_id") < 4)
     val lsh = Ann.lshTopK(queries, clustered, "vec_id", "embedding",
