@@ -389,9 +389,13 @@ object Dedup {
     * real dups; (4) the increment left-joins the confirmed keys
     * (broadcast) for the final flag. The broadcasts are bounded by the
     * maybe-set, i.e. by the increment's true-dup count + fpp·|increment|
-    * — if an increment is mostly dups of a huge history, set
-    * `broadcastConfirm = false` and let the confirm join shuffle the
-    * increment (still never the history).
+    * — if an increment is mostly dups of a huge history (maybe-set ≈ the
+    * whole increment, too big for the driver), set `broadcastConfirm =
+    * false`: BOTH maybe-set joins turn into shuffle semi/left joins, so
+    * nothing is driver-collected. In that mode the history's slim md5
+    * key projection (32 B/row, one column) does shuffle — the honest
+    * cost of an exact confirm at that ratio; the history's full rows
+    * still never move.
     *
     * Note: steps (1)-(2) run EAGERLY at call time (the filter build is
     * an action), unlike graft's otherwise-lazy operators.
@@ -442,9 +446,13 @@ object Dedup {
     val maybeKeys = increment
       .filter(col(textCol).isNotNull && probe)
       .select(md5(col(textCol)).as("__k")).distinct()
+    // broadcastConfirm gates BOTH maybe-set joins: broadcasting only the
+    // final confirm would still driver-collect the (possibly increment-
+    // sized) maybe-set here, defeating the escape hatch
+    val maybeSide = if (broadcastConfirm) broadcast(maybeKeys) else maybeKeys
     val confirmed = history.select(md5(col(textCol)).as("__k"))
       .filter(col("__k").isNotNull)
-      .join(broadcast(maybeKeys), Seq("__k"), "left_semi").distinct()
+      .join(maybeSide, Seq("__k"), "left_semi").distinct()
       .withColumn("__dup", lit(true))
     val confirmSide = if (broadcastConfirm) broadcast(confirmed) else confirmed
     increment.withColumn("__k", md5(col(textCol)))

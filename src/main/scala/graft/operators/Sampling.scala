@@ -212,7 +212,11 @@ object Sampling {
                           seed: Long = 42L, portable: Boolean = false): DataFrame = {
     require(fractions.values.forall(f => f >= 0 && f <= 1),
       "fractions must be in [0, 1]")
-    val frac = coalesce(element_at(typedLit(fractions), stratumCol), lit(0.0))
+    // stratum keys the string-typed fractions map, so non-string strata
+    // are cast (matching [[temperatureFractions]]' Map[String, _] keys)
+    // instead of failing the element_at key-type resolution
+    val frac = coalesce(
+      element_at(typedLit(fractions), stratumCol.cast("string")), lit(0.0))
     df.filter(uniform01(idCol, seed, portable) < frac)
   }
 
@@ -239,6 +243,12 @@ object Sampling {
                        k: Int, seed: Long = 42L,
                        portable: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // posexplode emits (pos, col); an input column with either name would
+    // collide in the re-select — reject loudly like the sibling operators
+    Seq("pos", "col", "rank").foreach { reserved =>
+      require(!df.columns.exists(_.equalsIgnoreCase(reserved)),
+        s"stratifiedExactK working/output column '$reserved' already exists on the input")
+    }
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val u = uniform01(idCol, seed, portable)
     val payload = struct(df.columns.map(col).toIndexedSeq: _*)
@@ -270,8 +280,12 @@ object Sampling {
                            alpha: Double, weight: Column = lit(1L)): Map[String, Double] = {
     require(total > 0, "total must be positive")
     require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    // stratum is cast to string so a numeric/date stratum yields the same
+    // Map[String, Double] key space [[stratifiedFractions]] expects,
+    // instead of a runtime ClassCastException on getString
     val sizes = df.filter(stratumCol.isNotNull)
-      .groupBy(stratumCol.as("__s")).agg(sum(weight).cast("double").as("__n"))
+      .groupBy(stratumCol.cast("string").as("__s"))
+      .agg(sum(weight).cast("double").as("__n"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val pw = sizes.map { case (s, n) => s -> math.pow(n, alpha) }
     val z = pw.values.sum
@@ -292,12 +306,16 @@ object Sampling {
     * NULL, every `when(u < cum)` branch is NULL, and the row falls through
     * to the `otherwise` — the same `CASE ... ELSE` fall-through a SQL
     * twin of this assignment has. That default silently concentrates
-    * failed-id rows in the final (usually eval) split, so gate NULL ids
-    * upstream (`filter(id.isNotNull)`) unless that is genuinely wanted.
+    * failed-id rows in the final (usually eval) split, so either gate
+    * NULL ids upstream (`filter(id.isNotNull)`) or set
+    * `requireNonNullIds = true` to make any NULL id fail the job loudly
+    * (still a pure projection — the check is a per-row `raise_error`
+    * branch, no extra pass).
     */
   def assignSplit(df: DataFrame, id: Column, splits: Seq[(String, Double)],
                   outCol: String = "split", seed: Long = 42L,
-                  portable: Boolean = false): DataFrame = {
+                  portable: Boolean = false,
+                  requireNonNullIds: Boolean = false): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 >= 0), "weights must be >= 0")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
     val u = uniform01(id, seed, portable)
@@ -307,6 +325,11 @@ object Sampling {
         Some(acc.fold(when(u < cum, name))(_.when(u < cum, name)))
       }
       .fold(lit(splits.last._1))(_.otherwise(splits.last._1))
-    df.withColumn(outCol, label)
+    val guarded =
+      if (requireNonNullIds)
+        when(id.isNotNull, label).otherwise(raise_error(
+          lit("assignSplit: NULL id (requireNonNullIds = true)")))
+      else label
+    df.withColumn(outCol, guarded)
   }
 }
