@@ -211,6 +211,26 @@ case class NgramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Deletion neighborhood of a string: all distinct <= d code-point
+  * deletions, itself included — the lossless short-string blocking key
+  * for edit-distance joins (see [[TextKernels.deletionVariants]] for the
+  * intersection guarantee and the C(len, <=d) size bound).
+  */
+case class DelVariantsExpr(child: Expression, d: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_del_variants"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.deletionVariants(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.TextKernels.deletionVariants($v, $d);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Char-n-gram language ID over a raw string (profiles are plan-time
   * literals, same encoding as [[LangIdExpr]]'s markers).
   */
@@ -423,6 +443,11 @@ object GraftFunctions {
       // array PER ROW deep in execution instead of failing here
       require(n >= 1, s"graft_ngram_hashes needs n >= 1, got $n")
       NgramHashesExpr(es(0), n)
+    }),
+    "graft_del_variants" -> (es => {
+      val d = intLit(es(1), "d")
+      require(d >= 0, s"graft_del_variants needs d >= 0, got $d")
+      DelVariantsExpr(es(0), d)
     }),
     "graft_count_in_set" -> (es =>
       TokenInSetCountExpr(es(0), stringLit(es(1), "words").split(',').toSeq)),

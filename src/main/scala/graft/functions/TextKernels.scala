@@ -188,4 +188,47 @@ object TextKernels {
     }
     new GenericArrayData(if (m == count) out else java.util.Arrays.copyOf(out, m))
   }
+
+  /** Deletion neighborhood (the SymSpell / FastSS blocking key — public
+    * algorithm): every DISTINCT string reachable from `s` by deleting up
+    * to `d` code points, the string itself included. If
+    * `levenshtein(a, b) <= d` the neighborhoods of a and b intersect
+    * (delete the sub/del positions of an optimal alignment from a and the
+    * sub/ins positions from b — both sides reach the matched-character
+    * string in <= d deletions), so joining on a shared variant is a
+    * lossless candidate filter for edit-distance <= d.
+    *
+    * Variant count is bounded by C(len, <=d) — callers bound len (the
+    * editDistancePairs short band caps it at 2·maxDist). BFS by rounds so
+    * each variant string is built exactly once; dedup in one hash set.
+    */
+  def deletionVariants(s: UTF8String, d: Int): ArrayData = {
+    val base = s.toString
+    val seen = new java.util.LinkedHashSet[String]()
+    seen.add(base)
+    var frontier = new java.util.ArrayList[String]()
+    frontier.add(base)
+    var round = 0
+    while (round < d && !frontier.isEmpty) {
+      val next = new java.util.ArrayList[String]()
+      val it = frontier.iterator()
+      while (it.hasNext) {
+        val cur = it.next()
+        var i = 0
+        while (i < cur.length) {
+          val w = Character.charCount(cur.codePointAt(i))
+          val v = cur.substring(0, i) + cur.substring(i + w)
+          if (seen.add(v)) next.add(v)
+          i += w
+        }
+      }
+      frontier = next
+      round += 1
+    }
+    val out = new Array[Any](seen.size)
+    var m = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(out)
+  }
 }

@@ -228,6 +228,13 @@ object VectorOps {
     var acc = 0L
     var s = 0
     while (s < m) {
+      // getInt on a null slot silently reads 0 — centroid 0 of every
+      // codebook — so a null ELEMENT must fail loudly (a wholly-NULL
+      // codes array never reaches here: the expression is null-safe)
+      if (codes.isNullAt(s))
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: code array has a NULL entry at subspace $s " +
+            "(encode NULL embeddings to NULL codes, not null elements)")
       val cb = books(s)(codes.getInt(s))
       val dsub = cb.length
       val off = s * dsub

@@ -305,7 +305,14 @@ object Ann {
         slice(guarded, s * dsub + 1, dsub),
         lit(GraftFunctions.encodeCents(cb)))
     }.toIndexedSeq: _*)
-    df.select(col(idCol), codes.as("codes"))
+    // NULL vector → NULL codes (not an array of NULL elements: `array`
+    // would happily build one, and a null slot read downstream as int
+    // decodes to centroid 0 — a NULL embedding silently scored as a real
+    // point). pqTopK filters NULL codes; pqAdc rejects null ELEMENTS.
+    val guardedCodes = when(col(vecCol).isNull, lit(null).cast(
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType))).otherwise(codes)
+    df.select(col(idCol), guardedCodes.as("codes"))
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays a
@@ -349,7 +356,12 @@ object Ann {
     GraftFunctions.ensureRegistered(queries.sparkSession)
     require(codebooks.nonEmpty, "pqTopK needs at least one codebook")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(col("qv").isNotNull)
+    // NULL-code rows (NULL embeddings in pqEncode) never rank: a null
+    // code slot would otherwise decode as centroid 0 of every codebook
+    // and a garbage row could surface as a top-k neighbor
     val cRaw = codes.select(col(idCol).as("neighbor_id"), col("codes"))
+      .filter(col("codes").isNotNull)
     val c = cRaw.mapPartitions(it => it)(Encoders.row(cRaw.schema))
     val adc = call_function("graft_pq_adc", col("qv"), col("codes"),
       lit(GraftFunctions.encodeBooks(codebooks)))

@@ -440,9 +440,16 @@ object NearDup {
     * the pigeonhole; false positives (including the ~2⁻⁶⁴ hash-collision
     * tail) die in verification.
     *
-    * Rows with NULL strings or fewer than `maxDist + 1` characters are
-    * dropped (a zero-length segment would match everywhere — PassJoin's
-    * own length precondition); returns (id_a, id_b, dist), id_a < id_b.
+    * PassJoin's pigeonhole needs `maxDist + 1` non-empty segments, so
+    * strings shorter than that can't use it — but any pair with a short
+    * side has BOTH sides <= 2·maxDist chars (the partner is within
+    * maxDist of a <= maxDist-char string), a bounded-length band covered
+    * by a second lossless blocking key: the SymSpell deletion
+    * neighborhood (`graft_del_variants` — two strings within edit
+    * distance d share a <= d-deletion variant). Short-band candidates
+    * join on shared variants and verify with the same exact
+    * `levenshtein`; no row is dropped. Returns (id_a, id_b, dist),
+    * id_a < id_b, NULL strings excluded.
     *
     * Scale notes: exact-duplicate strings are collapsed BEFORE blocking
     * (built in — see the inline note), so the index side emits maxDist+1
@@ -459,9 +466,10 @@ object NearDup {
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val nseg = maxDist + 1
     val rows = df.select(col(idCol).as("id"), col(strCol).as("s"))
-      .filter(col("s").isNotNull && length(col("s")) >= nseg)
+      .filter(col("s").isNotNull)
     // collapse to DISTINCT strings first (the ngramJaccardPairs move,
     // same 2^-64 xxhash64-identity acceptance): d copies of a string
     // would otherwise push d identical segment/substring streams through
@@ -470,8 +478,11 @@ object NearDup {
     // and the DP verify run once per distinct pair; id pairs fan back via
     // slim membership joins, intra-group pairs are dist 0 by identity.
     val members = rows.select(col("id"), xxhash64(col("s")).as("th"))
-    val s = rows.select(xxhash64(col("s")).as("th"), col("s"))
+    val sAll = rows.select(xxhash64(col("s")).as("th"), col("s"))
       .dropDuplicates("th")
+    // the PassJoin band: strings long enough for maxDist+1 non-empty
+    // segments; shorter strings go through the deletion-variant band below
+    val s = sAll.filter(length(col("s")) >= nseg)
     val L = length(col("s"))
     // even split: segment i covers [i·L/nseg, (i+1)·L/nseg) — positive
     // ints, so double-division + truncation IS integer division
@@ -502,11 +513,33 @@ object NearDup {
       .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("th_a"), col("th_b"), col("dist"))
+    // short band: any pair with a side < nseg chars has both sides
+    // <= 2·maxDist chars, so the bounded-size deletion neighborhood is a
+    // lossless equi-key (C(2·maxDist, <=maxDist) variants per string,
+    // each <= 2·maxDist chars — tiny). Pairs with both sides >= nseg are
+    // the PassJoin band's, so the bands are disjoint by construction.
+    val shortS = sAll.filter(length(col("s")) <= 2 * maxDist)
+      .select(col("th"), col("s"), length(col("s")).as("len"))
+    val shortVariants = shortS.select(col("th"), col("len"),
+      explode(call_function("graft_del_variants", col("s"), lit(maxDist))).as("v"))
+    val shortCands = shortVariants.hint("shuffle_hash").as("a")
+      .join(shortVariants.as("b"),
+        col("a.v") === col("b.v") && col("a.th") < col("b.th") &&
+          (col("a.len") < nseg || col("b.len") < nseg))
+      .select(col("a.th").as("th_a"), col("b.th").as("th_b"))
+      .distinct()
+    val shortPairs = shortCands
+      .join(shortS.select(col("th").as("th_a"), col("s").as("__sa")), Seq("th_a"))
+      .join(shortS.select(col("th").as("th_b"), col("s").as("__sb")), Seq("th_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("th_a"), col("th_b"), col("dist"))
+    val allPairs = distinctPairs.unionByName(shortPairs)
     val intra = members.as("m1").join(members.as("m2"),
         col("m1.th") === col("m2.th") && col("m1.id") < col("m2.id"))
       .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
         lit(0L).as("dist"))
-    val inter = distinctPairs
+    val inter = allPairs
       .join(members.as("ma"), col("ma.th") === col("th_a"))
       .join(members.as("mb"), col("mb.th") === col("th_b"))
       .select(least(col("ma.id"), col("mb.id")).as("id_a"),

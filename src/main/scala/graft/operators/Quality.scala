@@ -90,8 +90,14 @@ object Quality {
     * plan-time CONSTANT (same stance as the IVF centroid matrix): eval
     * suites are thousands of documents, so the set is small enough to
     * ride the plan and make [[contaminatedFlag]] a pure stateless
-    * projection. For benchmark sets beyond ~10⁶ n-grams use
-    * [[contaminationHits]]'s broadcast-join form instead.
+    * projection.
+    *
+    * DRIVER-MEMORY BOUND: the full distinct-hash array materializes on
+    * the driver (8 B/hash — ~8 MB per 10⁶ n-grams) and then ships inside
+    * every task's plan, so it is capped by driver heap AND task-size
+    * limits, with no distributed fallback. Beyond ~10⁶ n-grams use
+    * [[contaminationHits]]'s broadcast-join form instead — that path
+    * never driver-collects.
     */
   def benchmarkHashes(benchmark: DataFrame, textCol: String, n: Int): Array[Long] = {
     graft.functions.GraftFunctions.ensureRegistered(benchmark.sparkSession)

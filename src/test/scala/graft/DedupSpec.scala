@@ -275,6 +275,31 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(!_._2).map(_._1).forall(_ < 2000L))
   }
 
+  test("bloomGate broadcastConfirm=false: same answer, nothing broadcast") {
+    import spark.implicits._
+    // the escape hatch for increments that are mostly dups of a huge
+    // history: the maybe-set ≈ the whole increment, so NEITHER maybe-set
+    // join may driver-collect/broadcast it — both must shuffle
+    Sessions.withConfIsolated(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"
+    ) { s =>
+      import s.implicits._
+      val h = (0 until 200).map(i => (i.toLong, s"hist_$i")).toDF("doc_id", "text")
+      val i2 = ((0 until 50).map(i => (1000L + i, s"hist_$i")) ++
+        (0 until 50).map(i => (2000L + i, s"new_$i"))).toDF("doc_id", "text")
+      val out = Dedup.bloomGate(i2, h, "text", expectedItems = 100,
+        broadcastConfirm = false)
+      val got = out.select("doc_id", "is_new").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1)))
+      assert(got.count(!_._2) === 50 && got.count(_._2) === 50)
+      assert(got.filter(!_._2).map(_._1).forall(_ < 2000L))
+      out.collect() // finalize AQE
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"), p.take(2000))
+    }
+  }
+
   test("bloomGate refuses colliding working columns and bad params") {
     import spark.implicits._
     val df = Seq((1L, "a", true)).toDF("doc_id", "text", "is_new")

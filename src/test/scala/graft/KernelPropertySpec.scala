@@ -247,15 +247,19 @@ class KernelPropertySpec extends SparkSpec {
     for (trial <- 1 to 5) {
       val maxDist = 1 + rnd.nextInt(3)
       val bases = (1 to 12).map(_ => randStr(8 + rnd.nextInt(12)))
+      // short strings (incl. empty and boundary lengths around maxDist+1)
+      // exercise the deletion-variant band and its PassJoin crossover
+      val shorts = (0 to 2 * maxDist + 1).map(randStr) :+ ""
       val strs = bases ++ (1 to 18).map(_ =>
-        mutate(bases(rnd.nextInt(bases.size)), rnd.nextInt(5)))
+        mutate(bases(rnd.nextInt(bases.size)), rnd.nextInt(5))) ++
+        shorts ++ shorts.take(3) // duplicate short strings: intra path
       val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
       val got = NearDup.editDistancePairs(rows.toDF("id", "s"), "id", "s", maxDist)
         .as[(Long, Long, Long)].collect().toSet
-      // model over the operator's own domain: strings of length >= maxDist+1
-      val dom = rows.filter(_._2.length >= maxDist + 1)
+      // model: plain quadratic levenshtein over EVERY row — no length
+      // carve-out; the operator covers short strings too
       val expected = (for {
-        (ia, sa) <- dom; (ib, sb) <- dom if ia < ib
+        (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
         d = lev(sa, sb) if d <= maxDist
       } yield (ia, ib, d.toLong)).toSet
       assert(got === expected, s"trial $trial maxDist=$maxDist")

@@ -141,4 +141,23 @@ class NearDupSpec extends SparkSpec {
     assert(out === brute)
     assert(out.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0)) // exact dup
   }
+
+  test("editDistancePairs covers strings shorter than maxDist+1 (deletion band)") {
+    // maxDist = 3 → PassJoin needs >= 4 chars; every pair below involves
+    // a shorter side and must come from the deletion-variant band
+    val rows = Seq(
+      (1L, "ab"),      // short
+      (2L, "b"),       // short: dist("ab","b") = 1
+      (3L, "ab"),      // exact dup of 1 → intra dist 0
+      (4L, "abcde"),   // medium: dist("ab","abcde") = 3 — short × PassJoin-band length
+      (5L, ""),        // empty: dist("", "ab") = 2, dist("", "b") = 1
+      (6L, "zzzzzzzzzz") // far from everything
+    ).toDF("id", "s")
+    val got = NearDup.editDistancePairs(rows, "id", "s", maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L),
+      (1L, 4L, 3L), (3L, 4L, 3L),
+      (1L, 5L, 2L), (2L, 5L, 1L), (3L, 5L, 2L)))
+  }
 }

@@ -209,6 +209,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(top.forall(r => r._2 % 4 == r._1 % 4), top.sortBy(r => (r._1, r._3)).mkString(","))
   }
 
+  test("PQ: NULL embeddings encode to NULL codes and never rank as neighbors") {
+    val cbs = Ann.pqCodebooks(
+      Ann.strideCentroids(clustered, "vec_id", "embedding", 16), m = 4)
+    // null out one corpus row; codes must be NULL (not [null,null,..] —
+    // a null SLOT reads as centroid 0 and the row would score as a point)
+    val withNull = clustered.withColumn("embedding",
+      when(col("vec_id") === 7L, lit(null)).otherwise(col("embedding")))
+    val codes = Ann.pqEncode(withNull, "vec_id", "embedding", cbs)
+    val nullRows = codes.filter(col("vec_id") === 7L).select("codes").collect()
+    assert(nullRows.length === 1 && nullRows.head.isNullAt(0))
+    val queries = withNull.filter(col("vec_id") < 8) // includes the NULL row
+    val top = Ann.pqTopK(queries, codes, "vec_id", "embedding", cbs, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(!top.exists(_._2 == 7L), "NULL-embedding row ranked as a neighbor")
+    assert(!top.exists(_._1 == 7L), "NULL-embedding query produced results")
+    assert(top.map(_._1).distinct.length === 7) // the 7 real queries answered
+    // defense in depth: externally-built codes with a null ELEMENT fail
+    // loudly in the kernel instead of silently scoring centroid 0
+    val badCodes = codes.withColumn("codes",
+      when(col("vec_id") === 3L, array(lit(0), lit(null).cast("int"), lit(0), lit(0)))
+        .otherwise(col("codes")))
+    val e = intercept[Throwable] {
+      Ann.pqTopK(clustered.filter(col("vec_id") === 0L), badCodes,
+        "vec_id", "embedding", cbs, k = 5).collect()
+    }
+    def rootMsgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+    assert(rootMsgs(e).contains("NULL entry"), rootMsgs(e))
+  }
+
   test("PQ rejects dimension-mismatched vectors loudly") {
     val cbs = Ann.pqCodebooks(
       Ann.strideCentroids(clustered, "vec_id", "embedding", 16), m = 4)

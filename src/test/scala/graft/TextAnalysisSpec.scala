@@ -296,4 +296,58 @@ class TextAnalysisSpec extends SparkSpec {
     val p5 = Sampling.temperatureFractions(df, col("lang"), total = 100, alpha = 0.5)
     assert(p5("de") > p5("en"), p5.toString)
   }
+
+  test("temperatureFractions + stratifiedFractions accept non-string strata") {
+    import graft.operators.Sampling
+    // a numeric stratum must not ClassCastException — it casts to the
+    // same string key space stratifiedFractions joins on
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("year", (lit(2020) + pmod(col("id"), lit(2))).cast("int"))
+    val fr = Sampling.temperatureFractions(df, col("year"), total = 500, alpha = 1.0)
+    assert(fr.keySet === Set("2020", "2021"), fr.toString)
+    assert(fr.values.forall(f => math.abs(f - 0.5) < 1e-6), fr.toString)
+    // and the fractions feed straight back into the filter on the same
+    // numeric column (cast inside element_at's key lookup)
+    val kept = Sampling.stratifiedFractions(df, col("year"),
+      col("id"), fr).count()
+    assert(math.abs(kept - 500.0) < 80, kept.toString)
+  }
+
+  test("stratifiedExactK rejects reserved working-column names") {
+    val bad = spark.range(0, 10).toDF("pos").withColumn("lang", lit("en"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.stratifiedExactK(bad, col("lang"), col("pos"), 3)
+    }
+    val bad2 = spark.range(0, 10).toDF("id").withColumn("COL", lit("x"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.stratifiedExactK(bad2, col("COL"), col("id"), 3)
+    }
+  }
+
+  test("assignSplit requireNonNullIds fails loudly on NULL ids") {
+    import graft.operators.Sampling
+    val splits = Seq(("train", 0.9), ("eval", 0.1))
+    val df = spark.range(0, 100).toDF("id").withColumn("id",
+      when(col("id") === 13, lit(null).cast("long")).otherwise(col("id")))
+    // default: NULL falls through to the last split (documented CASE
+    // fall-through) — no error
+    val quiet = Sampling.assignSplit(df, col("id"), splits)
+      .filter(col("id").isNull).select("split").collect()
+    assert(quiet.map(_.getString(0)).toSeq === Seq("eval"))
+    // strict: the same frame raises instead of silently assigning
+    val e = intercept[Throwable] {
+      Sampling.assignSplit(df, col("id"), splits,
+        requireNonNullIds = true).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("assignSplit"), msgs)
+    // and with no NULLs the strict mode is a no-op
+    val clean = spark.range(0, 100).toDF("id")
+    val a = Sampling.assignSplit(clean, col("id"), splits, requireNonNullIds = true)
+      .select("id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = Sampling.assignSplit(clean, col("id"), splits)
+      .select("id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a === b)
+  }
 }
