@@ -333,9 +333,10 @@ object Quality {
     * Bucket rule (strict-< boundaries so both engines agree on ties):
     * score < q(qLow) ⇒ 'tail'; < q(qHigh) ⇒ 'middle'; else 'head'.
     *
-    * Scale notes: the cutoffs are TWO scalar quantiles computed by
-    * [[Summaries.exactQuantile]]'s iterative 128-bucket narrowing (O(log)
-    * passes, never a value→count buffered aggregate), after which the
+    * Scale notes: the cutoffs are TWO scalar quantiles computed by ONE
+    * batched [[Summaries.exactQuantiles]] narrowing (O(log) fused passes
+    * shared by both ranks, never a value→count buffered aggregate), after
+    * which the
     * bucketing itself is a pure plan-constant projection — no global
     * sort, no rank window over the corpus. The scored frame is persisted
     * (memory-and-disk, one slim row per doc) ONLY for the duration of the
@@ -352,9 +353,12 @@ object Quality {
     val cached = scored
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucket = try {
-      (Summaries.exactQuantile(cached, "mean_logprob", qLow),
-        Summaries.exactQuantile(cached, "mean_logprob", qHigh)) match {
-        case (Some(lo), Some(hi)) =>
+      // BOTH cutoffs in one batched narrowing — shared stats/min-max
+      // passes and fused per-round jobs; two independent exactQuantile
+      // calls would double every full-corpus scan (measured as the q89
+      // 24-job cascade at sf0.1)
+      Summaries.exactQuantiles(cached, "mean_logprob", Seq(qLow, qHigh)) match {
+        case Seq(Some(lo), Some(hi)) =>
           when(col("mean_logprob").isNull, lit(null).cast("string"))
             .when(col("mean_logprob") < lit(lo), lit("tail"))
             .when(col("mean_logprob") < lit(hi), lit("middle"))

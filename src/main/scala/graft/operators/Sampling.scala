@@ -200,8 +200,14 @@ object Sampling {
       conv(substring(md5(concat(id.cast("string"), lit(s":$seed"))), 1, 8), 16, 10)
         .cast("double") / lit(4294967296.0)
     else
-      pmod(xxhash64(id, lit(seed)), lit(1L << 52)).cast("double") /
-        lit((1L << 52).toDouble)
+      // xxhash64 SKIPS null inputs (returns the seed's own hash), so an
+      // unguarded fast path would map every NULL id to one non-NULL
+      // constant — silently routing all failed-id rows into whichever
+      // split/fraction that constant lands in. Both paths must agree:
+      // NULL id → NULL draw.
+      when(id.isNull, lit(null).cast("double")).otherwise(
+        pmod(xxhash64(id, lit(seed)), lit(1L << 52)).cast("double") /
+          lit((1L << 52).toDouble))
 
   /** Deterministic per-stratum fraction sampling WITHOUT a shuffle: keep a
     * row iff a uniform hash of its id lands under the stratum's fraction.

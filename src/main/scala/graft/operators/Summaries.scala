@@ -427,150 +427,218 @@ object Summaries {
     * column.
     */
   def exactQuantile(df: DataFrame, c: String, q: Double,
-                    collectThreshold: Int = 1 << 20): Option[Double] = {
-    require(q >= 0 && q <= 1, s"quantile must be in [0, 1], got $q")
+                    collectThreshold: Int = 1 << 20): Option[Double] =
+    exactQuantiles(df, c, Seq(q), collectThreshold).head
+
+  /** Batched form of [[exactQuantile]]: EVERY requested quantile shares
+    * one stats pass, one min/max pass, and ONE narrowing sequence. Ranks
+    * whose candidate intervals coincide (interpolation pairs, nearby
+    * quantiles) travel in a shared group; per round, all still-active
+    * intervals are bucket-counted in a SINGLE job and recounted/tightened
+    * in a SINGLE fused aggregate, so asking for two cutoffs (the
+    * perplexity-bucket tail/head pattern) costs the same number of
+    * full-corpus scans as asking for one. Per-element semantics are
+    * exactly [[exactQuantile]]'s: percentile_cont interpolation, ±Inf
+    * selected positionally, overflow-safe interval arithmetic, tie
+    * clusters via distinct-value selection, and a narrowing stall
+    * degrading to exact distributed sort-selection (slower, never a
+    * failure).
+    */
+  def exactQuantiles(df: DataFrame, c: String, qs: Seq[Double],
+                     collectThreshold: Int = 1 << 20): Seq[Option[Double]] = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    qs.foreach(q => require(q >= 0 && q <= 1, s"quantile must be in [0, 1], got $q"))
     require(collectThreshold >= 2, "collectThreshold must be >= 2")
     val v = col(c).cast("double")
     val vals = df.select(v.as("v")).filter(col("v").isNotNull && !isnan(col("v")))
+    // ONE stats pass carries the finite min/max too — the narrowing's
+    // starting interval costs no extra scan
+    val isFin = col("v") > Double.NegativeInfinity && col("v") < Double.PositiveInfinity
     val stats = vals.agg(count(lit(1)),
       count(when(col("v") === Double.NegativeInfinity, 1)),
-      count(when(col("v") === Double.PositiveInfinity, 1))).head()
+      count(when(col("v") === Double.PositiveInfinity, 1)),
+      min(when(isFin, col("v"))), max(when(isFin, col("v")))).head()
     val n = stats.getLong(0)
-    if (n == 0) return None
+    if (n == 0) return qs.map(_ => None)
     val (nNeg, nPos) = (stats.getLong(1), stats.getLong(2))
-    // percentile_cont: 0-based real rank r = q(n−1); interpolate between
-    // the order statistics at floor(r) and ceil(r)
-    val r = q * (n - 1)
-    val kLo = math.floor(r).toLong
-    val kHi = math.ceil(r).toLong
-    val finite = vals.filter(
-      col("v") > Double.NegativeInfinity && col("v") < Double.PositiveInfinity)
+    val finite = vals.filter(isFin)
     val nFin = n - nNeg - nPos
+    // percentile_cont: 0-based real rank r = q(n−1); each quantile
+    // interpolates the order statistics at floor(r) and ceil(r). The
+    // narrowing resolves the DISTINCT finite ranks the whole batch needs
+    // (±Inf ranks resolve positionally, outside the narrowing).
+    val ranks = qs.map { q =>
+      val r = q * (n - 1); (r, math.floor(r).toLong, math.ceil(r).toLong)
+    }
+    val finiteJs = ranks.flatMap { case (_, kLo, kHi) => Seq(kLo, kHi) }
+      .filter(k => k >= nNeg && k < n - nPos).map(_ - nNeg).distinct.sorted
 
-    // Narrow toward finite rank j (0-based among FINITE values); returns
-    // (below, candidates) where candidates are either the sorted values
-    // of the final interval or sorted (value, count) pairs (tie path).
-    def narrowTo(j: Long): (Long, Either[Array[Double], Array[(Double, Long)]]) = {
-      val mm = finite.agg(min(col("v")), max(col("v"))).head()
-      var lo = mm.getDouble(0); var hi = mm.getDouble(1)
-      var below = 0L
-      var inCount = nFin
-      var rounds = 0
-      var stalled = java.lang.Double.compare(lo, hi) == 0 // incl. all −0.0 vs 0.0 mixes
-      while (inCount > collectThreshold && !stalled && rounds < 80) {
+    // One narrowing state per GROUP of ranks sharing a candidate interval;
+    // a group splits only when its ranks choose different buckets.
+    final case class Group(lo: Double, hi: Double, below: Long, in: Long,
+                           ranks: Seq[Long], stalled: Boolean)
+    var groups: List[Group] =
+      if (finiteJs.isEmpty) Nil
+      else {
+        val (lo0, hi0) = (stats.getDouble(3), stats.getDouble(4))
+        List(Group(lo0, hi0, 0L, nFin, finiteJs,
+          stalled = java.lang.Double.compare(lo0, hi0) == 0)) // incl. all −0.0 vs 0.0 mixes
+      }
+    var rounds = 0
+    var looping = true
+    while (looping && rounds < 80) {
+      val act = groups.filter(g => g.in > collectThreshold && !g.stalled)
+      if (act.isEmpty) looping = false
+      else {
         rounds += 1
+        val done = groups.filterNot(g => g.in > collectThreshold && !g.stalled)
         // hi/128 − lo/128, NOT (hi−lo)/128: the subtraction can overflow
-        // to Inf when the column spans most of the double range
-        val width = hi / 128.0 - lo / 128.0
-        if (width <= 0) stalled = true
+        // to Inf when the column spans most of the double range; a
+        // non-positive width stalls the group (same as the single-rank
+        // narrowing did)
+        val (widthOk, widthStalled) =
+          act.partition(g => g.hi / 128.0 - g.lo / 128.0 > 0)
+        if (widthOk.isEmpty)
+          groups = done ++ widthStalled.map(_.copy(stalled = true))
         else {
-          // v/width − lo/width keeps the quotient bounded (~±128) for the
-          // same overflow reason; clamp float-edge strays into [0, 127]
-          val bucket = greatest(least(
-            floor(col("v") / lit(width) - lit(lo) / lit(width)), lit(127.0)), lit(0.0))
-            .cast("int")
-          val counts = finite.filter(col("v") >= lo && col("v") <= hi)
-            .groupBy(bucket.as("b")).agg(count(lit(1)).as("c"))
-            .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
-          var acc = below; var chosen = -1
-          var b = 0
-          while (b < 128 && chosen < 0) {
-            val cb = counts.getOrElse(b, 0L)
-            if (acc + cb > j) chosen = b else acc += cb
-            b += 1
+          val idxd = widthOk.zipWithIndex
+          // ONE bucket-count job for ALL active intervals: each row emits
+          // one (group, bucket) entry per interval containing it
+          val parts = idxd.map { case (g, gi) =>
+            val w = g.hi / 128.0 - g.lo / 128.0
+            // v/w − lo/w keeps the quotient bounded (~±128) for the same
+            // overflow reason; clamp float-edge strays into [0, 127]
+            val bucket = greatest(least(
+              floor(col("v") / lit(w) - lit(g.lo) / lit(w)), lit(127.0)), lit(0.0))
+              .cast("int")
+            when(col("v") >= g.lo && col("v") <= g.hi,
+              struct(lit(gi).as("g"), bucket.as("b")))
           }
-          if (chosen < 0) chosen = 127
-          val lo2 = math.nextDown(lo + chosen * width)
-          val hi2 = math.nextUp(if (chosen == 127) hi else lo + (chosen + 1) * width)
-          // ONE fused recount pass: floor() bucketing is only approximate
-          // in float math, so the committed interval is recounted
-          // authoritatively — and TIGHTENED to the candidates' actual
-          // min/max, so the interval never crawls through empty value
-          // space (a [0, 1e304] bucket holding values ≤ 1e6 collapses to
-          // [min, 1e6] in one round instead of 128×-per-round for ~140)
-          val inI = col("v") >= lo2 && col("v") <= hi2
-          val re = finite.agg(
-            count(when(col("v") < lo2, 1)), count(when(inI, 1)),
-            min(when(inI, col("v"))), max(when(inI, col("v")))).head()
-          val (below2, in2) = (re.getLong(0), re.getLong(1))
-          // progress = the interval strictly shrank (count-based progress
-          // stalls while a wide range collapses onto a dense cluster);
-          // rank j must still be contained after the recount
-          if (in2 == 0 || !(below2 <= j && j < below2 + in2)) stalled = true
-          else {
-            val (lo3, hi3) = (re.getDouble(2), re.getDouble(3))
-            if (!(lo3 > lo || hi3 < hi)) stalled = true
-            else { lo = lo3; hi = hi3; below = below2; inCount = in2 }
+          val counts = finite.select(explode(array(parts.toIndexedSeq: _*)).as("p"))
+            .filter(col("p").isNotNull)
+            .groupBy(col("p.g"), col("p.b")).agg(count(lit(1)).as("cnt"))
+            .collect().map(row => (row.getInt(0), row.getInt(1)) -> row.getLong(2))
+            .toMap
+          // each rank picks the bucket holding it; a group's ranks
+          // partition into tentative subgroups by chosen bucket
+          final case class Sub(parent: Group, lo2: Double, hi2: Double,
+                               ranks: Seq[Long])
+          val subs = idxd.flatMap { case (g, gi) =>
+            val w = g.hi / 128.0 - g.lo / 128.0
+            val byBucket = g.ranks.groupBy { j =>
+              var acc = g.below; var chosen = -1; var b = 0
+              while (b < 128 && chosen < 0) {
+                val cb = counts.getOrElse((gi, b), 0L)
+                if (acc + cb > j) chosen = b else acc += cb
+                b += 1
+              }
+              if (chosen < 0) 127 else chosen
+            }
+            byBucket.toSeq.sortBy(_._1).map { case (chosen, rs) =>
+              Sub(g, math.nextDown(g.lo + chosen * w),
+                math.nextUp(if (chosen == 127) g.hi else g.lo + (chosen + 1) * w),
+                rs)
+            }
           }
+          // ONE fused recount pass for every tentative subgroup: floor()
+          // bucketing is only approximate in float math, so the committed
+          // intervals are recounted authoritatively — and TIGHTENED to the
+          // candidates' actual min/max, so an interval never crawls
+          // through empty value space (a [0, 1e304] bucket holding values
+          // ≤ 1e6 collapses to [min, 1e6] in one round instead of
+          // 128×-per-round for ~140)
+          val aggs = subs.flatMap { s =>
+            val inI = col("v") >= s.lo2 && col("v") <= s.hi2
+            Seq(count(when(col("v") < s.lo2, 1)), count(when(inI, 1)),
+              min(when(inI, col("v"))), max(when(inI, col("v"))))
+          }
+          val re = finite.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+          val next = subs.zipWithIndex.flatMap { case (s, i) =>
+            val below2 = re.getLong(4 * i); val in2 = re.getLong(4 * i + 1)
+            // rank containment must still hold after the recount; ranks
+            // the tentative interval lost stall on the PARENT interval
+            // (the pre-round state, exactly what the single-rank form
+            // kept on stall)
+            val (kept, lost) =
+              s.ranks.partition(j => in2 > 0 && below2 <= j && j < below2 + in2)
+            val stalledLost =
+              if (lost.isEmpty) Nil
+              else List(s.parent.copy(ranks = lost, stalled = true))
+            val keptGroup =
+              if (kept.isEmpty) Nil
+              else {
+                val (lo3, hi3) = (re.getDouble(4 * i + 2), re.getDouble(4 * i + 3))
+                // progress = the interval strictly shrank (count-based
+                // progress stalls while a wide range collapses onto a
+                // dense cluster)
+                if (!(lo3 > s.parent.lo || hi3 < s.parent.hi))
+                  List(s.parent.copy(ranks = kept, stalled = true))
+                else List(Group(lo3, hi3, below2, in2, kept, stalled = false))
+              }
+            stalledLost ++ keptGroup
+          }
+          groups = done ++ widthStalled.map(_.copy(stalled = true)) ++ next
         }
       }
-      if (inCount > collectThreshold) {
-        // tie cluster denser than the threshold (or interval collapsed):
-        // the candidates share few DISTINCT values — select among those.
-        // groupBy normalizes −0.0 to 0.0, matching percentile_cont's
-        // interpolated result on signed-zero mixes.
-        val dv = finite.filter(col("v") >= lo && col("v") <= hi)
-          .groupBy(col("v")).agg(count(lit(1)).as("c")).orderBy(col("v"))
-          .limit(collectThreshold + 1).collect()
-          .map(row => (row.getDouble(0), row.getLong(1)))
-        if (dv.length <= collectThreshold) (below, Right(dv))
-        else {
-          // narrowing stalled on a dense MANY-distinct-value interval (an
-          // adversarial distribution the histogram rounds can't split):
-          // degrade to an exact distributed sort-selection of the one
-          // order statistic this call needs instead of failing the job on
-          // data shape. orderBy range-partitions the interval's rows and
-          // zipWithIndex adds one count pass — distributed and
-          // memory-bounded, just slower than the histogram path. The
-          // result covers ONLY rank j; an adjacent rank re-enters here at
-          // most once (the interpolation pair).
-          val idx = j - below
-          val v = finite.filter(col("v") >= lo && col("v") <= hi)
-            .orderBy(col("v")).select(col("v"))
-            .rdd.zipWithIndex()
-            .filter(_._2 == idx).map(_._1.getDouble(0)).first()
-          (j, Left(Array(v)))
-        }
+    }
+    // round budget exhausted with live oversize groups → treat as stalled
+    groups = groups.map(g =>
+      if (g.in > collectThreshold && !g.stalled) g.copy(stalled = true) else g)
+
+    // Finalize each group: small intervals collect-and-sort once for ALL
+    // their ranks; oversize stalled intervals resolve by distinct values
+    // (tie clusters denser than the threshold — groupBy normalizes −0.0
+    // to 0.0, matching percentile_cont on signed-zero mixes) or, on an
+    // adversarially dense MANY-distinct-value interval the histogram
+    // rounds can't split, by per-rank exact distributed sort-selection
+    // (orderBy range-partitions the interval's rows and zipWithIndex adds
+    // one count pass — memory-bounded, just slower; data shape alone
+    // can't abort a long pipeline).
+    val jToV = scala.collection.mutable.Map.empty[Long, Double]
+    groups.foreach { g =>
+      val interval = finite.filter(col("v") >= g.lo && col("v") <= g.hi)
+      if (g.in <= collectThreshold) {
+        val arr = interval.orderBy(col("v")).collect().map(_.getDouble(0))
+        g.ranks.foreach(j => jToV(j) = arr((j - g.below).toInt))
       } else {
-        val remaining = finite.filter(col("v") >= lo && col("v") <= hi)
-          .orderBy(col("v")).collect().map(_.getDouble(0))
-        (below, Left(remaining))
+        val dv = interval.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("v")).limit(collectThreshold + 1).collect()
+          .map(row => (row.getDouble(0), row.getLong(1)))
+        if (dv.length <= collectThreshold) {
+          g.ranks.foreach { j =>
+            var acc = g.below
+            jToV(j) = dv.collectFirst {
+              case (value, cnt) if { acc += cnt; acc > j } => value
+            }.getOrElse(dv.last._1)
+          }
+        } else {
+          g.ranks.foreach { j =>
+            val idx = j - g.below
+            jToV(j) = interval.orderBy(col("v")).select(col("v"))
+              .rdd.zipWithIndex()
+              .filter(_._2 == idx).map(_._1.getDouble(0)).first()
+          }
+        }
       }
-    }
-    def covers(state: (Long, Either[Array[Double], Array[(Double, Long)]]),
-               j: Long): Boolean = state match {
-      case (below, Left(a)) => j >= below && j - below < a.length
-      case (below, Right(dv)) => j >= below && j - below < dv.map(_._2).sum
-    }
-    def pick(state: (Long, Either[Array[Double], Array[(Double, Long)]]),
-             j: Long): Double = state match {
-      case (below, Left(a)) => a((j - below).toInt)
-      case (below, Right(dv)) =>
-        var acc = below
-        dv.collectFirst { case (value, cnt) if { acc += cnt; acc > j } => value }
-          .getOrElse(dv.last._1)
     }
     // ±Inf are positional extremes: rank below nNeg is −Inf, rank at or
     // past n − nPos is +Inf, everything between selects among finite
-    var cached: Option[(Long, Either[Array[Double], Array[(Double, Long)]])] = None
     def orderStat(k: Long): Double =
       if (k < nNeg) Double.NegativeInfinity
       else if (k >= n - nPos) Double.PositiveInfinity
+      else jToV(k - nNeg)
+    ranks.map { case (r, kLo, kHi) =>
+      val loV = orderStat(kLo)
+      // exact rank: no interpolation — −Inf + 0·NaN would poison it to NaN
+      if (kLo == kHi) Some(loV)
       else {
-        val j = k - nNeg
-        val state = cached.filter(covers(_, j)).getOrElse {
-          val s = narrowTo(j); cached = Some(s); s
-        }
-        pick(state, j)
+        val hiV = orderStat(kHi)
+        // the WEIGHTED form, not loV + frac·(hiV−loV): it is what Spark's
+        // percentile computes, and the two differ by an ulp on some
+        // inputs — "identical to percentile" means matching its float ops
+        Some((kHi - r) * loV + (r - kLo) * hiV)
       }
-    val loV = orderStat(kLo)
-    // exact rank: no interpolation — −Inf + 0·NaN would poison it to NaN
-    if (kHi == kLo) return Some(loV)
-    val hiV = orderStat(kHi)
-    // the WEIGHTED form, not loV + frac·(hiV−loV): it is what Spark's
-    // percentile computes, and the two differ by an ulp on some inputs —
-    // "identical to percentile" means matching its float ops exactly
-    Some((kHi - r) * loV + (r - kLo) * hiV)
+    }
   }
 
   /** Weekly cohort-retention matrix: entities are grouped into cohorts by

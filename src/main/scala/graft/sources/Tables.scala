@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Readers for the graft table layout: one parquet dataset per table under
   * a scale-factor directory. Parquet gives us column pruning + predicate
@@ -30,7 +30,13 @@ object Tables {
     val raw = table(spark, dir, name)
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
-      case _        => raw
+      // A TIMESTAMP_NTZ-written parquet (newer pyarrow emits isAdjustedToUTC
+      // = false) reads back as TimestampNTZType, which functions like
+      // unix_micros reject and which breaks the surface contract that `ts`
+      // is TIMESTAMP. Session TZ is pinned UTC (build.sbt), so the cast
+      // relabels the same instant without moving it.
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
     }
   }
 

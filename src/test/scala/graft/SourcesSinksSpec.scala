@@ -73,6 +73,30 @@ class SourcesSinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan.take(2000))
   }
 
+  test("events reader normalizes a TIMESTAMP_NTZ-written ts to TIMESTAMP") {
+    // Newer parquet writers mark timestamps isAdjustedToUTC=false, which
+    // Spark reads back as TimestampNTZType — functions like unix_micros
+    // reject it and the SQL surface contract says TIMESTAMP. The reader
+    // must relabel (session TZ is pinned UTC, so the instant is unmoved).
+    import spark.implicits._
+    val dir = tmp("ntz")
+    Seq(
+      (1L, java.time.LocalDateTime.of(2024, 3, 1, 12, 30, 15)),
+      (2L, java.time.LocalDateTime.of(2024, 3, 2, 0, 0, 0)))
+      .toDF("event_id", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    // precondition: the fixture really does read back as NTZ raw
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+      TimestampNTZType)
+    val ev = graft.sources.Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val got = ev.orderBy("event_id")
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(
+      java.time.Instant.parse("2024-03-01T12:30:15Z").toEpochMilli * 1000L,
+      java.time.Instant.parse("2024-03-02T00:00:00Z").toEpochMilli * 1000L))
+  }
+
   test("predicate pushdown reaches the parquet scan") {
     val dir = tmp("pqpush")
     Sinks.parquet(sample, dir)
