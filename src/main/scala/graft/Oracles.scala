@@ -609,6 +609,133 @@ object Oracles {
     "q37_ann_ivf" -> annIvfOracle,
     "q95_ann_pq" -> annPqOracle,
     "q106_ann_recall" -> annRecallOracle,
+
+    // q107: the composed dataset card — each section replays its
+    // operator's oracle (q62 numeric stats, q76 top-k, q87 equi-width,
+    // q103 equi-depth, q104 psi) reshaped into the unified long format
+    "q107_dataset_card" ->
+      """WITH num AS (
+           SELECT count(n_chars) AS n_non_null,
+             count(*) - count(n_chars) AS n_null,
+             min(CAST(n_chars AS DOUBLE)) AS mn, max(CAST(n_chars AS DOUBLE)) AS mx,
+             CAST(CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / count(n_chars) AS mean,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50
+           FROM documents),
+         num_rows AS (
+           SELECT 'numeric' AS section, 'n_chars' AS col_name, item,
+             CAST(NULL AS VARCHAR) AS value_s, value_d,
+             CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+             CAST(NULL AS BIGINT) AS n
+           FROM (
+             SELECT 'n_non_null' AS item, CAST(n_non_null AS DOUBLE) AS value_d FROM num
+             UNION ALL SELECT 'n_null', CAST(n_null AS DOUBLE) FROM num
+             UNION ALL SELECT 'min', mn FROM num
+             UNION ALL SELECT 'max', mx FROM num
+             UNION ALL SELECT 'mean', mean FROM num
+             UNION ALL SELECT 'p50', p50 FROM num)),
+         pairs AS (
+           SELECT 'lang' AS col_name, lang AS value FROM documents
+           UNION ALL SELECT 'source', source FROM documents),
+         counts AS (SELECT col_name, value, count(*) AS cnt
+           FROM pairs GROUP BY 1, 2),
+         census AS (
+           SELECT col_name,
+             count(CASE WHEN value IS NOT NULL THEN 1 END) AS n_distinct,
+             CAST(COALESCE(sum(CASE WHEN value IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls
+           FROM counts GROUP BY col_name),
+         ranked AS (
+           SELECT col_name, value, cnt,
+             row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, value) AS rank
+           FROM counts WHERE value IS NOT NULL),
+         cat_rows AS (
+           SELECT 'categorical' AS section, col_name, CAST(rank AS VARCHAR) AS item,
+             value AS value_s, CAST(NULL AS DOUBLE) AS value_d,
+             CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi, cnt AS n
+           FROM ranked WHERE rank <= 3
+           UNION ALL
+           SELECT 'categorical', col_name, 'n_distinct', CAST(NULL AS VARCHAR),
+             CAST(n_distinct AS DOUBLE), NULL, NULL, CAST(NULL AS BIGINT) FROM census
+           UNION ALL
+           SELECT 'categorical', col_name, 'n_nulls', CAST(NULL AS VARCHAR),
+             CAST(n_nulls AS DOUBLE), NULL, NULL, CAST(NULL AS BIGINT) FROM census),
+         hu AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+           WHERE n_chars IS NOT NULL),
+         hs AS (SELECT min(v) AS slo, (max(v) - min(v)) / 10.0 AS w FROM hu),
+         hb AS (SELECT CAST(CASE WHEN hs.w = 0 THEN 0
+               ELSE least(greatest(floor((hu.v - hs.slo) / hs.w), 0), 9) END AS BIGINT) AS bin,
+             hs.slo, hs.w
+           FROM hu CROSS JOIN hs),
+         hist_rows AS (
+           SELECT 'histogram' AS section, 'n_chars' AS col_name,
+             CAST(bin AS VARCHAR) AS item, CAST(NULL AS VARCHAR) AS value_s,
+             CAST(NULL AS DOUBLE) AS value_d,
+             round(slo + bin * w, 5) AS lo, round(slo + (bin + 1) * w, 5) AS hi,
+             count(*) AS n
+           FROM hb GROUP BY bin, slo, w),
+         ec AS (SELECT round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 5) AS c1,
+             round(quantile_cont(CAST(n_chars AS DOUBLE), 0.50), 5) AS c2,
+             round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 5) AS c3
+           FROM documents),
+         eb AS (SELECT CAST(CAST(v >= c1 AS INT) + CAST(v >= c2 AS INT)
+               + CAST(v >= c3 AS INT) AS BIGINT) AS bin, c1, c2, c3
+           FROM hu CROSS JOIN ec),
+         ed_rows AS (
+           SELECT 'equidepth' AS section, 'n_chars' AS col_name,
+             CAST(bin AS VARCHAR) AS item, CAST(NULL AS VARCHAR) AS value_s,
+             CAST(NULL AS DOUBLE) AS value_d,
+             CASE bin WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3 END AS lo,
+             CASE bin WHEN 0 THEN c1 WHEN 1 THEN c2 WHEN 2 THEN c3 END AS hi,
+             count(*) AS n
+           FROM eb GROUP BY bin, c1, c2, c3),
+         psi_val AS (
+           SELECT CASE WHEN tr0 = 0 OR tc0 = 0 THEN NULL ELSE psi END AS psi,
+             CASE WHEN tr0 = 0 OR tc0 = 0 OR psi IS NULL THEN NULL
+                  WHEN psi < 0.1 THEN 'stable'
+                  WHEN psi < 0.25 THEN 'moderate'
+                  ELSE 'major' END AS drift
+           FROM (
+             SELECT
+               (SELECT count(n_chars) FROM documents WHERE doc_id % 2 = 0) AS tr0,
+               (SELECT count(n_chars) FROM documents) AS tc0,
+               CAST(CAST(sum(CAST(term AS DECIMAL(18,5))) AS VARCHAR) AS DOUBLE) AS psi
+             FROM (
+               SELECT round((pc - pr) * ln(pc / pr), 5) AS term FROM (
+                 SELECT
+                   greatest(CAST(cr AS DOUBLE) / (sum(cr) OVER ()), 0.0001) AS pr,
+                   greatest(CAST(cc AS DOUBLE) / (sum(cc) OVER ()), 0.0001) AS pc
+                 FROM (
+                   SELECT bin,
+                     sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS cr,
+                     sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc
+                   FROM (
+                     SELECT side,
+                       CASE WHEN w = 0 THEN
+                           (CASE WHEN v = lo THEN 0 ELSE 9 END)
+                         ELSE CAST(least(greatest(floor((v - lo) / w), 0), 9) AS BIGINT)
+                       END AS bin
+                     FROM (
+                       SELECT 'r' AS side, CAST(n_chars AS DOUBLE) AS v
+                       FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+                       UNION ALL
+                       SELECT 'c', CAST(n_chars AS DOUBLE)
+                       FROM documents WHERE n_chars IS NOT NULL)
+                     CROSS JOIN (
+                       SELECT min(CAST(n_chars AS DOUBLE)) AS lo,
+                         (max(CAST(n_chars AS DOUBLE)) - min(CAST(n_chars AS DOUBLE))) / 10 AS w
+                       FROM documents WHERE doc_id % 2 = 0))
+                   GROUP BY bin))))),
+         psi_rows AS (
+           SELECT 'psi' AS section, 'n_chars' AS col_name, 'psi' AS item,
+             drift AS value_s, psi AS value_d,
+             CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+             CAST(NULL AS BIGINT) AS n
+           FROM psi_val)
+         SELECT * FROM num_rows
+         UNION ALL SELECT * FROM cat_rows
+         UNION ALL SELECT * FROM hist_rows
+         UNION ALL SELECT * FROM ed_rows
+         UNION ALL SELECT * FROM psi_rows""",
+
     "q01_agg_summary" ->
       """SELECT l_returnflag, l_linestatus,
          count(*) AS count_rows,

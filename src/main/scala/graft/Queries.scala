@@ -1136,6 +1136,22 @@ object Queries {
 
     // Recall@5 of the q31 LSH index against the q30 exact yardstick —
     // the measure-your-index-before-trusting-it evaluator
+    // Composed dataset card over documents: numeric stats + categorical
+    // top-k + equi-width/equi-depth histograms + PSI drift (vs the
+    // even-doc_id half as reference) in ONE long-format summary table —
+    // the published-baselines analogue; each section is its operator's
+    // plan, the union adds no shuffle
+    "q107_dataset_card" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, d)
+      DatasetCard.build(docs,
+        numericCols = Seq("n_chars"),
+        categoricalCols = Seq("lang", "source"),
+        topK = 3, histBins = 10, depthBins = 4,
+        reference = Some(docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
+        psiBins = 10, exactMedians = true)
+    }),
+
     "q106_ann_recall" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val queries = e.filter(pmod(col("vec_id"), lit(50)) === 0)

@@ -80,4 +80,40 @@ object Layout {
       .sortWithinPartitions(keyCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** The whole Z-order publish in one call: compute both dims' bounds
+    * (ONE tiny min/max agg — plan constants, the centroid-matrix
+    * pattern), normalize onto the 2^bits grid, interleave, and
+    * range-cluster the files on the key — so every output file is a
+    * small rectangle of the (x, y) value grid and its parquet min/max
+    * stats are tight on BOTH underlying columns. A reader filtering on
+    * either dimension then skips most files/row-groups from footer
+    * stats alone.
+    *
+    * A constant dimension (min == max) degenerates to cell 0 — the
+    * write still clusters on the other dim instead of failing on
+    * `normalizeToBits`' hi > lo contract. Rows where either dim is NULL
+    * get a NULL key and range-partition together at the low end —
+    * present, not dropped. The key column rides along in the output
+    * (like an explicit cluster-key column); `keyCol` must not collide.
+    */
+  def writeZorderClustered(df: DataFrame, path: String, x: Column, y: Column,
+                           numFiles: Int, bits: Int = 8,
+                           keyCol: String = "zkey"): Unit = {
+    require(!df.columns.exists(_.equalsIgnoreCase(keyCol)),
+      s"writeZorderClustered key column '$keyCol' already exists on the input")
+    val b = df.agg(min(x.cast("double")), max(x.cast("double")),
+      min(y.cast("double")), max(y.cast("double"))).head()
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      "writeZorderClustered: cannot cluster an empty or all-NULL frame")
+    def cell(c: Column, lo: Double, hi: Double): Column =
+      if (hi > lo) normalizeToBits(c, lo, hi, bits)
+      // constant dim: every non-NULL value sits in cell 0 (keep the
+      // NULL-propagation the grid form has)
+      else when(c.isNotNull, lit(0L))
+    val zx = cell(x, b.getDouble(0), b.getDouble(1))
+    val zy = cell(y, b.getDouble(2), b.getDouble(3))
+    writeRangeClustered(df.withColumn(keyCol, zorderKey(zx, zy, bits)),
+      path, keyCol, numFiles)
+  }
 }

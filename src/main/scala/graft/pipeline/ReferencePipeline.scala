@@ -51,6 +51,7 @@ object ReferencePipeline {
       ruleExceptions: DataFrame = null,
       dayVitals: Map[Int, DataFrame] = Map.empty,
       summaryNeolab: DataFrame = null,
+      summaryBaseline: DataFrame = null,
       shared: Option[DataFrame] = None)
 
   /** Run the full flow from a DataFrame bearing one raw session JSON
@@ -90,6 +91,9 @@ object ReferencePipeline {
           neolabAsOf: org.apache.spark.sql.Column = current_date(),
           neolabKeys: Seq[String] = Seq("Episode", "DateBCR", "Org1",
             "OtherOrg1", "BCResult", "BCType", "DateBCT"),
+          cardNumericCols: Seq[String] = Nil,
+          cardCategoricalCols: Seq[String] = Nil,
+          cardReference: Option[DataFrame] = None,
           persistShared: Boolean = false): Outputs = {
     // 1. import: parse + uid recovery; corrupt rows routed out, not dropped
     val parsed = JsonImport.parseSessions(raw, jsonCol)
@@ -343,9 +347,20 @@ object ReferencePipeline {
           n -> Windows.dayOffsetSlice(vitalsSrc, Seq("uid"), vitalsTs, n)).toMap
       }
 
+    // 8. composed dataset-card profile over the joined table — the
+    //    published-baseline summary the reference ships as a derived
+    //    table (queries/create_summary_baselines_sql.py + step_4_nodes/
+    //    summary_baseline.py); profiling form: numeric stats, categorical
+    //    top-k, both histogram families, PSI drift vs an optional prior
+    //    publish. Plan-level union of tiny per-section results.
+    val summaryBaseline =
+      if (cardNumericCols.isEmpty && cardCategoricalCols.isEmpty) null
+      else DatasetCard.build(joined, cardNumericCols, cardCategoricalCols,
+        reference = cardReference)
+
     Outputs(admissions, discharges, repeatables, joined, summaryCounts,
       completeness, exceptions, mclKeys, mclTables, combinedDiagnoses,
-      ruleExceptions, dayVitals, summaryNeolab,
+      ruleExceptions, dayVitals, summaryNeolab, summaryBaseline,
       shared = if (persistShared) Some(deduped) else None)
   }
 
@@ -378,7 +393,10 @@ object ReferencePipeline {
     "combined_diagnoses" -> out.combinedDiagnoses,
     "rule_exceptions" -> out.ruleExceptions,
     // reference: derived.summary_neolab (create_summary_neolab_sql.py)
-    "summary_neolab" -> out.summaryNeolab) ++
+    "summary_neolab" -> out.summaryNeolab,
+    // reference: derived.summary_baseline (create_summary_baselines_sql.py)
+    // — here the composed dataset-card profile of the joined table
+    "summary_baseline" -> out.summaryBaseline) ++
     out.dayVitals.toSeq.sortBy(_._1).map { case (n, df) =>
       // reference: derived.summary_day1_vitals / _day2_ / _day3_
       s"summary_day${n}_vitals" -> df
@@ -436,6 +454,33 @@ object ReferencePipeline {
       graft.sources.Sinks.parquet(hygiene(df), tmp)
       graft.sources.AtomicSwap.replace(target, tmp)
     }
+  }
+
+  /** Publish the joined table Z-order-clustered on (facility, admission
+    * month) — the data-SKIPPING layout for the pipeline's biggest output:
+    * the two dimensions every downstream query filters on (a facility
+    * dashboard, a monthly report) both get tight per-file parquet stats,
+    * so either predicate prunes most files from footer stats alone.
+    * Facility is a low-cardinality STRING, so it is densely indexed via a
+    * plan-constant sorted-distinct collect (the centroid-matrix class of
+    * driver decision) before taking a grid dimension; rows with a NULL
+    * facility or admission month cluster together under a NULL key
+    * rather than being dropped. Same hygiene as [[publish]].
+    */
+  def publishJoinedClustered(out: Outputs, path: String, numFiles: Int,
+                             bits: Int = 8): Unit = {
+    val joined = hygiene(out.joined)
+    val facilities = joined.select(col("facility").cast("string").as("f"))
+      .filter(col("f").isNotNull).distinct()
+      .orderBy("f").collect().map(_.getString(0)).toSeq
+    require(facilities.nonEmpty,
+      "publishJoinedClustered: joined table has no non-NULL facility")
+    val fIdx = array_position(typedLit(facilities), col("facility").cast("string"))
+    // array_position is 1-based with 0 = absent (impossible for values
+    // drawn from the distinct itself) and NULL for a NULL facility —
+    // the when-guard keeps the NULL-propagation contract either way
+    Layout.writeZorderClustered(joined, path,
+      when(fIdx > 0, fIdx - 1), col("month_year_sort"), numFiles, bits)
   }
 
   /** Cross-facility union views: for each table name present in any run,

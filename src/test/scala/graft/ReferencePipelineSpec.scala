@@ -200,6 +200,41 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/joined").count() === out.joined.count())
   }
 
+  test("dataset card publishes as summary_baseline; joined table clusters on (facility, month)") {
+    val out2 = ReferencePipeline.run(raw, "json", Seq("Temp"),
+      cardNumericCols = Seq("los_days"), cardCategoricalCols = Seq("facility"))
+    assert(ReferencePipeline.tableList(out2).map(_._1).contains("summary_baseline"))
+    val card = out2.summaryBaseline
+    // all four no-reference sections present (psi needs a reference sample)
+    assert(card.select("section").distinct().collect().map(_.getString(0)).toSet ==
+      Set("numeric", "categorical", "histogram", "equidepth"))
+    // numeric: mean of los_days (3, NULL, 1) = 2 — exact on BOTH median
+    // paths (the default card median is the approx sketch, so the mean is
+    // the stable fact to pin here; exactQuantiles equality is spec'd in
+    // the operator suites)
+    val mean = card.filter(col("section") === "numeric" && col("item") === "mean")
+      .select("col_name", "value_d").head()
+    assert(mean.getString(0) == "los_days" && mean.getDouble(1) == 2.0)
+    // categorical: top facility is F1 with 2 of the 3 admissions
+    val top1 = card.filter(col("section") === "categorical" && col("item") === "1")
+      .select("value_s", "n").head()
+    assert(top1.getString(0) == "F1" && top1.getLong(1) == 2L)
+    // and the psi section appears when a reference sample is declared
+    val withRef = ReferencePipeline.run(raw, "json", Seq("Temp"),
+      cardNumericCols = Seq("los_days"), cardCategoricalCols = Seq("facility"),
+      cardReference = Some(out2.joined))
+    assert(withRef.summaryBaseline.filter(col("section") === "psi").count() == 1)
+
+    // Z-order clustered publish of the joined table round-trips with the
+    // cluster key and drops nothing (NULL month rows included)
+    val dir = java.nio.file.Files.createTempDirectory("zjoined").toString
+    ReferencePipeline.publishJoinedClustered(out2, s"$dir/joined_clustered",
+      numFiles = 2)
+    val back = spark.read.parquet(s"$dir/joined_clustered")
+    assert(back.count() == out2.joined.count())
+    assert(back.columns.contains("zkey"))
+  }
+
   test("outcome-flag family rides the joined table as 1-or-NULL columns") {
     def dis(uid: String, outcome: String): String =
       s"""{"scriptid":"dis","facility":"F1","uid":"$uid",

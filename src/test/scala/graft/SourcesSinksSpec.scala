@@ -97,6 +97,43 @@ class SourcesSinksSpec extends SparkSpec {
       java.time.Instant.parse("2024-03-02T00:00:00Z").toEpochMilli * 1000L))
   }
 
+  test("Z-order clustered write: every file is a tight rectangle in BOTH dims") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // 4 "facilities" × 24 "months", shuffled so the input layout carries
+    // no accidental clustering
+    val df = (0 until 8000).map { i =>
+      (i.toLong, (i * 2654435761L % 4).toInt, 202401 + (i * 40503 % 24).toInt, s"p$i")
+    }.toDF("id", "fac", "ym", "payload").repartition(7)
+    val dir = tmp("zorder")
+    Layout.writeZorderClustered(df, dir, col("fac"), col("ym"), numFiles = 8)
+    val back = Sinks.readParquet(spark, dir)
+    assert(back.count() == 8000 && back.columns.contains("zkey"))
+    // per-file min/max (what parquet footer stats expose): each file must
+    // cover a SMALL rectangle of the (fac, ym) grid — that is the entire
+    // data-skipping claim. Global ranges: fac 4 values, ym 24 values.
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 8)
+    val rects = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("fac"), max("fac"), min("ym"), max("ym")).head()
+      (r.getInt(1) - r.getInt(0), r.getInt(3) - r.getInt(2))
+    }
+    // 8 files over a 4×24 grid → each Z-range spans at most half the fac
+    // axis and a bounded ym band; a random (unclustered) layout would
+    // give nearly every file the FULL range on both dims
+    assert(rects.forall { case (facW, ymW) => facW <= 2 && ymW <= 12 },
+      rects.mkString(", "))
+    // and the dimension predicates reach the scan as pushed filters
+    val q = back.filter(col("fac") === 3 && col("ym") === 202413)
+    val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(fac,3)") &&
+      scan.contains("EqualTo(ym,202413)"), scan.take(2000))
+    assert(q.count() ==
+      df.filter(col("fac") === 3 && col("ym") === 202413).count())
+  }
+
   test("predicate pushdown reaches the parquet scan") {
     val dir = tmp("pqpush")
     Sinks.parquet(sample, dir)
