@@ -116,6 +116,80 @@ class StreamBucketSpec extends SparkSpec {
     assert(!res(11L) && !res(13L), res.toString)
   }
 
+  test("chained curation gate across two increments: batch parity, zero exchanges") {
+    import graft.operators.{Dedup, Quality, Sampling}
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // the FULL curation chain as one stateless pipeline: history bloom
+    // gate → decontamination flag → split assignment → gopher quality
+    // verdict. History and benchmark ride the plan as constants (bloom
+    // bytes, sorted hash set); their rows never move.
+    val stop = Seq("the", "a", "of", "and")
+    val hist = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog"),
+      (901L, "a b c")).toDF("doc_id", "text")
+    val bloom = Dedup.historyBloom(hist, "text", expectedItems = 100, fpp = 0.01)
+    val bench = Seq("the secret eval answer is forty two exactly").toDF("text")
+    val hashes = Quality.benchmarkHashes(bench, "text", n = 4)
+    def gate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val flagged = df
+        .withColumn("maybe_dup", Dedup.bloomProbe(col("text"), bloom))
+        .withColumn("contaminated", Quality.contaminatedFlag(col("text"), hashes, 4))
+      val split = Sampling.assignSplit(flagged, col("doc_id"),
+        Seq(("train", 0.8), ("eval", 0.2)))
+      // gopherFilter projects (idCol, signals) — the composite struct id
+      // carries the upstream flags through it, keeping the chain 1:1
+      val packed = split.select(struct(col("doc_id"), col("maybe_dup"),
+        col("contaminated"), col("split")).as("k"), col("text"))
+      Quality.gopherFilter(packed, "k", "text", stop,
+          minWords = 5, maxWords = 100, minMeanLen = 2.0, maxMeanLen = 8.0,
+          maxSymbolRatio = 0.5, minStopRatio = 0.05)
+        .select(col("k.doc_id").as("doc_id"), col("k.maybe_dup").as("maybe_dup"),
+          col("k.contaminated").as("contaminated"), col("k.split").as("split"),
+          col("keep").as("quality_keep"))
+        .withColumn("admit", !col("maybe_dup") && !col("contaminated") &&
+          col("quality_keep") === 1)
+    }
+    val inc1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // history dup
+      (11L, "a fresh document with plenty of words and the right shape"),
+      (12L, "leaked: the secret eval answer is forty two exactly wow"),
+      (13L, "xx")) // gopher-fails: too few words
+      .toDF("doc_id", "text")
+    val inc2 = Seq(
+      (20L, "another fresh and clean document of the second increment batch"),
+      (21L, "a b c")) // history dup arriving in the SECOND increment
+      .toDF("doc_id", "text")
+    // the whole chain — history gate included — compiles to an
+    // exchange-free plan: nothing shuffles at ANY history size
+    val plan = gate(inc1).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    // two increments land as separate files; the stream picks each up as
+    // its own micro-batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_curation").toString
+    inc1.write.parquet(s"$dir/in1")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val stream = gate(spark.readStream.schema(schema).parquet(s"$dir/in*"))
+    val q = stream.writeStream.format("memory")
+      .queryName("curation_gate").outputMode("append").start()
+    q.processAllAvailable()
+    inc2.write.parquet(s"$dir/in2")
+    q.processAllAvailable()
+    q.stop()
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "maybe_dup", "contaminated", "split", "quality_keep", "admit")
+      .as[(Long, Boolean, Boolean, String, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val got = shape(spark.table("curation_gate"))
+    // batch parity: the SAME gate over the unioned increments row for row
+    assert(got === shape(gate(inc1.unionByName(inc2))))
+    // and the routing is the one the chain promises
+    assert(got.filter(_._2._5).keySet === Set(11L, 20L)) // admitted
+    assert(got(10L)._1 && got(21L)._1)                   // history dups flagged
+    assert(got(12L)._2)                                  // leaked doc flagged
+    assert(got(13L)._4 === 0)                            // quality-failed
+    assert(got.values.forall(v => v._3 == "train" || v._3 == "eval"))
+  }
+
   test("streaming forward-fill carries observations across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamFill
