@@ -298,6 +298,49 @@ class ScaleOpsSpec extends SparkSpec {
     assert(brute.nonEmpty && lshPairs == brute)
   }
 
+  test("ANN recall-tuning grid: knob directions hold and measured floors stand") {
+    // The BASELINE.md recall-tuning table, regression-gated: on the
+    // sf0.01 embeddings (500 vectors, 10 queries, k=5; fully
+    // deterministic — hash planes, stride+kmeans centroids, no RNG) each
+    // index family's tuning knob must keep its measured direction, and
+    // the best grid point of each family must hold its floor (measured
+    // r9 values minus safety margin; the synthetic corpus is
+    // near-uniform, so absolute recall is structurally modest — the
+    // DIRECTIONS are the contract). A deliberate algorithm change that
+    // moves these updates the floors consciously, like the golden file.
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val queries = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val k = 5
+    val exact = Ann.bruteForceTopK(queries, e, "vec_id", "embedding", k)
+    def mean(approx: org.apache.spark.sql.DataFrame): Double =
+      Ann.recallAtK(approx, exact, k).agg(avg("recall")).head().getDouble(0)
+    // LSH: fewer planes → bigger buckets → more candidates → higher recall
+    val lsh = Seq(6, 10, 14).map(p =>
+      p -> mean(Ann.lshTopK(queries, e, "vec_id", "embedding", k, p)))
+    info(s"LSH (nPlanes → recall): $lsh")
+    assert(lsh(0)._2 >= lsh(1)._2 && lsh(1)._2 >= lsh(2)._2, lsh.toString)
+    assert(lsh(0)._2 >= 0.15, s"LSH@6 floor: ${lsh(0)._2}") // measured 0.24
+    // IVF: more probes → more candidate cells → monotone recall
+    val ivf = Seq(1, 2, 4).map(p =>
+      p -> mean(Ann.ivfTopK(queries, e, "vec_id", "embedding", k, 16, p)))
+    info(s"IVF nCent=16 (nProbe → recall): $ivf")
+    assert(ivf(0)._2 <= ivf(1)._2 && ivf(1)._2 <= ivf(2)._2, ivf.toString)
+    assert(ivf(2)._2 >= 0.35, s"IVF@4 floor: ${ivf(2)._2}") // measured 0.50
+    // PQ: more subspaces → finer quantization → higher recall
+    val cents = Ann.kmeansCentroids(e, "embedding",
+      Ann.strideCentroids(e, "vec_id", "embedding", 16), iters = 5)
+    val pq = Seq(8, 16).map { m =>
+      val books = Ann.pqCodebooks(cents, m)
+      m -> mean(Ann.pqTopK(queries,
+        Ann.pqEncode(e, "vec_id", "embedding", books),
+        "vec_id", "embedding", books, k))
+    }
+    info(s"PQ 16-word books (m → recall): $pq")
+    assert(pq(0)._2 <= pq(1)._2, pq.toString)
+    assert(pq(1)._2 >= 0.25, s"PQ@16 floor: ${pq(1)._2}") // measured 0.38
+  }
+
   test("kmeans centroids: recall on testdata embeddings >= stride-sample baseline") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.embeddings(spark, dir)
