@@ -20,13 +20,22 @@ specs = {
                "event_type, value, props FROM src", 1000000),
 }
 passthrough = ["lineitem", "orders", "customer", "nation", "region", "part", "supplier"]
+# MULTI-FILE layout: each table is a DIRECTORY of parquet files (one per
+# replica), so a distributed reader actually splits the scan across tasks
+# -- the single-file form produced the <=2-input-split artifact behind the
+# q67/q74/q78 probe tails (SURVEY sect. 8).
+import shutil
 for t in passthrough:
+    d = f"{out}/{t}.parquet"
+    shutil.rmtree(d, ignore_errors=True); os.makedirs(d)
     con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '/root/testdata/sf0.1/{t}.parquet'")
-    con.execute(f"COPY (SELECT * FROM src) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT * FROM src) TO '{d}/part-0.parquet' (FORMAT PARQUET)")
 for t, (sql, stride) in specs.items():
+    d = f"{out}/{t}.parquet"
+    shutil.rmtree(d, ignore_errors=True); os.makedirs(d)
     con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '/root/testdata/sf0.1/{t}.parquet'")
-    parts = " UNION ALL ".join(sql.format(off=r * stride, r=r) for r in range(reps))
-    con.execute(f"COPY ({parts}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
-    n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+    for r in range(reps):
+        con.execute(f"COPY ({sql.format(off=r * stride, r=r)}) TO '{d}/part-{r}.parquet' (FORMAT PARQUET)")
+    n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
     print(t, n)
 print("done:", out)
