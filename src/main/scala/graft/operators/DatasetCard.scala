@@ -96,8 +96,11 @@ object DatasetCard {
     val bins = if (numericCols.isEmpty) Nil else Seq(
       shape("histogram", col("bin"), sNull, dNull, col("lo"), col("hi"),
         col("n"))(Summaries.histogram(df, numericCols, histBins)),
+      // scalableMedians governs the whole quantile family: equi-depth
+      // cuts route through the same batched narrowing as the p50s
       shape("equidepth", col("bin"), sNull, dNull, col("lo"), col("hi"),
-        col("n"))(Summaries.equidepthBins(df, numericCols, depthBins)))
+        col("n"))(Summaries.equidepthBins(df, numericCols, depthBins,
+          scalable = scalableMedians)))
     val drift = reference.toSeq.flatMap { ref =>
       if (numericCols.isEmpty) Nil
       else Seq(shape("psi", lit("psi"), col("drift"), col("psi"),

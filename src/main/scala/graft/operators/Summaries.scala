@@ -193,28 +193,45 @@ object Summaries {
     * cut all land in the upper bin, so heavy ties can still skew counts
     * — that is the data, not the operator.
     *
-    * Scale notes: cuts come from ONE `percentile(col, array(qs))` agg
-    * over all columns together — the declared yardstick form, whose
-    * value→count buffer is the known non-scale path; [[exactQuantile]]
-    * (iterative 128-bucket narrowing, O(log) passes, bounded memory) is
-    * the drop-in scale path per cut. After that the binning is the
-    * histogram pipeline: cuts are plan constants, one explode + codegen
-    * CASE + a single map-side-combined hash agg.
+    * Scale notes: by default cuts come from ONE `percentile(col,
+    * array(qs))` agg over all columns together — the declared yardstick
+    * form, whose value→count buffer is the known non-scale path.
+    * `scalable = true` routes each column's cuts through ONE batched
+    * [[exactQuantiles]] narrowing (all nBins−1 ranks share the stats
+    * pass and every per-round job; O(log) passes, bounded memory, no
+    * value→count buffer anywhere) — the 100 TB path, spec-pinned equal
+    * to the yardstick. After that the binning is the histogram pipeline
+    * either way: cuts are plan constants, one explode + codegen CASE +
+    * a single map-side-combined hash agg.
     */
-  def equidepthBins(df: DataFrame, cols: Seq[String], nBins: Int = 4): DataFrame = {
+  def equidepthBins(df: DataFrame, cols: Seq[String], nBins: Int = 4,
+                    scalable: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "equidepthBins needs at least one column")
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val qs = (1 until nBins).map(_.toDouble / nBins)
-    val statsRow = {
-      val aggs = cols.map(c => call_function("percentile",
-        col(c).cast("double"), typedlit(qs)).as(s"__q_$c"))
-      df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
-    }
-    val cuts: Map[String, Seq[Double]] = cols.zipWithIndex.flatMap { case (c, i) =>
-      if (statsRow.isNullAt(i)) None // all-NULL column: no rows downstream
-      else Some(c -> statsRow.getSeq[Double](i).map(v =>
-        BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble))
-    }.toMap
+    def round5(v: Double): Double =
+      BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cuts: Map[String, Seq[Double]] =
+      if (scalable)
+        cols.flatMap { c =>
+          // one narrowing sequence resolves ALL of this column's cuts;
+          // an empty/all-NULL column yields all-None → absent, matching
+          // the yardstick path's isNullAt skip
+          val vs = exactQuantiles(df, c, qs)
+          if (vs.head.isEmpty) None
+          else Some(c -> vs.map(v => round5(v.get)))
+        }.toMap
+      else {
+        val statsRow = {
+          val aggs = cols.map(c => call_function("percentile",
+            col(c).cast("double"), typedlit(qs)).as(s"__q_$c"))
+          df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+        }
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          if (statsRow.isNullAt(i)) None // all-NULL column: no rows downstream
+          else Some(c -> statsRow.getSeq[Double](i).map(round5))
+        }.toMap
+      }
     val entries = numericEntries(df, cols)
     def perCol(f: Seq[Double] => Column): Column =
       cuts.foldLeft(lit(null).cast("double")) { case (acc, (c, cs)) =>

@@ -318,6 +318,31 @@ class OperatorsSpec extends SparkSpec {
     assert(ew(0L) > 600L, ew)
   }
 
+  test("equidepthBins scalable path equals the percentile yardstick") {
+    import graft.operators.Summaries
+    // the scalable form's cuts come from ONE batched exactQuantiles
+    // narrowing per column instead of the value-buffering percentile
+    // agg — output must be identical row for row, including tie-heavy
+    // and NULL-bearing columns and a multi-column call
+    val df = (1 to 500).map { i =>
+      (i.toLong,
+        math.pow(i.toDouble, 3),                            // power-law
+        (i % 7).toDouble,                                   // heavy ties
+        if (i % 5 == 0) None else Some((i % 97).toDouble))  // NULLs mixed in
+    }.toDF("id", "a", "b", "c")
+    for (nBins <- Seq(2, 4, 10)) {
+      def rows(scalable: Boolean) =
+        Summaries.equidepthBins(df, Seq("a", "b", "c"), nBins, scalable)
+          .collect().map(_.toString).sorted.toSeq
+      assert(rows(scalable = true) === rows(scalable = false), s"nBins=$nBins")
+    }
+    // all-NULL column: absent from the result on BOTH paths
+    val an = df.withColumn("d", lit(null).cast("double"))
+    for (scalable <- Seq(true, false))
+      assert(Summaries.equidepthBins(an, Seq("a", "d"), 4, scalable)
+        .filter(col("col_name") === "d").count() === 0L, s"scalable=$scalable")
+  }
+
   test("rollupSummary equals per-level groupBys; grouping_id tells NULLs apart") {
     import graft.operators.Summaries
     val df = Seq(
