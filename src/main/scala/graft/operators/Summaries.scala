@@ -212,15 +212,17 @@ object Summaries {
     def round5(v: Double): Double =
       BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
     val cuts: Map[String, Seq[Double]] =
-      if (scalable)
+      if (scalable) {
+        // ONE narrowing sequence resolves ALL columns' cuts together;
+        // an empty/all-NULL column yields all-None → absent, matching
+        // the yardstick path's isNullAt skip
+        val res = exactQuantilesPerColumn(df, cols.map(c => c -> qs))
         cols.flatMap { c =>
-          // one narrowing sequence resolves ALL of this column's cuts;
-          // an empty/all-NULL column yields all-None → absent, matching
-          // the yardstick path's isNullAt skip
-          val vs = exactQuantiles(df, c, qs)
+          val vs = res(c)
           if (vs.head.isEmpty) None
           else Some(c -> vs.map(v => round5(v.get)))
         }.toMap
+      }
       else {
         val statsRow = {
           val aggs = cols.map(c => call_function("percentile",
@@ -405,10 +407,12 @@ object Summaries {
     val withP50 =
       if (!scalableExact) unpivoted
       else {
-        // exactQuantile runs its narrowing jobs NOW (plan-time, like the
-        // centroid collects) and the tiny per-column results re-enter the
-        // plan as a CASE literal over column_name
-        val medians = cols.map(c => c -> exactQuantile(df, c, 0.5))
+        // the narrowing jobs run NOW (plan-time, like the centroid
+        // collects) and the tiny per-column results re-enter the plan as
+        // a CASE literal over column_name; ALL columns' medians share ONE
+        // fused narrowing sequence — same pass count as one column
+        val byCol = exactQuantilesPerColumn(df, cols.map(c => c -> Seq(0.5)))
+        val medians = cols.map(c => c -> byCol(c).head)
         unpivoted.withColumn("p50",
           medians.foldLeft(lit(null).cast("double")) { case (acc, (c, m)) =>
             when(col("column_name") === c,
@@ -462,45 +466,85 @@ object Summaries {
     * failure).
     */
   def exactQuantiles(df: DataFrame, c: String, qs: Seq[Double],
-                     collectThreshold: Int = 1 << 20): Seq[Option[Double]] = {
-    require(qs.nonEmpty, "qs must be non-empty")
-    qs.foreach(q => require(q >= 0 && q <= 1, s"quantile must be in [0, 1], got $q"))
-    require(collectThreshold >= 2, "collectThreshold must be >= 2")
-    val v = col(c).cast("double")
-    val vals = df.select(v.as("v")).filter(col("v").isNotNull && !isnan(col("v")))
-    // ONE stats pass carries the finite min/max too — the narrowing's
-    // starting interval costs no extra scan
-    val isFin = col("v") > Double.NegativeInfinity && col("v") < Double.PositiveInfinity
-    val stats = vals.agg(count(lit(1)),
-      count(when(col("v") === Double.NegativeInfinity, 1)),
-      count(when(col("v") === Double.PositiveInfinity, 1)),
-      min(when(isFin, col("v"))), max(when(isFin, col("v")))).head()
-    val n = stats.getLong(0)
-    if (n == 0) return qs.map(_ => None)
-    val (nNeg, nPos) = (stats.getLong(1), stats.getLong(2))
-    val finite = vals.filter(isFin)
-    val nFin = n - nNeg - nPos
-    // percentile_cont: 0-based real rank r = q(n−1); each quantile
-    // interpolates the order statistics at floor(r) and ceil(r). The
-    // narrowing resolves the DISTINCT finite ranks the whole batch needs
-    // (±Inf ranks resolve positionally, outside the narrowing).
-    val ranks = qs.map { q =>
-      val r = q * (n - 1); (r, math.floor(r).toLong, math.ceil(r).toLong)
-    }
-    val finiteJs = ranks.flatMap { case (_, kLo, kHi) => Seq(kLo, kHi) }
-      .filter(k => k >= nNeg && k < n - nPos).map(_ - nNeg).distinct.sorted
+                     collectThreshold: Int = 1 << 20): Seq[Option[Double]] =
+    exactQuantilesPerColumn(df, Seq(c -> qs), collectThreshold)(c)
 
-    // One narrowing state per GROUP of ranks sharing a candidate interval;
+  /** The fully-batched core: ALL requested quantiles of ALL requested
+    * columns share one stats pass and ONE narrowing sequence. Ranks whose
+    * candidate intervals coincide (interpolation pairs, nearby quantiles)
+    * travel in a shared group; per round, every still-active interval —
+    * across every column — is bucket-counted in a SINGLE job over one
+    * (column, value) entries stream and recounted/tightened in a SINGLE
+    * fused aggregate. A 10-column exact dataset-card profile (or a
+    * multi-column equi-depth cut set) therefore costs the same number of
+    * passes over the data as one column, not ten. Per-element semantics
+    * are exactly [[exactQuantile]]'s: percentile_cont interpolation,
+    * ±Inf selected positionally per column, overflow-safe interval
+    * arithmetic, tie clusters via distinct-value selection, and a
+    * narrowing stall degrading to exact distributed sort-selection
+    * (slower, never a failure). Absent/empty/all-NULL columns yield
+    * all-None.
+    */
+  def exactQuantilesPerColumn(df: DataFrame, colQs: Seq[(String, Seq[Double])],
+                              collectThreshold: Int = 1 << 20): Map[String, Seq[Option[Double]]] = {
+    require(colQs.nonEmpty, "colQs must be non-empty")
+    require(colQs.map(_._1).distinct.size == colQs.size,
+      "duplicate columns in colQs")
+    colQs.foreach { case (c, qs) =>
+      require(qs.nonEmpty, s"no quantiles requested for column $c")
+      qs.foreach(q =>
+        require(q >= 0 && q <= 1, s"quantile must be in [0, 1], got $q ($c)"))
+    }
+    require(collectThreshold >= 2, "collectThreshold must be >= 2")
+    val colsIn = colQs.map(_._1)
+    // ONE (column, value) entries stream feeds every column's narrowing —
+    // the whole batch shares each pass over the data
+    val entries = df.select(explode(array(colsIn.map(c =>
+        struct(lit(c).as("c"), col(c).cast("double").as("v"))).toIndexedSeq: _*)).as("e"))
+      .select(col("e.c").as("c"), col("e.v").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+    val isFin = col("v") > Double.NegativeInfinity && col("v") < Double.PositiveInfinity
+    // ONE stats pass for every column: counts, ±Inf census, finite
+    // min/max (the narrowing's starting intervals cost no extra scan)
+    final case class ColStats(n: Long, nNeg: Long, nPos: Long,
+                              lo0: Double, hi0: Double)
+    val stats: Map[String, ColStats] = entries.groupBy(col("c")).agg(
+        count(lit(1)), count(when(col("v") === Double.NegativeInfinity, 1)),
+        count(when(col("v") === Double.PositiveInfinity, 1)),
+        min(when(isFin, col("v"))), max(when(isFin, col("v"))))
+      .collect().map { r =>
+        r.getString(0) -> ColStats(r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5))
+      }.toMap
+    val finite = entries.filter(isFin)
+    // percentile_cont per column: 0-based real rank r = q(n−1); each
+    // quantile interpolates the order statistics at floor(r) and ceil(r).
+    // The narrowing resolves the DISTINCT finite ranks each column needs
+    // (±Inf ranks resolve positionally, outside the narrowing).
+    val ranks: Map[String, Seq[(Double, Long, Long)]] = colQs.map { case (c, qs) =>
+      c -> (stats.get(c) match {
+        case Some(s) if s.n > 0 => qs.map { q =>
+          val r = q * (s.n - 1); (r, math.floor(r).toLong, math.ceil(r).toLong)
+        }
+        case _ => Nil
+      })
+    }.toMap
+
+    // One narrowing state per GROUP of ranks sharing a (column, interval);
     // a group splits only when its ranks choose different buckets.
-    final case class Group(lo: Double, hi: Double, below: Long, in: Long,
-                           ranks: Seq[Long], stalled: Boolean)
-    var groups: List[Group] =
-      if (finiteJs.isEmpty) Nil
-      else {
-        val (lo0, hi0) = (stats.getDouble(3), stats.getDouble(4))
-        List(Group(lo0, hi0, 0L, nFin, finiteJs,
-          stalled = java.lang.Double.compare(lo0, hi0) == 0)) // incl. all −0.0 vs 0.0 mixes
+    final case class Group(c: String, lo: Double, hi: Double, below: Long,
+                           in: Long, ranks: Seq[Long], stalled: Boolean)
+    var groups: List[Group] = colQs.toList.flatMap { case (c, _) =>
+      stats.get(c).filter(_.n > 0).flatMap { s =>
+        val js = ranks(c).flatMap { case (_, kLo, kHi) => Seq(kLo, kHi) }
+          .filter(k => k >= s.nNeg && k < s.n - s.nPos)
+          .map(_ - s.nNeg).distinct.sorted
+        if (js.isEmpty) None
+        else Some(Group(c, s.lo0, s.hi0, 0L, s.n - s.nNeg - s.nPos, js,
+          stalled = java.lang.Double.compare(s.lo0, s.hi0) == 0)) // incl. all −0.0 vs 0.0 mixes
       }
+    }
     var rounds = 0
     var looping = true
     while (looping && rounds < 80) {
@@ -519,8 +563,9 @@ object Summaries {
           groups = done ++ widthStalled.map(_.copy(stalled = true))
         else {
           val idxd = widthOk.zipWithIndex
-          // ONE bucket-count job for ALL active intervals: each row emits
-          // one (group, bucket) entry per interval containing it
+          // ONE bucket-count job for ALL active intervals of ALL columns:
+          // each row emits one (group, bucket) entry per interval of ITS
+          // column containing it
           val parts = idxd.map { case (g, gi) =>
             val w = g.hi / 128.0 - g.lo / 128.0
             // v/w − lo/w keeps the quotient bounded (~±128) for the same
@@ -528,7 +573,7 @@ object Summaries {
             val bucket = greatest(least(
               floor(col("v") / lit(w) - lit(g.lo) / lit(w)), lit(127.0)), lit(0.0))
               .cast("int")
-            when(col("v") >= g.lo && col("v") <= g.hi,
+            when(col("c") === g.c && col("v") >= g.lo && col("v") <= g.hi,
               struct(lit(gi).as("g"), bucket.as("b")))
           }
           val counts = finite.select(explode(array(parts.toIndexedSeq: _*)).as("p"))
@@ -565,8 +610,9 @@ object Summaries {
           // ≤ 1e6 collapses to [min, 1e6] in one round instead of
           // 128×-per-round for ~140)
           val aggs = subs.flatMap { s =>
-            val inI = col("v") >= s.lo2 && col("v") <= s.hi2
-            Seq(count(when(col("v") < s.lo2, 1)), count(when(inI, 1)),
+            val mine = col("c") === s.parent.c
+            val inI = mine && col("v") >= s.lo2 && col("v") <= s.hi2
+            Seq(count(when(mine && col("v") < s.lo2, 1)), count(when(inI, 1)),
               min(when(inI, col("v"))), max(when(inI, col("v"))))
           }
           val re = finite.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
@@ -590,7 +636,8 @@ object Summaries {
                 // dense cluster)
                 if (!(lo3 > s.parent.lo || hi3 < s.parent.hi))
                   List(s.parent.copy(ranks = kept, stalled = true))
-                else List(Group(lo3, hi3, below2, in2, kept, stalled = false))
+                else List(Group(s.parent.c, lo3, hi3, below2, in2, kept,
+                  stalled = false))
               }
             stalledLost ++ keptGroup
           }
@@ -611,12 +658,14 @@ object Summaries {
     // (orderBy range-partitions the interval's rows and zipWithIndex adds
     // one count pass — memory-bounded, just slower; data shape alone
     // can't abort a long pipeline).
-    val jToV = scala.collection.mutable.Map.empty[Long, Double]
+    val jToV = scala.collection.mutable.Map.empty[(String, Long), Double]
     groups.foreach { g =>
-      val interval = finite.filter(col("v") >= g.lo && col("v") <= g.hi)
+      val interval = finite
+        .filter(col("c") === g.c && col("v") >= g.lo && col("v") <= g.hi)
+        .select(col("v"))
       if (g.in <= collectThreshold) {
         val arr = interval.orderBy(col("v")).collect().map(_.getDouble(0))
-        g.ranks.foreach(j => jToV(j) = arr((j - g.below).toInt))
+        g.ranks.foreach(j => jToV((g.c, j)) = arr((j - g.below).toInt))
       } else {
         val dv = interval.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
           .orderBy(col("v")).limit(collectThreshold + 1).collect()
@@ -624,38 +673,47 @@ object Summaries {
         if (dv.length <= collectThreshold) {
           g.ranks.foreach { j =>
             var acc = g.below
-            jToV(j) = dv.collectFirst {
+            jToV((g.c, j)) = dv.collectFirst {
               case (value, cnt) if { acc += cnt; acc > j } => value
             }.getOrElse(dv.last._1)
           }
         } else {
           g.ranks.foreach { j =>
             val idx = j - g.below
-            jToV(j) = interval.orderBy(col("v")).select(col("v"))
+            jToV((g.c, j)) = interval.orderBy(col("v"))
               .rdd.zipWithIndex()
               .filter(_._2 == idx).map(_._1.getDouble(0)).first()
           }
         }
       }
     }
-    // ±Inf are positional extremes: rank below nNeg is −Inf, rank at or
-    // past n − nPos is +Inf, everything between selects among finite
-    def orderStat(k: Long): Double =
-      if (k < nNeg) Double.NegativeInfinity
-      else if (k >= n - nPos) Double.PositiveInfinity
-      else jToV(k - nNeg)
-    ranks.map { case (r, kLo, kHi) =>
-      val loV = orderStat(kLo)
-      // exact rank: no interpolation — −Inf + 0·NaN would poison it to NaN
-      if (kLo == kHi) Some(loV)
-      else {
-        val hiV = orderStat(kHi)
-        // the WEIGHTED form, not loV + frac·(hiV−loV): it is what Spark's
-        // percentile computes, and the two differ by an ulp on some
-        // inputs — "identical to percentile" means matching its float ops
-        Some((kHi - r) * loV + (r - kLo) * hiV)
-      }
-    }
+    // ±Inf are positional extremes per column: rank below nNeg is −Inf,
+    // rank at or past n − nPos is +Inf, everything between selects among
+    // that column's finite values
+    colQs.map { case (c, qs) =>
+      c -> (stats.get(c) match {
+        case Some(s) if s.n > 0 =>
+          def orderStat(k: Long): Double =
+            if (k < s.nNeg) Double.NegativeInfinity
+            else if (k >= s.n - s.nPos) Double.PositiveInfinity
+            else jToV((c, k - s.nNeg))
+          ranks(c).map { case (r, kLo, kHi) =>
+            val loV = orderStat(kLo)
+            // exact rank: no interpolation — −Inf + 0·NaN would poison
+            // it to NaN
+            if (kLo == kHi) Some(loV)
+            else {
+              val hiV = orderStat(kHi)
+              // the WEIGHTED form, not loV + frac·(hiV−loV): it is what
+              // Spark's percentile computes, and the two differ by an ulp
+              // on some inputs — "identical to percentile" means matching
+              // its float ops
+              Some((kHi - r) * loV + (r - kLo) * hiV)
+            }
+          }
+        case _ => qs.map(_ => None)
+      })
+    }.toMap
   }
 
   /** Weekly cohort-retention matrix: entities are grouped into cohorts by
