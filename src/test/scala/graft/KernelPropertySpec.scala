@@ -80,6 +80,42 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("exactQuantilesPerColumn fuzz: fused multi-column run equals per-column percentile") {
+    import graft.operators.Summaries
+    // the multi-column fusion must be invisible: mixing distributions of
+    // very different shapes (spread, ties, outliers, NULL density) in ONE
+    // batched call yields exactly what Spark's percentile gives each
+    // column alone — including the interpolated ranks and low thresholds
+    // that force real narrowing rounds
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 5) {
+      val n = rnd.nextInt(700) + 200
+      val rows = (1 to n).map { i =>
+        (rnd.nextDouble() * 2e4 - 1e4,                       // uniform
+          math.exp(rnd.nextGaussian() * 6),                  // lognormal
+          (rnd.nextInt(4) * 10).toDouble,                    // heavy ties
+          if (i % 3 == 0) None else Some(rnd.nextDouble()))  // NULL-dense
+      }
+      val df = rows.toDF("a", "b", "c", "d")
+      val qs = Seq(0.0, 0.25, 0.37, 0.5, 0.93, 1.0)
+      val threshold = Seq(8, 64, 1 << 20)(rnd.nextInt(3))
+      val got = Summaries.exactQuantilesPerColumn(
+        df, Seq("a", "b", "c", "d").map(_ -> qs), threshold)
+      for (c <- Seq("a", "b", "c", "d"); q <- qs) {
+        val expected = df.agg(expr(s"percentile($c, $q)")).head().getDouble(0)
+        assert(got(c)(qs.indexOf(q)) === Some(expected),
+          s"trial $trial col=$c q=$q thr=$threshold")
+      }
+    }
+    // absent data: an all-NULL column in the batch yields all-None
+    // without disturbing its neighbors
+    val mixed = Seq((1.0, Option.empty[Double]), (2.0, None), (3.0, None))
+      .toDF("x", "y")
+    val r = Summaries.exactQuantilesPerColumn(
+      mixed, Seq("x" -> Seq(0.5), "y" -> Seq(0.5)))
+    assert(r("x") === Seq(Some(2.0)) && r("y") === Seq(None))
+  }
+
   test("top-k agg equals window rank across random k / groups / heavy ties") {
     GraftFunctions.ensureRegistered(spark)
     val rnd = new scala.util.Random(13)
