@@ -365,6 +365,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("q107 dataset card: no cartesian, no sort-merge join, a plan-level union") {
+    // the card is a unionByName of five section plans — each section's
+    // aggregates shuffle on their own keys, but nothing joins the
+    // sections (a cartesian or SMJ here would mean a section re-derived
+    // another's frame through a join instead of a plan branch)
+    val p = plan("q107_dataset_card")
+    assert(p.contains("Union"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // the one join in the plan family is categoricalProfile's broadcast
+    // of the tiny census — never a shuffle join
+    assert(!p.contains("ShuffledHashJoin"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the text-analysis hot paths") {
     // the `*(n)` marker on the Project = inside a WholeStageCodegen stage.
     // q23 needs the native set-probe counter for this — the HOF stopword
