@@ -610,6 +610,43 @@ object Oracles {
     "q95_ann_pq" -> annPqOracle,
     "q106_ann_recall" -> annRecallOracle,
 
+    // q108: the q26 pair chain + the q64 portable-split CASE applied to
+    // both pair sides, keeping only split-straddling pairs
+    "q108_split_leakage" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(t[i:i+6], ' ')
+                                        for i in range(1, greatest(len(t) - 6, 0) + 1)])) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         p AS (
+           SELECT id_a, id_b,
+             CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) AS jaccard
+           FROM common
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.2),
+         u AS (SELECT doc_id,
+             list_sum([(strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR) || ':42'), i + 1, 1)) - 1)
+                       * 16**(7 - i) for i in range(0, 8)]) / 4294967296.0 AS uv
+           FROM documents),
+         sp AS (SELECT doc_id,
+             CASE WHEN uv < 0.8 THEN 'train'
+                  WHEN uv < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM u)
+         SELECT p.id_a, p.id_b, s1.split AS split_a, s2.split AS split_b,
+           p.jaccard
+         FROM p
+         JOIN sp s1 ON s1.doc_id = p.id_a
+         JOIN sp s2 ON s2.doc_id = p.id_b
+         WHERE s1.split <> s2.split""",
+
     // q107: the composed dataset card — each section replays its
     // operator's oracle (q62 numeric stats, q76 top-k, q87 equi-width,
     // q103 equi-depth, q104 psi) reshaped into the unified long format

@@ -1136,6 +1136,26 @@ object Queries {
 
     // Recall@5 of the q31 LSH index against the q30 exact yardstick —
     // the measure-your-index-before-trusting-it evaluator
+    // Cross-split leakage audit: near-dup pairs whose members landed in
+    // DIFFERENT train/val/test splits — eval contamination by
+    // near-duplicates, the check a curation pipeline runs after
+    // assigning splits. ZERO joins: the deterministic split label is a
+    // pure function of each pair-side id (assignSplit as a projection
+    // over the already-tiny pair stream), so the audit costs the
+    // near-dup blocking plus a codegen projection at any corpus size
+    "q108_split_leakage" -> ((s, d) => {
+      val sp = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+      val pairs = NearDup.ngramJaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", 7, 0.2)
+      val withA = Sampling.assignSplit(pairs, col("id_a"), sp,
+        outCol = "split_a", portable = true)
+      val withB = Sampling.assignSplit(withA, col("id_b"), sp,
+        outCol = "split_b", portable = true)
+      withB.filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          col("jaccard"))
+    }),
+
     // Composed dataset card over documents: numeric stats + categorical
     // top-k + equi-width/equi-depth histograms + PSI drift (vs the
     // even-doc_id half as reference) in ONE long-format summary table —
