@@ -114,6 +114,20 @@ class KernelPropertySpec extends SparkSpec {
     val r = Summaries.exactQuantilesPerColumn(
       mixed, Seq("x" -> Seq(0.5), "y" -> Seq(0.5)))
     assert(r("x") === Seq(Some(2.0)) && r("y") === Seq(None))
+    // ±Inf positional extremes keep PER-COLUMN census bookkeeping: each
+    // column's nNeg/nPos must come from its own values, not the batch's
+    val inf = Seq(
+      (Double.NegativeInfinity, 1.0),
+      (1.0, Double.PositiveInfinity),
+      (2.0, 3.0),
+      (Double.PositiveInfinity, 4.0)).toDF("x", "y")
+    val qs2 = Seq(0.0, 0.5, 1.0)
+    val gotInf = Summaries.exactQuantilesPerColumn(
+      inf, Seq("x" -> qs2, "y" -> qs2))
+    for (c <- Seq("x", "y"); (q, i) <- qs2.zipWithIndex) {
+      val expected = inf.agg(expr(s"percentile($c, $q)")).head().getDouble(0)
+      assert(gotInf(c)(i) === Some(expected), s"col=$c q=$q")
+    }
   }
 
   test("top-k agg equals window rank across random k / groups / heavy ties") {
