@@ -8,8 +8,9 @@ package graft
   * deterministic kernels in DuckDB SQL (generated below): the RHP plane
   * signs are a pure integer formula whose bit 16 is unaffected by 32-bit
   * wrap, so plain BIGINT arithmetic reproduces the Scala Int math; the
-  * portable simhash derives token-hash bits from md5 hex digits; IVF
-  * centroids are a deterministic ordered sample. Cosine/L2 run the same
+  * portable simhash derives token-hash bits from md5 hex digits; IVF/
+  * SemDeDup centroids are a deterministic ordered sample refined by
+  * exact-integer k-means (see [[autoCentroidCtes]]). Cosine/L2 run the same
   * left-to-right double loop in both engines, and every emitted float is
   * rounded to 4 dp, so the hash compare is stable.
   */
@@ -47,7 +48,7 @@ object Oracles {
   private def l2sqSubSql(a: String, b: String, s: String, dsub: Int): String =
     s"""list_sum([(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))*(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE)) for i in range(1 + ($s)*$dsub, 1 + ($s)*$dsub + $dsub)])"""
 
-  /** q95: replicates PQ end-to-end — codebooks are the q37 stride pool
+  /** q95: replicates PQ end-to-end — codebooks are the 16-centroid stride pool (every 8th of the first 128 by vec_id)
     * sliced into 8 subspaces, codes are per-subspace argmin-L2 (cid
     * tie-break, the graft_ivf_nearest contract), ADC = long sum of
     * `floor(d·1e5 + 0.5)` 5-dp part units (pure IEEE multiply/add/floor —
@@ -242,47 +243,82 @@ object Oracles {
        ${topKSelect(5)}"""
   }
 
-  /** q37: replicates the IVF plumbing — centroid pool = every 8th of the
-    * first 128 vectors by vec_id, corpus assigned to argmin-L2 centroid,
-    * queries probe their 4 nearest centroids, top-5 per query.
+  /** CTE chain replaying [[graft.operators.Ann.autoCentroids]] bit-for-bit:
+    * k = least(⌈√n⌉, 16384) from one count, stride init (every 8th of the
+    * first k·8 vectors by vec_id), then `iters` exact k-means iterations.
+    * Portability rests on three invariants shared with the Scala kernels:
+    * (1) assignment L2 is a fixed-order double loop over float32 inputs;
+    * (2) cluster sums are exact BIGINT sums of `floor(v·1e6 + 0.5)`
+    * micro-units (order-independent); (3) the new element is
+    * `CAST(sum AS DOUBLE)/n/1e6` rounded once to FLOAT — the identical
+    * IEEE op sequence as `(s.toDouble / n / 1e6).toFloat`. Emits CTEs
+    * `kk, pool, cents0, cvec`, per-iteration `asgN`/`sumsN`, and the
+    * final centroid relation `cents&lt;iters&gt;(cid, centv)`.
+    */
+  private def autoCentroidCtes(iters: Int): String = {
+    val fixed = Seq(
+      """kk AS (SELECT CAST(least(ceil(sqrt(CAST(count(*) AS DOUBLE))), 16384.0) AS BIGINT) AS k FROM embeddings)""",
+      """pool AS (SELECT embedding AS centv, row_number() OVER (ORDER BY vec_id) - 1 AS i FROM embeddings)""",
+      """cents0 AS (SELECT CAST(i // 8 AS INTEGER) AS cid, centv FROM pool, kk WHERE i < kk.k * 8 AND i % 8 = 0)""",
+      """cvec AS (SELECT vec_id AS id, embedding AS v FROM embeddings)""")
+    val iterCtes = (0 until iters).map { t =>
+      s"""asg$t AS (
+         SELECT id, v, cid FROM (
+           SELECT id, v, cid,
+             row_number() OVER (PARTITION BY id ORDER BY ${l2sqSql("v", "centv")}, cid) AS rn
+           FROM cvec CROSS JOIN cents$t) WHERE rn = 1),
+       sums$t AS (
+         SELECT cid, r.i AS pos,
+           sum(CAST(floor(CAST(v[r.i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS s,
+           count(*) AS n
+         FROM asg$t CROSS JOIN range(0, 64) r(i) GROUP BY cid, r.i),
+       cents${t + 1} AS (
+         SELECT cid, list(me ORDER BY pos) AS centv FROM (
+           SELECT pc.cid, r.i AS pos,
+             COALESCE(CAST(CAST(s.s AS DOUBLE) / s.n / 1000000.0 AS FLOAT),
+                      CAST(pc.centv[r.i + 1] AS FLOAT)) AS me
+           FROM cents$t pc CROSS JOIN range(0, 64) r(i)
+           LEFT JOIN sums$t s ON s.cid = pc.cid AND s.pos = r.i)
+         GROUP BY cid)"""
+    }
+    (fixed ++ iterCtes).mkString(",\n       ")
+  }
+
+  /** q37: replicates the IVF plumbing over [[autoCentroidCtes]]'s learned
+    * centroids (k = ⌈√n⌉, stride init, 2 exact k-means iterations) —
+    * corpus assigned to argmin-L2 centroid, queries probe their 4 nearest
+    * centroids, top-5 per query.
     */
   private def annIvfOracle: String =
-    s"""WITH pool AS (
-         SELECT embedding AS centv, row_number() OVER (ORDER BY vec_id) - 1 AS i
-         FROM embeddings ORDER BY vec_id LIMIT 128),
-       cents AS (SELECT CAST(i // 8 AS INTEGER) AS cid, centv FROM pool WHERE i % 8 = 0),
+    s"""WITH ${autoCentroidCtes(2)},
        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
        cdist AS (
          SELECT neighbor_id, cv, cid,
            row_number() OVER (PARTITION BY neighbor_id ORDER BY ${l2sqSql("cv", "centv")}, cid) AS rn
-         FROM c CROSS JOIN cents),
+         FROM c CROSS JOIN cents2),
        cass AS (SELECT neighbor_id, cv, cid FROM cdist WHERE rn = 1),
        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
        qdist AS (
          SELECT query_id, qv, cid,
            row_number() OVER (PARTITION BY query_id ORDER BY ${l2sqSql("qv", "centv")}, cid) AS rn
-         FROM q CROSS JOIN cents),
+         FROM q CROSS JOIN cents2),
        qprobe AS (SELECT query_id, qv, cid FROM qdist WHERE rn <= 4),
        scored AS (
          SELECT DISTINCT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
          FROM cass JOIN qprobe USING (cid) WHERE query_id <> neighbor_id),
        ${topKSelect(5)}"""
 
-  /** q63: replicates the SemDeDup plumbing — the q37 centroid pool (every
-    * 8th of the first 128 by vec_id), argmin-L2 assignment with cid
-    * tie-break, greedy drop of any id with a smaller-id cluster-mate at
-    * rounded cosine ≥ 0.4.
+  /** q63: replicates the SemDeDup plumbing over [[autoCentroidCtes]]'s
+    * learned centroids (k = ⌈√n⌉, 2 exact k-means iterations), argmin-L2
+    * assignment with cid tie-break, greedy drop of any id with a
+    * smaller-id cluster-mate at rounded cosine ≥ 0.4.
     */
   private def semanticDedupOracle: String =
-    s"""WITH pool AS (
-         SELECT embedding AS centv, row_number() OVER (ORDER BY vec_id) - 1 AS i
-         FROM embeddings ORDER BY vec_id LIMIT 128),
-       cents AS (SELECT CAST(i // 8 AS INTEGER) AS cid, centv FROM pool WHERE i % 8 = 0),
-       c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+    s"""WITH ${autoCentroidCtes(2)},
        cd AS (
          SELECT id, v, cid,
            row_number() OVER (PARTITION BY id ORDER BY ${l2sqSql("v", "centv")}, cid) AS rn
-         FROM c CROSS JOIN cents),
+         FROM cvec CROSS JOIN cents2),
        ass AS (SELECT id, v, cid FROM cd WHERE rn = 1),
        drops AS (
          SELECT DISTINCT y.id FROM ass x JOIN ass y
@@ -1666,7 +1702,7 @@ object Oracles {
                                ORDER BY idx), '') AS clean_text
          FROM flagged GROUP BY doc_id""",
 
-    // q75: replays the q37 centroid pool, argmin-L2 assignment with cid
+    // q75: replays the 16-centroid stride pool, argmin-L2 assignment with cid
     // tie-break, and the keep-5-most-central-per-cluster cut (order by
     // exact distance, tie by id; distance printed rounded)
     "q75_cluster_sample" ->

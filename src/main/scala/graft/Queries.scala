@@ -282,10 +282,14 @@ object Queries {
           when(pmod(col("doc_id"), lit(7)) === 0, "").otherwise(col("source"))),
         Seq("text", "lang", "source_blanked"))),
 
+    // auto-sized learned centroids: k = ceil(sqrt(n)) from one count job,
+    // stride init, 2 exact k-means iterations — the oracle replays the
+    // identical centroid evolution from the parquet (Ann.autoCentroids)
     "q37_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Ann.ivfTopK(e.filter(pmod(col("vec_id"), lit(50)) === 0), e,
-        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+      Ann.ivfTopKWith(e.filter(pmod(col("vec_id"), lit(50)) === 0), e,
+        "vec_id", "embedding", k = 5,
+        Ann.autoCentroids(e, "vec_id", "embedding"), nProbe = 4)
     }),
 
     "q38_salted_join" -> ((s, d) => {
@@ -671,13 +675,15 @@ object Queries {
       Summaries.numericProfile(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount"), exact = true)),
 
-    // SemDeDup: cluster-bucketed semantic dedup — 16 deterministic
-    // centroids, greedy keep-smallest-id within each cluster's cos>=0.4
-    // near-dup sets; output = kept vectors with their cluster
+    // SemDeDup: cluster-bucketed semantic dedup over AUTO-SIZED learned
+    // centroids (k = ceil(sqrt(n)), 2 exact k-means iterations — keeps the
+    // within-cluster pair space ~n^1.5 as the corpus grows); greedy
+    // keep-smallest-id within each cluster's cos>=0.4 near-dup sets;
+    // output = kept vectors with their cluster
     "q63_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Ann.semanticDedup(emb, "vec_id", "embedding",
-        Ann.strideCentroids(emb, "vec_id", "embedding", 16), threshold = 0.4)
+        Ann.autoCentroids(emb, "vec_id", "embedding"), threshold = 0.4)
         .select(col("vec_id").cast("long").as("vec_id"),
           col("cid").cast("int").as("cid"))
     }),
@@ -1071,7 +1077,7 @@ object Queries {
         .withColumn("cohort_week", col("cohort_week").cast("string"))),
 
     // Product-quantized ANN: corpus compressed to 8 subspace codes per
-    // vector (codebooks = the q37 stride pool sliced), ADC top-5 per
+    // vector (codebooks = a 16-centroid stride pool sliced), ADC top-5 per
     // query — the scan reads codes, never vectors
     "q95_ann_pq" -> ((s, d) => {
       val e = Tables.embeddings(s, d)

@@ -95,6 +95,76 @@ object Ann {
     cents
   }
 
+  /** Auto-sized centroid count: k = ⌈√n⌉ (capped). SemDeDup/IVF's
+    * within-cluster work is quadratic per cluster, so k must GROW with the
+    * corpus — k ≈ √n keeps E[cluster size] ≈ √n and the total pair space
+    * ≈ n²/(2k) = n^1.5/2 instead of n²/(2·const). The cap bounds the
+    * centroid matrix that rides the plan as a constant (16384 × 64 floats
+    * = 4 MiB) and the O(n·k) assignment cost once clusters are already
+    * small enough to self-join comfortably.
+    */
+  def autoCentroidCount(n: Long, maxK: Int = 16384): Int =
+    math.max(1L, math.min(maxK.toLong,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** Auto-sized centroids: ONE count job picks k = ⌈√n⌉
+    * ([[autoCentroidCount]]), stride-samples the init pool, and refines it
+    * with [[kmeansCentroidsExact]] — the learned-centroid default the
+    * recall grid showed beating raw stride (0.64 vs 0.48 recall@5 on the
+    * driver's embeddings, BASELINE.md). Fully deterministic AND
+    * engine-portable: every arithmetic step of the refinement is either
+    * exact integer math or a single IEEE double op in fixed order, so an
+    * external engine (the DuckDB oracle) replays bit-identical centroids
+    * from the same parquet.
+    */
+  def autoCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    iters: Int = 2, maxK: Int = 16384): Array[Array[Float]] = {
+    val k = autoCentroidCount(corpus.count(), maxK)
+    kmeansCentroidsExact(corpus, vecCol,
+      strideCentroids(corpus, idCol, vecCol, k), iters)
+  }
+
+  /** Lloyd's k-means with ENGINE-PORTABLE exact mean updates: each element
+    * is quantized to integer micro-units (`floor(v·1e6 + 0.5)` as long —
+    * exact IEEE for |v| ≤ ~4e12), the cluster sums are LONG sums
+    * (order-independent — no float-accumulation nondeterminism across
+    * partitions or engines), and the new centroid element is
+    * `(sum.toDouble / count / 1e6).toFloat` — two fixed-order double
+    * divisions + one float rounding, bit-identical in any IEEE engine.
+    * Assignment runs through the same `graft_ivf_nearest` kernel as IVF
+    * (fixed-order double L2 — replayable), so the whole refinement is a
+    * pure function of (parquet bytes, init, iters) that the DuckDB oracle
+    * re-derives. Shuffle per iteration: at most partitions × k × dim
+    * partial (sum, count) pairs; only the k×dim matrix reaches the driver.
+    * Empty clusters keep their previous centroid. Precision cost vs
+    * [[kmeansCentroids]]'s double means: ≤ 5e-7 per element per iteration
+    * — irrelevant at float32 output precision.
+    */
+  def kmeansCentroidsExact(corpus: DataFrame, vecCol: String,
+                           init: Array[Array[Float]], iters: Int): Array[Array[Float]] = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    require(init.nonEmpty && iters >= 0, "kmeans needs >= 1 initial centroid")
+    var cents = init
+    for (_ <- 0 until iters) {
+      val centsLit = lit(GraftFunctions.encodeCents(cents))
+      val sums = corpus
+        .select(call_function("graft_ivf_nearest", col(vecCol), centsLit).as("cid"),
+          col(vecCol).as("v"))
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(floor(col("col").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          (r.getLong(2).toDouble / r.getLong(3) / 1000000.0).toFloat
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** Lloyd's k-means over the corpus, Spark-native: each iteration is ONE
     * distributed pass — assignment via the `graft_ivf_nearest` kernel
     * (centroid matrix as a single plan constant, no per-row join, no

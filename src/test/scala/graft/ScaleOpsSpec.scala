@@ -361,6 +361,69 @@ class ScaleOpsSpec extends SparkSpec {
     assert(km.zip(stride).exists { case (a, b) => !a.sameElements(b) })
   }
 
+  test("autoCentroidCount: k = ceil(sqrt(n)), floored at 1, capped at maxK") {
+    assert(Ann.autoCentroidCount(0) === 1)
+    assert(Ann.autoCentroidCount(1) === 1)
+    assert(Ann.autoCentroidCount(500) === 23)
+    assert(Ann.autoCentroidCount(2000) === 45)
+    assert(Ann.autoCentroidCount(1000000) === 1000)
+    assert(Ann.autoCentroidCount(Long.MaxValue) === 16384) // cap
+    assert(Ann.autoCentroidCount(10000, maxK = 50) === 50)
+  }
+
+  test("kmeansCentroidsExact tracks the double-mean kmeans within quantization error") {
+    // same init, same data, same iteration count: the exact-integer mean
+    // path must land within the 5e-7-per-element-per-iteration quantization
+    // bound of the double-mean path (and iters=0 must be the identity)
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val init = Ann.strideCentroids(e, "vec_id", "embedding", 16)
+    assert(Ann.kmeansCentroidsExact(e, "embedding", init, iters = 0)
+      .zip(init).forall { case (a, b) => a.sameElements(b) })
+    val km = Ann.kmeansCentroids(e, "embedding", init, iters = 2)
+    val ex = Ann.kmeansCentroidsExact(e, "embedding", init, iters = 2)
+    val maxDiff = km.zip(ex).flatMap { case (a, b) =>
+      a.zip(b).map { case (x, y) => math.abs(x - y) } }.max
+    info(s"max |double-mean - exact-mean| element diff: $maxDiff")
+    // loose bound: quantization can flip an assignment on a knife-edge row
+    // in iteration 2, but on this corpus the centroids must stay close
+    assert(maxDiff < 1e-3, s"exact kmeans diverged from double kmeans: $maxDiff")
+  }
+
+  test("kmeansCentroidsExact: empty clusters keep their previous centroid") {
+    val vecs = (0 until 8).map { i =>
+      val base = if (i < 4) 1.0f else -1.0f
+      (i.toLong, Array.fill(4)(base + i * 1e-3f).toSeq)
+    }.toDF("id", "v")
+    val init = Array(
+      Array.fill(4)(1.0f), Array.fill(4)(-1.0f),
+      Array.fill(4)(100.0f), Array.fill(4)(-100.0f))
+    val out = Ann.kmeansCentroidsExact(vecs, "v", init, iters = 3)
+    assert(out.length === 4)
+    assert(out.forall(_.forall(x => !x.isNaN)))
+    assert(out(2).sameElements(init(2)) && out(3).sameElements(init(3)))
+  }
+
+  test("autoCentroids (q37/q63 default): recall floor and nProbe direction hold") {
+    // the auto-sized learned centroids that q37/q63 now ship: k=ceil(sqrt(n))
+    // (23 at sf0.01), stride init, 2 exact kmeans iterations. Measured r10:
+    // nProbe 2/4/8 -> 0.50/0.62/0.82, vs fixed stride-16 @4 = 0.50 — the
+    // learned auto-k pool beats the old fixed pool at the same nProbe.
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val queries = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val exact = Ann.bruteForceTopK(queries, e, "vec_id", "embedding", 5)
+    def mean(approx: org.apache.spark.sql.DataFrame): Double =
+      Ann.recallAtK(approx, exact, 5).agg(avg("recall")).head().getDouble(0)
+    val auto = Ann.autoCentroids(e, "vec_id", "embedding")
+    assert(auto.length === 23, s"expected k=ceil(sqrt(500))=23, got ${auto.length}")
+    val rs = Seq(2, 4, 8).map(np =>
+      np -> mean(Ann.ivfTopKWith(queries, e, "vec_id", "embedding", 5, auto, np)))
+    info(s"autoCentroids IVF (nProbe → recall): $rs")
+    assert(rs(0)._2 <= rs(1)._2 && rs(1)._2 <= rs(2)._2, rs.toString)
+    assert(rs(1)._2 >= 0.5, s"auto-k IVF@4 floor: ${rs(1)._2}") // measured 0.62
+  }
+
   test("kmeans: empty clusters keep their previous centroid (no NaN poisoning)") {
     // two tight groups, FOUR initial centroids — at least two go empty
     val vecs = (0 until 8).map { i =>
