@@ -389,24 +389,37 @@ object Oracles {
            CAST(least(12, tn - k*9) AS INTEGER) AS n_tok
          FROM ch""",
 
+    // collapse-first: each side grouped by lower/trim-normalized text,
+    // rep = min doc_id, multiplicity rides as n_l/n_r
     "q66_cross_neardup" ->
-      """WITH toks AS (SELECT doc_id, source,
-                  regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
-         sh AS (SELECT doc_id, source,
+      """WITH nt AS (SELECT doc_id, source, lower(trim(text)) AS ntx FROM documents),
+         lrep AS (SELECT ntx, min(doc_id) AS rid, count(*) AS m
+                  FROM nt WHERE source = 'src1' GROUP BY ntx),
+         rrep AS (SELECT ntx, min(doc_id) AS rid, count(*) AS m
+                  FROM nt WHERE source <> 'src1' GROUP BY ntx),
+         ltoks AS (SELECT rid, m, regexp_split_to_array(ntx, '\s+') AS t FROM lrep),
+         rtoks AS (SELECT rid, m, regexp_split_to_array(ntx, '\s+') AS t FROM rrep),
+         lsh AS (SELECT rid, m,
                   unnest(list_distinct([array_to_string(t[i:i+2], ' ')
                                         for i in range(1, greatest(len(t) - 2, 0) + 1)])) AS s
-                FROM toks),
-         szs AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
-         p AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS common
-               FROM sh a JOIN sh b ON a.s = b.s
-               WHERE a.source = 'src1' AND b.source <> 'src1'
+                FROM ltoks),
+         rsh AS (SELECT rid, m,
+                  unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                        for i in range(1, greatest(len(t) - 2, 0) + 1)])) AS s
+                FROM rtoks),
+         lsz AS (SELECT rid, count(*) AS nsh FROM lsh GROUP BY 1),
+         rsz AS (SELECT rid, count(*) AS nsh FROM rsh GROUP BY 1),
+         p AS (SELECT a.rid AS id_l, b.rid AS id_r, count(*) AS common,
+                 max(a.m) AS n_l, max(b.m) AS n_r
+               FROM lsh a JOIN rsh b ON a.s = b.s
                GROUP BY 1, 2)
          SELECT id_l, id_r,
            CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) AS jaccard,
-           CAST(common AS DOUBLE) / sa.nsh AS containment_l
+           CAST(common AS DOUBLE) / sa.nsh AS containment_l,
+           CAST(n_l AS BIGINT) AS n_l, CAST(n_r AS BIGINT) AS n_r
          FROM p
-         JOIN szs sa ON sa.doc_id = id_l
-         JOIN szs sb ON sb.doc_id = id_r""",
+         JOIN lsz sa ON sa.rid = id_l
+         JOIN rsz sb ON sb.rid = id_r""",
 
     "q65_unigram_logprob" ->
       """WITH base AS (SELECT doc_id,
@@ -1769,24 +1782,36 @@ object Oracles {
     // (the Spark side joins 8-byte hashes; equal results absent
     // collisions), the diagonal gaps-and-islands merge, and the >= 12
     // span filter
+    // collapse-first: spans mined over DISTINCT texts (rep = min doc_id,
+    // multiplicity m); duplicated texts additionally self-mine (both
+    // position orderings, the id_a == id_b rows) when m >= 2
     "q78_shared_spans" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      """WITH reps AS (
+           SELECT text, min(doc_id) AS rid, count(*) AS m
+           FROM documents GROUP BY text),
+         toks AS (
+           SELECT rid, m, string_split(text, ' ') AS t FROM reps),
          sh AS (
-           SELECT doc_id, i AS pos,
+           SELECT rid, m, i AS pos,
              array_to_string(t[i + 1 : i + 8], ' ') AS s
            FROM toks, LATERAL (
              SELECT unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS i)),
          cand AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+           SELECT a.rid AS id_a, b.rid AS id_b, a.pos AS pa, b.pos AS pb,
+             a.m AS na, b.m AS nb
+           FROM sh a JOIN sh b ON a.s = b.s AND a.rid < b.rid
+           UNION ALL
+           SELECT a.rid, b.rid, a.pos, b.pos, a.m, b.m
+           FROM sh a JOIN sh b ON a.s = b.s AND a.rid = b.rid
+           WHERE a.m >= 2),
          isl AS (
-           SELECT id_a, id_b, pa - pb AS d, pa,
+           SELECT id_a, id_b, pa - pb AS d, pa, na, nb,
              pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
            FROM cand)
          SELECT id_a, id_b, min(pa) AS a_start,
            min(pa) - d AS b_start,
-           count(*) + 8 - 1 AS span_tokens
+           count(*) + 8 - 1 AS span_tokens,
+           CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
          FROM isl GROUP BY id_a, id_b, d, grp
          HAVING count(*) + 8 - 1 >= 12""",
 

@@ -706,7 +706,11 @@ object Queries {
 
     // incremental dedup primitive: every (increment src1, history) doc
     // pair sharing a word 3-gram, with jaccard + left containment —
-    // thresholds are the caller's cut, both coefficients verified here
+    // thresholds are the caller's cut. COLLAPSE-FIRST default: pairs are
+    // between exact-text representatives with group multiplicities
+    // n_l/n_r riding along (dup-heavy increments would otherwise emit
+    // d·e identical rows per duplicated pair); expandCrossNgramPairs
+    // recovers the per-instance stream
     "q66_cross_neardup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       NearDup.crossNgramPairs(
@@ -715,7 +719,8 @@ object Queries {
         "doc_id", "doc_id", "text", "text", n = 3)
         .select(col("id_l").cast("long").as("id_l"),
           col("id_r").cast("long").as("id_r"),
-          col("jaccard"), col("containment_l"))
+          col("jaccard"), col("containment_l"),
+          col("n_l"), col("n_r"))
     }),
 
     // RAG/long-context chunking: 12-token windows, 3-token overlap —
@@ -918,7 +923,11 @@ object Queries {
 
     // exact-substring duplication: maximal shared token spans >= 12 via
     // 8-token positional shingles merged along match diagonals — the
-    // Spark-first stand-in for a suffix-array repeated-substring pass
+    // Spark-first stand-in for a suffix-array repeated-substring pass.
+    // COLLAPSE-FIRST default: spans are mined over DISTINCT texts (reps =
+    // min doc_id, multiplicities n_a/n_b; self-span rows id_a == id_b for
+    // duplicated texts) — the d·(d−1)/2 per-instance explosion on
+    // replica-heavy corpora becomes an explicit expandSharedSpans step
     "q78_shared_spans" -> ((s, d) =>
       NearDup.sharedSpans(Tables.documents(s, d), "doc_id", "text", n = 8, minSpan = 12)),
 

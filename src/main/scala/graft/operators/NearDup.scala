@@ -100,7 +100,7 @@ object NearDup {
       // dup-free path: shingle-join keyed on ids directly — no distinct
       // collapse, no membership joins; identical-text pairs still emit
       // jaccard exactly 1.0 (they share every shingle)
-      val st = shingleHashTable(norm, "id", split(col("t"), "\\s+"), n)
+      val st = shingleHashTable(norm, Seq("id"), split(col("t"), "\\s+"), n)
       return st.as("a").join(st.as("b"),
           col("a.h") === col("b.h") && col("a.id") < col("b.id"))
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -145,18 +145,35 @@ object NearDup {
     intra.unionByName(inter)
   }
 
-  /** The shared (key, nsh, h) exploded shingle-hash table every pair
+  /** The shared (keys…, nsh, h) exploded shingle-hash table every pair
     * join here builds on: kernel hashes, per-key set size riding the
     * stream, null shingles (short docs) dropped on the GENERATED column,
     * and the shuffle_hash hint — without it preferSortMergeJoin would
-    * fully SORT both 8-byte-hash streams at scale.
+    * fully SORT both 8-byte-hash streams at scale. Extra key columns
+    * (e.g. a duplicate-multiplicity count) ride the stream untouched.
     */
-  private def shingleHashTable(df: DataFrame, key: String,
+  private def shingleHashTable(df: DataFrame, keys: Seq[String],
                                toks: Column, n: Int): DataFrame = df
-    .select(col(key), call_function("graft_ngram_hashes", toks, lit(n)).as("sh"))
-    .select(col(key), size(col("sh")).as("nsh"), explode_outer(col("sh")).as("h"))
+    .select(keys.map(col) :+ call_function("graft_ngram_hashes", toks, lit(n)).as("sh"): _*)
+    .select(keys.map(col) ++ Seq(size(col("sh")).as("nsh"), explode_outer(col("sh")).as("h")): _*)
     .filter(col("h").isNotNull)
     .hint("shuffle_hash")
+
+  /** (id, rid) membership of every row in its exact-text duplicate group:
+    * rid = the smallest id sharing the same text (identity = xxhash64 of
+    * the — optionally lower/trim-normalized — text; a 64-bit collision
+    * merges two groups, the same accepted ~n²/2⁶⁵ trade as every shingle
+    * hash here). The expansion key for [[sharedSpans]]/[[crossNgramPairs]]
+    * collapsed outputs: join a collapsed pair stream back through this to
+    * recover per-instance pairs.
+    */
+  def exactTextMembership(df: DataFrame, idCol: String, textCol: String,
+                          normalize: Boolean = false): DataFrame = {
+    val tx = if (normalize) lower(trim(col(textCol))) else col(textCol)
+    val m = df.select(col(idCol).as("id"), xxhash64(tx).as("th"))
+    m.join(m.groupBy("th").agg(min("id").as("rid")), Seq("th"))
+      .select(col("id"), col("rid"))
+  }
 
   /** Maximal shared token spans between document pairs — the
     * exact-substring duplication primitive ("Deduplicating Training Data
@@ -182,43 +199,121 @@ object NearDup {
     * orders of magnitude below the corpus — never over the corpus
     * itself. Periodic/boilerplate shingles that explode candidates
     * should be length-gated upstream (raise n), exactly as the paper
-    * tunes its span threshold. Exact-duplicate documents inflate the
-    * pair space quadratically (d copies ⇒ d·(d−1)/2 full-length span
-    * pairs — measured 2.4× wall on a 10×-replica probe where ~90% of
-    * docs are copies): collapse exact dups first ([[graft.operators
-    * .Dedup.dedupExactRows]]) and span-mine the distinct texts.
+    * tunes its span threshold.
+    *
+    * COLLAPSE-FIRST DEFAULT (`collapseExact = true`): exact-duplicate
+    * documents inflate the per-instance pair space quadratically
+    * (d copies ⇒ d·(d−1)/2 identical full-length span streams — measured
+    * 2.4× wall at a 10×-replica probe and 46.5 s at 30×, where ~90% of
+    * docs are copies, the shape of any real crawl). The default
+    * span-mines DISTINCT texts only: each text group is represented by
+    * its smallest id (rid), output rows carry the group multiplicities
+    * `n_a`/`n_b`, and a duplicated text's SELF-spans (what every
+    * intra-group instance pair would have emitted) appear as rows with
+    * `id_a == id_b == rid` for groups with multiplicity ≥ 2. Expand back
+    * to the exact per-instance stream — proven equivalent in
+    * NearDupSpec — with [[expandSharedSpans]] + [[exactTextMembership]];
+    * or pass `collapseExact = false` for the direct per-instance mining
+    * (dup-light corpora; output then has no n_a/n_b columns).
     */
   def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int, minSpan: Int): DataFrame = {
+                  n: Int, minSpan: Int, collapseExact: Boolean = true): DataFrame = {
     require(n >= 2, s"shingle size n must be >= 2, got $n")
     require(minSpan >= n, s"minSpan ($minSpan) must be >= n ($n)")
-    val t = split(col(textCol), " ")
-    // hash every position in ONE projection over the un-exploded row (the
-    // token array is read once), then explode only (pos, hash) longs —
-    // exploding positions first would copy the token array per position
-    val posHashes = when(size(t) >= n,
+    def posHashes(tx: Column): Column = {
+      val t = split(tx, " ")
+      // hash every position in ONE projection over the un-exploded row
+      // (the token array is read once), then explode only (pos, hash)
+      // longs — exploding positions first would copy the array per pos
+      when(size(t) >= n,
         transform(sequence(lit(0), size(t) - n),
           i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(n))))))
-      .otherwise(array().cast("array<long>"))
-    val sh = docs
-      .select(col(idCol).as("__id"), posexplode(posHashes).as(Seq("pos", "h")))
+        .otherwise(array().cast("array<long>"))
+    }
+    def mergeDiagonals(cand: DataFrame, extraAggs: Seq[Column],
+                       extraOut: Seq[Column]): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_a"), col("id_b"), col("pa") - col("pb"))
+        .orderBy(col("pa"))
+      cand
+        .withColumn("__grp", col("pa") - row_number().over(w))
+        .groupBy(col("id_a"), col("id_b"), (col("pa") - col("pb")).as("__d"), col("__grp"))
+        .agg(min(col("pa")).cast("long").as("a_start"),
+          (count(lit(1)) + (n - 1)).as("span_tokens") +: extraAggs: _*)
+        .withColumn("b_start", col("a_start") - col("__d"))
+        .filter(col("span_tokens") >= minSpan)
+        .select(Seq(col("id_a"), col("id_b"), col("a_start"),
+          col("b_start").cast("long").as("b_start"), col("span_tokens")) ++ extraOut: _*)
+    }
+    if (!collapseExact) {
+      val sh = docs
+        .select(col(idCol).as("__id"), posexplode(posHashes(col(textCol))).as(Seq("pos", "h")))
+        .hint("shuffle_hash")
+      val cand = sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.__id") < col("b.__id"))
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+          col("a.pos").as("pa"), col("b.pos").as("pb"))
+      return mergeDiagonals(cand, Nil, Nil)
+    }
+    // collapse to distinct texts: slim (id, th) membership, (th → rid, m)
+    // groups, and ONE representative text per 8-byte text hash — the
+    // exact pattern ngramJaccardPairs' dup-heavy path uses
+    val members = docs.select(col(idCol).as("__id"), xxhash64(col(textCol)).as("th"))
+    val reps = members.groupBy("th").agg(min("__id").as("rid"), count(lit(1)).as("m"))
+    val texts = docs.select(xxhash64(col(textCol)).as("th"), col(textCol).as("__tx"))
+      .dropDuplicates("th")
+    val sh = texts.join(reps, Seq("th"))
+      .select(col("rid"), col("m"), posexplode(posHashes(col("__tx"))).as(Seq("pos", "h")))
       .hint("shuffle_hash")
-    val cand = sh.as("a").join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        col("a.pos").as("pa"), col("b.pos").as("pb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a"), col("id_b"), col("pa") - col("pb"))
-      .orderBy(col("pa"))
-    cand
-      .withColumn("__grp", col("pa") - row_number().over(w))
-      .groupBy(col("id_a"), col("id_b"), (col("pa") - col("pb")).as("__d"), col("__grp"))
-      .agg(min(col("pa")).cast("long").as("a_start"),
-        (count(lit(1)) + (n - 1)).as("span_tokens"))
-      .withColumn("b_start", col("a_start") - col("__d"))
-      .filter(col("span_tokens") >= minSpan)
-      .select(col("id_a"), col("id_b"), col("a_start"),
-        col("b_start").cast("long").as("b_start"), col("span_tokens"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.rid") < col("b.rid"))
+      .select(col("a.rid").as("id_a"), col("b.rid").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        col("a.m").as("na"), col("b.m").as("nb"))
+    // self-spans of duplicated texts: every intra-group instance pair
+    // (i < j, identical text) would have matched at every position pair
+    // with equal hashes, BOTH orderings included — mine the text against
+    // itself once, only for groups that actually have ≥ 2 members
+    val shDup = sh.filter(col("m") >= 2)
+    val intra = shDup.as("a").join(shDup.as("b"),
+        col("a.h") === col("b.h") && col("a.rid") === col("b.rid"))
+      .select(col("a.rid").as("id_a"), col("b.rid").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        col("a.m").as("na"), col("b.m").as("nb"))
+    mergeDiagonals(inter.unionByName(intra),
+      Seq(max(col("na")).as("n_a"), max(col("nb")).as("n_b")),
+      Seq(col("n_a"), col("n_b")))
+  }
+
+  /** Expand a collapsed [[sharedSpans]] result back to the exact
+    * per-instance pair stream (the `collapseExact = false` output):
+    * inter-group rows fan out to every (instance_a, instance_b) combo —
+    * re-orienting starts when the instance order disagrees with the
+    * representative order — and self-span rows (`id_a == id_b`) fan out
+    * to every unordered intra-group instance pair. `members` is
+    * [[exactTextMembership]] of the SAME frame (non-normalized). This is
+    * the documented expansion step for callers that truly want
+    * per-instance pairs; it is itself join-shaped (never quadratic in
+    * anything but the true duplicate multiplicities the caller asked to
+    * re-materialize).
+    */
+  def expandSharedSpans(collapsed: DataFrame, members: DataFrame): DataFrame = {
+    val ma = members.select(col("rid").as("id_a"), col("id").as("__ia"))
+    val mb = members.select(col("rid").as("id_b"), col("id").as("__ib"))
+    val inter = collapsed.filter(col("id_a") =!= col("id_b"))
+      .join(ma, Seq("id_a")).join(mb, Seq("id_b"))
+      .select(
+        least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        when(col("__ia") < col("__ib"), col("a_start")).otherwise(col("b_start")).as("a_start"),
+        when(col("__ia") < col("__ib"), col("b_start")).otherwise(col("a_start")).as("b_start"),
+        col("span_tokens"))
+    val intra = collapsed.filter(col("id_a") === col("id_b"))
+      .join(ma, Seq("id_a")).join(mb, Seq("id_b"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
+        col("a_start"), col("b_start"), col("span_tokens"))
+    inter.unionByName(intra)
   }
 
   /** Cross-corpus n-gram similarity: every (left, right) pair sharing at
@@ -236,34 +331,76 @@ object NearDup {
     * (shorter than n tokens) emit nothing: they have no n-gram identity
     * at this granularity; gate them on length upstream.
     *
-    * Dup-heavy corpora: exact-duplicate docs on EITHER side multiply the
-    * pair space (d copies × e copies = d·e identical pairs — measured
-    * 900× output inflation on a 30×-replicated probe). Collapse each
-    * side to distinct normalized texts first (ngramJaccardPairs'
-    * xxhash64-identity move) and fan ids back via membership joins when
-    * increments are resubmission-heavy.
+    * COLLAPSE-FIRST DEFAULT (`collapseExact = true`): exact-duplicate
+    * docs on EITHER side multiply the per-instance pair space (d copies
+    * × e copies = d·e identical pairs — measured 900× output inflation
+    * on a 30×-replicated probe, 24.7 s; resubmission-heavy crawl
+    * increments have exactly this shape). The default collapses each
+    * side to its distinct NORMALIZED texts (lower/trim — the same
+    * normalization the shingles apply, so equal shingle sets ⇔ equal
+    * identity), pairs the representatives (rid = smallest id per side's
+    * text group), and emits the group multiplicities `n_l`/`n_r`
+    * alongside jaccard/containment. Expand back to per-instance pairs —
+    * proven equivalent in NearDupSpec — with [[expandCrossNgramPairs]] +
+    * [[exactTextMembership]] (normalize = true); or pass
+    * `collapseExact = false` for the direct per-instance join (output
+    * then has no n_l/n_r columns).
     */
   def crossNgramPairs(left: DataFrame, right: DataFrame,
                       leftId: String, rightId: String,
                       leftText: String, rightText: String,
                       n: Int, minJaccard: Double = 0.0,
-                      minContainment: Double = 0.0): DataFrame = {
+                      minContainment: Double = 0.0,
+                      collapseExact: Boolean = true): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
     graft.functions.GraftFunctions.ensureRegistered(left.sparkSession)
-    def side(df: DataFrame, id: String, text: String): DataFrame =
-      shingleHashTable(df.select(col(id).as("id"), col(text).as("__tx")),
-        "id", split(lower(trim(col("__tx"))), "\\s+"), n)
-    side(left, leftId, leftText).as("a")
-      .join(side(right, rightId, rightText).as("b"), col("a.h") === col("b.h"))
-      .groupBy(col("a.id").as("id_l"), col("b.id").as("id_r"))
-      .agg(count(lit(1)).as("common"),
-        any_value(col("a.nsh")).as("nsh_l"), any_value(col("b.nsh")).as("nsh_r"))
+    def score(pairs: DataFrame): DataFrame = pairs
       .withColumn("jaccard",
         col("common").cast("double") / (col("nsh_l") + col("nsh_r") - col("common")))
       .withColumn("containment_l", col("common").cast("double") / col("nsh_l"))
       .filter(col("jaccard") >= minJaccard && col("containment_l") >= minContainment)
-      .select("id_l", "id_r", "jaccard", "containment_l")
+    if (!collapseExact) {
+      def side(df: DataFrame, id: String, text: String): DataFrame =
+        shingleHashTable(df.select(col(id).as("id"), col(text).as("__tx")),
+          Seq("id"), split(lower(trim(col("__tx"))), "\\s+"), n)
+      return score(side(left, leftId, leftText).as("a")
+        .join(side(right, rightId, rightText).as("b"), col("a.h") === col("b.h"))
+        .groupBy(col("a.id").as("id_l"), col("b.id").as("id_r"))
+        .agg(count(lit(1)).as("common"),
+          any_value(col("a.nsh")).as("nsh_l"), any_value(col("b.nsh")).as("nsh_r")))
+        .select("id_l", "id_r", "jaccard", "containment_l")
+    }
+    def collapsedSide(df: DataFrame, id: String, text: String): DataFrame = {
+      val norm = lower(trim(col(text)))
+      val m = df.select(col(id).as("id"), xxhash64(norm).as("th"))
+      val reps = m.groupBy("th").agg(min("id").as("rid"), count(lit(1)).as("m"))
+      val texts = df.select(xxhash64(norm).as("th"), norm.as("__tx")).dropDuplicates("th")
+      shingleHashTable(texts.join(reps, Seq("th")).select(col("rid"), col("m"), col("__tx")),
+        Seq("rid", "m"), split(col("__tx"), "\\s+"), n)
+    }
+    score(collapsedSide(left, leftId, leftText).as("a")
+      .join(collapsedSide(right, rightId, rightText).as("b"), col("a.h") === col("b.h"))
+      .groupBy(col("a.rid").as("id_l"), col("b.rid").as("id_r"))
+      .agg(count(lit(1)).as("common"),
+        any_value(col("a.nsh")).as("nsh_l"), any_value(col("b.nsh")).as("nsh_r"),
+        max(col("a.m")).as("n_l"), max(col("b.m")).as("n_r")))
+      .select("id_l", "id_r", "jaccard", "containment_l", "n_l", "n_r")
   }
+
+  /** Expand a collapsed [[crossNgramPairs]] result back to the exact
+    * per-instance pair stream (the `collapseExact = false` output):
+    * every representative pair fans out to all (left instance, right
+    * instance) combos with the same jaccard/containment. The membership
+    * frames are [[exactTextMembership]] of each ORIGINAL side with
+    * `normalize = true` (the identity crossNgramPairs collapses on).
+    */
+  def expandCrossNgramPairs(collapsed: DataFrame, leftMembers: DataFrame,
+                            rightMembers: DataFrame): DataFrame =
+    collapsed
+      .join(leftMembers.select(col("rid").as("id_l"), col("id").as("__il")), Seq("id_l"))
+      .join(rightMembers.select(col("rid").as("id_r"), col("id").as("__ir")), Seq("id_r"))
+      .select(col("__il").as("id_l"), col("__ir").as("id_r"),
+        col("jaccard"), col("containment_l"))
 
   /** MinHash signature: one minimum per seed over md5(seed || shingle).
     * String-min over hex md5 is engine-portable (same result in any ANSI

@@ -28,15 +28,55 @@ class NearDupSpec extends SparkSpec {
       (2L, s"c1 $shared d1 d2 d3 $shared2 e5"),
       (3L, "short doc")) // < n tokens: no shingles, no crash
       .toDF("doc_id", "text")
-    val out = NearDup.sharedSpans(docs, "doc_id", "text", n = 4, minSpan = 10)
+    val outDf = NearDup.sharedSpans(docs, "doc_id", "text", n = 4, minSpan = 10)
+    // distinct-text corpus: multiplicities are all 1 in the collapsed form
+    assert(outDf.filter(col("n_a") =!= 1 || col("n_b") =!= 1).isEmpty)
+    val out = outDf.select("id_a", "id_b", "a_start", "b_start", "span_tokens")
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     // two maximal spans on two diagonals — NOT one merged blob, and the
     // boundary math (islands + n - 1) recovers the true token lengths
     assert(out === Set((1L, 2L, 3L, 1L, 15L), (1L, 2L, 20L, 19L, 12L)))
+    // per-instance opt-out agrees on a dup-free corpus
+    val direct = NearDup.sharedSpans(docs, "doc_id", "text", n = 4, minSpan = 10,
+        collapseExact = false)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(direct === out)
     // raising minSpan above a span's length drops exactly that span
     val strict = NearDup.sharedSpans(docs, "doc_id", "text", n = 4, minSpan = 13)
+      .select("id_a", "id_b", "a_start", "b_start", "span_tokens")
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(strict === Set((1L, 2L, 3L, 1L, 15L)))
+  }
+
+  test("sharedSpans collapse-first ≡ per-instance after expansion (dup-heavy, internal repeats)") {
+    val shared = (1 to 15).map(i => s"s$i").mkString(" ")
+    val rep = "w1 w2 w3 w4 w1 w2 w3 w4 w1 w2"  // internal repetition → off-diagonal self-spans
+    val docs = Seq(
+      (1L, s"a1 a2 $shared z9"),
+      (4L, s"a1 a2 $shared z9"),   // exact dup of 1
+      (7L, s"a1 a2 $shared z9"),   // exact dup of 1 (triple group)
+      (2L, s"c1 $shared d1"),      // near-dup (shares the span, distinct text)
+      (3L, rep),
+      (6L, rep),                   // dup pair with internal repetition
+      (5L, "completely different text with no overlap at all")
+    ).toDF("doc_id", "text")
+    val legacy = NearDup.sharedSpans(docs, "doc_id", "text", n = 3, minSpan = 4,
+        collapseExact = false)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val collapsed = NearDup.sharedSpans(docs, "doc_id", "text", n = 3, minSpan = 4)
+    // collapsed output is strictly smaller on a dup-heavy corpus
+    assert(collapsed.count() < legacy.size)
+    // self-span rows surface for the duplicated texts only, with the
+    // group multiplicity on both sides
+    val selfRows = collapsed.filter(col("id_a") === col("id_b"))
+    assert(selfRows.filter(col("id_a") === 1L && col("n_a") === 3L).count() > 0)
+    assert(selfRows.filter(col("id_a") === 3L && col("n_a") === 2L).count() > 0)
+    // expansion reproduces the per-instance stream EXACTLY
+    val members = NearDup.exactTextMembership(docs, "doc_id", "text")
+    val expanded = NearDup.expandSharedSpans(collapsed, members)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(expanded.length === expanded.toSet.size, "expansion emitted duplicate rows")
+    assert(expanded.toSet === legacy)
   }
 
   test("crossNgramPairs computes jaccard + containment across two corpora") {
@@ -44,18 +84,52 @@ class NearDupSpec extends SparkSpec {
     // right doc 11: {a b, b c, c d, d x} fully CONTAINS doc 1's set
     val inc = Seq((1L, "a b c d"), (2L, "q r s")).toDF("doc_id", "text")
     val hist = Seq((10L, "b c d e"), (11L, "a b c d x")).toDF("doc_id", "text")
-    val out = graft.operators.NearDup.crossNgramPairs(
+    val outDf = graft.operators.NearDup.crossNgramPairs(
         inc, hist, "doc_id", "doc_id", "text", "text", n = 2)
+    // distinct-text corpora: multiplicities are all 1 in the collapsed form
+    assert(outDf.filter(col("n_l") =!= 1 || col("n_r") =!= 1).isEmpty)
+    val out = outDf.select("id_l", "id_r", "jaccard", "containment_l")
       .as[(Long, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
     assert(out === Array(
       (1L, 10L, 2.0 / 4.0, 2.0 / 3.0),  // common {b c, c d}
       (1L, 11L, 3.0 / 4.0, 1.0)))       // doc 1 contained in doc 11
+    // per-instance opt-out agrees on a dup-free corpus
+    val direct = graft.operators.NearDup.crossNgramPairs(
+        inc, hist, "doc_id", "doc_id", "text", "text", n = 2,
+        collapseExact = false)
+      .as[(Long, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(direct === out)
     // threshold cut keeps only the containment hit
     val cut = graft.operators.NearDup.crossNgramPairs(
         inc, hist, "doc_id", "doc_id", "text", "text", n = 2,
         minContainment = 1.0)
       .select("id_l", "id_r").as[(Long, Long)].collect()
     assert(cut === Array((1L, 11L)))
+  }
+
+  test("crossNgramPairs collapse-first ≡ per-instance after expansion (dup-heavy sides)") {
+    // left: doc 1 text duplicated 3×; right: one text duplicated 2× —
+    // the per-instance stream has 3×2 = 6 identical rows per rep pair
+    val inc = Seq((1L, "a b c d"), (4L, "A b c d "), (9L, "a b c d"),
+      (2L, "q r s")).toDF("doc_id", "text") // 4L normalizes equal (lower/trim)
+    val hist = Seq((10L, "b c d e"), (12L, "b c d e"),
+      (11L, "a b c d x")).toDF("doc_id", "text")
+    val legacy = NearDup.crossNgramPairs(
+        inc, hist, "doc_id", "doc_id", "text", "text", n = 2, collapseExact = false)
+      .as[(Long, Long, Double, Double)].collect()
+    val collapsed = NearDup.crossNgramPairs(
+        inc, hist, "doc_id", "doc_id", "text", "text", n = 2)
+    // reps are the min ids; multiplicities ride along
+    val mults = collapsed.select("id_l", "id_r", "n_l", "n_r")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(mults === Set((1L, 10L, 3L, 2L), (1L, 11L, 3L, 1L)))
+    // expansion reproduces the per-instance MULTISET exactly (3×2 fanout)
+    val expanded = NearDup.expandCrossNgramPairs(collapsed,
+        NearDup.exactTextMembership(inc, "doc_id", "text", normalize = true),
+        NearDup.exactTextMembership(hist, "doc_id", "text", normalize = true))
+      .as[(Long, Long, Double, Double)].collect()
+    assert(expanded.sorted.toSeq === legacy.sorted.toSeq)
+    assert(expanded.length === 3 * 2 + 3 * 1)
   }
 
   test("ngramJaccardPairs computes exact jaccard on a known pair") {
