@@ -705,7 +705,11 @@ object Oracles {
              count(*) - count(n_chars) AS n_null,
              min(CAST(n_chars AS DOUBLE)) AS mn, max(CAST(n_chars AS DOUBLE)) AS mx,
              CAST(CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / count(n_chars) AS mean,
-             quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p95,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS p99
            FROM documents),
          num_rows AS (
            SELECT 'numeric' AS section, 'n_chars' AS col_name, item,
@@ -718,7 +722,11 @@ object Oracles {
              UNION ALL SELECT 'min', mn FROM num
              UNION ALL SELECT 'max', mx FROM num
              UNION ALL SELECT 'mean', mean FROM num
-             UNION ALL SELECT 'p50', p50 FROM num)),
+             UNION ALL SELECT 'p25', p25 FROM num
+             UNION ALL SELECT 'p50', p50 FROM num
+             UNION ALL SELECT 'p75', p75 FROM num
+             UNION ALL SELECT 'p95', p95 FROM num
+             UNION ALL SELECT 'p99', p99 FROM num)),
          pairs AS (
            SELECT 'lang' AS col_name, lang AS value FROM documents
            UNION ALL SELECT 'source', source FROM documents),
@@ -1755,8 +1763,9 @@ object Oracles {
            SELECT col_name, value, cnt,
              row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, value) AS rank
            FROM counts WHERE value IS NOT NULL)
-         SELECT r.col_name, c.n_distinct, c.n_nulls, r.value, r.cnt, r.rank
-         FROM ranked r JOIN census c USING (col_name) WHERE r.rank <= 3""",
+         SELECT c.col_name, c.n_distinct, c.n_nulls, r.value, r.cnt, r.rank
+         FROM census c LEFT JOIN (SELECT * FROM ranked WHERE rank <= 3) r
+           USING (col_name)""",
 
     // q77: replays the α = 0.5 fraction computation (6-dp-rounded — the
     // quantization that makes the threshold engine-portable) and the
@@ -2083,8 +2092,11 @@ object Oracles {
     // divide, multiply, floor, clamp) and the bit interleave as literal
     // shift/mask/OR terms
     "q102_zorder_key" -> {
+      // NULL input stays NULL (both engines' least/greatest SKIP nulls,
+      // so the clamp needs the same explicit guard as normalizeToBits)
       def norm(v: String, lo: String, hi: String): String =
-        s"CAST(least(greatest(floor(($v - $lo) / ($hi - $lo) * 256.0), 0), 255) AS BIGINT)"
+        s"CASE WHEN ($v) IS NULL THEN NULL ELSE " +
+          s"CAST(least(greatest(floor(($v - $lo) / ($hi - $lo) * 256.0), 0), 255) AS BIGINT) END"
       // every term fully parenthesized: DuckDB gives <<, &, | EQUAL
       // precedence (left-assoc), so a bare chain folds wrongly
       val terms = (0 until 8).flatMap(i => Seq(

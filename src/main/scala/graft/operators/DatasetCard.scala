@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   * Output schema (one row per fact):
   * (section, col_name, item, value_s, value_d, lo, hi, n) where
   *  - section ∈ numeric | categorical | histogram | equidepth | psi
-  *  - numeric rows: item = stat name (n_non_null/n_null/min/max/mean/p50),
-  *    value_d = the stat
+  *  - numeric rows: item = stat name (n_non_null/n_null/min/max/mean
+  *    plus one row per requested quantile — p25/p50/p75/p95/p99 by
+  *    default), value_d = the stat
   *  - categorical rows: item = rank ("1".."k") with value_s = the value
   *    and n = its count, plus census items n_distinct / n_nulls in
   *    value_d
@@ -36,9 +37,11 @@ import org.apache.spark.sql.functions._
   * operators' plan-time statistic jobs (equi-width bounds, equi-depth
   * cuts, PSI reference bounds — tiny aggs whose results become plan
   * constants), the same class of driver decision as a centroid matrix.
-  * With `scalableMedians = true` the numeric medians route through the
-  * batched [[Summaries.exactQuantiles]] narrowing — the 100 TB-exact
-  * card; the default approx sketch is the cheap production path.
+  * With `scalableMedians = true` the numeric quantile VECTOR routes
+  * through the batched [[Summaries.exactQuantilesPerColumn]] narrowing —
+  * the 100 TB-exact card, where five quantiles of ten columns cost the
+  * same pass count as one median of one; the default approx sketch is
+  * the cheap production path.
   */
 object DatasetCard {
 
@@ -51,7 +54,8 @@ object DatasetCard {
             reference: Option[DataFrame] = None,
             psiBins: Int = 10,
             exactMedians: Boolean = false,
-            scalableMedians: Boolean = false): DataFrame = {
+            scalableMedians: Boolean = false,
+            quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95, 0.99)): DataFrame = {
     require(numericCols.nonEmpty || categoricalCols.nonEmpty,
       "DatasetCard.build needs at least one profiled column")
     val sNull = lit(null).cast("string")
@@ -69,11 +73,13 @@ object DatasetCard {
 
     val numeric = if (numericCols.isEmpty) Nil else {
       val prof = Summaries.numericProfile(df, numericCols,
-        exact = exactMedians || scalableMedians, scalable = scalableMedians)
+        exact = exactMedians || scalableMedians, scalable = scalableMedians,
+        quantiles = quantiles)
       // unpivot the one-row-per-column stats into (item, value_d) facts
       // (numericProfile names its key `column_name`; the card speaks
       // `col_name` like the other sections)
-      val statCols = Seq("n_non_null", "n_null", "min", "max", "mean", "p50")
+      val statCols = Seq("n_non_null", "n_null", "min", "max", "mean") ++
+        quantiles.map(Summaries.quantileColName)
       val stacked = prof.select(col("column_name").as("col_name"),
         stack((lit(statCols.size) +: statCols.flatMap(s =>
           Seq(lit(s), col(s).cast("double")))): _*).as(Seq("item", "v")))
@@ -82,8 +88,10 @@ object DatasetCard {
     }
     val categorical = if (categoricalCols.isEmpty) Nil else {
       val prof = Summaries.categoricalProfile(df, categoricalCols, topK)
+      // an all-NULL column's census-only placeholder row (NULL rank) is
+      // not a top-k fact — it feeds the census rows below only
       val tops = shape("categorical", col("rank"), col("value"), dNull,
-        dNull, dNull, col("cnt"))(prof)
+        dNull, dNull, col("cnt"))(prof.filter(col("rank").isNotNull))
       // census facts repeat on every top-k row — emit them once per column
       val census = prof.select(col("col_name"), col("n_distinct"), col("n_nulls"))
         .distinct()

@@ -26,16 +26,20 @@ object Layout {
 
   /** Linear map of `c` from [lo, hi] onto the 2^bits-cell integer grid
     * (hi lands in the top cell; out-of-range inputs clamp to the edge
-    * cells, NULL stays NULL). `lo`/`hi` are plan constants — compute
-    * them once (one tiny min/max agg) like a centroid matrix.
+    * cells, NULL stays NULL — guarded explicitly: Spark's
+    * greatest/least SKIP nulls, so the bare clamp would silently send a
+    * NULL row to cell 0 and interleave it into a wrong-but-valid key).
+    * `lo`/`hi` are plan constants — compute them once (one tiny min/max
+    * agg) like a centroid matrix.
     */
   def normalizeToBits(c: Column, lo: Double, hi: Double, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     require(hi > lo, s"need hi > lo, got [$lo, $hi]")
     val cells = (1L << bits) - 1
-    least(greatest(
-      floor((c.cast("double") - lo) / (hi - lo) * (cells + 1).toDouble),
-      lit(0L)), lit(cells))
+    val d = c.cast("double")
+    when(d.isNotNull, least(greatest(
+      floor((d - lo) / (hi - lo) * (cells + 1).toDouble),
+      lit(0L)), lit(cells)))
   }
 
   /** Z-order (Morton) key: the bits of `x` weave into the even positions
@@ -93,26 +97,38 @@ object Layout {
     * A constant dimension (min == max) degenerates to cell 0 — the
     * write still clusters on the other dim instead of failing on
     * `normalizeToBits`' hi > lo contract. Rows where either dim is NULL
-    * get a NULL key and range-partition together at the low end —
-    * present, not dropped. The key column rides along in the output
-    * (like an explicit cluster-key column); `keyCol` must not collide.
+    * — or non-finite: NaN/±Inf carry no grid position, and a NaN bound
+    * would otherwise poison the grid (max() returns NaN) while an Inf
+    * bound silently collapses every cell to 0 — get a NULL key and
+    * range-partition together at the low end — present, not dropped.
+    * Bounds come from a finite-only min/max (the Summaries isFin
+    * pattern), so a single rogue Inf row no longer destroys the
+    * clustering of every other row. The key column rides along in the
+    * output (like an explicit cluster-key column); `keyCol` must not
+    * collide.
     */
   def writeZorderClustered(df: DataFrame, path: String, x: Column, y: Column,
                            numFiles: Int, bits: Int = 8,
                            keyCol: String = "zkey"): Unit = {
     require(!df.columns.exists(_.equalsIgnoreCase(keyCol)),
       s"writeZorderClustered key column '$keyCol' already exists on the input")
-    val b = df.agg(min(x.cast("double")), max(x.cast("double")),
-      min(y.cast("double")), max(y.cast("double"))).head()
+    // finite-or-NULL: NULL, NaN and ±Inf all take the NULL-key path
+    def fin(c: Column): Column = {
+      val d = c.cast("double")
+      when(!isnan(d) && d > Double.NegativeInfinity &&
+        d < Double.PositiveInfinity, d)
+    }
+    val (fx, fy) = (fin(x), fin(y))
+    val b = df.agg(min(fx), max(fx), min(fy), max(fy)).head()
     require(!b.isNullAt(0) && !b.isNullAt(2),
-      "writeZorderClustered: cannot cluster an empty or all-NULL frame")
+      "writeZorderClustered: cannot cluster an empty or all-NULL/non-finite frame")
     def cell(c: Column, lo: Double, hi: Double): Column =
       if (hi > lo) normalizeToBits(c, lo, hi, bits)
       // constant dim: every non-NULL value sits in cell 0 (keep the
       // NULL-propagation the grid form has)
       else when(c.isNotNull, lit(0L))
-    val zx = cell(x, b.getDouble(0), b.getDouble(1))
-    val zy = cell(y, b.getDouble(2), b.getDouble(3))
+    val zx = cell(fx, b.getDouble(0), b.getDouble(1))
+    val zy = cell(fy, b.getDouble(2), b.getDouble(3))
     writeRangeClustered(df.withColumn(keyCol, zorderKey(zx, zy, bits)),
       path, keyCol, numFiles)
   }

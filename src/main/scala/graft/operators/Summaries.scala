@@ -86,9 +86,16 @@ object Summaries {
     * (distinct values × cols) stream: the top-k cut is a
     * `graft_top_k_by` bounded heap per column (no window sort), the
     * distinct/null census is a second agg of the same stream, and the
-    * final join is broadcast by size. An `approx_count_distinct` sketch
-    * would drop the value-count shuffle entirely — but a dataset card
-    * wants exact counts, and the per-value agg IS the exact price.
+    * final join broadcasts the tiny top-k side. An
+    * `approx_count_distinct` sketch would drop the value-count shuffle
+    * entirely — but a dataset card wants exact counts, and the per-value
+    * agg IS the exact price.
+    *
+    * Every requested column gets at least one row: an all-NULL column has
+    * no top-k rows, so its census facts (n_distinct = 0, n_nulls = n —
+    * the very fact a card must report) ride a single row with NULL
+    * value/cnt/rank — the census side of the join is PRESERVED, the
+    * psiDrift "every requested column gets a row" discipline.
     */
   def categoricalProfile(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
@@ -107,7 +114,11 @@ object Summaries {
       .select(col("col_name"), posexplode(col("top")))
       .select(col("col_name"), col("col.value").as("value"),
         col("col.cnt").as("cnt"), (col("pos") + 1).cast("long").as("rank"))
-    top.join(broadcast(census), Seq("col_name"))
+    // right-outer preserving the census: broadcast hint on the STREAMED
+    // top-k side (BuildLeft is the only broadcastable side of a right
+    // outer join) — both frames are post-agg tiny, the hint just pins
+    // the strategy at plan time
+    broadcast(top).join(census, Seq("col_name"), "right_outer")
       .select(col("col_name"), col("n_distinct"), col("n_nulls"),
         col("value"), col("cnt"), col("rank"))
   }
@@ -130,23 +141,31 @@ object Summaries {
     */
   /** (col_name, v) numeric entries for the dataset-card family: every
     * column exploded to rows in the scan projection (one Generate, one
-    * data pass, column pruning intact), NULL values excluded.
+    * data pass, column pruning intact), NULL AND NaN values excluded —
+    * the whole card family treats NaN as missing (the SQL aggregate
+    * semantic [[exactQuantilesPerColumn]] already applied), so bin
+    * counts always agree with cuts computed over the same NaN-free
+    * population regardless of which quantile path produced them.
     */
   private def numericEntries(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(explode(array(cols.map(c =>
         struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && !isnan(col("v")))
 
   /** Equi-width (lo, binWidth) per column from ONE all-columns min/max
-    * pass over `df`; all-NULL columns are absent from the result.
+    * pass over `df`; all-NULL (or all-NaN — NaN ≡ missing here, like
+    * [[numericEntries]]; a raw max() would return NaN and poison the
+    * grid) columns are absent from the result.
     */
   private def equiWidthBounds(df: DataFrame, cols: Seq[String],
                               nBins: Int): Map[String, (Double, Double)] = {
     val statsRow = {
-      val aggs = cols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__mn_$c"),
-        max(col(c).cast("double")).as(s"__mx_$c")))
+      val aggs = cols.flatMap { c =>
+        val d = col(c).cast("double")
+        val fin = when(!isnan(d), d)
+        Seq(min(fin).as(s"__mn_$c"), max(fin).as(s"__mx_$c"))
+      }
       df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
     }
     cols.zipWithIndex.flatMap { case (c, i) =>
@@ -225,8 +244,15 @@ object Summaries {
       }
       else {
         val statsRow = {
-          val aggs = cols.map(c => call_function("percentile",
-            col(c).cast("double"), typedlit(qs)).as(s"__q_$c"))
+          // NaN → NULL before the aggregate: `percentile` would sort NaN
+          // greatest and shift every cut, while the scalable narrowing
+          // (and the binning entries stream) excludes NaN — the two
+          // modes must agree on NaN-bearing columns (spec-pinned)
+          val aggs = cols.map { c =>
+            val d = col(c).cast("double")
+            call_function("percentile", when(!isnan(d), d), typedlit(qs))
+              .as(s"__q_$c")
+          }
           df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
         }
         cols.zipWithIndex.flatMap { case (c, i) =>
@@ -354,28 +380,59 @@ object Summaries {
     df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 
+  /** Column name for a quantile stat row/column: p50, p25, p99, p97_5 —
+    * the dataset-card convention shared by [[numericProfile]] and
+    * [[DatasetCard]].
+    */
+  def quantileColName(q: Double): String = {
+    val pct = q * 100
+    if (pct == math.rint(pct)) s"p${pct.toInt}"
+    else "p" + BigDecimal(pct).bigDecimal.stripTrailingZeros.toPlainString
+      .replace('.', '_')
+  }
+
   /** Per-column numeric profile — one row per column with count / null
-    * count / min / max / mean / median — the dataset-card statistics a
-    * corpus release ships. ONE aggregation pass over all columns, then a
-    * `stack` unpivot of the single result row (driver-side-tiny).
+    * count / min / max / mean / quantile vector (default just the
+    * median; a card typically asks for p25/p50/p75/p95/p99) — the
+    * dataset-card statistics a corpus release ships. ONE aggregation
+    * pass over all columns, then a `stack` unpivot of the single result
+    * row (driver-side-tiny). Output columns: column_name, n_non_null,
+    * n_null, min, max, mean, then one [[quantileColName]] column per
+    * requested quantile, in request order.
     *
     * Mean follows the float discipline: exact decimal(28,6) sum cast to
-    * double, then divided — order-independent, engine-portable. Median is
-    * `approx_percentile` (t-digest-style sketch, partial-aggregable,
-    * bounded memory) by default; `exact = true` switches to the exact
-    * `percentile` aggregate, which BUFFERS every value of the column per
-    * partial — the declared small-data/oracle yardstick. `exact = true,
-    * scalable = true` keeps the median EXACT while staying
-    * memory-bounded: the other stats still run in the ONE aggregation
-    * pass, and each median routes through [[exactQuantile]] (iterative
-    * histogram narrowing, O(log) passes) — no value→count buffered
-    * aggregate anywhere in the plan, spec-proven equal to the
-    * `percentile` form. That is the 100 TB dataset-card profile.
+    * double, then divided — order-independent, engine-portable.
+    * Quantiles are `approx_percentile` (t-digest-style sketch,
+    * partial-aggregable, bounded memory) by default; `exact = true`
+    * switches to the exact `percentile` aggregate, which BUFFERS every
+    * value of the column per partial — the declared small-data/oracle
+    * yardstick. `exact = true, scalable = true` keeps the quantiles
+    * EXACT while staying memory-bounded: the other stats still run in
+    * the ONE aggregation pass, and the whole quantile VECTOR of every
+    * column routes through [[exactQuantilesPerColumn]] (iterative
+    * histogram narrowing, O(log) passes, every rank of every column
+    * sharing each pass) — no value→count buffered aggregate anywhere in
+    * the plan, spec-proven equal to the `percentile` form. That is the
+    * 100 TB dataset-card profile: five quantiles of ten columns cost
+    * the same pass count as one median of one column.
+    *
+    * NaN discipline: quantiles exclude NaN in EVERY mode (NaN ≡ missing,
+    * the narrowing core's semantic — a raw `percentile` would sort NaN
+    * greatest and shift each rank, diverging from the scalable path on
+    * NaN-bearing columns). min/max/mean keep the raw aggregate semantics
+    * (NaN propagates), identically in both engines.
     */
   def numericProfile(df: DataFrame, cols: Seq[String],
                      exact: Boolean = false,
-                     scalable: Boolean = false): DataFrame = {
+                     scalable: Boolean = false,
+                     quantiles: Seq[Double] = Seq(0.5)): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
+    require(quantiles.nonEmpty, "numericProfile needs at least one quantile")
+    quantiles.foreach(qv =>
+      require(qv >= 0 && qv <= 1, s"quantile must be in [0, 1], got $qv"))
+    val qNames = quantiles.map(quantileColName)
+    require(qNames.distinct.size == qNames.size,
+      s"duplicate quantiles: $quantiles")
     val scalableExact = exact && scalable
     // helper aliases go through selectExpr — backtick-quote them (and
     // escape the label literal) so names like `price-usd` or `a.b` don't
@@ -384,42 +441,54 @@ object Summaries {
     def lit_(s: String) = "'" + s.replace("'", "''") + "'"
     val aggs = cols.flatMap { c =>
       val d = col(c).cast("double")
-      val p50 =
+      val dq = when(!isnan(d), d) // NaN-exclusive quantiles, every mode
+      val ps =
         if (scalableExact) Nil // narrowing passes below, not a buffered agg
-        else if (exact) Seq(call_function("percentile", d, lit(0.5)).as(s"__p50__$c"))
-        else Seq(call_function("approx_percentile", d, lit(0.5), lit(10000)).as(s"__p50__$c"))
+        else if (exact)
+          Seq(call_function("percentile", dq, typedlit(quantiles)).as(s"__qs__$c"))
+        else
+          Seq(call_function("approx_percentile", dq, typedlit(quantiles),
+            lit(10000)).as(s"__qs__$c"))
       Seq(
         count(col(c)).as(s"__n__$c"),
         count(when(col(c).isNull, 1)).as(s"__nn__$c"),
         min(d).as(s"__min__$c"),
         max(d).as(s"__max__$c"),
-        sum(col(c).cast("decimal(28,6)")).cast("double").as(s"__sum__$c")) ++ p50
+        sum(col(c).cast("decimal(28,6)")).cast("double").as(s"__sum__$c")) ++ ps
     }
     val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
-    val p50Arg = (c: String) =>
-      if (scalableExact) "CAST(NULL AS DOUBLE)" else q(s"__p50__$c")
+    // the percentile array unpivots by 0-based element access; an
+    // all-NULL column's NULL array propagates NULL elements, matching
+    // the narrowing path's all-None
+    val qArgs = (c: String) => quantiles.indices.map(i =>
+      if (scalableExact) "CAST(NULL AS DOUBLE)" else s"${q(s"__qs__$c")}[$i]")
+      .mkString(", ")
     val stackArgs = cols.map(c =>
       s"${lit_(c)}, ${q(s"__n__$c")}, ${q(s"__nn__$c")}, ${q(s"__min__$c")}, " +
-        s"${q(s"__max__$c")}, ${q(s"__sum__$c")}, ${p50Arg(c)}").mkString(", ")
+        s"${q(s"__max__$c")}, ${q(s"__sum__$c")}, ${qArgs(c)}").mkString(", ")
     val unpivoted = one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_non_null, n_null, min, max, __sum, p50)")
+        s"(column_name, n_non_null, n_null, min, max, __sum, ${qNames.map(q).mkString(", ")})")
       .withColumn("mean", col("__sum") / col("n_non_null"))
-    val withP50 =
+    val withQs =
       if (!scalableExact) unpivoted
       else {
         // the narrowing jobs run NOW (plan-time, like the centroid
         // collects) and the tiny per-column results re-enter the plan as
-        // a CASE literal over column_name; ALL columns' medians share ONE
-        // fused narrowing sequence — same pass count as one column
-        val byCol = exactQuantilesPerColumn(df, cols.map(c => c -> Seq(0.5)))
-        val medians = cols.map(c => c -> byCol(c).head)
-        unpivoted.withColumn("p50",
-          medians.foldLeft(lit(null).cast("double")) { case (acc, (c, m)) =>
-            when(col("column_name") === c,
-              m.map(lit(_)).getOrElse(lit(null).cast("double"))).otherwise(acc)
-          })
+        // CASE literals over column_name; ALL quantiles of ALL columns
+        // share ONE fused narrowing sequence — same pass count as one
+        // median of one column
+        val byCol = exactQuantilesPerColumn(df, cols.map(c => c -> quantiles))
+        qNames.zipWithIndex.foldLeft(unpivoted) { case (acc, (qn, qi)) =>
+          acc.withColumn(qn,
+            cols.foldLeft(lit(null).cast("double")) { case (a, c) =>
+              when(col("column_name") === c,
+                byCol(c)(qi).map(lit(_)).getOrElse(lit(null).cast("double")))
+                .otherwise(a)
+            })
+        }
       }
-    withP50.select("column_name", "n_non_null", "n_null", "min", "max", "mean", "p50")
+    withQs.select((Seq("column_name", "n_non_null", "n_null", "min", "max",
+      "mean") ++ qNames).map(col): _*)
   }
 
   /** EXACT interpolated quantile (percentile_cont semantics — identical

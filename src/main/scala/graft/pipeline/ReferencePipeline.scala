@@ -52,6 +52,7 @@ object ReferencePipeline {
       dayVitals: Map[Int, DataFrame] = Map.empty,
       summaryNeolab: DataFrame = null,
       summaryBaseline: DataFrame = null,
+      datasetCard: DataFrame = null,
       shared: Option[DataFrame] = None)
 
   /** Run the full flow from a DataFrame bearing one raw session JSON
@@ -347,13 +348,31 @@ object ReferencePipeline {
           n -> Windows.dayOffsetSlice(vitalsSrc, Seq("uid"), vitalsTs, n)).toMap
       }
 
-    // 8. composed dataset-card profile over the joined table — the
-    //    published-baseline summary the reference ships as a derived
-    //    table (queries/create_summary_baselines_sql.py + step_4_nodes/
-    //    summary_baseline.py); profiling form: numeric stats, categorical
-    //    top-k, both histogram families, PSI drift vs an optional prior
-    //    publish. Plan-level union of tiny per-section results.
-    val summaryBaseline =
+    // 8. summary_baseline — the reference's ACTUAL shape: a row-level
+    //    column-selection/rename of the baseline (joined) table, one row
+    //    per uid (reference: queries/create_summary_baselines_sql.py —
+    //    identifier renames, the Mon-YYYY / YYYYmm admission keys, and
+    //    the 1-or-NULL outcome-count flag family; its ORDER BY uid is
+    //    elided — parquet publish order is not a semantic, and a full
+    //    sort at publish is a needless total-order shuffle at scale).
+    //    A pure projection of `joined`: no scan or shuffle of its own.
+    val summaryBaseline = joined.select(
+      Seq(col("uid"), col("facility"),
+        col("admitted_at").as("admission_datetime"),
+        col("discharged_at").as("discharge_datetime"),
+        col("month_year").as("admission_month_year"),
+        col("month_year_sort").as("admission_month_year_sort"),
+        col("los_days"), col("no_discharge")) ++
+        outcomeFlags.map { case (n, _) => col(n) }: _*)
+
+    // 8b. composed dataset-card profile over the joined table — the
+    //     profiling companion of the published summaries (numeric stats +
+    //     quantile vector, categorical top-k, both histogram families,
+    //     PSI drift vs an optional prior publish), published under its
+    //     own name `dataset_card` so consumers expecting the reference's
+    //     summary_baseline schema are never handed a long-format card.
+    //     Plan-level union of tiny per-section results.
+    val datasetCard =
       if (cardNumericCols.isEmpty && cardCategoricalCols.isEmpty) null
       else DatasetCard.build(joined, cardNumericCols, cardCategoricalCols,
         reference = cardReference)
@@ -361,7 +380,7 @@ object ReferencePipeline {
     Outputs(admissions, discharges, repeatables, joined, summaryCounts,
       completeness, exceptions, mclKeys, mclTables, combinedDiagnoses,
       ruleExceptions, dayVitals, summaryNeolab, summaryBaseline,
-      shared = if (persistShared) Some(deduped) else None)
+      datasetCard, shared = if (persistShared) Some(deduped) else None)
   }
 
   /** Materialize every output table under `baseDir/<name>` — the
@@ -395,8 +414,12 @@ object ReferencePipeline {
     // reference: derived.summary_neolab (create_summary_neolab_sql.py)
     "summary_neolab" -> out.summaryNeolab,
     // reference: derived.summary_baseline (create_summary_baselines_sql.py)
-    // — here the composed dataset-card profile of the joined table
-    "summary_baseline" -> out.summaryBaseline) ++
+    // — the row-level rename/derive projection of the joined table
+    "summary_baseline" -> out.summaryBaseline,
+    // the long-format profiling card (no reference analogue by name —
+    // deliberately NOT published as summary_baseline, whose consumers
+    // expect the row-level schema above)
+    "dataset_card" -> out.datasetCard) ++
     out.dayVitals.toSeq.sortBy(_._1).map { case (n, df) =>
       // reference: derived.summary_day1_vitals / _day2_ / _day3_
       s"summary_day${n}_vitals" -> df

@@ -33,9 +33,19 @@ object Tables {
       // A TIMESTAMP_NTZ-written parquet (newer pyarrow emits isAdjustedToUTC
       // = false) reads back as TimestampNTZType, which functions like
       // unix_micros reject and which breaks the surface contract that `ts`
-      // is TIMESTAMP. Session TZ is pinned UTC (build.sbt), so the cast
-      // relabels the same instant without moving it.
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      // is TIMESTAMP. The NTZ→timestamp cast interprets the wall-clock in
+      // the SESSION time zone — instant-preserving ONLY when that zone is
+      // UTC. The build pins it (build.sbt), but a consumer embedding this
+      // reader in their own session could silently shift every ts by
+      // their zone offset — assert the invariant AT THE CAST SITE so a
+      // mis-zoned session fails loudly instead of corrupting instants.
+      case TimestampNTZType =>
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+          s"Tables: TIMESTAMP_NTZ -> TIMESTAMP relabeling requires " +
+            s"spark.sql.session.timeZone=UTC (got '$tz') — the cast would " +
+            "shift every ts by the zone offset")
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

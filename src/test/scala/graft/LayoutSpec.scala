@@ -44,11 +44,17 @@ class LayoutSpec extends SparkSpec {
     assert(msgs(e).contains("zorderKey"), msgs(e))
   }
 
-  test("normalizeToBits clamps edges and maps hi into the top cell") {
+  test("normalizeToBits clamps edges and maps hi into the top cell; NULL stays NULL") {
     val out = Seq(-5.0, 0.0, 50.0, 100.0, 140.0).toDF("v")
       .select(Layout.normalizeToBits(col("v"), 0.0, 100.0, 4).as("c"))
       .as[Long].collect().toSeq
     assert(out === Seq(0L, 0L, 8L, 15L, 15L))
+    // Spark's greatest/least skip NULLs — the explicit guard keeps the
+    // documented NULL propagation (a bare clamp lands NULL in cell 0)
+    val n = Seq(None: Option[Double], Some(50.0)).toDF("v")
+      .select(Layout.normalizeToBits(col("v"), 0.0, 100.0, 4).as("c"))
+      .collect()
+    assert(n(0).isNullAt(0) && n(1).getLong(0) === 8L)
   }
 
   test("range-clustered z-order files are rectangles: tight stats in BOTH dims") {
@@ -76,5 +82,36 @@ class LayoutSpec extends SparkSpec {
       assert(r.getLong(3) <= 16 && r.getLong(4) <= 16,
         s"file spans xext=${r.getLong(3)} yext=${r.getLong(4)}")
     }
+  }
+
+  test("writeZorderClustered: NaN/Inf rows take the NULL-key path, bounds stay finite") {
+    // a NaN in either dim used to make max() return NaN and fail the
+    // hi > lo require with a confusing message; a single Inf silently
+    // collapsed the whole grid to cell 0 — bounds are now finite-only
+    // and non-finite rows cluster with the NULLs, present not dropped
+    val df = ((1 to 64).map(i => (i.toLong, i.toDouble, (i % 8).toDouble)) ++ Seq(
+      (100L, Double.NaN, 1.0),
+      (101L, Double.PositiveInfinity, 2.0),
+      (102L, 3.0, Double.NegativeInfinity)))
+      .toDF("id", "x", "y")
+    val dir = Files.createTempDirectory("znonfin").toString + "/t"
+    Layout.writeZorderClustered(df, dir, col("x"), col("y"), numFiles = 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 67L) // nothing dropped
+    // exactly the three non-finite rows carry a NULL key
+    assert(back.filter(col("zkey").isNull).select("id").as[Long]
+      .collect().toSet === Set(100L, 101L, 102L))
+    // and the finite rows kept a real spread of cells (an Inf bound
+    // would have collapsed every key to 0)
+    assert(back.filter(col("zkey").isNotNull).select("zkey").distinct()
+      .count() > 8L)
+    // all-non-finite input fails with the documented error, not a
+    // confusing NaN-bound require
+    val bad = Seq((1L, Double.NaN, 1.0)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Layout.writeZorderClustered(bad, Files.createTempDirectory("zbad").toString + "/t",
+        col("x"), col("y"), numFiles = 1)
+    }
+    assert(e.getMessage.contains("all-NULL/non-finite"), e.getMessage)
   }
 }

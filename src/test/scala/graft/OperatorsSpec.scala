@@ -343,6 +343,87 @@ class OperatorsSpec extends SparkSpec {
         .filter(col("col_name") === "d").count() === 0L, s"scalable=$scalable")
   }
 
+  test("NaN ≡ missing across the card family: both quantile paths agree with the NaN-filtered frame") {
+    import graft.operators.Summaries
+    // a raw `percentile` aggregate sorts NaN greatest, so the yardstick
+    // path used to shift every cut on NaN-bearing columns while the
+    // narrowing (which filters !isnan) did not — the NaN exclusion is
+    // now the DOCUMENTED semantic of every distribution operator, and
+    // both modes must agree with each other AND with hand-filtering
+    val df = (1 to 400).map { i =>
+      (i.toLong,
+        if (i % 4 == 0) Double.NaN else (i % 83).toDouble,
+        if (i % 7 == 0) None else Some(math.pow(i.toDouble, 2)))
+    }.toDF("id", "a", "b")
+    val clean = df.withColumn("a", when(!isnan(col("a")), col("a")))
+    def rows(src: org.apache.spark.sql.DataFrame, scalable: Boolean) =
+      Summaries.equidepthBins(src, Seq("a", "b"), 4, scalable)
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(df, scalable = true) === rows(df, scalable = false))
+    assert(rows(df, scalable = true) === rows(clean, scalable = false))
+    // histogram + psiDrift share the entries/bounds plumbing: NaN rows
+    // neither bin nor poison the equi-width bounds
+    assert(Summaries.histogram(df, Seq("a"), 5).collect().map(_.toString).sorted
+      === Summaries.histogram(clean, Seq("a"), 5).collect().map(_.toString).sorted)
+    assert(Summaries.psiDrift(df, df, Seq("a"), 5).collect().map(_.toString).sorted
+      === Summaries.psiDrift(clean, clean, Seq("a"), 5).collect().map(_.toString).sorted)
+    // an all-NaN column behaves exactly like an all-NULL one: absent
+    // from bins, present in psiDrift with NULL psi
+    val nanOnly = df.withColumn("c", lit(Double.NaN))
+    assert(Summaries.histogram(nanOnly, Seq("c"), 5).count() === 0L)
+    val psiRow = Summaries.psiDrift(nanOnly, nanOnly, Seq("c"), 5).collect()
+    assert(psiRow.length === 1 && psiRow.head.isNullAt(1))
+  }
+
+  test("categoricalProfile: an all-NULL column keeps its census row (n_distinct=0, n_nulls=n)") {
+    val df = Seq(("en", null: String), ("de", null), (null: String, null))
+      .toDF("lang", "license")
+    val out = Summaries.categoricalProfile(df, Seq("lang", "license"), k = 2)
+    // license has no top-k rows — the census must still publish the one
+    // fact a card most needs to report: the column is 100% NULL
+    val lic = out.filter(col("col_name") === "license").collect()
+    assert(lic.length === 1, lic.toSeq)
+    assert(lic.head.getLong(1) === 0L && lic.head.getLong(2) === 3L, lic.head)
+    assert(lic.head.isNullAt(3) && lic.head.isNullAt(4) && lic.head.isNullAt(5))
+    // and the populated column is unchanged by the outer join
+    assert(out.filter(col("col_name") === "lang" && col("rank").isNotNull)
+      .count() === 2L)
+  }
+
+  test("DatasetCard: quantile vector rows; all-NULL categorical column publishes its census") {
+    import graft.operators.DatasetCard
+    val df = (1 to 200).map(i =>
+      (i.toLong, (i % 50).toDouble,
+        if (i % 3 == 0) "en" else "de", null: String))
+      .toDF("id", "v", "lang", "license")
+    for ((exact, scalable) <- Seq((false, false), (true, false), (true, true))) {
+      val card = DatasetCard.build(df, Seq("v"), Seq("lang", "license"),
+        exactMedians = exact, scalableMedians = scalable)
+      val numItems = card.filter(col("section") === "numeric")
+        .select("item").as[String].collect().toSet
+      // the default card ships the full quantile vector, not just p50
+      assert(Set("p25", "p50", "p75", "p95", "p99").subsetOf(numItems),
+        s"exact=$exact scalable=$scalable: $numItems")
+      // all-NULL license column: no top-k rows, but the census facts ride
+      val lic = card.filter(col("section") === "categorical" &&
+          col("col_name") === "license")
+        .select("item", "value_d").as[(String, Double)].collect().toMap
+      assert(lic === Map("n_distinct" -> 0.0, "n_nulls" -> 200.0),
+        s"exact=$exact scalable=$scalable: $lic")
+      assert(card.filter(col("section") === "categorical" &&
+        col("col_name") === "license" && col("item").rlike("^[0-9]+$"))
+        .count() === 0L)
+    }
+    // the exact paths agree on every quantile row (percentile vs narrowing)
+    def numRows(exact: Boolean, scalable: Boolean) =
+      DatasetCard.build(df, Seq("v"), Nil,
+        exactMedians = exact, scalableMedians = scalable)
+        .filter(col("section") === "numeric")
+        .collect().map(_.toString).sorted.toSeq
+    assert(numRows(exact = true, scalable = false)
+      === numRows(exact = true, scalable = true))
+  }
+
   test("rollupSummary equals per-level groupBys; grouping_id tells NULLs apart") {
     import graft.operators.Summaries
     val df = Seq(

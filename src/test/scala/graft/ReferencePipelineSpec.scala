@@ -200,11 +200,22 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/joined").count() === out.joined.count())
   }
 
-  test("dataset card publishes as summary_baseline; joined table clusters on (facility, month)") {
+  test("dataset card publishes as dataset_card; summary_baseline is the row-level projection; joined clusters on (facility, month)") {
     val out2 = ReferencePipeline.run(raw, "json", Seq("Temp"),
       cardNumericCols = Seq("los_days"), cardCategoricalCols = Seq("facility"))
-    assert(ReferencePipeline.tableList(out2).map(_._1).contains("summary_baseline"))
-    val card = out2.summaryBaseline
+    val names = ReferencePipeline.tableList(out2).map(_._1)
+    assert(names.contains("dataset_card") && names.contains("summary_baseline"))
+    // summary_baseline matches the reference's actual shape: one row per
+    // joined uid, with the renamed identifiers and the Mon-YYYY /
+    // YYYYmm admission keys (create_summary_baselines_sql.py) — NOT the
+    // long-format card
+    val sb = out2.summaryBaseline
+    assert(sb.count() == out2.joined.count())
+    assert(Set("uid", "facility", "admission_datetime", "discharge_datetime",
+      "admission_month_year", "admission_month_year_sort", "los_days")
+      .subsetOf(sb.columns.toSet))
+    assert(!sb.columns.contains("section"))
+    val card = out2.datasetCard
     // all four no-reference sections present (psi needs a reference sample)
     assert(card.select("section").distinct().collect().map(_.getString(0)).toSet ==
       Set("numeric", "categorical", "histogram", "equidepth"))
@@ -223,7 +234,7 @@ class ReferencePipelineSpec extends SparkSpec {
     val withRef = ReferencePipeline.run(raw, "json", Seq("Temp"),
       cardNumericCols = Seq("los_days"), cardCategoricalCols = Seq("facility"),
       cardReference = Some(out2.joined))
-    assert(withRef.summaryBaseline.filter(col("section") === "psi").count() == 1)
+    assert(withRef.datasetCard.filter(col("section") === "psi").count() == 1)
 
     // Z-order clustered publish of the joined table round-trips with the
     // cluster key and drops nothing (NULL month rows included)

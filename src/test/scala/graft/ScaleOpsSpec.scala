@@ -147,6 +147,13 @@ class ScaleOpsSpec extends SparkSpec {
     val buffered = rows(scalable = false)
     val narrowed = rows(scalable = true)
     assert(narrowed === buffered)
+    // the full card quantile VECTOR agrees too — all five ranks of all
+    // columns share ONE narrowing sequence on the scalable side
+    val qv = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+    def qrows(scalable: Boolean) =
+      Summaries.numericProfile(df, cols, exact = true, scalable = scalable,
+        quantiles = qv).orderBy("column_name").collect().map(_.toSeq).toSeq
+    assert(qrows(scalable = true) === qrows(scalable = false))
     // and the scalable plan really dropped the buffered percentile agg
     val plan = Summaries.numericProfile(df, cols, exact = true, scalable = true)
       .queryExecution.executedPlan.toString

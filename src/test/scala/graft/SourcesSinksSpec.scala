@@ -97,6 +97,26 @@ class SourcesSinksSpec extends SparkSpec {
       java.time.Instant.parse("2024-03-02T00:00:00Z").toEpochMilli * 1000L))
   }
 
+  test("events NTZ relabeling refuses a non-UTC session instead of shifting instants") {
+    // the NTZ→TIMESTAMP cast is instant-preserving ONLY under a UTC
+    // session zone; a consumer embedding the reader in a zoned session
+    // must fail loudly at the cast site, not silently shift every ts
+    import spark.implicits._
+    val dir = tmp("ntz_tz")
+    Seq((1L, java.time.LocalDateTime.of(2024, 3, 1, 12, 0, 0)))
+      .toDF("event_id", "ts").write.parquet(s"$dir/events.parquet")
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.Tables.events(spark, dir)
+      }
+      assert(e.getMessage.contains("timeZone"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+    // back under UTC the reader works again
+    assert(graft.sources.Tables.events(spark, dir).count() === 1L)
+  }
+
   test("Z-order clustered write: every file is a tight rectangle in BOTH dims") {
     import spark.implicits._
     import graft.operators.Layout
