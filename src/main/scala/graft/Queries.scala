@@ -247,6 +247,9 @@ object Queries {
         "vec_id", "embedding", k = 5)
     }),
 
+    // nPlanes = 10 is a knob DEMO the q106 evaluator grades (recall
+    // 0.02-0.12 on these low-structure vectors) — production ships
+    // Ann.ProductionDefaults.LshNPlanes = 6 (BASELINE.md tuning grid)
     "q31_ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Ann.lshTopK(e.filter(pmod(col("vec_id"), lit(50)) === 0), e,
@@ -490,9 +493,15 @@ object Queries {
     // pairs → groups: connected components over the near-dup pair graph
     // (min-label propagation, localCheckpoint per round) — the dedup
     // DECISION step the pair emitters feed
+    // components consume the CONNECTIVITY-equivalent collapsed edge
+    // stream (representative near-dup edges + exact-dup star edges) —
+    // identical components to the per-instance q26 pair stream at
+    // O(members) edges instead of O(members²) on dup-heavy corpora
+    // (100×-replica probe: 45 s → seconds)
     "q51_neardup_components" -> ((s, d) => {
-      val pairs = NearDup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 7, 0.2)
-      Dedup.connectedComponents(pairs)
+      val edges = NearDup.ngramJaccardComponentEdges(
+        Tables.documents(s, d), "doc_id", "text", 7, 0.2)
+      Dedup.connectedComponents(edges)
         .select(col("id").cast("long").as("doc_id"), col("comp").cast("long").as("comp"))
     }),
 
@@ -759,12 +768,15 @@ object Queries {
 
     // the full dedup decision: near-dup pairs → components → keep the
     // HIGHEST-quality doc per group (tie: smallest id); singletons survive
+    // keep-best builds its components from the same collapsed edge
+    // stream as q51 — identical component sets, linear edge volume
     "q70_dedup_keep_best" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val docs = Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.qualityScoreFast(col("text"), stopwords).as("quality"))
-      val pairs = NearDup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 7, 0.2)
-      Dedup.keepBestPerComponent(docs, "doc_id", pairs, col("quality"))
+      val edges = NearDup.ngramJaccardComponentEdges(
+        Tables.documents(s, d), "doc_id", "text", 7, 0.2)
+      Dedup.keepBestPerComponent(docs, "doc_id", edges, col("quality"))
         .select(col("comp").cast("long").as("comp"),
           col("doc_id").cast("long").as("kept_doc_id"), col("quality"))
     }),

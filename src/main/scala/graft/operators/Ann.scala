@@ -22,6 +22,33 @@ import graft.functions.{GraftFunctions, Similarity}
   */
 object Ann {
 
+  /** The knob settings that SHIP — the production defaults the
+    * BASELINE.md recall-tuning grid selected, stated as constants so the
+    * grid's 0.02-recall corners (e.g. LSH at nPlanes 10/14 on
+    * low-structure embeddings) cannot be shipped by accident. The
+    * catalog's q31/q37/q95 entries that pass other values are DEMO
+    * parameters exercising a knob direction, with q106 measuring the
+    * consequence — not recommendations.
+    *
+    *  - LSH: nPlanes 6 × 4 tables — on low-structure corpora more planes
+    *    empty the buckets before they sharpen them (0.24→0.02 recall@5
+    *    going 6→10 planes at sf0.01); widen via FEWER planes or MORE
+    *    tables/multi-probe, never via deeper single-table hashes.
+    *  - IVF: nProbe 4 over [[autoCentroids]] (k = ⌈√n⌉, k-means-refined)
+    *    — nProbe is the cleanest recall/cost dial (≈2× recall 1→4 probes
+    *    at ≈4× candidate work) and auto-k keeps per-cell candidate lists
+    *    √n-bounded at any corpus size.
+    *  - PQ: m = 16 subspaces — halving compression m 8→16 roughly
+    *    doubles recall on the driver's embeddings; drop m only when the
+    *    code-table memory budget forces it.
+    */
+  object ProductionDefaults {
+    val LshNPlanes  = 6
+    val LshNTables  = 4
+    val IvfNProbe   = 4
+    val PqSubspaces = 16
+  }
+
   /** Exact brute-force cosine top-k per query. `queries` and `corpus` both
     * (idCol, vecCol). Queries are broadcast (the typical shape: few
     * queries, huge corpus), corpus is scanned once, top-k via window.

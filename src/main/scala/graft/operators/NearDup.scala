@@ -145,6 +145,70 @@ object NearDup {
     intra.unionByName(inter)
   }
 
+  /** CONNECTIVITY-equivalent edge stream for component building over the
+    * [[ngramJaccardPairs]] semantics, at O(members) output instead of
+    * O(members²): components / keep-best consumers
+    * ([[Dedup.connectedComponents]], [[Dedup.keepBestPerComponent]])
+    * don't need every per-instance pair — they need the same CONNECTED
+    * SETS. Exact-duplicate groups collapse to their smallest-id
+    * representative; the near-dup join runs over distinct texts only and
+    * emits ONE representative edge per qualifying text pair; each
+    * duplicate instance attaches to its representative by a single star
+    * edge (jaccard 1.0, the intra-group value — emitted only for texts
+    * with ≥ 1 shingle, because shingle-less exact copies share no
+    * shingles and never pair under the per-instance semantics either).
+    * Expanding every representative edge across both groups and adding
+    * all C(d,2) intra edges reproduces the per-instance stream's
+    * connectivity exactly (spec-pinned in NearDupSpec), so component
+    * labels — min id per component — are identical.
+    *
+    * Scale notes: the per-instance stream's d-copy groups emit C(d,2)
+    * intra pairs EACH (the 100×-replica probe measured q51 at 45 s on
+    * ~250 M such edges); this stream carries |distinct-text pairs| +
+    * (members − groups) rows — linear in the corpus. The shingle work
+    * was already per-distinct-text in both forms; the win is the edge
+    * stream the component iterations shuffle.
+    */
+  def ngramJaccardComponentEdges(docs: DataFrame, idCol: String, textCol: String,
+                                 n: Int, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val norm = docs.select(col(idCol).as("id"), lower(trim(col(textCol))).as("t"))
+    val members = norm.select(col("id"), xxhash64(col("t")).as("th"))
+    val groups = members.groupBy("th")
+      .agg(min("id").as("rid"), count(lit(1)).as("grp_n"))
+    val sigs = norm.select(xxhash64(col("t")).as("th"), col("t"))
+      .dropDuplicates("th")
+      .select(col("th"),
+        call_function("graft_ngram_hashes", split(col("t"), "\\s+"), lit(n)).as("sh"))
+    val st = sigs
+      .select(col("th"), size(col("sh")).as("nsh"), explode_outer(col("sh")).as("h"))
+      .filter(col("h").isNotNull)
+      .hint("shuffle_hash")
+    val sigPairs = st.as("a").join(st.as("b"),
+        col("a.h") === col("b.h") && col("a.th") < col("b.th"))
+      .groupBy(col("a.th").as("th_a"), col("b.th").as("th_b"))
+      .agg(count(lit(1)).as("common"),
+        any_value(col("a.nsh")).as("nsh_a"), any_value(col("b.nsh")).as("nsh_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("nsh_a") + col("nsh_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+    // ONE edge per qualifying distinct-text pair, between representatives
+    val interRep = sigPairs
+      .join(groups.select(col("th").as("th_a"), col("rid").as("rid_a")), Seq("th_a"))
+      .join(groups.select(col("th").as("th_b"), col("rid").as("rid_b")), Seq("th_b"))
+      .select(least(col("rid_a"), col("rid_b")).as("id_a"),
+        greatest(col("rid_a"), col("rid_b")).as("id_b"), col("jaccard"))
+    // star edges: every non-representative member hangs off its rid
+    // (rid = min id of the group, so rid < id always)
+    val star = members.join(groups, Seq("th"))
+      .filter(col("id") =!= col("rid") && col("grp_n") >= 2)
+      .join(sigs.select(col("th"), size(col("sh")).as("nsh_s")), Seq("th"))
+      .filter(col("nsh_s") >= 1)
+      .select(col("rid").as("id_a"), col("id").as("id_b"), lit(1.0).as("jaccard"))
+    interRep.unionByName(star)
+  }
+
   /** The shared (keys…, nsh, h) exploded shingle-hash table every pair
     * join here builds on: kernel hashes, per-key set size riding the
     * stream, null shingles (short docs) dropped on the GENERATED column,

@@ -164,6 +164,45 @@ class NearDupSpec extends SparkSpec {
     assert(auto === fast)
   }
 
+  test("ngramJaccardComponentEdges: same components as the per-instance pair stream (dup-heavy)") {
+    // replica-heavy corpus exercising every edge class: two exact-dup
+    // groups whose base texts are near-dups of each other (groups must
+    // merge through ONE representative edge), exact-dup groups with no
+    // outside neighbor (star edges alone form the component — incl. the
+    // 2-token "too short" group, whose single bigram still pairs it), a
+    // duplicated SHINGLE-LESS text (1 token < n → no shingles → never
+    // pairs → in NO component on either path), and an orphan
+    val docs = Seq(
+      (1L, "the cat sat on the red mat today"),
+      (4L, "the cat sat on the red mat today"),   // dup of 1
+      (9L, "the cat sat on the red mat today"),   // dup of 1
+      (2L, "a cat sat on the red mat today"),     // near-dup of group(1)
+      (7L, "a cat sat on the red mat today"),     // dup of 2
+      (3L, "entirely unrelated sentence about boats and rivers flowing"),
+      (8L, "entirely unrelated sentence about boats and rivers flowing"), // dup of 3
+      (5L, "completely different words everywhere nothing shared here at all"),
+      (6L, "too short"),
+      (11L, "too short"),   // dup of 6: one shared bigram → jaccard 1.0
+      (12L, "short"),
+      (13L, "short")).toDF("doc_id", "text") // duplicated SHINGLE-LESS text
+    def comps(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.operators.Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+    val perInstance = comps(
+      NearDup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.1))
+    val collapsed = comps(
+      NearDup.ngramJaccardComponentEdges(docs, "doc_id", "text", 2, 0.1))
+    assert(collapsed === perInstance, s"collapsed=$collapsed vs per-instance=$perInstance")
+    // shape sanity: {1,4,9,2,7} one component labeled 1; {3,8} labeled 3;
+    // {6,11} labeled 6; 5 (orphan) and 12/13 (shingle-less dups) absent
+    assert(perInstance === Map(1L -> 1L, 4L -> 1L, 9L -> 1L, 2L -> 1L,
+      7L -> 1L, 3L -> 3L, 8L -> 3L, 6L -> 6L, 11L -> 6L))
+    // and the edge stream really is linear: star edges + one rep edge,
+    // never the C(d,2) intra expansion
+    val nEdges = NearDup.ngramJaccardComponentEdges(docs, "doc_id", "text", 2, 0.1).count()
+    assert(nEdges === 6L, s"expected 5 star + 1 rep edge, got $nEdges")
+  }
+
   test("minhash LSH banding finds the near-identical pair, skips far pairs") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away today"
     val docs = Seq(

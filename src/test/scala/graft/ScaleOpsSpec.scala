@@ -132,6 +132,40 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("salted join spreads a pathological hot key across reducers; AQE-less plain join cannot") {
+    // The q38 decision rule measured at 10x (SURVEY §8 r10): AQE's skew
+    // split handles moderate skew WHEN it is on and the partition
+    // crosses its thresholds; salting is the deterministic lever that
+    // works regardless of AQE state/thresholds. This pins the MECHANISM
+    // deterministically: with AQE off, the plain shuffle join piles the
+    // hot key's rows onto ONE reduce partition, while the salted form
+    // spreads them ~evenly — and the two joins agree row-for-row.
+    Sessions.withConfIsolated(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") { s =>
+      val fact = s.range(0, 40000).select(
+        when(col("id") % 10 < 9, lit(7L)).otherwise(col("id") % 97).as("k"),
+        col("id").as("src"))
+      val dim = s.range(0, 97).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("v"))
+      def maxPartition(df: org.apache.spark.sql.DataFrame): Long =
+        df.groupBy(spark_partition_id()).count()
+          .agg(max("count")).head().getLong(0)
+      val plain = fact.join(dim, "k")
+      val salted = Joins.salted(fact, dim, "k", saltSrc = col("src"), buckets = 32)
+      val (mp, ms) = (maxPartition(plain), maxPartition(salted))
+      info(s"hot-key rows on the biggest reduce partition: plain=$mp salted=$ms")
+      assert(mp >= 36000L, s"fixture lost its skew: $mp") // all hot rows, one reducer
+      // with only 4 test partitions the (key, salt) combos collide
+      // (multinomial), so the pin is the halving, not perfect balance —
+      // at production partition counts the spread approaches 1/buckets
+      assert(ms <= mp / 2, s"salting failed to spread: $ms vs $mp")
+      // same result, different physical distribution
+      assert(salted.select("k", "src", "v").collect().map(_.toString).sorted
+        === plain.select("k", "src", "v").collect().map(_.toString).sorted)
+    }
+  }
+
   test("numericProfile's scalable exact path equals the percentile form") {
     import graft.operators.Summaries
     val rnd = new scala.util.Random(7)
@@ -346,6 +380,14 @@ class ScaleOpsSpec extends SparkSpec {
     info(s"PQ 16-word books (m → recall): $pq")
     assert(pq(0)._2 <= pq(1)._2, pq.toString)
     assert(pq(1)._2 >= 0.25, s"PQ@16 floor: ${pq(1)._2}") // measured 0.38
+    // the SHIPPED defaults are the best grid point of each family — a
+    // grid re-measurement that dethrones one must consciously move the
+    // constant too, not just the floor
+    import Ann.ProductionDefaults._
+    assert(LshNPlanes === lsh.maxBy(_._2)._1, s"LSH default vs grid: $lsh")
+    assert(IvfNProbe === ivf.maxBy(_._2)._1, s"IVF default vs grid: $ivf")
+    assert(PqSubspaces === pq.maxBy(_._2)._1, s"PQ default vs grid: $pq")
+    assert(LshNTables === 4)
   }
 
   test("kmeans centroids: recall on testdata embeddings >= stride-sample baseline") {

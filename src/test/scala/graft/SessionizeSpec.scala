@@ -66,6 +66,34 @@ class SessionizeSpec extends SparkSpec {
     assert(out === Set((ts(5), ts(10), 2L)))
   }
 
+  test("an event BEYOND the watermark is dropped, not resurrected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = Sessionize.sessions(in.toDS(), gapSeconds = 600).writeStream
+      .format("memory").queryName("sess_drop").outputMode("append").start()
+    in.addData(Evt(1L, ts(10), 1))
+    q.processAllAvailable()
+    // advance the watermark far past ts(10)+gap: user 1's session flushes
+    in.addData(Evt(99L, ts(50), 2))
+    q.processAllAvailable()
+    // ts(5) is far below the watermark (≈10:40) — the stateful operator
+    // must FILTER it before the fold: no new session, no mutation of the
+    // already-emitted one (the append-mode contract: emitted rows are
+    // final; resurrecting state for sub-watermark rows would emit a
+    // duplicate (user, idx) key or a second session the batch twin,
+    // which sees all data at once, would never produce)
+    in.addData(Evt(1L, ts(5), 3))
+    q.processAllAvailable()
+    in.addData(Evt(99L, Timestamp.valueOf("2026-01-01 13:00:00"), 4)) // flush all
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sess_drop").as[SessionOut].collect()
+      .filter(_.user_id == 1L)
+      .map(s => (s.session_idx, s.session_start, s.n_events)).toSet
+    assert(u1 === Set((0L, ts(10), 1L)), s"late event leaked into: $u1")
+  }
+
   test("session numbering continues after a timeout flush (no duplicate keys)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -323,6 +323,42 @@ class StreamBucketSpec extends SparkSpec {
     assert(out.contains((ts(10), "F1", 1L, 0L)))
   }
 
+  test("windowed counts: late-within-watermark merges into its window; beyond-watermark drops") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDS().toDF("ts", "facility", "v")
+    val q = graft.streaming.StreamCounts.windowedFlagCounts(
+        df, "ts", delay = "5 minutes", windowLen = "10 minutes",
+        groupCols = Seq("facility"),
+        flags = Seq("n_total" -> lit(true)))
+      .writeStream.format("memory").queryName("wc_late").outputMode("append").start()
+    in.addData((ts(7), "F1", 1.0))
+    q.processAllAvailable() // watermark ≈ 10:02
+    // out-of-order but ABOVE the watermark: must still merge into the
+    // open [10:00, 10:10) window — the lateness budget exists for this
+    in.addData((ts(3), "F1", 2.0))
+    q.processAllAvailable()
+    // finalize [10:00, 10:10): watermark moves past the window end
+    in.addData((ts(30), "F1", 3.0))
+    q.processAllAvailable()
+    // BEYOND the watermark (≈10:25): dropped by the pre-aggregation
+    // filter — the finalized window is already emitted and append-mode
+    // rows are final, so this must neither re-emit nor re-count
+    in.addData((ts(4), "F1", 4.0))
+    q.processAllAvailable()
+    in.addData((ts(59), "F9", 9.0)) // flush the rest
+    q.processAllAvailable()
+    q.stop()
+    val f1 = spark.table("wc_late")
+      .filter(col("facility") === "F1")
+      .select("window_start", "n_total")
+      .as[(Timestamp, Long)].collect().sorted.toSeq
+    // exactly one [10:00] row, counting the on-time + late-merged rows
+    // only; exactly one [10:30] row — the sub-watermark straggler is gone
+    assert(f1 === Seq((ts(0), 2L), (ts(30), 1L)), f1.toString)
+  }
+
   test("streaming session_window emits gap-merged sessions on watermark close") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
