@@ -284,6 +284,55 @@ object Oracles {
     (fixed ++ iterCtes).mkString(",\n       ")
   }
 
+  /** q113: IVF-PQ — [[annIvfOracle]]'s coarse assignment/probing composed
+    * with [[annPqOracle]]'s code/ADC replay, restricted to probed cells.
+    * The PQ pool CTEs are renamed (ppool/pcents/pcid) to coexist with
+    * autoCentroidCtes' pool/cents0.
+    */
+  private def annIvfPqOracle: String =
+    s"""WITH ${autoCentroidCtes(2)},
+       ppool AS (
+         SELECT embedding AS centv, row_number() OVER (ORDER BY vec_id) - 1 AS i
+         FROM embeddings ORDER BY vec_id LIMIT 128),
+       pcents AS (SELECT CAST(i // 8 AS INTEGER) AS pcid, centv FROM ppool WHERE i % 8 = 0),
+       sub AS (SELECT unnest(range(0, 8)) AS s),
+       c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       cdist AS (
+         SELECT neighbor_id, cv, cid,
+           row_number() OVER (PARTITION BY neighbor_id ORDER BY ${l2sqSql("cv", "centv")}, cid) AS rn
+         FROM c CROSS JOIN cents2),
+       cass AS (SELECT neighbor_id, cid FROM cdist WHERE rn = 1),
+       cd AS (
+         SELECT neighbor_id, s, pcid,
+           row_number() OVER (PARTITION BY neighbor_id, s
+             ORDER BY ${l2sqSubSql("cv", "centv", "s", 8)}, pcid) AS rn
+         FROM c CROSS JOIN pcents CROSS JOIN sub),
+       code AS (SELECT neighbor_id, s, pcid FROM cd WHERE rn = 1),
+       q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+       qdist AS (
+         SELECT query_id, qv, cid,
+           row_number() OVER (PARTITION BY query_id ORDER BY ${l2sqSql("qv", "centv")}, cid) AS rn
+         FROM q CROSS JOIN cents2),
+       qprobe AS (SELECT query_id, qv, cid FROM qdist WHERE rn <= 4),
+       cand AS (
+         SELECT query_id, qv, neighbor_id
+         FROM cass JOIN qprobe USING (cid)
+         WHERE query_id <> neighbor_id),
+       parts AS (
+         SELECT query_id, neighbor_id, code.s,
+           CAST(floor(${l2sqSubSql("qv", "pcents.centv", "code.s", 8)} * 100000.0 + 0.5) AS BIGINT) AS pu
+         FROM cand JOIN code USING (neighbor_id) JOIN pcents ON pcents.pcid = code.pcid),
+       scored AS (
+         SELECT query_id, neighbor_id,
+           CAST(sum(pu) AS DOUBLE) / 100000.0 AS adc
+         FROM parts GROUP BY 1, 2),
+       ranked AS (
+         SELECT query_id, neighbor_id, adc,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+         FROM scored)
+       SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank
+       FROM ranked WHERE rank <= 5"""
+
   /** q37: replicates the IVF plumbing over [[autoCentroidCtes]]'s learned
     * centroids (k = ⌈√n⌉, stride init, 2 exact k-means iterations) —
     * corpus assigned to argmin-L2 centroid, queries probe their 4 nearest
@@ -657,6 +706,7 @@ object Oracles {
     "q31_ann_lsh" -> annLshOracle,
     "q37_ann_ivf" -> annIvfOracle,
     "q95_ann_pq" -> annPqOracle,
+    "q113_ann_ivfpq" -> annIvfPqOracle,
     "q106_ann_recall" -> annRecallOracle,
 
     // q108: the q26 pair chain + the q64 portable-split CASE applied to
@@ -695,6 +745,120 @@ object Oracles {
          JOIN sp s1 ON s1.doc_id = p.id_a
          JOIN sp s2 ON s2.doc_id = p.id_b
          WHERE s1.split <> s2.split""",
+
+    // q109: median/MAD replayed per column with the SAME rounding
+    // discipline as the operator — stats rounded to 5 dp FIRST, fences
+    // derived from the rounded stats (identical IEEE arithmetic), strict
+    // </> outlier counts. NaN ≡ missing.
+    "q109_mad_outliers" ->
+      """WITH vx AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+                     WHERE value IS NOT NULL AND NOT isnan(value)),
+         vs AS (SELECT round(quantile_cont(x, 0.5), 5) AS med FROM vx),
+         vm AS (SELECT round(quantile_cont(abs(x - med), 0.5), 5) AS mad FROM vx, vs),
+         vf AS (SELECT 'value' AS column_name, med, mad,
+                  med - 3.0 * 1.4826 * mad AS lo,
+                  med + 3.0 * 1.4826 * mad AS hi FROM vs, vm),
+         vc AS (SELECT count(*) AS n_values,
+                  count(*) FILTER (WHERE x < (SELECT lo FROM vf)
+                                      OR x > (SELECT hi FROM vf)) AS n_outliers
+                FROM vx),
+         ux AS (SELECT CAST(user_id AS DOUBLE) AS x FROM events
+                WHERE user_id IS NOT NULL),
+         us AS (SELECT round(quantile_cont(x, 0.5), 5) AS med FROM ux),
+         um AS (SELECT round(quantile_cont(abs(x - med), 0.5), 5) AS mad FROM ux, us),
+         uf AS (SELECT 'user_id' AS column_name, med, mad,
+                  med - 3.0 * 1.4826 * mad AS lo,
+                  med + 3.0 * 1.4826 * mad AS hi FROM us, um),
+         uc AS (SELECT count(*) AS n_values,
+                  count(*) FILTER (WHERE x < (SELECT lo FROM uf)
+                                      OR x > (SELECT hi FROM uf)) AS n_outliers
+                FROM ux)
+         SELECT column_name, med AS median, mad, lo, hi, n_values, n_outliers,
+           round(CAST(n_outliers AS DOUBLE) / n_values, 5) AS outlier_ratio
+         FROM vf, vc
+         UNION ALL
+         SELECT column_name, med, mad, lo, hi, n_values, n_outliers,
+           round(CAST(n_outliers AS DOUBLE) / n_values, 5)
+         FROM uf, uc""",
+
+    // q110: the ECDF walk over per-(column, distinct value) counts —
+    // integer cumulative sums, one double division per jump point, max,
+    // round once. The same even/odd cohorts as q104.
+    "q110_ks_drift" ->
+      """WITH e AS (
+           SELECT 'l_quantity' AS col, CAST(l_quantity AS DOUBLE) AS v,
+             CASE WHEN l_orderkey % 2 = 0 THEN 'r' ELSE 'c' END AS side FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE),
+             CASE WHEN l_orderkey % 2 = 0 THEN 'r' ELSE 'c' END FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', CAST(l_discount AS DOUBLE),
+             CASE WHEN l_orderkey % 2 = 0 THEN 'r' ELSE 'c' END FROM lineitem),
+         c AS (SELECT col, v,
+                 sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS cr,
+                 sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc
+               FROM e WHERE v IS NOT NULL AND NOT isnan(v) GROUP BY 1, 2),
+         t AS (SELECT col, CAST(sum(cr) AS BIGINT) AS tr,
+                 CAST(sum(cc) AS BIGINT) AS tc FROM c GROUP BY 1),
+         cum AS (SELECT col,
+                   CAST(sum(cr) OVER (PARTITION BY col ORDER BY v) AS BIGINT) AS scr,
+                   CAST(sum(cc) OVER (PARTITION BY col ORDER BY v) AS BIGINT) AS scc
+                 FROM c),
+         d AS (SELECT cum.col,
+                 max(abs(CAST(scr AS DOUBLE) / tr - CAST(scc AS DOUBLE) / tc)) AS draw
+               FROM cum JOIN t ON cum.col = t.col GROUP BY cum.col)
+         SELECT t.col AS column_name, round(d.draw, 5) AS d_stat,
+           t.tr AS n_ref, t.tc AS n_cur
+         FROM t LEFT JOIN d ON t.col = d.col""",
+
+    // q111: the census over (lang, token) types; ties at the top-k
+    // boundary break by token string in both engines (binary order over
+    // ascii-lowercase tokens). Langs whose every text is blank survive
+    // via the distinct-langs left join.
+    "q111_vocab_census" ->
+      """WITH toks AS (
+           SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+           FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         types AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         pg AS (SELECT lang, CAST(sum(c) AS BIGINT) AS total_tokens,
+                  count(*) AS vocab_size,
+                  count(*) FILTER (WHERE c = 1) AS hapax_count
+                FROM types GROUP BY 1),
+         ranked AS (SELECT lang, c,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY c DESC, tok ASC) AS rnk FROM types),
+         tops AS (SELECT lang, CAST(sum(c) AS BIGINT) AS topk
+                  FROM ranked WHERE rnk <= 20 GROUP BY 1),
+         langs AS (SELECT DISTINCT lang FROM documents)
+         SELECT l.lang,
+           coalesce(total_tokens, 0) AS total_tokens,
+           coalesce(vocab_size, 0) AS vocab_size,
+           coalesce(hapax_count, 0) AS hapax_count,
+           CASE WHEN coalesce(vocab_size, 0) = 0 THEN NULL
+                ELSE round(CAST(hapax_count AS DOUBLE) / vocab_size, 5)
+           END AS hapax_ratio,
+           CASE WHEN coalesce(total_tokens, 0) = 0 THEN NULL
+                ELSE round(CAST(coalesce(topk, 0) AS DOUBLE) / total_tokens, 5)
+           END AS topk_coverage
+         FROM langs l
+         LEFT JOIN pg ON l.lang = pg.lang
+         LEFT JOIN tops ON l.lang = tops.lang""",
+
+    // q112: both portable uniforms replayed (seed tags ':42' shard,
+    // ':43' order), row_number within shard over (order-hash, id)
+    "q112_shard_manifest" ->
+      """WITH u AS (SELECT doc_id, lang,
+           list_sum([(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR) || ':42'), i + 1, 1)) - 1)
+                     * 16**(7 - i) for i in range(0, 8)]) / 4294967296.0 AS u1,
+           list_sum([(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR) || ':43'), i + 1, 1)) - 1)
+                     * 16**(7 - i) for i in range(0, 8)]) / 4294967296.0 AS u2
+         FROM documents)
+         SELECT doc_id, lang, CAST(floor(u1 * 8) AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY CAST(floor(u1 * 8) AS INTEGER)
+             ORDER BY u2 ASC, doc_id ASC) AS INTEGER) AS pos
+         FROM u""",
 
     // q107: the composed dataset card — each section replays its
     // operator's oracle (q62 numeric stats, q76 top-k, q87 equi-width,

@@ -1183,6 +1183,59 @@ object Queries {
           col("jaccard"))
     }),
 
+    // Robust outlier census over events: median/MAD fences on the skewed
+    // `value` (catches the heavy tail a mean/stddev rule would drag its
+    // own fences toward) and the uniform `user_id` (the zero-outlier
+    // control). Two fused narrowing batches + one counting agg, no
+    // shuffle — column count doesn't multiply the passes
+    "q109_mad_outliers" -> ((s, d) =>
+      Summaries.madOutliers(Tables.events(s, d), Seq("value", "user_id"))),
+
+    // Two-sample Kolmogorov-Smirnov drift between the even/odd orderkey
+    // halves — the binning-free twin of q104's PSI (same cohorts, same
+    // columns). Catalog runs the SCALABLE path: distinct-value counts →
+    // range-partitioned distributed prefix-sum → running-max fold; no
+    // single-task ECDF sort at any cardinality
+    "q110_ks_drift" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Summaries.ksDrift(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), scalable = true)
+    }),
+
+    // Per-language vocabulary census: token totals, type counts, hapax
+    // ratio, top-20 coverage — the corpus-composition overview behind a
+    // training-mix decision. ONE data-sized shuffle ((lang, token)
+    // counts with map-side combine); ranking runs over types, not tokens
+    "q111_vocab_census" -> ((s, d) =>
+      Quality.vocabCensus(Tables.documents(s, d), "lang", "text", topK = 20)),
+
+    // Deterministic global shuffle + sharding of the publish order:
+    // shard and within-shard position are pure functions of doc_id
+    // (portable md5 uniforms, independent seeds), so the tokenizer-feed
+    // order reproduces across reruns, engines, and cluster sizes — the
+    // orderBy(rand()) anti-pattern made restart-safe. One shuffle, keyed
+    // by shard
+    "q112_shard_manifest" -> ((s, d) =>
+      Sampling.shardManifest(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("doc_id"), nShards = 8, portable = true)),
+
+    // IVF-PQ: the coarse index gates WHICH codes score, PQ compresses
+    // WHAT gets scored — q95's full-code ADC scan restricted to each
+    // query's nProbe probed cells (the FAISS IVFPQ composition; ~k/nProbe
+    // of the scan for the same code budget). Same auto-sized learned
+    // coarse centroids as q37, same stride codebooks as q95
+    "q113_ann_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cbs = Ann.pqCodebooks(
+        Ann.strideCentroids(e, "vec_id", "embedding", nCentroids = 16), m = 8)
+      Ann.ivfPqTopK(e.filter(pmod(col("vec_id"), lit(50)) === 0), e,
+        "vec_id", "embedding", Ann.autoCentroids(e, "vec_id", "embedding"),
+        cbs, k = 5, nProbe = 4)
+    }),
+
     // Composed dataset card over documents: numeric stats + categorical
     // top-k + equi-width/equi-depth histograms + PSI drift (vs the
     // even-doc_id half as reference) in ONE long-format summary table —

@@ -384,7 +384,8 @@ object Ann {
     * zero shuffles, streaming-safe.
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-               codebooks: Array[Array[Array[Float]]]): DataFrame = {
+               codebooks: Array[Array[Array[Float]]],
+               keepCols: Seq[String] = Nil): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
     require(codebooks.nonEmpty, "pqEncode needs at least one codebook")
     val dsub = codebooks.head.head.length
@@ -409,7 +410,7 @@ object Ann {
     val guardedCodes = when(col(vecCol).isNull, lit(null).cast(
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.IntegerType))).otherwise(codes)
-    df.select(col(idCol), guardedCodes.as("codes"))
+    df.select(col(idCol) +: keepCols.map(col) :+ guardedCodes.as("codes"): _*)
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays a
@@ -463,6 +464,56 @@ object Ann {
     val adc = call_function("graft_pq_adc", col("qv"), col("codes"),
       lit(GraftFunctions.encodeBooks(codebooks)))
     val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+    scored.groupBy("query_id")
+      .agg(call_function("graft_top_k_by",
+        struct(col("neighbor_id"), col("adc")), -col("adc"),
+        col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        col("col.adc").as("adc"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** IVF-PQ: the coarse inverted file gates WHICH codes each query scores,
+    * product quantization compresses WHAT gets scored — the composition
+    * behind every production-scale ANN service (FAISS IVFPQ). [[pqTopK]]
+    * alone still touches every code per query (its 100× probe tail);
+    * here a query ADC-scans only its `nProbe` probed cells, ~nProbe/k of
+    * the codes, and the scan reads (int cell, byte codes) — never the
+    * vectors.
+    *
+    * Scale shape: ONE corpus pass emits (id, cell, codes) — the index
+    * build; queries broadcast with their probe list exploded and join on
+    * the cell id (no shuffle of the corpus beyond the scan); ADC is a
+    * codegen kernel over the code bytes; top-k is the bounded-heap agg.
+    * Same ADC/rank semantics as [[pqTopK]] restricted to probed cells —
+    * recall loses only cell-miss candidates, exactly IVF's contract.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, cents: Array[Array[Float]],
+                codebooks: Array[Array[Array[Float]]],
+                k: Int, nProbe: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    require(cents.nonEmpty, "ivfPqTopK needs at least one coarse centroid")
+    require(codebooks.nonEmpty, "ivfPqTopK needs at least one codebook")
+    val centsLit = lit(GraftFunctions.encodeCents(cents))
+    val coded = pqEncode(
+        corpus.select(col(idCol), col(vecCol),
+          call_function("graft_ivf_nearest", col(vecCol), centsLit).as("cid")),
+        idCol, vecCol, codebooks, keepCols = Seq("cid"))
+      .filter(col("codes").isNotNull && col("cid").isNotNull)
+      .select(col(idCol).as("neighbor_id"), col("cid"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode_outer(call_function("graft_ivf_probes", col(vecCol), centsLit,
+          lit(nProbe))).as("cid"))
+      .filter(col("cid").isNotNull)
+    val adc = call_function("graft_pq_adc", col("qv"), col("codes"),
+      lit(GraftFunctions.encodeBooks(codebooks)))
+    // a corpus code has ONE cell and a query's probes are distinct, so a
+    // (query, neighbor) pair meets at most once — no dedup (the
+    // ivfTopKWith argument)
+    val scored = coded.join(broadcast(q), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
     scored.groupBy("query_id")

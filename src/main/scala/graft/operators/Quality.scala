@@ -672,4 +672,52 @@ object Quality {
       .select(col("id").as(idCol), col("n_tokens"), col("top_token_frac"),
         coalesce(col("dup_ngram_frac"), lit(0.0)).as("dup_ngram_frac"))
   }
+
+  /** Per-group vocabulary census — the corpus-composition overview a
+    * training-mix decision reads: total token count, vocabulary size,
+    * hapax (frequency-1) count and ratio, and what fraction of all
+    * tokens the top-`topK` types cover. A high hapax ratio flags noisy
+    * extraction; low top-k coverage flags vocabulary-diverse sources.
+    * Tokenization is [[tokens]] (lower + whitespace), the module-wide
+    * contract. Groups whose every text is NULL/blank report zeros
+    * (the group must not vanish from a census).
+    *
+    * Scale shape: ONE data-sized shuffle — (group, token) counts with
+    * map-side combine (the token stream never shuffles raw). Everything
+    * downstream runs over the collapsed type table: per-group totals are
+    * a second tiny aggregation, and the top-k sum rides a rank window
+    * over (group) whose input is already one row per TYPE, not per
+    * token. Ties at rank `topK` break by token string, so coverage is
+    * deterministic and engine-portable.
+    */
+  def vocabCensus(docs: DataFrame, groupCol: String, textCol: String,
+                  topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val toksArr = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(tokens(col(textCol)))
+    // explode_outer keeps all-blank groups alive as one NULL token row
+    val stream = docs.select(col(groupCol).as("grp"), explode_outer(toksArr).as("tok"))
+    val types = stream.groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+    val realC = when(col("tok").isNotNull, col("c"))
+    val perGroup = types.groupBy("grp").agg(
+      coalesce(sum(realC), lit(0L)).as("total_tokens"),
+      count(realC).as("vocab_size"),
+      count(when(col("tok").isNotNull && col("c") === 1, 1)).as("hapax_count"))
+    val w = Window.partitionBy("grp").orderBy(col("c").desc, col("tok").asc)
+    val topSum = types.filter(col("tok").isNotNull)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .groupBy("grp").agg(sum("c").as("topk_tokens"))
+    perGroup.join(topSum, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("total_tokens"), col("vocab_size"),
+        col("hapax_count"),
+        when(col("vocab_size") === 0, lit(null).cast("double"))
+          .otherwise(round(col("hapax_count").cast("double") / col("vocab_size"), 5))
+          .as("hapax_ratio"),
+        when(col("total_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("topk_tokens"), lit(0L)).cast("double") /
+            col("total_tokens"), 5)).as("topk_coverage"))
+  }
 }

@@ -338,4 +338,33 @@ object Sampling {
       else label
     df.withColumn(outCol, guarded)
   }
+
+  /** Deterministic global shuffle + sharding for training-data publish:
+    * each row gets a `shard` (which output file group it belongs to) and
+    * a 1-based `pos` (its position within that shard), both pure
+    * functions of the id — the tokenizer-feed order is reproducible
+    * across reruns, repartitions, and engines, unlike `orderBy(rand())`.
+    * The within-shard order key is a SECOND independent hash (different
+    * seed tag), so position within a shard is uncorrelated with the
+    * shard assignment itself; ties (hash collisions) break by id.
+    *
+    * Scale shape: ONE shuffle keyed by shard (row_number partitions by
+    * `shard`, orders by (hash, id)) — with `nShards` sized like the
+    * cluster (thousands at 100 TB), every shard sorts in parallel and
+    * no task sees more than ~N/nShards rows. This is the terminal
+    * exchange a publish already pays; writing partitioned-by-shard
+    * output reuses it.
+    */
+  def shardManifest(df: DataFrame, idCol: Column, nShards: Int,
+                    seed: Long = 42L, portable: Boolean = false): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val shard = floor(uniform01(idCol, seed, portable) * nShards).cast("int")
+    val orderKey = uniform01(idCol, seed + 1, portable)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__ord").asc, idCol.asc)
+    df.withColumn("shard", shard)
+      .withColumn("__ord", orderKey)
+      .withColumn("pos", row_number().over(w))
+      .drop("__ord")
+  }
 }

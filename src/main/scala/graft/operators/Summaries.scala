@@ -824,4 +824,199 @@ object Summaries {
     }
     df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
+
+  /** Robust (median/MAD) outlier census per numeric column: median, MAD
+    * (median absolute deviation), the k·1.4826·MAD cutoffs, and how many
+    * values fall outside them. The 1.4826 factor scales MAD to σ for
+    * normal data, so `k = 3.0` is the robust analogue of a 3σ rule —
+    * unlike mean/stddev cutoffs, the fences themselves can't be dragged
+    * by the outliers they're meant to catch.
+    *
+    * Engine-portability discipline: the median and MAD are rounded to
+    * 5 dp BEFORE deriving the cutoffs, so `lo`/`hi` are pure IEEE
+    * arithmetic over rounded inputs — any SQL engine computing
+    * `round(quantile, 5)` the same way lands on bit-identical fences,
+    * making the outlier COUNTS (strict `< lo` / `> hi`) portable too.
+    * NaN ≡ missing, like the whole card family ([[numericEntries]]).
+    *
+    * Scale shape: exactly TWO fused narrowing batches over the data
+    * regardless of column count ([[exactQuantilesPerColumn]] — medians of
+    * all columns share pass one; MAD medians of all |x − med| columns
+    * share pass two; MAD needs the medians first, so two is the floor),
+    * plus one counting aggregation for the fences. No shuffle anywhere —
+    * every pass is a scan + partial agg.
+    */
+  def madOutliers(df: DataFrame, cols: Seq[String], k: Double = 3.0): DataFrame = {
+    require(cols.nonEmpty, "madOutliers needs at least one column")
+    require(k > 0, s"k must be positive, got $k")
+    // HALF_UP like equidepthBins' cuts — the SQL round() convention, so
+    // an oracle's round(quantile, 5) lands on the same double
+    def round5(v: Double): Double =
+      BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val medians: Map[String, Option[Double]] =
+      exactQuantilesPerColumn(df, cols.map(c => (c, Seq(0.5))))
+        .map { case (c, qs) => c -> qs.head.map(round5) }
+    val present = cols.filter(c => medians.get(c).exists(_.isDefined))
+    val mads: Map[String, Option[Double]] =
+      if (present.isEmpty) Map.empty
+      else {
+        // |x − med| as derived columns; one second fused batch covers
+        // every column's MAD median
+        val dev = df.select(present.map(c =>
+          abs(col(c).cast("double") - lit(medians(c).get)).as(c)): _*)
+        exactQuantilesPerColumn(dev, present.map(c => (c, Seq(0.5))))
+          .map { case (c, qs) => c -> qs.head.map(round5) }
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = cols.map { c =>
+      (c, medians.getOrElse(c, None), mads.getOrElse(c, None))
+    }.toDF("column_name", "median", "mad")
+    // fences as plain double arithmetic over the rounded stats — the
+    // identical expression any oracle engine evaluates
+    val fenced = rows
+      .withColumn("lo", col("median") - lit(k) * lit(1.4826) * col("mad"))
+      .withColumn("hi", col("median") + lit(k) * lit(1.4826) * col("mad"))
+    // ONE counting pass for all columns' fences (plan-constant bounds —
+    // no join back, the centroid-matrix pattern)
+    val fenceMap: Map[String, (Double, Double)] = cols.flatMap { c =>
+      for (m <- medians.getOrElse(c, None); d <- mads.getOrElse(c, None))
+        yield c -> (m - k * 1.4826 * d, m + k * 1.4826 * d)
+    }.toMap
+    val countAggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      val nonMissing = v.isNotNull && !isnan(v)
+      fenceMap.get(c).map { case (lo, hi) =>
+        Seq(count(when(nonMissing, 1)).as(s"__n_$c"),
+          count(when(nonMissing && (v < lo || v > hi), 1)).as(s"__o_$c"))
+      }.getOrElse(Seq(count(when(nonMissing, 1)).as(s"__n_$c"),
+        lit(null).cast("long").as(s"__o_$c")))
+    }
+    val countsRow = df.agg(countAggs.head, countAggs.tail: _*).head()
+    val counts = cols.zipWithIndex.map { case (c, i) =>
+      val n = countsRow.getLong(2 * i)
+      val o = if (countsRow.isNullAt(2 * i + 1)) None else Some(countsRow.getLong(2 * i + 1))
+      (c, n, o)
+    }.toDF("column_name", "n_values", "n_outliers")
+    fenced.join(counts, Seq("column_name"))
+      .withColumn("outlier_ratio",
+        when(col("n_values") === 0 || col("n_outliers").isNull,
+          lit(null).cast("double"))
+          .otherwise(round(col("n_outliers").cast("double") / col("n_values"), 5)))
+      .select("column_name", "median", "mad", "lo", "hi",
+        "n_values", "n_outliers", "outlier_ratio")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic per column:
+    * D = max over jump points of |ECDF_ref(x) − ECDF_cur(x)| — the
+    * binning-free complement to [[psiDrift]] (no bin-edge sensitivity;
+    * detects any distribution shift, not just mass moved across edges).
+    * NaN ≡ missing. Columns with an empty side report NULL d_stat.
+    *
+    * Scale shape: raw values collapse to per-(column, distinct value)
+    * counts first (shuffle on (col, v) with map-side combine — the only
+    * data-sized exchange), so the ECDF walk runs over DISTINCT values.
+    * `scalable = false` walks each column's jump points with a window
+    * partitioned by column (parallelism = column count; each column's
+    * distinct stream sorts in one task — fine while per-column distinct
+    * counts fit a task's spill budget). `scalable = true` is the
+    * distributed prefix-sum: range-repartition the count table by
+    * (column, value), accumulate per-partition subtotals, collect ONLY
+    * the per-partition totals (#partitions rows) to the driver, then a
+    * single mapPartitions pass adds each partition's broadcast prefix
+    * offset and folds the running max — no single-task sort at any
+    * cardinality. Both paths are spec-pinned equal.
+    */
+  def ksDrift(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+              scalable: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "ksDrift needs at least one column")
+    val entries = numericEntries(ref, cols).withColumn("side", lit("r"))
+      .unionByName(numericEntries(cur, cols).withColumn("side", lit("c")))
+    val counts = entries.groupBy(col("col_name"), col("v"))
+      .agg(sum(when(col("side") === "r", 1L).otherwise(0L)).as("cr"),
+        sum(when(col("side") === "c", 1L).otherwise(0L)).as("cc"))
+    val totals: Map[String, (Long, Long)] = counts.groupBy("col_name")
+      .agg(sum("cr").as("tr"), sum("cc").as("tc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val withTotals = cols.map { c =>
+      val (tr, tc) = totals.getOrElse(c, (0L, 0L))
+      (c, tr, tc)
+    }.toDF("col_name", "n_ref", "n_cur")
+    val measurable = totals.filter { case (_, (tr, tc)) => tr > 0 && tc > 0 }
+    val dStats: DataFrame =
+      if (measurable.isEmpty) Seq.empty[(String, Double)].toDF("col_name", "d_raw")
+      else if (!scalable) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("col_name").orderBy("v")
+        val totalMap = typedLit(measurable.map { case (c, (tr, tc)) => c -> Seq(tr, tc) })
+        counts.filter(col("col_name").isInCollection(measurable.keys.toSeq))
+          .withColumn("scr", sum("cr").over(w))
+          .withColumn("scc", sum("cc").over(w))
+          .withColumn("d", abs(
+            col("scr").cast("double") / element_at(element_at(totalMap, col("col_name")), 1) -
+              col("scc").cast("double") / element_at(element_at(totalMap, col("col_name")), 2)))
+          .groupBy("col_name").agg(max("d").as("d_raw"))
+      } else {
+        // distributed prefix-sum: per-partition subtotals -> tiny collect
+        // -> broadcast offsets -> one pass folding the running max
+        val nPart = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+        val sorted = counts.filter(col("col_name").isInCollection(measurable.keys.toSeq))
+          .repartitionByRange(nPart, col("col_name"), col("v"))
+          .sortWithinPartitions("col_name", "v")
+          .select("col_name", "v", "cr", "cc")
+        sorted.cache()
+        // per-partition (col -> (sum cr, sum cc)) — #partitions × #cols rows
+        val partTotals: Array[(Int, Map[String, (Long, Long)])] =
+          sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+            val m = scala.collection.mutable.Map.empty[String, (Long, Long)]
+            it.foreach { r =>
+              val c = r.getString(0)
+              val (a, b) = m.getOrElse(c, (0L, 0L))
+              m(c) = (a + r.getLong(2), b + r.getLong(3))
+            }
+            Iterator.single((pid, m.toMap))
+          }.collect()
+        // prefix offset per (partition, column): totals of all EARLIER
+        // partitions (range partitioning ⇒ earlier partitions hold
+        // strictly smaller (col, v) keys)
+        val prefixByPid: Map[Int, Map[String, (Long, Long)]] = {
+          val sortedParts = partTotals.sortBy(_._1)
+          var acc = Map.empty[String, (Long, Long)]
+          sortedParts.map { case (pid, m) =>
+            val out = pid -> acc
+            acc = (acc.keySet ++ m.keySet).map { c =>
+              val (a1, b1) = acc.getOrElse(c, (0L, 0L))
+              val (a2, b2) = m.getOrElse(c, (0L, 0L))
+              c -> (a1 + a2, b1 + b2)
+            }.toMap
+            out
+          }.toMap
+        }
+        val bc = spark.sparkContext.broadcast((prefixByPid, measurable))
+        val maxed = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val (prefixes, tot) = bc.value
+          val run = scala.collection.mutable.Map.empty[String, (Long, Long)]
+          prefixes.getOrElse(pid, Map.empty).foreach { case (c, p) => run(c) = p }
+          val best = scala.collection.mutable.Map.empty[String, Double]
+          it.foreach { r =>
+            val c = r.getString(0)
+            val (a, b) = run.getOrElse(c, (0L, 0L))
+            val (na, nb) = (a + r.getLong(2), b + r.getLong(3))
+            run(c) = (na, nb)
+            val (tr, tc) = tot(c)
+            val d = math.abs(na.toDouble / tr - nb.toDouble / tc)
+            if (d > best.getOrElse(c, -1.0)) best(c) = d
+          }
+          best.iterator
+        }.collect()
+        sorted.unpersist()
+        maxed.groupBy(_._1).map { case (c, ds) => (c, ds.map(_._2).max) }
+          .toSeq.toDF("col_name", "d_raw")
+      }
+    withTotals.join(dStats, Seq("col_name"), "left")
+      .select(col("col_name").as("column_name"),
+        round(col("d_raw"), 5).as("d_stat"), col("n_ref"), col("n_cur"))
+  }
 }

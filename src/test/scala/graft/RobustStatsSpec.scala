@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Quality, Sampling, Summaries}
+
+/** Specs for the r10 census/drift additions: madOutliers, ksDrift,
+  * vocabCensus, shardManifest.
+  */
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── madOutliers ────────────────────────────────────────────────────────
+
+  test("madOutliers: hand-computed median/MAD fences and counts") {
+    // sorted {1,9,10,11,19,100}: percentile median = (10+11)/2 = 10.5;
+    // |x−10.5| sorted = {0.5,0.5,1.5,8.5,9.5,89.5} → MAD = (1.5+8.5)/2 = 5
+    val xs = Seq(1.0, 9.0, 10.0, 11.0, 19.0, 100.0)
+    val df = xs.toDF("x")
+    val r = Summaries.madOutliers(df, Seq("x"), k = 3.0).head()
+    assert(r.getAs[Double]("median") === 10.5)
+    assert(r.getAs[Double]("mad") === 5.0)
+    val (lo, hi) = (10.5 - 3.0 * 1.4826 * 5.0, 10.5 + 3.0 * 1.4826 * 5.0)
+    assert(r.getAs[Double]("lo") === lo)
+    assert(r.getAs[Double]("hi") === hi)
+    // fences ±22.239 around 10.5 → only 100.0 falls outside
+    assert(r.getAs[Long]("n_values") === 6L)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    assert(r.getAs[Double]("outlier_ratio") === math.rint(1e5 / 6.0) / 1e5)
+  }
+
+  test("madOutliers: a masked outlier cluster the 3σ rule misses") {
+    // twenty points at 300 inflate σ until the 3σ fence (≈383) hides
+    // them; the MAD fence (≈60 ± 133) is untouched and catches all 20
+    val xs = (1 to 99).map(_.toDouble) ++ Seq.fill(20)(300.0)
+    val df = xs.toDF("x")
+    val stats = df.agg(avg("x"), stddev_pop("x")).head()
+    val (mu, sd) = (stats.getDouble(0), stats.getDouble(1))
+    val sigmaOutliers = xs.count(x => x < mu - 3 * sd || x > mu + 3 * sd)
+    assert(sigmaOutliers === 0) // the classical rule is masked
+    val r = Summaries.madOutliers(df, Seq("x"), k = 3.0).head()
+    assert(r.getAs[Long]("n_outliers") === 20L)
+  }
+
+  test("madOutliers: NaN ≡ missing, all-NULL column reports NULL stats") {
+    val df = Seq(
+      (Some(1.0), Option.empty[Double]),
+      (Some(2.0), None),
+      (Some(Double.NaN), None),
+      (Some(3.0), None)
+    ).toDF("x", "y")
+    val out = Summaries.madOutliers(df, Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("x").getAs[Double]("median") === 2.0) // NaN excluded
+    assert(out("x").getAs[Long]("n_values") === 3L)  // NaN not counted
+    assert(out("y").isNullAt(out("y").fieldIndex("median")))
+    assert(out("y").isNullAt(out("y").fieldIndex("n_outliers")))
+    assert(out("y").getAs[Long]("n_values") === 0L)
+  }
+
+  // ── ksDrift ────────────────────────────────────────────────────────────
+
+  test("ksDrift: disjoint supports give D = 1, identical samples give D = 0") {
+    val a = (1 to 50).map(_.toDouble).toDF("v")
+    val b = (101 to 150).map(_.toDouble).toDF("v")
+    val disjoint = Summaries.ksDrift(a, b, Seq("v")).head()
+    assert(disjoint.getAs[Double]("d_stat") === 1.0)
+    val same = Summaries.ksDrift(a, a, Seq("v")).head()
+    assert(same.getAs[Double]("d_stat") === 0.0)
+  }
+
+  test("ksDrift: hand case — known ECDF gap") {
+    // ref {1,2,3,4}, cur {3,4,5,6}: at v=2 ECDFs are 0.5 vs 0 → D = 0.5
+    val r = Summaries.ksDrift(
+      Seq(1.0, 2.0, 3.0, 4.0).toDF("v"),
+      Seq(3.0, 4.0, 5.0, 6.0).toDF("v"), Seq("v")).head()
+    assert(r.getAs[Double]("d_stat") === 0.5)
+    assert(r.getAs[Long]("n_ref") === 4L)
+    assert(r.getAs[Long]("n_cur") === 4L)
+  }
+
+  test("ksDrift: scalable prefix-sum path equals the windowed path") {
+    val rnd = new scala.util.Random(7)
+    val ref = Seq.fill(400)(rnd.nextGaussian()).map(v => (v, rnd.nextInt(50).toDouble))
+      .toDF("g", "u")
+    val cur = Seq.fill(300)(rnd.nextGaussian() * 1.3 + 0.2)
+      .map(v => (v, rnd.nextInt(40).toDouble)).toDF("g", "u")
+    val w = Summaries.ksDrift(ref, cur, Seq("g", "u"), scalable = false)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val s = Summaries.ksDrift(ref, cur, Seq("g", "u"), scalable = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(w === s)
+  }
+
+  test("ksDrift: empty side → NULL d_stat but the column keeps its row") {
+    val ref = Seq(1.0, 2.0).toDF("v")
+    val cur = Seq(Option.empty[Double], None).toDF("v")
+    val r = Summaries.ksDrift(ref, cur, Seq("v")).head()
+    assert(r.isNullAt(r.fieldIndex("d_stat")))
+    assert(r.getAs[Long]("n_ref") === 2L)
+    assert(r.getAs[Long]("n_cur") === 0L)
+  }
+
+  // ── vocabCensus ────────────────────────────────────────────────────────
+
+  test("vocabCensus: totals, vocab, hapax, and top-k coverage with tie-break") {
+    val docs = Seq(
+      ("en", "b b b c c a"),  // en counts: b=3, c=2, a=1
+      ("en", "d"),            // d=1 → en: total 7, vocab 4, hapax {a, d}
+      ("fr", "x x y")
+    ).toDF("lang", "text")
+    val out = Quality.vocabCensus(docs, "lang", "text", topK = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("total_tokens") === 7L)
+    assert(en.getAs[Long]("vocab_size") === 4L)
+    assert(en.getAs[Long]("hapax_count") === 2L)
+    assert(en.getAs[Double]("hapax_ratio") === 0.5)
+    // top-2 by (count desc, token asc): b(3), c(2) → coverage 5/7
+    assert(en.getAs[Double]("topk_coverage") === math.rint(5.0 / 7.0 * 1e5) / 1e5)
+    val fr = out("fr")
+    assert(fr.getAs[Long]("total_tokens") === 3L)
+    assert(fr.getAs[Long]("vocab_size") === 2L)
+  }
+
+  test("vocabCensus: rank-boundary ties break by token string deterministically") {
+    // three tokens all at count 2 — top-2 must be the lexicographically
+    // first two (a, b), not an arbitrary pair
+    val docs = Seq(("en", "c a b a b c")).toDF("lang", "text")
+    val r = Quality.vocabCensus(docs, "lang", "text", topK = 2).head()
+    assert(r.getAs[Double]("topk_coverage") === math.rint(4.0 / 6.0 * 1e5) / 1e5)
+  }
+
+  test("vocabCensus: all-blank group keeps its census row with zeros") {
+    val docs = Seq(("en", "a b"), ("zz", "   "), ("yy", null.asInstanceOf[String]))
+      .toDF("lang", "text")
+    val out = Quality.vocabCensus(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (g <- Seq("zz", "yy")) {
+      assert(out(g).getAs[Long]("total_tokens") === 0L)
+      assert(out(g).getAs[Long]("vocab_size") === 0L)
+      assert(out(g).isNullAt(out(g).fieldIndex("hapax_ratio")))
+      assert(out(g).isNullAt(out(g).fieldIndex("topk_coverage")))
+    }
+  }
+
+  // ── shardManifest ──────────────────────────────────────────────────────
+
+  test("shardManifest: dense 1..n positions per shard, stable under repartition") {
+    val df = (1L to 500L).toDF("id")
+    val m = Sampling.shardManifest(df, col("id"), nShards = 8, portable = true)
+    val byShard = m.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    assert(byShard.map(_.getAs[Long]("n")).sum === 500L)
+    byShard.foreach { r =>
+      assert(r.getAs[Int]("shard") >= 0 && r.getAs[Int]("shard") < 8)
+      assert(r.getAs[Int]("lo") === 1)
+      assert(r.getAs[Long]("n") === r.getAs[Int]("hi").toLong) // dense, no gaps
+    }
+    // pure function of id: physical layout must not change the manifest
+    val a = m.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    val b = Sampling.shardManifest(df.repartition(13), col("id"), 8, portable = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(a === b)
+  }
+
+  test("shardManifest: order hash is independent of the shard hash") {
+    // within a shard, positions ordered by the SECOND hash must not be
+    // monotone in id (a correlated hash would feed the tokenizer in
+    // near-id order — the bias the shuffle exists to kill)
+    val df = (1L to 2000L).toDF("id")
+    val m = Sampling.shardManifest(df, col("id"), nShards = 4, portable = true)
+      .filter(col("shard") === 0).orderBy("pos")
+      .collect().map(_.getLong(0))
+    val monotonePairs = m.sliding(2).count { case Array(x, y) => y > x; case _ => false }
+    val frac = monotonePairs.toDouble / (m.length - 1)
+    assert(frac > 0.35 && frac < 0.65, s"suspiciously ordered: $frac")
+  }
+}

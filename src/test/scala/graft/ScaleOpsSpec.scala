@@ -281,6 +281,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rootMsgs(e).contains("NULL entry"), rootMsgs(e))
   }
 
+  test("IVF-PQ with every cell probed equals plain PQ exactly") {
+    // probing ALL cells removes the IVF restriction — the composition
+    // must then reproduce pqTopK row-for-row (same ADC quantization,
+    // same rank tie-break); any drift means the cell gating changed
+    // scoring semantics instead of just candidate coverage
+    val cbs = Ann.pqCodebooks(
+      Ann.strideCentroids(clustered, "vec_id", "embedding", 16), m = 4)
+    val cents = Ann.strideCentroids(clustered, "vec_id", "embedding", 4)
+    val queries = clustered.filter(col("vec_id") < 8)
+    val full = Ann.pqTopK(queries,
+        Ann.pqEncode(clustered, "vec_id", "embedding", cbs),
+        "vec_id", "embedding", cbs, k = 5)
+      .select("query_id", "neighbor_id", "adc", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val ivfpq = Ann.ivfPqTopK(queries, clustered, "vec_id", "embedding",
+        cents, cbs, k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id", "adc", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(ivfpq === full)
+  }
+
+  test("IVF-PQ at nProbe=1 keeps neighbors in the query's own cluster") {
+    val cbs = Ann.pqCodebooks(
+      Ann.strideCentroids(clustered, "vec_id", "embedding", 16), m = 4)
+    val cents = Ann.kmeansCentroids(clustered, "embedding",
+      Ann.strideCentroids(clustered, "vec_id", "embedding", 4), iters = 3)
+    val queries = clustered.filter(col("vec_id") < 4)
+    val top = Ann.ivfPqTopK(queries, clustered, "vec_id", "embedding",
+        cents, cbs, k = 5, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top.length === 20) // every query fully answered from one cell
+    assert(top.forall(r => r._2 % 4 == r._1 % 4),
+      top.sortBy(_._1).mkString(","))
+  }
+
   test("PQ rejects dimension-mismatched vectors loudly") {
     val cbs = Ann.pqCodebooks(
       Ann.strideCentroids(clustered, "vec_id", "embedding", 16), m = 4)
