@@ -356,11 +356,21 @@ object Sampling {
     * output reuses it.
     */
   def shardManifest(df: DataFrame, idCol: Column, nShards: Int,
-                    seed: Long = 42L, portable: Boolean = false): DataFrame = {
+                    seed: Long = 42L, portable: Boolean = false,
+                    requireNonNullIds: Boolean = false): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     import org.apache.spark.sql.expressions.Window
-    val shard = floor(uniform01(idCol, seed, portable) * nShards).cast("int")
-    val orderKey = uniform01(idCol, seed + 1, portable)
+    // NULL ids share NULL hashes: they co-locate in the NULL shard and
+    // their relative `pos` is NOT deterministic (every order key ties) —
+    // a manifest consumer needing replay-stable order must either repair
+    // ids upstream or set requireNonNullIds to fail loudly here
+    val id =
+      if (requireNonNullIds)
+        when(idCol.isNotNull, idCol).otherwise(raise_error(
+          lit("shardManifest: NULL id (requireNonNullIds = true)")))
+      else idCol
+    val shard = floor(uniform01(id, seed, portable) * nShards).cast("int")
+    val orderKey = uniform01(id, seed + 1, portable)
     val w = Window.partitionBy(col("shard")).orderBy(col("__ord").asc, idCol.asc)
     df.withColumn("shard", shard)
       .withColumn("__ord", orderKey)

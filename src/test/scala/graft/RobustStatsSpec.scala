@@ -164,6 +164,24 @@ class RobustStatsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("shardManifest: requireNonNullIds fails loudly on a NULL id") {
+    // NULL ids co-locate in the NULL shard with ALL order keys tied —
+    // their relative pos is nondeterministic, which a replay-stable
+    // manifest must not silently ship
+    val df = Seq(Some(1L), Some(2L), None).toDF("id")
+    val ok = Sampling.shardManifest(df, col("id"), 4, portable = true)
+    assert(ok.count() === 3) // default: NULLs pass through (documented)
+    assert(ok.filter(col("id").isNull).head().isNullAt(1)) // NULL shard
+    val e = intercept[Throwable] {
+      Sampling.shardManifest(df, col("id"), 4, portable = true,
+        requireNonNullIds = true).collect()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("shardManifest"), msgs(e))
+  }
+
   test("shardManifest: order hash is independent of the shard hash") {
     // within a shard, positions ordered by the SECOND hash must not be
     // monotone in id (a correlated hash would feed the tokenizer in

@@ -423,6 +423,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(IvfNProbe === ivf.maxBy(_._2)._1, s"IVF default vs grid: $ivf")
     assert(PqSubspaces === pq.maxBy(_._2)._1, s"PQ default vs grid: $pq")
     assert(LshNTables === 4)
+    // IVF-PQ (q113): the coarse gate trades recall for scan volume —
+    // nProbe=1 scans ~1/k of the codes and must still clear a usable
+    // floor, and by the production nProbe the gate should cost little
+    // vs plain PQ on the same books (strict ≤/monotone are NOT asserted:
+    // ADC displacement means a removed bad candidate can raise recall)
+    val acents = Ann.autoCentroids(e, "vec_id", "embedding")
+    val books16 = Ann.pqCodebooks(cents, 16)
+    val ivfpq = Seq(1, 2, 4).map(p =>
+      p -> mean(Ann.ivfPqTopK(queries, e, "vec_id", "embedding",
+        acents, books16, k, p)))
+    info(s"IVF-PQ auto-k cents, m=16 books (nProbe → recall): $ivfpq; plain PQ ${pq(1)._2}")
+    assert(ivfpq(2)._2 >= pq(1)._2 - 0.15,
+      s"IVF-PQ@4 lost more than 0.15 recall vs plain PQ: $ivfpq vs ${pq(1)._2}")
+    assert(ivfpq(0)._2 >= 0.10, s"IVF-PQ@1 floor: ${ivfpq(0)._2}")
   }
 
   test("kmeans centroids: recall on testdata embeddings >= stride-sample baseline") {
