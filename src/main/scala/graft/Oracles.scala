@@ -749,12 +749,15 @@ object Oracles {
     // q109: median/MAD replayed per column with the SAME rounding
     // discipline as the operator — stats rounded to 5 dp FIRST, fences
     // derived from the rounded stats (identical IEEE arithmetic), strict
-    // </> outlier counts. NaN ≡ missing.
+    // </> outlier counts. NaN ≡ missing; median/MAD come from the
+    // FINITE core (the isfinite CTEs) while counts see ±Inf as values
+    // outside any finite fence — the operator's contract verbatim.
     "q109_mad_outliers" ->
       """WITH vx AS (SELECT CAST(value AS DOUBLE) AS x FROM events
                      WHERE value IS NOT NULL AND NOT isnan(value)),
-         vs AS (SELECT round(quantile_cont(x, 0.5), 5) AS med FROM vx),
-         vm AS (SELECT round(quantile_cont(abs(x - med), 0.5), 5) AS mad FROM vx, vs),
+         vfin AS (SELECT x FROM vx WHERE isfinite(x)),
+         vs AS (SELECT round(quantile_cont(x, 0.5), 5) AS med FROM vfin),
+         vm AS (SELECT round(quantile_cont(abs(x - med), 0.5), 5) AS mad FROM vfin, vs),
          vf AS (SELECT 'value' AS column_name, med, mad,
                   med - 3.0 * 1.4826 * mad AS lo,
                   med + 3.0 * 1.4826 * mad AS hi FROM vs, vm),
@@ -764,8 +767,9 @@ object Oracles {
                 FROM vx),
          ux AS (SELECT CAST(user_id AS DOUBLE) AS x FROM events
                 WHERE user_id IS NOT NULL),
-         us AS (SELECT round(quantile_cont(x, 0.5), 5) AS med FROM ux),
-         um AS (SELECT round(quantile_cont(abs(x - med), 0.5), 5) AS mad FROM ux, us),
+         ufin AS (SELECT x FROM ux WHERE isfinite(x)),
+         us AS (SELECT round(quantile_cont(x, 0.5), 5) AS med FROM ufin),
+         um AS (SELECT round(quantile_cont(abs(x - med), 0.5), 5) AS mad FROM ufin, us),
          uf AS (SELECT 'user_id' AS column_name, med, mad,
                   med - 3.0 * 1.4826 * mad AS lo,
                   med + 3.0 * 1.4826 * mad AS hi FROM us, um),
@@ -841,8 +845,8 @@ object Oracles {
                 ELSE round(CAST(coalesce(topk, 0) AS DOUBLE) / total_tokens, 5)
            END AS topk_coverage
          FROM langs l
-         LEFT JOIN pg ON l.lang = pg.lang
-         LEFT JOIN tops ON l.lang = tops.lang""",
+         LEFT JOIN pg ON l.lang IS NOT DISTINCT FROM pg.lang
+         LEFT JOIN tops ON l.lang IS NOT DISTINCT FROM tops.lang""",
 
     // q112: both portable uniforms replayed (seed tags ':42' shard,
     // ':43' order), row_number within shard over (order-hash, id)
@@ -987,12 +991,40 @@ object Oracles {
              drift AS value_s, psi AS value_d,
              CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
              CAST(NULL AS BIGINT) AS n
-           FROM psi_val)
+           FROM psi_val),
+         mstat AS (SELECT round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 5) AS med
+           FROM documents),
+         mmad AS (SELECT round(quantile_cont(abs(CAST(n_chars AS DOUBLE) - med), 0.5), 5) AS mad
+           FROM documents, mstat),
+         mfence AS (SELECT med, mad,
+             med - 3.0 * 1.4826 * mad AS flo,
+             med + 3.0 * 1.4826 * mad AS fhi
+           FROM mstat, mmad),
+         mcount AS (SELECT count(*) AS nv,
+             count(*) FILTER (WHERE x < (SELECT flo FROM mfence)
+                                 OR x > (SELECT fhi FROM mfence)) AS nout
+           FROM (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+                 WHERE n_chars IS NOT NULL)),
+         mad_rows AS (
+           SELECT 'outliers' AS section, 'n_chars' AS col_name, 'median' AS item,
+             CAST(NULL AS VARCHAR) AS value_s, med AS value_d,
+             CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+             CAST(NULL AS BIGINT) AS n
+           FROM mfence
+           UNION ALL
+           SELECT 'outliers', 'n_chars', 'mad', CAST(NULL AS VARCHAR), mad,
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+           FROM mfence
+           UNION ALL
+           SELECT 'outliers', 'n_chars', 'fences', CAST(NULL AS VARCHAR),
+             round(CAST(nout AS DOUBLE) / nv, 5), flo, fhi, nout
+           FROM mfence, mcount)
          SELECT * FROM num_rows
          UNION ALL SELECT * FROM cat_rows
          UNION ALL SELECT * FROM hist_rows
          UNION ALL SELECT * FROM ed_rows
-         UNION ALL SELECT * FROM psi_rows""",
+         UNION ALL SELECT * FROM psi_rows
+         UNION ALL SELECT * FROM mad_rows""",
 
     "q01_agg_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1249,7 +1249,7 @@ object Queries {
         categoricalCols = Seq("lang", "source"),
         topK = 3, histBins = 10, depthBins = 4,
         reference = Some(docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
-        psiBins = 10, exactMedians = true)
+        psiBins = 10, exactMedians = true, outlierK = Some(3.0))
     }),
 
     "q106_ann_recall" -> ((s, d) => {

@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *
   * Output schema (one row per fact):
   * (section, col_name, item, value_s, value_d, lo, hi, n) where
-  *  - section ∈ numeric | categorical | histogram | equidepth | psi
+  *  - section ∈ numeric | categorical | histogram | equidepth | psi |
+  *    outliers (the last only with `outlierK` set: median/mad items
+  *    plus a "fences" row with lo/hi cutoffs, n = outlier count,
+  *    value_d = outlier ratio — [[Summaries.madOutliers]])
   *  - numeric rows: item = stat name (n_non_null/n_null/min/max/mean
   *    plus one row per requested quantile — p25/p50/p75/p95/p99 by
   *    default), value_d = the stat
@@ -55,7 +58,8 @@ object DatasetCard {
             psiBins: Int = 10,
             exactMedians: Boolean = false,
             scalableMedians: Boolean = false,
-            quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95, 0.99)): DataFrame = {
+            quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95, 0.99),
+            outlierK: Option[Double] = None): DataFrame = {
     require(numericCols.nonEmpty || categoricalCols.nonEmpty,
       "DatasetCard.build needs at least one profiled column")
     val sNull = lit(null).cast("string")
@@ -114,6 +118,23 @@ object DatasetCard {
       else Seq(shape("psi", lit("psi"), col("drift"), col("psi"),
         dNull, dNull, lNull)(Summaries.psiDrift(ref, df, numericCols, psiBins)))
     }
-    (numeric ++ categorical ++ bins ++ drift).reduce(_.unionByName(_))
+    // robust-outlier section (opt-in): median/MAD facts plus one fences
+    // row carrying the cutoffs, the outlier count, and the ratio — the
+    // contamination headline a release card owes its reader
+    val outliers = outlierK.toSeq.flatMap { k =>
+      if (numericCols.isEmpty) Nil
+      else {
+        val mo = Summaries.madOutliers(df, numericCols, k)
+          .withColumnRenamed("column_name", "col_name")
+        val stats = mo.select(col("col_name"), stack(lit(2),
+          lit("median"), col("median"),
+          lit("mad"), col("mad")).as(Seq("item", "v")))
+        Seq(shape("outliers", col("item"), sNull, col("v"),
+            dNull, dNull, lNull)(stats),
+          shape("outliers", lit("fences"), sNull, col("outlier_ratio"),
+            col("lo"), col("hi"), col("n_outliers"))(mo))
+      }
+    }
+    (numeric ++ categorical ++ bins ++ drift ++ outliers).reduce(_.unionByName(_))
   }
 }

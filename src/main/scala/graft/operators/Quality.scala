@@ -688,7 +688,9 @@ object Quality {
     * a second tiny aggregation, and the top-k sum rides a rank window
     * over (group) whose input is already one row per TYPE, not per
     * token. Ties at rank `topK` break by token string, so coverage is
-    * deterministic and engine-portable.
+    * deterministic and engine-portable. A NULL group value is a group
+    * like any other (the census must not silently merge or drop rows
+    * whose group key failed extraction) — the final join is null-safe.
     */
   def vocabCensus(docs: DataFrame, groupCol: String, textCol: String,
                   topK: Int = 100): DataFrame = {
@@ -710,7 +712,9 @@ object Quality {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .groupBy("grp").agg(sum("c").as("topk_tokens"))
-    perGroup.join(topSum, Seq("grp"), "left")
+      .withColumnRenamed("grp", "grp_t")
+    perGroup.join(topSum, perGroup("grp") <=> topSum("grp_t"), "left")
+      .drop("grp_t")
       .select(col("grp").as(groupCol), col("total_tokens"), col("vocab_size"),
         col("hapax_count"),
         when(col("vocab_size") === 0, lit(null).cast("double"))

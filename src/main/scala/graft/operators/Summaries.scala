@@ -838,6 +838,11 @@ object Summaries {
     * `round(quantile, 5)` the same way lands on bit-identical fences,
     * making the outlier COUNTS (strict `< lo` / `> hi`) portable too.
     * NaN ≡ missing, like the whole card family ([[numericEntries]]).
+    * ±Inf is an OUTLIER, not an order statistic: the median/MAD come
+    * from the finite core only (an Inf-contaminated MAD would be Inf
+    * and the fences would swallow everything — the exact masking this
+    * operator exists to prevent), while the fence comparison counts
+    * every ±Inf value outside any finite fence, as it must.
     *
     * Scale shape: exactly TWO fused narrowing batches over the data
     * regardless of column count ([[exactQuantilesPerColumn]] — medians of
@@ -853,8 +858,16 @@ object Summaries {
     // an oracle's round(quantile, 5) lands on the same double
     def round5(v: Double): Double =
       BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // finite core only: ±Inf must not become an order statistic (it
+    // would drag the MAD to Inf and the fences to everything) — it gets
+    // counted at the fence instead
+    val finiteOnly = df.select(cols.map { c =>
+      val v = col(c).cast("double")
+      when(v > Double.NegativeInfinity && v < Double.PositiveInfinity, v)
+        .otherwise(lit(null).cast("double")).as(c)
+    }: _*)
     val medians: Map[String, Option[Double]] =
-      exactQuantilesPerColumn(df, cols.map(c => (c, Seq(0.5))))
+      exactQuantilesPerColumn(finiteOnly, cols.map(c => (c, Seq(0.5))))
         .map { case (c, qs) => c -> qs.head.map(round5) }
     val present = cols.filter(c => medians.get(c).exists(_.isDefined))
     val mads: Map[String, Option[Double]] =
@@ -862,8 +875,8 @@ object Summaries {
       else {
         // |x − med| as derived columns; one second fused batch covers
         // every column's MAD median
-        val dev = df.select(present.map(c =>
-          abs(col(c).cast("double") - lit(medians(c).get)).as(c)): _*)
+        val dev = finiteOnly.select(present.map(c =>
+          abs(col(c) - lit(medians(c).get)).as(c)): _*)
         exactQuantilesPerColumn(dev, present.map(c => (c, Seq(0.5))))
           .map { case (c, qs) => c -> qs.head.map(round5) }
       }
@@ -930,6 +943,7 @@ object Summaries {
   def ksDrift(ref: DataFrame, cur: DataFrame, cols: Seq[String],
               scalable: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "ksDrift needs at least one column")
+    require(cols.distinct.size == cols.size, "duplicate columns in cols")
     val entries = numericEntries(ref, cols).withColumn("side", lit("r"))
       .unionByName(numericEntries(cur, cols).withColumn("side", lit("c")))
     val counts = entries.groupBy(col("col_name"), col("v"))

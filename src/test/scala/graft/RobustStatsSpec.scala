@@ -41,6 +41,19 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_outliers") === 20L)
   }
 
+  test("madOutliers: ±Inf are outliers, never order statistics") {
+    // an Inf in the sample must not drag the MAD to Inf (fences would
+    // swallow everything) — stats come from the finite core and the Inf
+    // rows count at the fence
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0,
+      Double.PositiveInfinity, Double.NegativeInfinity)
+    val r = Summaries.madOutliers(xs.toDF("x"), Seq("x"), k = 3.0).head()
+    assert(r.getAs[Double]("median") === 3.0) // finite core {1..5}
+    assert(r.getAs[Double]("mad") === 1.0)
+    assert(r.getAs[Long]("n_values") === 7L)  // Infs ARE values
+    assert(r.getAs[Long]("n_outliers") === 2L) // both Infs outside the fence
+  }
+
   test("madOutliers: NaN ≡ missing, all-NULL column reports NULL stats") {
     val df = Seq(
       (Some(1.0), Option.empty[Double]),
@@ -128,6 +141,19 @@ class RobustStatsSpec extends SparkSpec {
     val docs = Seq(("en", "c a b a b c")).toDF("lang", "text")
     val r = Quality.vocabCensus(docs, "lang", "text", topK = 2).head()
     assert(r.getAs[Double]("topk_coverage") === math.rint(4.0 / 6.0 * 1e5) / 1e5)
+  }
+
+  test("vocabCensus: a NULL group is a real group with full stats") {
+    // a doc whose group key failed extraction must still be counted —
+    // under its NULL key, with working coverage (null-safe join)
+    val docs = Seq((Some("en"), "a b"), (Option.empty[String], "x x y"))
+      .toDF("lang", "text")
+    val r = Quality.vocabCensus(docs, "lang", "text", topK = 1)
+      .filter(col("lang").isNull).head()
+    assert(r.getAs[Long]("total_tokens") === 3L)
+    assert(r.getAs[Long]("vocab_size") === 2L)
+    // top-1 is x(2) → coverage 2/3, NOT zero (the null-unsafe-join bug)
+    assert(r.getAs[Double]("topk_coverage") === math.rint(2.0 / 3.0 * 1e5) / 1e5)
   }
 
   test("vocabCensus: all-blank group keeps its census row with zeros") {
