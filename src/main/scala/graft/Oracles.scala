@@ -848,6 +848,24 @@ object Oracles {
          LEFT JOIN pg ON l.lang IS NOT DISTINCT FROM pg.lang
          LEFT JOIN tops ON l.lang IS NOT DISTINCT FROM tops.lang""",
 
+    // q114: the A-ES weighted-reservoir replay — key = round(u^(1/w), 9)
+    // (the 9-dp quantization keeps a pow() ulp difference from reordering
+    // keys), largest keys kept per stratum, ties by id
+    "q114_weighted_sample" ->
+      """WITH u AS (SELECT doc_id, lang, n_chars,
+           list_sum([(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR) || ':42'), i + 1, 1)) - 1)
+                     * 16**(7 - i) for i in range(0, 8)]) / 4294967296.0 AS uv
+         FROM documents),
+         keyed AS (SELECT doc_id, lang, n_chars,
+             round(pow(uv, 1.0 / CAST(n_chars AS DOUBLE)), 9) AS ky
+           FROM u WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+         r AS (SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY ky DESC, doc_id) AS rnk
+               FROM keyed)
+         SELECT doc_id, lang, n_chars, CAST(rnk AS BIGINT) AS rank
+         FROM r WHERE rnk <= 15""",
+
     // q112: both portable uniforms replayed (seed tags ':42' shard,
     // ':43' order), row_number within shard over (order-hash, id)
     "q112_shard_manifest" ->

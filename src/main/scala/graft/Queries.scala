@@ -1222,6 +1222,16 @@ object Queries {
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         col("doc_id"), nShards = 8, portable = true)),
 
+    // Weighted deterministic exact-k per language: inclusion probability
+    // scales with n_chars (the A-ES weighted-reservoir key u^(1/w)) —
+    // "sample the mix toward substantial documents" as one bounded-heap
+    // aggregation, reproducible across engines and corpus growth
+    "q114_weighted_sample" -> ((s, d) =>
+      Sampling.weightedExactK(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          col("lang"), col("doc_id"), col("n_chars"), k = 15, portable = true)
+        .select("doc_id", "lang", "n_chars", "rank")),
+
     // IVF-PQ: the coarse index gates WHICH codes score, PQ compresses
     // WHAT gets scored — q95's full-code ADC scan restricted to each
     // query's nProbe probed cells (the FAISS IVFPQ composition; ~k/nProbe

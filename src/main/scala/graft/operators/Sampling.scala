@@ -266,6 +266,45 @@ object Sampling {
         (col("pos") + 1).cast("long").as("rank")).toIndexedSeq: _*)
   }
 
+  /** Weighted deterministic exact-k per stratum — the A-ES weighted
+    * reservoir (Efraimidis–Spirakis, public literature): each row draws
+    * key = u^(1/w) from its id-hash uniform and every stratum keeps the
+    * k LARGEST keys, so inclusion probability scales with weight (a
+    * quality score, token count, dedup multiplicity…) while staying a
+    * pure function of (id, weight) — reproducible under reruns,
+    * repartitions, engines, and corpus growth, like [[stratifiedExactK]]
+    * (its w ≡ 1 special case). Rows with NULL/zero/negative weight or a
+    * NULL id are excluded (they cannot be drawn).
+    *
+    * Keys are rounded to 9 dp before ranking (ties then break by id):
+    * the quantization is the [[temperatureFractions]] portability move —
+    * a pow() ulp difference between engines can't reorder two keys that
+    * agree at 9 dp, and the tie-break is total either way.
+    *
+    * Scale shape: identical to [[stratifiedExactK]] — ONE aggregation
+    * with the bounded top-k heap (map-side partial heaps merge), no
+    * window sort, no shuffle of the losing rows.
+    */
+  def weightedExactK(df: DataFrame, stratumCol: Column, idCol: Column,
+                     weightCol: Column, k: Int, seed: Long = 42L,
+                     portable: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Seq("pos", "col", "rank").foreach { reserved =>
+      require(!df.columns.exists(_.equalsIgnoreCase(reserved)),
+        s"weightedExactK working/output column '$reserved' already exists on the input")
+    }
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val w = weightCol.cast("double")
+    val key = round(pow(uniform01(idCol, seed, portable), lit(1.0) / w), 9)
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.filter(idCol.isNotNull && w.isNotNull && w > 0)
+      .groupBy(stratumCol.as("__stratum"))
+      .agg(call_function("graft_top_k_by", payload, key, idCol, lit(k)).as("top"))
+      .select(posexplode(col("top")))
+      .select((df.columns.map(c => col(s"col.$c")) :+
+        (col("pos") + 1).cast("long").as("rank")).toIndexedSeq: _*)
+  }
+
   /** Temperature-balanced (α-sampling) mix fractions from OBSERVED stratum
     * sizes: sampling weight p_s ∝ n_s^α normalized over strata, target
     * take `total`·p_s, keep fraction min(1, total·p_s / n_s). α = 1 keeps

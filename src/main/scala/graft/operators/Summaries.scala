@@ -317,52 +317,78 @@ object Summaries {
     require(cols.nonEmpty, "psiDrift needs at least one column")
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     require(floor > 0 && floor < 1, s"floor must be in (0, 1), got $floor")
-    val bounds = equiWidthBounds(ref, cols, nBins)
+    val bounds = referenceBins(ref, cols, nBins)
     val entries = numericEntries(ref, cols).withColumn("side", lit("r"))
       .unionByName(numericEntries(cur, cols).withColumn("side", lit("c")))
-    val bin = bounds.foldLeft(lit(null).cast("double")) { case (acc, (c, (lo, w))) =>
-      // constant reference (w == 0): a drift MONITOR must not clamp every
-      // current value into the reference's single cell — exact matches
-      // stay in bin 0, any deviation lands in the far edge bin so the
-      // shift registers (histogram's bin-0 collapse is correct THERE,
-      // where only the reference's own values flow through)
+    val counts = entries.withColumn("bin", psiBinColumn(bounds, nBins))
+      .filter(col("bin").isNotNull) // columns with no ref bounds drop out
+      .groupBy("col_name", "bin")
+      .agg(sum(when(col("side") === "r", 1L).otherwise(0L)).as("cr"),
+        sum(when(col("side") === "c", 1L).otherwise(0L)).as("cc"))
+    val scored = psiFromBinCounts(counts, Seq("col_name"), floor)
+    // a column with an all-NULL reference has no bins and vanished from
+    // `counts` — the monitor still owes the caller a row (NULL psi, the
+    // same undefined-PSI signal as an empty current side)
+    val missing = cols.filterNot(bounds.contains)
+    if (missing.isEmpty) scored
+    else {
+      val spark = ref.sparkSession
+      import spark.implicits._
+      scored.unionByName(missing.toDF("col_name")
+        .withColumn("psi", lit(null).cast("double"))
+        .withColumn("drift", lit(null).cast("string")))
+    }
+  }
+
+  /** Equi-width reference bounds (lo, binWidth) per column from ONE
+    * min/max pass over the reference sample — the plan-time constant a
+    * drift monitor (batch [[psiDrift]] or a streaming binner) carries.
+    * All-NULL/all-NaN columns are absent.
+    */
+  def referenceBins(ref: DataFrame, cols: Seq[String],
+                    nBins: Int): Map[String, (Double, Double)] =
+    equiWidthBounds(ref, cols, nBins)
+
+  /** The drift-monitor bin expression over a (col_name, v) entries frame:
+    * bounds-clamped equi-width bin, with the constant-reference rule —
+    * exact matches of a zero-width reference stay in bin 0, ANY deviation
+    * lands in the far edge bin so the shift registers (histogram's bin-0
+    * collapse is correct there, where only the reference's own values
+    * flow through). NULL for columns without bounds.
+    */
+  def psiBinColumn(bounds: Map[String, (Double, Double)], nBins: Int): Column =
+    bounds.foldLeft(lit(null).cast("double")) { case (acc, (c, (lo, w))) =>
       val b = if (w == 0d) when(col("v") === lo, 0d).otherwise((nBins - 1).toDouble)
         else least(greatest(floor_((col("v") - lo) / w), lit(0d)),
           lit((nBins - 1).toDouble))
       when(col("col_name") === c, b).otherwise(acc)
     }.cast("long")
-    val counts = entries.withColumn("bin", bin)
-      .filter(col("bin").isNotNull) // columns with no ref bounds drop out
-      .groupBy("col_name", "bin")
-      .agg(sum(when(col("side") === "r", 1L).otherwise(0L)).as("cr"),
-        sum(when(col("side") === "c", 1L).otherwise(0L)).as("cc"))
-    val totals = counts.groupBy("col_name")
+
+  /** PSI + grade from per-(key, bin) reference/current counts — the
+    * shared finalizer behind [[psiDrift]] and the streaming monitor's
+    * per-window close ([[graft.streaming.StreamDrift]]). `keyCols`
+    * usually is `col_name`, or (window, col_name) for windowed counts.
+    * Proportions are floor-guarded; terms sum as exact decimals
+    * (order-independent); a key with an empty side scores NULL.
+    */
+  def psiFromBinCounts(counts: DataFrame, keyCols: Seq[String],
+                       floor: Double = 1e-4): DataFrame = {
+    require(keyCols.nonEmpty, "psiFromBinCounts needs at least one key column")
+    val totals = counts.groupBy(keyCols.map(col): _*)
       .agg(sum("cr").as("tr"), sum("cc").as("tc"))
     val pr = greatest(col("cr").cast("double") / col("tr"), lit(floor))
     val pc = greatest(col("cc").cast("double") / col("tc"), lit(floor))
     val term = round((pc - pr) * log(pc / pr), 5)
-    val scored = counts.join(broadcast(totals), Seq("col_name"))
-      .select(col("col_name"),
+    counts.join(broadcast(totals), keyCols)
+      .select(keyCols.map(col) :+
         when(col("tr") === 0 || col("tc") === 0, lit(null).cast("decimal(18,5)"))
-          .otherwise(term.cast("decimal(18,5)")).as("t"))
-      .groupBy("col_name").agg(sum(col("t")).cast("double").as("psi"))
-    // a column with an all-NULL reference has no bins and vanished from
-    // `counts` — the monitor still owes the caller a row (NULL psi, the
-    // same undefined-PSI signal as an empty current side)
-    val missing = cols.filterNot(bounds.contains)
-    val all =
-      if (missing.isEmpty) scored
-      else {
-        val spark = ref.sparkSession
-        import spark.implicits._
-        scored.unionByName(missing.toDF("col_name")
-          .withColumn("psi", lit(null).cast("double")))
-      }
-    all.withColumn("drift",
-      when(col("psi").isNull, lit(null).cast("string"))
-        .when(col("psi") < 0.1, lit("stable"))
-        .when(col("psi") < 0.25, lit("moderate"))
-        .otherwise(lit("major")))
+          .otherwise(term.cast("decimal(18,5)")).as("t"): _*)
+      .groupBy(keyCols.map(col): _*).agg(sum(col("t")).cast("double").as("psi"))
+      .withColumn("drift",
+        when(col("psi").isNull, lit(null).cast("string"))
+          .when(col("psi") < 0.1, lit("stable"))
+          .when(col("psi") < 0.25, lit("moderate"))
+          .otherwise(lit("major")))
   }
 
   // psiDrift's `floor` PARAMETER shadows functions.floor inside it

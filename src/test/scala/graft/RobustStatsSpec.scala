@@ -190,6 +190,46 @@ class RobustStatsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // ── weightedExactK ─────────────────────────────────────────────────────
+
+  test("weightedExactK: heavy weights dominate inclusion, light ones still appear") {
+    // 2000 ids, weight 9 for evens vs 1 for odds → P(key > t) scales with
+    // weight; at k = 500 the even share must sit far above parity but not
+    // at 100% (a rank-by-weight, not sample-by-weight, bug would take all
+    // evens first)
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) 9.0 else 1.0))
+      .toDF("id", "w").withColumn("g", lit("all"))
+    val kept = Sampling.weightedExactK(df, col("g"), col("id"), col("w"),
+      k = 500, portable = true).collect()
+    assert(kept.length === 500)
+    val evens = kept.count(_.getLong(0) % 2 == 0)
+    assert(evens > 350 && evens < 500, s"even share $evens/500")
+    // exact-k and dense ranks
+    assert(kept.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to 500L))
+  }
+
+  test("weightedExactK: NULL/zero/negative weights and NULL ids are excluded") {
+    val df = Seq(
+      (Some(1L), Some(5.0)), (Some(2L), Some(0.0)), (Some(3L), Some(-1.0)),
+      (Some(4L), Option.empty[Double]), (Option.empty[Long], Some(5.0)),
+      (Some(5L), Some(2.0))
+    ).toDF("id", "w").withColumn("g", lit("all"))
+    val kept = Sampling.weightedExactK(df, col("g"), col("id"), col("w"),
+      k = 10, portable = true).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 5L)) // only the drawable rows
+  }
+
+  test("weightedExactK: pure function of (id, weight) — layout-independent") {
+    val df = (1L to 300L).map(i => (i, 1.0 + (i % 7))).toDF("id", "w")
+      .withColumn("g", pmod(col("id"), lit(3)).cast("string"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedExactK(d, col("g"), col("id"), col("w"), k = 20,
+        portable = true).collect()
+        .map(r => (r.getString(2), r.getLong(0), r.getAs[Long]("rank")))
+        .sortBy(identity)
+    assert(run(df).toSeq === run(df.repartition(17)).toSeq)
+  }
+
   test("shardManifest: requireNonNullIds fails loudly on a NULL id") {
     // NULL ids co-locate in the NULL shard with ALL order keys tied —
     // their relative pos is nondeterministic, which a replay-stable
