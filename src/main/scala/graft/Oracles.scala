@@ -848,6 +848,47 @@ object Oracles {
          LEFT JOIN pg ON l.lang IS NOT DISTINCT FROM pg.lang
          LEFT JOIN tops ON l.lang IS NOT DISTINCT FROM tops.lang""",
 
+    // q115: the snapshot diff replayed — same %13/%11/%7 construction,
+    // FULL OUTER on the key, IS DISTINCT FROM per column in the
+    // operator's column order
+    "q115_snapshot_diff" ->
+      """WITH oldt AS (SELECT * FROM orders WHERE o_orderkey % 13 <> 0),
+         newt AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 11 <> 0),
+         j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             list_filter([
+               CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey THEN 'o_custkey' END,
+               CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'o_orderstatus' END,
+               CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'o_totalprice' END,
+               CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate THEN 'o_orderdate' END,
+               CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'o_orderpriority' END
+             ], x -> x IS NOT NULL) AS cc
+           FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey)
+         SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN len(cc) > 0 THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           CASE WHEN NOT in_old OR NOT in_new THEN ''
+                ELSE array_to_string(cc, ',') END AS changed_cols
+         FROM j
+         WHERE NOT in_old OR NOT in_new OR len(cc) > 0""",
+
+    // q116: percent_rank per type over non-NULL values; NULL rows keep a
+    // NULL score outside the window
+    "q116_quantile_normalize" ->
+      """SELECT event_id, event_type, value,
+           round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 5) AS qnorm
+         FROM events WHERE value IS NOT NULL
+         UNION ALL
+         SELECT event_id, event_type, value, CAST(NULL AS DOUBLE)
+         FROM events WHERE value IS NULL""",
+
     // q114: the A-ES weighted-reservoir replay — key = round(u^(1/w), 9)
     // (the 9-dp quantization keeps a pow() ulp difference from reordering
     // keys), largest keys kept per stratum, ties by id

@@ -1222,6 +1222,33 @@ object Queries {
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         col("doc_id"), nShards = 8, portable = true)),
 
+    // Snapshot-level CDC: key-level diff of two publishes (added /
+    // removed / changed + exactly WHICH columns changed) — how a
+    // consumer turns whole-table republish into increments. One
+    // full-outer shuffle join on the key, codegen column comparison.
+    // Simulated next-snapshot: %13 keys new, %11 keys dropped, %7 keys
+    // repriced
+    "q115_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val oldSnap = o.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+      val newSnap = o.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(7)) === 0,
+            round(col("o_totalprice") * 1.1, 2)).otherwise(col("o_totalprice")))
+      Cdc.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("change"),
+          array_join(col("changed_cols"), ",").as("changed_cols"))
+    }),
+
+    // Rank (quantile) normalization of event values per type — the
+    // distribution-free feature transform; ties share a rank, NULLs
+    // excluded from the window (rank slots must not depend on an
+    // engine's NULL sort order)
+    "q116_quantile_normalize" -> ((s, d) =>
+      Windows.rankNormalize(
+        Tables.events(s, d).select("event_id", "event_type", "value"),
+        Seq("event_type"), col("value"))),
+
     // Weighted deterministic exact-k per language: inclusion probability
     // scales with n_chars (the A-ES weighted-reservoir key u^(1/w)) —
     // "sample the mix toward substantial documents" as one bounded-heap

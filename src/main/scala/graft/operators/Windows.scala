@@ -151,4 +151,32 @@ object Windows {
       .withColumn("is_current", col("valid_to").isNull.cast("int"))
       .drop("__run")
   }
+
+  /** Rank (quantile) normalization per group: each value maps to its
+    * percent rank in [0, 1] within its group — the distribution-free
+    * feature transform (uniformize a skewed score before mixing it with
+    * others, compare columns on a common scale). Ties SHARE a rank
+    * (standard SQL percent_rank), so equal values always get equal
+    * normalized scores — deterministic and engine-portable without a
+    * tie-break column; rounded to 5 dp. NULL values keep their row with
+    * a NULL score but are EXCLUDED from the window itself — a NULL that
+    * occupied a rank slot would shift every other score by the engine's
+    * NULL sort order (Spark NULLS FIRST, most SQL engines NULLS LAST),
+    * the exact portability trap. Single-row groups score 0.0.
+    *
+    * Scale shape: one shuffle on the group key + a per-group sort —
+    * the window IS the operator here (a rank transform needs its
+    * group's total order); group count bounds parallelism, so
+    * high-cardinality grouping scales and a global (one-group)
+    * normalize is the documented anti-scale corner.
+    */
+  def rankNormalize(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                    outCol: String = "qnorm"): DataFrame = {
+    require(groupCols.nonEmpty, "rankNormalize needs at least one group column")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(valueCol.asc)
+    df.filter(valueCol.isNotNull)
+      .withColumn(outCol, round(percent_rank().over(w), 5))
+      .unionByName(df.filter(valueCol.isNull)
+        .withColumn(outCol, lit(null).cast("double")))
+  }
 }

@@ -389,4 +389,54 @@ class PlanSpec extends SparkSpec {
         s"$q: ${p.take(1200)}")
     }
   }
+
+  test("q111 vocab census: rank-limit pushdown, broadcast top-k join, no SMJ") {
+    val df: DataFrame = Queries.all("q111_vocab_census")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // WindowGroupLimit = only ~k rows per group reach the rank window's
+    // sort (the raw type table never globally sorts); the per-group
+    // census joins the tiny top-k sums as a broadcast
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q112 shard manifest: exactly one exchange, keyed by shard") {
+    val df: DataFrame = Queries.all("q112_shard_manifest")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the manifest's one shuffle is the publish's own partitioned-write
+    // exchange; a second exchange (e.g. a global orderBy) would be the
+    // orderBy(rand()) anti-pattern sneaking back in
+    assert(finalPlan.split("Exchange hashpartitioning").length - 1 == 1, finalPlan.take(2000))
+    assert(finalPlan.contains("hashpartitioning(shard"), finalPlan.take(2000))
+  }
+
+  test("q113 IVF-PQ: broadcast cell join + bounded-heap top-k, no SMJ/cartesian") {
+    val df: DataFrame = Queries.all("q113_ann_ivfpq")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // queries (with probes exploded) broadcast onto the coded corpus by
+    // int cell id; top-k is the ObjectHashAggregate heap with map-side
+    // partials — never a window sort over candidates
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("q114 weighted sample: one bounded-heap aggregation, no window, no sort-agg") {
+    val df: DataFrame = Queries.all("q114_weighted_sample")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window") && !p.contains("SortAggregate"), p.take(2000))
+    // the drawability filter reaches the scan (NULL ids/weights never
+    // leave the reader)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), IsNotNull(n_chars)"),
+      p.take(2000))
+  }
 }

@@ -169,6 +169,66 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  // ── snapshotDiff ───────────────────────────────────────────────────────
+
+  test("snapshotDiff: added/removed/changed with exact changed_cols, NULL-safe") {
+    import graft.operators.Cdc
+    val oldS = Seq(
+      (1L, Some("a"), Some(10.0)),  // unchanged
+      (2L, Some("b"), Some(20.0)),  // value changes
+      (3L, Some("c"), None),        // NULL -> value = changed
+      (4L, Some("d"), Some(40.0))   // removed
+    ).toDF("k", "s", "v")
+    val newS = Seq(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("b"), Some(21.0)),
+      (3L, Some("c"), Some(3.0)),
+      (5L, Some("e"), Some(50.0))   // added
+    ).toDF("k", "s", "v")
+    val out = Cdc.snapshotDiff(oldS, newS, Seq("k"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getSeq[String](2).toList))).toMap
+    assert(out === Map(
+      2L -> (("changed", List("v"))),
+      3L -> (("changed", List("v"))),
+      4L -> (("removed", Nil)),
+      5L -> (("added", Nil))))
+    // unchanged rows appear only on request
+    val all = Cdc.snapshotDiff(oldS, newS, Seq("k"), includeUnchanged = true)
+    assert(all.filter(col("change") === "unchanged").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("snapshotDiff: a NULL key is present, not 'added'+'removed'") {
+    import graft.operators.Cdc
+    val oldS = Seq((Option.empty[Long], "x")).toDF("k", "s")
+    val newS = Seq((Option.empty[Long], "y")).toDF("k", "s")
+    val out = Cdc.snapshotDiff(oldS, newS, Seq("k")).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(1) === "changed") // null-safe key match
+  }
+
+  // ── rankNormalize ──────────────────────────────────────────────────────
+
+  test("rankNormalize: ties share a rank, NULLs sit outside the window") {
+    import graft.operators.Windows
+    val df = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)), ("a", 3L, Some(20.0)),
+      ("a", 4L, Some(30.0)), ("a", 5L, None),
+      ("b", 6L, Some(7.0))
+    ).toDF("g", "id", "v")
+    val out = Windows.rankNormalize(df, Seq("g"), col("v"))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // group a ranks over the 4 NON-NULL values: 10→0, {20,20}→1/3, 30→1
+    assert(out(1L) === Some(0.0))
+    assert(out(2L) === Some(math.rint(1e5 / 3.0) / 1e5))
+    assert(out(3L) === out(2L)) // tie shares
+    assert(out(4L) === Some(1.0))
+    assert(out(5L) === None)          // NULL kept, scored NULL
+    assert(out(6L) === Some(0.0))     // single-row group
+  }
+
   // ── shardManifest ──────────────────────────────────────────────────────
 
   test("shardManifest: dense 1..n positions per shard, stable under repartition") {
