@@ -556,35 +556,9 @@ object Oracles {
          FROM m JOIN tot t USING (from_type)""",
 
     "q98_bm25_topk" ->
-      """WITH base AS (SELECT doc_id,
-                  regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-                FROM documents
-                WHERE text IS NOT NULL AND length(trim(text)) > 0),
-         stats AS (SELECT greatest(count(*), 1) AS n,
-                     sum(len(toks)) AS tot FROM base),
-         terms AS (SELECT unnest(['spark', 'join', 'query']) AS term),
-         hits AS (SELECT doc_id, len(toks) AS dl,
-                    unnest(list_filter(toks,
-                      x -> list_contains(['spark', 'join', 'query'], x))) AS term
-                  FROM base),
-         tfc AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
-                 FROM hits GROUP BY 1, 2),
-         dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
-         idf AS (SELECT t.term,
-                   round(ln((n - coalesce(df, 0) + 0.5) / (coalesce(df, 0) + 0.5) + 1.0), 5) AS idf
-                 FROM terms t LEFT JOIN dfs USING (term) CROSS JOIN stats),
-         scored AS (SELECT doc_id,
-                      CAST(round((idf * (tf * (1.2 + 1.0)))
-                        / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / n)))), 5)
-                        AS DECIMAL(18,5)) AS s
-                    FROM tfc JOIN idf USING (term) CROSS JOIN stats),
-         agg AS (SELECT doc_id, CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE) AS bm25
-                 FROM scored GROUP BY 1),
-         ranked AS (SELECT doc_id, bm25,
-                      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
-                    FROM agg)
+      s"""WITH $bm25RankedCtes
          SELECT doc_id, bm25, CAST(rnk AS BIGINT) AS rank
-         FROM ranked WHERE rnk <= 20""",
+         FROM bm25ranked WHERE rnk <= 20""",
 
     "q96_funnel" ->
       """WITH users AS (SELECT DISTINCT user_id FROM events),
@@ -752,6 +726,121 @@ object Oracles {
     // </> outlier counts. NaN ≡ missing; median/MAD come from the
     // FINITE core (the isfinite CTEs) while counts see ±Inf as values
     // outside any finite fence — the operator's contract verbatim.
+    // q117: the same moment-sum decimals (4-dp quantized inputs, exact
+    // sums) cast to double via VARCHAR (correctly-rounded in both
+    // engines), then the identical IEEE arithmetic — generated per pair
+    "q117_corr_matrix" -> corrMatrixOracle,
+
+    // q118: chi2 = n·Σ o²/(ra·cb) − n over OBSERVED cells, per-cell
+    // terms rounded to 9 dp and decimal-summed — generated per pair
+    "q118_cat_assoc" -> catAssocOracle,
+
+    // q121: decay factor replayed per row (epoch-second Δt, same pow(2,·)
+    // then 9-dp rounding), decimal term sums per user
+    "q121_decayed_engagement" ->
+      """WITH ref AS (SELECT max(epoch_us(ts)) AS r FROM events),
+         t AS (SELECT user_id, ts, CAST(value AS DOUBLE) AS v,
+                 CAST(r - epoch_us(ts) AS DOUBLE) / 86400e6 AS dt
+               FROM events, ref
+               WHERE ts IS NOT NULL AND value IS NOT NULL AND isfinite(value))
+         SELECT user_id, count(*) AS n_events, max(ts) AS last_ts,
+           CAST(CAST(sum(CAST(round(v * pow(2, -dt / 7.0), 9) AS DECIMAL(28,9)))
+             AS VARCHAR) AS DOUBLE) AS decayed_value
+         FROM t GROUP BY 1""",
+
+    // q122: the q98 BM25 chain (shared CTEs) ⊕ the exact cosine ranking
+    // against query vector 0, fused by 1/(60+rank) with 9-dp decimal
+    // term sums — rank ties break by doc_id everywhere
+    "q122_hybrid_rrf" -> hybridRrfOracle,
+
+    // q123: the q64 portable-split CASE + per-split label census;
+    // entropy/gini as 9-dp decimal term sums, majority class by
+    // (count DESC, label) rank
+    "q123_class_balance" ->
+      """WITH u AS (SELECT source,
+           list_sum([(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR) || ':42'), i + 1, 1)) - 1)
+                     * 16**(7 - i) for i in range(0, 8)]) / 4294967296.0 AS uv
+         FROM documents),
+         sp AS (SELECT CASE WHEN uv < 0.8 THEN 'train'
+                            WHEN uv < 0.9 THEN 'val'
+                            ELSE 'test' END AS split, source AS l FROM u),
+         c AS (SELECT split, l, count(*) AS cnt FROM sp GROUP BY 1, 2),
+         per AS (SELECT split,
+                   CAST(sum(CASE WHEN l IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN l IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_null_labels,
+                   count(CASE WHEN l IS NOT NULL THEN 1 END) AS n_labels
+                 FROM c GROUP BY 1),
+         top AS (SELECT split, l AS top_label, cnt AS top_cnt FROM
+                   (SELECT split, l, cnt,
+                      row_number() OVER (PARTITION BY split ORDER BY cnt DESC, l) AS r
+                    FROM c WHERE l IS NOT NULL) WHERE r = 1),
+         ent AS (SELECT c.split,
+                   sum(CAST(round(-(CAST(cnt AS DOUBLE) / n) * log2(CAST(cnt AS DOUBLE) / n), 9)
+                     AS DECIMAL(19,9))) AS ht,
+                   sum(CAST(round((CAST(cnt AS DOUBLE) / n) * (CAST(cnt AS DOUBLE) / n), 9)
+                     AS DECIMAL(19,9))) AS gt
+                 FROM c JOIN per ON c.split IS NOT DISTINCT FROM per.split
+                 WHERE l IS NOT NULL GROUP BY 1)
+         SELECT per.split, n, n_null_labels, n_labels, top_label,
+           CASE WHEN n > 0 THEN round(CAST(top_cnt AS DOUBLE) / n, 5) END AS top_share,
+           CASE WHEN n > 0 THEN round(CAST(CAST(ht AS VARCHAR) AS DOUBLE), 6) END AS entropy,
+           CASE WHEN n_labels > 1 THEN
+             round(CAST(CAST(ht AS VARCHAR) AS DOUBLE) / log2(n_labels), 6) END AS norm_entropy,
+           CASE WHEN n > 0 THEN round(1 - CAST(CAST(gt AS VARCHAR) AS DOUBLE), 6) END AS gini
+         FROM per
+         LEFT JOIN top ON per.split IS NOT DISTINCT FROM top.split
+         LEFT JOIN ent ON per.split IS NOT DISTINCT FROM ent.split""",
+
+    // q119: the two distinct-key count tables replayed; all metrics are
+    // exact integers except the final skew division
+    "q119_join_preflight" ->
+      """WITH lc AS (SELECT c_custkey AS k, count(*) AS cl FROM customer GROUP BY 1),
+         rc AS (SELECT o_custkey AS k, count(*) AS cr FROM orders GROUP BY 1),
+         ls AS (SELECT CAST(coalesce(sum(cl), 0) AS BIGINT) AS rows_left,
+                  CAST(coalesce(sum(cl) FILTER (WHERE k IS NULL), 0) AS BIGINT) AS null_key_rows_left,
+                  count(*) FILTER (WHERE k IS NOT NULL) AS distinct_keys_left,
+                  CAST(max(cl) FILTER (WHERE k IS NOT NULL) AS BIGINT) AS max_left_mult
+                FROM lc),
+         rs AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS rows_right,
+                  CAST(coalesce(sum(cr) FILTER (WHERE k IS NULL), 0) AS BIGINT) AS null_key_rows_right,
+                  count(*) FILTER (WHERE k IS NOT NULL) AS distinct_keys_right,
+                  CAST(max(cr) FILTER (WHERE k IS NOT NULL) AS BIGINT) AS max_right_mult
+                FROM rc),
+         j AS (SELECT cl, cr
+               FROM (SELECT * FROM lc WHERE k IS NOT NULL) l
+               FULL OUTER JOIN (SELECT * FROM rc WHERE k IS NOT NULL) r
+               ON l.k = r.k),
+         js AS (SELECT
+                  count(*) FILTER (WHERE cl IS NOT NULL AND cr IS NOT NULL) AS matched_keys,
+                  count(*) FILTER (WHERE cl IS NOT NULL AND cr IS NULL) AS left_only_keys,
+                  count(*) FILTER (WHERE cl IS NULL AND cr IS NOT NULL) AS right_only_keys,
+                  CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS inner_rows,
+                  CAST(max(cl * cr) AS BIGINT) AS max_key_pair_rows
+                FROM j)
+         SELECT rows_left, rows_right, null_key_rows_left, null_key_rows_right,
+           distinct_keys_left, distinct_keys_right, matched_keys,
+           left_only_keys, right_only_keys, inner_rows, max_left_mult,
+           max_right_mult, max_key_pair_rows,
+           CASE WHEN inner_rows > 0 THEN
+             round(CAST(max_key_pair_rows AS DOUBLE) * matched_keys / inner_rows, 5)
+           END AS skew_ratio
+         FROM ls, rs, js""",
+
+    // q120: cuts = round5(quantile_cont) over the FINITE population,
+    // clip replayed as the same CASE; NaN ≡ missing → NULL
+    "q120_winsorize" ->
+      """WITH fin AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+                      WHERE value IS NOT NULL AND isfinite(value)),
+         c AS (SELECT round(quantile_cont(x, 0.05), 5) AS lo,
+                      round(quantile_cont(x, 0.95), 5) AS hi FROM fin)
+         SELECT event_id, value,
+           CASE WHEN value IS NULL OR isnan(value) THEN NULL
+                WHEN CAST(value AS DOUBLE) < lo THEN lo
+                WHEN CAST(value AS DOUBLE) > hi THEN hi
+                ELSE CAST(value AS DOUBLE) END AS value_w
+         FROM events, c""",
+
     "q109_mad_outliers" ->
       """WITH vx AS (SELECT CAST(value AS DOUBLE) AS x FROM events
                      WHERE value IS NOT NULL AND NOT isnan(value)),
@@ -2418,6 +2507,137 @@ object Oracles {
         .map(p => s"$textExpr LIKE '%${likeEsc(p)}%' ESCAPE '\\'").mkString(" OR ")
       s"WHEN $cond THEN '${sq(pick(r))}'"
     }.mkString(" ") + " END"
+
+  /** The q98 BM25 ranking CTE chain (through `bm25ranked`) — shared
+    * verbatim by the q122 hybrid-fusion oracle so the scoring SQL exists
+    * ONCE and cannot drift between queries.
+    */
+  private def bm25RankedCtes: String =
+    """base AS (SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         stats AS (SELECT greatest(count(*), 1) AS n,
+                     sum(len(toks)) AS tot FROM base),
+         terms AS (SELECT unnest(['spark', 'join', 'query']) AS term),
+         hits AS (SELECT doc_id, len(toks) AS dl,
+                    unnest(list_filter(toks,
+                      x -> list_contains(['spark', 'join', 'query'], x))) AS term
+                  FROM base),
+         tfc AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+                 FROM hits GROUP BY 1, 2),
+         dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+         idf AS (SELECT t.term,
+                   round(ln((n - coalesce(df, 0) + 0.5) / (coalesce(df, 0) + 0.5) + 1.0), 5) AS idf
+                 FROM terms t LEFT JOIN dfs USING (term) CROSS JOIN stats),
+         bm25scored AS (SELECT doc_id,
+                      CAST(round((idf * (tf * (1.2 + 1.0)))
+                        / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / n)))), 5)
+                        AS DECIMAL(18,5)) AS s
+                    FROM tfc JOIN idf USING (term) CROSS JOIN stats),
+         bm25agg AS (SELECT doc_id, CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE) AS bm25
+                 FROM bm25scored GROUP BY 1),
+         bm25ranked AS (SELECT doc_id, bm25,
+                      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+                    FROM bm25agg)"""
+
+  /** q122 replay: BM25 top-20 (shared q98 chain) ⊕ exact cosine top-20
+    * vs query vector 0, RRF-fused with 9-dp decimal term sums.
+    */
+  private def hybridRrfOracle: String =
+    s"""WITH $bm25RankedCtes,
+       a AS (SELECT doc_id, rnk AS rank FROM bm25ranked WHERE rnk <= 20),
+       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       cvecs AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       cscored AS (SELECT neighbor_id, ${cosSql("qv", "cv")} AS cos
+                   FROM cvecs CROSS JOIN q WHERE neighbor_id <> 0),
+       cranked AS (SELECT neighbor_id AS doc_id,
+                     row_number() OVER (ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM cscored),
+       b AS (SELECT doc_id, rank FROM cranked WHERE rank <= 20),
+       uni AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+       g AS (SELECT doc_id, count(*) AS n_lists,
+               CAST(CAST(sum(CAST(round(CAST(1 AS DOUBLE) / (60 + rank), 9)
+                 AS DECIMAL(19,9))) AS VARCHAR) AS DOUBLE) AS s
+             FROM uni GROUP BY 1),
+       f AS (SELECT doc_id, n_lists, s,
+               row_number() OVER (ORDER BY s DESC, doc_id) AS fr FROM g)
+       SELECT doc_id, n_lists, s AS rrf_score, CAST(fr AS BIGINT) AS fused_rank
+       FROM f WHERE fr <= 15"""
+
+  /** q117 replay: one moment-sum block per pair (4-dp decimal-quantized
+    * inputs, exact decimal sums), then the Spark side's exact double
+    * formula over VARCHAR-roundtripped sums (correctly-rounded decimal →
+    * double in both engines).
+    */
+  private def corrMatrixOracle: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val union = pairs.map { case (x, y) =>
+      s"""SELECT '$x' AS col_x, '$y' AS col_y, count(*) AS n_pairs,
+            sum(qx) AS sx, sum(qy) AS sy, sum(qx*qx) AS sxx,
+            sum(qy*qy) AS syy, sum(qx*qy) AS sxy
+          FROM (SELECT CAST(CAST($x AS DECIMAL(18,4)) AS DECIMAL(28,4)) AS qx,
+                       CAST(CAST($y AS DECIMAL(18,4)) AS DECIMAL(28,4)) AS qy
+                FROM lineitem
+                WHERE $x IS NOT NULL AND isfinite(CAST($x AS DOUBLE))
+                  AND $y IS NOT NULL AND isfinite(CAST($y AS DOUBLE)))"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH p AS ($union),
+       d AS (SELECT col_x, col_y, n_pairs, CAST(n_pairs AS DOUBLE) AS nd,
+               CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dsx,
+               CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dsy,
+               CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dsxx,
+               CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dsyy,
+               CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy
+             FROM p)
+       SELECT col_x, col_y, n_pairs,
+         CASE WHEN n_pairs > 0 THEN round(dsx / nd, 6) END AS mean_x,
+         CASE WHEN n_pairs > 0 THEN round(dsy / nd, 6) END AS mean_y,
+         CASE WHEN (nd * dsxx - dsx * dsx) > 0 AND (nd * dsyy - dsy * dsy) > 0
+              THEN round((nd * dsxy - dsx * dsy) /
+                sqrt((nd * dsxx - dsx * dsx) * (nd * dsyy - dsy * dsy)), 6)
+         END AS corr
+       FROM d"""
+  }
+
+  /** q118 replay: per-pair joint/marginal CTE chain; chi2 from observed
+    * cells only (n·Σ o²/(ra·cb) − n), 9-dp-rounded decimal term sums.
+    */
+  private def catAssocOracle: String = {
+    val bucket = "CAST(CAST(floor(n_chars / 500) AS BIGINT) AS VARCHAR)"
+    val pairs = Seq(
+      ("lang", "lang", "source", "source"),
+      ("lang", "lang", "len_bucket", bucket),
+      ("source", "source", "len_bucket", bucket))
+    pairs.map { case (xn, xe, yn, ye) =>
+      s"""SELECT '$xn' AS col_x, '$yn' AS col_y, n, r_levels, c_levels,
+            CASE WHEN n > 0 THEN round(chi2r, 6) END AS chi2,
+            CASE WHEN n > 0 AND mdf >= 1 THEN
+              round(sqrt(chi2r / (CAST(n AS DOUBLE) * mdf)), 6)
+            END AS cramers_v
+          FROM (
+            WITH e AS (SELECT CAST($xe AS VARCHAR) AS a, CAST($ye AS VARCHAR) AS b
+                       FROM documents
+                       WHERE $xe IS NOT NULL AND $ye IS NOT NULL),
+            j AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
+            rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM j GROUP BY 1),
+            cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM j GROUP BY 1),
+            t AS (SELECT sum(CAST(round(CAST(o AS DOUBLE) * o / (ra * cb), 9)
+                     AS DECIMAL(28,9))) AS s
+                  FROM j JOIN rm USING (a) JOIN cm USING (b)),
+            m AS (SELECT CAST(coalesce((SELECT sum(o) FROM j), 0) AS BIGINT) AS n,
+                    (SELECT count(*) FROM rm) AS r_levels,
+                    (SELECT count(*) FROM cm) AS c_levels,
+                    (SELECT s FROM t) AS s)
+            SELECT n, r_levels, c_levels,
+              greatest(CAST(n AS DOUBLE) *
+                (CAST(CAST(s AS VARCHAR) AS DOUBLE) - 1), CAST(0 AS DOUBLE)) AS chi2r,
+              CAST(least(r_levels, c_levels) - 1 AS DOUBLE) AS mdf
+            FROM m)"""
+    }.mkString("\nUNION ALL\n")
+  }
 
   private def q47Sql: String =
     s"""WITH p AS (SELECT p_partkey, lower(p_name) AS nm,

@@ -1289,6 +1289,75 @@ object Queries {
         psiBins = 10, exactMedians = true, outlierK = Some(3.0))
     }),
 
+    // Recency-weighted engagement per user (half-life 7 days, reference
+    // instant = the stream's max ts, one tiny agg): the freshness score
+    // behind recency-aware sampling. Pure codegen decay projection +
+    // ONE hash agg; 9-dp decimal term sums
+    "q121_decayed_engagement" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val ref = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      Funnel.decayedEngagement(e, "user_id", "ts", "value", ref, halfLifeDays = 7.0)
+    }),
+
+    // Hybrid retrieval: BM25 keyword top-20 ⊕ exact cosine top-20 against
+    // query vector 0, reciprocal-rank-fused (1/(60+rank)) — rank-only
+    // fusion needs no score calibration between systems. Both lists are
+    // post-retrieval tiny; fusion is one union + hash agg + bounded heap
+    "q122_hybrid_rrf" -> ((s, d) => {
+      val bm25 = Quality.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "query"), topK = 20).select(col("doc_id"), col("rank"))
+      val e = Tables.embeddings(s, d)
+      val cosR = Ann.bruteForceTopK(e.filter(col("vec_id") === 0), e,
+          "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Quality.rrfFuse(Seq(bm25, cosR), topK = 15)
+    }),
+
+    // Label-distribution balance of `source` across the portable
+    // train/val/test splits — the eval-representativeness audit. One
+    // (split, label) count shuffle; entropy/gini as decimal term sums
+    "q123_class_balance" -> ((s, d) => {
+      val docs = Sampling.assignSplit(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        col("doc_id"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        portable = true)
+      Summaries.classBalance(docs, "split", "source")
+    }),
+
+    // Pearson correlation matrix over the lineitem measures — ONE global
+    // aggregation computes all pairs' moment sums together (no
+    // per-pair jobs, no shuffle); exact decimal sums, pure-double final
+    // arithmetic. The card's numeric-association section
+    "q117_corr_matrix" -> ((s, d) =>
+      Summaries.correlationMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // Cramér's V between categorical document facets (lang × source ×
+    // a 500-char length bucket) — all pairs ride one joint-count
+    // shuffle; chi2 from observed cells only, decimal term sums
+    "q118_cat_assoc" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("len_bucket",
+        floor(col("n_chars") / 500).cast("string"))
+      Summaries.categoricalAssociation(docs,
+        Seq(("lang", "source"), ("lang", "len_bucket"), ("source", "len_bucket")))
+    }),
+
+    // Join pre-flight: profile customer ⋈ orders on custkey BEFORE
+    // paying for it — exact inner-join output size, key overlap, hot-key
+    // skew ratio, all from two distinct-key count aggs. Feeds the
+    // journaled broadcast/AQE/salt decision rule
+    "q119_join_preflight" -> ((s, d) =>
+      Joins.keyProfile(Tables.customer(s, d), Tables.orders(s, d),
+        "c_custkey", "o_custkey")),
+
+    // Winsorize the heavy-tailed event value at the [p05, p95] cuts —
+    // cuts via the fused exact-quantile narrowing (the 100 TB path),
+    // clip as a plan-constant codegen projection
+    "q120_winsorize" -> ((s, d) =>
+      Summaries.winsorize(Tables.events(s, d).select("event_id", "value"),
+          Seq("value"), pLo = 0.05, pHi = 0.95, scalable = true)
+        .select("event_id", "value", "value_w")),
+
     "q106_ann_recall" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val queries = e.filter(pmod(col("vec_id"), lit(50)) === 0)

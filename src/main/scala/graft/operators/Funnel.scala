@@ -120,4 +120,39 @@ object Funnel {
     pairs.join(broadcast(totals), Seq("from_type"))
       .withColumn("p", col("n").cast("double") / col("n_from"))
   }
+
+  /** Exponentially time-decayed engagement per entity: Σ value·2^(−Δt/h)
+    * with Δt in days before `refTsSeconds` and half-life `halfLifeDays` —
+    * the recency-weighted activity score behind freshness-aware sampling
+    * and user/source prioritization (an event h days old counts half,
+    * 2h days old a quarter). Emits (key, n_events, last_ts,
+    * decayed_value).
+    *
+    * Scale notes: the decay factor is a pure per-row codegen projection
+    * (no window, no self-join against "now"), then ONE map-side-combined
+    * hash agg on the key. Each term is rounded to 9 dp and
+    * decimal-summed, so the result is independent of partial-agg order
+    * and engine (the [[Sampling]] portability discipline — a pow() ulp
+    * can't move a 9-dp-quantized term). NULL ts/value rows and non-finite
+    * values are excluded (NaN ≡ missing; a single ±Inf would absorb the
+    * whole sum); rows AFTER the reference instant get factors > 1 by the
+    * same formula — callers wanting a hard cutoff filter first.
+    */
+  def decayedEngagement(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, refTsMicros: Long,
+                        halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be > 0, got $halfLifeDays")
+    val v = col(valueCol).cast("double")
+    // MICROsecond-exact Δt (events carry sub-second timestamps; a
+    // truncated-seconds Δt shifts every factor by up to ~1e-5 relative
+    // and is not what another engine replays)
+    val dtDays = (lit(refTsMicros) - unix_micros(col(tsCol)))
+      .cast("double") / lit(86400e6)
+    val term = round(v * pow(lit(2.0), -dtDays / lit(halfLifeDays)), 9)
+    df.filter(col(tsCol).isNotNull && v.isNotNull && !isnan(v) &&
+        v > Double.NegativeInfinity && v < Double.PositiveInfinity)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), max(col(tsCol)).as("last_ts"),
+        sum(term.cast("decimal(28,9)")).cast("double").as("decayed_value"))
+  }
 }

@@ -330,4 +330,60 @@ object Joins {
     gated.select((left.columns.map(col) ++
       (rightTs +: payloadCols).map(c => col("__fill")(c).as(prefix + c))): _*)
   }
+
+  /** Pre-flight profile of an equi-join BEFORE paying for it — the
+    * diagnostics a 100 TB join plan decision needs: per-side row/key
+    * censuses, key overlap, the EXACT inner-join output size
+    * (Σ_k cL(k)·cR(k) — the number that says whether the join explodes),
+    * per-side max key multiplicity and the hottest key's output
+    * contribution with its skew ratio vs the average matched key. One
+    * summary row: (rows_left, rows_right, null_key_rows_left,
+    * null_key_rows_right, distinct_keys_left, distinct_keys_right,
+    * matched_keys, left_only_keys, right_only_keys, inner_rows,
+    * max_left_mult, max_right_mult, max_key_pair_rows, skew_ratio).
+    *
+    * Scale notes: one map-side-combined count aggregation per side (the
+    * shuffle carries DISTINCT KEYS, not rows — the NULL key group rides
+    * the same agg, so the null census costs no extra pass), then every
+    * metric derives from the two already-tiny count tables: a full-outer
+    * key join for the overlap/product stats plus one single-row agg per
+    * side, combined by 1×1 cross joins. Feeds the journaled skew rule:
+    * broadcast if a side fits; else AQE skew-split; salt only when AQE
+    * can't see the skew. Counts and products are exact longs — at
+    * petabyte key multiplicities (cL·cR > 2⁶³) the product sum would
+    * need a decimal widening, documented rather than paid here.
+    */
+  def keyProfile(lhs: DataFrame, rhs: DataFrame,
+                 leftKey: String, rightKey: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lc = lhs.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
+    val rc = rhs.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
+    val lStats = lc.agg(
+      coalesce(sum("cl"), lit(0L)).as("rows_left"),
+      coalesce(sum(when(col("k").isNull, col("cl"))), lit(0L)).as("null_key_rows_left"),
+      count(when(col("k").isNotNull, 1)).as("distinct_keys_left"),
+      max(when(col("k").isNotNull, col("cl"))).as("max_left_mult"))
+    val rStats = rc.agg(
+      coalesce(sum("cr"), lit(0L)).as("rows_right"),
+      coalesce(sum(when(col("k").isNull, col("cr"))), lit(0L)).as("null_key_rows_right"),
+      count(when(col("k").isNotNull, 1)).as("distinct_keys_right"),
+      max(when(col("k").isNotNull, col("cr"))).as("max_right_mult"))
+    val both = lc.filter(col("k").isNotNull)
+      .join(rc.filter(col("k").isNotNull), Seq("k"), "full_outer")
+    val jStats = both.agg(
+      count(when(col("cl").isNotNull && col("cr").isNotNull, 1)).as("matched_keys"),
+      count(when(col("cl").isNotNull && col("cr").isNull, 1)).as("left_only_keys"),
+      count(when(col("cl").isNull && col("cr").isNotNull, 1)).as("right_only_keys"),
+      coalesce(sum(col("cl") * col("cr")), lit(0L)).as("inner_rows"),
+      max(col("cl") * col("cr")).as("max_key_pair_rows"))
+    lStats.crossJoin(rStats).crossJoin(jStats)
+      .withColumn("skew_ratio",
+        when(col("inner_rows") > 0, round(
+          col("max_key_pair_rows").cast("double") * col("matched_keys") /
+            col("inner_rows"), 5)))
+      .select("rows_left", "rows_right", "null_key_rows_left",
+        "null_key_rows_right", "distinct_keys_left", "distinct_keys_right",
+        "matched_keys", "left_only_keys", "right_only_keys", "inner_rows",
+        "max_left_mult", "max_right_mult", "max_key_pair_rows", "skew_ratio")
+  }
 }

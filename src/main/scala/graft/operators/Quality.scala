@@ -724,4 +724,48 @@ object Quality {
           .otherwise(round(coalesce(col("topk_tokens"), lit(0L)).cast("double") /
             col("total_tokens"), 5)).as("topk_coverage"))
   }
+
+  /** Reciprocal-rank fusion of N retrieval rankings — the standard hybrid-
+    * search combiner (BM25 ⊕ embedding ANN ⊕ anything rank-shaped):
+    * score(d) = Σ_lists 1/(rrfK + rank_list(d)), documents missing from a
+    * list contribute nothing. Rank-only fusion needs NO score
+    * calibration between systems — exactly why RRF is the production
+    * default. Emits (id, n_lists, rrf_score, fused_rank) for the top-k
+    * fused candidates; ties break by id.
+    *
+    * Precondition: each ranking holds one row per id (true of every graft
+    * top-k producer). NULL ids/ranks are dropped.
+    *
+    * Scale notes: inputs are already top-k lists (≤ Σ k_i rows total —
+    * post-retrieval tiny at any corpus size), so fusion is one union +
+    * one hash agg + one bounded-heap global top-k (`graft_top_k_by`, no
+    * window sort). Each 1/(rrfK+rank) term is exact-input double
+    * arithmetic rounded to 9 dp and decimal-summed — order-independent
+    * and engine-portable.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String = "doc_id",
+              rankCol: String = "rank", rrfK: Int = 60,
+              topK: Int = 20): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse needs at least two rankings")
+    require(rrfK >= 1 && topK >= 1, "rrfK and topK must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(rankings.head.sparkSession)
+    val tagged = rankings.map { r =>
+      r.select(col(idCol).as("id"), col(rankCol).cast("long").as("rank"))
+        .filter(col("id").isNotNull && col("rank").isNotNull)
+    }.reduce(_ unionByName _)
+    val scored = tagged
+      .select(col("id"),
+        round(lit(1.0) / (lit(rrfK) + col("rank")), 9)
+          .cast("decimal(19,9)").as("t"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lists"), sum(col("t")).cast("double").as("s"))
+    scored.groupBy()
+      .agg(call_function("graft_top_k_by",
+        struct(col("id"), col("n_lists"), col("s")),
+        col("s"), col("id"), lit(topK)).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.id").as(idCol), col("col.n_lists").as("n_lists"),
+        col("col.s").as("rrf_score"),
+        (col("pos") + 1).cast("long").as("fused_rank"))
+  }
 }

@@ -1059,4 +1059,239 @@ object Summaries {
       .select(col("col_name").as("column_name"),
         round(col("d_raw"), 5).as("d_stat"), col("n_ref"), col("n_cur"))
   }
+
+  /** Pearson correlation for every unordered pair of `cols` — the
+    * dataset-card association table for numeric features (which columns
+    * are redundant, which quality signals move together). One row per
+    * pair: (col_x, col_y, n_pairs, mean_x, mean_y, corr); pairwise-
+    * complete semantics (a row enters a pair's stats iff BOTH members
+    * are non-NULL, non-NaN and finite — NaN ≡ missing like the rest of
+    * the card family, and a single ±Inf would otherwise poison every
+    * moment it touches).
+    *
+    * Scale notes: ONE global aggregation pass computes all six moment
+    * sums for all C(|cols|,2) pairs together — no shuffle (global agg
+    * partial-aggregates map-side to a single 6·pairs-column row), no
+    * per-pair scans, no `df.stat.corr` loop (which costs a job per
+    * pair). Moment sums accumulate as exact decimals quantized at 4 dp
+    * (order-independent and engine-portable — a raw double sum would
+    * depend on partition count); the final correlation is pure double
+    * arithmetic over those exact sums, identical IEEE ops in any
+    * engine, rounded to 6 dp. Zero-variance columns and pairs with
+    * n < 2 yield NULL corr rather than NaN.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    require(cols.distinct.size == cols.size, "duplicate columns in cols")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    def v(c: String) = col(c).cast("double")
+    def fin(c: String) = col(c).isNotNull && !isnan(v(c)) &&
+      v(c) > Double.NegativeInfinity && v(c) < Double.PositiveInfinity
+    def q(c: String) = col(c).cast("decimal(18,4)")
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+      val cond = fin(x) && fin(y)
+      def g(e: Column) = sum(when(cond, e))
+      Seq(
+        count(when(cond, 1)).as(s"n_$i"),
+        g(q(x)).as(s"sx_$i"), g(q(y)).as(s"sy_$i"),
+        g(q(x) * q(x)).as(s"sxx_$i"), g(q(y) * q(y)).as(s"syy_$i"),
+        g(q(x) * q(y)).as(s"sxy_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
+      val n = col(s"n_$i").cast("double")
+      def d(nm: String) = col(s"${nm}_$i").cast("double")
+      val covN = n * d("sxy") - d("sx") * d("sy")
+      val varX = n * d("sxx") - d("sx") * d("sx")
+      val varY = n * d("syy") - d("sy") * d("sy")
+      struct(
+        lit(x).as("col_x"), lit(y).as("col_y"),
+        col(s"n_$i").as("n_pairs"),
+        when(col(s"n_$i") > 0, round(d("sx") / n, 6)).as("mean_x"),
+        when(col(s"n_$i") > 0, round(d("sy") / n, 6)).as("mean_y"),
+        when(varX > 0 && varY > 0, round(covN / sqrt(varX * varY), 6))
+          .as("corr"))
+    }
+    one.select(explode(array(rows.toIndexedSeq: _*)).as("r")).select("r.*")
+  }
+
+  /** Chi-squared association (Cramér's V) for each requested pair of
+    * categorical columns — the [[correlationMatrix]] counterpart for
+    * label/enum features (is `lang` independent of `source`? does the
+    * length bucket track the license?). One row per requested pair:
+    * (col_x, col_y, n, r_levels, c_levels, chi2, cramers_v);
+    * pairwise-complete (both sides non-NULL). Every requested pair gets
+    * a row even if no complete observations exist (n = 0, NULL stats) —
+    * the psiDrift discipline.
+    *
+    * Scale notes: all pairs ride ONE (pair, a, b) joint-count
+    * aggregation (the only data-sized shuffle, map-side combined);
+    * marginals, level counts and the chi-squared sum all derive from
+    * the already-tiny joint table (≤ distinct-combos rows), with the
+    * marginal joins broadcast. Uses chi2 = n·Σ o²⁄(ra·cb) − n — only
+    * OBSERVED cells contribute, so the r×c grid is never densified.
+    * Each cell term is rounded to 9 dp and decimal-summed
+    * (order-independent, engine-portable); o, ra, cb are exact longs
+    * whose products stay below 2⁵³ for any n < 9·10¹⁵ rows, so the
+    * per-cell double division is exact-input arithmetic in any engine.
+    */
+  def categoricalAssociation(df: DataFrame,
+                             pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "categoricalAssociation needs at least one pair")
+    require(pairs.distinct.size == pairs.size, "duplicate pairs")
+    val spark = df.sparkSession
+    val entries = df.select(explode(array(pairs.zipWithIndex.map {
+        case ((a, b), i) =>
+          struct(lit(i).as("p"), col(a).cast("string").as("a"),
+            col(b).cast("string").as("b"))
+      }.toIndexedSeq: _*)).as("e"))
+      .select(col("e.p").as("p"), col("e.a").as("a"), col("e.b").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val joint = entries.groupBy("p", "a", "b").agg(count(lit(1)).as("o"))
+    val rowM = joint.groupBy("p", "a").agg(sum("o").as("ra"))
+    val colM = joint.groupBy("p", "b").agg(sum("o").as("cb"))
+    val tot = joint.groupBy("p").agg(sum("o").as("n"))
+    val rLev = rowM.groupBy("p").agg(count(lit(1)).as("r_levels"))
+    val cLev = colM.groupBy("p").agg(count(lit(1)).as("c_levels"))
+    val s = joint.join(broadcast(rowM), Seq("p", "a"))
+      .join(broadcast(colM), Seq("p", "b"))
+      .select(col("p"),
+        round(col("o").cast("double") * col("o") / (col("ra") * col("cb")), 9)
+          .cast("decimal(28,9)").as("t"))
+      .groupBy("p").agg(sum(col("t")).as("s"))
+    // seed every requested pair so an all-NULL pair still reports n = 0
+    val seed = spark.range(pairs.size).select(col("id").cast("int").as("p"))
+    val xNames = array(pairs.map(p => lit(p._1)).toIndexedSeq: _*)
+    val yNames = array(pairs.map(p => lit(p._2)).toIndexedSeq: _*)
+    val nD = coalesce(col("n"), lit(0L)).cast("double")
+    val sD = col("s").cast("double")
+    val chi2 = greatest(nD * (sD - 1d), lit(0d))
+    val minDf = (least(col("r_levels"), col("c_levels")) - 1).cast("double")
+    seed.join(tot, Seq("p"), "left").join(rLev, Seq("p"), "left")
+      .join(cLev, Seq("p"), "left").join(s, Seq("p"), "left")
+      .select(
+        element_at(xNames, col("p") + 1).as("col_x"),
+        element_at(yNames, col("p") + 1).as("col_y"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("r_levels"), lit(0L)).as("r_levels"),
+        coalesce(col("c_levels"), lit(0L)).as("c_levels"),
+        when(col("n") > 0, round(chi2, 6)).as("chi2"),
+        when(col("n") > 0 && minDf >= 1d,
+          round(sqrt(chi2 / (nD * minDf)), 6)).as("cramers_v"))
+  }
+
+  /** Per-group label-distribution balance — the split/mix audit every
+    * curation pipeline owes its eval sets: is val's source mix
+    * representative of train's? did stratification actually balance the
+    * classes? One row per group: n (labeled rows), n_null_labels,
+    * n_labels, top_label/top_share (majority class), Shannon entropy in
+    * bits, normalized entropy (÷ log2 n_labels — 1.0 = perfectly
+    * balanced), and Gini impurity. NULL labels are censused, not
+    * counted as a class; a NULL group is a group like any other; a
+    * group whose labels are ALL NULL keeps its row (n = 0, NULL stats).
+    *
+    * Scale notes: ONE data-sized map-side-combined (group, label) count
+    * shuffle; every statistic derives from the already-tiny count table
+    * (≤ groups×labels rows) — the majority class via a `graft_top_k_by`
+    * bounded heap (no window sort), entropy/gini as 9-dp-rounded
+    * decimal term sums (order-independent, engine-portable), group
+    * joins null-safe and broadcast.
+    */
+  def classBalance(df: DataFrame, groupCol: String, labelCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val counts = df
+      .groupBy(col(groupCol).as("g"), col(labelCol).cast("string").as("l"))
+      .agg(count(lit(1)).as("cnt"))
+    val lab = counts.filter(col("l").isNotNull)
+    val per = counts.groupBy("g").agg(
+      sum(when(col("l").isNotNull, col("cnt")).otherwise(0L)).as("n"),
+      sum(when(col("l").isNull, col("cnt")).otherwise(0L)).as("n_null_labels"),
+      count(when(col("l").isNotNull, 1)).as("n_labels"))
+    val top = lab.groupBy("g")
+      .agg(call_function("graft_top_k_by",
+        struct(col("l"), col("cnt")), col("cnt"), col("l"), lit(1)).as("top"))
+      .select(col("g"), element_at(col("top"), 1).getField("l").as("top_label"),
+        element_at(col("top"), 1).getField("cnt").as("top_cnt"))
+    val p = col("cnt").cast("double") / col("n")
+    val ent = lab
+      .join(broadcast(per.select(col("g").as("g2"), col("n"))),
+        col("g") <=> col("g2")).drop("g2")
+      .select(col("g"),
+        round(-p * log2(p), 9).cast("decimal(19,9)").as("ht"),
+        round(p * p, 9).cast("decimal(19,9)").as("gt"))
+      .groupBy("g").agg(sum("ht").as("ht"), sum("gt").as("gt"))
+    def joinNS(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(broadcast(b.withColumnRenamed("g", "g2")),
+        col("g") <=> col("g2"), "left").drop("g2")
+    joinNS(joinNS(per, top), ent)
+      .select(col("g").as(groupCol), col("n"), col("n_null_labels"),
+        col("n_labels"), col("top_label"),
+        when(col("n") > 0, round(col("top_cnt").cast("double") / col("n"), 5))
+          .as("top_share"),
+        when(col("n") > 0, round(col("ht").cast("double"), 6)).as("entropy"),
+        when(col("n_labels") > 1, round(
+          col("ht").cast("double") / log2(col("n_labels").cast("double")), 6))
+          .as("norm_entropy"),
+        when(col("n") > 0, round(lit(1.0) - col("gt").cast("double"), 6))
+          .as("gini"))
+  }
+
+  /** Winsorize (clip) numeric columns at the [pLo, pHi] quantiles — the
+    * standard robust pre-normalization for heavy-tailed quality signals
+    * before they feed a mix weight or a classifier. Appends `<col>_w`
+    * per input column; cuts are computed over the FINITE population
+    * (the [[madOutliers]] discipline: an Inf order statistic would make
+    * its cut Inf and the clip a no-op — exactly the value winsorizing
+    * exists to tame), rounded to 5 dp for engine portability. NULL and
+    * NaN map to NULL (NaN ≡ missing); ±Inf clip to the cuts.
+    *
+    * Scale notes: `scalable = true` (the default) routes ALL columns'
+    * cut pairs through one [[exactQuantilesPerColumn]] narrowing batch —
+    * bounded driver memory at any cardinality, passes shared across
+    * columns; `false` is the single-job `percentile` yardstick (exact
+    * but one sort buffer per column on the agg path). The clip itself
+    * is a pure codegen projection with plan-constant cuts — no second
+    * shuffle, no window.
+    */
+  def winsorize(df: DataFrame, cols: Seq[String], pLo: Double = 0.01,
+                pHi: Double = 0.99, scalable: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "winsorize needs at least one column")
+    require(cols.distinct.size == cols.size, "duplicate columns in cols")
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi, s"need 0 <= pLo <= pHi <= 1")
+    def round5(v: Double): Double =
+      BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val isFin = (c: Column) => !isnan(c) &&
+      c > Double.NegativeInfinity && c < Double.PositiveInfinity
+    val finite = df.select(cols.map(c =>
+      when(isFin(col(c).cast("double")), col(c).cast("double")).as(c))
+      .toIndexedSeq: _*)
+    val cuts: Map[String, (Option[Double], Option[Double])] =
+      if (scalable)
+        exactQuantilesPerColumn(finite, cols.map(c => c -> Seq(pLo, pHi)))
+          .map { case (c, qs) => c -> (qs.head.map(round5), qs(1).map(round5)) }
+      else {
+        val row = finite.agg(
+          percentile(col(cols.head), typedLit(Seq(pLo, pHi))).as("q0"),
+          cols.tail.zipWithIndex.map { case (c, i) =>
+            percentile(col(c), typedLit(Seq(pLo, pHi))).as(s"q${i + 1}")
+          }.toIndexedSeq: _*).head()
+        cols.zipWithIndex.map { case (c, i) =>
+          val arr = row.getSeq[Double](i)
+          c -> (if (arr == null || arr.isEmpty) (None, None)
+                else (Some(round5(arr.head)), Some(round5(arr(1)))))
+        }.toMap
+      }
+    cols.foldLeft(df) { (acc, c) =>
+      val vc = col(c).cast("double")
+      val out = cuts(c) match {
+        case (Some(lo), Some(hi)) =>
+          when(vc.isNull || isnan(vc), lit(null).cast("double"))
+            .when(vc < lo, lit(lo)).when(vc > hi, lit(hi)).otherwise(vc)
+        // no finite values at all: nothing to clip toward — NULL out
+        case _ => lit(null).cast("double")
+      }
+      acc.withColumn(s"${c}_w", out)
+    }
+  }
 }

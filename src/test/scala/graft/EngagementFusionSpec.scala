@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Funnel, Quality, Summaries}
+
+/** Specs for the r10 engagement/fusion/balance additions:
+  * decayedEngagement, rrfFuse, classBalance.
+  */
+class EngagementFusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dayUs = 86400L * 1000000L
+
+  // ── decayedEngagement ─────────────────────────────────────────────────
+
+  test("decayedEngagement: hand-computed half-life ladder") {
+    val ref = 100L * dayUs
+    def ts(daysBefore: Double) =
+      new Timestamp((ref - (daysBefore * dayUs).toLong) / 1000L)
+    val df = Seq(
+      (1L, ts(0.0), 10.0),   // factor 1
+      (1L, ts(7.0), 10.0),   // factor 0.5 (one half-life)
+      (1L, ts(14.0), 10.0)   // factor 0.25
+    ).toDF("user_id", "ts", "value")
+    val r = Funnel.decayedEngagement(df, "user_id", "ts", "value", ref, 7.0).head()
+    assert(r.getAs[Long]("n_events") === 3L)
+    assert(math.abs(r.getAs[Double]("decayed_value") - 17.5) < 1e-6)
+    assert(r.getAs[Timestamp]("last_ts") === ts(0.0))
+  }
+
+  test("decayedEngagement: NULL/NaN/Inf values and NULL ts are excluded") {
+    val ref = 100L * dayUs
+    val t = new Timestamp(ref / 1000L)
+    val df = Seq(
+      (Some(1L), Some(t), Some(2.0)),
+      (Some(1L), Some(t), Some(Double.NaN)),
+      (Some(1L), Some(t), Some(Double.PositiveInfinity)),
+      (Some(1L), Some(t), None),
+      (Some(1L), None, Some(99.0)),
+      (None, Some(t), Some(5.0)) // NULL user is its own group
+    ).toDF("user_id", "ts", "value")
+    val out = Funnel.decayedEngagement(df, "user_id", "ts", "value", ref, 7.0)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r).toMap
+    assert(out(1L).getAs[Long]("n_events") === 1L)
+    assert(out(1L).getAs[Double]("decayed_value") === 2.0)
+    assert(out(-1L).getAs[Double]("decayed_value") === 5.0)
+  }
+
+  // ── rrfFuse ───────────────────────────────────────────────────────────
+
+  test("rrfFuse: hand-computed fusion, overlap wins, ties break by id") {
+    val a = Seq(("d1", 1L), ("d2", 2L)).toDF("doc_id", "rank")
+    val b = Seq(("d2", 1L), ("d3", 2L)).toDF("doc_id", "rank")
+    val out = Quality.rrfFuse(Seq(a, b), topK = 10).collect()
+    val byRank = out.map(r => r.getAs[Long]("fused_rank") -> r).toMap
+    // d2: 1/62 + 1/61 ≈ 0.032520; d1: 1/61; d3: 1/62
+    assert(byRank(1L).getString(0) === "d2")
+    assert(byRank(1L).getAs[Long]("n_lists") === 2L)
+    assert(byRank(2L).getString(0) === "d1")
+    assert(byRank(3L).getString(0) === "d3")
+    val d2 = byRank(1L).getAs[Double]("rrf_score")
+    val expect = BigDecimal(1.0 / 62).setScale(9, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(1.0 / 61).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(d2 === expect.toDouble)
+    // equal scores (same single-list rank) order by id asc
+    val x = Seq(("zz", 1L)).toDF("doc_id", "rank")
+    val y = Seq(("aa", 1L)).toDF("doc_id", "rank")
+    val tied = Quality.rrfFuse(Seq(x, y), topK = 2).collect()
+      .sortBy(_.getAs[Long]("fused_rank")).map(_.getString(0)).toSeq
+    assert(tied === Seq("aa", "zz"))
+  }
+
+  test("rrfFuse: topK cuts and NULL ids/ranks drop") {
+    val a = (1 to 30).map(i => (s"d$i", i.toLong)).toDF("doc_id", "rank")
+    val b = Seq((Option.empty[String], Some(1L)), (Some("d1"), Option.empty[Long]))
+      .toDF("doc_id", "rank")
+    val out = Quality.rrfFuse(Seq(a, b), topK = 5)
+    assert(out.count() === 5)
+    // the NULL-rank d1 row contributed nothing: d1 still has n_lists 1
+    assert(out.filter(col("doc_id") === "d1").head().getAs[Long]("n_lists") === 1L)
+  }
+
+  // ── classBalance ──────────────────────────────────────────────────────
+
+  test("classBalance: hand-computed entropy/gini/top on a balanced group") {
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "b"),
+      ("g2", "x"), ("g2", "x"), ("g2", "x")).toDF("split", "lab")
+    val out = Summaries.classBalance(df, "split", "lab")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getAs[Long]("n") === 4L)
+    assert(g1.getAs[Long]("n_labels") === 2L)
+    assert(g1.getAs[Double]("entropy") === 1.0)       // two 50% classes
+    assert(g1.getAs[Double]("norm_entropy") === 1.0)  // perfectly balanced
+    assert(g1.getAs[Double]("gini") === 0.5)
+    assert(g1.getAs[String]("top_label") === "a")     // tie → label asc
+    assert(g1.getAs[Double]("top_share") === 0.5)
+    val g2 = out("g2")
+    assert(g2.getAs[Double]("entropy") === 0.0)       // single class
+    assert(g2.isNullAt(g2.fieldIndex("norm_entropy"))) // ÷log2(1) undefined
+    assert(g2.getAs[Double]("gini") === 0.0)
+  }
+
+  test("classBalance: NULL labels censused, all-NULL group keeps its row") {
+    val df = Seq(("g1", Some("a")), ("g1", None),
+      ("g2", Option.empty[String]), ("g2", None)).toDF("split", "lab")
+    val out = Summaries.classBalance(df, "split", "lab")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getAs[Long]("n") === 1L)
+    assert(out("g1").getAs[Long]("n_null_labels") === 1L)
+    val g2 = out("g2")
+    assert(g2.getAs[Long]("n") === 0L)
+    assert(g2.getAs[Long]("n_null_labels") === 2L)
+    assert(g2.isNullAt(g2.fieldIndex("top_label")))
+    assert(g2.isNullAt(g2.fieldIndex("entropy")))
+  }
+
+  test("classBalance: a NULL group is a group like any other") {
+    val df = Seq((Some("g1"), "a"), (None, "b"), (None, "b")).toDF("split", "lab")
+    val out = Summaries.classBalance(df, "split", "lab")
+    assert(out.count() === 2)
+    val nullG = out.filter(col("split").isNull).head()
+    assert(nullG.getAs[Long]("n") === 2L)
+    assert(nullG.getAs[String]("top_label") === "b")
+  }
+}
