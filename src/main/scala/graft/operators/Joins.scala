@@ -356,27 +356,37 @@ object Joins {
   def keyProfile(lhs: DataFrame, rhs: DataFrame,
                  leftKey: String, rightKey: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val lc = lhs.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
-    val rc = rhs.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
-    val lStats = lc.agg(
-      coalesce(sum("cl"), lit(0L)).as("rows_left"),
-      coalesce(sum(when(col("k").isNull, col("cl"))), lit(0L)).as("null_key_rows_left"),
-      count(when(col("k").isNotNull, 1)).as("distinct_keys_left"),
-      max(when(col("k").isNotNull, col("cl"))).as("max_left_mult"))
-    val rStats = rc.agg(
-      coalesce(sum("cr"), lit(0L)).as("rows_right"),
-      coalesce(sum(when(col("k").isNull, col("cr"))), lit(0L)).as("null_key_rows_right"),
-      count(when(col("k").isNotNull, 1)).as("distinct_keys_right"),
-      max(when(col("k").isNotNull, col("cr"))).as("max_right_mult"))
-    val both = lc.filter(col("k").isNotNull)
-      .join(rc.filter(col("k").isNotNull), Seq("k"), "full_outer")
-    val jStats = both.agg(
-      count(when(col("cl").isNotNull && col("cr").isNotNull, 1)).as("matched_keys"),
-      count(when(col("cl").isNotNull && col("cr").isNull, 1)).as("left_only_keys"),
-      count(when(col("cl").isNull && col("cr").isNotNull, 1)).as("right_only_keys"),
-      coalesce(sum(col("cl") * col("cr")), lit(0L)).as("inner_rows"),
-      max(col("cl") * col("cr")).as("max_key_pair_rows"))
-    lStats.crossJoin(rStats).crossJoin(jStats)
+    val lc = lhs.groupBy(col(leftKey).as("lk")).agg(count(lit(1)).as("cl"))
+    val rc = rhs.groupBy(col(rightKey).as("rk")).agg(count(lit(1)).as("cr"))
+    // ONE null-safe full-outer join of the two UNFILTERED count tables:
+    // every metric (per-side censuses INCLUDED) derives from this single
+    // joined stream, so each input is scanned and shuffled exactly once.
+    // (A first cut computed per-side stats from separate branches of
+    // lc/rc — Catalyst pushed the join branch's IsNotNull through the
+    // aggregates into the scans, the subtrees stopped matching, and each
+    // side was scanned twice. The NULL-key groups of the two sides
+    // null-safe-match into one row; presence markers + key-nullness
+    // separate them from real matches.)
+    val j = lc.join(rc, col("lk") <=> col("rk"), "full_outer")
+    val lp = col("cl").isNotNull
+    val rp = col("cr").isNotNull
+    val matched = lp && rp && col("lk").isNotNull
+    j.agg(
+        coalesce(sum("cl"), lit(0L)).as("rows_left"),
+        coalesce(sum("cr"), lit(0L)).as("rows_right"),
+        coalesce(sum(when(lp && col("lk").isNull, col("cl"))), lit(0L))
+          .as("null_key_rows_left"),
+        coalesce(sum(when(rp && col("rk").isNull, col("cr"))), lit(0L))
+          .as("null_key_rows_right"),
+        count(when(lp && col("lk").isNotNull, 1)).as("distinct_keys_left"),
+        count(when(rp && col("rk").isNotNull, 1)).as("distinct_keys_right"),
+        count(when(matched, 1)).as("matched_keys"),
+        count(when(lp && col("lk").isNotNull && !rp, 1)).as("left_only_keys"),
+        count(when(rp && col("rk").isNotNull && !lp, 1)).as("right_only_keys"),
+        coalesce(sum(when(matched, col("cl") * col("cr"))), lit(0L)).as("inner_rows"),
+        max(when(lp && col("lk").isNotNull, col("cl"))).as("max_left_mult"),
+        max(when(rp && col("rk").isNotNull, col("cr"))).as("max_right_mult"),
+        max(when(matched, col("cl") * col("cr"))).as("max_key_pair_rows"))
       .withColumn("skew_ratio",
         when(col("inner_rows") > 0, round(
           col("max_key_pair_rows").cast("double") * col("matched_keys") /

@@ -439,4 +439,72 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(doc_id), IsNotNull(n_chars)"),
       p.take(2000))
   }
+
+  test("q117 correlation matrix: ONE scan, one global agg, no joins") {
+    val df: DataFrame = Queries.all("q117_corr_matrix")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==").head
+    // all C(4,2) pairs' moment sums ride a single scan + single global
+    // aggregation — a per-pair job loop (the df.stat.corr shape) or any
+    // join would show extra scans here
+    assert(finalPlan.split("Scan parquet").length - 1 == 1, finalPlan.take(2000))
+    assert(finalPlan.split("Exchange").length - 1 == 1, finalPlan.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q120 winsorize: the clip is a shuffle-free codegen projection") {
+    // cuts are plan constants (computed by the narrowing at build time);
+    // the query the caller pays per-row is scan + project ONLY
+    val df: DataFrame = Queries.all("q120_winsorize")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Window") && !p.contains("Aggregate"), p.take(2000))
+  }
+
+  test("q121 decayed engagement: one hash agg keyed by user, no window") {
+    val df: DataFrame = Queries.all("q121_decayed_engagement")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the decay factor is a pure projection: no self-join against "now",
+    // no window over the timeline — one map-side-combined agg
+    assert(finalPlan.split("Exchange").length - 1 == 1, finalPlan.take(2000))
+    assert(finalPlan.contains("hashpartitioning(user_id"), finalPlan.take(2000))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+  }
+
+  test("q122 hybrid RRF: bounded-heap fusion, no window, no SMJ") {
+    val df: DataFrame = Queries.all("q122_hybrid_rrf")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both retrieval legs + the fusion cut rank via graft_top_k_by heaps;
+    // the only join is the declared brute-force broadcast cross (yardstick
+    // cosine leg) — a window sort or sort-merge join is a regression
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q123 class balance: broadcast group joins, no SMJ, no window") {
+    val df: DataFrame = Queries.all("q123_class_balance")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the (split, label) count table is the only data-sized aggregation;
+    // census/top/entropy assembly joins are all broadcast on the tiny side
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(2000))
+  }
+
+  test("q119 join pre-flight: per-side count aggs shuffle distinct keys once") {
+    val df: DataFrame = Queries.all("q119_join_preflight")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // each side's rows collapse to (key, count) in ONE exchange per side;
+    // the overlap join and the single-row stat aggs run over those tiny
+    // frames — no cartesian anywhere, and the raw tables are scanned once
+    // per side only
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.split("Scan parquet").length - 1 == 2, finalPlan.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
