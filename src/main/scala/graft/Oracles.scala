@@ -134,8 +134,8 @@ object Oracles {
     * into every oracle that needs components so the shingle/threshold/
     * closure SQL exists ONCE and cannot drift between queries.
     */
-  private val componentCtes: String =
-    """toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+  private def componentCtes(src: String = "documents"): String =
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM $src),
          sh AS (SELECT doc_id,
                   unnest(list_distinct([array_to_string(t[i:i+6], ' ')
                                         for i in range(1, greatest(len(t) - 6, 0) + 1)])) AS s
@@ -734,6 +734,63 @@ object Oracles {
     // q118: chi2 = n·Σ o²/(ra·cb) − n over OBSERVED cells, per-cell
     // terms rounded to 9 dp and decimal-summed — generated per pair
     "q118_cat_assoc" -> catAssocOracle,
+
+    // q127: per-group quantile_cont list unnested in lockstep with the
+    // quantile list; a group with no usable values keeps NULL rows via
+    // the distinct-groups left join (q111 discipline)
+    "q127_group_quantiles" ->
+      """WITH v0 AS (SELECT CAST(lang AS VARCHAR) AS lang,
+                       CAST(n_chars AS DOUBLE) AS x
+                     FROM documents WHERE n_chars IS NOT NULL),
+         v AS (SELECT lang, x FROM v0 WHERE NOT isnan(x)),
+         g AS (SELECT lang,
+                 quantile_cont(x, [0.25, 0.5, 0.75, 0.95]) AS vs
+               FROM v GROUP BY lang),
+         t AS (SELECT lang,
+                 unnest([0.25, 0.5, 0.75, 0.95]) AS quantile,
+                 round(unnest(vs), 5) AS value
+               FROM g),
+         langs AS (SELECT DISTINCT CAST(lang AS VARCHAR) AS lang FROM documents),
+         qq AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS quantile)
+         SELECT l.lang, qq.quantile, t.value
+         FROM langs l CROSS JOIN qq
+         LEFT JOIN t ON l.lang IS NOT DISTINCT FROM t.lang
+                    AND qq.quantile = t.quantile""",
+
+    // q126: the oracle aggregates ALL raw rows directly — passing proves
+    // the merge-of-partials path ≡ the full recompute
+    "q126_incremental_agg" ->
+      """WITH g AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,4))) AS s,
+             min(value) AS min_value, max(value) AS max_value
+           FROM events GROUP BY 1, 2)
+         SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n,
+           CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sum_value,
+           min_value, max_value,
+           round(CAST(CAST(s AS VARCHAR) AS DOUBLE) / n, 6) AS avg_value
+         FROM g""",
+
+    // q125: the q109 median/MAD discipline (finite-core quantiles,
+    // round5 first) + the same per-row transform arithmetic; ±Inf stays
+    // ±Inf, NaN ≡ missing, and a degenerate MAD NULLs the scores
+    "q125_robust_zscore" ->
+      """WITH vx AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+                     WHERE value IS NOT NULL AND NOT isnan(value)),
+         vfin AS (SELECT x FROM vx WHERE isfinite(x)),
+         vs AS (SELECT round(quantile_cont(x, 0.5), 5) AS med FROM vfin),
+         vm AS (SELECT round(quantile_cont(abs(x - med), 0.5), 5) AS mad FROM vfin, vs)
+         SELECT event_id, value,
+           CASE WHEN mad IS NULL OR mad <= 0 THEN NULL
+                WHEN value IS NULL OR isnan(value) THEN NULL
+                WHEN NOT isfinite(value) THEN (CAST(value AS DOUBLE) - med) / (1.4826 * mad)
+                ELSE round((CAST(value AS DOUBLE) - med) / (1.4826 * mad), 6)
+           END AS value_rz
+         FROM events, vs, vm""",
+
+    // q124: exact stage = the q21 md5 grouping; near-dup stage = the
+    // shared component chain over REPRESENTATIVES only + the q70
+    // keep-best rank; three per-source censuses joined null-safe
+    "q124_dedup_attrition" -> dedupAttritionOracle,
 
     // q121: decay factor replayed per row (epoch-second Δt, same pow(2,·)
     // then 9-dp rounding), decimal term sums per user
@@ -1662,11 +1719,11 @@ object Oracles {
     // reach(id, lbl) enumerates every label reachable over the symmetric
     // edge list; min per node = the component minimum
     "q51_neardup_components" ->
-      s"""WITH RECURSIVE $componentCtes
+      s"""WITH RECURSIVE ${componentCtes()}
          SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id""",
 
     "q70_dedup_keep_best" ->
-      s"""WITH RECURSIVE $componentCtes,
+      s"""WITH RECURSIVE ${componentCtes()},
          comps AS (SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id),
          qual AS (SELECT doc_id, ${qualityScalarSql("text")} AS quality FROM documents),
          labeled AS (
@@ -2540,6 +2597,40 @@ object Oracles {
          bm25ranked AS (SELECT doc_id, bm25,
                       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
                     FROM bm25agg)"""
+
+  /** q124 replay: q21's md5 exact grouping → representative docs, the
+    * shared component chain scoped to them, the q70 keep-best rank, and
+    * three per-source censuses.
+    */
+  private def dedupAttritionOracle: String =
+    s"""WITH RECURSIVE
+       reps0 AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+                 FROM documents GROUP BY md5(text)),
+       repdocs AS (SELECT d.* FROM documents d JOIN reps0 USING (doc_id)),
+       ${componentCtes("repdocs")},
+       comps AS (SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id),
+       qual AS (SELECT doc_id, ${qualityScalarSql("text")} AS quality FROM repdocs),
+       labeled AS (
+         SELECT d.doc_id, d.source, coalesce(c.comp, d.doc_id) AS comp, q.quality
+         FROM repdocs d
+         LEFT JOIN comps c ON c.doc_id = d.doc_id
+         JOIN qual q ON q.doc_id = d.doc_id),
+       ranked AS (
+         SELECT comp, doc_id, source, quality,
+           row_number() OVER (PARTITION BY comp ORDER BY quality DESC, doc_id) AS rn
+         FROM labeled),
+       kept AS (SELECT source FROM ranked WHERE rn = 1),
+       cin AS (SELECT source AS g, count(*) AS n_in FROM documents GROUP BY 1),
+       crep AS (SELECT source AS g, count(*) AS n_reps FROM repdocs GROUP BY 1),
+       ckept AS (SELECT source AS g, count(*) AS n_kept FROM kept GROUP BY 1)
+       SELECT cin.g AS source, n_in,
+         n_in - coalesce(n_reps, 0) AS n_exact_dropped,
+         coalesce(n_reps, 0) - coalesce(n_kept, 0) AS n_neardup_dropped,
+         CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         round(CAST(coalesce(n_kept, 0) AS DOUBLE) / n_in, 5) AS retention
+       FROM cin
+       LEFT JOIN crep ON cin.g IS NOT DISTINCT FROM crep.g
+       LEFT JOIN ckept ON cin.g IS NOT DISTINCT FROM ckept.g"""
 
   /** q122 replay: BM25 top-20 (shared q98 chain) ⊕ exact cosine top-20
     * vs query vector 0, RRF-fused with 9-dp decimal term sums.

@@ -1289,6 +1289,59 @@ object Queries {
         psiBins = 10, exactMedians = true, outlierK = Some(3.0))
     }),
 
+    // Per-language EXACT length quantiles — all groups × quantiles
+    // through ONE fused narrowing batch over synthesized per-group
+    // columns (no per-group percentile buffers, bounded driver memory)
+    "q127_group_quantiles" -> ((s, d) =>
+      Summaries.groupQuantiles(Tables.documents(s, d), "lang", "n_chars",
+        Seq(0.25, 0.5, 0.75, 0.95))),
+
+    // Incremental aggregate maintenance: the (day, type) rollup kept
+    // up-to-date by MERGING yesterday's published partial aggregates
+    // with the new increment's — no history rescan. The oracle computes
+    // the rollup directly from ALL raw rows, so the correctness gate
+    // itself proves incremental ≡ full recompute
+    "q126_incremental_agg" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        to_date(col("ts")).as("day"), col("event_type"),
+        col("event_id"), col("value"))
+      def rollup(part: DataFrame): DataFrame =
+        part.groupBy(col("day"), col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("value"))).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+      val history = rollup(e.filter(pmod(col("event_id"), lit(2)) === 0))
+      val increment = rollup(e.filter(pmod(col("event_id"), lit(2)) === 1))
+      Cdc.mergeAdditive(Seq(history, increment), Seq("day", "event_type"),
+          countCols = Seq("n"), sumCols = Seq("sum_value"),
+          minCols = Seq("min_value"), maxCols = Seq("max_value"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"),
+          col("min_value"), col("max_value"),
+          round(col("sum_value").cast("double") / col("n"), 6).as("avg_value"))
+    }),
+
+    // Robust z-score of the heavy-tailed event value: (x − median)/
+    // (1.4826·MAD) — the outlier-insensitive standardization; stats from
+    // the q109 two-batch narrowing, transform a plan-constant projection
+    "q125_robust_zscore" -> ((s, d) =>
+      Summaries.robustZscore(
+          Tables.events(s, d).select("event_id", "value"), Seq("value"))
+        .select("event_id", "value", "value_rz")),
+
+    // "Where did my data go": per-source dedup attrition — exact losses,
+    // near-dup losses, survivors, retention. Stage 1 exact (min-id per
+    // distinct text), stage 2 near-dup keep-best over REPRESENTATIVES
+    // only (collapse-first); drops attribute to the dropped instance's
+    // source
+    "q124_dedup_attrition" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Dedup.attritionReport(Tables.documents(s, d), "doc_id", "text", "source",
+        TextAnalysis.qualityScoreFast(col("text"), stopwords))
+    }),
+
     // Recency-weighted engagement per user (half-life 7 days, reference
     // instant = the stream's max ts, one tiny agg): the freshness score
     // behind recency-aware sampling. Pure codegen decay projection +

@@ -55,4 +55,42 @@ object Cdc {
             .as("changed_cols")): _*)
     if (includeUnchanged) out else out.filter(col("change") =!= "unchanged")
   }
+
+  /** Incremental aggregate maintenance: merge partial aggregate tables
+    * (yesterday's published rollup + today's increment rollup) into the
+    * up-to-date rollup WITHOUT rescanning history — the aggregation
+    * twin of [[snapshotDiff]]'s republish-to-increments move, and the
+    * reason additive stats (count/sum/min/max — and HLL sketches via
+    * [[Summaries.mergeDistinctSketches]]) are the ones worth publishing:
+    * at 100 TB the history scan is the cost, and a merge over two
+    * already-tiny aggregate tables replaces it entirely. Non-additive
+    * stats (avg, ratios) must be DERIVED after the merge from the
+    * additive parts — deriving-then-merging is the classic wrong answer
+    * and the reason this operator only accepts additive columns.
+    *
+    * All parts must share the key schema; a key present in one part
+    * only passes through (its stats are the merge identity).
+    *
+    * Scale notes: one union + one map-side-combined hash agg over
+    * aggregate-table-sized inputs (≤ Σ distinct keys, not raw rows);
+    * decimal sums stay exact through the merge.
+    */
+  def mergeAdditive(parts: Seq[DataFrame], keys: Seq[String],
+                    countCols: Seq[String] = Seq.empty,
+                    sumCols: Seq[String] = Seq.empty,
+                    minCols: Seq[String] = Seq.empty,
+                    maxCols: Seq[String] = Seq.empty): DataFrame = {
+    require(parts.size >= 2, "mergeAdditive needs at least two parts")
+    require(keys.nonEmpty, "mergeAdditive needs at least one key column")
+    val stats = countCols ++ sumCols ++ minCols ++ maxCols
+    require(stats.nonEmpty, "mergeAdditive needs at least one stat column")
+    require(stats.distinct.size == stats.size, "duplicate stat columns")
+    val aggs = countCols.map(c => sum(col(c)).as(c)) ++
+      sumCols.map(c => sum(col(c)).as(c)) ++
+      minCols.map(c => min(col(c)).as(c)) ++
+      maxCols.map(c => max(col(c)).as(c))
+    parts.reduce(_ unionByName _)
+      .groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+  }
 }

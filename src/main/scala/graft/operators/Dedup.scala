@@ -460,4 +460,52 @@ object Dedup {
       .withColumn(flagCol, col("__dup").isNull)
       .drop("__k", "__dup")
   }
+
+  /** Dedup attrition report — "where did my data go", per group
+    * (source/domain/license): rows in, exact-duplicate losses, near-dup
+    * losses, survivors, retention ratio. The lineage table every
+    * curation run owes its consumers before anyone asks why a source's
+    * contribution halved.
+    *
+    * Two-stage attribution mirrors the pipeline's own decision chain:
+    * stage 1 keeps the min-id instance per distinct `textCol`
+    * ([[dedupExactRows]]); stage 2 runs shingle-blocked near-dup
+    * components over the REPRESENTATIVES ONLY (the collapse-first
+    * discipline — exact dups never reach the pair stream) and keeps the
+    * best-`score` member per component ([[keepBestPerComponent]]).
+    * Drops attribute to the group of the DROPPED instance, so a source
+    * whose rows lose to a better copy elsewhere shows the loss.
+    *
+    * Scale notes: one content-hash aggregation + semi join (exact
+    * stage), the q26 candidate machinery on distinct texts (near-dup
+    * stage), then three tiny per-group censuses joined null-safe and
+    * broadcast. NULL groups are groups; a group with zero survivors
+    * still reports (n_kept = 0).
+    */
+  def attritionReport(docs: DataFrame, idCol: String, textCol: String,
+                      groupCol: String, score: Column,
+                      shingle: Int = 7, threshold: Double = 0.2): DataFrame = {
+    val base = docs.select(col(idCol), col(groupCol), col(textCol))
+    val reps = dedupExactRows(base, Seq(textCol), idCol)
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    val edges = NearDup.ngramJaccardComponentEdges(
+      reps, idCol, textCol, shingle, threshold)
+    val kept = keepBestPerComponent(
+      reps.select(col(idCol), col(groupCol), score.as("__score")),
+      idCol, edges, col("__score"))
+    def census(df: DataFrame, name: String): DataFrame =
+      df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as(name))
+    def joinNS(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(broadcast(b.withColumnRenamed("g", "g2")),
+        col("g") <=> col("g2"), "left").drop("g2")
+    joinNS(joinNS(census(base, "n_in"), census(reps, "n_reps")),
+        census(kept, "n_kept"))
+      .select(col("g").as(groupCol), col("n_in"),
+        (col("n_in") - coalesce(col("n_reps"), lit(0L))).as("n_exact_dropped"),
+        (coalesce(col("n_reps"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_neardup_dropped"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_in"), 5)
+          .as("retention"))
+  }
 }

@@ -877,21 +877,24 @@ object Summaries {
     * plus one counting aggregation for the fences. No shuffle anywhere —
     * every pass is a scan + partial agg.
     */
-  def madOutliers(df: DataFrame, cols: Seq[String], k: Double = 3.0): DataFrame = {
-    require(cols.nonEmpty, "madOutliers needs at least one column")
-    require(k > 0, s"k must be positive, got $k")
+  /** 5-dp-rounded (median, MAD) per column over the FINITE core — the
+    * shared robust-stats base of [[madOutliers]] and [[robustZscore]]:
+    * exactly TWO fused narrowing batches for any column count (MAD needs
+    * the median first, so two is the floor).
+    */
+  private def medMadStats(df: DataFrame, cols: Seq[String])
+      : Map[String, (Option[Double], Option[Double])] = {
     // HALF_UP like equidepthBins' cuts — the SQL round() convention, so
     // an oracle's round(quantile, 5) lands on the same double
     def round5(v: Double): Double =
       BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
     // finite core only: ±Inf must not become an order statistic (it
-    // would drag the MAD to Inf and the fences to everything) — it gets
-    // counted at the fence instead
+    // would drag the MAD to Inf and the fences to everything)
     val finiteOnly = df.select(cols.map { c =>
       val v = col(c).cast("double")
       when(v > Double.NegativeInfinity && v < Double.PositiveInfinity, v)
         .otherwise(lit(null).cast("double")).as(c)
-    }: _*)
+    }.toIndexedSeq: _*)
     val medians: Map[String, Option[Double]] =
       exactQuantilesPerColumn(finiteOnly, cols.map(c => (c, Seq(0.5))))
         .map { case (c, qs) => c -> qs.head.map(round5) }
@@ -902,10 +905,47 @@ object Summaries {
         // |x − med| as derived columns; one second fused batch covers
         // every column's MAD median
         val dev = finiteOnly.select(present.map(c =>
-          abs(col(c) - lit(medians(c).get)).as(c)): _*)
+          abs(col(c) - lit(medians(c).get)).as(c)).toIndexedSeq: _*)
         exactQuantilesPerColumn(dev, present.map(c => (c, Seq(0.5))))
           .map { case (c, qs) => c -> qs.head.map(round5) }
       }
+    cols.map(c => c -> (medians.getOrElse(c, None), mads.getOrElse(c, None))).toMap
+  }
+
+  /** Robust (median/MAD) z-score normalization — appends `<col>_rz` =
+    * (x − median)/(1.4826·MAD) per input column: the outlier-insensitive
+    * standardization for heavy-tailed quality signals (the transform
+    * complement of [[madOutliers]]' fence census — same stats, same two
+    * fused narrowing batches, finite-core discipline). NULL/NaN → NULL;
+    * ±Inf stays ±Inf (an infinite signal is infinitely many MADs out);
+    * a zero/undefined MAD (constant or empty column) yields NULL scores
+    * rather than ±Inf noise. The per-row transform is a pure
+    * plan-constant codegen projection — no second shuffle.
+    */
+  def robustZscore(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "robustZscore needs at least one column")
+    require(cols.distinct.size == cols.size, "duplicate columns in cols")
+    val stats = medMadStats(df, cols)
+    cols.foldLeft(df) { (acc, c) =>
+      val v = col(c).cast("double")
+      val isInf = v === Double.PositiveInfinity || v === Double.NegativeInfinity
+      val out = stats(c) match {
+        case (Some(m), Some(d)) if d > 0 =>
+          when(v.isNull || isnan(v), lit(null).cast("double"))
+            .when(isInf, (v - lit(m)) / lit(1.4826 * d))
+            .otherwise(round((v - lit(m)) / lit(1.4826 * d), 6))
+        case _ => lit(null).cast("double")
+      }
+      acc.withColumn(s"${c}_rz", out)
+    }
+  }
+
+  def madOutliers(df: DataFrame, cols: Seq[String], k: Double = 3.0): DataFrame = {
+    require(cols.nonEmpty, "madOutliers needs at least one column")
+    require(k > 0, s"k must be positive, got $k")
+    val stats = medMadStats(df, cols)
+    val medians: Map[String, Option[Double]] = stats.map { case (c, (m, _)) => c -> m }
+    val mads: Map[String, Option[Double]] = stats.map { case (c, (_, d)) => c -> d }
     val spark = df.sparkSession
     import spark.implicits._
     val rows = cols.map { c =>
@@ -1179,6 +1219,51 @@ object Summaries {
         when(col("n") > 0, round(chi2, 6)).as("chi2"),
         when(col("n") > 0 && minDf >= 1d,
           round(sqrt(chi2 / (nD * minDf)), 6)).as("cramers_v"))
+  }
+
+  /** Per-group EXACT quantiles at bounded driver memory — the mix
+    * report's "length distribution per language / per source / per
+    * split" table. Spark's `percentile` buffers every group value in
+    * one aggregation buffer (OOM on a 100 TB group) and
+    * `percentile_approx` is a sketch; this instead synthesizes one
+    * column per group (`when(group = g, value)`) and routes ALL groups ×
+    * quantiles through ONE fused [[exactQuantilesPerColumn]] narrowing
+    * batch — passes shared across groups, memory bounded by the
+    * narrowing, exactness preserved. The group count is the synthesized
+    * column count, so it must be BOUNDED (languages, sources, splits —
+    * the use case); `maxGroups` raises loudly rather than explode the
+    * batch. One row per (group, quantile); a NULL group is a group;
+    * groups with no usable values keep rows with NULL quantiles; cuts
+    * round to 5 dp (engine portability).
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qs: Seq[Double], maxGroups: Int = 100): DataFrame = {
+    require(qs.nonEmpty, "groupQuantiles needs at least one quantile")
+    qs.foreach(q => require(q >= 0 && q <= 1, s"quantile out of [0,1]: $q"))
+    require(qs.distinct.size == qs.size, "duplicate quantiles")
+    def round5(v: Double): Double =
+      BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val groups: Seq[Option[String]] = df
+      .select(col(groupCol).cast("string").as("g")).distinct()
+      .collect().toSeq.map(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
+    require(groups.size <= maxGroups,
+      s"groupQuantiles saw ${groups.size} groups (> maxGroups = $maxGroups) — " +
+        "this operator is for BOUNDED group domains; bucket first or raise maxGroups")
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (groups.isEmpty)
+      return Seq.empty[(Option[String], Double, Option[Double])]
+        .toDF(groupCol, "quantile", "value")
+    val name: Map[Option[String], String] =
+      groups.zipWithIndex.map { case (g, i) => g -> s"__g$i" }.toMap
+    val wide = df.select(groups.map { g =>
+      val cond = g.fold(col(groupCol).isNull)(col(groupCol).cast("string") === _)
+      when(cond, col(valueCol).cast("double")).as(name(g))
+    }.toIndexedSeq: _*)
+    val cuts = exactQuantilesPerColumn(wide, groups.map(g => name(g) -> qs))
+    groups.flatMap { g =>
+      cuts(name(g)).zip(qs).map { case (v, q) => (g, q, v.map(round5)) }
+    }.toDF(groupCol, "quantile", "value")
   }
 
   /** Mergeable distinct-count sketches (Apache DataSketches HLL via

@@ -310,4 +310,35 @@ class DedupSpec extends SparkSpec {
       Dedup.bloomGate(df.drop("is_new"), df, "text", expectedItems = 0)
     }
   }
+
+  test("attritionReport: exact vs near-dup losses attribute to the dropped instance's source") {
+    import spark.implicits._
+    val t1 = "unique first text with no overlap at all here"
+    val t2 = "a b c d e f g h i j k l"          // 6 7-gram shingles
+    val t2b = t2 + " m"                          // near-dup: jaccard 6/7
+    val docs = Seq(
+      (1L, Some("A"), t1),   // exact-rep (min id)
+      (2L, Some("A"), t1),   // exact dup of 1 → A loses it in stage 1
+      (3L, Some("A"), t2),   // near-dup of 5, SHORTER → loses stage 2
+      (4L, Some("B"), "completely different content sits here unshared"),
+      (5L, Some("B"), t2b),  // longer → higher score → wins the component
+      (6L, None, "null source doc stands alone entirely unshared tokens")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.attritionReport(docs, "doc_id", "text", "source",
+        length(col("text")).cast("double"))
+      .collect().map(r => (if (r.isNullAt(0)) "∅" else r.getString(0)) -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n_in") === 3L)
+    assert(a.getAs[Long]("n_exact_dropped") === 1L)   // doc 2
+    assert(a.getAs[Long]("n_neardup_dropped") === 1L) // doc 3 lost to 5
+    assert(a.getAs[Long]("n_kept") === 1L)            // doc 1
+    assert(a.getAs[Double]("retention") === 0.33333)
+    val b = out("B")
+    assert(b.getAs[Long]("n_exact_dropped") === 0L)
+    assert(b.getAs[Long]("n_neardup_dropped") === 0L)
+    assert(b.getAs[Long]("n_kept") === 2L)
+    assert(b.getAs[Double]("retention") === 1.0)
+    val n = out("∅") // NULL source is a group like any other
+    assert(n.getAs[Long]("n_in") === 1L && n.getAs[Long]("n_kept") === 1L)
+  }
 }

@@ -70,6 +70,81 @@ class RobustStatsSpec extends SparkSpec {
     assert(out("y").getAs[Long]("n_values") === 0L)
   }
 
+  // ── groupQuantiles ─────────────────────────────────────────────────────
+
+  test("groupQuantiles: hand values, NULL group, all-NULL group keeps rows") {
+    val df = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(2.0)),
+      (Some("a"), Some(3.0)), (Some("a"), Some(4.0)),
+      (None, Some(10.0)), (None, Some(20.0)),
+      (Some("z"), Option.empty[Double]), (Some("z"), None)
+    ).toDF("g", "v")
+    val out = Summaries.groupQuantiles(df, "g", "v", Seq(0.5, 1.0))
+      .collect().map { r =>
+        (if (r.isNullAt(0)) "∅" else r.getString(0), r.getDouble(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      }.toMap
+    assert(out(("a", 0.5)) === Some(2.5))
+    assert(out(("a", 1.0)) === Some(4.0))
+    assert(out(("∅", 0.5)) === Some(15.0)) // NULL group is a group
+    assert(out(("z", 0.5)) === None)       // all-NULL group keeps its rows
+    assert(out.size === 6)
+  }
+
+  test("groupQuantiles: agrees with percentile() per group; maxGroups raises") {
+    val rng = new scala.util.Random(13)
+    val df = Seq.fill(300)((s"g${rng.nextInt(4)}", rng.nextInt(50).toDouble))
+      .toDF("g", "v")
+    val mine = Summaries.groupQuantiles(df, "g", "v", Seq(0.25, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val ref = df.groupBy("g")
+      .agg(percentile(col("v"), typedLit(Seq(0.25, 0.9))).as("p"))
+      .collect().flatMap { r =>
+        val ps = r.getSeq[Double](1)
+        Seq((r.getString(0), 0.25) -> ps.head, (r.getString(0), 0.9) -> ps(1))
+      }.toMap
+    ref.foreach { case (k, v) =>
+      val got = mine(k)
+      assert(math.abs(got - v) < 1e-5, s"$k: $got vs $v")
+    }
+    intercept[IllegalArgumentException] {
+      Summaries.groupQuantiles(df, "g", "v", Seq(0.5), maxGroups = 2)
+    }
+  }
+
+  // ── robustZscore ───────────────────────────────────────────────────────
+
+  test("robustZscore: hand-computed scores share madOutliers' stats") {
+    // {1,2,3,4,5}: median 3, MAD 1 → z(5) = 2/1.4826, z(3) = 0
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("x")
+    val out = Summaries.robustZscore(df, Seq("x"))
+      .collect().map(r => r.getDouble(0) -> r.getAs[Double]("x_rz")).toMap
+    assert(out(3.0) === 0.0)
+    val expected = BigDecimal(2.0 / 1.4826)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(5.0) === expected)
+    assert(out(1.0) === -expected)
+  }
+
+  test("robustZscore: NULL/NaN → NULL, ±Inf stays ±Inf, constant column → NULL") {
+    val df = Seq(
+      (Some(1.0), Some(7.0)), (Some(2.0), Some(7.0)), (Some(3.0), Some(7.0)),
+      (Some(Double.NaN), Some(7.0)), (None, Some(7.0)),
+      (Some(Double.PositiveInfinity), Some(7.0))).toDF("x", "c")
+    val out = Summaries.robustZscore(df, Seq("x", "c")).collect()
+    val byKey = out.map { r =>
+      val k = if (r.isNullAt(0)) "null"
+        else if (r.getDouble(0).isNaN) "nan" else r.getDouble(0).toString
+      k -> r
+    }.toMap
+    assert(byKey("nan").isNullAt(byKey("nan").fieldIndex("x_rz")))
+    assert(byKey("null").isNullAt(byKey("null").fieldIndex("x_rz")))
+    assert(byKey(Double.PositiveInfinity.toString)
+      .getAs[Double]("x_rz") === Double.PositiveInfinity)
+    // constant column: MAD 0 → NULL scores, never ±Inf noise
+    out.foreach(r => assert(r.isNullAt(r.fieldIndex("c_rz"))))
+  }
+
   // ── ksDrift ────────────────────────────────────────────────────────────
 
   test("ksDrift: disjoint supports give D = 1, identical samples give D = 0") {
@@ -197,6 +272,37 @@ class RobustStatsSpec extends SparkSpec {
     val all = Cdc.snapshotDiff(oldS, newS, Seq("k"), includeUnchanged = true)
     assert(all.filter(col("change") === "unchanged").collect()
       .map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("mergeAdditive: merge of disjoint partials ≡ direct full aggregation") {
+    import graft.operators.Cdc
+    val rng = new scala.util.Random(5)
+    val raw = Seq.fill(500)((rng.nextInt(7), rng.nextInt(100) / 4.0))
+      .toDF("k", "v")
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,4)")).as("s"),
+        min("v").as("mn"), max("v").as("mx"))
+    val merged = Cdc.mergeAdditive(
+      Seq(rollup(raw.filter(col("v") < 12)), rollup(raw.filter(col("v") >= 12))),
+      Seq("k"), countCols = Seq("n"), sumCols = Seq("s"),
+      minCols = Seq("mn"), maxCols = Seq("mx"))
+    val direct = rollup(raw)
+    val m = merged.collect().map(r => r.getInt(0) ->
+      (r.getLong(1), r.getDecimal(2).doubleValue, r.getDouble(3), r.getDouble(4))).toMap
+    val d = direct.collect().map(r => r.getInt(0) ->
+      (r.getLong(1), r.getDecimal(2).doubleValue, r.getDouble(3), r.getDouble(4))).toMap
+    assert(m === d) // exact, including the decimal sums
+  }
+
+  test("mergeAdditive: a key present in one part only passes through") {
+    import graft.operators.Cdc
+    val a = Seq((1, 2L, 5.0), (2, 1L, 9.0)).toDF("k", "n", "mx")
+    val b = Seq((1, 3L, 7.0)).toDF("k", "n", "mx")
+    val out = Cdc.mergeAdditive(Seq(a, b), Seq("k"),
+        countCols = Seq("n"), maxCols = Seq("mx"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map(1 -> ((5L, 7.0)), 2 -> ((1L, 9.0))))
   }
 
   test("snapshotDiff: a NULL key is present, not 'added'+'removed'") {
