@@ -735,6 +735,68 @@ object Oracles {
     // terms rounded to 9 dp and decimal-summed — generated per pair
     "q118_cat_assoc" -> catAssocOracle,
 
+    // q129: the q59 shingle replay widened to totals + hits per doc;
+    // every non-benchmark doc keeps a row, shingle-less docs score NULL
+    "q129_contamination_score" ->
+      """WITH toks AS (SELECT doc_id, source,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id, source,
+                  unnest(list_distinct([array_to_string(t[i:i+3], ' ')
+                                        for i in range(1, greatest(len(t) - 3, 0) + 1)])) AS s
+                FROM toks),
+         bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+         tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+                 WHERE source <> 'src0' GROUP BY 1),
+         hit AS (SELECT a.doc_id, count(*) AS n_hits
+                 FROM sh a JOIN bench b ON a.s = b.s
+                 WHERE a.source <> 'src0' GROUP BY 1),
+         docs AS (SELECT doc_id FROM documents WHERE source <> 'src0')
+         SELECT d.doc_id,
+           CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           CASE WHEN coalesce(n_shingles, 0) > 0 THEN
+             round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_shingles, 5)
+           END AS contamination
+         FROM docs d
+         LEFT JOIN tot ON d.doc_id = tot.doc_id
+         LEFT JOIN hit ON d.doc_id = hit.doc_id""",
+
+    // q128: the largest-remainder allocation replayed in the SAME IEEE
+    // double arithmetic (decimals would allocate differently — ⌊300·0.3⌋
+    // is 89 in doubles), availability cap via least(), then the q93
+    // portable-uniform rank per stratum
+    "q128_target_mix" ->
+      """WITH tgt AS (SELECT * FROM (VALUES
+             ('en', CAST(0.3 AS DOUBLE)), ('de', CAST(0.4 AS DOUBLE)),
+             ('es', CAST(0.1 AS DOUBLE)), ('zh', CAST(0.15 AS DOUBLE)),
+             ('fr', CAST(0.05 AS DOUBLE))) t(lang, p)),
+         e AS (SELECT lang, 300 * p AS ex FROM tgt),
+         b AS (SELECT lang, CAST(floor(ex) AS BIGINT) AS base,
+                 ex - floor(ex) AS rem FROM e),
+         lo AS (SELECT 300 - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+         rk AS (SELECT lang, base,
+                  row_number() OVER (ORDER BY rem DESC, lang ASC) AS rr FROM b),
+         al AS (SELECT lang,
+                  base + CASE WHEN rr <= (SELECT leftover FROM lo)
+                         THEN 1 ELSE 0 END AS kk FROM rk),
+         cnt AS (SELECT lang, count(*) AS n FROM documents
+                 WHERE doc_id IS NOT NULL
+                   AND lang IN ('en', 'de', 'es', 'zh', 'fr') GROUP BY 1),
+         ks AS (SELECT a.lang, least(kk, coalesce(n, 0)) AS kcap
+                FROM al a LEFT JOIN cnt USING (lang)),
+         u AS (SELECT doc_id, lang,
+             list_sum([(strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR) || ':42'), i + 1, 1)) - 1)
+                       * 16**(7 - i) for i in range(0, 8)]) / 4294967296.0 AS uv
+           FROM documents
+           WHERE doc_id IS NOT NULL AND lang IN ('en', 'de', 'es', 'zh', 'fr')),
+         sel AS (SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang ORDER BY uv, doc_id) AS rnk
+                 FROM u)
+         SELECT s.doc_id, s.lang, CAST(s.rnk AS BIGINT) AS rank
+         FROM sel s JOIN ks ON s.lang = ks.lang
+         WHERE s.rnk <= kcap""",
+
     // q127: per-group quantile_cont list unnested in lockstep with the
     // quantile list; a group with no usable values keeps NULL rows via
     // the distinct-groups left join (q111 discipline)

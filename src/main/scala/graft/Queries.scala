@@ -1289,6 +1289,32 @@ object Queries {
         psiBins = 10, exactMedians = true, outlierK = Some(3.0))
     }),
 
+    // Graded contamination: every non-benchmark doc's 4-gram overlap
+    // ratio vs the src0 benchmark — the thresholdable companion of
+    // q59's binary gate; ONE corpus pass (kernel explode + broadcast
+    // left join + one agg), short docs score NULL not 0
+    "q129_contamination_score" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, d)
+      Quality.contaminationScore(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 4)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_shingles"), col("n_hits"), col("contamination"))
+    }),
+
+    // Target-mix rebalance: sample documents to a declared lang
+    // composition (largest-remainder allocation of 300 rows; the de
+    // target deliberately exceeds its population so the availability
+    // cap fires — shortfall NOT redistributed, the asked-for mix is the
+    // contract). One bounded-heap agg, portable id-hash order
+    "q128_target_mix" -> ((s, d) =>
+      Sampling.targetMix(Tables.documents(s, d).select("doc_id", "lang"),
+        col("lang"), col("doc_id"),
+        Seq(("en", 0.3), ("de", 0.4), ("es", 0.1), ("zh", 0.15), ("fr", 0.05)),
+        totalK = 300, portable = true)),
+
     // Per-language EXACT length quantiles — all groups × quantiles
     // through ONE fused narrowing batch over synthesized per-group
     // columns (no per-group percentile buffers, bounded driver memory)

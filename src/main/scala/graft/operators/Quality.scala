@@ -86,6 +86,44 @@ object Quality {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Per-document contamination SCORE — the graded companion of
+    * [[contaminationHits]]' binary gate: (n_shingles, n_hits,
+    * contamination = hits/shingles) for EVERY corpus document, so a
+    * curation run can threshold ("drop > 20% overlap"), audit the
+    * distribution, or report near-misses instead of deciding from a
+    * bare flag (the n-gram-overlap decontamination measure of the
+    * public LM-eval-hygiene literature). Documents too short to form a
+    * single n-gram score NULL (no evidence either way), not 0.
+    *
+    * Scale notes: ONE corpus pass — the per-doc distinct shingle-hash
+    * kernel explodes once, LEFT-joins the broadcast benchmark hash set
+    * with a hit marker, and a single map-side-combined agg counts both
+    * totals and hits (a totals-branch + hits-branch composition would
+    * scan the corpus twice — the q119 lesson, avoided by construction).
+    */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         broadcastBenchmark: Boolean = true): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val benchSh = benchmark
+      .select(explode_outer(ngramHashesOf(col(textCol), n)).as("h"))
+      .filter(col("h").isNotNull).distinct()
+      .withColumn("__hit", lit(1L))
+    val bench = if (broadcastBenchmark) broadcast(benchSh) else benchSh
+    corpus
+      .select(col(idCol).as("id"),
+        explode_outer(ngramHashesOf(col(textCol), n)).as("h"))
+      .join(bench, Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(col("h")).as("n_shingles"),
+        count(col("__hit")).as("n_hits"))
+      .withColumn("contamination",
+        when(col("n_shingles") > 0,
+          round(col("n_hits").cast("double") / col("n_shingles"), 5)))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Collect the benchmark's distinct n-gram hashes to the driver — a
     * plan-time CONSTANT (same stance as the IVF centroid matrix): eval
     * suites are thousands of documents, so the set is small enough to

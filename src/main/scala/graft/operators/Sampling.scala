@@ -416,4 +416,77 @@ object Sampling {
       .withColumn("pos", row_number().over(w))
       .drop("__ord")
   }
+
+  /** Rebalance a corpus to a TARGET stratum mix: exact-count sample where
+    * stratum s receives its largest-remainder share of `totalK`
+    * (base = ⌊totalK·p_s⌋, the leftover rows going +1 each to the
+    * largest fractional remainders, remainder ties by stratum name) —
+    * the mix-shaping move behind "40% web / 30% code / 20% books / 10%
+    * reference" training compositions, with [[temperatureFractions]] as
+    * the ∝n^α special case and [[stratifiedExactK]] as the uniform one.
+    * Under-populated strata keep everything they have (k_s = min(alloc,
+    * n_s)); the shortfall is NOT redistributed — a redistribution loop
+    * would silently change the mix the caller asked for, the exact thing
+    * this operator exists to prevent. Rows in strata absent from
+    * `targets` are excluded. Selection within a stratum is the portable
+    * id-hash order (smallest uniform first, ties by id), so the sample
+    * is a pure function of (id, targets, totalK) — reproducible across
+    * engines, reruns, and layouts.
+    *
+    * Allocation arithmetic is plain IEEE double (⌊totalK·p⌋ with p as
+    * written) in BOTH the operator and any replaying engine — decimal
+    * arithmetic would allocate differently (⌊200·0.6⌋ is 119 in doubles,
+    * 120 in decimals; either is fine, but only one can be the contract).
+    *
+    * Scale notes: one tiny per-stratum count agg (the allocation input),
+    * then ONE bounded-heap aggregation holding max(k_s) rows per stratum
+    * with the per-stratum cut applied to the exploded heap via a
+    * plan-constant map — no window sort, losers never shuffle.
+    */
+  def targetMix(df: DataFrame, stratumCol: Column, idCol: Column,
+                targets: Seq[(String, Double)], totalK: Int,
+                seed: Long = 42L, portable: Boolean = false): DataFrame = {
+    require(targets.nonEmpty, "targetMix needs at least one target stratum")
+    require(targets.map(_._1).distinct.size == targets.size, "duplicate strata")
+    require(targets.forall(_._2 >= 0), "target proportions must be >= 0")
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9, "targets must sum to 1")
+    require(totalK >= 1, s"totalK must be >= 1, got $totalK")
+    Seq("pos", "col", "rank").foreach { reserved =>
+      require(!df.columns.exists(_.equalsIgnoreCase(reserved)),
+        s"targetMix working/output column '$reserved' already exists on the input")
+    }
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val sCol = stratumCol.cast("string")
+    val names = targets.map(_._1)
+    val inScope = df.filter(sCol.isInCollection(names) && idCol.isNotNull)
+    val counts: Map[String, Long] = inScope
+      .groupBy(sCol.as("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // largest-remainder allocation, then the availability cap
+    val exact = targets.map { case (s, p) => (s, totalK * p) }
+    val base = exact.map { case (s, e) => (s, math.floor(e).toLong) }
+    val leftover = totalK - base.map(_._2).sum
+    val order = exact.zip(base).map { case ((s, e), (_, b)) => (s, e - b) }
+      .sortBy { case (s, rem) => (-rem, s) }.map(_._1)
+    val bumped = order.take(leftover.toInt).toSet
+    val ks: Map[String, Long] = base.map { case (s, b) =>
+      s -> math.min(b + (if (bumped(s)) 1L else 0L), counts.getOrElse(s, 0L))
+    }.toMap
+    val live = names.filter(ks(_) > 0)
+    if (live.isEmpty)
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        df.withColumn("rank", lit(1L)).schema)
+    val maxK = live.map(ks).max.toInt
+    val u = uniform01(idCol, seed, portable)
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    val ksLit = typedlit(live.map(s => s -> ks(s)).toMap)
+    inScope.filter(sCol.isInCollection(live))
+      .groupBy(sCol.as("__stratum"))
+      .agg(call_function("graft_top_k_by", payload, -u, idCol, lit(maxK)).as("top"))
+      .select(col("__stratum"), posexplode(col("top")))
+      .filter((col("pos") + 1) <= element_at(ksLit, col("__stratum")))
+      .select((df.columns.map(c => col(s"col.$c")) :+
+        (col("pos") + 1).cast("long").as("rank")).toIndexedSeq: _*)
+  }
 }

@@ -81,6 +81,48 @@ class EngagementFusionSpec extends SparkSpec {
     assert(out.filter(col("doc_id") === "d1").head().getAs[Long]("n_lists") === 1L)
   }
 
+  // ── targetMix ─────────────────────────────────────────────────────────
+
+  test("targetMix: largest-remainder allocation hits the declared mix exactly") {
+    import graft.operators.Sampling
+    val df = (0 until 300).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "g")
+    // 10·(0.5, 0.3, 0.2) in doubles: bases (5, 2, 2) — 10·0.3 is
+    // 2.999…, 10·0.2 is 2.000…4 — leftover 1 goes to s1's ~1.0 remainder
+    val out = Sampling.targetMix(df, col("g"), col("id"),
+        Seq(("s0", 0.5), ("s1", 0.3), ("s2", 0.2)), totalK = 10)
+      .collect()
+    val byG = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byG === Map("s0" -> 5, "s1" -> 3, "s2" -> 2))
+    assert(out.length === 10)
+  }
+
+  test("targetMix: availability cap keeps the stratum whole, no redistribution") {
+    import graft.operators.Sampling
+    val df = ((0 until 100).map(i => (i.toLong, "big")) ++
+      Seq((1000L, "rare"), (1001L, "rare"))).toDF("id", "g")
+    val out = Sampling.targetMix(df, col("g"), col("id"),
+        Seq(("big", 0.5), ("rare", 0.5)), totalK = 40).collect()
+    val byG = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // rare wanted 20, has 2 → keeps 2; big stays at ITS 20 (the mix the
+    // caller asked for is the contract — no silent backfill from big)
+    assert(byG === Map("big" -> 20, "rare" -> 2))
+  }
+
+  test("targetMix: unlisted strata excluded; layout-independent; ranks dense") {
+    import graft.operators.Sampling
+    val df = (0 until 200).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "g")
+    val sel = Sampling.targetMix(df, col("g"), col("id"),
+      Seq(("s0", 0.6), ("s1", 0.4)), totalK = 20, portable = true)
+    val a = sel.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(!a.exists(_._2 == "s2") && !a.exists(_._2 == "s3"))
+    val b = Sampling.targetMix(df.repartition(7), col("g"), col("id"),
+        Seq(("s0", 0.6), ("s1", 0.4)), totalK = 20, portable = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a === b)
+    val ranks = a.groupBy(_._2).view.mapValues(_.map(_._3).toSeq.sorted).toMap
+    assert(ranks("s0") === (1L to 12L) && ranks("s1") === (1L to 8L))
+  }
+
   // ── classBalance ──────────────────────────────────────────────────────
 
   test("classBalance: hand-computed entropy/gini/top on a balanced group") {

@@ -329,4 +329,29 @@ class QualitySpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 <= 4, p.take(3000))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("contaminationScore: graded ratios, short docs NULL, one corpus scan") {
+    import spark.implicits._
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d x"),           // shingles {a b c d, b c d x} → 1 hit
+      (2L, "zz yy"),               // < 4 tokens → no shingles → NULL
+      (3L, "p q r s t u"),         // 3 shingles, 0 hits → 0.0
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Quality.contaminationScore(corpus, bench, "doc_id", "text", n = 4)
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Long]("n_shingles") === 2L)
+    assert(byId(1L).getAs[Long]("n_hits") === 1L)
+    assert(byId(1L).getAs[Double]("contamination") === 0.5)
+    assert(byId(2L).getAs[Long]("n_shingles") === 0L)
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("contamination")))
+    assert(byId(3L).getAs[Double]("contamination") === 0.0)
+    assert(byId(4L).isNullAt(byId(4L).fieldIndex("contamination")))
+    assert(out.count() === 4) // every corpus doc keeps its row
+    // one corpus scan: the totals and hits must NOT be separate branches
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.split("LocalTableScan").length - 1 <= 2, p.take(2000)) // corpus + benchmark
+  }
 }
