@@ -735,6 +735,34 @@ object Oracles {
     // terms rounded to 9 dp and decimal-summed — generated per pair
     "q118_cat_assoc" -> catAssocOracle,
 
+    // q130: the q33 session chain + boundary deltas + one window cumsum
+    // (the oracle's single-task sort IS the yardstick the distributed
+    // prefix-sum must match)
+    "q130_concurrency" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                  WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+                  ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         idx AS (
+           SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+           FROM flagged),
+         sess AS (
+           SELECT user_id, session_idx, min(ts) AS session_start,
+             max(ts) AS session_end
+           FROM idx GROUP BY user_id, session_idx),
+         d AS (SELECT session_start AS t, 1 AS dd FROM sess
+               UNION ALL SELECT session_end, -1 FROM sess),
+         g AS (SELECT t, CAST(sum(dd) AS BIGINT) AS delta FROM d GROUP BY 1)
+         SELECT t, delta,
+           CAST(sum(delta) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active
+         FROM g""",
+
     // q129: the q59 shingle replay widened to totals + hits per doc;
     // every non-benchmark doc keeps a row, shingle-less docs score NULL
     "q129_contamination_score" ->

@@ -1289,6 +1289,16 @@ object Queries {
         psiBins = 10, exactMedians = true, outlierK = Some(3.0))
     }),
 
+    // Peak-concurrency sweep over the q33 sessions — how many sessions
+    // are simultaneously active at each boundary instant (end-exclusive).
+    // Catalog runs the SCALABLE path: per-instant net deltas (one
+    // shuffle) + the q110 distributed prefix-sum — no single-task sort
+    "q130_concurrency" -> ((s, d) => {
+      val sessions = Queries.all("q33_sessionize")(s, d)
+      Windows.concurrency(sessions, "session_start", "session_end",
+        scalable = true)
+    }),
+
     // Graded contamination: every non-benchmark doc's 4-gram overlap
     // ratio vs the src0 benchmark — the thresholdable companion of
     // q59's binary gate; ONE corpus pass (kernel explode + broadcast

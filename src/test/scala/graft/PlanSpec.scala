@@ -495,6 +495,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(2000))
   }
 
+  test("q128 target mix: one bounded-heap agg, no window, filters pushed") {
+    val df: DataFrame = Queries.all("q128_target_mix")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window") && !p.contains("SortAggregate"), p.take(2000))
+    // the stratum scope + non-null id reach the scan
+    assert(p.contains("IsNotNull(doc_id)") && p.contains("In(lang"), p.take(2000))
+  }
+
+  test("q130 concurrency: the yardstick pays a single-partition window; the catalog path doesn't") {
+    import graft.operators.Windows
+    val iv = spark.range(0, 500).selectExpr("id as s", "id + 40 as e")
+    // yardstick: a global ORDER BY window = Exchange SinglePartition +
+    // Window — the exact single-task sort the scalable path exists to
+    // avoid
+    val yard = Windows.concurrency(iv, "s", "e", scalable = false)
+    val py = yard.queryExecution.executedPlan.toString
+    assert(py.contains("Window"), py.take(2000))
+    assert(py.contains("Exchange SinglePartition"), py.take(2000))
+    // catalog path: an RDD fold over a RANGE exchange — no Window node
+    // anywhere in its physical plan
+    val fast = Windows.concurrency(iv, "s", "e", scalable = true)
+    fast.collect()
+    assert(!fast.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("q119 join pre-flight: per-side count aggs shuffle distinct keys once") {
     val df: DataFrame = Queries.all("q119_join_preflight")(spark, sf)
     df.collect()

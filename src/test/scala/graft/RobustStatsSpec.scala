@@ -244,6 +244,43 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  // ── concurrency ────────────────────────────────────────────────────────
+
+  test("concurrency: hand sweep, end-exclusive, zero-length interval flat") {
+    import graft.operators.Windows
+    val iv = Seq((1L, 5L), (2L, 4L), (3L, 6L), (7L, 7L)).toDF("s", "e")
+    val out = Windows.concurrency(iv, "s", "e", scalable = false)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((1L, 1L)))
+    assert(out(2L) === ((1L, 2L)))
+    assert(out(3L) === ((1L, 3L)))  // peak
+    assert(out(4L) === ((-1L, 2L))) // end-exclusive: [2,4) gone AT 4
+    assert(out(5L) === ((-1L, 1L)))
+    assert(out(6L) === ((-1L, 0L)))
+    assert(out(7L) === ((0L, 0L)))  // zero-length: boundary kept, count flat
+  }
+
+  test("concurrency: distributed prefix-sum ≡ single-task window yardstick") {
+    import graft.operators.Windows
+    val rng = new scala.util.Random(17)
+    val iv = Seq.fill(400) {
+      val s = rng.nextInt(1000).toLong
+      (s, s + 1 + rng.nextInt(50))
+    }.toDF("s", "e")
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fast = collectMap(Windows.concurrency(iv, "s", "e", scalable = true))
+    val yard = collectMap(Windows.concurrency(iv, "s", "e", scalable = false))
+    assert(fast === yard)
+    // a balanced sweep returns to zero at the last boundary
+    assert(fast.maxBy(_._1)._2._2 === 0L)
+    // NULL-bounded intervals are excluded, not half-counted
+    val withNull = iv.unionByName(
+      Seq((Option.empty[Long], Some(3L))).toDF("s", "e"))
+    assert(collectMap(Windows.concurrency(withNull, "s", "e",
+      scalable = true)) === fast)
+  }
+
   // ── snapshotDiff ───────────────────────────────────────────────────────
 
   test("snapshotDiff: added/removed/changed with exact changed_cols, NULL-safe") {
