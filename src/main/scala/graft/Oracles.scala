@@ -735,6 +735,37 @@ object Oracles {
     // terms rounded to 9 dp and decimal-summed — generated per pair
     "q118_cat_assoc" -> catAssocOracle,
 
+    // q131: equi-depth cuts (round5 quantile_cont) + bucket = #cuts
+    // exceeded + the q112 dual-uniform shard/pos replay per (bucket,
+    // shard)
+    "q131_curriculum" ->
+      """WITH v AS (SELECT doc_id, n_chars, CAST(n_chars AS DOUBLE) AS x
+                    FROM documents
+                    WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+         c AS (SELECT round(quantile_cont(x, 0.25), 5) AS c1,
+                 round(quantile_cont(x, 0.5), 5) AS c2,
+                 round(quantile_cont(x, 0.75), 5) AS c3 FROM v),
+         b AS (SELECT doc_id, n_chars, x,
+                 (CASE WHEN x > c1 THEN 1 ELSE 0 END +
+                  CASE WHEN x > c2 THEN 1 ELSE 0 END +
+                  CASE WHEN x > c3 THEN 1 ELSE 0 END) AS bucket
+               FROM v, c),
+         u AS (SELECT doc_id,
+             list_sum([(strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR) || ':42'), i + 1, 1)) - 1)
+                       * 16**(7 - i) for i in range(0, 8)]) / 4294967296.0 AS u1,
+             list_sum([(strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR) || ':43'), i + 1, 1)) - 1)
+                       * 16**(7 - i) for i in range(0, 8)]) / 4294967296.0 AS u2
+           FROM v),
+         j AS (SELECT b.doc_id, b.n_chars, CAST(b.bucket AS INTEGER) AS bucket,
+                 CAST(floor(u1 * 4) AS INTEGER) AS shard, u2
+               FROM b JOIN u ON b.doc_id = u.doc_id)
+         SELECT doc_id, n_chars, bucket, shard,
+           CAST(row_number() OVER (PARTITION BY bucket, shard
+             ORDER BY u2 ASC, doc_id ASC) AS INTEGER) AS pos
+         FROM j""",
+
     // q130: the q33 session chain + boundary deltas + one window cumsum
     // (the oracle's single-task sort IS the yardstick the distributed
     // prefix-sum must match)

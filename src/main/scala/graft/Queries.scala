@@ -1289,6 +1289,15 @@ object Queries {
         psiBins = 10, exactMedians = true, outlierK = Some(3.0))
     }),
 
+    // Curriculum feed order: equi-depth difficulty buckets on n_chars
+    // (short→long), deterministic shuffle within each bucket via the
+    // q112 shard machinery — the reproducible easy→hard training order
+    "q131_curriculum" -> ((s, d) =>
+      Sampling.curriculumManifest(
+        Tables.documents(s, d).select("doc_id", "n_chars"),
+        col("doc_id"), col("n_chars"), nBuckets = 4, nShards = 4,
+        portable = true)),
+
     // Peak-concurrency sweep over the q33 sessions — how many sessions
     // are simultaneously active at each boundary instant (end-exclusive).
     // Catalog runs the SCALABLE path: per-instant net deltas (one

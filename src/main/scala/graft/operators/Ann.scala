@@ -81,14 +81,41 @@ object Ann {
         .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     }
     val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
-    val c = bucketed(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv")
-    // score inside the bucket join, then dedupe on the slim (ids, cos) rows
+    // collapse-first (the [[embeddingNearDupPairs]] move, which the 300×
+    // dup-heavy probe showed this operator needed too — 288 s at 3× the
+    // 100× data): identical vectors share every bucket of every table,
+    // so bucketing INSTANCES makes candidate volume quadratic in
+    // duplicate-group size. Bucket and score one representative per
+    // DISTINCT vector (vh = 8-byte hash surrogate, same collision
+    // stance), cut to the k+1 best vhs per query, and only then expand
+    // back to instances for the final instance-level top-k.
+    //
+    // Correctness of the vh cut: order vhs by (cos DESC, min instance id
+    // ASC). Every vh ranked above a vh V contributes ≥1 instance beating
+    // any of V's instances, so the true instance top-k lives inside the
+    // top-k vhs — plus one slack slot because the query's OWN vh ranks
+    // by a min_id its excluded self-instance may hold.
+    val members = corpus.select(col(idCol).as("neighbor_id"),
+      xxhash64(col(vecCol)).as("vh"))
+    val sigs = corpus.select(xxhash64(col(vecCol)).as("vh"), col(vecCol).as("cv"))
+      .dropDuplicates("vh")
+    val minIds = members.groupBy("vh").agg(min("neighbor_id").as("min_id"))
+    val c = bucketed(sigs, "vh", "cv")
     val scored = c.join(broadcast(q), Seq("tbl", "bkt"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
+      .select(col("query_id"), col("vh"),
         Similarity.cosineFast(col("qv"), col("cv")).as("cos"))
-      .dropDuplicates("query_id", "neighbor_id")
-    topKPerQuery(scored, k)
+      .dropDuplicates("query_id", "vh")
+    val vhCut = scored.join(minIds, Seq("vh"))
+      .groupBy("query_id")
+      .agg(call_function("graft_top_k_by",
+        struct(col("vh"), col("cos")), col("cos"), col("min_id"),
+        lit(k + 1)).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.vh").as("vh"), col("e.cos").as("cos"))
+    val expanded = vhCut.join(members, Seq("vh"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    topKPerQuery(expanded, k)
   }
 
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
@@ -282,8 +309,27 @@ object Ann {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     require(cents.nonEmpty, "semanticDedup needs at least one centroid")
     val centsLit = lit(GraftFunctions.encodeCents(cents))
-    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-        call_function("graft_ivf_nearest", col(vecCol), centsLit).as("cid"))
+    // collapse-first (defaulted after the 300× dup-heavy probe measured
+    // 72 s — exact duplicates re-paired inside every cluster): the
+    // quadratic within-cluster pair space runs over DISTINCT vectors
+    // (vh = 8-byte hash surrogate, the embeddingNearDupPairs stance),
+    // each represented by its MIN instance id. This is EXACT, not an
+    // approximation: cos(V, W) ≤ cos(V, V) after rounding, so
+    //  - self_cos ≥ τ → every non-min replica drops against the min one,
+    //    and the min instance drops iff a qualifying OTHER vector has a
+    //    smaller min id — precisely the rep-level pair rule;
+    //  - self_cos < τ (zero vectors, unreachable τ) → nothing can drop
+    //    ANY instance of V, so the whole replica group survives.
+    val members = corpus.select(col(idCol).as("iid"),
+      xxhash64(col(vecCol)).as("vh"))
+    val sigs = corpus
+      .select(xxhash64(col(vecCol)).as("vh"), col(vecCol).as("v"))
+      .dropDuplicates("vh")
+      .withColumn("self_cos", round(Similarity.cosineFast(col("v"), col("v")), 4))
+    val minIds = members.groupBy("vh").agg(min("iid").as("id"))
+    val assigned = sigs.join(minIds, Seq("vh"))
+      .select(col("vh"), col("id"), col("v"), col("self_cos"),
+        call_function("graft_ivf_nearest", col("v"), centsLit).as("cid"))
       .hint("shuffle_hash") // self-join: shuffle both sides → ReusedExchange
     val drops = assigned.as("x").join(assigned.as("y"),
         col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
@@ -291,8 +337,12 @@ object Ann {
       // compare is then stable across engines' float printing
       .filter(round(Similarity.cosineFast(col("x.v"), col("y.v")), 4) >= threshold)
       .select(col("y.id").as("id")).distinct()
-    assigned.join(drops, Seq("id"), "left_anti")
-      .select(col("id").as(idCol), col("cid"))
+    val keptReps = assigned.join(drops, Seq("id"), "left_anti")
+      .select(col("vh"), col("id").as("rep_id"), col("self_cos"), col("cid"))
+    members.join(keptReps, Seq("vh"))
+      .filter((col("self_cos") >= threshold && col("iid") === col("rep_id")) ||
+        col("self_cos") < threshold)
+      .select(col("iid").as(idCol), col("cid"))
   }
 
   /** Cluster-balanced diversity sampling: cap every semantic cluster's

@@ -417,6 +417,52 @@ object Sampling {
       .drop("__ord")
   }
 
+  /** Curriculum feed order: easy→hard bucket-major ordering with a
+    * deterministic shuffle INSIDE each difficulty bucket — "train on the
+    * short/clean documents first, mix randomly within a difficulty
+    * band", reproducible across reruns, engines, and cluster sizes.
+    * Buckets are equi-depth on the difficulty column (cuts at the
+    * j/nBuckets quantiles, 5-dp-rounded; bucket = #cuts the value
+    * EXCEEDS, so ties at a cut land low and every engine agrees);
+    * within a bucket, rows get the [[shardManifest]] treatment — shard
+    * + position from two independent portable id-hash uniforms. Global
+    * order = (bucket, shard, pos) lexicographic. Rows with NULL id or
+    * NULL/NaN difficulty are excluded (they cannot be placed).
+    *
+    * Scale notes: cuts ride ONE fused narrowing batch (plan-time
+    * constants); bucket/shard are pure codegen projections; the only
+    * shuffle is the (bucket, shard) window — with nShards sized to the
+    * cluster no task sorts more than ~N/(nBuckets·nShards) rows, and it
+    * is the exchange a bucket/shard-partitioned publish already pays.
+    */
+  def curriculumManifest(df: DataFrame, idCol: Column, difficulty: Column,
+                         nBuckets: Int, nShards: Int, seed: Long = 42L,
+                         portable: Boolean = false): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    def round5(v: Double): Double =
+      BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d = difficulty.cast("double")
+    val placed = df.filter(idCol.isNotNull && d.isNotNull && !isnan(d))
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts: Seq[Double] = Summaries
+      .exactQuantilesPerColumn(placed.select(d.as("__d")), Seq(("__d", qs)))
+      .apply("__d").flatten.map(round5)
+    import org.apache.spark.sql.expressions.Window
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(d > c, 1).otherwise(0)
+    }.cast("int")
+    val shard = floor(uniform01(idCol, seed, portable) * nShards).cast("int")
+    val orderKey = uniform01(idCol, seed + 1, portable)
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("__ord").asc, idCol.asc)
+    placed.withColumn("bucket", bucket)
+      .withColumn("shard", shard)
+      .withColumn("__ord", orderKey)
+      .withColumn("pos", row_number().over(w))
+      .drop("__ord")
+  }
+
   /** Rebalance a corpus to a TARGET stratum mix: exact-count sample where
     * stratum s receives its largest-remainder share of `totalK`
     * (base = ⌊totalK·p_s⌋, the leftover rows going +1 each to the

@@ -123,6 +123,45 @@ class EngagementFusionSpec extends SparkSpec {
     assert(ranks("s0") === (1L to 12L) && ranks("s1") === (1L to 8L))
   }
 
+  // ── curriculumManifest ────────────────────────────────────────────────
+
+  test("curriculumManifest: equi-depth buckets, monotone difficulty, dense pos") {
+    import graft.operators.Sampling
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "diff")
+    val out = Sampling.curriculumManifest(df, col("id"), col("diff"),
+        nBuckets = 4, nShards = 2, portable = true)
+      .select("id", "diff", "bucket", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    // equi-depth on 1..100: four buckets of 25
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes === Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25))
+    // bucket is monotone in difficulty: no easy doc lands above a hard one
+    val maxByBucket = out.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    val minByBucket = out.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    (0 to 2).foreach(b => assert(maxByBucket(b) <= minByBucket(b + 1)))
+    // pos is dense 1..n within every (bucket, shard)
+    out.groupBy(t => (t._3, t._4)).foreach { case (_, rows) =>
+      assert(rows.map(_._5).sorted.toSeq === (1 to rows.length))
+    }
+  }
+
+  test("curriculumManifest: layout-independent; unplaceable rows excluded") {
+    import graft.operators.Sampling
+    val df = Seq((Some(1L), Some(5.0)), (Some(2L), Some(1.0)),
+      (Some(3L), None), (None, Some(2.0)), (Some(4L), Some(Double.NaN)),
+      (Some(5L), Some(9.0)), (Some(6L), Some(3.0)), (Some(7L), Some(7.0)))
+      .toDF("id", "diff")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.curriculumManifest(d, col("id"), col("diff"),
+          nBuckets = 2, nShards = 2, portable = true)
+        .select("id", "bucket", "shard", "pos")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    val a = run(df)
+    assert(a.map(_._1) === Set(1L, 2L, 5L, 6L, 7L)) // 3 (NULL diff), 4 (NaN), NULL id out
+    assert(a === run(df.repartition(5)))
+  }
+
   // ── classBalance ──────────────────────────────────────────────────────
 
   test("classBalance: hand-computed entropy/gini/top on a balanced group") {

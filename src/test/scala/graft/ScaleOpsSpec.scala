@@ -361,6 +361,78 @@ class ScaleOpsSpec extends SparkSpec {
     assert(lsh == bf)
   }
 
+  test("lshTopK collapse-first ≡ per-instance reference on a dup-heavy corpus") {
+    import graft.functions.Similarity
+    import org.apache.spark.sql.expressions.Window
+    // 8 distinct base vectors, each replicated 25× with distinct ids —
+    // the exact-duplicate shape the 300× probe showed makes per-instance
+    // bucketing quadratic. The collapsed path must return the IDENTICAL
+    // per-instance rows (ranks, ties by neighbor_id, self-exclusion).
+    val rng = new scala.util.Random(23)
+    val bases = Seq.fill(8)(Array.fill(64)(rng.nextFloat() * 2 - 1))
+    val rows = for (b <- bases.indices; r <- 0 until 25)
+      yield ((b * 100 + r).toLong, bases(b))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val got = Ann.lshTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, nPlanes = 6, nTables = 4)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // reference: the pre-collapse per-instance form (bucket every
+    // instance, score, dedupe, window top-k with the same tie-break)
+    def bucketed(df: org.apache.spark.sql.DataFrame, id: String, vec: String) = {
+      val tables = (0 until 4).map { t =>
+        struct(lit(t).as("tbl"),
+          Similarity.rhpBucketFast(col(vec), 6, seed = 42 + t * 7919).as("bkt"))
+      }
+      df.select(col(id), col(vec), explode(array(tables: _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    }
+    val q = bucketed(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv")), "query_id", "qv")
+    val c = bucketed(corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv")), "neighbor_id", "cv")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val expect = c.join(q, Seq("tbl", "bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineFast(col("qv"), col("cv")).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank").cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got === expect)
+  }
+
+  test("semanticDedup collapse-first ≡ per-instance reference on replicas (zero vectors keep all)") {
+    import graft.functions.{GraftFunctions, Similarity}
+    val rng = new scala.util.Random(29)
+    val bases = Seq.fill(5)(Array.fill(64)(rng.nextFloat() * 2 - 1))
+    val zero = Array.fill(64)(0f)
+    val rows = (for (b <- bases.indices; r <- 0 until 10)
+      yield ((b * 100 + r).toLong, bases(b))) ++
+      (0 until 10).map(r => ((900 + r).toLong, zero))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cents = Ann.strideCentroids(corpus, "vec_id", "embedding", 3)
+    val got = Ann.semanticDedup(corpus, "vec_id", "embedding", cents, 0.9)
+      .as[(Long, Int)].collect().toSet
+    // per-instance reference: the pre-collapse rule verbatim
+    val centsLit = lit(GraftFunctions.encodeCents(cents))
+    val assigned = corpus.select(col("vec_id").as("id"), col("embedding").as("v"),
+      call_function("graft_ivf_nearest", col("embedding"), centsLit).as("cid"))
+    val drops = assigned.as("x").join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+      .filter(round(Similarity.cosineFast(col("x.v"), col("y.v")), 4) >= 0.9)
+      .select(col("y.id").as("id")).distinct()
+    val expect = assigned.join(drops, Seq("id"), "left_anti")
+      .select(col("id"), col("cid")).as[(Long, Int)].collect().toSet
+    assert(got === expect)
+    // all ten zero-vector instances survive (cos(0, ·) = 0 pairs nothing)
+    assert((900L until 910L).forall(i => got.exists(_._1 == i)))
+  }
+
   test("embedding near-dup pair set equals brute force at high threshold") {
     import graft.functions.Similarity
     val lshPairs = Ann.embeddingNearDupPairs(clustered, "vec_id", "embedding",
