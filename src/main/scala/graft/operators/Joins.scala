@@ -349,10 +349,25 @@ object Joins {
     * key join for the overlap/product stats plus one single-row agg per
     * side, combined by 1×1 cross joins. Feeds the journaled skew rule:
     * broadcast if a side fits; else AQE skew-split; salt only when AQE
-    * can't see the skew. Counts and products are exact longs — at
-    * petabyte key multiplicities (cL·cR > 2⁶³) the product sum would
-    * need a decimal widening, documented rather than paid here.
+    * can't see the skew. The cL·cR products and their sum accumulate in
+    * decimal(38,0) (the count table is tiny, so the widening is free) and
+    * fail LOUDLY if the result exceeds long range — a silent 2⁶³ wrap
+    * would report a wrong-sign inner_rows on exactly the explosive joins
+    * this operator exists to flag.
     */
+  /** Narrow a decimal(38,0) metric to long, raising instead of the silent
+    * NULL a non-ANSI overflow cast would produce. NULL passes through
+    * (no-match aggregates stay NULL).
+    */
+  private def checkedLong(dec: Column, name: String): Column = {
+    import org.apache.spark.sql.functions._
+    when(dec.isNull, lit(null).cast("long"))
+      .when(dec > lit(Long.MaxValue).cast("decimal(38,0)"),
+        raise_error(concat(lit(s"keyProfile: $name overflows long ("), dec.cast("string"), lit(")")))
+          .cast("long"))
+      .otherwise(dec.cast("long"))
+  }
+
   def keyProfile(lhs: DataFrame, rhs: DataFrame,
                  leftKey: String, rightKey: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -383,10 +398,19 @@ object Joins {
         count(when(matched, 1)).as("matched_keys"),
         count(when(lp && col("lk").isNotNull && !rp, 1)).as("left_only_keys"),
         count(when(rp && col("rk").isNotNull && !lp, 1)).as("right_only_keys"),
-        coalesce(sum(when(matched, col("cl") * col("cr"))), lit(0L)).as("inner_rows"),
+        coalesce(sum(when(matched,
+            col("cl").cast("decimal(38,0)") * col("cr").cast("decimal(38,0)"))),
+          lit(0L).cast("decimal(38,0)")).as("__inner_dec"),
         max(when(lp && col("lk").isNotNull, col("cl"))).as("max_left_mult"),
         max(when(rp && col("rk").isNotNull, col("cr"))).as("max_right_mult"),
-        max(when(matched, col("cl") * col("cr"))).as("max_key_pair_rows"))
+        max(when(matched,
+          col("cl").cast("decimal(38,0)") * col("cr").cast("decimal(38,0)")))
+          .as("__maxpair_dec"))
+      // decimal → long, loud on overflow: the non-ANSI cast would null out
+      // silently, so guard explicitly before narrowing
+      .withColumn("inner_rows", checkedLong(col("__inner_dec"), "inner_rows"))
+      .withColumn("max_key_pair_rows",
+        checkedLong(col("__maxpair_dec"), "max_key_pair_rows"))
       .withColumn("skew_ratio",
         when(col("inner_rows") > 0, round(
           col("max_key_pair_rows").cast("double") * col("matched_keys") /

@@ -427,7 +427,7 @@ object Sampling {
     * within a bucket, rows get the [[shardManifest]] treatment — shard
     * + position from two independent portable id-hash uniforms. Global
     * order = (bucket, shard, pos) lexicographic. Rows with NULL id or
-    * NULL/NaN difficulty are excluded (they cannot be placed).
+    * NULL/NaN/±Inf difficulty are excluded (they cannot be placed).
     *
     * Scale notes: cuts ride ONE fused narrowing batch (plan-time
     * constants); bucket/shard are pure codegen projections; the only
@@ -440,10 +440,18 @@ object Sampling {
                          portable: Boolean = false): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    Seq("bucket", "shard", "pos").foreach { reserved =>
+      require(!df.columns.exists(_.equalsIgnoreCase(reserved)),
+        s"curriculumManifest output column '$reserved' already exists on the input")
+    }
     def round5(v: Double): Double =
       BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
     val d = difficulty.cast("double")
-    val placed = df.filter(idCol.isNotNull && d.isNotNull && !isnan(d))
+    // ±Inf is excluded like NaN: an infinite difficulty has no place in an
+    // equi-depth ordering (and a quantile cut landing on it would be
+    // unrepresentable in the 5-dp rounding)
+    val placed = df.filter(idCol.isNotNull && d.isNotNull && !isnan(d) &&
+      d > Double.NegativeInfinity && d < Double.PositiveInfinity)
     val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
     val cuts: Seq[Double] = Summaries
       .exactQuantilesPerColumn(placed.select(d.as("__d")), Seq(("__d", qs)))

@@ -1126,9 +1126,16 @@ object Summaries {
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
       yield (cols(i), cols(j))
     def v(c: String) = col(c).cast("double")
+    // try_cast: |x| >= 1e14 overflows decimal(18,4) — a plain cast throws
+    // under ANSI and silently NULLs otherwise; try_cast yields NULL in
+    // BOTH modes, and the fin() clause below folds that NULL into the
+    // pairwise-complete condition so out-of-range values are treated as
+    // missing consistently in the count AND the moment sums (previously
+    // they dropped from the sums while n_pairs still counted them).
+    def q(c: String) = col(c).try_cast("decimal(18,4)")
     def fin(c: String) = col(c).isNotNull && !isnan(v(c)) &&
-      v(c) > Double.NegativeInfinity && v(c) < Double.PositiveInfinity
-    def q(c: String) = col(c).cast("decimal(18,4)")
+      v(c) > Double.NegativeInfinity && v(c) < Double.PositiveInfinity &&
+      q(c).isNotNull
     val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
       val cond = fin(x) && fin(y)
       def g(e: Column) = sum(when(cond, e))
@@ -1243,11 +1250,15 @@ object Summaries {
     require(qs.distinct.size == qs.size, "duplicate quantiles")
     def round5(v: Double): Double =
       BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // limit BEFORE collect: the guard exists to protect driver memory, so
+    // it must bound the collect itself — maxGroups+1 rows is enough to
+    // know the domain is too large without materializing all of it
     val groups: Seq[Option[String]] = df
       .select(col(groupCol).cast("string").as("g")).distinct()
+      .limit(maxGroups + 1)
       .collect().toSeq.map(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
     require(groups.size <= maxGroups,
-      s"groupQuantiles saw ${groups.size} groups (> maxGroups = $maxGroups) — " +
+      s"groupQuantiles saw > maxGroups = $maxGroups distinct groups — " +
         "this operator is for BOUNDED group domains; bucket first or raise maxGroups")
     val spark = df.sparkSession
     import spark.implicits._
@@ -1298,8 +1309,7 @@ object Summaries {
     * roll-up distinct count without touching the raw data again.
     */
   def mergeDistinctSketches(sketches: DataFrame, groupCols: Seq[String],
-                            sketchCol: String = "sketch",
-                            lgK: Int = 12): DataFrame = {
+                            sketchCol: String = "sketch"): DataFrame = {
     val merged = hll_union_agg(col(sketchCol), lit(false)).as("sketch")
     val g =
       if (groupCols.isEmpty) sketches.agg(merged)

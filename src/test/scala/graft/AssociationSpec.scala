@@ -47,6 +47,18 @@ class AssociationSpec extends SparkSpec {
     assert(out(("a", "c")).getAs[Double]("corr") === -1.0)
   }
 
+  test("correlationMatrix: decimal-overflow values (|x| >= 1e14) drop from " +
+    "the pair, not just the sums") {
+    // 1e15 overflows decimal(18,4): must be treated as MISSING (row leaves
+    // n_pairs too), not silently dropped from the moments while counted
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (1e15, 4.0))
+      .toDF("a", "b")
+    val r = Summaries.correlationMatrix(df, Seq("a", "b")).head()
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    assert(r.getAs[Double]("mean_x") === 2.0) // the 1e15 row fully excluded
+    assert(r.getAs[Double]("corr") === 1.0)
+  }
+
   test("correlationMatrix: matches Spark's corr() within the 4-dp quantization") {
     val rng = new scala.util.Random(7)
     val data = Seq.fill(500)((rng.nextDouble() * 100,

@@ -162,6 +162,23 @@ class EngagementFusionSpec extends SparkSpec {
     assert(a === run(df.repartition(5)))
   }
 
+  test("curriculumManifest: ±Inf difficulty excluded; reserved columns guarded") {
+    import graft.operators.Sampling
+    // an Inf row on a quantile cut used to throw NumberFormatException in
+    // the BigDecimal 5-dp rounding; now it is unplaceable like NaN
+    val withInf = Seq((1L, 1.0), (2L, 2.0), (3L, Double.PositiveInfinity),
+      (4L, 4.0), (5L, Double.NegativeInfinity)).toDF("id", "diff")
+    val out = Sampling.curriculumManifest(withInf, col("id"), col("diff"),
+      nBuckets = 2, nShards = 1, portable = true)
+    assert(out.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+    val clash = Seq((1L, 1.0, 9)).toDF("id", "diff", "bucket")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.curriculumManifest(clash, col("id"), col("diff"),
+        nBuckets = 2, nShards = 1)
+    }
+    assert(e.getMessage.contains("bucket"))
+  }
+
   // ── classBalance ──────────────────────────────────────────────────────
 
   test("classBalance: hand-computed entropy/gini/top on a balanced group") {
