@@ -187,10 +187,17 @@ object Oracles {
        d AS (SELECT doc_id, $digits FROM h),
        v AS (SELECT doc_id, $votes FROM d GROUP BY doc_id),
        s AS (SELECT doc_id, ${half(0)} AS lo, ${half(32)} AS hi FROM v),
-       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
-             FROM s a JOIN s b ON a.doc_id < b.doc_id)
-       SELECT id_a, id_b, hamming FROM p WHERE hamming <= 8"""
+       g AS (SELECT lo, hi, min(doc_id) AS rid, count(*) AS m
+             FROM s GROUP BY lo, hi),
+       intra AS (SELECT rid AS id_a, rid AS id_b, 0 AS hamming,
+               m AS m_a, m AS m_b FROM g WHERE m >= 2),
+       inter AS (SELECT a.rid AS id_a, b.rid AS id_b,
+               CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming,
+               a.m AS m_a, b.m AS m_b
+             FROM g a JOIN g b ON a.rid < b.rid)
+       SELECT id_a, id_b, hamming, m_a, m_b FROM intra
+       UNION ALL
+       SELECT id_a, id_b, hamming, m_a, m_b FROM inter WHERE hamming <= 8"""
   }
 
   /** q29: replicates the LSH pipeline — distinct vectors, 8 plane-tables,
@@ -683,25 +690,29 @@ object Oracles {
     "q113_ann_ivfpq" -> annIvfPqOracle,
     "q106_ann_recall" -> annRecallOracle,
 
-    // q108: the q26 pair chain + the q64 portable-split CASE applied to
-    // both pair sides, keeping only split-straddling pairs
+    // q108: the collapse-first audit replayed — distinct-text rep pairs
+    // (q26's shingle chain over one row per normalized text), per-group
+    // split histograms from the q64 portable-split CASE, one row per
+    // (rep pair × straddling split combo) with the per-instance count
     "q108_split_leakage" ->
-      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
-         sh AS (SELECT doc_id,
-                  unnest(list_distinct([array_to_string(t[i:i+6], ' ')
-                                        for i in range(1, greatest(len(t) - 6, 0) + 1)])) AS s
+      """WITH m AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+         g AS (SELECT t, min(doc_id) AS rid, count(*) AS mm FROM m GROUP BY t),
+         toks AS (SELECT rid, regexp_split_to_array(t, '\s+') AS tk FROM g),
+         sh AS (SELECT rid,
+                  unnest(list_distinct([array_to_string(tk[i:i+6], ' ')
+                                        for i in range(1, greatest(len(tk) - 6, 0) + 1)])) AS s
                 FROM toks),
-         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         sizes AS (SELECT rid, count(*) AS nsh FROM sh GROUP BY rid),
          common AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           SELECT a.rid AS ra, b.rid AS rb, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.rid < b.rid
            GROUP BY 1, 2),
          p AS (
-           SELECT id_a, id_b,
+           SELECT ra, rb,
              CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) AS jaccard
            FROM common
-           JOIN sizes sa ON sa.doc_id = id_a
-           JOIN sizes sb ON sb.doc_id = id_b
+           JOIN sizes sa ON sa.rid = ra
+           JOIN sizes sb ON sb.rid = rb
            WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.2),
          u AS (SELECT doc_id,
              list_sum([(strpos('0123456789abcdef',
@@ -712,13 +723,28 @@ object Oracles {
              CASE WHEN uv < 0.8 THEN 'train'
                   WHEN uv < 0.9 THEN 'val'
                   ELSE 'test' END AS split
-           FROM u)
-         SELECT p.id_a, p.id_b, s1.split AS split_a, s2.split AS split_b,
-           p.jaccard
-         FROM p
-         JOIN sp s1 ON s1.doc_id = p.id_a
-         JOIN sp s2 ON s2.doc_id = p.id_b
-         WHERE s1.split <> s2.split""",
+           FROM u),
+         hist AS (SELECT g.rid, sp.split, count(*) AS cnt
+                  FROM m JOIN g USING (t) JOIN sp ON sp.doc_id = m.doc_id
+                  GROUP BY 1, 2),
+         inter AS (
+           SELECT p.ra AS id_a, p.rb AS id_b, ha.split AS split_a,
+             hb.split AS split_b, CAST(ha.cnt * hb.cnt AS BIGINT) AS n_pairs,
+             p.jaccard
+           FROM p
+           JOIN hist ha ON ha.rid = p.ra
+           JOIN hist hb ON hb.rid = p.rb
+           WHERE ha.split <> hb.split),
+         intra AS (
+           SELECT g.rid AS id_a, g.rid AS id_b, ha.split AS split_a,
+             hb.split AS split_b, CAST(ha.cnt * hb.cnt AS BIGINT) AS n_pairs,
+             CAST(1.0 AS DOUBLE) AS jaccard
+           FROM g
+           JOIN sizes sz ON sz.rid = g.rid AND sz.nsh >= 1
+           JOIN hist ha ON ha.rid = g.rid
+           JOIN hist hb ON hb.rid = g.rid
+           WHERE g.mm >= 2 AND ha.split < hb.split)
+         SELECT * FROM inter UNION ALL SELECT * FROM intra""",
 
     // q109: median/MAD replayed per column with the SAME rounding
     // discipline as the operator — stats rounded to 5 dp FIRST, fences

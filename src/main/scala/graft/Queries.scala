@@ -227,7 +227,11 @@ object Queries {
     }),
 
     // portable = md5-derived token hashes, so the DuckDB oracle reproduces
-    // the signatures bit-for-bit (xxhash64 exists only inside Spark)
+    // the signatures bit-for-bit (xxhash64 exists only inside Spark).
+    // Catalog runs the collapse-first default: representative pairs +
+    // multiplicities (the per-instance expansion is the opt-in yardstick —
+    // its output is quadratic in dup-group size, the last 300×-probe
+    // hazard r10 flagged)
     "q28_simhash" -> ((s, d) =>
       NearDup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 8,
         portable = true)),
@@ -1163,24 +1167,38 @@ object Queries {
 
     // Recall@5 of the q31 LSH index against the q30 exact yardstick —
     // the measure-your-index-before-trusting-it evaluator
-    // Cross-split leakage audit: near-dup pairs whose members landed in
-    // DIFFERENT train/val/test splits — eval contamination by
-    // near-duplicates, the check a curation pipeline runs after
-    // assigning splits. ZERO joins: the deterministic split label is a
-    // pure function of each pair-side id (assignSplit as a projection
-    // over the already-tiny pair stream), so the audit costs the
-    // near-dup blocking plus a codegen projection at any corpus size
+    // Cross-split leakage audit: near-dup mass that straddles train/val/
+    // test — eval contamination by near-duplicates, the check a curation
+    // pipeline runs after assigning splits. Collapse-first (the r10
+    // verdict's last dup-quadratic): pairs come as REPRESENTATIVE rows
+    // from ngramJaccardRepPairs, each group's members aggregate to a
+    // per-split histogram (split is a pure codegen projection of the id),
+    // and the audit emits one row per (rep pair × split combo) with the
+    // per-instance pair count as n_pairs — linear in distinct-text pairs
+    // where the per-instance stream is quadratic in dup-group size
+    // (13.1 s → 48.0 s at 100→300× measured on the old form). Self rows
+    // (id_a == id_b) are intra-group leakage: identical texts split apart.
     "q108_split_leakage" -> ((s, d) => {
       val sp = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
-      val pairs = NearDup.ngramJaccardPairs(
-        Tables.documents(s, d), "doc_id", "text", 7, 0.2)
-      val withA = Sampling.assignSplit(pairs, col("id_a"), sp,
-        outCol = "split_a", portable = true)
-      val withB = Sampling.assignSplit(withA, col("id_b"), sp,
-        outCol = "split_b", portable = true)
-      withB.filter(col("split_a") =!= col("split_b"))
+      val docs = Tables.documents(s, d)
+      val reps = NearDup.ngramJaccardRepPairs(docs, "doc_id", "text", 7, 0.2)
+      val mem = NearDup.exactTextMembership(docs, "doc_id", "text", normalize = true)
+      val hist = Sampling.assignSplit(mem, col("id"), sp,
+          outCol = "split", portable = true)
+        .groupBy(col("rid"), col("split")).agg(count(lit(1)).as("cnt"))
+      val ha = hist.select(col("rid").as("id_a"), col("split").as("split_a"),
+        col("cnt").as("__ca"))
+      val hb = hist.select(col("rid").as("id_b"), col("split").as("split_b"),
+        col("cnt").as("__cb"))
+      val inter = reps.filter(col("id_a") =!= col("id_b"))
+        .join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+        .filter(col("split_a") =!= col("split_b"))
+      val intra = reps.filter(col("id_a") === col("id_b"))
+        .join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+        .filter(col("split_a") < col("split_b"))
+      inter.unionByName(intra)
         .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
-          col("jaccard"))
+          (col("__ca") * col("__cb")).as("n_pairs"), col("jaccard"))
     }),
 
     // Robust outlier census over events: median/MAD fences on the skewed

@@ -112,7 +112,40 @@ object NearDup {
         .filter(col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     }
+    val core = distinctTextCore(norm, n, threshold)
+    val members = core.members
+    val intra = members.as("m1").join(members.as("m2"),
+        col("m1.th") === col("m2.th") && col("m1.id") < col("m2.id"))
+      .join(core.sigs.select(col("th").as("th_s"), size(col("sh")).as("nsh_s")),
+        col("m1.th") === col("th_s"))
+      .filter(col("nsh_s") >= 1) // shingle-less docs pair with nothing
+      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    val inter = core.sigPairs
+      .join(members.as("ma"), col("ma.th") === col("th_a"))
+      .join(members.as("mb"), col("mb.th") === col("th_b"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"), col("jaccard"))
+    intra.unionByName(inter)
+  }
+
+  /** The distinct-text core every collapse-first n-gram operator builds
+    * on: slim (id, th) membership, (th → rid, m) duplicate groups, per-
+    * DISTINCT-text kernel shingle arrays, and the qualifying
+    * (th_a, th_b, jaccard) signature pairs (threshold applied). `norm`
+    * must already be (id, t) with t normalized — shingling runs once per
+    * distinct t (8-byte xxhash64 identity, the accepted ~n²/2⁶⁵ collision
+    * trade), and the self-join is shuffle_hash-hinted on the 8-byte
+    * shingle hash.
+    */
+  private final case class DistinctTextCore(members: DataFrame, groups: DataFrame,
+                                            sigs: DataFrame, sigPairs: DataFrame)
+
+  private def distinctTextCore(norm: DataFrame, n: Int,
+                               threshold: Double): DistinctTextCore = {
     val members = norm.select(col("id"), xxhash64(col("t")).as("th"))
+    val groups = members.groupBy("th")
+      .agg(min("id").as("rid"), count(lit(1)).as("m"))
     val sigs = norm.select(xxhash64(col("t")).as("th"), col("t"))
       .dropDuplicates("th")
       .select(col("th"),
@@ -130,18 +163,40 @@ object NearDup {
         col("common").cast("double") /
           (col("nsh_a") + col("nsh_b") - col("common")))
       .filter(col("jaccard") >= threshold)
-    val intra = members.as("m1").join(members.as("m2"),
-        col("m1.th") === col("m2.th") && col("m1.id") < col("m2.id"))
-      .join(sigs.select(col("th").as("th_s"), size(col("sh")).as("nsh_s")),
-        col("m1.th") === col("th_s"))
-      .filter(col("nsh_s") >= 1) // shingle-less docs pair with nothing
-      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
-        lit(1.0).as("jaccard"))
-    val inter = sigPairs
-      .join(members.as("ma"), col("ma.th") === col("th_a"))
-      .join(members.as("mb"), col("mb.th") === col("th_b"))
-      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
-        greatest(col("ma.id"), col("mb.id")).as("id_b"), col("jaccard"))
+    DistinctTextCore(members, groups, sigs, sigPairs)
+  }
+
+  /** Collapse-first twin of [[ngramJaccardPairs]]: one row per qualifying
+    * DISTINCT-text pair between group representatives (rid = smallest id
+    * sharing the normalized text) carrying both group multiplicities —
+    * (id_a, id_b, jaccard, m_a, m_b) — plus one self row
+    * `id_a == id_b == rid, jaccard = 1.0, m_a = m_b = m` per duplicate
+    * group (m ≥ 2, ≥ 1 shingle) standing for all its intra-group pairs.
+    * The form downstream AGGREGATING consumers (leakage audits, attrition
+    * accounting, mix stats) should take: output is linear in distinct-
+    * text pairs where the per-instance stream is quadratic in duplicate-
+    * group size. Expanding inter rows across both groups and self rows to
+    * C(m,2) reproduces [[ngramJaccardPairs]] exactly (spec-pinned).
+    */
+  def ngramJaccardRepPairs(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val norm = docs.select(col(idCol).as("id"), lower(trim(col(textCol))).as("t"))
+    val core = distinctTextCore(norm, n, threshold)
+    val intra = core.groups.filter(col("m") >= 2)
+      .join(core.sigs.select(col("th"), size(col("sh")).as("nsh_s")), Seq("th"))
+      .filter(col("nsh_s") >= 1) // shingle-less dup groups pair with nothing
+      .select(col("rid").as("id_a"), col("rid").as("id_b"),
+        lit(1.0).as("jaccard"), col("m").as("m_a"), col("m").as("m_b"))
+    val inter = core.sigPairs
+      .join(core.groups.select(col("th").as("th_a"), col("rid").as("__ra"),
+        col("m").as("__ma")), Seq("th_a"))
+      .join(core.groups.select(col("th").as("th_b"), col("rid").as("__rb"),
+        col("m").as("__mb")), Seq("th_b"))
+      .select(least(col("__ra"), col("__rb")).as("id_a"),
+        greatest(col("__ra"), col("__rb")).as("id_b"), col("jaccard"),
+        when(col("__ra") < col("__rb"), col("__ma")).otherwise(col("__mb")).as("m_a"),
+        when(col("__ra") < col("__rb"), col("__mb")).otherwise(col("__ma")).as("m_b"))
     intra.unionByName(inter)
   }
 
@@ -173,37 +228,18 @@ object NearDup {
                                  n: Int, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val norm = docs.select(col(idCol).as("id"), lower(trim(col(textCol))).as("t"))
-    val members = norm.select(col("id"), xxhash64(col("t")).as("th"))
-    val groups = members.groupBy("th")
-      .agg(min("id").as("rid"), count(lit(1)).as("grp_n"))
-    val sigs = norm.select(xxhash64(col("t")).as("th"), col("t"))
-      .dropDuplicates("th")
-      .select(col("th"),
-        call_function("graft_ngram_hashes", split(col("t"), "\\s+"), lit(n)).as("sh"))
-    val st = sigs
-      .select(col("th"), size(col("sh")).as("nsh"), explode_outer(col("sh")).as("h"))
-      .filter(col("h").isNotNull)
-      .hint("shuffle_hash")
-    val sigPairs = st.as("a").join(st.as("b"),
-        col("a.h") === col("b.h") && col("a.th") < col("b.th"))
-      .groupBy(col("a.th").as("th_a"), col("b.th").as("th_b"))
-      .agg(count(lit(1)).as("common"),
-        any_value(col("a.nsh")).as("nsh_a"), any_value(col("b.nsh")).as("nsh_b"))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("nsh_a") + col("nsh_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
+    val core = distinctTextCore(norm, n, threshold)
     // ONE edge per qualifying distinct-text pair, between representatives
-    val interRep = sigPairs
-      .join(groups.select(col("th").as("th_a"), col("rid").as("rid_a")), Seq("th_a"))
-      .join(groups.select(col("th").as("th_b"), col("rid").as("rid_b")), Seq("th_b"))
+    val interRep = core.sigPairs
+      .join(core.groups.select(col("th").as("th_a"), col("rid").as("rid_a")), Seq("th_a"))
+      .join(core.groups.select(col("th").as("th_b"), col("rid").as("rid_b")), Seq("th_b"))
       .select(least(col("rid_a"), col("rid_b")).as("id_a"),
         greatest(col("rid_a"), col("rid_b")).as("id_b"), col("jaccard"))
     // star edges: every non-representative member hangs off its rid
     // (rid = min id of the group, so rid < id always)
-    val star = members.join(groups, Seq("th"))
-      .filter(col("id") =!= col("rid") && col("grp_n") >= 2)
-      .join(sigs.select(col("th"), size(col("sh")).as("nsh_s")), Seq("th"))
+    val star = core.members.join(core.groups, Seq("th"))
+      .filter(col("id") =!= col("rid") && col("m") >= 2)
+      .join(core.sigs.select(col("th"), size(col("sh")).as("nsh_s")), Seq("th"))
       .filter(col("nsh_s") >= 1)
       .select(col("rid").as("id_a"), col("id").as("id_b"), lit(1.0).as("jaccard"))
     interRep.unionByName(star)
@@ -562,9 +598,26 @@ object NearDup {
     * 2^6 here): C(b,2) rows per doc replicate the input ~4×, but candidate
     * generation returns to near-linear. Hamming is filtered BEFORE the
     * pair dedup so only passing (id, id, dist) triples shuffle.
+    *
+    * COLLAPSE-FIRST DEFAULT (`collapseExact = true`): blocking already
+    * runs over DISTINCT signatures, but a per-instance pair OUTPUT is
+    * still quadratic in duplicate-group size — d copies of a page emit
+    * C(d,2) hamming-0 rows plus d·e rows against every e-copy neighbor
+    * (measured 90 s at a 300× dup-heavy probe for the expansion joins
+    * alone). The default keeps the output collapsed: one row per
+    * SIGNATURE-GROUP pair between group representatives (rid = smallest
+    * id sharing the signature) carrying both multiplicities
+    * (id_a, id_b, hamming, m_a, m_b), plus one self row
+    * `id_a == id_b == rid, hamming = 0, m_a = m_b = m` per group with
+    * ≥ 2 members standing for all its intra-group pairs. Expand back to
+    * the exact per-instance stream — proven equivalent in NearDupSpec —
+    * with [[expandSimhashPairs]] + [[simhashMembership]]; or pass
+    * `collapseExact = false` for the direct per-instance output
+    * (id_a, id_b, hamming), the yardstick form.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int,
-                   portable: Boolean = false): DataFrame = {
+                   portable: Boolean = false,
+                   collapseExact: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     // beyond 16 blocks the per-block width drops under 4 bits (and hits 0
     // at maxDist >= 62): bucket occupancy explodes and the candidate join
@@ -593,9 +646,12 @@ object NearDup {
     // BEFORE blocking: real corpora carry heavy exact-dup mass, and every
     // identical pair would otherwise match in every block combination,
     // multiplying its candidate rows C(b,2)-fold. Blocking runs on
-    // DISTINCT signatures only; the id-level pairs are recovered by two
-    // membership joins at the end (shuffles keyed on sh, output-bound).
-    val sigs = members.select("sh").distinct()
+    // DISTINCT signatures only; in the per-instance form the id-level
+    // pairs are recovered by two membership joins at the end (shuffles
+    // keyed on sh, output-bound).
+    val groups = members.groupBy("sh")
+      .agg(min("id").as("rid"), count(lit(1)).as("m"))
+    val sigs = groups.select("sh")
     def blockVal(blk: Int): Column =
       shiftrightunsigned(col("sh"), blk * width).bitwiseAND(lit((1L << width) - 1))
     val combos = for (i <- 0 until nBlocks; j <- i + 1 until nBlocks) yield
@@ -611,17 +667,79 @@ object NearDup {
         hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .dropDuplicates("sh_a", "sh_b")
-    // expand: intra-group exact dups (hamming 0) + inter-group pairs
-    val intra = members.as("m1").join(members.as("m2"),
-        col("m1.sh") === col("m2.sh") && col("m1.id") < col("m2.id"))
-      .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
-        lit(0).as("hamming")) // int, matching bit_count's type in `inter`
-    val inter = sigPairs
-      .join(members.as("ma"), col("ma.sh") === col("sh_a"))
-      .join(members.as("mb"), col("mb.sh") === col("sh_b"))
-      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
-        greatest(col("ma.id"), col("mb.id")).as("id_b"), col("hamming"))
-    intra.unionByName(inter)
+    if (collapseExact) {
+      // representative pairs + multiplicities: the groups table is the
+      // only thing that joins back — output is linear in signature pairs
+      val intra = groups.filter(col("m") >= 2)
+        .select(col("rid").as("id_a"), col("rid").as("id_b"),
+          lit(0).as("hamming"), col("m").as("m_a"), col("m").as("m_b"))
+      val inter = sigPairs
+        .join(groups.select(col("sh").as("sh_a"), col("rid").as("__ra"),
+          col("m").as("__ma")), Seq("sh_a"))
+        .join(groups.select(col("sh").as("sh_b"), col("rid").as("__rb"),
+          col("m").as("__mb")), Seq("sh_b"))
+        .select(least(col("__ra"), col("__rb")).as("id_a"),
+          greatest(col("__ra"), col("__rb")).as("id_b"), col("hamming"),
+          when(col("__ra") < col("__rb"), col("__ma")).otherwise(col("__mb")).as("m_a"),
+          when(col("__ra") < col("__rb"), col("__mb")).otherwise(col("__ma")).as("m_b"))
+      intra.unionByName(inter)
+    } else {
+      // expand: intra-group exact dups (hamming 0) + inter-group pairs
+      val intra = members.as("m1").join(members.as("m2"),
+          col("m1.sh") === col("m2.sh") && col("m1.id") < col("m2.id"))
+        .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+          lit(0).as("hamming")) // int, matching bit_count's type in `inter`
+      val inter = sigPairs
+        .join(members.as("ma"), col("ma.sh") === col("sh_a"))
+        .join(members.as("mb"), col("mb.sh") === col("sh_b"))
+        .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+          greatest(col("ma.id"), col("mb.id")).as("id_b"), col("hamming"))
+      intra.unionByName(inter)
+    }
+  }
+
+  /** (id, rid) membership of every doc in its simhash SIGNATURE group —
+    * rid = the smallest id sharing the signature. The expansion key for
+    * collapsed [[simhashPairs]] output (groups are keyed by signature,
+    * not text: distinct texts that collide to one simhash merge here
+    * exactly as their per-instance pairs would have met at hamming 0).
+    * Must be built with the SAME `portable` flag as the pair run.
+    */
+  def simhashMembership(docs: DataFrame, idCol: String, textCol: String,
+                        portable: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val sigOf = if (portable) simhashMd5Fast(_) else simhashFast(_)
+    val norm = docs.select(col(idCol).as("id"), lower(trim(col(textCol))).as("t"))
+    val textSigs = norm.select(xxhash64(col("t")).as("th"), col("t"))
+      .dropDuplicates("th")
+      .select(col("th"), sigOf(col("t")).as("sh"))
+    val m = norm.select(col("id"), xxhash64(col("t")).as("th"))
+      .join(textSigs, Seq("th")).select(col("id"), col("sh"))
+    m.join(m.groupBy("sh").agg(min("id").as("rid")), Seq("sh"))
+      .select(col("id"), col("rid"))
+  }
+
+  /** Expand a collapsed [[simhashPairs]] result back to the exact
+    * per-instance (id_a, id_b, hamming) stream: inter-group rows fan out
+    * to every (instance_a, instance_b) combo (hamming is symmetric — no
+    * reorientation needed), self rows (`id_a == id_b`) to every unordered
+    * intra-group pair at hamming 0. `members` is [[simhashMembership]] of
+    * the SAME frame with the SAME `portable` flag. Join-shaped: quadratic
+    * only in the true duplicate multiplicities the caller asked to
+    * re-materialize.
+    */
+  def expandSimhashPairs(collapsed: DataFrame, members: DataFrame): DataFrame = {
+    val ma = members.select(col("rid").as("id_a"), col("id").as("__ia"))
+    val mb = members.select(col("rid").as("id_b"), col("id").as("__ib"))
+    val inter = collapsed.filter(col("id_a") =!= col("id_b"))
+      .join(ma, Seq("id_a")).join(mb, Seq("id_b"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    val intra = collapsed.filter(col("id_a") === col("id_b"))
+      .join(ma, Seq("id_a")).join(mb, Seq("id_b"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"), col("hamming"))
+    inter.unionByName(intra)
   }
 
   /** Edit-distance similarity self-join: all pairs with

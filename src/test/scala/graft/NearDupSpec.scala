@@ -243,7 +243,8 @@ class NearDupSpec extends SparkSpec {
       (3L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
       (4L, "one two three four five six seven eight")
     ).toDF("doc_id", "text")
-    val out = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 10, portable = true)
+    val out = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 10,
+        portable = true, collapseExact = false)
       .as[(Long, Long, Int)].collect().toSet
     val sigs = docs.select(col("doc_id"), NearDup.simhashMd5Fast(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap
@@ -253,6 +254,103 @@ class NearDupSpec extends SparkSpec {
     } yield (a, b, d)).toSet
     assert(out === brute)
     assert(out.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0)) // exact dup
+  }
+
+  test("simhashPairs collapsed default expands to exactly the per-instance " +
+    "stream (dup-heavy corpus)") {
+    // replica-heavy corpus exercising every edge class: a 3-copy group
+    // near a 2-copy group (inter rep pair must carry both multiplicities
+    // and expand to 6 cross pairs), a 2-copy group with no neighbor
+    // (self row only), an orphan, and a singleton far from everything
+    val docs = Seq(
+      (5L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),  // dup of 5 (rid=1)
+      (9L, "alpha beta gamma delta epsilon zeta eta theta"),  // dup of 5
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near group(1)
+      (7L, "alpha beta gamma delta epsilon zeta eta iota"),   // dup of 2
+      (3L, "one two three four five six seven eight"),
+      (8L, "one two three four five six seven eight"),        // dup of 3, no neighbor
+      (4L, "completely unrelated words describing other things entirely")
+    ).toDF("doc_id", "text")
+    val collapsed = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 14,
+      portable = true)
+    val perInstance = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 14,
+        portable = true, collapseExact = false)
+      .as[(Long, Long, Int)].collect().toSet
+    val members = NearDup.simhashMembership(docs, "doc_id", "text", portable = true)
+    val expanded = NearDup.expandSimhashPairs(collapsed, members)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(expanded === perInstance)
+    // shape: the collapsed stream is LINEAR — 3 self rows (the three
+    // dup groups) + inter rep pairs; never the C(d,2)/d·e expansion
+    val c = collapsed.as[(Long, Long, Int, Long, Long)].collect().toSet
+    assert(c.contains((1L, 1L, 0, 3L, 3L)))  // 3-copy group self row
+    assert(c.contains((2L, 2L, 0, 2L, 2L)))
+    assert(c.contains((3L, 3L, 0, 2L, 2L)))
+    val interReps = c.filter(p => p._1 != p._2)
+    assert(interReps.exists(p => p._1 == 1L && p._2 == 2L && p._4 == 3L && p._5 == 2L))
+    // per-instance intra mass is all there after expansion: C(3,2)+C(2,2)*2
+    assert(perInstance.count(_._3 == 0) === 3 + 1 + 1)
+    assert(expanded.count(p => p._3 > 0 && Set(p._1, p._2).subsetOf(Set(1L, 5L, 9L, 2L, 7L))) === 6)
+  }
+
+  test("split-leakage over rep pairs equals the per-instance audit (dup-heavy)") {
+    import graft.operators.Sampling
+    // ids chosen so the portable split hash scatters group members across
+    // splits; two near-dup groups + an exact-dup group with no neighbor
+    val texts = Map(
+      "a" -> "the cat sat on the red mat today and then it slept",
+      "b" -> "a cat sat on the red mat today and then it slept",
+      "c" -> "entirely unrelated sentence about boats and rivers flowing by")
+    val docs = (1L to 40L).map { i =>
+      (i, texts(if (i % 5 == 0) "c" else if (i % 2 == 0) "b" else "a"))
+    }.toDF("doc_id", "text")
+    val sp = Seq(("train", 0.6), ("val", 0.2), ("test", 0.2))
+    def splitOf(df: org.apache.spark.sql.DataFrame, idc: String, out: String) =
+      Sampling.assignSplit(df, col(idc), sp, outCol = out, portable = true)
+    // per-instance audit: the old q108 formulation
+    val perInstance = splitOf(splitOf(
+        NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2,
+          collapseDuplicates = Some(true)), "id_a", "split_a"), "id_b", "split_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+      .as[(Long, Long, String, String, Double)].collect().toSet
+    assert(perInstance.nonEmpty, "corpus must actually leak for the test to bite")
+    // collapsed audit: rep pairs × split histograms (the q108 catalog form)
+    val reps = NearDup.ngramJaccardRepPairs(docs, "doc_id", "text", 3, 0.2)
+    val mem = NearDup.exactTextMembership(docs, "doc_id", "text", normalize = true)
+    val hist = splitOf(mem, "id", "split")
+      .groupBy(col("rid"), col("split")).agg(count(lit(1)).as("cnt"))
+    val ha = hist.select(col("rid").as("id_a"), col("split").as("split_a"), col("cnt").as("ca"))
+    val hb = hist.select(col("rid").as("id_b"), col("split").as("split_b"), col("cnt").as("cb"))
+    val audit = reps.filter(col("id_a") =!= col("id_b"))
+      .join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .unionByName(reps.filter(col("id_a") === col("id_b"))
+        .join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+        .filter(col("split_a") < col("split_b")))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+        (col("ca") * col("cb")).as("n_pairs"), col("jaccard"))
+    // total leaked-pair mass matches exactly
+    assert(audit.agg(sum("n_pairs")).head().getLong(0) === perInstance.size.toLong)
+    // and expanding each audit row across its two (group, split) cells
+    // reproduces the per-instance set bit-for-bit
+    val ms = splitOf(mem, "id", "split")
+    val ia = ms.select(col("rid").as("id_a"), col("split").as("split_a"),
+      col("id").as("xa"))
+    val ib = ms.select(col("rid").as("id_b"), col("split").as("split_b"),
+      col("id").as("xb"))
+    // no pair-dedup filter needed: the two (group, split) cells of any
+    // audit row are disjoint, so the cross product hits each unordered
+    // instance pair exactly once
+    val expanded = audit.join(ia, Seq("id_a", "split_a")).join(ib, Seq("id_b", "split_b"))
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"),
+        when(col("xa") < col("xb"), col("split_a")).otherwise(col("split_b")).as("split_a"),
+        when(col("xa") < col("xb"), col("split_b")).otherwise(col("split_a")).as("split_b"),
+        col("jaccard"))
+      .as[(Long, Long, String, String, Double)].collect().toSet
+    assert(expanded === perInstance)
   }
 
   test("editDistancePairs covers strings shorter than maxDist+1 (deletion band)") {
