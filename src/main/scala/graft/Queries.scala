@@ -1316,6 +1316,29 @@ object Queries {
         col("doc_id"), col("n_chars"), nBuckets = 4, nShards = 4,
         portable = true)),
 
+    // PRODUCTION ANN composition (FAISS IVFPQ + refine): learned coarse
+    // centroids gate the scan, PQ codebooks TRAINED per-subspace on the
+    // cell RESIDUALS (m=16) compress it, and the ADC top-25 candidates
+    // are re-ranked with exact cosine — recall@5 at probe4 goes
+    // 0.38 → 0.62 on the driver's embeddings, which IS the probe-4
+    // coarse-gate ceiling (the refinement recovers every candidate the
+    // cells admit; q113 stays the ADC-only knob demo). Training is two
+    // engine-portable k-means iterations per subspace; everything
+    // downstream of the ⌈√n⌉-cell gate touches codes, then exactly
+    // queries×25 raw vectors
+    "q132_ann_refined" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val coarse = Ann.autoCentroids(e, "vec_id", "embedding")
+      val init = Ann.pqCodebooks(
+        Ann.strideCentroids(e, "vec_id", "embedding", nCentroids = 16), m = 16)
+      val books = Ann.pqTrainCodebooksExact(
+        Ann.ivfResiduals(e, "vec_id", "embedding", coarse), "res", init, iters = 2)
+      val cand = Ann.ivfPqTopK(q, e, "vec_id", "embedding", coarse, books,
+        k = 25, nProbe = 4, residual = true)
+      Ann.refineTopK(cand, q, e, "vec_id", "embedding", k = 5)
+    }),
+
     // Peak-concurrency sweep over the q33 sessions — how many sessions
     // are simultaneously active at each boundary instant (end-exclusive).
     // Catalog runs the SCALABLE path: per-instant net deltas (one

