@@ -340,6 +340,111 @@ object Oracles {
        SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank
        FROM ranked WHERE rank <= 5"""
 
+  /** q132: IVF-PQ + refine with residual-TRAINED codebooks — the full
+    * production composition replayed bit-for-bit. Portability notes on
+    * the three new kernels: (1) residuals are FLOAT subtraction — DuckDB
+    * REAL − REAL is single-precision IEEE exactly like Spark's
+    * `zip_with` over float arrays (double rounding through DOUBLE is
+    * innocuous for ± at p=53 ≥ 2·24+2, so the engines agree bit-for-bit
+    * either way); (2) per-subspace k-means training replays
+    * [[graft.operators.Ann.pqTrainCodebooksExact]]'s contract — argmin
+    * by fixed-order double L2 with ties to the smaller cid, cluster sums
+    * as exact BIGINT `floor(v·1e6 + 0.5)` micro-units, new element =
+    * `(sum/n/1e6)::FLOAT`, empty clusters keep their previous centroid;
+    * (3) residual ADC = per-subspace `floor(d·1e5 + 0.5)` long part
+    * units summed then `/1e5` (the graft_pq_adc contract), over each
+    * query's 4 probed cells at R=25 candidates; exact-cosine re-rank to
+    * the final top 5 (the graft_top_k_by (cos desc, id asc) order).
+    */
+  private def annRefinedOracle: String = {
+    def l2sq4(a: String, b: String): String =
+      s"""list_sum([(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))*(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE)) for i in range(1, 5)])"""
+    val trainIters = (0 until 2).map { t =>
+      s"""tasg$t AS (
+         SELECT id, s, sv, bcid FROM (
+           SELECT r.id, r.s, r.sv, b.bcid,
+             row_number() OVER (PARTITION BY r.id, r.s
+               ORDER BY ${l2sq4("r.sv", "b.bv")}, b.bcid) AS rn
+           FROM rsub r JOIN books$t b ON b.s = r.s) WHERE rn = 1),
+       tsums$t AS (
+         SELECT s, bcid, j.i AS pos,
+           sum(CAST(floor(CAST(sv[j.i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS sm,
+           count(*) AS n
+         FROM tasg$t CROSS JOIN range(0, 4) j(i) GROUP BY s, bcid, j.i),
+       books${t + 1} AS (
+         SELECT s, bcid, list(me ORDER BY pos) AS bv FROM (
+           SELECT pb.s, pb.bcid, j.i AS pos,
+             COALESCE(CAST(CAST(ts.sm AS DOUBLE) / ts.n / 1000000.0 AS FLOAT),
+                      CAST(pb.bv[j.i + 1] AS FLOAT)) AS me
+           FROM books$t pb CROSS JOIN range(0, 4) j(i)
+           LEFT JOIN tsums$t ts ON ts.s = pb.s AND ts.bcid = pb.bcid AND ts.pos = j.i)
+         GROUP BY s, bcid)"""
+    }.mkString(",\n       ")
+    s"""WITH ${autoCentroidCtes(2)},
+       cdist AS (
+         SELECT id, v, cid,
+           row_number() OVER (PARTITION BY id ORDER BY ${l2sqSql("v", "centv")}, cid) AS rn
+         FROM cvec CROSS JOIN cents2),
+       cass AS (SELECT id, v, cid FROM cdist WHERE rn = 1),
+       res AS (
+         SELECT a.id, a.cid,
+           [a.v[i + 1] - c2.centv[i + 1] for i in range(0, 64)] AS rv
+         FROM cass a JOIN cents2 c2 ON c2.cid = a.cid),
+       ppool AS (
+         SELECT embedding AS centv, row_number() OVER (ORDER BY vec_id) - 1 AS i
+         FROM embeddings ORDER BY vec_id LIMIT 128),
+       pcents AS (SELECT CAST(i // 8 AS INTEGER) AS pcid, centv FROM ppool WHERE i % 8 = 0),
+       sub AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS s),
+       books0 AS (
+         SELECT s, pcid AS bcid, centv[(s*4 + 1):(s*4 + 4)] AS bv
+         FROM pcents CROSS JOIN sub),
+       rsub AS (SELECT id, s, rv[(s*4 + 1):(s*4 + 4)] AS sv FROM res CROSS JOIN sub),
+       $trainIters,
+       code0 AS (
+         SELECT r.id, r.s, b.bcid,
+           row_number() OVER (PARTITION BY r.id, r.s
+             ORDER BY ${l2sq4("r.sv", "b.bv")}, b.bcid) AS rn
+         FROM rsub r JOIN books2 b ON b.s = r.s),
+       code AS (SELECT id AS neighbor_id, s, bcid FROM code0 WHERE rn = 1),
+       q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+       qdist AS (
+         SELECT query_id, qv, cid,
+           row_number() OVER (PARTITION BY query_id ORDER BY ${l2sqSql("qv", "centv")}, cid) AS rn
+         FROM q CROSS JOIN cents2),
+       qprobe AS (
+         SELECT query_id, qd.cid,
+           [qd.qv[i + 1] - c2.centv[i + 1] for i in range(0, 64)] AS qrv
+         FROM qdist qd JOIN cents2 c2 ON c2.cid = qd.cid WHERE rn <= 4),
+       cand AS (
+         SELECT query_id, qprobe.cid AS cid, cass.id AS neighbor_id
+         FROM cass JOIN qprobe ON cass.cid = qprobe.cid
+         WHERE query_id <> cass.id),
+       qsub AS (
+         SELECT query_id, cid, s, qrv[(s*4 + 1):(s*4 + 4)] AS qsv
+         FROM qprobe CROSS JOIN sub),
+       parts AS (
+         SELECT cand.query_id, cand.neighbor_id, code.s,
+           CAST(floor(${l2sq4("qs.qsv", "b.bv")} * 100000.0 + 0.5) AS BIGINT) AS pu
+         FROM cand
+         JOIN code ON code.neighbor_id = cand.neighbor_id
+         JOIN qsub qs ON qs.query_id = cand.query_id AND qs.cid = cand.cid AND qs.s = code.s
+         JOIN books2 b ON b.s = code.s AND b.bcid = code.bcid),
+       adcs AS (
+         SELECT query_id, neighbor_id, CAST(sum(pu) AS DOUBLE) / 100000.0 AS adc
+         FROM parts GROUP BY 1, 2),
+       cand25 AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+           FROM adcs) WHERE rn <= 25),
+       scored AS (
+         SELECT c25.query_id, c25.neighbor_id, ${cosSql("q.qv", "cv.v")} AS cos
+         FROM cand25 c25
+         JOIN q ON q.query_id = c25.query_id
+         JOIN cvec cv ON cv.id = c25.neighbor_id),
+       ${topKSelect(5)}"""
+  }
+
   /** q37: replicates the IVF plumbing over [[autoCentroidCtes]]'s learned
     * centroids (k = ⌈√n⌉, stride init, 2 exact k-means iterations) —
     * corpus assigned to argmin-L2 centroid, queries probe their 4 nearest
@@ -688,6 +793,7 @@ object Oracles {
     "q37_ann_ivf" -> annIvfOracle,
     "q95_ann_pq" -> annPqOracle,
     "q113_ann_ivfpq" -> annIvfPqOracle,
+    "q132_ann_refined" -> annRefinedOracle,
     "q106_ann_recall" -> annRecallOracle,
 
     // q108: the collapse-first audit replayed — distinct-text rep pairs

@@ -234,7 +234,7 @@ object Queries {
     // hazard r10 flagged)
     "q28_simhash" -> ((s, d) =>
       NearDup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 8,
-        portable = true)),
+        portable = true, collapseExact = true)),
 
     // threshold 0.4: the synthetic embeddings are near-orthogonal (max
     // pairwise cosine ≈ 0.5–0.6), so a "real" near-dup cut of 0.93 matches

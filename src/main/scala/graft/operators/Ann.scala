@@ -444,7 +444,8 @@ object Ann {
                             init: Array[Array[Array[Float]]],
                             iters: Int): Array[Array[Array[Float]]] = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    require(init.nonEmpty && iters >= 0, "pq training needs >= 1 codebook")
+    require(init.nonEmpty, "pq training needs >= 1 codebook")
+    require(iters >= 0, s"pq training iters must be >= 0, got $iters")
     val m = init.length
     val dsub = init.head.head.length
     var books = init

@@ -398,16 +398,24 @@ object Joins {
         count(when(matched, 1)).as("matched_keys"),
         count(when(lp && col("lk").isNotNull && !rp, 1)).as("left_only_keys"),
         count(when(rp && col("rk").isNotNull && !lp, 1)).as("right_only_keys"),
-        coalesce(sum(when(matched,
-            col("cl").cast("decimal(38,0)") * col("cr").cast("decimal(38,0)"))),
-          lit(0L).cast("decimal(38,0)")).as("__inner_dec"),
+        sum(when(matched,
+            col("cl").cast("decimal(38,0)") * col("cr").cast("decimal(38,0)")))
+          .as("__inner_raw"),
         max(when(lp && col("lk").isNotNull, col("cl"))).as("max_left_mult"),
         max(when(rp && col("rk").isNotNull, col("cr"))).as("max_right_mult"),
         max(when(matched,
           col("cl").cast("decimal(38,0)") * col("cr").cast("decimal(38,0)")))
           .as("__maxpair_dec"))
       // decimal → long, loud on overflow: the non-ANSI cast would null out
-      // silently, so guard explicitly before narrowing
+      // silently, so guard explicitly before narrowing. A NULL sum with
+      // matched keys can only be decimal(38,0) SUM overflow (each product
+      // is < 8.6e37, so no per-row overflow) — raise before the no-match
+      // coalesce can masquerade it as inner_rows = 0
+      .withColumn("__inner_dec",
+        when(col("__inner_raw").isNull && col("matched_keys") > 0,
+          raise_error(lit("keyProfile: inner_rows decimal sum overflowed"))
+            .cast("decimal(38,0)"))
+        .otherwise(coalesce(col("__inner_raw"), lit(0L).cast("decimal(38,0)"))))
       .withColumn("inner_rows", checkedLong(col("__inner_dec"), "inner_rows"))
       .withColumn("max_key_pair_rows",
         checkedLong(col("__maxpair_dec"), "max_key_pair_rows"))

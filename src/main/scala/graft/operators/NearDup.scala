@@ -599,7 +599,10 @@ object NearDup {
     * generation returns to near-linear. Hamming is filtered BEFORE the
     * pair dedup so only passing (id, id, dist) triples shuffle.
     *
-    * COLLAPSE-FIRST DEFAULT (`collapseExact = true`): blocking already
+    * `collapseExact` has NO default — the two modes emit DIFFERENT
+    * schemas, so the choice is a required, compile-time-visible part of
+    * every call (the catalog opts into collapse-first). With
+    * `collapseExact = true`: blocking already
     * runs over DISTINCT signatures, but a per-instance pair OUTPUT is
     * still quadratic in duplicate-group size — d copies of a page emit
     * C(d,2) hamming-0 rows plus d·e rows against every e-copy neighbor
@@ -617,7 +620,7 @@ object NearDup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int,
                    portable: Boolean = false,
-                   collapseExact: Boolean = true): DataFrame = {
+                   collapseExact: Boolean): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     // beyond 16 blocks the per-block width drops under 4 bits (and hits 0
     // at maxDist >= 62): bucket occupancy explodes and the candidate join

@@ -1125,27 +1125,36 @@ object Summaries {
     require(cols.distinct.size == cols.size, "duplicate columns in cols")
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
       yield (cols(i), cols(j))
-    def v(c: String) = col(c).cast("double")
+    // Cast-once projection: each column's quantized value and finiteness
+    // flag are computed ONE time per row here; the C(k,2) pair conditions
+    // below reuse the projected flags — without this every pair condition
+    // re-evaluates its two columns' try_casts, O(k) casts per column per
+    // row (the q117 2× regression).
     // try_cast: |x| >= 1e14 overflows decimal(18,4) — a plain cast throws
     // under ANSI and silently NULLs otherwise; try_cast yields NULL in
-    // BOTH modes, and the fin() clause below folds that NULL into the
+    // BOTH modes, and the finiteness flag folds that NULL into the
     // pairwise-complete condition so out-of-range values are treated as
-    // missing consistently in the count AND the moment sums (previously
-    // they dropped from the sums while n_pairs still counted them).
-    def q(c: String) = col(c).try_cast("decimal(18,4)")
-    def fin(c: String) = col(c).isNotNull && !isnan(v(c)) &&
-      v(c) > Double.NegativeInfinity && v(c) < Double.PositiveInfinity &&
-      q(c).isNotNull
+    // missing consistently in the count AND the moment sums.
+    val proj = df.select(cols.zipWithIndex.flatMap { case (c, i) =>
+      val v = col(c).cast("double")
+      val q = col(c).try_cast("decimal(18,4)")
+      val fin = col(c).isNotNull && !isnan(v) &&
+        v > Double.NegativeInfinity && v < Double.PositiveInfinity &&
+        q.isNotNull
+      Seq(q.as(s"__q_$i"), fin.as(s"__f_$i"))
+    }.toIndexedSeq: _*)
+    val idx = cols.zipWithIndex.toMap
     val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
-      val cond = fin(x) && fin(y)
+      val (qx, qy) = (col(s"__q_${idx(x)}"), col(s"__q_${idx(y)}"))
+      val cond = col(s"__f_${idx(x)}") && col(s"__f_${idx(y)}")
       def g(e: Column) = sum(when(cond, e))
       Seq(
         count(when(cond, 1)).as(s"n_$i"),
-        g(q(x)).as(s"sx_$i"), g(q(y)).as(s"sy_$i"),
-        g(q(x) * q(x)).as(s"sxx_$i"), g(q(y) * q(y)).as(s"syy_$i"),
-        g(q(x) * q(y)).as(s"sxy_$i"))
+        g(qx).as(s"sx_$i"), g(qy).as(s"sy_$i"),
+        g(qx * qx).as(s"sxx_$i"), g(qy * qy).as(s"syy_$i"),
+        g(qx * qy).as(s"sxy_$i"))
     }
-    val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val one = proj.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
     val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
       val n = col(s"n_$i").cast("double")
       def d(nm: String) = col(s"${nm}_$i").cast("double")

@@ -223,7 +223,8 @@ class NearDupSpec extends SparkSpec {
       (2L, "alpha beta gamma delta epsilon zeta eta iota"),
       (3L, "one two three four five six seven eight")
     ).toDF("doc_id", "text")
-    val out = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 14)
+    val out = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 14,
+        collapseExact = true)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out.contains((1L, 2L)))
     assert(!out.contains((1L, 3L)) || !out.contains((2L, 3L)))
@@ -232,7 +233,8 @@ class NearDupSpec extends SparkSpec {
   test("simhashPairs rejects degenerate blocking (maxDist too large)") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
-      NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 15)
+      NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 15,
+        collapseExact = true)
     }
   }
 
@@ -273,7 +275,7 @@ class NearDupSpec extends SparkSpec {
       (4L, "completely unrelated words describing other things entirely")
     ).toDF("doc_id", "text")
     val collapsed = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 14,
-      portable = true)
+      portable = true, collapseExact = true)
     val perInstance = NearDup.simhashPairs(docs, "doc_id", "text", maxDist = 14,
         portable = true, collapseExact = false)
       .as[(Long, Long, Int)].collect().toSet

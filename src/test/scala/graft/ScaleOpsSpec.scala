@@ -720,4 +720,100 @@ class ScaleOpsSpec extends SparkSpec {
     assert(childVal === "128" && parentDuring === "65536")
     assert(spark.conf.get(key) === "65536")
   }
+
+  private def sameBooks(a: Array[Array[Array[Float]]],
+                        b: Array[Array[Array[Float]]]): Boolean =
+    a.length == b.length && a.zip(b).forall { case (x, y) =>
+      x.length == y.length && x.zip(y).forall { case (u, v) => u.sameElements(v) }
+    }
+
+  test("pqTrainCodebooksExact: iters=0 = init, partition-invariant, moves off init") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 60L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("id", "v")
+    val init = Ann.pqCodebooks(
+      Array.fill(4)(Array.fill(8)(rnd.nextGaussian().toFloat)), m = 2)
+    assert(sameBooks(Ann.pqTrainCodebooksExact(vecs, "v", init, iters = 0), init))
+    // exact long-unit cluster sums are order-independent → training is
+    // bit-identical at ANY partitioning (the engine-portability contract)
+    val b1 = Ann.pqTrainCodebooksExact(vecs.repartition(1), "v", init, iters = 3)
+    val b7 = Ann.pqTrainCodebooksExact(vecs.repartition(7), "v", init, iters = 3)
+    assert(sameBooks(b1, b7), "training depends on partitioning")
+    assert(!sameBooks(b1, init), "3 iterations left every codebook unmoved")
+    // loud, accurate argument errors (not the old conflated message)
+    val e1 = intercept[IllegalArgumentException](
+      Ann.pqTrainCodebooksExact(vecs, "v", init, iters = -1))
+    assert(e1.getMessage.contains("iters"))
+    val e2 = intercept[IllegalArgumentException](
+      Ann.pqTrainCodebooksExact(vecs, "v", Array.empty, iters = 1))
+    assert(e2.getMessage.contains("codebook"))
+  }
+
+  test("pqTrainCodebooksExact: empty clusters keep their previous centroid") {
+    // all mass near ±1 per subspace; centroids at ±100 never win a point
+    val vecs = (0 until 8).map { i =>
+      val base = if (i < 4) 1.0f else -1.0f
+      (i.toLong, Array.fill(8)(base + i * 1e-3f).toSeq)
+    }.toDF("id", "v")
+    val init = Ann.pqCodebooks(Array(
+      Array.fill(8)(1.0f), Array.fill(8)(-1.0f),
+      Array.fill(8)(100.0f), Array.fill(8)(-100.0f)), m = 2)
+    val out = Ann.pqTrainCodebooksExact(vecs, "v", init, iters = 3)
+    for (s <- 0 until 2) {
+      assert(out(s).forall(_.forall(x => !x.isNaN)))
+      assert(out(s)(2).sameElements(init(s)(2)) && out(s)(3).sameElements(init(s)(3)),
+        s"far centroid of subspace $s should be untouched")
+    }
+  }
+
+  test("refineTopK: equals exact top-k restricted to the candidate list") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 80L)
+      .map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(pmod(col("vec_id"), lit(20)) === 0)
+    // candidate list = every even id (minus self): refinement must return
+    // EXACTLY brute-force top-3 over the even-id corpus
+    val cand = q.select(col("vec_id").as("query_id"))
+      .crossJoin(vecs.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("neighbor_id")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val refined = Ann.refineTopK(cand, q, vecs, "vec_id", "embedding", k = 3)
+    val exactEven = Ann.bruteForceTopK(q, vecs.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", 3)
+    assert(refined.collect().toSet === exactEven.collect().toSet)
+    intercept[IllegalArgumentException](
+      Ann.refineTopK(cand, q, vecs, "vec_id", "embedding", k = 0))
+  }
+
+  test("q132 composition: refined recall clears the floor AND hits the candidate ceiling") {
+    // the catalog's exact composition at sf0.01 (probe4, R=25 candidates,
+    // residual-trained m=16 books): refine re-ranks ADC candidates by true
+    // cosine, so recall@5 must EQUAL the candidate-list containment of the
+    // exact top-5 — quantization error stops costing rank accuracy
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val coarse = Ann.autoCentroids(e, "vec_id", "embedding")
+    val init = Ann.pqCodebooks(
+      Ann.strideCentroids(e, "vec_id", "embedding", nCentroids = 16), m = 16)
+    val books = Ann.pqTrainCodebooksExact(
+      Ann.ivfResiduals(e, "vec_id", "embedding", coarse), "res", init, iters = 2)
+    val cand = Ann.ivfPqTopK(q, e, "vec_id", "embedding", coarse, books,
+      k = 25, nProbe = 4, residual = true)
+    val refined = Ann.refineTopK(cand, q, e, "vec_id", "embedding", k = 5)
+    val exact = Ann.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+    val rec = Ann.recallAtK(refined, exact, 5)
+      .agg(avg("recall")).head().getDouble(0)
+    info(f"q132 refined recall@5 (probe4/R=25): $rec%.3f")
+    assert(rec >= 0.5, f"refined recall floor: $rec%.3f") // measured 0.62
+    val nExact = exact.count()
+    val ceiling = exact
+      .join(cand.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .count().toDouble / nExact
+    assert(math.abs(rec - ceiling) < 1e-9,
+      f"refined recall $rec%.4f != candidate-list ceiling $ceiling%.4f")
+  }
 }
