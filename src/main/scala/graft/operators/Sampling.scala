@@ -437,7 +437,9 @@ object Sampling {
     */
   def curriculumManifest(df: DataFrame, idCol: Column, difficulty: Column,
                          nBuckets: Int, nShards: Int, seed: Long = 42L,
-                         portable: Boolean = false): DataFrame = {
+                         portable: Boolean = false,
+                         approx: Boolean = false,
+                         accuracy: Int = 10000): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     Seq("bucket", "shard", "pos").foreach { reserved =>
@@ -453,9 +455,20 @@ object Sampling {
     val placed = df.filter(idCol.isNotNull && d.isNotNull && !isnan(d) &&
       d > Double.NegativeInfinity && d < Double.PositiveInfinity)
     val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
-    val cuts: Seq[Double] = Summaries
-      .exactQuantilesPerColumn(placed.select(d.as("__d")), Seq(("__d", qs)))
-      .apply("__d").flatten.map(round5)
+    val cuts: Seq[Double] =
+      if (approx) {
+        // sketch-first difficulty cuts: ONE approx_percentile agg instead
+        // of the narrowing passes — a curriculum bucket boundary off by
+        // rank error n/accuracy moves a sliver of docs one band over,
+        // which the training order tolerates; exact stays the yardstick
+        val row = placed.select(d.as("__d"))
+          .agg(call_function("approx_percentile", col("__d"),
+            typedlit(qs), lit(accuracy))).head()
+        if (row.isNullAt(0)) Nil else row.getSeq[Double](0).map(round5)
+      }
+      else Summaries
+        .exactQuantilesPerColumn(placed.select(d.as("__d")), Seq(("__d", qs)))
+        .apply("__d").flatten.map(round5)
     import org.apache.spark.sql.expressions.Window
     val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when(d > c, 1).otherwise(0)

@@ -224,14 +224,33 @@ object Summaries {
     * a single map-side-combined hash agg.
     */
   def equidepthBins(df: DataFrame, cols: Seq[String], nBins: Int = 4,
-                    scalable: Boolean = false): DataFrame = {
+                    scalable: Boolean = false, approx: Boolean = false,
+                    accuracy: Int = 10000): DataFrame = {
     require(cols.nonEmpty, "equidepthBins needs at least one column")
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(!(scalable && approx), "pick ONE of scalable (exact) / approx")
     val qs = (1 until nBins).map(_.toDouble / nBins)
     def round5(v: Double): Double =
       BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
     val cuts: Map[String, Seq[Double]] =
-      if (scalable) {
+      if (approx) {
+        // sketch-first cuts: ONE mergeable approx_percentile agg instead
+        // of the narrowing's O(log) passes — rank error ≤ n/accuracy, the
+        // 100 TB production default (exact modes stay the yardstick)
+        val row = {
+          val aggs = cols.map { c =>
+            val d = col(c).cast("double")
+            call_function("approx_percentile", when(!isnan(d), d),
+              typedlit(qs), lit(accuracy)).as(s"__q_$c")
+          }
+          df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+        }
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          if (row.isNullAt(i)) None
+          else Some(c -> row.getSeq[Double](i).map(round5))
+        }.toMap
+      }
+      else if (scalable) {
         // ONE narrowing sequence resolves ALL columns' cuts together;
         // an empty/all-NULL column yields all-None → absent, matching
         // the yardstick path's isNullAt skip
@@ -1253,12 +1272,35 @@ object Summaries {
     * round to 5 dp (engine portability).
     */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-                     qs: Seq[Double], maxGroups: Int = 100): DataFrame = {
+                     qs: Seq[Double], maxGroups: Int = 100,
+                     approx: Boolean = false,
+                     accuracy: Int = 10000): DataFrame = {
     require(qs.nonEmpty, "groupQuantiles needs at least one quantile")
     qs.foreach(q => require(q >= 0 && q <= 1, s"quantile out of [0,1]: $q"))
     require(qs.distinct.size == qs.size, "duplicate quantiles")
     def round5(v: Double): Double =
       BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (approx) {
+      // sketch-first per-group quantiles: ONE grouped approx_percentile
+      // agg — a real shuffle-on-group aggregation, so the group domain is
+      // UNBOUNDED (no maxGroups, no per-group synthesized columns, no
+      // driver collect of the domain): the 100 TB path when groups are
+      // not a small enum. Rank error ≤ n_group/accuracy; exact narrowing
+      // stays the yardstick for bounded domains.
+      val d = col(valueCol).cast("double")
+      val grouped = df.groupBy(col(groupCol).cast("string").as(groupCol))
+        .agg(call_function("approx_percentile", when(!isnan(d), d),
+          typedlit(qs), lit(accuracy)).as("__qarr"))
+      // a group with no usable values has a NULL array — it still owes
+      // one row per quantile (NULL value), like the exact path
+      val qsLit = typedlit(qs)
+      return grouped.select(col(groupCol),
+          posexplode(coalesce(col("__qarr"),
+            typedlit(Seq.fill(qs.size)(null: java.lang.Double)))))
+        .select(col(groupCol),
+          element_at(qsLit, col("pos") + 1).as("quantile"),
+          round(col("col"), 5).as("value"))
+    }
     // limit BEFORE collect: the guard exists to protect driver memory, so
     // it must bound the collect itself — maxGroups+1 rows is enough to
     // know the domain is too large without materializing all of it
@@ -1400,7 +1442,8 @@ object Summaries {
     * shuffle, no window.
     */
   def winsorize(df: DataFrame, cols: Seq[String], pLo: Double = 0.01,
-                pHi: Double = 0.99, scalable: Boolean = true): DataFrame = {
+                pHi: Double = 0.99, scalable: Boolean = true,
+                approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(cols.nonEmpty, "winsorize needs at least one column")
     require(cols.distinct.size == cols.size, "duplicate columns in cols")
     require(pLo >= 0 && pHi <= 1 && pLo <= pHi, s"need 0 <= pLo <= pHi <= 1")
@@ -1412,7 +1455,25 @@ object Summaries {
       when(isFin(col(c).cast("double")), col(c).cast("double")).as(c))
       .toIndexedSeq: _*)
     val cuts: Map[String, (Option[Double], Option[Double])] =
-      if (scalable)
+      if (approx) {
+        // sketch-first fences: ONE approx_percentile agg (rank error ≤
+        // n/accuracy — for 1%/99% clipping fences the exact rank of the
+        // fence is immaterial, which is why this is the scale default
+        // candidate; exact modes remain the oracle yardstick)
+        val row = {
+          val aggs = cols.map(c => call_function("approx_percentile",
+            col(c), typedlit(Seq(pLo, pHi)), lit(accuracy)).as(s"__q_$c"))
+          finite.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+        }
+        cols.zipWithIndex.map { case (c, i) =>
+          c -> (if (row.isNullAt(i)) (None, None)
+                else {
+                  val arr = row.getSeq[Double](i)
+                  (Some(round5(arr.head)), Some(round5(arr(1))))
+                })
+        }.toMap
+      }
+      else if (scalable)
         exactQuantilesPerColumn(finite, cols.map(c => c -> Seq(pLo, pHi)))
           .map { case (c, qs) => c -> (qs.head.map(round5), qs(1).map(round5)) }
       else {
