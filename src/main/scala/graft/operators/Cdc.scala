@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Snapshot-level change data capture: the key-level diff of two table
@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
 object Cdc {
 
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
-                   includeUnchanged: Boolean = false): DataFrame = {
+                   includeUnchanged: Boolean = false,
+                   assumeKeysNotNull: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "snapshotDiff needs at least one key column")
     val compareCols = oldSnap.columns.filterNot(keys.contains)
       .filter(newSnap.columns.contains).toSeq
@@ -36,7 +37,18 @@ object Cdc {
       col(c).as(s"__o_$c")) :+ lit(1).as("__o_present"): _*)
     val n = newSnap.select((keys ++ compareCols).map(c =>
       col(c).as(s"__n_$c")) :+ lit(1).as("__n_present"): _*)
-    val cond = keys.map(k => o(s"__o_$k") <=> n(s"__n_$k")).reduce(_ && _)
+    // assumeKeysNotNull: plain equality instead of <=>. Catalyst rewrites
+    // null-safe keys to (coalesce(k, d), isnull(k)) — a partitioning the
+    // bucketed scan's HashPartitioning(k) can NOT satisfy, so the <=>
+    // form always re-shuffles even over a bucketed-by-key publish. With
+    // no NULL keys the two conditions are equivalent and the === form
+    // consumes the write-time bucketing (zero Exchange, PlanSpec-pinned).
+    // CALLER CONTRACT: under the flag a NULL key never matches and would
+    // misreport as an added+removed pair — set it only for publishes
+    // whose keys are genuinely non-NULL (e.g. groupBy keys of rollups).
+    val cond = keys.map(k =>
+      if (assumeKeysNotNull) o(s"__o_$k") === n(s"__n_$k")
+      else o(s"__o_$k") <=> n(s"__n_$k")).reduce(_ && _)
     val joined = o.join(n, cond, "full_outer")
     val inOld = col("__o_present").isNotNull
     val inNew = col("__n_present").isNotNull
@@ -92,5 +104,59 @@ object Cdc {
     parts.reduce(_ unionByName _)
       .groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+  }
+
+  /** The two-part additive merge as a KEY JOIN — the form that keeps a
+    * bucketed HISTORY side out of the shuffle even when the increment is
+    * not bucketed. When BOTH parts are same-bucketed publishes,
+    * [[mergeAdditive]]'s union + groupBy is already exchange-free (Spark's
+    * Union reports the common bucketing — pinned in StreamBucketSpec);
+    * the asymmetric daily case is where it re-shuffles EVERYTHING:
+    * union(bucketed 100 TB rollup, fresh increment) has no common
+    * partitioning, so the whole history pays the exchange again. The
+    * full-outer join instead satisfies its distribution from the
+    * history's bucketing and shuffles ONLY the increment
+    * (PlanSpec-pinned: zero bucketed scans below any Exchange), and the
+    * stat merge becomes a codegen projection: count/sum add with NULL as
+    * the identity, min/max take the null-safe least/greatest. Semantics
+    * are spec-pinned EQUAL to `mergeAdditive(Seq(oldPart, incPart), ...)`
+    * — including single-sided keys (stats pass through) and NULL keys
+    * (null-safe matched, one output row).
+    *
+    * This is the daily-increment fast path (exactly two parts:
+    * yesterday's publish + today's increment); for k-way catch-up merges
+    * fold it left — each fold keeps the accumulating side unshuffled
+    * when it is republished bucketed.
+    */
+  def mergeAdditiveJoined(oldPart: DataFrame, incPart: DataFrame,
+                          keys: Seq[String],
+                          countCols: Seq[String] = Seq.empty,
+                          sumCols: Seq[String] = Seq.empty,
+                          minCols: Seq[String] = Seq.empty,
+                          maxCols: Seq[String] = Seq.empty,
+                          assumeKeysNotNull: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "mergeAdditiveJoined needs at least one key column")
+    val stats = countCols ++ sumCols ++ minCols ++ maxCols
+    require(stats.nonEmpty, "mergeAdditiveJoined needs at least one stat column")
+    require(stats.distinct.size == stats.size, "duplicate stat columns")
+    val o = oldPart.select((keys ++ stats).map(c => col(c).as(s"__o_$c")): _*)
+    val n = incPart.select((keys ++ stats).map(c => col(c).as(s"__n_$c")): _*)
+    // same ===-vs-<=> trade as [[snapshotDiff]]: the flag is what lets a
+    // bucketed publish skip the exchange; a NULL key under it would merge
+    // as two separate rows instead of one
+    val cond = keys.map(k =>
+      if (assumeKeysNotNull) o(s"__o_$k") === n(s"__n_$k")
+      else o(s"__o_$k") <=> n(s"__n_$k")).reduce(_ && _)
+    def merged(c: String, f: (Column, Column) => Column): Column = {
+      val (a, b) = (col(s"__o_$c"), col(s"__n_$c"))
+      // absent/NULL side is the merge identity — matches sum/min/max over
+      // the union'd rows (all-NULL in → NULL out)
+      when(a.isNull, b).when(b.isNull, a).otherwise(f(a, b)).as(c)
+    }
+    o.join(n, cond, "full_outer").select(
+      keys.map(k => coalesce(col(s"__o_$k"), col(s"__n_$k")).as(k)) ++
+        (countCols ++ sumCols).map(c => merged(c, _ + _)) ++
+        minCols.map(c => merged(c, least(_, _))) ++
+        maxCols.map(c => merged(c, greatest(_, _))): _*)
   }
 }
