@@ -868,4 +868,63 @@ object NearDup {
         greatest(col("ma.id"), col("mb.id")).as("id_b"), col("dist"))
     intra.unionByName(inter)
   }
+
+  /** The doc's LSH band keys as 64-bit hashes — one per band, band index
+    * baked into the key so band 0's buckets can never collide with band
+    * 3's. Exactly [[minhashLshPairs]]'s banding (md5 minhash signature,
+    * `rowsPerBand`-wide slices), reduced to a probe-able long. Docs with
+    * fewer than `n` tokens have NO shingles and therefore no band keys
+    * (NULL) — they cannot be near-dups under shingle semantics. A pure
+    * Column expression: stateless, codegen, streaming-safe.
+    */
+  def minhashBandKeys(text: Column, n: Int, numHashes: Int,
+                      rowsPerBand: Int): Column = {
+    require(rowsPerBand >= 1 && rowsPerBand <= numHashes,
+      s"minhashBandKeys needs 1 <= rowsPerBand <= numHashes, got $rowsPerBand/$numHashes")
+    val numBands = numHashes / rowsPerBand
+    val sig = minhashSignature(text, n, numHashes)
+    val keys = transform(sequence(lit(0), lit(numBands - 1)), b =>
+      xxhash64(concat_ws("|", b.cast("string"),
+        concat_ws("|", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))))
+    when(size(split(lower(trim(text)), "\\s+")) >= n, keys)
+  }
+
+  /** Build half of the STREAMING near-dup gate: a serialized bloom filter
+    * over every history doc's band keys ([[minhashBandKeys]]) — built
+    * once per epoch from the batch history in ONE distributed pass
+    * (explode + tree-aggregated `stat.bloomFilter`; only the filter
+    * reaches the driver), then probed statelessly on the ingest stream by
+    * [[nearDupProbe]]. Size `expectedItems` at history_docs × numBands.
+    */
+  def historyBandBloom(history: DataFrame, textCol: String, n: Int,
+                       numHashes: Int, rowsPerBand: Int,
+                       expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val keys = history
+      .select(explode(minhashBandKeys(col(textCol), n, numHashes,
+        rowsPerBand)).as("__bk"))
+    val bloom = keys.stat.bloomFilter("__bk", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Probe half of the streaming near-dup gate: TRUE when ANY of the
+    * doc's band keys is possibly in the history filter — i.e. the doc
+    * would be an LSH CANDIDATE against some history doc (the same
+    * candidate semantics [[minhashLshPairs]] verifies with estimated
+    * Jaccard; a stream cannot run the verify join, so the flag routes
+    * maybe-near-dups to a batch confirm, the [[graft.operators.Dedup]]
+    * bloomGate discipline). FALSE ⇒ definitely no shared band. Docs too
+    * short to shingle probe FALSE. Stateless codegen projection — safe
+    * in any streaming projection chain; gate only against HISTORY, not
+    * intra-stream (state-free by design).
+    */
+  def nearDupProbe(text: Column, bloomBytes: Array[Byte], n: Int,
+                   numHashes: Int, rowsPerBand: Int): Column = {
+    val keys = minhashBandKeys(text, n, numHashes, rowsPerBand)
+    coalesce(exists(keys, k =>
+      call_function("graft_bloom_contains", k, lit(bloomBytes))), lit(false))
+  }
 }

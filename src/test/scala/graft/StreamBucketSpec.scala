@@ -378,6 +378,59 @@ class StreamBucketSpec extends SparkSpec {
     assert(canon(viaJoin) === canon(viaUnion))
   }
 
+  test("streaming near-dup gate: stream flags ≡ batch LSH candidacy over two increments") {
+    import graft.operators.NearDup
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val (n, numHashes, rowsPerBand) = (3, 12, 3)
+    val hist = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog tonight"),
+      (901L, "large language models train on deduplicated corpora mostly"))
+      .toDF("doc_id", "text")
+    val bloom = NearDup.historyBandBloom(hist, "text", n, numHashes,
+      rowsPerBand, expectedItems = 1000, fpp = 0.001)
+    // two increments landing as parquet files — a REAL file stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_stream").toString
+    val inc1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 900
+      (2L, "completely unrelated words about cooking pasta slowly tonight"))
+    val inc2 = Seq(
+      (3L, "large language models train on deduplicated corpora mostly"), // exact dup of 901
+      (4L, "short doc"), // < n tokens: cannot shingle, must flag false
+      (5L, "another fresh document mentioning gardens and rivers daily"))
+    inc1.toDF("doc_id", "text").write.parquet(s"$dir/in1")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in*")
+      .withColumn("maybe_neardup",
+        NearDup.nearDupProbe(col("text"), bloom, n, numHashes, rowsPerBand))
+    val q = stream.writeStream.format("memory")
+      .queryName("neardup_stream").outputMode("append").start()
+    q.processAllAvailable()
+    inc2.toDF("doc_id", "text").write.parquet(s"$dir/in2")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("neardup_stream")
+      .select("doc_id", "maybe_neardup")
+      .as[(Long, Boolean)].collect().toMap
+    // batch twin: band-key join of the SAME increments against history —
+    // flag = shares >= 1 LSH band (candidate semantics, pre-verify)
+    val allInc = (inc1 ++ inc2).toDF("doc_id", "text")
+    def bands(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      explode(NearDup.minhashBandKeys(col("text"), n, numHashes,
+        rowsPerBand)).as("bk"))
+    val batchFlagged = bands(allInc)
+      .join(bands(hist).select(col("bk")).distinct(), Seq("bk"), "left_semi")
+      .select("doc_id").distinct()
+      .as[Long].collect().toSet
+    val batch = allInc.select("doc_id").as[Long].collect()
+      .map(id => id -> batchFlagged.contains(id)).toMap
+    assert(streamed === batch,
+      s"stream $streamed vs batch $batch") // bloom fpp 0.001 over ~8 keys
+    // the semantics themselves: near-dup and exact dup flagged, fresh and
+    // too-short not
+    assert(batch === Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> false))
+  }
+
   test("streaming upsert lands keep-latest state across micro-batches") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
