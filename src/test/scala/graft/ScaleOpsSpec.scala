@@ -787,6 +787,34 @@ class ScaleOpsSpec extends SparkSpec {
       Ann.refineTopK(cand, q, vecs, "vec_id", "embedding", k = 0))
   }
 
+  test("pq training on a corpus SAMPLE holds the full-corpus recall (the 100 TB path)") {
+    // the 300x probe's q132 cost is training passes over the full corpus;
+    // the documented scale path trains the quantizer on a sample — prove
+    // the quality claim: books trained on 40% of residuals lose ~nothing
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val coarse = Ann.autoCentroids(e, "vec_id", "embedding")
+    val init = Ann.pqCodebooks(
+      Ann.strideCentroids(e, "vec_id", "embedding", nCentroids = 16), m = 16)
+    val res = Ann.ivfResiduals(e, "vec_id", "embedding", coarse)
+    val fullBooks = Ann.pqTrainCodebooksExact(res, "res", init, iters = 2)
+    val sampleBooks = Ann.pqTrainCodebooksExact(
+      res.filter(pmod(col("vec_id"), lit(5)) < 2), "res", init, iters = 2)
+    val exact = Ann.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+    def recallWith(books: Array[Array[Array[Float]]]): Double = {
+      val cand = Ann.ivfPqTopK(q, e, "vec_id", "embedding", coarse, books,
+        k = 25, nProbe = 4, residual = true)
+      val refined = Ann.refineTopK(cand, q, e, "vec_id", "embedding", k = 5)
+      Ann.recallAtK(refined, exact, 5).agg(avg("recall")).head().getDouble(0)
+    }
+    val (full, sampled) = (recallWith(fullBooks), recallWith(sampleBooks))
+    info(f"refined recall@5: full-trained $full%.3f vs 40%%-sample-trained $sampled%.3f")
+    assert(sampled >= full - 0.06,
+      f"sample training lost too much recall: $sampled%.3f vs $full%.3f")
+    assert(sampled >= 0.5, f"sample-trained floor: $sampled%.3f")
+  }
+
   test("q132 composition: refined recall clears the floor AND hits the candidate ceiling") {
     // the catalog's exact composition at sf0.01 (probe4, R=25 candidates,
     // residual-trained m=16 books): refine re-ranks ADC candidates by true
