@@ -582,6 +582,53 @@ object Oracles {
          JOIN lsz sa ON sa.rid = id_l
          JOIN rsz sb ON sb.rid = id_r""",
 
+    // q133: replays the capped-bigram interpolated LM — context stream
+    // (prev = NULL on first tokens, one all-NULL row per empty doc),
+    // top-256 bigrams (ties by the space-joined pair, the graft_top_k_by
+    // order), top-24 first-token totals and unigram backoff (q65 rules),
+    // identical IEEE expression shape per branch, 5-dp lnp, exact
+    // DECIMAL(18,5) sums
+    "q133_bigram_logprob" ->
+      """WITH docs0 AS (SELECT doc_id,
+                  CASE WHEN text IS NULL OR length(trim(text)) = 0
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+                FROM documents),
+         base AS (
+           SELECT doc_id, p.prev AS prev, p.tok AS tok FROM (
+             SELECT doc_id, unnest(CASE WHEN len(toks) = 0
+               THEN [struct_pack(prev := CAST(NULL AS VARCHAR), tok := CAST(NULL AS VARCHAR))]
+               ELSE [struct_pack(
+                      prev := CASE WHEN i = 0 THEN CAST(NULL AS VARCHAR) ELSE toks[i] END,
+                      tok := toks[i + 1])
+                     for i in range(0, len(toks))] END) AS p
+             FROM docs0) s),
+         bp AS (SELECT prev, tok, count(*) AS c FROM base
+                WHERE prev IS NOT NULL AND tok IS NOT NULL GROUP BY 1, 2),
+         top AS (SELECT prev, tok, c FROM bp ORDER BY c DESC, prev || ' ' || tok LIMIT 256),
+         fst AS (SELECT prev, sum(c) AS c1 FROM bp GROUP BY 1 ORDER BY c1 DESC, prev LIMIT 24),
+         uni0 AS (SELECT tok, count(*) AS c FROM base WHERE tok IS NOT NULL GROUP BY 1),
+         tot AS (SELECT greatest(sum(c), 1) AS total FROM uni0),
+         uni AS (SELECT tok, c FROM uni0 ORDER BY c DESC, tok LIMIT 24),
+         scored AS (
+           SELECT b.doc_id, b.tok,
+             CASE WHEN b.prev IS NULL
+               THEN round(ln(coalesce(CAST(u.c AS DOUBLE), 1.0) / CAST(total AS DOUBLE)), 5)
+               ELSE round(ln(
+                 (coalesce(CAST(t2.c AS DOUBLE), 0.0)
+                   + 1.0 * (coalesce(CAST(u.c AS DOUBLE), 1.0) / CAST(total AS DOUBLE)))
+                 / (coalesce(CAST(f.c1 AS DOUBLE), 0.0) + 1.0)), 5) END AS lnp
+           FROM base b CROSS JOIN tot
+           LEFT JOIN uni u ON b.tok = u.tok
+           LEFT JOIN fst f ON b.prev = f.prev
+           LEFT JOIN top t2 ON b.prev = t2.prev AND b.tok = t2.tok)
+         SELECT doc_id,
+           CAST(count(tok) AS BIGINT) AS n_tokens,
+           CAST(CAST(sum(CASE WHEN tok IS NOT NULL
+                         THEN CAST(lnp AS DECIMAL(18,5)) END) AS VARCHAR) AS DOUBLE)
+             / count(tok) AS mean_logprob
+         FROM scored GROUP BY 1""",
+
     "q65_unigram_logprob" ->
       """WITH base AS (SELECT doc_id,
                   unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0

@@ -717,6 +717,19 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_tokens"), col("mean_logprob"))),
 
+    // the fluency upgrade of q65: capped bigram LM with unigram-backoff
+    // interpolation — word ORDER now matters (a unigram LM scores
+    // shuffled text identically; spec-pinned). One context-stream pass
+    // with all three model tables broadcast
+    "q133_bigram_logprob" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, d)
+      Quality.bigramLogProb(docs, "doc_id", "text",
+        Quality.bigramVocab(docs, "text", maxBigrams = 256, maxVocab = 24))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_tokens"), col("mean_logprob"))
+    }),
+
     // incremental dedup primitive: every (increment src1, history) doc
     // pair sharing a word 3-gram, with jaccard + left containment —
     // thresholds are the caller's cut. COLLAPSE-FIRST default: pairs are

@@ -358,6 +358,129 @@ object Quality {
       .withColumnRenamed("id", idCol)
   }
 
+  /** A capped BIGRAM language model: the `maxBigrams` most frequent
+    * (prev, tok) pairs with counts, the per-first-token continuation
+    * totals (top `maxVocab` first tokens), and the [[UnigramVocab]]
+    * backoff model. All three tables are bounded plan constants —
+    * broadcastable at any corpus size.
+    */
+  case class BigramVocab(top: Seq[(String, String, Long)],
+                         first: Seq[(String, Long)], uni: UnigramVocab)
+
+  /** The (id, prev, tok) context stream: one row per token with its
+    * predecessor (NULL prev for a doc's first token), plus one all-NULL
+    * row for empty/blank docs so they keep a result row (the
+    * [[tokenStream]] rule).
+    */
+  private def contextStream(docs: DataFrame, id: Column,
+                            textCol: String): DataFrame = {
+    val t = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(tokens(col(textCol)))
+    val prevs = concat(array(lit(null).cast("string")),
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))))
+    docs.select(id.as("id"),
+        explode_outer(zip_with(prevs, t,
+          (a, b) => struct(a.as("prev"), b.as("tok")))).as("p"))
+      .select(col("id"), col("p.prev").as("prev"), col("p.tok").as("tok"))
+  }
+
+  /** Train the capped bigram model of `corpus`. ONE data-sized shuffle
+    * (the (prev, tok) pair count — distinct bigrams can approach corpus
+    * size, so this is the honest cost), then the two caps derive from
+    * the already-grouped table: top bigrams via the bounded heap, first
+    * -token totals via a groupBy of the GROUPED table (small); the
+    * unigram backoff reuses [[unigramVocab]]'s single pass. Only
+    * maxBigrams + 2·maxVocab rows reach the driver.
+    */
+  def bigramVocab(corpus: DataFrame, textCol: String,
+                  maxBigrams: Int = 1 << 18,
+                  maxVocab: Int = 1 << 16): BigramVocab = {
+    require(maxBigrams >= 1, s"maxBigrams must be >= 1, got $maxBigrams")
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val pairs = contextStream(corpus, lit(0L), textCol)
+      .filter(col("prev").isNotNull && col("tok").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("c"))
+    // tokens are whitespace-split, so the space-joined pair is a unique,
+    // engine-reproducible tie-break (ORDER BY c DESC, prev || ' ' || tok)
+    val topRow = pairs.agg(call_function("graft_top_k_by",
+      struct(col("prev"), col("tok"), col("c")), col("c"),
+      concat_ws(" ", col("prev"), col("tok")), lit(maxBigrams)).as("top")).head()
+    val firstRow = pairs.groupBy("prev").agg(sum("c").as("c1"))
+      .agg(call_function("graft_top_k_by", struct(col("prev"), col("c1")),
+        col("c1"), col("prev"), lit(maxVocab)).as("first")).head()
+    def rows3(r: org.apache.spark.sql.Row, i: Int) =
+      if (r.isNullAt(i)) Seq.empty[org.apache.spark.sql.Row]
+      else r.getSeq[org.apache.spark.sql.Row](i)
+    BigramVocab(
+      rows3(topRow, 0).map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+      rows3(firstRow, 0).map(r => (r.getString(0), r.getLong(1))),
+      unigramVocab(corpus, textCol, maxVocab))
+  }
+
+  /** Score docs under a capped bigram LM with unigram-backoff
+    * interpolation: a doc's first token scores ln p₁(tok) (the q65
+    * unigram floor — OOV → alpha/total), every later token scores
+    * ln ((c(prev,tok) + alpha·p₁(tok)) / (c₁(prev) + alpha)) — absent
+    * bigrams (unseen OR cap-evicted) count 0 and fall back toward the
+    * unigram, unknown first-tokens get the pure-backoff denominator
+    * alpha. Output: (idCol, n_tokens, mean_logprob); empty docs score
+    * NULL, not 0 (a failed extraction must stay visible).
+    *
+    * The fluency-scoring upgrade of [[unigramLogProb]]: a unigram LM
+    * cannot see word ORDER, so shuffled text scores identically — the
+    * bigram's conditional catches it (spec-pinned). Same float
+    * discipline: 5-dp per-token ln p, exact decimal(18,5) sums,
+    * order-independent means — engine-portable, DuckDB-replayed.
+    *
+    * Scale notes: ONE pass over the context stream with all three model
+    * tables broadcast (left joins on (prev, tok) / prev / tok), one
+    * per-doc aggregation; zero UDFs, zero windows.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    v: BigramVocab, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val spark = docs.sparkSession
+    val base = contextStream(docs, col(idCol), textCol)
+    val biDf = {
+      val rows = v.top.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("prev",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tok",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c12",
+          org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    }
+    val fiDf = {
+      val rows = v.first.map(r => org.apache.spark.sql.Row(r._1, r._2))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("prev",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c1",
+          org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    }
+    val p1 = coalesce(col("c2").cast("double"), lit(alpha)) /
+      lit(v.uni.total.toDouble)
+    val lnp = when(col("prev").isNull, round(log(p1), 5))
+      .otherwise(round(log(
+        (coalesce(col("c12").cast("double"), lit(0.0)) + lit(alpha) * p1) /
+          (coalesce(col("c1").cast("double"), lit(0.0)) + lit(alpha))), 5))
+    base
+      .join(broadcast(vocabDf(spark, v.uni, "c2")), Seq("tok"), "left")
+      .join(broadcast(fiDf), Seq("prev"), "left")
+      .join(broadcast(biDf), Seq("prev", "tok"), "left")
+      .groupBy("id").agg(
+        count(col("tok")).as("n_tokens"),
+        (sum(when(col("tok").isNotNull, lnp).cast("decimal(18,5)"))
+          .cast("double") / count(col("tok"))).as("mean_logprob"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
     * public paper): score every document under a (capped-unigram) language

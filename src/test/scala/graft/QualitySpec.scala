@@ -354,4 +354,36 @@ class QualitySpec extends SparkSpec {
       .split("== Initial Plan ==").head
     assert(p.split("LocalTableScan").length - 1 <= 2, p.take(2000)) // corpus + benchmark
   }
+
+  test("bigramLogProb: word order matters (unigram cannot see it), edges stay q65-shaped") {
+    val fluent = Seq.fill(6)("the cat sat on the mat").zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val docs = (fluent ++ Seq(
+      (100L, "the cat sat on the mat"),     // in-order: every bigram seen
+      (101L, "mat the on sat cat the"),     // same BAG of tokens, shuffled
+      (102L, "solo"),                       // single token: unigram-only path
+      (103L, ""), (104L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val v = Quality.bigramVocab(docs, "text", maxBigrams = 64, maxVocab = 16)
+    val out = Quality.bigramLogProb(docs, "doc_id", "text", v)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // the bigram LM separates order; the unigram scores the two equal
+    val uni = Quality.scoreUnderVocab(docs, "doc_id", "text",
+        Quality.unigramVocab(docs, "text", 16))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(uni(100L) === uni(101L), "unigram must be order-blind")
+    assert(out(100L)._2.get > out(101L)._2.get,
+      s"bigram should prefer fluent order: ${out(100L)} vs ${out(101L)}")
+    // edges: empty/null docs keep a NULL-score row; single token scores
+    // under the unigram branch only
+    assert(out(103L) === ((0L, None)) && out(104L) === ((0L, None)))
+    assert(out(102L)._1 === 1L && out(102L)._2.isDefined)
+    // model tables are bounded plan constants
+    assert(v.top.size <= 64 && v.first.size <= 16 && v.uni.top.size <= 16)
+    // training is partitioning-invariant (exact counts)
+    val v7 = Quality.bigramVocab(docs.repartition(7), "text", 64, 16)
+    assert(v7.top === v.top && v7.first === v.first && v7.uni === v.uni)
+  }
 }
