@@ -445,6 +445,50 @@ object Oracles {
        ${topKSelect(5)}"""
   }
 
+  /** q134: corpus-level MinHash similarity replay — 32 per-seed global
+    * md5 mins per side over the 3-gram shingle streams, the matching-min
+    * count (NULL when a side has no shingles: min over empty = NULL, so
+    * probing seed 0 decides — all mins go NULL together), and the exact
+    * distinct-shingle overlap via one full-outer join on md5(s).
+    */
+  private def corpusSimilarityOracle: String = {
+    val h = 32
+    def shingleCte(name: String, src: String) =
+      s"""t$name AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+           FROM documents WHERE source = '$src'),
+         s$name AS (SELECT unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                      for i in range(1, greatest(len(t) - 2, 0) + 1)])) AS s
+                    FROM t$name)"""
+    def minsCte(name: String) =
+      s"""m$name AS (SELECT ${(0 until h).map(i =>
+        s"min(md5('$i:' || s)) AS m${name}_$i").mkString(", ")} FROM s$name)"""
+    val matches = (0 until h)
+      .map(i => s"CASE WHEN ma_$i = mb_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${shingleCte("a", "src0")},
+       ${shingleCte("b", "src1")},
+       ${minsCte("a")},
+       ${minsCte("b")},
+       estrow AS (
+         SELECT $h AS n_hashes,
+           CASE WHEN ma_0 IS NULL OR mb_0 IS NULL THEN NULL
+                ELSE $matches END AS n_matching
+         FROM ma CROSS JOIN mb),
+       ex AS (
+         SELECT count(ha) AS n_shingles_a, count(hb) AS n_shingles_b,
+           count(CASE WHEN ha IS NOT NULL AND hb IS NOT NULL THEN 1 END) AS n_common
+         FROM (SELECT DISTINCT md5(s) AS ha FROM sa) xa
+         FULL OUTER JOIN (SELECT DISTINCT md5(s) AS hb FROM sb) xb ON ha = hb)
+       SELECT CAST(n_hashes AS INTEGER) AS n_hashes,
+         CAST(n_matching AS BIGINT) AS n_matching,
+         round(CAST(n_matching AS DOUBLE) / $h, 5) AS est_jaccard,
+         n_shingles_a, n_shingles_b, n_common,
+         CASE WHEN n_shingles_a + n_shingles_b - n_common > 0
+           THEN round(CAST(n_common AS DOUBLE)
+             / (n_shingles_a + n_shingles_b - n_common), 5) END AS exact_jaccard
+       FROM estrow CROSS JOIN ex"""
+  }
+
   /** q37: replicates the IVF plumbing over [[autoCentroidCtes]]'s learned
     * centroids (k = ⌈√n⌉, stride init, 2 exact k-means iterations) —
     * corpus assigned to argmin-L2 centroid, queries probe their 4 nearest
@@ -581,6 +625,12 @@ object Oracles {
          FROM p
          JOIN lsz sa ON sa.rid = id_l
          JOIN rsz sb ON sb.rid = id_r""",
+
+    // q134: replays the corpus-level MinHash diff — per-seed global mins
+    // over each source's 3-gram shingle stream (min over the multiset =
+    // min over the set, matching the zero-distinct Spark path), matching
+    // -min count, and the exact distinct-md5 overlap census
+    "q134_corpus_similarity" -> corpusSimilarityOracle,
 
     // q133: replays the capped-bigram interpolated LM — context stream
     // (prev = NULL on first tokens, one all-NULL row per empty doc),

@@ -717,6 +717,18 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_tokens"), col("mean_logprob"))),
 
+    // corpus-LEVEL MinHash similarity: estimated + exact Jaccard of two
+    // sources' 3-gram shingle sets in one row — dataset diffing without
+    // pairwise document work (the estimate path is two zero-shuffle
+    // global aggs; the exact yardstick pays one distinct per side)
+    "q134_corpus_similarity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      NearDup.corpusShingleSimilarity(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") === "src1"),
+        "text", "text", n = 3, numHashes = 32)
+    }),
+
     // the fluency upgrade of q65: capped bigram LM with unigram-backoff
     // interpolation — word ORDER now matters (a unigram LM scores
     // shuffled text identically; spec-pinned). One context-stream pass

@@ -869,6 +869,73 @@ object NearDup {
     intra.unionByName(inter)
   }
 
+  /** Corpus-LEVEL MinHash similarity — the dataset diffing / versioning
+    * measure: estimated Jaccard of two corpora's word-n-gram SHINGLE
+    * SETS from `numHashes` portable md5 min-hashes, plus (with
+    * `exact = true`) the exact distinct-shingle Jaccard yardstick. ONE
+    * output row: (n_hashes, n_matching, est_jaccard, n_shingles_a,
+    * n_shingles_b, n_common, exact_jaccard). "How much does crawl B
+    * overlap crawl A" without any pairwise document work — the corpus
+    * twin of [[minhashLshPairs]]'s per-doc signatures.
+    *
+    * The per-seed min over a corpus's shingle MULTISET equals the min
+    * over its SET, so the estimate path needs NO distinct shuffle: each
+    * side is ONE zero-shuffle global aggregation of numHashes mins
+    * (map-side combined; only numHashes strings reach the plan's 1×1
+    * join). P[min_a = min_b] = J(A,B) per seed — the classic MinHash
+    * identity — so n_matching/numHashes estimates J with standard error
+    * √(J(1−J)/numHashes). A side with no shingles at all yields NULL
+    * estimate (not 0 — "nothing to compare" must stay visible). The
+    * exact yardstick pays the honest cost: one distinct per side plus a
+    * full-outer join on the 128-bit shingle hash; at 100 TB run the
+    * estimate alone (`exact = false`).
+    */
+  def corpusShingleSimilarity(a: DataFrame, b: DataFrame,
+                              textColA: String, textColB: String, n: Int,
+                              numHashes: Int = 64,
+                              exact: Boolean = true): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    def minsOf(df: DataFrame, textCol: String, side: String): DataFrame = {
+      val s = df.select(explode(shingles(col(textCol), n)).as("s"))
+      val aggs = (0 until numHashes).map(seed =>
+        min(md5(concat(lit(seed.toString + ":"), col("s")))).as(s"m${side}_$seed"))
+      s.agg(aggs.head, aggs.tail: _*)
+    }
+    val est = minsOf(a, textColA, "a").crossJoin(minsOf(b, textColB, "b"))
+    val anyNull = (0 until numHashes)
+      .map(i => col(s"ma_$i").isNull || col(s"mb_$i").isNull)
+      .reduce(_ || _)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"ma_$i") === col(s"mb_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val estRow = est.select(
+      lit(numHashes).as("n_hashes"),
+      when(anyNull, lit(null).cast("long")).otherwise(matches).as("n_matching"))
+      .withColumn("est_jaccard",
+        round(col("n_matching").cast("double") / numHashes, 5))
+    if (!exact)
+      return estRow
+        .withColumn("n_shingles_a", lit(null).cast("long"))
+        .withColumn("n_shingles_b", lit(null).cast("long"))
+        .withColumn("n_common", lit(null).cast("long"))
+        .withColumn("exact_jaccard", lit(null).cast("double"))
+    def setOf(df: DataFrame, textCol: String, cn: String): DataFrame =
+      df.select(explode(shingles(col(textCol), n)).as("s"))
+        .select(md5(col("s")).as(cn)).distinct()
+    val ov = setOf(a, textColA, "ha")
+      .join(setOf(b, textColB, "hb"), col("ha") === col("hb"), "full_outer")
+      .agg(count(col("ha")).as("n_shingles_a"),
+        count(col("hb")).as("n_shingles_b"),
+        count(when(col("ha").isNotNull && col("hb").isNotNull, 1))
+          .as("n_common"))
+    estRow.crossJoin(ov)
+      .withColumn("exact_jaccard",
+        when(col("n_shingles_a") + col("n_shingles_b") - col("n_common") > 0,
+          round(col("n_common").cast("double") /
+            (col("n_shingles_a") + col("n_shingles_b") - col("n_common")), 5)))
+  }
+
   /** The doc's LSH band keys as 64-bit hashes — one per band, band index
     * baked into the key so band 0's buckets can never collide with band
     * 3's. Exactly [[minhashLshPairs]]'s banding (md5 minhash signature,

@@ -373,4 +373,42 @@ class NearDupSpec extends SparkSpec {
       (1L, 4L, 3L), (3L, 4L, 3L),
       (1L, 5L, 2L), (2L, 5L, 1L), (3L, 5L, 2L)))
   }
+
+  test("corpusShingleSimilarity: identity, disjoint, half-overlap estimate, empty side") {
+    import graft.operators.NearDup
+    def corpus(texts: Seq[String]) = texts.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val a = corpus(Seq("one two three four five", "alpha beta gamma delta"))
+    // identical corpora: every min matches, exact Jaccard 1
+    val same = NearDup.corpusShingleSimilarity(a, a, "text", "text",
+      n = 3, numHashes = 16).head()
+    assert(same.getAs[Double]("est_jaccard") === 1.0)
+    assert(same.getAs[Double]("exact_jaccard") === 1.0)
+    // disjoint corpora: zero everywhere
+    val b = corpus(Seq("six seven eight nine ten"))
+    val dis = NearDup.corpusShingleSimilarity(a, b, "text", "text",
+      n = 3, numHashes = 16).head()
+    assert(dis.getAs[Long]("n_matching") === 0L &&
+      dis.getAs[Long]("n_common") === 0L)
+    // half-overlap: estimate within MinHash tolerance of the exact value
+    val big = (0 until 200).map(i => s"w$i x$i y$i z$i q$i")
+    val left = corpus(big.take(150))     // 150 docs
+    val right = corpus(big.drop(50))     // 150 docs, 100 shared
+    val hv = NearDup.corpusShingleSimilarity(left, right, "text", "text",
+      n = 3, numHashes = 128).head()
+    val exact = hv.getAs[Double]("exact_jaccard")
+    val est = hv.getAs[Double]("est_jaccard")
+    assert(math.abs(est - exact) < 0.15,
+      f"minhash estimate $est%.3f too far from exact $exact%.3f")
+    // a side with no shingles (too short): NULL estimate, not 0
+    val short = corpus(Seq("just two"))
+    val es = NearDup.corpusShingleSimilarity(a, short, "text", "text",
+      n = 3, numHashes = 16).head()
+    assert(es.isNullAt(es.fieldIndex("n_matching")) &&
+      es.isNullAt(es.fieldIndex("est_jaccard")))
+    // estimate-only mode skips the exact census entirely
+    val eo = NearDup.corpusShingleSimilarity(a, b, "text", "text",
+      n = 3, numHashes = 16, exact = false).head()
+    assert(eo.isNullAt(eo.fieldIndex("exact_jaccard")))
+  }
 }
