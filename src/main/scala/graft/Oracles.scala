@@ -626,6 +626,34 @@ object Oracles {
          JOIN lsz sa ON sa.rid = id_l
          JOIN rsz sb ON sb.rid = id_r""",
 
+    // q135: replays the code-point entropy kernel — per-(doc, codepoint)
+    // counts ((?s). matches exactly one code point incl. newlines), each
+    // distinct character's exact micro-unit term, order-independent long
+    // sum, identical IEEE expression shape (p computed once per term as
+    // c/n, multiplied left-assoc). length() counts code points in both
+    // engines; empty/NULL docs keep NULL stats via the left join
+    "q135_char_entropy" ->
+      """WITH chars AS (
+           SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
+           FROM documents),
+         cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+         tt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS nd FROM cc GROUP BY 1),
+         ent AS (
+           SELECT cc.doc_id,
+             -sum(CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * 100000.0 + 0.5) AS BIGINT)) AS units
+           FROM cc JOIN tt ON cc.doc_id = tt.doc_id GROUP BY 1)
+         SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(length(d.text) AS BIGINT) END AS n_cp,
+           tt.nd AS n_distinct_cp,
+           CAST(ent.units AS DOUBLE) / 100000.0 AS char_entropy
+         FROM documents d
+         LEFT JOIN tt ON d.doc_id = tt.doc_id
+         LEFT JOIN ent ON d.doc_id = ent.doc_id""",
+
     // q134: replays the corpus-level MinHash diff — per-seed global mins
     // over each source's 3-gram shingle stream (min over the multiset =
     // min over the set, matching the zero-distinct Spark path), matching

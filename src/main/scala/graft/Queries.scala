@@ -717,6 +717,15 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_tokens"), col("mean_logprob"))),
 
+    // code-point entropy profile: the gibberish/boilerplate tail signal
+    // (ONE codegen kernel pass, zero shuffles, streaming-safe)
+    "q135_char_entropy" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Quality.charEntropyProfile(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_cp"),
+          col("n_distinct_cp"), col("char_entropy"))
+    }),
+
     // corpus-LEVEL MinHash similarity: estimated + exact Jaccard of two
     // sources' 3-gram shingle sets in one row — dataset diffing without
     // pairwise document work (the estimate path is two zero-shuffle

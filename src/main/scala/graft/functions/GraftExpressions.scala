@@ -231,6 +231,28 @@ case class DelVariantsExpr(child: Expression, d: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass code-point entropy summary of a string —
+  * [entropy_micro_units, n_distinct_codepoints] (see
+  * [[TextKernels.charEntropy]] for the exact-long-term portability
+  * contract). The gibberish/boilerplate quality signal: natural prose
+  * sits in a characteristic entropy band, keyboard mash and repeated
+  * filler fall outside it.
+  */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_entropy"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.charEntropy(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.TextKernels.charEntropy($v);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Char-n-gram language ID over a raw string (profiles are plan-time
   * literals, same encoding as [[LangIdExpr]]'s markers).
   */
@@ -460,6 +482,7 @@ object GraftFunctions {
     }),
     "graft_bloom_contains" -> (es =>
       BloomContainsExpr(es(0), binaryLit(es(1), "bloom bytes"))),
+    "graft_char_entropy" -> (es => CharEntropyExpr(es(0))),
     "graft_max_by" -> (es => HashExtremumBy(es(0), es(1), isMax = true)),
     "graft_min_by" -> (es => HashExtremumBy(es(0), es(1), isMax = false)),
     "graft_top_k_by" -> (es => HashTopKBy(es(0), es(1), es(2), intLit(es(3), "k")))

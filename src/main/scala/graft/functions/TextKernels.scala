@@ -189,6 +189,37 @@ object TextKernels {
     new GenericArrayData(if (m == count) out else java.util.Arrays.copyOf(out, m))
   }
 
+  /** Per-document character-entropy summary in ONE pass over the code
+    * points: returns [entropy_micro_units, n_distinct_codepoints] where
+    * entropy = units / 1e5 nats — Shannon entropy −Σ p ln p of the code
+    * -point distribution. Each distinct character contributes an exact
+    * long term floor((p·ln p)·1e5 + 0.5), so the sum is order-independent
+    * and the whole statistic is bit-replayable by an external SQL engine
+    * (the graft micro-unit discipline). Empty string → [0, 0] (callers
+    * NULL-guard; a failed extraction must stay visible).
+    */
+  def charEntropy(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1
+    }
+    if (n == 0) return new GenericArrayData(Array(0L, 0L))
+    var acc = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / n
+      acc += math.floor(p * math.log(p) * 100000.0 + 0.5).toLong
+    }
+    new GenericArrayData(Array(-acc, counts.size().toLong))
+  }
+
   /** Deletion neighborhood (the SymSpell / FastSS blocking key — public
     * algorithm): every DISTINCT string reachable from `s` by deleting up
     * to `d` code points, the string itself included. If

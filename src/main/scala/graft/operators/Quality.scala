@@ -358,6 +358,34 @@ object Quality {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Per-document code-point entropy profile: (idCol, n_cp,
+    * n_distinct_cp, char_entropy) — Shannon entropy of the character
+    * distribution in nats. The cheap gibberish / boilerplate signal that
+    * complements token-level [[repetitionProfile]]: keyboard mash scores
+    * HIGH (near-uniform characters), repeated filler scores LOW; natural
+    * prose sits in a band between (gate on both tails). NULL text and
+    * empty text keep NULL stats (failed extractions stay visible).
+    *
+    * Scale notes: ONE codegen kernel call per row (`graft_char_entropy`
+    * — a single pass over the code points with exact micro-unit terms,
+    * order-independent and DuckDB-replayed), zero shuffles, zero UDFs;
+    * streaming-safe projection.
+    */
+  def charEntropyProfile(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val k = call_function("graft_char_entropy", col(textCol))
+    val empty = col(textCol).isNull || length(col(textCol)) === 0
+    docs.select(col(idCol),
+      when(col(textCol).isNull, lit(null).cast("long"))
+        .otherwise(length(col(textCol)).cast("long")).as("n_cp"),
+      when(empty, lit(null).cast("long"))
+        .otherwise(element_at(k, 2)).as("n_distinct_cp"),
+      when(empty, lit(null).cast("double"))
+        .otherwise(element_at(k, 1).cast("double") / 100000.0)
+        .as("char_entropy"))
+  }
+
   /** A capped BIGRAM language model: the `maxBigrams` most frequent
     * (prev, tok) pairs with counts, the per-first-token continuation
     * totals (top `maxVocab` first tokens), and the [[UnigramVocab]]

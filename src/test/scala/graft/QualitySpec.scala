@@ -386,4 +386,29 @@ class QualitySpec extends SparkSpec {
     val v7 = Quality.bigramVocab(docs.repartition(7), "text", 64, 16)
     assert(v7.top === v.top && v7.first === v.first && v7.uni === v.uni)
   }
+
+  test("charEntropyProfile: exact small cases, codepoints, tails, NULL edges") {
+    val docs = Seq(
+      (1L, "aaaa"),                 // one symbol: entropy 0
+      (2L, "ab"),                   // two equiprobable: ln 2
+      (3L, "日本語日本語"),          // multi-byte codepoints: ln 3, n_cp 6
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "la la la la la la la"),                  // repeated filler: low
+      (7L, "the cat sat on the warm mat today"),     // prose: middle
+      (8L, "zq xv jk wp fy bg md ct ls rn hw"))      // near-uniform: high
+      .toDF("doc_id", "text")
+    val out = Quality.charEntropyProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) === 0.0)
+    assert(math.abs(out(2L).getDouble(3) - math.log(2)) < 1e-4)
+    assert(out(3L).getLong(1) === 6L && out(3L).getLong(2) === 3L)
+    assert(math.abs(out(3L).getDouble(3) - math.log(3)) < 1e-4)
+    for (id <- Seq(4L, 5L)) {
+      assert(out(id).isNullAt(2) && out(id).isNullAt(3))
+    }
+    assert(out(4L).getLong(1) === 0L && out(5L).isNullAt(1))
+    // the quality-signal ordering: filler < prose < near-uniform mash
+    assert(out(6L).getDouble(3) < out(7L).getDouble(3))
+    assert(out(7L).getDouble(3) < out(8L).getDouble(3))
+  }
 }
