@@ -626,6 +626,26 @@ object Oracles {
          JOIN lsz sa ON sa.rid = id_l
          JOIN rsz sb ON sb.rid = id_r""",
 
+    // q136: replays the BPE pair-count seed — distinct-word frequency
+    // dictionary, adjacent code-point pairs per word (comprehension over
+    // the (?s). codepoint list, repeated pairs count per occurrence),
+    // frequency-weighted sums, top-50 by (n DESC, pair)
+    "q136_bpe_pair_counts" ->
+      """WITH w0 AS (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+           FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         wf AS (SELECT w, count(*) AS f FROM w0 GROUP BY 1),
+         wp AS (SELECT f, unnest([cs[i + 1] || cs[i + 2]
+                   for i in range(0, greatest(len(cs) - 1, 0))]) AS pair
+                FROM (SELECT f, regexp_extract_all(w, '(?s).') AS cs FROM wf) x),
+         pc AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM wp GROUP BY 1),
+         ranked AS (
+           SELECT pair, n,
+             row_number() OVER (ORDER BY n DESC, pair) AS rank
+           FROM pc)
+         SELECT CAST(rank AS BIGINT) AS rank, pair, n AS n_occurrences
+         FROM ranked WHERE rank <= 50""",
+
     // q135: replays the code-point entropy kernel — per-(doc, codepoint)
     // counts ((?s). matches exactly one code point incl. newlines), each
     // distinct character's exact micro-unit term, order-independent long

@@ -717,6 +717,14 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_tokens"), col("mean_logprob"))),
 
+    // BPE merge-selection seed: top-50 adjacent-codepoint pairs with
+    // corpus occurrence counts, counted over the distinct-word frequency
+    // dictionary (collapse-first — how reference BPE trainers count)
+    "q136_bpe_pair_counts" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Quality.bpePairCounts(Tables.documents(s, d), "text", topK = 50)
+    }),
+
     // code-point entropy profile: the gibberish/boilerplate tail signal
     // (ONE codegen kernel pass, zero shuffles, streaming-safe)
     "q135_char_entropy" -> ((s, d) => {

@@ -386,6 +386,50 @@ object Quality {
         .as("char_entropy"))
   }
 
+  /** Corpus-wide adjacent-character pair counts — the merge-selection
+    * statistic of BPE tokenizer training (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units" — public
+    * paper): the top-`topK` (pair, Σ occurrences) table a trainer picks
+    * its next merge from. One row per ranked pair:
+    * (rank, pair, n_occurrences), rank by (count desc, pair asc) so both
+    * engines agree on ties.
+    *
+    * COLLAPSE-FIRST like every content-keyed operator: pair counting
+    * runs over the DISTINCT-WORD frequency dictionary (exactly how
+    * reference BPE trainers structure the count — word "the" appearing
+    * 10⁹ times contributes its pairs once, weighted by frequency), so
+    * the char-pair explode is bounded by vocabulary size, not corpus
+    * size. Repeated pairs WITHIN a word count per occurrence ("aaa" →
+    * "aa" twice). Scale shape: one word-count shuffle (map-side
+    * combined), one pair-sum shuffle over the vocab-sized dictionary, a
+    * bounded-heap top-K — only topK rows reach the driver side of the
+    * plan.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+                    topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val words = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    // regexp_extract_all('.') iterates CODE POINTS in both Spark (Java
+    // regex matches supplementary chars whole) and DuckDB (RE2) — a
+    // split-by-empty would cut astral chars into surrogate halves
+    val chars = regexp_extract_all(col("w"), lit("(?s)."), lit(0))
+    val pairs = zip_with(
+      slice(chars, lit(1), greatest(size(chars) - 1, lit(0))),
+      slice(chars, lit(2), greatest(size(chars) - 1, lit(0))),
+      (a, b) => concat(a, b))
+    val counted = words.select(explode(pairs).as("pair"), col("f"))
+      .groupBy("pair").agg(sum("f").as("n"))
+    counted.agg(call_function("graft_top_k_by",
+        struct(col("pair"), col("n")), col("n"), col("pair"), lit(topK)).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.pair").as("pair"), col("col.n").as("n_occurrences"))
+  }
+
   /** A capped BIGRAM language model: the `maxBigrams` most frequent
     * (prev, tok) pairs with counts, the per-first-token continuation
     * totals (top `maxVocab` first tokens), and the [[UnigramVocab]]

@@ -411,4 +411,25 @@ class QualitySpec extends SparkSpec {
     assert(out(6L).getDouble(3) < out(7L).getDouble(3))
     assert(out(7L).getDouble(3) < out(8L).getDouble(3))
   }
+
+  test("bpePairCounts: frequency-weighted, within-word repeats, tie order") {
+    // "the" x3 and "then" x1: pair "th" occurs in both words -> 3+1 = 4;
+    // "he" likewise 4; "en" only in "then" -> 1; "aaa" x2 contributes
+    // "aa" TWICE per occurrence -> 4
+    val docs = Seq(
+      (1L, "the the then aaa"),
+      (2L, "the aaa"),
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Quality.bpePairCounts(docs, "text", topK = 10)
+      .collect().map(r => r.getString(1) -> (r.getLong(0), r.getLong(2))).toMap
+    assert(out("th")._2 === 4L && out("he")._2 === 4L)
+    assert(out("aa")._2 === 4L && out("en")._2 === 1L)
+    // rank ties break on the pair string ascending
+    val byRank = out.toSeq.sortBy(_._2._1).map(_._1)
+    assert(byRank.take(3) === Seq("aa", "he", "th")) // all count 4, lexical
+    // single-char words and blank/null docs contribute nothing
+    val solo = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Quality.bpePairCounts(solo, "text").count() === 0L)
+  }
 }
