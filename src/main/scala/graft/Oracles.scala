@@ -445,6 +445,40 @@ object Oracles {
        ${topKSelect(5)}"""
   }
 
+  /** q137: the BPE trainer replay — `k` unrolled merge iterations. Each
+    * iteration: frequency-weighted adjacent-pair counts over the
+    * separator-joined symbol dictionary (struct comprehension), the
+    * top-1 pair by (n DESC, l, r), and one `replace(seq, l+sep+r, l+r)`
+    * projection (left-to-right non-overlapping in BOTH engines — the
+    * greedy BPE within-word order). Symbols never contain the 0x1F
+    * separator, so the replace key is unambiguous.
+    */
+  private def bpeTrainOracle(k: Int): String = {
+    val sep = "\u001f"
+    val iters = (1 to k).map { i =>
+      s"""p$i AS (
+         SELECT p.l AS l, p.r AS r, CAST(sum(f) AS BIGINT) AS n FROM (
+           SELECT f, unnest([struct_pack(l := cs[j + 1], r := cs[j + 2])
+                             for j in range(0, greatest(len(cs) - 1, 0))]) AS p
+           FROM (SELECT string_split(seq, '$sep') AS cs, f FROM d${i - 1}) x) y
+         GROUP BY 1, 2),
+       b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+       d$i AS (SELECT replace(seq, b.l || '$sep' || b.r, b.l || b.r) AS seq, f
+               FROM d${i - 1} CROSS JOIN b$i b)"""
+    }.mkString(",\n       ")
+    val out = (1 to k).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_rank, l AS "left", r AS "right",
+          n AS n_occurrences FROM b$i""").mkString("\n       UNION ALL\n       ")
+    s"""WITH w0 AS (
+         SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       wf AS (SELECT w, count(*) AS f FROM w0 GROUP BY 1),
+       d0 AS (SELECT array_to_string(regexp_extract_all(w, '(?s).'), '$sep') AS seq, f
+              FROM wf),
+       $iters
+       $out"""
+  }
+
   /** q134: corpus-level MinHash similarity replay — 32 per-seed global
     * md5 mins per side over the 3-gram shingle streams, the matching-min
     * count (NULL when a side has no shingles: min over empty = NULL, so
@@ -625,6 +659,12 @@ object Oracles {
          FROM p
          JOIN lsz sa ON sa.rid = id_l
          JOIN rsz sb ON sb.rid = id_r""",
+
+    // q137: replays the 8-iteration BPE trainer — unrolled CTEs, one
+    // (pair-count, top-1, replace) triple per merge over the separator-
+    // joined symbol dictionary; replace() is left-to-right non-overlap
+    // in both engines, which IS BPE's greedy within-word merge order
+    "q137_bpe_train" -> bpeTrainOracle(8),
 
     // q136: replays the BPE pair-count seed — distinct-word frequency
     // dictionary, adjacent code-point pairs per word (comprehension over

@@ -717,6 +717,14 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_tokens"), col("mean_logprob"))),
 
+    // distributed BPE tokenizer TRAINING: 8 greedy merge iterations over
+    // the word-frequency dictionary — the learned merge table a
+    // tokenizer ships; every post-dictionary step is vocab-bounded
+    "q137_bpe_train" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Quality.bpeTrain(Tables.documents(s, d), "text", numMerges = 8)
+    }),
+
     // BPE merge-selection seed: top-50 adjacent-codepoint pairs with
     // corpus occurrence counts, counted over the distinct-word frequency
     // dictionary (collapse-first — how reference BPE trainers count)

@@ -430,6 +430,88 @@ object Quality {
         col("col.pair").as("pair"), col("col.n").as("n_occurrences"))
   }
 
+  /** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): run
+    * `numMerges` greedy merge iterations over the corpus and return the
+    * learned merge table — one row per merge:
+    * (merge_rank, left, right, n_occurrences), the artifact a tokenizer
+    * ships. Each iteration picks the most frequent adjacent symbol pair
+    * (ties by (left, right) so engines agree) and fuses it everywhere.
+    *
+    * Representation: each distinct word is a SEPARATOR-joined symbol
+    * sequence string; a merge is one `replace(seq, l+sep+r, l+r)` — a
+    * left-to-right non-overlapping string replace, which IS BPE's greedy
+    * within-word merge order ("aaa" under merge (a,a) → "aa"+"a"), and
+    * is bit-identical in any SQL engine (the whole trainer is
+    * DuckDB-replayed by unrolled CTEs). Symbols never contain the
+    * separator (they start as single code points and merges only
+    * concatenate), so the replace key is unambiguous.
+    *
+    * Scale shape: ONE corpus-sized word-count shuffle builds the
+    * distinct-word frequency dictionary (collapse-first — the reference
+    * BPE trainer structure); every iteration after that is
+    * VOCABULARY-bounded: a pair-count aggregation over the dictionary
+    * and a codegen replace projection. The driver holds only the top-1
+    * pair per iteration (a plan constant, the centroid-matrix class);
+    * `localCheckpoint` every 8 merges cuts the replace-chain lineage.
+    * Stops early (fewer rows) if the corpus runs out of pairs.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+               sep: String = ""): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(sep.length == 1, s"sep must be one char, got ${sep.length}")
+    val spark = docs.sparkSession
+    val words = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    require(!words.schema.isEmpty, "unreachable") // keep words referenced
+    var dict = words.select(
+      array_join(regexp_extract_all(col("w"), lit("(?s)."), lit(0)), sep)
+        .as("seq"), col("f"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val syms = split(col("seq"), java.util.regex.Pattern.quote(sep))
+      val pairs = zip_with(
+        slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+        slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+        (a, b) => struct(a.as("l"), b.as("r")))
+      // global top-1 over the VOCAB-bounded pair table: orderBy+limit(1)
+      // is a TakeOrderedAndProject here (no full sort materialization),
+      // and the (n desc, l, r) tuple order is the engine-portable tie rule
+      val best = dict.select(explode(pairs).as("p"), col("f"))
+        .groupBy("p").agg(sum("f").as("n"))
+        .orderBy(col("n").desc, col("p.l"), col("p.r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        val (l, r) = (row.getStruct(0).getString(0), row.getStruct(0).getString(1))
+        merges += ((k + 1L, l, r, row.getLong(1)))
+        dict = dict.select(
+          org.apache.spark.sql.functions.replace(col("seq"),
+            lit(l + sep + r), lit(l + r)).as("seq"), col("f"))
+        if ((k + 1) % 8 == 0) dict = dict.localCheckpoint()
+        k += 1
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("merge_rank",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("left",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("right",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_occurrences",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(merges.toSeq.map {
+      case (mr, l, r, n) => org.apache.spark.sql.Row(mr, l, r, n)
+    }: _*), schema)
+  }
+
   /** A capped BIGRAM language model: the `maxBigrams` most frequent
     * (prev, tok) pairs with counts, the per-first-token continuation
     * totals (top `maxVocab` first tokens), and the [[UnigramVocab]]

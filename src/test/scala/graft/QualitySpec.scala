@@ -432,4 +432,24 @@ class QualitySpec extends SparkSpec {
     val solo = Seq((1L, "a b c")).toDF("doc_id", "text")
     assert(Quality.bpePairCounts(solo, "text").count() === 0L)
   }
+
+  test("bpeTrain: greedy merges, frequency ties, overlap rule, early stop") {
+    // "aaab" x3, "ab" x2: (a,a) = 2*3 = 6 beats (a,b) = 3+2 = 5 ->
+    // merge 1 = (a,a); then (a,b) = 5 beats (aa,a) = 3 -> merge 2;
+    // then only (aa,ab) = 3 remains -> merge 3; corpus exhausted ->
+    // early stop with 3 of the 5 requested merges
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val merges = Quality.bpeTrain(docs, "text", numMerges = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(merges === Seq(
+      (1L, "a", "a", 6L), (2L, "a", "b", 5L), (3L, "aa", "ab", 3L)))
+    // greedy left-to-right overlap: "aaaa" under merge (a,a) becomes
+    // aa|aa (NOT a|aa|a), so the second round counts (aa,aa) once
+    val quad = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val m2 = Quality.bpeTrain(quad, "text", numMerges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(m2 === Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+  }
 }
