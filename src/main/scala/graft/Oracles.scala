@@ -469,14 +469,59 @@ object Oracles {
     val out = (1 to k).map(i =>
       s"""SELECT CAST($i AS BIGINT) AS merge_rank, l AS "left", r AS "right",
           n AS n_occurrences FROM b$i""").mkString("\n       UNION ALL\n       ")
-    s"""WITH w0 AS (
+    s"""WITH ${bpeTrainCtes(k, sep, iters)}
+       $out"""
+  }
+
+  /** Shared q137/q138 training CTE body: word-frequency dictionary plus
+    * the k unrolled (pair-count, top-1, replace) iteration triples.
+    */
+  private def bpeTrainCtes(k: Int, sep: String, iters: String): String =
+    s"""w0 AS (
          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
          FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
        wf AS (SELECT w, count(*) AS f FROM w0 GROUP BY 1),
        d0 AS (SELECT array_to_string(regexp_extract_all(w, '(?s).'), '$sep') AS seq, f
               FROM wf),
-       $iters
-       $out"""
+       $iters"""
+
+  /** q138: q137's training chain, then ENCODE — every distinct word folds
+    * through the learned merges via nested replace() (innermost = merge
+    * 1, the Spark foldLeft order); docs re-join their words' encoded
+    * sizes; blank/NULL docs keep NULL stats via the left join.
+    */
+  private def bpeEncodeOracle(k: Int): String = {
+    val sep = "\u001f"
+    val iters = (1 to k).map { i =>
+      s"""p$i AS (
+         SELECT p.l AS l, p.r AS r, CAST(sum(f) AS BIGINT) AS n FROM (
+           SELECT f, unnest([struct_pack(l := cs[j + 1], r := cs[j + 2])
+                             for j in range(0, greatest(len(cs) - 1, 0))]) AS p
+           FROM (SELECT string_split(seq, '$sep') AS cs, f FROM d${i - 1}) x) y
+         GROUP BY 1, 2),
+       b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+       d$i AS (SELECT replace(seq, b.l || '$sep' || b.r, b.l || b.r) AS seq, f
+               FROM d${i - 1} CROSS JOIN b$i b)"""
+    }.mkString(",\n       ")
+    val repl = (1 to k).foldLeft("s0") { (acc, i) =>
+      s"replace($acc, b$i.l || '$sep' || b$i.r, b$i.l || b$i.r)"
+    }
+    val crosses = (1 to k).map(i => s"CROSS JOIN b$i").mkString(" ")
+    s"""WITH ${bpeTrainCtes(k, sep, iters)},
+       dw AS (
+         SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       wenc AS (
+         SELECT w, CAST(len(string_split($repl, '$sep')) AS BIGINT) AS nb
+         FROM (SELECT w, array_to_string(regexp_extract_all(w, '(?s).'), '$sep') AS s0
+               FROM (SELECT DISTINCT w FROM dw) wd) ws0 $crosses),
+       agg AS (
+         SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS ws,
+           CAST(sum(nb) AS BIGINT) AS nb
+         FROM dw JOIN wenc ON dw.w = wenc.w GROUP BY 1)
+       SELECT d.doc_id, agg.ws AS n_tokens_ws, agg.nb AS n_bpe_tokens,
+         round(CAST(agg.nb AS DOUBLE) / agg.ws, 5) AS bpe_per_word
+       FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"""
   }
 
   /** q134: corpus-level MinHash similarity replay — 32 per-seed global
@@ -659,6 +704,12 @@ object Oracles {
          FROM p
          JOIN lsz sa ON sa.rid = id_l
          JOIN rsz sb ON sb.rid = id_r""",
+
+    // q138: replays train (the q137 CTE chain) THEN encode — each
+    // distinct word folds through the 8 learned merges via nested
+    // replace() (innermost = merge 1, the Spark foldLeft order), docs
+    // re-join their words' encoded sizes; blank docs keep NULL stats
+    "q138_bpe_encode" -> bpeEncodeOracle(8),
 
     // q137: replays the 8-iteration BPE trainer — unrolled CTEs, one
     // (pair-count, top-1, replace) triple per merge over the separator-

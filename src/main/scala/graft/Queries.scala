@@ -717,6 +717,21 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_tokens"), col("mean_logprob"))),
 
+    // BPE encode under the q137-learned merges: per-doc token counts
+    // under the REAL tokenizer (the number token budgets should use, not
+    // the whitespace proxy) — training collects 8 merges, encoding is a
+    // pure zero-shuffle codegen projection
+    "q138_bpe_encode" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, d)
+      val merges = Quality.bpeTrain(docs, "text", numMerges = 8)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Quality.bpeEncode(docs, "doc_id", "text", merges)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_tokens_ws"), col("n_bpe_tokens"), col("bpe_per_word"))
+    }),
+
     // distributed BPE tokenizer TRAINING: 8 greedy merge iterations over
     // the word-frequency dictionary — the learned merge table a
     // tokenizer ships; every post-dictionary step is vocab-bounded

@@ -456,7 +456,7 @@ object Quality {
     * Stops early (fewer rows) if the corpus runs out of pairs.
     */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
-               sep: String = ""): DataFrame = {
+               sep: String = "\u001f"): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(sep.length == 1, s"sep must be one char, got ${sep.length}")
     val spark = docs.sparkSession
@@ -510,6 +510,41 @@ object Quality {
     spark.createDataFrame(java.util.Arrays.asList(merges.toSeq.map {
       case (mr, l, r, n) => org.apache.spark.sql.Row(mr, l, r, n)
     }: _*), schema)
+  }
+
+  /** BPE ENCODE under a learned merge table ([[bpeTrain]]'s output):
+    * per-document token counts under the REAL tokenizer — the number a
+    * token-budget cut or packing plan should use instead of the
+    * whitespace proxy. Output: (idCol, n_tokens_ws, n_bpe_tokens,
+    * bpe_per_word = round5(bpe/ws)); NULL/blank docs keep NULL stats.
+    *
+    * Scale notes: a PURE codegen projection — the merges ride the plan
+    * as literals and each word folds through the ranked
+    * `replace(l+sep+r, l+r)` chain (the same left-to-right greedy order
+    * training used), so encoding is zero-shuffle, streaming-safe, and
+    * embarrassingly parallel at any corpus size.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)],
+                sep: String = "\u001f"): DataFrame = {
+    require(sep.length == 1, s"sep must be one char, got ${sep.length}")
+    val perWord: Column => Column = w => {
+      val joined = array_join(regexp_extract_all(w, lit("(?s)."), lit(0)), sep)
+      val encoded = merges.foldLeft(joined) { case (acc, (l, r)) =>
+        org.apache.spark.sql.functions.replace(acc, lit(l + sep + r), lit(l + r))
+      }
+      size(split(encoded, java.util.regex.Pattern.quote(sep)))
+    }
+    val empty = col(textCol).isNull || length(trim(col(textCol))) === 0
+    val counts = transform(tokens(col(textCol)), perWord)
+    docs.select(col(idCol),
+      when(empty, lit(null).cast("long"))
+        .otherwise(size(tokens(col(textCol))).cast("long")).as("n_tokens_ws"),
+      when(empty, lit(null).cast("long"))
+        .otherwise(aggregate(counts, lit(0L), (a, x) => a + x.cast("long")))
+        .as("n_bpe_tokens"))
+      .withColumn("bpe_per_word",
+        round(col("n_bpe_tokens").cast("double") / col("n_tokens_ws"), 5))
   }
 
   /** A capped BIGRAM language model: the `maxBigrams` most frequent

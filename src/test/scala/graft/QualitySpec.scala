@@ -452,4 +452,26 @@ class QualitySpec extends SparkSpec {
         r.getLong(3))).toSeq
     assert(m2 === Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
   }
+
+  test("bpeEncode: counts under learned merges, untouched words, NULL edges") {
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab"),
+      (3L, "zz"), (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // the q137 merge sequence for this corpus: (a,a), (a,b), (aa,ab) —
+    // "aaab" encodes to ONE token, "ab" to one, "zz" stays 2 chars
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val out = Quality.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 3L && out(1L).getLong(2) === 3L) // 3 words, 1 tok each
+    assert(out(2L).getLong(1) === 2L && out(2L).getLong(2) === 2L)
+    assert(out(3L).getLong(2) === 2L) // no merge covers zz: stays per-char
+    assert(out(3L).getDouble(3) === 2.0)
+    for (id <- Seq(4L, 5L)) {
+      assert(out(id).isNullAt(1) && out(id).isNullAt(2) && out(id).isNullAt(3))
+    }
+    // empty merge table = pure char tokenizer
+    val none = Quality.bpeEncode(docs.filter(col("doc_id") === 1L),
+      "doc_id", "text", Nil).head()
+    assert(none.getLong(2) === 4L + 4L + 2L)
+  }
 }
