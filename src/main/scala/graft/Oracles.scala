@@ -705,6 +705,41 @@ object Oracles {
          JOIN lsz sa ON sa.rid = id_l
          JOIN rsz sb ON sb.rid = id_r""",
 
+    // q139: replays the line shaping (sentence break every 6 words, 'g'
+    // flag = Spark's replace-all) then the C4 line rules — terminal
+    // punctuation, >= 3 words, no bad substrings — via list_filter;
+    // blank docs keep NULL stats
+    "q139_c4_line_filter" ->
+      """WITH shaped AS (
+           SELECT doc_id,
+             regexp_replace(text,
+               '(\w+ \w+ \w+ \w+ \w+ \w+) ', '\1.' || chr(10), 'g') AS text
+           FROM documents),
+         x AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+               FROM shaped),
+         k AS (SELECT doc_id, text, lines,
+             list_filter(lines, l ->
+               regexp_matches(trim(l), '[.!?"]$')
+               AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kept
+           FROM x)
+         SELECT doc_id,
+           CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN NULL
+                ELSE CAST(len(lines) AS BIGINT) END AS n_lines,
+           CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN NULL
+                ELSE CAST(len(kept) AS BIGINT) END AS n_kept,
+           CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN NULL
+                ELSE CAST(contains(lower(text), 'lorem ipsum')
+                          OR contains(lower(text), '{') AS INTEGER) END
+             AS doc_flagged,
+           CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN NULL
+                ELSE array_to_string(kept, chr(10)) END AS clean_text,
+           CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN NULL
+                WHEN len(lines) > 0
+                THEN round(CAST(len(kept) AS DOUBLE) / len(lines), 5) END
+             AS kept_ratio
+         FROM k""",
+
     // q138: replays train (the q137 CTE chain) THEN encode — each
     // distinct word folds through the 8 learned merges via nested
     // replace() (innermost = merge 1, the Spark foldLeft order), docs

@@ -717,6 +717,20 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_tokens"), col("mean_logprob"))),
 
+    // C4 line-level cleaning over deterministically line-shaped text
+    // (the synthetic docs carry no newlines/punctuation, so the catalog
+    // inserts a sentence break every 6 words first — the same shaping
+    // the oracle replays); the filter itself is a pure projection
+    "q139_c4_line_filter" -> ((s, d) => {
+      val shaped = Tables.documents(s, d).withColumn("text",
+        regexp_replace(col("text"),
+          "(\\w+ \\w+ \\w+ \\w+ \\w+ \\w+) ", "$1.\n"))
+      Quality.c4LineFilter(shaped, "doc_id", "text")
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_lines"),
+          col("n_kept"), col("doc_flagged"), col("clean_text"),
+          col("kept_ratio"))
+    }),
+
     // BPE encode under the q137-learned merges: per-doc token counts
     // under the REAL tokenizer (the number token budgets should use, not
     // the whitespace proxy) — training collects 8 merges, encoding is a

@@ -358,6 +358,54 @@ object Quality {
       .withColumnRenamed("id", idCol)
   }
 
+  /** C4-style LINE-level cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", §2.2 — public paper): keep only lines that end in
+    * terminal punctuation, carry at least `minWordsPerLine` words, and
+    * contain none of `badLineSubstrings` (the "javascript" rule); flag
+    * whole documents containing any of `badDocSubstrings` ("lorem
+    * ipsum", "{" — C4 drops those docs outright). Output: (idCol,
+    * n_lines, n_kept, kept_ratio, doc_flagged, clean_text) — the caller
+    * filters on the flag and ratio; NULL/blank docs keep NULL stats.
+    *
+    * Scale notes: a PURE projection — split / higher-order filter /
+    * re-join on each row, zero shuffles, zero UDFs, streaming-safe; the
+    * substring lists ride the plan as literals.
+    */
+  def c4LineFilter(docs: DataFrame, idCol: String, textCol: String,
+                   minWordsPerLine: Int = 3,
+                   badLineSubstrings: Seq[String] = Seq("javascript"),
+                   badDocSubstrings: Seq[String] = Seq("lorem ipsum", "{"))
+      : DataFrame = {
+    require(minWordsPerLine >= 1,
+      s"minWordsPerLine must be >= 1, got $minWordsPerLine")
+    val lines = split(col(textCol), "\n")
+    def lineOk(l: Column): Column = {
+      val tl = trim(l)
+      val base = tl.rlike("[.!?\"]$") &&
+        size(split(tl, "\\s+")) >= minWordsPerLine
+      badLineSubstrings.foldLeft(base)((acc, b) =>
+        acc && !contains(lower(l), lit(b)))
+    }
+    val kept = filter(lines, lineOk _)
+    val flagged = badDocSubstrings
+      .map(b => contains(lower(col(textCol)), lit(b)))
+      .reduce(_ || _)
+    val empty = col(textCol).isNull || length(trim(col(textCol))) === 0
+    docs.select(col(idCol),
+        when(empty, lit(null).cast("long"))
+          .otherwise(size(lines).cast("long")).as("n_lines"),
+        when(empty, lit(null).cast("long"))
+          .otherwise(size(kept).cast("long")).as("n_kept"),
+        when(empty, lit(null).cast("int"))
+          .otherwise(flagged.cast("int")).as("doc_flagged"),
+        when(empty, lit(null).cast("string"))
+          .otherwise(array_join(kept, "\n")).as("clean_text"))
+      .withColumn("kept_ratio",
+        when(col("n_lines") > 0,
+          round(col("n_kept").cast("double") / col("n_lines"), 5)))
+  }
+
   /** Per-document code-point entropy profile: (idCol, n_cp,
     * n_distinct_cp, char_entropy) — Shannon entropy of the character
     * distribution in nats. The cheap gibberish / boilerplate signal that

@@ -534,4 +534,24 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.split("Scan parquet").length - 1 == 2, finalPlan.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q135/q138 are pure zero-exchange projections; q133 joins only broadcasts") {
+    // char entropy and BPE encode claim streaming-safe single-pass
+    // projections — zero Exchange anywhere (the model tables of q138
+    // ride the plan as literals, not joins)
+    for (q <- Seq("q135_char_entropy", "q138_bpe_encode")) {
+      val df: DataFrame = Queries.all(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("Exchange"), s"$q: " + p.take(2000))
+    }
+    // the bigram scorer's three model joins must all broadcast — a
+    // sort-merge join would shuffle the corpus-sized context stream
+    val df = Queries.all("q133_bigram_logprob")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }

@@ -474,4 +474,28 @@ class QualitySpec extends SparkSpec {
       "doc_id", "text", Nil).head()
     assert(none.getLong(2) === 4L + 4L + 2L)
   }
+
+  test("c4LineFilter: per-line rules, doc flags, NULL edges") {
+    val docs = Seq(
+      (1L, "This line ends properly.\nshort.\nno terminal punct here\n" +
+        "Another good line stays!\ncontains javascript so it drops."),
+      (2L, "lorem ipsum dolor sit amet.\nA perfectly fine line."),
+      (3L, "var x = { a: 1 };\nGood line here though."),
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Quality.c4LineFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 5 lines; kept = the two well-formed sentences (short. has
+    // < 3 words; the unpunctuated and the javascript lines drop)
+    assert(out(1L).getLong(1) === 5L && out(1L).getLong(2) === 2L)
+    assert(out(1L).getString(4) ===
+      "This line ends properly.\nAnother good line stays!")
+    assert(out(1L).getInt(3) === 0)
+    // doc-level flags fire on lorem ipsum and on '{'
+    assert(out(2L).getInt(3) === 1 && out(3L).getInt(3) === 1)
+    // ...but line cleaning still runs on flagged docs
+    assert(out(2L).getLong(2) === 2L)
+    for (id <- Seq(4L, 5L)) assert(out(id).isNullAt(1) && out(id).isNullAt(4))
+    assert(math.abs(out(1L).getDouble(5) - 0.4) < 1e-9)
+  }
 }
