@@ -21,12 +21,27 @@ object Oracles {
   /** Cosine of two 64-dim float list columns in double math — matches
     * graft.functions.VectorOps.cosineF (0.0 when either norm is 0).
     */
-  private def cosSql(a: String, b: String): String = {
+  private def cosSql(a: String, b: String): String = cosSqlDims(a, b, 64)
+
+  /** Cosine over `dims`-element float lists — the VectorOps double-loop
+    * replay, parameterized for projected (q140) vectors.
+    */
+  private def cosSqlDims(a: String, b: String, dims: Int): String = {
     def dot(x: String, y: String) =
-      s"list_sum([CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE) for i in range(1, 65)])"
+      s"list_sum([CAST($x[i] AS DOUBLE)*CAST($y[i] AS DOUBLE) for i in range(1, ${dims + 1})])"
     val den = s"(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
     s"(CASE WHEN $den = 0 THEN 0.0 ELSE ${dot(a, b)} / $den END)"
   }
+
+  /** [[graft.functions.VectorOps.rpProject]] replay: k projected floats,
+    * each ONE fixed-order double sum over the 64 input dims against the
+    * rhpBucketSql ±1 planes, divided by √k and rounded once to FLOAT.
+    */
+  private def rpProjectSql(v: String, k: Int, seed: Int): String =
+    s"""[CAST(list_sum([CAST($v[i + 1] AS DOUBLE)
+        * (CASE WHEN ((1103515245*p + 12345*i + $seed) // 65536) % 2 = 1
+           THEN 1.0 ELSE -1.0 END) for i in range(0, 64)])
+        / sqrt(CAST($k AS DOUBLE)) AS FLOAT) for p in range(0, $k)]"""
 
   /** Squared L2 distance — matches VectorOps.l2sqF. */
   private def l2sqSql(a: String, b: String): String =
@@ -704,6 +719,18 @@ object Oracles {
          FROM p
          JOIN lsz sa ON sa.rid = id_l
          JOIN rsz sb ON sb.rid = id_r""",
+
+    // q140: replays the JL projection (deterministic ±1 planes shared
+    // with the RHP replay) then brute-force top-5 cosine in 16 dims
+    "q140_rp_ann" ->
+      s"""WITH pr AS (SELECT vec_id, ${rpProjectSql("embedding", 16, 7)} AS pv
+             FROM embeddings),
+         q AS (SELECT vec_id AS query_id, pv AS qv FROM pr WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id AS neighbor_id, pv AS cv FROM pr),
+         scored AS (
+           SELECT query_id, neighbor_id, ${cosSqlDims("qv", "cv", 16)} AS cos
+           FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         ${topKSelect(5)}""",
 
     // q139: replays the line shaping (sentence break every 6 words, 'g'
     // flag = Spark's replace-all) then the C4 line rules — terminal

@@ -717,6 +717,17 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_tokens"), col("mean_logprob"))),
 
+    // JL random projection 64→16 then brute-force top-5 in the projected
+    // space: the cheap distance-preserving reduction (works on data with
+    // NO low-rank structure, unlike PCA) — 4× less distance compute per
+    // downstream stage
+    "q140_rp_ann" -> ((s, d) => {
+      val e = Ann.rpProject(Tables.embeddings(s, d), "embedding", "emb16",
+        k = 16, seed = 7)
+      Ann.bruteForceTopK(e.filter(pmod(col("vec_id"), lit(50)) === 0), e,
+        "vec_id", "emb16", 5)
+    }),
+
     // C4 line-level cleaning over deterministically line-shaped text
     // (the synthetic docs carry no newlines/punctuation, so the catalog
     // inserts a sentence break every 6 words first — the same shaping

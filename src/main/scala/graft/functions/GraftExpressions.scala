@@ -231,6 +231,27 @@ case class DelVariantsExpr(child: Expression, d: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** JL random projection of a float vector to k dims (see
+  * [[VectorOps.rpProject]] for the deterministic-planes portability
+  * contract) — the cheap distance-preserving reduction that shrinks an
+  * ANN/near-dup working set before the expensive stages.
+  */
+case class RpProjectExpr(child: Expression, k: Int, seed: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType),
+      Seq(ArrayType(FloatType)))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_rp_project"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.rpProject(v.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.VectorOps.rpProject($v, $k, $seed);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass code-point entropy summary of a string —
   * [entropy_micro_units, n_distinct_codepoints] (see
   * [[TextKernels.charEntropy]] for the exact-long-term portability
@@ -483,6 +504,11 @@ object GraftFunctions {
     "graft_bloom_contains" -> (es =>
       BloomContainsExpr(es(0), binaryLit(es(1), "bloom bytes"))),
     "graft_char_entropy" -> (es => CharEntropyExpr(es(0))),
+    "graft_rp_project" -> (es => {
+      val k = intLit(es(1), "k")
+      require(k >= 1, s"graft_rp_project needs k >= 1, got $k")
+      RpProjectExpr(es(0), k, intLit(es(2), "seed"))
+    }),
     "graft_max_by" -> (es => HashExtremumBy(es(0), es(1), isMax = true)),
     "graft_min_by" -> (es => HashExtremumBy(es(0), es(1), isMax = false)),
     "graft_top_k_by" -> (es => HashTopKBy(es(0), es(1), es(2), intLit(es(3), "k")))

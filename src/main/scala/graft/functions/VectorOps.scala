@@ -97,6 +97,34 @@ object VectorOps {
     bucket
   }
 
+  /** Johnson–Lindenstrauss random projection to `k` dims: out[p] =
+    * (Σ_i v[i]·±1(p,i,seed)) / √k with the SAME deterministic ±1 planes
+    * as [[rhpBucket]] (so an external engine replays it exactly — the
+    * sign is bit 16 of the wrapping LCG, which only depends on the low
+    * bits of the non-negative sum). The 1/√k scaling preserves expected
+    * squared norms (the JL contract); each output element is one double
+    * sum over the input dims rounded ONCE to float — engine-portable.
+    */
+  def rpProject(v: ArrayData, k: Int, seed: Int): ArrayData = {
+    val xs = v.toFloatArray()
+    val dim = xs.length
+    val inv = math.sqrt(k.toDouble)
+    val out = new Array[Float](k)
+    var p = 0
+    while (p < k) {
+      var proj = 0.0
+      var i = 0
+      while (i < dim) {
+        val s = ((p * 1103515245 + i * 12345 + seed) >>> 16) & 1
+        proj += xs(i).toDouble * (if (s == 1) 1.0 else -1.0)
+        i += 1
+      }
+      out(p) = (proj / inv).toFloat
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

@@ -713,6 +713,26 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** Johnson–Lindenstrauss random projection: append `outCol` =
+    * the `k`-dim projection of `vecCol` through deterministic ±1 planes
+    * (`graft_rp_project` — one codegen kernel call per row, zero
+    * shuffles, engine-replayable planes shared with the RHP-LSH
+    * family). The JL lemma bounds pairwise-distance distortion by
+    * ~1/√k, so a 64→16 reduction cuts every downstream distance
+    * computation 4× while keeping neighborhoods mostly intact — the
+    * cheap pre-step before brute-force re-rank or IVF over a shrunken
+    * working set (the [[pcaReduce]] alternative when the data has no
+    * low-rank structure for PCA to find — random projections need
+    * none).
+    */
+  def rpProject(df: DataFrame, vecCol: String, outCol: String, k: Int,
+                seed: Int = 7): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.withColumn(outCol,
+      call_function("graft_rp_project", col(vecCol), lit(k), lit(seed)))
+  }
+
   /** Recall@k of an approximate ANN result against the exact one — the
     * index-quality measurement every production ANN deployment runs
     * before trusting an index (tune nPlanes/nProbe/codebooks until

@@ -844,4 +844,51 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(rec - ceiling) < 1e-9,
       f"refined recall $rec%.4f != candidate-list ceiling $ceiling%.4f")
   }
+
+  test("rpProject (JL): deterministic, norm-preserving in expectation, useful recall") {
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val p1 = Ann.rpProject(e, "embedding", "p", k = 16, seed = 7)
+    val p2 = Ann.rpProject(e, "embedding", "p", k = 16, seed = 7)
+    assert(p1.select("vec_id", "p").collect().toSeq.map(_.toString).sorted ===
+      p2.select("vec_id", "p").collect().toSeq.map(_.toString).sorted)
+    // E||proj||^2 = ||v||^2 (the 1/sqrt(k) JL scaling): the mean ratio
+    // over the corpus must sit near 1
+    val ratio = p1.select(
+        (aggregate(col("p"), lit(0.0), (a, x) => a + x * x) /
+         aggregate(col("embedding"), lit(0.0),
+           (a, x) => a + x.cast("double") * x.cast("double"))).as("r"))
+      .agg(avg("r")).head().getDouble(0)
+    assert(math.abs(ratio - 1.0) < 0.15, s"norm ratio $ratio")
+    // neighborhood preservation needs neighborhoods to exist: like the
+    // pcaReduce spec, measure on rank-4 structured data (real embeddings
+    // are low-rank-ish; graft's ISOTROPIC random testdata has cosine
+    // gaps far below the 1/sqrt(16) JL noise floor, where 64->16
+    // rightly cannot help — measured 0.08, the documented
+    // not-applicable case)
+    val rnd = new scala.util.Random(5)
+    val basis = Array.fill(4, 64)(rnd.nextGaussian().toFloat)
+    val vecs = (0L until 200L).map { i =>
+      val w = Array.fill(4)(rnd.nextGaussian().toFloat * 3f)
+      val v = Array.tabulate(64)(d =>
+        (0 until 4).map(b => w(b) * basis(b)(d)).sum
+          + rnd.nextGaussian().toFloat * 0.01f)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val pv = Ann.rpProject(vecs, "embedding", "p", k = 16, seed = 7)
+    val q = pv.filter(pmod(col("vec_id"), lit(20)) === 0)
+    val exact = Ann.bruteForceTopK(
+      vecs.filter(pmod(col("vec_id"), lit(20)) === 0), vecs,
+      "vec_id", "embedding", 5)
+    val approx = Ann.bruteForceTopK(q, pv, "vec_id", "p", 5)
+    val rec = Ann.recallAtK(approx, exact, 5).agg(avg("recall")).head().getDouble(0)
+    info(f"JL 64->16 recall@5 on rank-4 data: $rec%.3f")
+    assert(rec >= 0.5, f"JL recall floor: $rec%.3f")
+    // top-25 candidate containment is what a full-dim re-rank consumes
+    val approx25 = Ann.bruteForceTopK(q, pv, "vec_id", "p", 25)
+    val ceil = exact.join(approx25.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / exact.count()
+    info(f"JL top-25 containment of exact top-5: $ceil%.3f")
+    assert(ceil >= 0.8, f"containment floor: $ceil%.3f")
+  }
 }
