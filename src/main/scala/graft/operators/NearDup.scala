@@ -508,11 +508,16 @@ object NearDup {
     * for raw speed when portability doesn't matter.
     */
   def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val sh = shingles(text, n)
-    val mins = (0 until numHashes).map { seed =>
-      array_min(transform(sh, s => md5(concat(lit(seed.toString + ":"), s))))
-    }
-    array(mins.toIndexedSeq: _*)
+    // let-binding trick: the shingle array is bound ONCE as the lambda
+    // argument of a single-element transform — referencing `sh` directly
+    // in all numHashes mins would re-evaluate the whole
+    // split/slice/concat/distinct shingle subtree once PER SEED per row
+    // (measured 16× signature cost on q27 once the bench stopped letting
+    // count() prune the projection away)
+    transform(array(shingles(text, n)), sh =>
+      array((0 until numHashes).map { seed =>
+        array_min(transform(sh, s => md5(concat(lit(seed.toString + ":"), s))))
+      }.toIndexedSeq: _*)).getItem(0)
   }
 
   /** LSH banding over minhash signatures: docs sharing any band (a slice
@@ -949,10 +954,14 @@ object NearDup {
     require(rowsPerBand >= 1 && rowsPerBand <= numHashes,
       s"minhashBandKeys needs 1 <= rowsPerBand <= numHashes, got $rowsPerBand/$numHashes")
     val numBands = numHashes / rowsPerBand
-    val sig = minhashSignature(text, n, numHashes)
-    val keys = transform(sequence(lit(0), lit(numBands - 1)), b =>
-      xxhash64(concat_ws("|", b.cast("string"),
-        concat_ws("|", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))))
+    // bind the signature once (the minhashSignature let-binding rule):
+    // referencing it per band would recompute the whole signature
+    // numBands times per row
+    val keys = transform(array(minhashSignature(text, n, numHashes)), sig =>
+      transform(sequence(lit(0), lit(numBands - 1)), b =>
+        xxhash64(concat_ws("|", b.cast("string"),
+          concat_ws("|", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .getItem(0)
     when(size(split(lower(trim(text)), "\\s+")) >= n, keys)
   }
 
