@@ -987,11 +987,12 @@ object Queries {
     // (by (doc_id, idx)) is removed, docs reassemble from what survives
     "q74_paragraph_dedup" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val w = split(col("text"), " ")
-      val nChunks = ceil(size(w) / lit(6.0)).cast("int")
-      val paraText = array_join(
-        transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(w, i * 6 + 1, lit(6)), " ")), "\n\n")
+      // let-binding rule: w referenced per chunk in the slice
+      val paraText = transform(array(split(col("text"), " ")),
+        w => array_join(
+          transform(sequence(lit(0), ceil(size(w) / lit(6.0)).cast("int") - 1),
+            i => array_join(slice(w, i * 6 + 1, lit(6)), " ")), "\n\n"))
+        .getItem(0)
       val paraDocs = Tables.documents(s, d)
         .select(col("doc_id"), paraText.as("text"))
       Dedup.dedupParagraphs(paraDocs, "doc_id", "text")
@@ -1054,11 +1055,12 @@ object Queries {
       // NULL text = empty text (the q74 paragraph-family rule): the doc
       // keeps a row with one empty paragraph instead of NULL fields here
       // vs vanishing in the oracle's LATERAL unnest
-      val w = split(coalesce(col("text"), lit("")), " ")
-      val nChunks = ceil(size(w) / lit(6.0)).cast("int")
-      val paraText = array_join(
-        transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(w, i * 6 + 1, lit(6)), " ")), "\n\n")
+      // let-binding rule: w referenced per chunk in the slice
+      val paraText = transform(array(split(coalesce(col("text"), lit("")), " ")),
+        w => array_join(
+          transform(sequence(lit(0), ceil(size(w) / lit(6.0)).cast("int") - 1),
+            i => array_join(slice(w, i * 6 + 1, lit(6)), " ")), "\n\n"))
+        .getItem(0)
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.dropRepeatedParagraphs(paraText).as("r"))
         .select(col("doc_id"), col("r.n_paras"), col("r.n_kept"), col("r.clean_text"))

@@ -163,13 +163,19 @@ object TextAnalysis {
     */
   def dropRepeatedParagraphs(text: Column, sepPattern: String = "\n{2,}",
                              joinSep: String = "\n\n"): Column = {
-    val paras = split(text, sepPattern)
-    val kept = filter(paras, (p, i) =>
-      array_position(slice(paras, lit(1), i), p) === 0)
-    struct(
-      org.apache.spark.sql.functions.size(paras).cast("long").as("n_paras"),
-      org.apache.spark.sql.functions.size(kept).cast("long").as("n_kept"),
-      array_join(kept, joinSep).as("clean_text"))
+    // let-binding rule (the q27 lesson): bind the split ONCE as a lambda
+    // argument — referencing a `val paras = split(...)` Column inside the
+    // seen-probe lambda re-ran the split per PARAGRAPH per row, and
+    // referencing `kept` in two struct fields ran the whole O(paras²)
+    // filter twice
+    transform(array(split(text, sepPattern)), paras =>
+      transform(array(filter(paras, (p, i) =>
+          array_position(slice(paras, lit(1), i), p) === 0)), kept =>
+        struct(
+          org.apache.spark.sql.functions.size(paras).cast("long").as("n_paras"),
+          org.apache.spark.sql.functions.size(kept).cast("long").as("n_kept"),
+          array_join(kept, joinSep).as("clean_text"))).getItem(0)
+    ).getItem(0)
   }
 
   /** Overlapping token-window chunks as an array of (chunk_idx,
@@ -185,23 +191,26 @@ object TextAnalysis {
     require(overlap >= 0 && overlap < size,
       s"overlap must be in [0, size), got $overlap (size $size)")
     val step = size - overlap
-    val toks = when(text.isNull || length(trim(text)) === 0,
+    // let-binding rule: bind the split ONCE — the per-chunk slice would
+    // otherwise re-run it once per chunk per row
+    transform(array(when(text.isNull || length(trim(text)) === 0,
         array().cast("array<string>"))
-      .otherwise(split(lower(trim(text)), "\\s+"))
-    // the `size` param shadows functions.size — qualify the array length
-    val nToks = org.apache.spark.sql.functions.size(toks)
-    // ceil((T − overlap)/step), floored at 1 for any non-empty doc (a doc
-    // with tokens ≤ overlap still gets its one chunk); the empty branch
-    // guards sequence(0, −1), which would run DESCENDING
-    val nChunks = greatest(
-      ceil((nToks - lit(overlap)).cast("double") / lit(step.toDouble)).cast("int"),
-      lit(1))
-    when(nToks === 0,
-        array().cast("array<struct<chunk_idx:int,chunk_text:string,n_tok:int>>"))
-      .otherwise(transform(sequence(lit(0), nChunks - 1),
-        k => struct(
-          k.as("chunk_idx"),
-          concat_ws(" ", slice(toks, k * step + 1, lit(size))).as("chunk_text"),
-          least(lit(size), nToks - k * step).as("n_tok"))))
+      .otherwise(split(lower(trim(text)), "\\s+"))), toks => {
+      // the `size` param shadows functions.size — qualify the array length
+      val nToks = org.apache.spark.sql.functions.size(toks)
+      // ceil((T − overlap)/step), floored at 1 for any non-empty doc (a
+      // doc with tokens ≤ overlap still gets its one chunk); the empty
+      // branch guards sequence(0, −1), which would run DESCENDING
+      val nChunks = greatest(
+        ceil((nToks - lit(overlap)).cast("double") / lit(step.toDouble)).cast("int"),
+        lit(1))
+      when(nToks === 0,
+          array().cast("array<struct<chunk_idx:int,chunk_text:string,n_tok:int>>"))
+        .otherwise(transform(sequence(lit(0), nChunks - 1),
+          k => struct(
+            k.as("chunk_idx"),
+            concat_ws(" ", slice(toks, k * step + 1, lit(size))).as("chunk_text"),
+            least(lit(size), nToks - k * step).as("n_tok"))))
+    }).getItem(0)
   }
 }

@@ -21,14 +21,17 @@ object NearDup {
     * than n tokens yield an empty array — `sequence(1, 0)` would otherwise
     * run DESCENDING to [1, 0] and `slice(_, 0, n)` throws.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val count = size(toks) - (n - 1)
-    when(count < 1, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), count),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    // let-binding rule: the token split is bound ONCE as a lambda
+    // argument — a bare `val toks` referenced in the per-shingle slice
+    // would re-run the whole split once per shingle per row
+    transform(array(split(lower(trim(text)), "\\s+")), toks => {
+      val count = size(toks) - (n - 1)
+      when(count < 1, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(1), count),
+            i => concat_ws(" ", slice(toks, i, lit(n))))))
+    }).getItem(0)
 
   /** Exploded (id, shingle) pairs — one shuffle-side of the similarity join. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
@@ -320,16 +323,14 @@ object NearDup {
                   n: Int, minSpan: Int, collapseExact: Boolean = true): DataFrame = {
     require(n >= 2, s"shingle size n must be >= 2, got $n")
     require(minSpan >= n, s"minSpan ($minSpan) must be >= n ($n)")
-    def posHashes(tx: Column): Column = {
-      val t = split(tx, " ")
-      // hash every position in ONE projection over the un-exploded row
-      // (the token array is read once), then explode only (pos, hash)
-      // longs — exploding positions first would copy the array per pos
-      when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n),
-          i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(n))))))
-        .otherwise(array().cast("array<long>"))
-    }
+    def posHashes(tx: Column): Column =
+      // let-binding rule: bind the split ONCE — the per-position slice
+      // would otherwise re-run it for every position of every row
+      transform(array(split(tx, " ")), t =>
+        when(size(t) >= n,
+          transform(sequence(lit(0), size(t) - n),
+            i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(n))))))
+          .otherwise(array().cast("array<long>"))).getItem(0)
     def mergeDiagonals(cand: DataFrame, extraAggs: Seq[Column],
                        extraOut: Seq[Column]): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window

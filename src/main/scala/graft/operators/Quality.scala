@@ -38,12 +38,16 @@ object Quality {
     * every occurrence; [[NearDup.shingles]] is the set-semantics twin).
     * Docs with fewer than n tokens yield an empty array.
     */
-  def ngramInstances(tokens: Column, n: Int): Column = {
-    val count = size(tokens) - (n - 1)
-    when(count < 1, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), count),
-        i => concat_ws(" ", slice(tokens, i, lit(n)))))
-  }
+  def ngramInstances(tokens: Column, n: Int): Column =
+    // let-binding rule: bind the (possibly expensive) tokens expression
+    // once — the per-n-gram slice would otherwise re-evaluate it per
+    // element when a caller passes a computed array
+    transform(array(tokens), toks => {
+      val count = size(toks) - (n - 1)
+      when(count < 1, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), count),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }).getItem(0)
 
   /** Per-document contamination hits against a benchmark corpus: the
     * number of distinct word n-grams of each corpus doc that also appear
@@ -379,7 +383,6 @@ object Quality {
       : DataFrame = {
     require(minWordsPerLine >= 1,
       s"minWordsPerLine must be >= 1, got $minWordsPerLine")
-    val lines = split(col(textCol), "\n")
     def lineOk(l: Column): Column = {
       val tl = trim(l)
       val base = tl.rlike("[.!?\"]$") &&
@@ -387,20 +390,25 @@ object Quality {
       badLineSubstrings.foldLeft(base)((acc, b) =>
         acc && !contains(lower(l), lit(b)))
     }
-    val kept = filter(lines, lineOk _)
+    // let-binding rule: `kept` feeds two outputs (count + re-join) — a
+    // bare val would run the per-line rule filter twice per row
+    val stats = transform(array(split(col(textCol), "\n")), lines =>
+      transform(array(filter(lines, lineOk _)), kept =>
+        struct(size(lines).cast("long").as("n_lines"),
+          size(kept).cast("long").as("n_kept"),
+          array_join(kept, "\n").as("clean_text"))).getItem(0)).getItem(0)
     val flagged = badDocSubstrings
       .map(b => contains(lower(col(textCol)), lit(b)))
       .reduce(_ || _)
     val empty = col(textCol).isNull || length(trim(col(textCol))) === 0
     docs.select(col(idCol),
-        when(empty, lit(null).cast("long"))
-          .otherwise(size(lines).cast("long")).as("n_lines"),
-        when(empty, lit(null).cast("long"))
-          .otherwise(size(kept).cast("long")).as("n_kept"),
+        when(empty, lit(null).cast("struct<n_lines:bigint,n_kept:bigint,clean_text:string>"))
+          .otherwise(stats).as("__s"),
         when(empty, lit(null).cast("int"))
-          .otherwise(flagged.cast("int")).as("doc_flagged"),
-        when(empty, lit(null).cast("string"))
-          .otherwise(array_join(kept, "\n")).as("clean_text"))
+          .otherwise(flagged.cast("int")).as("doc_flagged"))
+      .select(col(idCol), col("__s.n_lines").as("n_lines"),
+        col("__s.n_kept").as("n_kept"), col("doc_flagged"),
+        col("__s.clean_text").as("clean_text"))
       .withColumn("kept_ratio",
         when(col("n_lines") > 0,
           round(col("n_kept").cast("double") / col("n_lines"), 5)))
