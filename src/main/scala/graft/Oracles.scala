@@ -462,11 +462,15 @@ object Oracles {
 
   /** q137: the BPE trainer replay — `k` unrolled merge iterations. Each
     * iteration: frequency-weighted adjacent-pair counts over the
-    * separator-joined symbol dictionary (struct comprehension), the
-    * top-1 pair by (n DESC, l, r), and one `replace(seq, l+sep+r, l+r)`
-    * projection (left-to-right non-overlapping in BOTH engines — the
-    * greedy BPE within-word order). Symbols never contain the 0x1F
-    * separator, so the replace key is unambiguous.
+    * separator-WRAPPED symbol dictionary (struct comprehension), the
+    * top-1 pair by (n DESC, l, r), and one boundary-anchored
+    * `replace(seq, sep+l+sep+sep+r+sep, sep+l+r+sep)` projection
+    * (left-to-right non-overlapping in BOTH engines — the greedy BPE
+    * within-word order). Every symbol is enclosed in the 0x1F separator
+    * (`␟s1␟␟s2␟␟s3␟`), so the replace key anchors BOTH symbols at
+    * boundaries and can never fuse across one — the symbol-list
+    * semantics of reference BPE (a bare `l+sep+r` key would fuse word
+    * "aba" under merges (a,b),(b,a) into ONE token).
     */
   private def bpeTrainOracle(k: Int): String = {
     val sep = "\u001f"
@@ -475,10 +479,12 @@ object Oracles {
          SELECT p.l AS l, p.r AS r, CAST(sum(f) AS BIGINT) AS n FROM (
            SELECT f, unnest([struct_pack(l := cs[j + 1], r := cs[j + 2])
                              for j in range(0, greatest(len(cs) - 1, 0))]) AS p
-           FROM (SELECT string_split(seq, '$sep') AS cs, f FROM d${i - 1}) x) y
+           FROM (SELECT string_split(trim(seq, '$sep'), '$sep$sep') AS cs, f
+                 FROM d${i - 1}) x) y
          GROUP BY 1, 2),
        b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-       d$i AS (SELECT replace(seq, b.l || '$sep' || b.r, b.l || b.r) AS seq, f
+       d$i AS (SELECT w, replace(seq, '$sep' || b.l || '$sep$sep' || b.r || '$sep',
+                                 '$sep' || b.l || b.r || '$sep') AS seq, f
                FROM d${i - 1} CROSS JOIN b$i b)"""
     }.mkString(",\n       ")
     val out = (1 to k).map(i =>
@@ -489,21 +495,28 @@ object Oracles {
   }
 
   /** Shared q137/q138 training CTE body: word-frequency dictionary plus
-    * the k unrolled (pair-count, top-1, replace) iteration triples.
+    * the k unrolled (pair-count, top-1, boundary-anchored replace)
+    * iteration triples. The dictionary keeps the word key `w` through
+    * every replace so the final dict d_k doubles as the ENCODE table
+    * (a training-corpus word's encoding IS its final dict segmentation).
     */
   private def bpeTrainCtes(k: Int, sep: String, iters: String): String =
     s"""w0 AS (
          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
          FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
        wf AS (SELECT w, count(*) AS f FROM w0 GROUP BY 1),
-       d0 AS (SELECT array_to_string(regexp_extract_all(w, '(?s).'), '$sep') AS seq, f
+       d0 AS (SELECT w,
+                '$sep' || array_to_string(regexp_extract_all(w, '(?s).'), '$sep$sep')
+                  || '$sep' AS seq, f
               FROM wf),
        $iters"""
 
-  /** q138: q137's training chain, then ENCODE — every distinct word folds
-    * through the learned merges via nested replace() (innermost = merge
-    * 1, the Spark foldLeft order); docs re-join their words' encoded
-    * sizes; blank/NULL docs keep NULL stats via the left join.
+  /** q138: q137's training chain, then ENCODE — a training-corpus word's
+    * encoding IS its segmentation in the final dictionary d_k (the dict
+    * evolution is exactly the sequential-by-rank merge application the
+    * `graft_bpe_count` kernel performs), so the encode table is one
+    * split-count over d_k keyed by word; docs re-join their words'
+    * encoded sizes; blank/NULL docs keep NULL stats via the left join.
     */
   private def bpeEncodeOracle(k: Int): String = {
     val sep = "\u001f"
@@ -512,24 +525,21 @@ object Oracles {
          SELECT p.l AS l, p.r AS r, CAST(sum(f) AS BIGINT) AS n FROM (
            SELECT f, unnest([struct_pack(l := cs[j + 1], r := cs[j + 2])
                              for j in range(0, greatest(len(cs) - 1, 0))]) AS p
-           FROM (SELECT string_split(seq, '$sep') AS cs, f FROM d${i - 1}) x) y
+           FROM (SELECT string_split(trim(seq, '$sep'), '$sep$sep') AS cs, f
+                 FROM d${i - 1}) x) y
          GROUP BY 1, 2),
        b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-       d$i AS (SELECT replace(seq, b.l || '$sep' || b.r, b.l || b.r) AS seq, f
+       d$i AS (SELECT w, replace(seq, '$sep' || b.l || '$sep$sep' || b.r || '$sep',
+                                 '$sep' || b.l || b.r || '$sep') AS seq, f
                FROM d${i - 1} CROSS JOIN b$i b)"""
     }.mkString(",\n       ")
-    val repl = (1 to k).foldLeft("s0") { (acc, i) =>
-      s"replace($acc, b$i.l || '$sep' || b$i.r, b$i.l || b$i.r)"
-    }
-    val crosses = (1 to k).map(i => s"CROSS JOIN b$i").mkString(" ")
     s"""WITH ${bpeTrainCtes(k, sep, iters)},
        dw AS (
          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
          FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
        wenc AS (
-         SELECT w, CAST(len(string_split($repl, '$sep')) AS BIGINT) AS nb
-         FROM (SELECT w, array_to_string(regexp_extract_all(w, '(?s).'), '$sep') AS s0
-               FROM (SELECT DISTINCT w FROM dw) wd) ws0 $crosses),
+         SELECT w, CAST(len(string_split(trim(seq, '$sep'), '$sep$sep')) AS BIGINT) AS nb
+         FROM d$k),
        agg AS (
          SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS ws,
            CAST(sum(nb) AS BIGINT) AS nb
@@ -767,16 +777,18 @@ object Oracles {
              AS kept_ratio
          FROM k""",
 
-    // q138: replays train (the q137 CTE chain) THEN encode — each
-    // distinct word folds through the 8 learned merges via nested
-    // replace() (innermost = merge 1, the Spark foldLeft order), docs
-    // re-join their words' encoded sizes; blank docs keep NULL stats
+    // q138: replays train (the q137 CTE chain) THEN encode — a
+    // training-corpus word's encoding IS its final-dictionary
+    // segmentation, so the encode table is one split-count over d8;
+    // docs re-join their words' encoded sizes; blank docs keep NULL
     "q138_bpe_encode" -> bpeEncodeOracle(8),
 
     // q137: replays the 8-iteration BPE trainer — unrolled CTEs, one
-    // (pair-count, top-1, replace) triple per merge over the separator-
-    // joined symbol dictionary; replace() is left-to-right non-overlap
-    // in both engines, which IS BPE's greedy within-word merge order
+    // (pair-count, top-1, boundary-anchored replace) triple per merge
+    // over the separator-WRAPPED symbol dictionary; replace() is
+    // left-to-right non-overlap in both engines, which IS BPE's greedy
+    // within-word merge order, and the wrapped key can't cross a
+    // symbol boundary (reference symbol-list semantics)
     "q137_bpe_train" -> bpeTrainOracle(8),
 
     // q136: replays the BPE pair-count seed — distinct-word frequency

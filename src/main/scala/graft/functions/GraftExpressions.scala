@@ -274,6 +274,30 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** BPE token count of ONE word under a ranked merge table (plan-time
+  * constant — ships as a single reference object, so plan size is O(1)
+  * in the number of merges; see [[TextKernels.BpeKernel]] for the
+  * sequential-by-rank symbol-list semantics and the boundary-safety
+  * contract).
+  */
+case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bpe_count"
+  @transient private lazy val kernel = new TextKernels.BpeKernel(merges)
+  override protected def nullSafeEval(v: Any): Any =
+    kernel.tokenCount(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("bpeKernel", kernel, classOf[TextKernels.BpeKernel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $k.tokenCount($v);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Char-n-gram language ID over a raw string (profiles are plan-time
   * literals, same encoding as [[LangIdExpr]]'s markers).
   */
@@ -444,6 +468,31 @@ object GraftFunctions {
   private def unescMarker(s: String): String = s
     .replace("%7C", "|").replace("%2C", ",").replace("%3A", ":").replace("%25", "%")
 
+  /** Merge-table wire format for `graft_bpe_count`: records joined by
+    * \u001e, (left, right) by \u001f — neither occurs in BPE symbols
+    * (symbols are built from word code points; [[graft.operators.Quality]]
+    * tokenization never emits control chars as part of a merge, and
+    * [[decodeMerges]] refuses a table that would violate this).
+    */
+  def encodeMerges(merges: Seq[(String, String)]): String = {
+    merges.foreach { case (l, r) =>
+      require(l.nonEmpty && r.nonEmpty, "BPE merge symbols must be non-empty")
+      require(!(l + r).exists(c => c == '\u001e' || c == '\u001f'),
+        "BPE merge symbols must not contain \\u001e/\\u001f")
+    }
+    merges.map { case (l, r) => l + '\u001f' + r }.mkString("\u001e")
+  }
+
+  private def decodeMerges(s: String): Seq[(String, String)] =
+    if (s.isEmpty) Seq.empty
+    else s.split('\u001e').toSeq.map { rec =>
+      rec.split('\u001f') match {
+        case Array(l, r) => (l, r)
+        case _ => throw new IllegalArgumentException(
+          s"graft_bpe_count merges must be 'l\\u001fr' records, got '$rec'")
+      }
+    }
+
   def encodeMarkers(markers: Map[String, Seq[String]]): String =
     markers.toSeq.sortBy(_._1)
       .map { case (l, ws) => s"${escMarker(l)}:${ws.map(escMarker).mkString(",")}" }
@@ -504,6 +553,8 @@ object GraftFunctions {
     "graft_bloom_contains" -> (es =>
       BloomContainsExpr(es(0), binaryLit(es(1), "bloom bytes"))),
     "graft_char_entropy" -> (es => CharEntropyExpr(es(0))),
+    "graft_bpe_count" -> (es =>
+      BpeCountExpr(es(0), decodeMerges(stringLit(es(1), "merges")))),
     "graft_rp_project" -> (es => {
       val k = intLit(es(1), "k")
       require(k >= 1, s"graft_rp_project needs k >= 1, got $k")

@@ -220,6 +220,82 @@ object TextKernels {
     new GenericArrayData(Array(-acc, counts.size().toLong))
   }
 
+  /** BPE merge-table application (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units" — public paper): fuse
+    * a word's code-point symbol sequence under a RANKED merge table and
+    * report the resulting token count. Semantics are SEQUENTIAL-BY-RANK —
+    * merge 1 applied everywhere (greedy left-to-right, non-overlapping:
+    * "aaa" under (a,a) → ["aa","a"]), then merge 2 on the result, and so
+    * on — i.e. exactly the fold a trainer performs, operating on SYMBOL
+    * LISTS so a merge can never fuse across a symbol boundary (word "aba"
+    * under merges (a,b),(b,a) stays ["ab","a"]; a flat-string replace
+    * would fuse it to one token).
+    *
+    * Cost is O(len × merges-applied), INDEPENDENT of table size: instead
+    * of scanning the table, each step looks up the adjacent pairs present
+    * in a rank map and applies the lowest-ranked one at or above a
+    * monotone floor (a merge whose rank has passed is never revisited —
+    * the sequential contract; on real training outputs this also equals
+    * the reference apply-lowest-rank-first encode loop, since a merge's
+    * constituents always fused at earlier ranks). The table ships ONCE
+    * per plan as a reference object, never as per-merge expression nodes
+    * — plan size stays O(1) at a production tokenizer's 30k-50k merges.
+    */
+  final class BpeKernel(merges: Seq[(String, String)]) extends Serializable {
+    private val table: Array[(String, String)] = merges.toArray
+    private val rank: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.size * 2)
+      var i = 0
+      while (i < table.length) {
+        val k = table(i)._1 + '\u001f' + table(i)._2
+        if (!m.containsKey(k)) m.put(k, i) // duplicate pair: lowest rank wins
+        i += 1
+      }
+      m
+    }
+
+    /** The word's symbol sequence after every merge has been applied. */
+    def encodeSymbols(word: String): java.util.ArrayList[String] = {
+      var syms = new java.util.ArrayList[String](word.length)
+      var i = 0
+      while (i < word.length) {
+        val w = Character.charCount(word.codePointAt(i))
+        syms.add(word.substring(i, i + w))
+        i += w
+      }
+      var floor = 0
+      var done = syms.size < 2
+      while (!done) {
+        // lowest-ranked (>= floor) pair present anywhere in the word
+        var best = Int.MaxValue
+        var j = 0
+        while (j < syms.size - 1) {
+          val r = rank.get(syms.get(j) + '\u001f' + syms.get(j + 1))
+          if (r != null && r >= floor && r < best) best = r
+          j += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val (l, rr) = table(best)
+          val out = new java.util.ArrayList[String](syms.size)
+          var p = 0
+          while (p < syms.size) { // greedy LTR non-overlapping fuse
+            if (p + 1 < syms.size && syms.get(p) == l && syms.get(p + 1) == rr) {
+              out.add(l + rr); p += 2
+            } else { out.add(syms.get(p)); p += 1 }
+          }
+          syms = out
+          floor = best + 1
+          done = syms.size < 2
+        }
+      }
+      syms
+    }
+
+    /** Token count of one word under the table. */
+    def tokenCount(word: UTF8String): Int = encodeSymbols(word.toString).size
+  }
+
   /** Deletion neighborhood (the SymSpell / FastSS blocking key — public
     * algorithm): every DISTINCT string reachable from `s` by deleting up
     * to `d` code points, the string itself included. If

@@ -397,9 +397,11 @@ object Quality {
         struct(size(lines).cast("long").as("n_lines"),
           size(kept).cast("long").as("n_kept"),
           array_join(kept, "\n").as("clean_text"))).getItem(0)).getItem(0)
+    // foldLeft, not reduce: an EMPTY doc-flag list (the natural way to
+    // disable doc-level flagging) must mean "never flagged", not throw
     val flagged = badDocSubstrings
       .map(b => contains(lower(col(textCol)), lit(b)))
-      .reduce(_ || _)
+      .foldLeft(lit(false))(_ || _)
     val empty = col(textCol).isNull || length(trim(col(textCol))) === 0
     docs.select(col(idCol),
         when(empty, lit(null).cast("struct<n_lines:bigint,n_kept:bigint,clean_text:string>"))
@@ -493,14 +495,22 @@ object Quality {
     * ships. Each iteration picks the most frequent adjacent symbol pair
     * (ties by (left, right) so engines agree) and fuses it everywhere.
     *
-    * Representation: each distinct word is a SEPARATOR-joined symbol
-    * sequence string; a merge is one `replace(seq, l+sep+r, l+r)` — a
-    * left-to-right non-overlapping string replace, which IS BPE's greedy
-    * within-word merge order ("aaa" under merge (a,a) → "aa"+"a"), and
-    * is bit-identical in any SQL engine (the whole trainer is
-    * DuckDB-replayed by unrolled CTEs). Symbols never contain the
-    * separator (they start as single code points and merges only
-    * concatenate), so the replace key is unambiguous.
+    * Representation: each distinct word is a SEPARATOR-WRAPPED symbol
+    * sequence string `␟s1␟␟s2␟␟s3␟` (every symbol enclosed in `sep`, so
+    * boundaries between symbols are `sep·sep` and the edges carry one
+    * `sep` each); a merge is one
+    * `replace(seq, sep+l+sep+sep+r+sep, sep+l+r+sep)` — a left-to-right
+    * non-overlapping string replace, which IS BPE's greedy within-word
+    * merge order ("aaa" under merge (a,a) → "aa"+"a"), and is
+    * bit-identical in any SQL engine (the whole trainer is
+    * DuckDB-replayed by unrolled CTEs). Because the key anchors BOTH
+    * symbols at `sep` boundaries, a merge can never fuse across a symbol
+    * boundary even when one symbol's string is a suffix/prefix of
+    * another's (word "aba" under merges (a,b),(b,a) stays ["ab","a"] —
+    * a bare `l+sep+r` key would match the "b␟a" inside "ab␟a" and fuse
+    * the whole word). Fuzzed 200k cases against the symbol-list
+    * reference fold; equality with [[graft.functions.TextKernels.BpeKernel]]
+    * is spec-pinned.
     *
     * Scale shape: ONE corpus-sized word-count shuffle builds the
     * distinct-word frequency dictionary (collapse-first — the reference
@@ -522,15 +532,19 @@ object Quality {
       .groupBy("w").agg(count(lit(1)).as("f"))
     require(!words.schema.isEmpty, "unreachable") // keep words referenced
     var dict = words.select(
-      array_join(regexp_extract_all(col("w"), lit("(?s)."), lit(0)), sep)
-        .as("seq"), col("f"))
+      concat(lit(sep),
+        array_join(regexp_extract_all(col("w"), lit("(?s)."), lit(0)), sep + sep),
+        lit(sep)).as("seq"), col("f"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var k = 0
     var exhausted = false
     while (k < numMerges && !exhausted) {
-      val syms = split(col("seq"), java.util.regex.Pattern.quote(sep))
+      // strip the single edge separators (substr, not the deprecated
+      // two-arg trim), then split on the ␟␟ boundary
+      val syms = split(col("seq").substr(lit(2), length(col("seq")) - 2),
+        java.util.regex.Pattern.quote(sep + sep))
       val pairs = zip_with(
         slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
         slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
@@ -549,7 +563,8 @@ object Quality {
         merges += ((k + 1L, l, r, row.getLong(1)))
         dict = dict.select(
           org.apache.spark.sql.functions.replace(col("seq"),
-            lit(l + sep + r), lit(l + r)).as("seq"), col("f"))
+            lit(sep + l + sep + sep + r + sep),
+            lit(sep + l + r + sep)).as("seq"), col("f"))
         if ((k + 1) % 8 == 0) dict = dict.localCheckpoint()
         k += 1
       }
@@ -574,23 +589,23 @@ object Quality {
     * whitespace proxy. Output: (idCol, n_tokens_ws, n_bpe_tokens,
     * bpe_per_word = round5(bpe/ws)); NULL/blank docs keep NULL stats.
     *
-    * Scale notes: a PURE codegen projection — the merges ride the plan
-    * as literals and each word folds through the ranked
-    * `replace(l+sep+r, l+r)` chain (the same left-to-right greedy order
-    * training used), so encoding is zero-shuffle, streaming-safe, and
-    * embarrassingly parallel at any corpus size.
+    * Scale notes: a PURE codegen projection — the merge table ships ONCE
+    * per plan as a single `graft_bpe_count` kernel constant (a rank map,
+    * NOT one expression node per merge, so plan size and Janino compile
+    * time stay O(1) at a production tokenizer's 30k-50k merges) and each
+    * word runs the sequential-by-rank greedy symbol-list fuse
+    * ([[graft.functions.TextKernels.BpeKernel]] — the exact semantics
+    * [[bpeTrain]]'s boundary-anchored replace applies, spec-pinned
+    * against the fold and fuzzed against a reference implementation), so
+    * encoding is zero-shuffle, streaming-safe, and embarrassingly
+    * parallel at any corpus size.
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-                merges: Seq[(String, String)],
-                sep: String = "\u001f"): DataFrame = {
-    require(sep.length == 1, s"sep must be one char, got ${sep.length}")
-    val perWord: Column => Column = w => {
-      val joined = array_join(regexp_extract_all(w, lit("(?s)."), lit(0)), sep)
-      val encoded = merges.foldLeft(joined) { case (acc, (l, r)) =>
-        org.apache.spark.sql.functions.replace(acc, lit(l + sep + r), lit(l + r))
-      }
-      size(split(encoded, java.util.regex.Pattern.quote(sep)))
-    }
+                merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val enc = graft.functions.GraftFunctions.encodeMerges(merges)
+    val perWord: Column => Column = w =>
+      call_function("graft_bpe_count", w, lit(enc))
     val empty = col(textCol).isNull || length(trim(col(textCol))) === 0
     val counts = transform(tokens(col(textCol)), perWord)
     docs.select(col(idCol),

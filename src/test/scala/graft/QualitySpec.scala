@@ -475,6 +475,67 @@ class QualitySpec extends SparkSpec {
     assert(none.getLong(2) === 4L + 4L + 2L)
   }
 
+  test("bpe: merges never fuse across symbol boundaries (the 'aba' trap)") {
+    // word "aba" under merges (a,b),(b,a): after (a,b) the symbols are
+    // [ab, a] — merge (b,a)'s key must NOT match the b␟a inside ab|a.
+    // Reference BPE (Sennrich 2016 symbol-list semantics) yields 2
+    // tokens; the pre-fix flat-string replace fused it to ONE.
+    val docs = Seq((1L, "aba")).toDF("doc_id", "text")
+    val out = Quality.bpeEncode(docs, "doc_id", "text",
+      Seq(("a", "b"), ("b", "a"))).head()
+    assert(out.getLong(2) === 2L)
+
+    // train-side: corpus where the flat replace corrupted the dict
+    // mid-training. merges: (x,l) n=4, then (l,r) n=2 — the old replace
+    // key l␟r matched inside word "xlr"'s dict entry xl␟r and fused the
+    // whole word, losing merge 3 = (xl,r) n=1
+    val corpus = Seq((1L, "xl xl xl lr lr xlr")).toDF("doc_id", "text")
+    val merges = Quality.bpeTrain(corpus, "text", numMerges = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(merges === Seq(
+      (1L, "x", "l", 4L), (2L, "l", "r", 2L), (3L, "xl", "r", 1L)))
+  }
+
+  test("bpe kernel == sequential symbol-list fold (fuzz, arbitrary tables)") {
+    // reference: fold merges in rank order, each a greedy left-to-right
+    // non-overlapping fuse on the symbol list — the training semantics
+    def fuseRef(syms: List[String], l: String, r: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: fuseRef(rest, l, r)
+        case a :: rest => a :: fuseRef(rest, l, r)
+        case Nil => Nil
+      }
+    def encodeRef(word: String, merges: Seq[(String, String)]): Int =
+      merges.foldLeft(word.map(_.toString).toList) {
+        case (syms, (l, r)) => fuseRef(syms, l, r)
+      }.size
+    val rnd = new scala.util.Random(20260814L)
+    val alpha = "abc"
+    def sym(): String =
+      (0 until (1 + rnd.nextInt(2))).map(_ => alpha(rnd.nextInt(3))).mkString
+    for (_ <- 1 to 2000) {
+      val word = (0 until rnd.nextInt(9)).map(_ => alpha(rnd.nextInt(3))).mkString
+      val merges = (0 until rnd.nextInt(6)).map(_ => (sym(), sym()))
+      val kernel = new graft.functions.TextKernels.BpeKernel(merges)
+      val got = kernel.tokenCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(word))
+      assert(got === encodeRef(word, merges),
+        s"word=$word merges=$merges")
+    }
+  }
+
+  test("bpe kernel: plan size stays O(1) at production merge counts") {
+    // 30k merges through the old literal-replace chain exploded the
+    // expression tree / Janino; the kernel ships the table as ONE
+    // reference object — the encode of a doc must run fine at 30k
+    val merges = (0 until 30000).map(i => (s"x$i", s"y$i")) ++
+      Seq(("a", "a"), ("aa", "b"))
+    val docs = Seq((1L, "aab aab zz")).toDF("doc_id", "text")
+    val out = Quality.bpeEncode(docs, "doc_id", "text", merges).head()
+    assert(out.getLong(2) === 1L + 1L + 2L) // aab -> [aab] via (a,a),(aa,b)
+  }
+
   test("c4LineFilter: per-line rules, doc flags, NULL edges") {
     val docs = Seq(
       (1L, "This line ends properly.\nshort.\nno terminal punct here\n" +
