@@ -744,12 +744,13 @@ object Queries {
 
     // BPE encode under the q137-learned merges: per-doc token counts
     // under the REAL tokenizer (the number token budgets should use, not
-    // the whitespace proxy) — training collects 8 merges, encoding is a
-    // pure zero-shuffle codegen projection
+    // the whitespace proxy) — training collects 8 merges via the batched
+    // trainer, encoding is a pure zero-shuffle codegen projection whose
+    // merge table ships as ONE kernel constant (plan O(1) in merges)
     "q138_bpe_encode" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val docs = Tables.documents(s, d)
-      val merges = Quality.bpeTrain(docs, "text", numMerges = 8)
+      val merges = Quality.bpeTrainBatched(docs, "text", numMerges = 8)
         .collect().sortBy(_.getLong(0))
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Quality.bpeEncode(docs, "doc_id", "text", merges)
@@ -757,12 +758,14 @@ object Queries {
           col("n_tokens_ws"), col("n_bpe_tokens"), col("bpe_per_word"))
     }),
 
-    // distributed BPE tokenizer TRAINING: 8 greedy merge iterations over
-    // the word-frequency dictionary — the learned merge table a
-    // tokenizer ships; every post-dictionary step is vocab-bounded
+    // distributed BPE tokenizer TRAINING via the BATCHED trainer (one
+    // pair-count job per batch of provably-independent merges, not one
+    // per merge — the production-merge-count path); the DuckDB oracle
+    // replays the strictly SEQUENTIAL unrolled-CTE trainer, so every
+    // correctness run re-certifies batched == sequential on real data
     "q137_bpe_train" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
-      Quality.bpeTrain(Tables.documents(s, d), "text", numMerges = 8)
+      Quality.bpeTrainBatched(Tables.documents(s, d), "text", numMerges = 8)
     }),
 
     // BPE merge-selection seed: top-50 adjacent-codepoint pairs with

@@ -514,23 +514,76 @@ object Quality {
     *
     * Scale shape: ONE corpus-sized word-count shuffle builds the
     * distinct-word frequency dictionary (collapse-first — the reference
-    * BPE trainer structure); every iteration after that is
+    * BPE trainer structure); every round after that is
     * VOCABULARY-bounded: a pair-count aggregation over the dictionary
-    * and a codegen replace projection. The driver holds only the top-1
-    * pair per iteration (a plan constant, the centroid-matrix class);
-    * `localCheckpoint` every 8 merges cuts the replace-chain lineage.
-    * Stops early (fewer rows) if the corpus runs out of pairs.
+    * and a codegen replace projection per accepted merge. The driver
+    * holds only the round's top-K pair table (a plan constant, the
+    * centroid-matrix class); `localCheckpoint` every 8 merges cuts the
+    * replace-chain lineage. Stops early (fewer rows) if the corpus runs
+    * out of pairs. This entry point runs one merge per round (one Spark
+    * job per merge); [[bpeTrainBatched]] accepts provably-independent
+    * merges in batches from a single count job per round — the path for
+    * production merge counts.
     */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
-               sep: String = "\u001f"): DataFrame = {
+               sep: String = "\u001f"): DataFrame =
+    bpeTrainBatched(docs, textCol, numMerges, sep, topK = 1)
+
+  /** Pair-count rounds (Spark job round-trips) of the LAST
+    * bpeTrain/bpeTrainBatched call on this thread — spec instrumentation
+    * for the batching claim (one count job per BATCH, not per merge).
+    */
+  private[graft] val lastTrainRounds = new ThreadLocal[Int] {
+    override def initialValue(): Int = 0
+  }
+
+  /** [[bpeTrain]] with BATCHED merge selection: each round runs ONE
+    * pair-count job, fetches the top-`topK` pairs, and accepts the
+    * longest prefix of candidates that is PROVABLY what the sequential
+    * trainer would pick — so the output merge table is bit-identical to
+    * `bpeTrain`'s (spec-pinned, and re-certified on every run of the
+    * q137 oracle, which replays the strictly sequential unrolled-CTE
+    * trainer), while the driver round-trip count drops from one job per
+    * merge to one job per BATCH. At a production tokenizer's 30k-50k
+    * merges on a Zipf-ish corpus this is the difference between ~50k
+    * Spark jobs and a few thousand.
+    *
+    * Exactness argument (why a batch prefix is safe). Candidates are
+    * scanned in the engine-portable order (n DESC, l, r). Candidate `c`
+    * joins the batch after accepted set `A` only if BOTH hold:
+    *  1. SYMBOL-DISJOINT: {l, r, l+r} of c shares nothing with {l, r,
+    *     l+r} of any a in A. Then applying A neither destroys nor
+    *     creates occurrences of c (destroyed pairs touch an a-symbol;
+    *     created pairs contain the concatenated a-symbol — including
+    *     the case where a pre-existing symbol spells the same string,
+    *     which the l+r term catches), so c's count and rank stay exact.
+    *  2. NO CREATED PAIR CAN OUTRANK c: a merge a=(l,r) creates only
+    *     pairs (x, lr) — at most count(x, l) occurrences each — and
+    *     (lr, y) — at most count(r, y). So the max over the fetched
+    *     table of {n_q : q.right = l or q.left = r}, capped at n_a and
+    *     floored by the (topK+1)-th count when the table was truncated
+    *     (an unseen pair can't exceed it), bounds every created pair's
+    *     count; require that bound STRICTLY below n_c (a tie could
+    *     re-order under the lexicographic rule). For an l=r merge the
+    *     scan picks up `a` itself (bound n_a >= n_c), so a run-parity
+    *     merge always closes its batch — conservative and automatic.
+    * The scan STOPS at the first rejected candidate (never skips): a
+    * candidate ranked above c that conflicts with A would make every
+    * later acceptance unsound, because sequential might re-rank it
+    * after applying A. Decreased pairs need no check — any pair ranked
+    * above c is in A by construction, and pairs below c only decrease.
+    */
+  def bpeTrainBatched(docs: DataFrame, textCol: String, numMerges: Int,
+                      sep: String = "\u001f",
+                      topK: Int = 512): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(sep.length == 1, s"sep must be one char, got ${sep.length}")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
     val spark = docs.sparkSession
     val words = docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-    require(!words.schema.isEmpty, "unreachable") // keep words referenced
     var dict = words.select(
       concat(lit(sep),
         array_join(regexp_extract_all(col("w"), lit("(?s)."), lit(0)), sep + sep),
@@ -538,35 +591,67 @@ object Quality {
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
-    var k = 0
+    var sinceCheckpoint = 0
     var exhausted = false
-    while (k < numMerges && !exhausted) {
+    lastTrainRounds.set(0)
+    while (merges.size < numMerges && !exhausted) {
+      lastTrainRounds.set(lastTrainRounds.get + 1)
       // strip the single edge separators (substr, not the deprecated
-      // two-arg trim), then split on the ␟␟ boundary
+      // two-arg trim), then split on the double-sep boundary
       val syms = split(col("seq").substr(lit(2), length(col("seq")) - 2),
         java.util.regex.Pattern.quote(sep + sep))
       val pairs = zip_with(
         slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
         slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
         (a, b) => struct(a.as("l"), b.as("r")))
-      // global top-1 over the VOCAB-bounded pair table: orderBy+limit(1)
-      // is a TakeOrderedAndProject here (no full sort materialization),
-      // and the (n desc, l, r) tuple order is the engine-portable tie rule
-      val best = dict.select(explode(pairs).as("p"), col("f"))
+      // global top-(K+1) over the VOCAB-bounded pair table: orderBy+limit
+      // is a TakeOrderedAndProject (no full sort materialization), and
+      // the (n desc, l, r) tuple order is the engine-portable tie rule;
+      // the +1 sentinel row detects truncation (and floors unseen counts)
+      val table = dict.select(explode(pairs).as("p"), col("f"))
         .groupBy("p").agg(sum("f").as("n"))
         .orderBy(col("n").desc, col("p.l"), col("p.r"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(topK + 1).collect()
+        .map(r => (r.getStruct(0).getString(0), r.getStruct(0).getString(1),
+          r.getLong(1)))
+      if (table.isEmpty) exhausted = true
       else {
-        val row = best.head
-        val (l, r) = (row.getStruct(0).getString(0), row.getStruct(0).getString(1))
-        merges += ((k + 1L, l, r, row.getLong(1)))
-        dict = dict.select(
-          org.apache.spark.sql.functions.replace(col("seq"),
-            lit(sep + l + sep + sep + r + sep),
-            lit(sep + l + r + sep)).as("seq"), col("f"))
-        if ((k + 1) % 8 == 0) dict = dict.localCheckpoint()
-        k += 1
+        val floor = if (table.length > topK) table(topK)._3 else 0L
+        val considered = table.take(topK)
+        // tightest provable bound on any pair CREATED by accepted merge a
+        def createdBound(a: (String, String, Long)): Long = {
+          val adj = considered.iterator
+            .filter(q => q._2 == a._1 || q._1 == a._2).map(_._3)
+            .foldLeft(floor)(math.max)
+          math.min(a._3, adj)
+        }
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        var stop = false
+        var i = 0
+        while (!stop && i < considered.length &&
+            merges.size + accepted.size < numMerges) {
+          val c = considered(i)
+          val cSyms = Set(c._1, c._2, c._1 + c._2)
+          val ok = accepted.isEmpty || accepted.forall { a =>
+            Set(a._1, a._2, a._1 + a._2).intersect(cSyms).isEmpty &&
+              createdBound(a) < c._3
+          }
+          if (ok) accepted += c else stop = true
+          i += 1
+        }
+        accepted.foreach { case (l, r, n) =>
+          merges += ((merges.size + 1L, l, r, n))
+          dict = dict.select(
+            org.apache.spark.sql.functions.replace(col("seq"),
+              lit(sep + l + sep + sep + r + sep),
+              lit(sep + l + r + sep)).as("seq"), col("f"))
+        }
+        sinceCheckpoint += accepted.size
+        if (sinceCheckpoint >= 8) {
+          dict = dict.localCheckpoint()
+          sinceCheckpoint = 0
+        }
       }
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(

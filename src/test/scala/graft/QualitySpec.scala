@@ -525,6 +525,31 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("bpeTrainBatched == sequential bpeTrain, in fewer count jobs") {
+    def tups(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // deterministic Zipf-ish corpus over a 7-digit alphabet: word i is
+    // the base-7 rendering of i+7, repeated ~240/i times — rich enough
+    // that rounds genuinely accept multiple independent merges
+    val words = (1 to 120).flatMap { i =>
+      Seq.fill(1 + 240 / i)(java.lang.Long.toString(i.toLong + 7, 7))
+    }
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val seqOut = tups(Quality.bpeTrain(docs, "text", numMerges = 60))
+    val seqRounds = Quality.lastTrainRounds.get
+    val batOut = tups(Quality.bpeTrainBatched(docs, "text", numMerges = 60))
+    val batRounds = Quality.lastTrainRounds.get
+    assert(batOut === seqOut)           // bit-identical merge table
+    assert(seqRounds === seqOut.size)   // sequential: one job per merge
+    assert(batRounds < seqRounds,       // batched: strictly fewer rounds
+      s"batched used $batRounds rounds vs sequential $seqRounds")
+    // the adversarial boundary corpus batches safely too
+    val trap = Seq((1L, "xl xl xl lr lr xlr")).toDF("doc_id", "text")
+    assert(tups(Quality.bpeTrainBatched(trap, "text", numMerges = 5)) ===
+      tups(Quality.bpeTrain(trap, "text", numMerges = 5)))
+  }
+
   test("bpe kernel: plan size stays O(1) at production merge counts") {
     // 30k merges through the old literal-replace chain exploded the
     // expression tree / Janino; the kernel ships the table as ONE
