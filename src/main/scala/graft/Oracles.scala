@@ -549,6 +549,97 @@ object Oracles {
        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"""
   }
 
+  /** q141: deep BPE ENCODE at `k` >= 1k merges. The merge table is
+    * deterministic WITHOUT training — prefix chains of the `nChainWords`
+    * lexicographically-smallest md5 corpus words (word w contributes
+    * (w[0..i], w[i+1]) at rank (w, i) — a valid merge enumeration rich
+    * in multi-char symbols) — so the replay needs no per-merge
+    * aggregation and can apply the table by RECURSION instead of
+    * unrolled CTEs. Faithful sequential-by-rank semantics with a
+    * rank-JUMP: each step finds the next rank whose boundary-anchored
+    * key occurs in the word (min rnk > k with contains) and applies
+    * that one replace — skipped ranks are exactly the no-op merges, so
+    * the fold is unchanged but the recursion depth is the number of
+    * APPLICATIONS (~tens) rather than the table size. Verified
+    * bit-equal to the python/Scala sequential fold at k=1024.
+    */
+  private def bpeEncodeDeepOracle(k: Int, nChainWords: Int): String = {
+    val sep = "\u001f"
+    s"""WITH RECURSIVE
+       mw AS (SELECT w FROM (SELECT DISTINCT md5(CAST(doc_id AS VARCHAR)) AS w
+              FROM documents) ORDER BY w LIMIT $nChainWords),
+       merges AS (
+         SELECT row_number() OVER (ORDER BY w, i) AS rnk,
+                w[1:i] AS l, w[i+1:i+1] AS r
+         FROM mw, range(1, 32) t(i)),
+       mk AS (SELECT rnk, l, r,
+                '$sep' || l || '$sep$sep' || r || '$sep' AS key,
+                '$sep' || l || r || '$sep' AS rep
+              FROM merges WHERE rnk <= $k),
+       cw AS (SELECT DISTINCT md5(CAST(doc_id AS VARCHAR)) AS w FROM documents),
+       enc AS (
+         SELECT w, '$sep' || array_to_string(regexp_extract_all(w, '(?s).'),
+                  '$sep$sep') || '$sep' AS seq, 0 AS kk
+         FROM cw
+         UNION ALL
+         SELECT t.w, replace(t.seq, m.key, m.rep) AS seq,
+                CAST(t.nxt AS INTEGER) AS kk
+         FROM (SELECT e.w, e.seq,
+                 (SELECT min(m2.rnk) FROM mk m2
+                  WHERE m2.rnk > e.kk AND contains(e.seq, m2.key)) AS nxt
+               FROM enc e) t
+         JOIN mk m ON m.rnk = t.nxt),
+       fin AS (
+         SELECT w, CAST(len(string_split(trim(seq, '$sep'), '$sep$sep')) AS BIGINT) AS nb
+         FROM (SELECT w, seq, row_number() OVER (PARTITION BY w ORDER BY kk DESC) AS rn
+               FROM enc) WHERE rn = 1)
+       SELECT d.doc_id, CAST(1 AS BIGINT) AS n_tokens_ws, f.nb AS n_bpe_tokens,
+         round(CAST(f.nb AS DOUBLE), 5) AS bpe_per_word
+       FROM documents d JOIN fin f ON f.w = md5(CAST(d.doc_id AS VARCHAR))"""
+  }
+
+  /** q142: deep BPE TRAIN replay over the md5-shaped corpus — the q137
+    * unrolled (pair-count, top-1, anchored replace) triples at `k` deep,
+    * with the dictionary CTEs MATERIALIZED (each d_i is referenced
+    * twice; DuckDB would otherwise inline the chain into a 2^k-scan
+    * plan) and the output accumulated through a linear m_i chain (a
+    * k-way UNION ALL nests past the binder's depth limit; the chain
+    * keeps every expression shallow — depth caps the unrolled form at
+    * ~300 iterations, which is why the >= 1k-merge certification rides
+    * q141's recursion plus the 1024-merge independent-reference spec).
+    */
+  private def bpeTrainDeepOracle(k: Int): String = {
+    val sep = "\u001f"
+    val iters = (1 to k).map { i =>
+      s"""p$i AS (
+         SELECT p.l AS l, p.r AS r, CAST(sum(f) AS BIGINT) AS n FROM (
+           SELECT f, unnest([struct_pack(l := cs[j + 1], r := cs[j + 2])
+                             for j in range(0, greatest(len(cs) - 1, 0))]) AS p
+           FROM (SELECT string_split(trim(seq, '$sep'), '$sep$sep') AS cs, f
+                 FROM d${i - 1}) x) y
+         GROUP BY 1, 2),
+       b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+       d$i AS MATERIALIZED (
+         SELECT replace(seq, '$sep' || b.l || '$sep$sep' || b.r || '$sep',
+                        '$sep' || b.l || b.r || '$sep') AS seq, f
+         FROM d${i - 1} CROSS JOIN b$i b),
+       m$i AS (SELECT * FROM m${i - 1} UNION ALL
+               SELECT CAST($i AS BIGINT) AS merge_rank, l AS "left",
+                 r AS "right", n AS n_occurrences FROM b$i)"""
+    }.mkString(",\n       ")
+    s"""WITH w0 AS (
+         SELECT md5(CAST(doc_id AS VARCHAR)) AS w FROM documents),
+       wf AS (SELECT w, count(*) AS f FROM w0 GROUP BY 1),
+       d0 AS MATERIALIZED (
+         SELECT '$sep' || array_to_string(regexp_extract_all(w, '(?s).'),
+           '$sep$sep') || '$sep' AS seq, f FROM wf),
+       m0 AS (SELECT CAST(NULL AS BIGINT) AS merge_rank,
+                CAST(NULL AS VARCHAR) AS "left", CAST(NULL AS VARCHAR) AS "right",
+                CAST(NULL AS BIGINT) AS n_occurrences WHERE false),
+       $iters
+       SELECT merge_rank, "left", "right", n_occurrences FROM m$k"""
+  }
+
   /** q134: corpus-level MinHash similarity replay — 32 per-seed global
     * md5 mins per side over the 3-gram shingle streams, the matching-min
     * count (NULL when a side has no shingles: min over empty = NULL, so
@@ -729,6 +820,16 @@ object Oracles {
          FROM p
          JOIN lsz sa ON sa.rid = id_l
          JOIN rsz sb ON sb.rid = id_r""",
+
+    // q142: deep BPE train replay — 256 unrolled sequential iterations
+    // over the md5-shaped corpus (MATERIALIZED dict chain; binder depth
+    // caps the unrolled form ~300, see bpeTrainDeepOracle)
+    "q142_bpe_train_deep" -> bpeTrainDeepOracle(256),
+
+    // q141: deep BPE encode at 1024 merges — deterministic prefix-chain
+    // merge table + rank-jumping recursive application (faithful
+    // sequential fold; recursion depth = applications, not table size)
+    "q141_bpe_encode_deep" -> bpeEncodeDeepOracle(1024, 40),
 
     // q140: replays the JL projection (deterministic ±1 planes shared
     // with the RHP replay) then brute-force top-5 cosine in 16 dims

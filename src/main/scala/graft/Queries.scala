@@ -717,6 +717,41 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_tokens"), col("mean_logprob"))),
 
+    // DEEP BPE TRAIN (q137 at production-ish depth): 256 greedy merges
+    // over an md5-shaped corpus (500 distinct 32-char hex words — the
+    // synthetic documents' natural 31-word vocabulary exhausts at 107
+    // merges, so the variant reshapes text to hash words). Runs the
+    // BATCHED trainer; the oracle replays 256 strictly sequential
+    // unrolled iterations, re-certifying batched == sequential at depth
+    "q142_bpe_train_deep" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val shaped = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("text"))
+      Quality.bpeTrainBatched(shaped, "text", numMerges = 256)
+    }),
+
+    // DEEP BPE ENCODE (q138 at >= 1k merges): a deterministic
+    // 1024-entry merge table — prefix chains of the 40 smallest md5
+    // corpus words, rich in multi-char symbols — applied through the
+    // graft_bpe_count kernel, whose plan stays O(1) in table size. The
+    // oracle replays the exact sequential fold by rank-jumping
+    // recursion; the kernel==fold equivalence is fuzz-pinned in
+    // QualitySpec over arbitrary tables
+    "q141_bpe_encode_deep" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val shaped = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("text"))
+      // chain-word set: bounded (40 rows) plan constant, like centroids
+      val chainWords = shaped.select(col("text")).distinct()
+        .orderBy("text").limit(40).collect().map(_.getString(0))
+      val merges = chainWords.toSeq.flatMap { w =>
+        (1 until w.length).map(i => (w.substring(0, i), w.substring(i, i + 1)))
+      }.take(1024)
+      Quality.bpeEncode(shaped, "doc_id", "text", merges)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_tokens_ws"), col("n_bpe_tokens"), col("bpe_per_word"))
+    }),
+
     // JL random projection 64→16 then brute-force top-5 in the projected
     // space: the cheap distance-preserving reduction (works on data with
     // NO low-rank structure, unlike PCA) — 4× less distance compute per

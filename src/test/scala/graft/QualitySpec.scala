@@ -550,6 +550,55 @@ class QualitySpec extends SparkSpec {
       tups(Quality.bpeTrain(trap, "text", numMerges = 5)))
   }
 
+  test("bpeTrainBatched at 1024 merges == independent reference trainer") {
+    // an INDEPENDENT driver-side BPE trainer (plain Scala maps/lists, no
+    // Spark, no string-replace representation) — the >= 1k-merge
+    // certification the unrolled DuckDB oracle can't reach (binder depth
+    // caps it ~300 iterations; see bpeTrainDeepOracle)
+    def fuse(syms: List[String], l: String, r: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: fuse(rest, l, r)
+        case a :: rest => a :: fuse(rest, l, r)
+        case Nil => Nil
+      }
+    def refTrain(freq: Seq[(String, Long)],
+                 numMerges: Int): Seq[(Long, String, String, Long)] = {
+      var dict = freq.map { case (w, f) => (w.map(_.toString).toList, f) }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      var done = false
+      while (out.size < numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- dict; w <- syms.sliding(2) if w.size == 2)
+          counts((w.head, w(1))) = counts.getOrElse((w.head, w(1)), 0L) + f
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), n) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((out.size + 1L, l, r, n))
+          dict = dict.map { case (syms, f) => (fuse(syms, l, r), f) }
+        }
+      }
+      out.toSeq
+    }
+    // Zipf-weighted md5-hex vocabulary: 60 distinct 32-char words over a
+    // 16-symbol alphabet (1860 possible merges), word i repeated
+    // 1 + 600/(i+1) times — skew makes batch rounds genuinely multi-merge
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val freq = (0 until 60).map(i => hex(i.toString) -> (1L + 600 / (i + 1)))
+    val docs = freq.zipWithIndex.map { case ((w, f), i) =>
+      (i.toLong, (w + " ") * f.toInt)
+    }.toDF("doc_id", "text")
+    val want = refTrain(freq, 1024)
+    val got = Quality.bpeTrainBatched(docs, "text", numMerges = 1024)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+
   test("bpe kernel: plan size stays O(1) at production merge counts") {
     // 30k merges through the old literal-replace chain exploded the
     // expression tree / Janino; the kernel ships the table as ONE
