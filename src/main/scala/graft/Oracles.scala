@@ -277,18 +277,23 @@ object Oracles {
     * `kk, pool, cents0, cvec`, per-iteration `asgN`/`sumsN`, and the
     * final centroid relation `cents&lt;iters&gt;(cid, centv)`.
     */
-  private def autoCentroidCtes(iters: Int): String = {
+  private def autoCentroidCtes(iters: Int, trainWhere: String = ""): String = {
+    // trainWhere restricts the TRAINING set (count, stride pool, k-means
+    // assignment) — the 100 TB sample-training path; cvec (the relation
+    // downstream consumers scan/assign/refine against) is always full
+    val tw = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     val fixed = Seq(
-      """kk AS (SELECT CAST(least(ceil(sqrt(CAST(count(*) AS DOUBLE))), 16384.0) AS BIGINT) AS k FROM embeddings)""",
-      """pool AS (SELECT embedding AS centv, row_number() OVER (ORDER BY vec_id) - 1 AS i FROM embeddings)""",
+      s"""kk AS (SELECT CAST(least(ceil(sqrt(CAST(count(*) AS DOUBLE))), 16384.0) AS BIGINT) AS k FROM embeddings$tw)""",
+      s"""pool AS (SELECT embedding AS centv, row_number() OVER (ORDER BY vec_id) - 1 AS i FROM embeddings$tw)""",
       """cents0 AS (SELECT CAST(i // 8 AS INTEGER) AS cid, centv FROM pool, kk WHERE i < kk.k * 8 AND i % 8 = 0)""",
-      """cvec AS (SELECT vec_id AS id, embedding AS v FROM embeddings)""")
+      """cvec AS (SELECT vec_id AS id, embedding AS v FROM embeddings)""",
+      s"""tvec AS (SELECT vec_id AS id, embedding AS v FROM embeddings$tw)""")
     val iterCtes = (0 until iters).map { t =>
       s"""asg$t AS (
          SELECT id, v, cid FROM (
            SELECT id, v, cid,
              row_number() OVER (PARTITION BY id ORDER BY ${l2sqSql("v", "centv")}, cid) AS rn
-           FROM cvec CROSS JOIN cents$t) WHERE rn = 1),
+           FROM tvec CROSS JOIN cents$t) WHERE rn = 1),
        sums$t AS (
          SELECT cid, r.i AS pos,
            sum(CAST(floor(CAST(v[r.i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS s,
@@ -356,7 +361,14 @@ object Oracles {
        FROM ranked WHERE rank <= 5"""
 
   /** q132: IVF-PQ + refine with residual-TRAINED codebooks — the full
-    * production composition replayed bit-for-bit. Portability notes on
+    * production composition replayed bit-for-bit, with every TRAINING
+    * input (coarse count/stride/k-means, PQ stride init, codebook
+    * refinement residuals) restricted to the deterministic 40% sample
+    * `vec_id % 5 < 2` — the 100 TB path (quantizer quality saturates
+    * long before the corpus is exhausted; full-corpus training is the
+    * declared yardstick, kept in ScaleOpsSpec's full-vs-sample recall
+    * comparison). Assignment, codes, candidates, and refinement still
+    * cover the FULL corpus. Portability notes on
     * the three new kernels: (1) residuals are FLOAT subtraction — DuckDB
     * REAL − REAL is single-precision IEEE exactly like Spark's
     * `zip_with` over float arrays (double rounding through DOUBLE is
@@ -380,7 +392,7 @@ object Oracles {
            SELECT r.id, r.s, r.sv, b.bcid,
              row_number() OVER (PARTITION BY r.id, r.s
                ORDER BY ${l2sq4("r.sv", "b.bv")}, b.bcid) AS rn
-           FROM rsub r JOIN books$t b ON b.s = r.s) WHERE rn = 1),
+           FROM rsubt r JOIN books$t b ON b.s = r.s) WHERE rn = 1),
        tsums$t AS (
          SELECT s, bcid, j.i AS pos,
            sum(CAST(floor(CAST(sv[j.i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS sm,
@@ -395,7 +407,7 @@ object Oracles {
            LEFT JOIN tsums$t ts ON ts.s = pb.s AND ts.bcid = pb.bcid AND ts.pos = j.i)
          GROUP BY s, bcid)"""
     }.mkString(",\n       ")
-    s"""WITH ${autoCentroidCtes(2)},
+    s"""WITH ${autoCentroidCtes(2, "vec_id % 5 < 2")},
        cdist AS (
          SELECT id, v, cid,
            row_number() OVER (PARTITION BY id ORDER BY ${l2sqSql("v", "centv")}, cid) AS rn
@@ -407,13 +419,14 @@ object Oracles {
          FROM cass a JOIN cents2 c2 ON c2.cid = a.cid),
        ppool AS (
          SELECT embedding AS centv, row_number() OVER (ORDER BY vec_id) - 1 AS i
-         FROM embeddings ORDER BY vec_id LIMIT 128),
+         FROM embeddings WHERE vec_id % 5 < 2 ORDER BY vec_id LIMIT 128),
        pcents AS (SELECT CAST(i // 8 AS INTEGER) AS pcid, centv FROM ppool WHERE i % 8 = 0),
        sub AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS s),
        books0 AS (
          SELECT s, pcid AS bcid, centv[(s*4 + 1):(s*4 + 4)] AS bv
          FROM pcents CROSS JOIN sub),
        rsub AS (SELECT id, s, rv[(s*4 + 1):(s*4 + 4)] AS sv FROM res CROSS JOIN sub),
+       rsubt AS (SELECT * FROM rsub WHERE id % 5 < 2),
        $trainIters,
        code0 AS (
          SELECT r.id, r.s, b.bcid,

@@ -1449,21 +1449,28 @@ object Queries {
     // PRODUCTION ANN composition (FAISS IVFPQ + refine): learned coarse
     // centroids gate the scan, PQ codebooks TRAINED per-subspace on the
     // cell RESIDUALS (m=16) compress it, and the ADC top-25 candidates
-    // are re-ranked with exact cosine — recall@5 at probe4 goes
-    // 0.38 → 0.62 on the driver's embeddings, which IS the probe-4
-    // coarse-gate ceiling (the refinement recovers every candidate the
-    // cells admit; q113 stays the ADC-only knob demo). Training is two
-    // engine-portable k-means iterations per subspace; everything
-    // downstream of the ⌈√n⌉-cell gate touches codes, then exactly
-    // queries×25 raw vectors
+    // are re-ranked with exact cosine (q113 stays the ADC-only knob
+    // demo). ALL quantizer training — coarse count/stride/k-means, PQ
+    // stride init, codebook refinement — runs on the deterministic 40%
+    // sample (vec_id % 5 < 2): the 100 TB default (training passes over
+    // the full corpus were the one scale-killer in this composition —
+    // 539 s of the 300x probe; quantizer quality saturates on a sample,
+    // recall within 0.06 of full-trained and >= 0.5 floor, both
+    // spec-gated in ScaleOpsSpec — full-corpus training stays the
+    // declared yardstick there). Scan/codes/refine still cover the full
+    // corpus: everything downstream of the coarse gate touches codes,
+    // then exactly queries×25 raw vectors
     "q132_ann_refined" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
-      val coarse = Ann.autoCentroids(e, "vec_id", "embedding")
+      val train = e.filter(pmod(col("vec_id"), lit(5)) < 2)
+      val coarse = Ann.autoCentroids(train, "vec_id", "embedding")
       val init = Ann.pqCodebooks(
-        Ann.strideCentroids(e, "vec_id", "embedding", nCentroids = 16), m = 16)
+        Ann.strideCentroids(train, "vec_id", "embedding", nCentroids = 16),
+        m = 16)
       val books = Ann.pqTrainCodebooksExact(
-        Ann.ivfResiduals(e, "vec_id", "embedding", coarse), "res", init, iters = 2)
+        Ann.ivfResiduals(train, "vec_id", "embedding", coarse), "res", init,
+        iters = 2)
       val cand = Ann.ivfPqTopK(q, e, "vec_id", "embedding", coarse, books,
         k = 25, nProbe = 4, residual = true)
       Ann.refineTopK(cand, q, e, "vec_id", "embedding", k = 5)

@@ -817,17 +817,20 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("q132 composition: refined recall clears the floor AND hits the candidate ceiling") {
     // the catalog's exact composition at sf0.01 (probe4, R=25 candidates,
-    // residual-trained m=16 books): refine re-ranks ADC candidates by true
-    // cosine, so recall@5 must EQUAL the candidate-list containment of the
-    // exact top-5 — quantization error stops costing rank accuracy
+    // residual-trained m=16 books, ALL training on the deterministic 40%
+    // sample — the 100 TB default): refine re-ranks ADC candidates by
+    // true cosine, so recall@5 must EQUAL the candidate-list containment
+    // of the exact top-5 — quantization error stops costing rank accuracy
     val dir = "/root/testdata/sf0.01"
     val e = graft.sources.Tables.embeddings(spark, dir)
     val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
-    val coarse = Ann.autoCentroids(e, "vec_id", "embedding")
+    val train = e.filter(pmod(col("vec_id"), lit(5)) < 2)
+    val coarse = Ann.autoCentroids(train, "vec_id", "embedding")
     val init = Ann.pqCodebooks(
-      Ann.strideCentroids(e, "vec_id", "embedding", nCentroids = 16), m = 16)
+      Ann.strideCentroids(train, "vec_id", "embedding", nCentroids = 16), m = 16)
     val books = Ann.pqTrainCodebooksExact(
-      Ann.ivfResiduals(e, "vec_id", "embedding", coarse), "res", init, iters = 2)
+      Ann.ivfResiduals(train, "vec_id", "embedding", coarse), "res", init,
+      iters = 2)
     val cand = Ann.ivfPqTopK(q, e, "vec_id", "embedding", coarse, books,
       k = 25, nProbe = 4, residual = true)
     val refined = Ann.refineTopK(cand, q, e, "vec_id", "embedding", k = 5)
