@@ -729,6 +729,11 @@ object Ann {
                 seed: Int = 7): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
     require(k >= 1, s"k must be >= 1, got $k")
+    // the engine-portable plane replay (64-bit LCG sums in an external
+    // engine vs Scala's wrapping 32-bit arithmetic) agrees only for
+    // non-negative hash sums — a negative seed would silently produce
+    // planes no oracle can re-derive
+    require(seed >= 0, s"seed must be >= 0, got $seed")
     df.withColumn(outCol,
       call_function("graft_rp_project", col(vecCol), lit(k), lit(seed)))
   }

@@ -127,6 +127,15 @@ object Cdc {
     * yesterday's publish + today's increment); for k-way catch-up merges
     * fold it left — each fold keeps the accumulating side unshuffled
     * when it is republished bucketed.
+    *
+    * PRECONDITION: each part carries AT MOST ONE row per key — the shape
+    * an aggregated publish produces. [[mergeAdditive]]'s groupBy would
+    * collapse within-part duplicates; the join form fans them out
+    * instead (a 2×2 match per duplicated key), so feeding unaggregated
+    * parts here silently double-counts. Pre-aggregate each part (or use
+    * `mergeAdditive`) if uniqueness isn't guaranteed. Stat columns must
+    * also be disjoint from key columns (enforced) — a shared name would
+    * collide the __o_/__n_ aliases.
     */
   def mergeAdditiveJoined(oldPart: DataFrame, incPart: DataFrame,
                           keys: Seq[String],
@@ -139,6 +148,9 @@ object Cdc {
     val stats = countCols ++ sumCols ++ minCols ++ maxCols
     require(stats.nonEmpty, "mergeAdditiveJoined needs at least one stat column")
     require(stats.distinct.size == stats.size, "duplicate stat columns")
+    require(stats.toSet.intersect(keys.toSet).isEmpty,
+      s"stat columns must be disjoint from key columns, both contain: " +
+        stats.toSet.intersect(keys.toSet).toSeq.sorted.mkString(", "))
     val o = oldPart.select((keys ++ stats).map(c => col(c).as(s"__o_$c")): _*)
     val n = incPart.select((keys ++ stats).map(c => col(c).as(s"__n_$c")): _*)
     // same ===-vs-<=> trade as [[snapshotDiff]]: the flag is what lets a

@@ -145,7 +145,8 @@ object DatasetCard {
     * strictly-below / at-or-below mass fractions (plateau-aware, so point
     * masses register between the two).
     */
-  final case class CdfSketch(n: Long, nNull: Long, min: Double, max: Double,
+  final case class CdfSketch(n: Long, nNull: Long, nFin: Long,
+                             min: Double, max: Double,
                              minFin: Double, maxFin: Double, mean: Double,
                              probs: Array[Double], values: Array[Double]) {
     /** fraction of non-missing values strictly below x */
@@ -193,10 +194,17 @@ object DatasetCard {
       .distinct.sorted
     val aggs = cols.flatMap { c =>
       val d = col(c).cast("double")
-      val fin = when(!isnan(d), d)
+      // the grid (and everything scaled by its mass) sees only FINITE
+      // values: NaN would poison approx_percentile and +-Inf would make
+      // every width computation degenerate — nFin is the matching
+      // denominator (scaling CDF mass by the NaN-inclusive n inflated
+      // histogram/equi-depth counts on NaN-bearing columns)
+      val fin = when(!isnan(d) && d > Double.NegativeInfinity &&
+        d < Double.PositiveInfinity, d)
       Seq(
         count(col(c)).as(s"__n_$c"),
         count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+        count(fin).as(s"__nf_$c"),
         min(d).as(s"__mind_$c"), max(d).as(s"__maxd_$c"),
         min(fin).as(s"__minf_$c"), max(fin).as(s"__maxf_$c"),
         sum(col(c).cast("decimal(28,6)")).cast("double").as(s"__sum_$c"),
@@ -204,16 +212,16 @@ object DatasetCard {
           lit(accuracy)).as(s"__g_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
-    val w = 8 // fields per column
+    val w = 9 // fields per column
     cols.zipWithIndex.flatMap { case (c, i) =>
-      if (row.isNullAt(w * i + 7)) None // no finite values: no sketch
+      if (row.isNullAt(w * i + 8)) None // no finite values: no sketch
       else {
         val n = row.getLong(w * i)
-        Some(c -> CdfSketch(n, row.getLong(w * i + 1),
-          row.getDouble(w * i + 2), row.getDouble(w * i + 3),
-          row.getDouble(w * i + 4), row.getDouble(w * i + 5),
-          row.getDouble(w * i + 6) / n,
-          probs.toArray, row.getSeq[Double](w * i + 7).toArray))
+        Some(c -> CdfSketch(n, row.getLong(w * i + 1), row.getLong(w * i + 2),
+          row.getDouble(w * i + 3), row.getDouble(w * i + 4),
+          row.getDouble(w * i + 5), row.getDouble(w * i + 6),
+          row.getDouble(w * i + 7) / n,
+          probs.toArray, row.getSeq[Double](w * i + 8).toArray))
       }
     }.toMap
   }
@@ -284,7 +292,7 @@ object DatasetCard {
           val mass =
             if (wid == 0d) { if (b == 0) 1.0 else 0.0 }
             else (if (b == histBins - 1) 1.0 else s.fLt(bhi)) - s.fLt(blo)
-          val n = math.round(mass * s.n)
+          val n = math.round(mass * s.nFin)
           if (n > 0)
             facts += (("histogram", c, b.toString, None, None,
               Some(round5(blo)), Some(round5(bhi)), Some(n)))
@@ -295,7 +303,7 @@ object DatasetCard {
         (0 until depthBins).foreach { b =>
           val fLo = if (b == 0) 0.0 else s.fLt(cuts(b - 1))
           val fHi = if (b == depthBins - 1) 1.0 else s.fLt(cuts(b))
-          val n = math.round((fHi - fLo) * s.n)
+          val n = math.round((fHi - fLo) * s.nFin)
           if (n > 0)
             facts += (("equidepth", c, b.toString, None, None,
               (if (b > 0) Some(cuts(b - 1)) else None),
@@ -349,9 +357,9 @@ object DatasetCard {
           facts += (("outliers", c, "median", None, Some(med), None, None, None))
           facts += (("outliers", c, "mad", None, Some(mad), None, None, None))
           val (flo, fhi) = (med - k * 1.4826 * mad, med + k * 1.4826 * mad)
-          val nOut = math.round((s.fLt(flo) + (1.0 - s.fLe(fhi))) * s.n)
-          val ratio = if (s.n == 0) None
-            else Some(round5(nOut.toDouble / s.n))
+          val nOut = math.round((s.fLt(flo) + (1.0 - s.fLe(fhi))) * s.nFin)
+          val ratio = if (s.nFin == 0) None
+            else Some(round5(nOut.toDouble / s.nFin))
           facts += (("outliers", c, "fences", None, ratio,
             Some(flo), Some(fhi), Some(nOut)))
         }

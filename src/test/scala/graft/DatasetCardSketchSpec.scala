@@ -182,6 +182,29 @@ class DatasetCardSketchSpec extends SparkSpec {
         s"bucket ${r.getAs[Int]("bucket")} size ${r.getAs[Long]("c")}")
   }
 
+  test("buildSketch: NaN/Inf values don't inflate histogram or equi-depth masses") {
+    // 8 finite values + 4 NaN + 2 Inf: the quantile grid sees only the
+    // finite 8, so the CDF-mass scaler must be the FINITE count — the
+    // pre-fix scaler used the NaN/Inf-inclusive non-null count (14) and
+    // inflated every bin, and +-Inf leaking into the grid degenerated
+    // the equi-width bounds
+    val vals: Seq[Double] = (1 to 8).map(_.toDouble) ++
+      Seq.fill(4)(Double.NaN) ++
+      Seq(Double.PositiveInfinity, Double.NegativeInfinity)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val card = DatasetCard.buildSketch(df, Seq("v"), Nil,
+      histBins = 4, depthBins = 4)
+    def massOf(section: String): Long = card
+      .filter(col("section") === section).agg(sum("n")).head().getLong(0)
+    assert(massOf("histogram") === 8L)
+    assert(massOf("equidepth") === 8L)
+    // finite bounds: the histogram must span [1, 8], not [-Inf, Inf]
+    val hist = card.filter(col("section") === "histogram")
+      .agg(min("lo"), max("hi")).head()
+    assert(hist.getDouble(0) === 1.0 && hist.getDouble(1) === 8.0)
+  }
+
   test("buildSketch: all-NULL numeric column still publishes its census") {
     val df = Seq((1L, Option.empty[Double]), (2L, None), (3L, None))
       .toDF("id", "v")

@@ -632,5 +632,12 @@ class QualitySpec extends SparkSpec {
     assert(out(2L).getLong(2) === 2L)
     for (id <- Seq(4L, 5L)) assert(out(id).isNullAt(1) && out(id).isNullAt(4))
     assert(math.abs(out(1L).getDouble(5) - 0.4) < 1e-9)
+    // EMPTY doc-flag list = doc flagging disabled (never flagged), not a
+    // crash — reduce over Seq.empty threw before the foldLeft fix
+    val off = Quality.c4LineFilter(docs, "doc_id", "text",
+        badDocSubstrings = Seq.empty)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(Seq(1L, 2L, 3L).forall(id => off(id).getInt(3) === 0))
+    assert(off(4L).isNullAt(3) && off(5L).isNullAt(3))
   }
 }

@@ -851,6 +851,10 @@ class ScaleOpsSpec extends SparkSpec {
   test("rpProject (JL): deterministic, norm-preserving in expectation, useful recall") {
     val dir = "/root/testdata/sf0.01"
     val e = graft.sources.Tables.embeddings(spark, dir)
+    // a negative seed would break the engine-portable plane replay
+    // (64-bit oracle sums vs wrapping 32-bit Scala) — refused at the API
+    intercept[IllegalArgumentException](
+      Ann.rpProject(e, "embedding", "p", k = 16, seed = -1))
     val p1 = Ann.rpProject(e, "embedding", "p", k = 16, seed = 7)
     val p2 = Ann.rpProject(e, "embedding", "p", k = 16, seed = 7)
     assert(p1.select("vec_id", "p").collect().toSeq.map(_.toString).sorted ===

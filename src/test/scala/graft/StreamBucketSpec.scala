@@ -376,6 +376,10 @@ class StreamBucketSpec extends SparkSpec {
       countCols = Seq("n"), sumCols = Seq("sum_v"),
       minCols = Seq("min_v"), maxCols = Seq("max_v"))
     assert(canon(viaJoin) === canon(viaUnion))
+    // a column in BOTH keys and stats would collide the __o_/__n_
+    // aliases — refused at the API, not a silent wrong merge
+    intercept[IllegalArgumentException](
+      Cdc.mergeAdditiveJoined(a, b, Seq("k"), countCols = Seq("k", "n")))
   }
 
   test("streaming near-dup gate: stream flags ≡ batch LSH candidacy over two increments") {
