@@ -274,6 +274,27 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass capped-unigram LM score of a token array — [n_tokens,
+  * sum_micro_lnp] under a (token → 5-dp-lnp micro-units) table shipped
+  * as ONE reference object (see [[TextKernels.VocabLnpKernel]]).
+  */
+case class VocabLnpExpr(child: Expression, entries: Seq[(String, Long)],
+                        floorMicro: Long) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_vocab_lnp"
+  @transient private lazy val kernel = new TextKernels.VocabLnpKernel(entries, floorMicro)
+  override protected def nullSafeEval(v: Any): Any =
+    kernel.eval(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("vocabLnpKernel", kernel, classOf[TextKernels.VocabLnpKernel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $k.eval($v);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** BPE token count of ONE word under a ranked merge table (plan-time
   * constant — ships as a single reference object, so plan size is O(1)
   * in the number of merges; see [[TextKernels.BpeKernel]] for the
@@ -493,6 +514,29 @@ object GraftFunctions {
       }
     }
 
+  /** Vocab-lnp wire format for `graft_vocab_lnp`: records joined by
+    * U+001E, token and micro-value by U+001F; tokens are %-escaped (a
+    * whitespace-split word CAN legally contain the control separators,
+    * unlike BPE symbols) so any token round-trips.
+    */
+  def encodeVocabLnp(entries: Seq[(String, Long)]): String =
+    entries.map { case (t, u) => escVocab(t) + '\u001f' + u }.mkString("\u001e")
+
+  private def escVocab(s: String): String = s
+    .replace("%", "%25").replace("\u001e", "%1E").replace("\u001f", "%1F")
+  private def unescVocab(s: String): String = s
+    .replace("%1F", "\u001f").replace("%1E", "\u001e").replace("%25", "%")
+
+  private def decodeVocabLnp(s: String): Seq[(String, Long)] =
+    if (s.isEmpty) Seq.empty
+    else s.split('\u001e').toSeq.map { rec =>
+      rec.split('\u001f') match {
+        case Array(t, u) => (unescVocab(t), u.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"graft_vocab_lnp entries must be 'tok<US>micro' records, got '$rec'")
+      }
+    }
+
   def encodeMarkers(markers: Map[String, Seq[String]]): String =
     markers.toSeq.sortBy(_._1)
       .map { case (l, ws) => s"${escMarker(l)}:${ws.map(escMarker).mkString(",")}" }
@@ -555,6 +599,9 @@ object GraftFunctions {
     "graft_char_entropy" -> (es => CharEntropyExpr(es(0))),
     "graft_bpe_count" -> (es =>
       BpeCountExpr(es(0), decodeMerges(stringLit(es(1), "merges")))),
+    "graft_vocab_lnp" -> (es =>
+      VocabLnpExpr(es(0), decodeVocabLnp(stringLit(es(1), "entries")),
+        stringLit(es(2), "floorMicro").toLong)),
     "graft_rp_project" -> (es => {
       val k = intLit(es(1), "k")
       require(k >= 1, s"graft_rp_project needs k >= 1, got $k")

@@ -220,6 +220,45 @@ object TextKernels {
     new GenericArrayData(Array(-acc, counts.size().toLong))
   }
 
+  /** Capped-unigram LM scoring in ONE pass over the token array: returns
+    * [n_tokens, sum_micro] where sum_micro is the exact long sum of each
+    * token's 5-dp ln-probability in 1e-5 micro-units (vocabulary misses
+    * take the smoothing-floor micro value). Replaces the
+    * explode → broadcast-join → groupBy scoring pipeline with a pure
+    * projection — the per-doc mean needed corpus-wide was the ONLY
+    * reason the token stream shuffled, and an exact integer sum is
+    * order-independent, so the whole LM score needs zero exchanges.
+    * Numerically identical to the decimal(18,5) sum path: every 5-dp
+    * value is an exact multiple of 1e-5, so the long micro sum, divided
+    * once by 1e5 in double, is the correctly-rounded double of the same
+    * exact decimal the old sum produced.
+    */
+  final class VocabLnpKernel(entries: Seq[(String, Long)], floorMicro: Long)
+      extends Serializable {
+    private val map = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Long](entries.size * 2)
+      entries.foreach { case (t, u) => m.put(UTF8String.fromString(t), u) }
+      m
+    }
+    /** [n_tokens, sum_micro_lnp] over the token array (null tokens skipped). */
+    def eval(toks: ArrayData): ArrayData = {
+      val n = toks.numElements()
+      var i = 0
+      var sum = 0L
+      var cnt = 0L
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        if (t != null) {
+          cnt += 1
+          val u = map.get(t)
+          sum += (if (u == null) floorMicro else u.longValue())
+        }
+        i += 1
+      }
+      new GenericArrayData(Array(cnt, sum))
+    }
+  }
+
   /** BPE merge-table application (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units" — public paper): fuse
     * a word's code-point symbol sequence under a RANKED merge table and

@@ -303,24 +303,61 @@ object Quality {
         .SeqHasAsJava(rows).asJava), schema)
   }
 
-  /** Per-token 5-dp-rounded ln p under `v` (OOV → alpha / total). */
-  private def lnpExpr(countCol: Column, v: UnigramVocab, alpha: Double): Column =
-    round(log(coalesce(countCol.cast("double"), lit(alpha)) / lit(v.total.toDouble)), 5)
+  /** The token → 5-dp ln-p table of `v` in exact 1e-5 micro-units, plus
+    * the OOV floor — the `graft_vocab_lnp` kernel's plan constant.
+    * `BigDecimal(x).setScale(5, HALF_UP)` is the precise code path
+    * Spark's `round(col, 5)` runs on doubles, so these driver-side
+    * values are bit-identical to what the old per-token expression
+    * produced; `movePointRight(5).longValueExact` extracts the integer
+    * micro count with no float step at all.
+    */
+  private def lnpMicros(v: UnigramVocab,
+                        alpha: Double): (Seq[(String, Long)], Long) = {
+    def micro(x: Double): Long =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.movePointRight(5).longValueExact
+    (v.top.map { case (t, c) =>
+      t -> micro(math.log(c.toDouble / v.total.toDouble)) },
+      micro(math.log(alpha / v.total.toDouble)))
+  }
+
+  /** The guarded token array (empty for NULL/blank docs) every kernel
+    * scorer feeds from — same rule as [[tokenStream]].
+    */
+  private def tokensGuarded(textCol: String): Column =
+    when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+      array().cast("array<string>"))
+      .otherwise(tokens(col(textCol)))
 
   /** Score `docs` under an EXTERNALLY-built vocabulary — the corpus that
     * trained the model need not be the corpus being scored.
+    *
+    * Scale notes: a PURE zero-shuffle projection. The old form exploded
+    * the token stream, broadcast-joined the vocabulary, and re-grouped
+    * by doc — a full token-stream exchange whose only purpose was the
+    * per-doc mean. The `graft_vocab_lnp` kernel computes (n_tokens,
+    * exact micro-unit lnp sum) in one pass per row with the vocabulary
+    * shipped once per plan, and the micro sum / 1e5 is the identical
+    * double the decimal(18,5) sum produced (every 5-dp value is an
+    * exact multiple of 1e-5) — oracle-pinned across q65/q81/q89.
     */
   def scoreUnderVocab(docs: DataFrame, idCol: String, textCol: String,
                       v: UnigramVocab, alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
-    val base = tokenStream(docs, col(idCol), textCol)
-    base.join(broadcast(vocabDf(docs.sparkSession, v, "c")), Seq("tok"), "left")
-      .groupBy("id").agg(
-        count(col("tok")).as("n_tokens"), // 0 for the null-token row of empty docs
-        (sum(when(col("tok").isNotNull, lnpExpr(col("c"), v, alpha))
-          .cast("decimal(18,5)")).cast("double")
-          / count(col("tok"))).as("mean_logprob")) // 0 tokens → null score
-      .withColumnRenamed("id", idCol)
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val (entries, floor) = lnpMicros(v, alpha)
+    val k = call_function("graft_vocab_lnp", tokensGuarded(textCol),
+      lit(graft.functions.GraftFunctions.encodeVocabLnp(entries)),
+      lit(floor.toString))
+    // let-binding rule: one kernel evaluation feeds n and the mean
+    val packed = transform(array(k), kk => struct(
+      element_at(kk, 1).as("n_tokens"),
+      when(element_at(kk, 1) > 0,
+        (element_at(kk, 2).cast("double") / lit(100000.0)) / element_at(kk, 1))
+        .as("mean_logprob"))).getItem(0)
+    docs.select(col(idCol), packed.as("__s"))
+      .select(col(idCol), col("__s.n_tokens").as("n_tokens"),
+        col("__s.mean_logprob").as("mean_logprob"))
   }
 
   /** Moore-Lewis data selection score (Moore & Lewis 2010, "Intelligent
@@ -336,30 +373,41 @@ object Quality {
     * OOV floor alpha/total is generous when the in-domain corpus is
     * small.
     *
-    * Scale notes: ONE pass over the token stream with BOTH capped
-    * vocabularies broadcast (left joins on the token), one per-doc
-    * aggregation computing both means together — not two scoring jobs
-    * joined after. Same float discipline as [[unigramLogProb]]: 5-dp
-    * per-token ln p, exact decimal sums, order-independent means.
+    * Scale notes: a PURE zero-shuffle projection — one tokenization, two
+    * `graft_vocab_lnp` kernel passes over the same token array (both
+    * capped vocabularies ride the plan as single reference objects),
+    * identical per-value arithmetic to the old broadcast-join + decimal
+    * sum pipeline (see [[scoreUnderVocab]]).
     */
   def mooreLewisScore(docs: DataFrame, idCol: String, textCol: String,
                       inDomain: UnigramVocab, general: UnigramVocab,
                       alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
-    val spark = docs.sparkSession
-    val base = tokenStream(docs, col(idCol), textCol)
-    def meanOf(lnp: Column): Column =
-      sum(when(col("tok").isNotNull, lnp).cast("decimal(18,5)")).cast("double") /
-        count(col("tok"))
-    base
-      .join(broadcast(vocabDf(spark, inDomain, "c_in")), Seq("tok"), "left")
-      .join(broadcast(vocabDf(spark, general, "c_gen")), Seq("tok"), "left")
-      .groupBy("id").agg(
-        count(col("tok")).as("n_tokens"),
-        meanOf(lnpExpr(col("c_in"), inDomain, alpha)).as("mean_logprob_in"),
-        meanOf(lnpExpr(col("c_gen"), general, alpha)).as("mean_logprob_gen"))
-      .withColumn("ml_score", col("mean_logprob_in") - col("mean_logprob_gen"))
-      .withColumnRenamed("id", idCol)
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val (entIn, floorIn) = lnpMicros(inDomain, alpha)
+    val (entGen, floorGen) = lnpMicros(general, alpha)
+    def kernel(toks: Column, entries: Seq[(String, Long)], floor: Long) =
+      call_function("graft_vocab_lnp", toks,
+        lit(graft.functions.GraftFunctions.encodeVocabLnp(entries)),
+        lit(floor.toString))
+    def meanOf(kk: Column): Column =
+      when(element_at(kk, 1) > 0,
+        (element_at(kk, 2).cast("double") / lit(100000.0)) / element_at(kk, 1))
+    // let-binding rule: tokenize once, evaluate each kernel once
+    val packed = transform(array(tokensGuarded(textCol)), toks =>
+      transform(array(struct(
+          kernel(toks, entIn, floorIn).as("a"),
+          kernel(toks, entGen, floorGen).as("b"))), p => struct(
+        element_at(p.getField("a"), 1).as("n_tokens"),
+        meanOf(p.getField("a")).as("mean_logprob_in"),
+        meanOf(p.getField("b")).as("mean_logprob_gen"))).getItem(0))
+      .getItem(0)
+    docs.select(col(idCol), packed.as("__s"))
+      .select(col(idCol), col("__s.n_tokens").as("n_tokens"),
+        col("__s.mean_logprob_in").as("mean_logprob_in"),
+        col("__s.mean_logprob_gen").as("mean_logprob_gen"))
+      .withColumn("ml_score",
+        col("mean_logprob_in") - col("mean_logprob_gen"))
   }
 
   /** C4-style LINE-level cleaning (Raffel et al. 2020, "Exploring the

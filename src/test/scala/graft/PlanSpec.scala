@@ -115,15 +115,15 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
-  test("q81 moore-lewis: both vocabularies broadcast onto ONE token pass") {
+  test("q81 moore-lewis: pure projection — zero joins, zero exchanges") {
     val p = plan("q81_moore_lewis")
-    // both capped LMs must broadcast-join the same exploded stream and
-    // feed ONE per-doc aggregation — two scoring jobs joined afterwards
-    // would scan and shuffle the token stream twice
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(2000))
-    assert("HashAggregate".r.findAllIn(p).size <= 4, // 1 agg = map+reduce (+AQE reuse)
-      p.take(2000))
+    // both capped LMs ride the plan as graft_vocab_lnp kernel constants
+    // and score in ONE tokenization pass per row — the old
+    // explode + broadcast-join + groupBy form shuffled the whole token
+    // stream just to take a per-doc mean
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Generate"), p.take(2000)) // no token explode at all
   }
 
   test("q82 as-of join is one exchange + one window sort, no join operator") {
@@ -171,15 +171,16 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
-  test("q89 perplexity buckets: broadcast vocab, plan-constant cuts, no corpus window") {
+  test("q89 perplexity buckets: plan-constant cuts over a zero-shuffle score") {
     val p = plan("q89_perplexity_buckets")
-    // the quantile cuts are computed at plan BUILD (exactQuantile) and
-    // baked in as literals — bucketing must never rank/sort the corpus
+    // the quantile cuts are computed at plan BUILD (exactQuantiles) and
+    // baked in as literals — bucketing must never rank/sort the corpus,
+    // and scoring itself is now a graft_vocab_lnp kernel projection
+    // (zero joins, zero exchanges — the old form shuffled the token
+    // stream for the per-doc mean)
     assert(!p.contains("Window") && !p.contains("SortAggregate"), p.take(2000))
-    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
-      p.take(2000))
-    // one exchange end-to-end: the per-doc score aggregation
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
   }
 
   test("q91 scd2 intervals: one key exchange feeds every window and agg, no join") {
