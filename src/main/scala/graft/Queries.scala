@@ -717,6 +717,25 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_tokens"), col("mean_logprob"))),
 
+    // BPE-AWARE token budget (SURVEY row 138's point): the q52 budget
+    // cut driven by the REAL tokenizer's counts instead of the
+    // whitespace proxy — train 8 merges, encode every doc through the
+    // graft_bpe_count kernel (zero-shuffle projection), cut each lang
+    // stratum at 2000 BPE tokens in doc_id order; blank docs count 0
+    "q143_token_budget_bpe" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, d)
+      val merges = Quality.bpeTrainBatched(docs, "text", numMerges = 8)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = Quality.bpeEncode(docs, "doc_id", "text", merges,
+          keepCols = Seq("lang"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_tok"))
+      Sampling.tokenBudgetPerStratum(enc, col("lang"), Seq(col("doc_id")),
+        col("n_tok"), budget = 2000L)
+    }),
+
     // DEEP BPE TRAIN (q137 at production-ish depth): 256 greedy merges
     // over an md5-shaped corpus (500 distinct 32-char hex words — the
     // synthetic documents' natural 31-word vocabulary exhausts at 107

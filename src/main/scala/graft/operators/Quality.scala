@@ -734,19 +734,20 @@ object Quality {
     * parallel at any corpus size.
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-                merges: Seq[(String, String)]): DataFrame = {
+                merges: Seq[(String, String)],
+                keepCols: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val enc = graft.functions.GraftFunctions.encodeMerges(merges)
     val perWord: Column => Column = w =>
       call_function("graft_bpe_count", w, lit(enc))
     val empty = col(textCol).isNull || length(trim(col(textCol))) === 0
     val counts = transform(tokens(col(textCol)), perWord)
-    docs.select(col(idCol),
+    docs.select(col(idCol) +: keepCols.map(col) :+
       when(empty, lit(null).cast("long"))
-        .otherwise(size(tokens(col(textCol))).cast("long")).as("n_tokens_ws"),
+        .otherwise(size(tokens(col(textCol))).cast("long")).as("n_tokens_ws") :+
       when(empty, lit(null).cast("long"))
         .otherwise(aggregate(counts, lit(0L), (a, x) => a + x.cast("long")))
-        .as("n_bpe_tokens"))
+        .as("n_bpe_tokens"): _*)
       .withColumn("bpe_per_word",
         round(col("n_bpe_tokens").cast("double") / col("n_tokens_ws"), 5))
   }
