@@ -848,6 +848,60 @@ class ScaleOpsSpec extends SparkSpec {
       f"refined recall $rec%.4f != candidate-list ceiling $ceiling%.4f")
   }
 
+  test("clustered-embedding regime: LSH/IVF/IVFPQ recall gates (mixture of Gaussians)") {
+    // the BASELINE recall table only covers the driver's near-uniform
+    // vectors, where absolute recall is structurally modest; real
+    // embeddings CLUSTER. This fixture is a deterministic 16-cluster
+    // Gaussian mixture in 64 dims (centers ~N(0,1), points ~N(center,
+    // 0.25²)) — the regime every index family is supposed to shine in —
+    // and regression-gates all three families at production knobs.
+    val rnd = new scala.util.Random(20260815L)
+    val (dims, nClusters, perCluster) = (64, 16, 150)
+    val centers = Array.fill(nClusters, dims)(rnd.nextGaussian().toFloat)
+    val rows = for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+      val v = centers(c).map(x => x + (rnd.nextGaussian() * 0.25).toFloat)
+      ((c.toLong * perCluster + i), v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+      .repartition(8).persist()
+    val q = e.filter(pmod(col("vec_id"), lit(48)) === 0) // 50 queries
+    val exact = Ann.bruteForceTopK(q, e, "vec_id", "embedding", 5).persist()
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+      Ann.recallAtK(approx, exact, 5).agg(avg("recall")).head().getDouble(0)
+
+    val lsh = recallOf(Ann.lshTopK(q, e, "vec_id", "embedding", 5,
+      nPlanes = Ann.ProductionDefaults.LshNPlanes,
+      nTables = Ann.ProductionDefaults.LshNTables))
+    val coarse = Ann.autoCentroids(e, "vec_id", "embedding")
+    val ivf = recallOf(Ann.ivfTopKWith(q, e, "vec_id", "embedding", 5,
+      coarse, nProbe = Ann.ProductionDefaults.IvfNProbe))
+    val init = Ann.pqCodebooks(
+      Ann.strideCentroids(e, "vec_id", "embedding", nCentroids = 16),
+      m = Ann.ProductionDefaults.PqSubspaces)
+    val books = Ann.pqTrainCodebooksExact(
+      Ann.ivfResiduals(e, "vec_id", "embedding", coarse), "res", init,
+      iters = 2)
+    def ivfpqAt(r: Int): Double = recallOf(Ann.refineTopK(
+      Ann.ivfPqTopK(q, e, "vec_id", "embedding", coarse, books,
+        k = r, nProbe = Ann.ProductionDefaults.IvfNProbe, residual = true),
+      q, e, "vec_id", "embedding", k = 5))
+    val (ivfpq25, ivfpq50) = (ivfpqAt(25), ivfpqAt(50))
+    info(f"clustered recall@5: LSH $lsh%.3f, IVF $ivf%.3f, " +
+      f"IVFPQ+refine R=25 $ivfpq25%.3f / R=50 $ivfpq50%.3f")
+    e.unpersist(); exact.unpersist()
+    // gates sit a margin under the measured values (BASELINE.md table):
+    // LSH 0.872, IVF 1.000 — clustering is exactly what these exploit.
+    // IVFPQ+refine is CANDIDATE-limited here (0.576 at R=25): within a
+    // tight cluster the m=16 residual codes barely separate true
+    // neighbors from cluster-mates, so the ADC cut — not the refine —
+    // caps recall; widening R is the dial (documented in BASELINE.md)
+    assert(lsh >= 0.75, f"clustered LSH recall $lsh%.3f")
+    assert(ivf >= 0.90, f"clustered IVF recall $ivf%.3f")
+    assert(ivfpq25 >= 0.45, f"clustered IVFPQ+refine R=25 recall $ivfpq25%.3f")
+    assert(ivfpq50 >= ivfpq25,
+      f"widening the ADC cut must not lose recall: $ivfpq50%.3f vs $ivfpq25%.3f")
+  }
+
   test("rpProject (JL): deterministic, norm-preserving in expectation, useful recall") {
     val dir = "/root/testdata/sf0.01"
     val e = graft.sources.Tables.embeddings(spark, dir)
