@@ -276,7 +276,13 @@ object TextKernels {
     * monotone floor (a merge whose rank has passed is never revisited —
     * the sequential contract; on real training outputs this also equals
     * the reference apply-lowest-rank-first encode loop, since a merge's
-    * constituents always fused at earlier ranks). The table ships ONCE
+    * constituents always fused at earlier ranks). CONTRACT: the table
+    * must therefore be a TRAINING-ORDER table (graft.operators.Quality
+    * bpeTrain output or fold-consistent equivalent); for an arbitrary
+    * foreign table where a later merge creates a symbol that re-enables
+    * an earlier rank, the floor would skip that rank and counts can
+    * diverge from an HF-style re-scan-from-rank-0 encoder — see the
+    * contract note on Quality.bpeEncode. The table ships ONCE
     * per plan as a reference object, never as per-merge expression nodes
     * — plan size stays O(1) at a production tokenizer's 30k-50k merges.
     */

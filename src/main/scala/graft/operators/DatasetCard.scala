@@ -217,10 +217,15 @@ object DatasetCard {
       if (row.isNullAt(w * i + 8)) None // no finite values: no sketch
       else {
         val n = row.getLong(w * i)
-        Some(c -> CdfSketch(n, row.getLong(w * i + 1), row.getLong(w * i + 2),
+        // the decimal(28,6) cast nulls NaN/±Inf out of the numerator, so
+        // the matching denominator is nFin (mean OF FINITE VALUES, the
+        // same semantics as minFin/maxFin) — dividing by the NaN-inclusive
+        // n would bias the published mean low on NaN/Inf-bearing columns
+        val nFin = row.getLong(w * i + 2)
+        Some(c -> CdfSketch(n, row.getLong(w * i + 1), nFin,
           row.getDouble(w * i + 3), row.getDouble(w * i + 4),
           row.getDouble(w * i + 5), row.getDouble(w * i + 6),
-          row.getDouble(w * i + 7) / n,
+          row.getDouble(w * i + 7) / nFin,
           probs.toArray, row.getSeq[Double](w * i + 8).toArray))
       }
     }.toMap

@@ -611,10 +611,17 @@ object Quality {
     *     table of {n_q : q.right = l or q.left = r}, capped at n_a and
     *     floored by the (topK+1)-th count when the table was truncated
     *     (an unseen pair can't exceed it), bounds every created pair's
-    *     count; require that bound STRICTLY below n_c (a tie could
-    *     re-order under the lexicographic rule). For an l=r merge the
-    *     scan picks up `a` itself (bound n_a >= n_c), so a run-parity
-    *     merge always closes its batch — conservative and automatic.
+    *     count. When a symbol spelled l+r ALREADY EXISTS in the dict
+    *     (it must be a previous merge's concatenation — tracked exactly
+    *     on the driver), a created pair like (lr, y) is string-identical
+    *     to a pre-existing pair on the aliased symbol and their counts
+    *     SUM, so the bound adds the max count of any fetched pair whose
+    *     l or r equals l+r (floored by the truncation floor for unseen
+    *     aliased pairs). Require the bound STRICTLY below n_c (a tie
+    *     could re-order under the lexicographic rule). For an l=r merge
+    *     the scan picks up `a` itself (bound n_a >= n_c), so a
+    *     run-parity merge always closes its batch — conservative and
+    *     automatic.
     * The scan STOPS at the first rejected candidate (never skips): a
     * candidate ranked above c that conflicts with A would make every
     * later acceptance unsound, because sequential might re-rank it
@@ -666,12 +673,34 @@ object Quality {
       else {
         val floor = if (table.length > topK) table(topK)._3 else 0L
         val considered = table.take(topK)
-        // tightest provable bound on any pair CREATED by accepted merge a
+        // Symbols spelled like a candidate's concatenation can PRE-EXIST:
+        // every multi-char symbol in the dict is the concatenation of an
+        // earlier accepted merge (single-char symbols can't alias an l+r
+        // of length >= 2), so the driver knows the exact alias universe.
+        // When merge a's l+r aliases such a symbol, the post-merge count
+        // of a pair like (lr, y) is the SUM of its pre-existing
+        // occurrences (the string-identical pair on the aliased symbol)
+        // and the newly created ones — bounding only the created part
+        // would under-count and break the bit-identical contract.
+        val priorConcat: Set[String] =
+          merges.iterator.map(m => m._2 + m._3).toSet
+        // tightest provable bound on the post-batch count of any pair
+        // CREATED (or alias-boosted) by accepted merge a
         def createdBound(a: (String, String, Long)): Long = {
           val adj = considered.iterator
             .filter(q => q._2 == a._1 || q._1 == a._2).map(_._3)
             .foldLeft(floor)(math.max)
-          math.min(a._3, adj)
+          val created = math.min(a._3, adj)
+          val concat = a._1 + a._2
+          if (!priorConcat.contains(concat)) created
+          else {
+            // pre-existing occurrences of a pair whose l or r is the
+            // aliased symbol: its table count if seen, else <= floor
+            val aliasedPre = considered.iterator
+              .filter(q => q._1 == concat || q._2 == concat).map(_._3)
+              .foldLeft(floor)(math.max)
+            created + aliasedPre
+          }
         }
         val accepted = scala.collection.mutable.ArrayBuffer
           .empty[(String, String, Long)]
@@ -732,6 +761,18 @@ object Quality {
     * against the fold and fuzzed against a reference implementation), so
     * encoding is zero-shuffle, streaming-safe, and embarrassingly
     * parallel at any corpus size.
+    *
+    * MERGE-TABLE CONTRACT: `merges` must be a TRAINING-ORDER table with
+    * fold semantics — each merge is applied corpus-wide in rank order,
+    * exactly what [[bpeTrain]]/[[bpeTrainBatched]] emit. The kernel's
+    * fuse loop exploits the monotone rank floor that training-order
+    * tables guarantee (a merge never becomes newly applicable at a rank
+    * below one already passed). An ARBITRARY externally-supplied table
+    * (e.g. an HF-style tokenizer's merges, where encode re-scans for the
+    * lowest-ranked applicable pair after every application and a
+    * later-created symbol can re-enable an earlier rank) may count
+    * differently; re-train with [[bpeTrain]] or verify the table is
+    * fold-consistent before trusting counts from foreign merges.
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)],

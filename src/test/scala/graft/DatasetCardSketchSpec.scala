@@ -203,6 +203,12 @@ class DatasetCardSketchSpec extends SparkSpec {
     val hist = card.filter(col("section") === "histogram")
       .agg(min("lo"), max("hi")).head()
     assert(hist.getDouble(0) === 1.0 && hist.getDouble(1) === 8.0)
+    // mean is the mean OF FINITE VALUES (4.5 = 36/8): the decimal-cast
+    // numerator drops NaN/Inf, so the denominator must be nFin, not the
+    // NaN-inclusive non-null count (36/14 would bias it low)
+    val mean = card.filter(col("section") === "numeric" &&
+      col("item") === "mean").head().getDouble(4)
+    assert(math.abs(mean - 4.5) < 1e-9, s"mean $mean != 4.5")
   }
 
   test("buildSketch: all-NULL numeric column still publishes its census") {

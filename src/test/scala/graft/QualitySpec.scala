@@ -550,6 +550,64 @@ class QualitySpec extends SparkSpec {
       tups(Quality.bpeTrain(trap, "text", numMerges = 5)))
   }
 
+  test("bpeTrainBatched: alias-prone small-alphabet corpora stay exact") {
+    // A candidate pair whose concatenation spells a PRE-EXISTING symbol
+    // ('aba' via (a,ba) when (ab,a) already created 'aba') would make
+    // post-merge counts SUM pre-existing and created occurrences, which
+    // the pre-r15 created-only bound under-counted. Under this trainer's
+    // all-at-once corpus-wide merge application the alias precondition
+    // appears unreachable (a 10k-corpus driver probe found zero alias
+    // pairs with nonzero count — every occurrence of a symbol is created
+    // at its single merge step, so a string-identical pair with a
+    // different split never forms), but the acceptance bound no longer
+    // RELIES on that conjecture: bpeTrainBatched tracks prior merge
+    // concatenations and adds the aliased-pair mass into the bound.
+    // This fuzz pins batched == sequential on the alias-PRONE regime
+    // (tiny alphabet, small topK stressing the truncation floor)
+    // against an independent driver-side trainer.
+    def fuse(syms: List[String], l: String, r: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: fuse(rest, l, r)
+        case a :: rest => a :: fuse(rest, l, r)
+        case Nil => Nil
+      }
+    def refTrain(freq: Seq[(String, Long)],
+                 numMerges: Int): Seq[(Long, String, String, Long)] = {
+      var dict = freq.map { case (w, f) => (w.map(_.toString).toList, f) }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long)]
+      var done = false
+      while (out.size < numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- dict; w <- syms.sliding(2) if w.size == 2)
+          counts((w.head, w(1))) = counts.getOrElse((w.head, w(1)), 0L) + f
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), n) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((out.size + 1L, l, r, n))
+          dict = dict.map { case (syms, f) => (fuse(syms, l, r), f) }
+        }
+      }
+      out.toSeq
+    }
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(97L + seed)
+      val freq = (0 until 40).map { i =>
+        val w = (0 until (2 + rnd.nextInt(9)))
+          .map(_ => "ab" (rnd.nextInt(2))).mkString
+        w -> (1L + rnd.nextInt(50))
+      }.groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }.toSeq
+      val docs = freq.zipWithIndex.map { case ((w, f), i) =>
+        (i.toLong, (w + " ") * f.toInt)
+      }.toDF("doc_id", "text")
+      val got = Quality.bpeTrainBatched(docs, "text", numMerges = 40,
+          topK = 6).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(got === refTrain(freq, 40), s"seed=$seed")
+    }
+  }
+
   test("bpeTrainBatched at 1024 merges == independent reference trainer") {
     // an INDEPENDENT driver-side BPE trainer (plain Scala maps/lists, no
     // Spark, no string-replace representation) — the >= 1k-merge
