@@ -600,6 +600,50 @@ object Oracles {
        SELECT doc_id, lang, n_tok FROM c WHERE cum - n_tok < $budget"""
   }
 
+  /** q144: the q61 concat-and-chunk sequence pack driven by BPE counts —
+    * SURVEY row 138's point applied to PACKING: the q138 encode chain
+    * (train CTEs + final-dict segmentation sizes) supplies each doc's
+    * real tokenizer count, then each language's id-ordered token stream
+    * is cut into `seqLen`-token training sequences; blank/NULL docs
+    * count 0 tokens (they pack at their running offset, width 0).
+    */
+  private def bpePackOracle(k: Int, seqLen: Long): String = {
+    val sep = "\u001f"
+    val iters = (1 to k).map { i =>
+      s"""p$i AS (
+         SELECT p.l AS l, p.r AS r, CAST(sum(f) AS BIGINT) AS n FROM (
+           SELECT f, unnest([struct_pack(l := cs[j + 1], r := cs[j + 2])
+                             for j in range(0, greatest(len(cs) - 1, 0))]) AS p
+           FROM (SELECT string_split(trim(seq, '$sep'), '$sep$sep') AS cs, f
+                 FROM d${i - 1}) x) y
+         GROUP BY 1, 2),
+       b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+       d$i AS (SELECT w, replace(seq, '$sep' || b.l || '$sep$sep' || b.r || '$sep',
+                                 '$sep' || b.l || b.r || '$sep') AS seq, f
+               FROM d${i - 1} CROSS JOIN b$i b)"""
+    }.mkString(",\n       ")
+    s"""WITH ${bpeTrainCtes(k, sep, iters)},
+       dw AS (
+         SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       wenc AS (
+         SELECT w, CAST(len(string_split(trim(seq, '$sep'), '$sep$sep')) AS BIGINT) AS nb
+         FROM d$k),
+       agg AS (
+         SELECT dw.doc_id, CAST(sum(nb) AS BIGINT) AS nb
+         FROM dw JOIN wenc ON dw.w = wenc.w GROUP BY 1),
+       dd AS (
+         SELECT d.doc_id, d.lang, CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_tok
+         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+       s AS (SELECT doc_id, lang, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS strt FROM dd)
+       SELECT doc_id, lang, n_tok,
+         CAST(strt // $seqLen AS BIGINT) AS seq_id,
+         CAST(strt % $seqLen AS BIGINT) AS seq_offset
+       FROM s"""
+  }
+
   /** q141: deep BPE ENCODE at `k` >= 1k merges. The merge table is
     * deterministic WITHOUT training — prefix chains of the `nChainWords`
     * lexicographically-smallest md5 corpus words (word w contributes
@@ -871,6 +915,10 @@ object Oracles {
          FROM p
          JOIN lsz sa ON sa.rid = id_l
          JOIN rsz sb ON sb.rid = id_r""",
+
+    // q144: BPE-aware sequence packing — the q138 encode chain feeding
+    // the q61 concat-and-chunk window (blank docs count 0, width-0 pack)
+    "q144_seq_pack_bpe" -> bpePackOracle(8, 512L),
 
     // q143: BPE-aware token budget — the q138 encode chain feeding the
     // q52 per-stratum cumulative cut (blank docs count 0)

@@ -736,6 +736,26 @@ object Queries {
         col("n_tok"), budget = 2000L)
     }),
 
+    // BPE-AWARE sequence packing (clears SURVEY row 138's remaining gap:
+    // q61 still packed on the whitespace proxy) — the same q143 encode
+    // chain (train 8 merges, zero-shuffle graft_bpe_count projection)
+    // feeds packSequences, so sequence boundaries fall where the REAL
+    // tokenizer's stream is cut; blank docs count 0 (width-0 pack at
+    // their running offset)
+    "q144_seq_pack_bpe" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, d)
+      val merges = Quality.bpeTrainBatched(docs, "text", numMerges = 8)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = Quality.bpeEncode(docs, "doc_id", "text", merges,
+          keepCols = Seq("lang"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_tok"))
+      Sampling.packSequences(enc, col("lang"), Seq(col("doc_id")),
+        col("n_tok"), seqLen = 512L)
+    }),
+
     // DEEP BPE TRAIN (q137 at production-ish depth): 256 greedy merges
     // over an md5-shaped corpus (500 distinct 32-char hex words — the
     // synthetic documents' natural 31-word vocabulary exhausts at 107
