@@ -924,10 +924,10 @@ object Oracles {
     // q52 per-stratum cumulative cut (blank docs count 0)
     "q143_token_budget_bpe" -> bpeBudgetOracle(8, 2000L),
 
-    // q142: deep BPE train replay — 256 unrolled sequential iterations
+    // q142: deep BPE train replay — 128 unrolled sequential iterations
     // over the md5-shaped corpus (MATERIALIZED dict chain; binder depth
     // caps the unrolled form ~300, see bpeTrainDeepOracle)
-    "q142_bpe_train_deep" -> bpeTrainDeepOracle(256),
+    "q142_bpe_train_deep" -> bpeTrainDeepOracle(128),
 
     // q141: deep BPE encode at 1024 merges — deterministic prefix-chain
     // merge table + rank-jumping recursive application (faithful
