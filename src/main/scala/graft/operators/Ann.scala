@@ -41,12 +41,18 @@ object Ann {
     *  - PQ: m = 16 subspaces — halving compression m 8→16 roughly
     *    doubles recall on the driver's embeddings; drop m only when the
     *    code-table memory budget forces it.
+    *  - IVFPQ + refine: ADC top-R cut at R = 50 before the exact
+    *    re-rank — on the clustered (mixture-of-Gaussians) regime the
+    *    refine stage is CANDIDATE-limited, so R, not the refine, is the
+    *    recall dial: measured 0.576@R=25 → 0.808@R=50 (BASELINE.md
+    *    table), at 2× refine cost that stays queries×R exact distances.
     */
   object ProductionDefaults {
-    val LshNPlanes  = 6
-    val LshNTables  = 4
-    val IvfNProbe   = 4
-    val PqSubspaces = 16
+    val LshNPlanes   = 6
+    val LshNTables   = 4
+    val IvfNProbe    = 4
+    val PqSubspaces  = 16
+    val IvfPqRefineR = 50
   }
 
   /** Exact brute-force cosine top-k per query. `queries` and `corpus` both

@@ -885,7 +885,8 @@ class ScaleOpsSpec extends SparkSpec {
       Ann.ivfPqTopK(q, e, "vec_id", "embedding", coarse, books,
         k = r, nProbe = Ann.ProductionDefaults.IvfNProbe, residual = true),
       q, e, "vec_id", "embedding", k = 5))
-    val (ivfpq25, ivfpq50) = (ivfpqAt(25), ivfpqAt(50))
+    val (ivfpq25, ivfpq50) =
+      (ivfpqAt(25), ivfpqAt(Ann.ProductionDefaults.IvfPqRefineR))
     info(f"clustered recall@5: LSH $lsh%.3f, IVF $ivf%.3f, " +
       f"IVFPQ+refine R=25 $ivfpq25%.3f / R=50 $ivfpq50%.3f")
     e.unpersist(); exact.unpersist()
@@ -900,6 +901,10 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ivfpq25 >= 0.45, f"clustered IVFPQ+refine R=25 recall $ivfpq25%.3f")
     assert(ivfpq50 >= ivfpq25,
       f"widening the ADC cut must not lose recall: $ivfpq50%.3f vs $ivfpq25%.3f")
+    // the SHIPPED dial (ProductionDefaults.IvfPqRefineR = 50) must hold
+    // the measured clustered-regime recall, margin under 0.808
+    assert(ivfpq50 >= 0.70,
+      f"clustered IVFPQ+refine at ProductionDefaults R recall $ivfpq50%.3f")
   }
 
   test("rpProject (JL): deterministic, norm-preserving in expectation, useful recall") {
