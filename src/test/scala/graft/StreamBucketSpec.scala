@@ -190,6 +190,64 @@ class StreamBucketSpec extends SparkSpec {
     assert(got.values.forall(v => v._3 == "train" || v._3 == "eval"))
   }
 
+  test("ingest projections v2 (C4 lines -> BPE encode -> char entropy): stream ≡ batch, zero exchanges") {
+    import graft.operators.Quality
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // the production shape: the merge table is TRAINED OFFLINE (a batch
+    // job) and ships into the stream as a plan constant — the encode,
+    // the line filter, and the entropy profile are all pure projections,
+    // so the whole chain is stateless and admissible in append mode
+    val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"))
+    def chain(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val c4 = Quality.c4LineFilter(df, "doc_id", "text")
+      val enc = Quality.bpeEncode(c4, "doc_id", "clean_text", merges,
+        keepCols = Seq("doc_flagged", "kept_ratio", "clean_text"))
+      val packed = enc.select(struct(col("doc_id"), col("doc_flagged"),
+        col("kept_ratio"), col("n_bpe_tokens")).as("k"), col("clean_text"))
+      Quality.charEntropyProfile(packed, "k", "clean_text")
+        .select(col("k.doc_id").as("doc_id"),
+          col("k.doc_flagged").as("doc_flagged"),
+          col("k.kept_ratio").as("kept_ratio"),
+          col("k.n_bpe_tokens").as("n_bpe_tokens"), col("char_entropy"))
+        .withColumn("admit", col("doc_flagged") === 0 &&
+          col("kept_ratio") >= 0.5 && col("char_entropy").between(1.0, 4.5))
+    }
+    val inc1 = Seq(
+      (1L, "the wind and the rain fell all day.\nshort line"),
+      (2L, "lorem ipsum boilerplate that should flag the doc entirely.\nand another sentence that is fine."),
+      (3L, "aaaa aaaa aaaa aaaa.")) // low-entropy filler
+      .toDF("doc_id", "text")
+    val inc2 = Seq(
+      (4L, "a second increment with a clean and proper sentence here.\nplus another keeper to hold the ratio."),
+      (5L, "")) // blank doc: NULL stats must survive the whole chain
+      .toDF("doc_id", "text")
+    // the full chain compiles exchange-free: nothing shuffles at any
+    // corpus size — encode table and thresholds are plan constants
+    val plan = chain(inc1).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest2").toString
+    inc1.write.parquet(s"$dir/in1")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val stream = chain(spark.readStream.schema(schema).parquet(s"$dir/in*"))
+    val q = stream.writeStream.format("memory")
+      .queryName("ingest_v2").outputMode("append").start()
+    q.processAllAvailable()
+    inc2.write.parquet(s"$dir/in2")
+    q.processAllAvailable()
+    q.stop()
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "doc_flagged", "kept_ratio", "n_bpe_tokens",
+        "char_entropy", "admit")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val got = shape(spark.table("ingest_v2"))
+    assert(got === shape(chain(inc1.unionByName(inc2)))) // batch parity
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(4L).last === true)   // the clean doc admits
+    assert(got(2L).head === 1)      // lorem ipsum doc flagged
+    assert(got(3L).last === false)  // low-entropy filler rejected
+    assert(got(5L).drop(1).forall(_ == null)) // blank doc keeps NULL stats
+  }
+
   test("streaming forward-fill carries observations across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamFill
