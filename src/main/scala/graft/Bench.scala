@@ -28,11 +28,19 @@ object Bench {
       SparkEntry.queries("q03_join_enrich")(spark, warmDir).count()   // join path
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     var failed = List.empty[String]
-    // debugging/iteration knob: comma-separated query names to leave out
+    // debugging/iteration knobs: comma-separated query names to leave out,
+    // or (for targeted scale probes) the only ones to run. ONLY wins when
+    // both are set; names are matched by prefix so "q133" selects
+    // "q133_bigram_logprob" without spelling the suffix.
     val exclude = sys.env.getOrElse("GRAFT_BENCH_EXCLUDE", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val only = sys.env.getOrElse("GRAFT_BENCH_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => exclude(n) }
+      .filter { case (n, _) =>
+        if (only.nonEmpty) only.exists(p => n == p || n.startsWith(p + "_") || n.startsWith(p))
+        else !exclude.exists(p => n == p || n.startsWith(p + "_"))
+      }
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
