@@ -73,6 +73,10 @@ object BpeScaleProbe {
     val merges = sys.env.getOrElse("GRAFT_BPE_MERGES", "30000").toInt
     val vocab = sys.env.getOrElse("GRAFT_BPE_VOCAB", "60000").toInt
     val tokens = sys.env.getOrElse("GRAFT_BPE_TOKENS", "2500000").toLong
+    // "local" = collapse-first + driver-side trainer (the production
+    // default after the r15 batched measurement); "batched" = the
+    // distributed per-round path for dictionaries too large to narrow
+    val mode = sys.env.getOrElse("GRAFT_BPE_MODE", "batched")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = Sessions.tune(
       SparkSession.builder().master(s"local[$cpus]")
@@ -92,8 +96,10 @@ object BpeScaleProbe {
     val nTok = docs.count()
 
     val t0 = System.nanoTime()
-    val table = graft.operators.Quality
-      .bpeTrainBatched(docs, "text", numMerges = merges)
+    val table = (if (mode == "local")
+      graft.operators.Quality.bpeTrainLocal(docs, "text", numMerges = merges)
+    else
+      graft.operators.Quality.bpeTrainBatched(docs, "text", numMerges = merges))
       .collect()
     val trainSec = (System.nanoTime() - t0) / 1e9
     val rounds = graft.operators.Quality.lastTrainRounds.get
@@ -120,7 +126,7 @@ object BpeScaleProbe {
     val (planFull, runFull) = planAndRun(mergeSeq)
 
     val json =
-      s"""{"metric":"bpe_train_${merges}m","value":$trainSec,"unit":"sec",""" +
+      s"""{"metric":"bpe_train_${mode}_${merges}m","value":$trainSec,"unit":"sec",""" +
       s""""merges_requested":$merges,"merges_emitted":$emitted,""" +
       s""""count_rounds":$rounds,"vocab":$vocab,"tokens":$nTok,""" +
       s""""avg_batch":${emitted.toDouble / math.max(rounds, 1)},""" +

@@ -995,6 +995,10 @@ object Oracles {
     // symbol boundary (reference symbol-list semantics)
     "q137_bpe_train" -> bpeTrainOracle(8),
 
+    // q145: the same sequential replay, 12 iterations — certifies the
+    // driver-local trainer (collapse-first + heap) against the engine
+    "q145_bpe_train_local" -> bpeTrainOracle(12),
+
     // q136: replays the BPE pair-count seed — distinct-word frequency
     // dictionary, adjacent code-point pairs per word (comprehension over
     // the (?s). codepoint list, repeated pairs count per occurrence),

@@ -846,6 +846,15 @@ object Queries {
       Quality.bpeTrainBatched(Tables.documents(s, d), "text", numMerges = 8)
     }),
 
+    // Driver-local BPE training: collapse-first word count (the only
+    // corpus-sized job), then the whole merge loop on the driver — the
+    // production-depth default after the r15 probe measured the batched
+    // path at 16.9k count rounds for 30k merges (bpe_scale_r15.json).
+    // Bit-identical to q137's trainer; the oracle replays the strictly
+    // sequential reference at a deeper 12-merge unroll.
+    "q145_bpe_train_local" -> ((s, d) =>
+      Quality.bpeTrainLocal(Tables.documents(s, d), "text", numMerges = 12)),
+
     // BPE merge-selection seed: top-50 adjacent-codepoint pairs with
     // corpus occurrence counts, counted over the distinct-word frequency
     // dictionary (collapse-first — how reference BPE trainers count)

@@ -635,11 +635,7 @@ object Quality {
     require(sep.length == 1, s"sep must be one char, got ${sep.length}")
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val spark = docs.sparkSession
-    val words = docs
-      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
-      .select(explode(tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("f"))
-    var dict = words.select(
+    var dict = wordFreq(docs, textCol).select(
       concat(lit(sep),
         array_join(regexp_extract_all(col("w"), lit("(?s)."), lit(0)), sep + sep),
         lit(sep)).as("seq"), col("f"))
@@ -731,6 +727,14 @@ object Quality {
         }
       }
     }
+    mergeTableFrame(spark, merges.toSeq)
+  }
+
+  /** The (merge_rank, left, right, n_occurrences) result frame every
+    * trainer entry point emits.
+    */
+  private def mergeTableFrame(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(Long, String, String, Long)]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("merge_rank",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -740,10 +744,202 @@ object Quality {
         org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField("n_occurrences",
         org.apache.spark.sql.types.LongType, nullable = false)))
-    spark.createDataFrame(java.util.Arrays.asList(merges.toSeq.map {
+    spark.createDataFrame(java.util.Arrays.asList(merges.map {
       case (mr, l, r, n) => org.apache.spark.sql.Row(mr, l, r, n)
     }: _*), schema)
   }
+
+  /** Spark's string ordering for the tie rule: unsigned UTF-8 byte
+    * comparison (`UTF8String.compareTo`). Java's `String.compareTo` is
+    * UTF-16 code-UNIT order, which DISAGREES above the BMP (a
+    * supplementary character's surrogates sort below U+E000..U+FFFF),
+    * so a driver-side trainer that used it would pick a different merge
+    * than the distributed trainer on a count tie between, e.g., U+FFFD
+    * and an emoji — spec-pinned in QualitySpec.
+    */
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The exact sequential BPE training loop over an in-memory word
+    * dictionary — every semantics choice mirrors the distributed
+    * trainer bit-for-bit (spec-pinned against [[bpeTrain]] and the
+    * independent reference trainer): adjacent pairs counted
+    * OVERLAPPING ("aaa" holds (a,a) twice), selection by (count desc,
+    * left, right) under UTF-8 byte order, application as ONE
+    * left-to-right non-overlapping fuse pass per word, reported
+    * n_occurrences = the global count at selection time.
+    *
+    * Cost shape: a lazy max-heap over pair counts (stale entries are
+    * dropped on pop; every count change pushes a fresh entry) plus an
+    * inverted pair→words index, so each merge touches only the words
+    * that actually contain its pair — the classic single-node trainer,
+    * O(touched symbols) per merge, no quadratic rescans.
+    */
+  private[graft] def trainDict(freq: IndexedSeq[(String, Long)],
+      numMerges: Int): Seq[(Long, String, String, Long)] = {
+    final case class PE(l: String, r: String, n: Long)
+    val cmp = new java.util.Comparator[PE] {
+      def compare(a: PE, b: PE): Int = {
+        if (a.n != b.n) return java.lang.Long.compare(b.n, a.n)
+        val c = utf8Cmp(a.l, b.l)
+        if (c != 0) c else utf8Cmp(a.r, b.r)
+      }
+    }
+    val syms = new Array[scala.collection.mutable.ArrayBuffer[String]](freq.length)
+    val f = new Array[Long](freq.length)
+    val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val members = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    var wi = 0
+    while (wi < freq.length) {
+      val (w, fw) = freq(wi)
+      // one symbol per CODE POINT (the distributed trainer splits with a
+      // DOTALL regex "."), not per UTF-16 char — a surrogate pair is one
+      // symbol there and must be one symbol here
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      var ci = 0
+      while (ci < w.length) {
+        val cp = w.codePointAt(ci)
+        val n = Character.charCount(cp)
+        b += w.substring(ci, ci + n)
+        ci += n
+      }
+      syms(wi) = b; f(wi) = fw
+      var i = 0
+      while (i < b.length - 1) {
+        val p = (b(i), b(i + 1))
+        cnt.update(p, cnt.getOrElse(p, 0L) + fw)
+        members.getOrElseUpdate(p,
+          scala.collection.mutable.HashSet.empty[Int]) += wi
+        i += 1
+      }
+      wi += 1
+    }
+    val pq = new java.util.PriorityQueue[PE](math.max(cnt.size, 16), cmp)
+    cnt.foreach { case ((l, r), n) => pq.add(PE(l, r, n)) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    val localOld = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val localNew = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    while (out.size < numMerges && !pq.isEmpty) {
+      val top = pq.poll()
+      if (cnt.get((top.l, top.r)).contains(top.n)) {
+        val (l, r, n) = (top.l, top.r, top.n)
+        out += ((out.size + 1L, l, r, n))
+        val lr = l + r
+        val touched = members.getOrElse((l, r),
+          scala.collection.mutable.HashSet.empty[Int]).toArray
+        java.util.Arrays.sort(touched) // deterministic walk (not required
+        // for correctness — global counts are order-free — but keeps any
+        // future debugging reproducible)
+        var ti = 0
+        while (ti < touched.length) {
+          val w = touched(ti)
+          val s = syms(w)
+          localOld.clear(); localNew.clear()
+          var i = 0
+          while (i < s.length - 1) {
+            val p = (s(i), s(i + 1))
+            localOld.update(p, localOld.getOrElse(p, 0L) + 1L)
+            i += 1
+          }
+          val ns = scala.collection.mutable.ArrayBuffer.empty[String]
+          i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+              ns += lr; i += 2
+            } else { ns += s(i); i += 1 }
+          }
+          syms(w) = ns
+          i = 0
+          while (i < ns.length - 1) {
+            val p = (ns(i), ns(i + 1))
+            localNew.update(p, localNew.getOrElse(p, 0L) + 1L)
+            i += 1
+          }
+          (localOld.keySet ++ localNew.keySet).foreach { p =>
+            val o = localOld.getOrElse(p, 0L)
+            val nw = localNew.getOrElse(p, 0L)
+            if (o != nw) {
+              val updated = cnt.getOrElse(p, 0L) + (nw - o) * f(w)
+              if (updated <= 0L) cnt.remove(p)
+              else { cnt.update(p, updated); pq.add(PE(p._1, p._2, updated)) }
+            }
+            if (o > 0L && nw == 0L) members.get(p).foreach(_ -= w)
+            else if (o == 0L && nw > 0L)
+              members.getOrElseUpdate(p,
+                scala.collection.mutable.HashSet.empty[Int]) += w
+          }
+          ti += 1
+        }
+        members.remove((l, r))
+      }
+    }
+    out.toSeq
+  }
+
+  /** [[bpeTrain]] run COLLAPSE-FIRST-then-DRIVER: one corpus-sized
+    * word-count job narrows to the vocabulary-bounded (word, freq)
+    * dictionary — the same plan-constant class as centroid matrices and
+    * quantile cuts — and the whole merge loop runs in [[trainDict]] on
+    * the driver. Output is bit-identical to [[bpeTrain]] /
+    * [[bpeTrainBatched]] (spec-pinned, and q145's DuckDB oracle replays
+    * the sequential trainer).
+    *
+    * WHY this is the production default: the r15 probe
+    * (bpe_scale_r15.json) measured `bpeTrainBatched` at a production
+    * depth — 30 000 merges over a 60 k-word Zipf vocabulary — at
+    * 16,876 count-job round trips (avg batch 1.78: Zipf count plateaus
+    * tie with the truncation floor and the exactness rule must stop
+    * there), i.e. ~3 600 s of driver↔cluster ping-pong for state that
+    * fits in a few MB. The corpus-sized work (tokenize + count) stays
+    * distributed; the vocabulary-sized work belongs on the driver.
+    * Guard: fails fast (before fetching rows) if the dictionary exceeds
+    * `maxDictWords` — use [[bpeTrainBatched]] there, or raise the cap
+    * on a driver sized for it (10 M words ≈ several hundred MB here).
+    */
+  def bpeTrainLocal(docs: DataFrame, textCol: String, numMerges: Int,
+                    maxDictWords: Int = 4000000): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(maxDictWords >= 1, s"maxDictWords must be >= 1, got $maxDictWords")
+    val spark = docs.sparkSession
+    val rows = wordFreq(docs, textCol).limit(maxDictWords + 1).collect()
+    require(rows.length <= maxDictWords,
+      s"dictionary exceeds maxDictWords=$maxDictWords distinct words; " +
+        "use bpeTrainBatched or raise the cap")
+    lastTrainRounds.set(1)
+    val freq = rows.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    mergeTableFrame(spark, trainDict(freq, numMerges))
+  }
+
+  /** Dictionary-size-routed trainer: counts the collapsed vocabulary
+    * (one extra tiny job over the word-count aggregate) and trains on
+    * the driver when it fits, batched-distributed when it doesn't.
+    */
+  def bpeTrainAuto(docs: DataFrame, textCol: String, numMerges: Int,
+                   sep: String = "\u001f", topK: Int = 512,
+                   maxDictWords: Int = 4000000): DataFrame =
+    if (wordFreq(docs, textCol).count() <= maxDictWords)
+      bpeTrainLocal(docs, textCol, numMerges, maxDictWords)
+    else bpeTrainBatched(docs, textCol, numMerges, sep, topK)
+
+  /** The trainers' shared corpus collapse: ONE corpus-sized shuffle to
+    * the distinct-word frequency dictionary.
+    */
+  private def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
 
   /** BPE ENCODE under a learned merge table ([[bpeTrain]]'s output):
     * per-document token counts under the REAL tokenizer — the number a

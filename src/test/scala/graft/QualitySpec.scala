@@ -605,6 +605,14 @@ class QualitySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
         .toSeq
       assert(got === refTrain(freq, 40), s"seed=$seed")
+      // the driver-local trainer must land on the same table from the
+      // same alias-prone regime (heap + incremental updates vs the
+      // reference's full recount each round)
+      val gotLocal = Quality.bpeTrainLocal(docs, "text", numMerges = 40)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(gotLocal === refTrain(freq, 40), s"local seed=$seed")
     }
   }
 
@@ -655,6 +663,59 @@ class QualitySpec extends SparkSpec {
       .toSeq
     assert(got.size === want.size)
     assert(got === want)
+    // same certification for the driver-local trainer, in ONE round
+    val gotLocal = Quality.bpeTrainLocal(docs, "text", numMerges = 1024)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(Quality.lastTrainRounds.get === 1)
+    assert(gotLocal === want)
+  }
+
+  test("bpeTrainLocal == sequential bpeTrain; auto routes by dict size") {
+    def tups(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val words = (1 to 120).flatMap { i =>
+      Seq.fill(1 + 240 / i)(java.lang.Long.toString(i.toLong + 7, 7))
+    }
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val seqOut = tups(Quality.bpeTrain(docs, "text", numMerges = 60))
+    assert(tups(Quality.bpeTrainLocal(docs, "text", numMerges = 60)) ===
+      seqOut)
+    // the r13 boundary trap (xl+r vs x+lr spellings) holds locally too
+    val trap = Seq((1L, "xl xl xl lr lr xlr")).toDF("doc_id", "text")
+    assert(tups(Quality.bpeTrainLocal(trap, "text", numMerges = 5)) ===
+      tups(Quality.bpeTrain(trap, "text", numMerges = 5)))
+    // auto: routed local under the default cap (1 round), batched when
+    // the dictionary exceeds it — same table either way
+    assert(tups(Quality.bpeTrainAuto(docs, "text", numMerges = 60)) ===
+      seqOut)
+    assert(Quality.lastTrainRounds.get === 1)
+    assert(tups(Quality.bpeTrainAuto(docs, "text", numMerges = 60,
+      maxDictWords = 3)) === seqOut)
+    assert(Quality.lastTrainRounds.get > 1)
+    // over-cap local fails fast instead of collecting the dictionary
+    assertThrows[IllegalArgumentException] {
+      Quality.bpeTrainLocal(docs, "text", numMerges = 2, maxDictWords = 3)
+    }
+  }
+
+  test("bpeTrainLocal: count ties break in UTF-8 byte order, not UTF-16") {
+    // U+FFFD (UTF-8 EF BF BD) vs U+1F600 (UTF-8 F0 9F 98 80): Spark's
+    // UTF8String order puts U+FFFD FIRST; Java String.compareTo puts the
+    // emoji's surrogates first. Two pairs tied at count 2 expose which
+    // rule a trainer uses — the local trainer must match the engine.
+    val docs = Seq(
+      (1L, "�z 😀z �z 😀z"))
+      .toDF("doc_id", "text")
+    def tups(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val seqOut = tups(Quality.bpeTrain(docs, "text", numMerges = 2))
+    assert(seqOut.head._2 === "�") // pin the engine's direction
+    assert(tups(Quality.bpeTrainLocal(docs, "text", numMerges = 2)) ===
+      seqOut)
   }
 
   test("bpe kernel: plan size stays O(1) at production merge counts") {
