@@ -906,7 +906,11 @@ object Quality {
     * distributed; the vocabulary-sized work belongs on the driver.
     * Guard: fails fast (before fetching rows) if the dictionary exceeds
     * `maxDictWords` — use [[bpeTrainBatched]] there, or raise the cap
-    * on a driver sized for it (10 M words ≈ several hundred MB here).
+    * on a driver sized for it. Budget ~1 KB of driver heap per
+    * dictionary word (symbol buffers + the inverted pair→words index),
+    * so the 4 M default needs a ~4-6 GB driver — deliberately the same
+    * order as the catalog's other driver-narrowed state, and far below
+    * what any corpus-sized structure would cost.
     */
   def bpeTrainLocal(docs: DataFrame, textCol: String, numMerges: Int,
                     maxDictWords: Int = 4000000): DataFrame = {
