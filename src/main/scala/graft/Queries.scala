@@ -182,11 +182,18 @@ object Queries {
     "q21_dedup_exact_text" -> ((s, d) =>
       Dedup.exactByHash(Tables.documents(s, d), Seq("text"), "doc_id")),
 
-    "q22_token_count" -> ((s, d) =>
+    // one code-point walk via the graft_token_profile kernel — the
+    // Column form paid three regex scans per row (73.6 s of the 300×
+    // family probe); whole-stage codegen's subexpression elimination
+    // evaluates the kernel once for both output columns
+    "q22_token_count" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val p = TextAnalysis.tokenProfile(col("text"))
       Tables.documents(s, d).select(
         col("doc_id"),
-        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
-        TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))),
+        p.getItem(0).as("n_tokens_ws"),
+        TextAnalysis.bpeishFromProfile(p).as("n_tokens_bpe"))
+    }),
 
     "q23_quality_score" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)

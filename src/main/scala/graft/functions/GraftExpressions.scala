@@ -274,6 +274,26 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass token/char profile of a string — [n_tokens_ws, word_chars,
+  * punct_chars] (see [[TextKernels.tokenProfile]] for the exact
+  * Column-form-parity contract). Replaces three regex scans per row in
+  * the token-count family with one code-point walk.
+  */
+case class TokenProfileExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_profile"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.tokenProfile(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.TextKernels.tokenProfile($v);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass capped-unigram LM score of a token array — [n_tokens,
   * sum_micro_lnp] under a (token → 5-dp-lnp micro-units) table shipped
   * as ONE reference object (see [[TextKernels.VocabLnpKernel]]).
@@ -597,6 +617,7 @@ object GraftFunctions {
     "graft_bloom_contains" -> (es =>
       BloomContainsExpr(es(0), binaryLit(es(1), "bloom bytes"))),
     "graft_char_entropy" -> (es => CharEntropyExpr(es(0))),
+    "graft_token_profile" -> (es => TokenProfileExpr(es(0))),
     "graft_bpe_count" -> (es =>
       BpeCountExpr(es(0), decodeMerges(stringLit(es(1), "merges")))),
     "graft_vocab_lnp" -> (es =>

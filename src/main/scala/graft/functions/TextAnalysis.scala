@@ -26,6 +26,21 @@ object TextAnalysis {
     (ceil(wordChars.cast("double") / 4.0) + punctChars).cast("long")
   }
 
+  /** One-pass kernel twin of ([[tokenCountWs]], [[tokenCountBpe]]):
+    * `graft_token_profile` returns [n_tokens_ws, word_chars,
+    * punct_chars] from a single code-point walk — the Column forms
+    * above cost THREE regex scans per row (spec-pinned bit-equal,
+    * TextKernelsSpec). Caller must have run
+    * `GraftFunctions.ensureRegistered`. NULL text stays NULL.
+    */
+  def tokenProfile(text: Column): Column =
+    call_function("graft_token_profile", text)
+
+  /** [[tokenCountBpe]] derived from a [[tokenProfile]] array. */
+  def bpeishFromProfile(profile: Column): Column =
+    (ceil(profile.getItem(1).cast("double") / 4.0).cast("long") +
+      profile.getItem(2)).cast("long")
+
   /** Ratio of punctuation characters to total characters (4 dp). */
   def punctRatio(text: Column): Column =
     round(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /

@@ -383,4 +383,55 @@ object TextKernels {
     while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
     new GenericArrayData(out)
   }
+
+  /** One-pass token/char profile of a string — [n_tokens_ws, word_chars,
+    * punct_chars] — replacing THREE regex scans (a `split` plus two
+    * `regexp_replace`-then-`length`) with one code-point walk. Semantics
+    * replicate the Column forms bit-for-bit (spec-pinned fuzz):
+    *
+    *  - n_tokens_ws == `when(length(trim(t))===0, 0).otherwise(
+    *    size(split(trim(t), "\\s+")))`: trim strips ASCII SPACES only,
+    *    and Spark's split is limit=-1 (leading AND trailing empty
+    *    segments kept), so k whitespace runs yield k+1 segments —
+    *    count = ws_runs + 1 on a nonempty trimmed string; whitespace
+    *    is Java regex `\s` = [ \t\n\x0B\f\r] (ASCII, no Unicode
+    *    classes).
+    *  - word_chars == length after deleting [^A-Za-z0-9].
+    *  - punct_chars == length after deleting [A-Za-z0-9\s] — every
+    *    OTHER code point counts once (non-ASCII letters included, the
+    *    declared BPE-ish stand-in semantics).
+    */
+  def tokenProfile(s: UTF8String): ArrayData = {
+    val str = s.toString
+    var lo = 0
+    var hi = str.length
+    while (lo < hi && str.charAt(lo) == ' ') lo += 1
+    while (hi > lo && str.charAt(hi - 1) == ' ') hi -= 1
+    def isWs(c: Int): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+        c == '\r'
+    var wsRuns = 0L
+    var wordChars = 0L
+    var punctChars = 0L
+    var inWsRun = false
+    var i = lo
+    while (i < hi) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      val ws = cp < 128 && isWs(cp)
+      if (ws) {
+        if (!inWsRun) { wsRuns += 1; inWsRun = true }
+      } else {
+        inWsRun = false
+        val alnum = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+          (cp >= '0' && cp <= '9')
+        if (alnum) wordChars += 1 else punctChars += 1
+      }
+    }
+    val tokens = if (lo == hi) 0L else wsRuns + 1L
+    // word/punct tallies must cover the UNTRIMMED string (the Column
+    // forms scan `text`, not trim(text)) — leading/trailing spaces are
+    // neither alnum nor punct, so the trimmed walk already equals them
+    new GenericArrayData(Array(tokens, wordChars, punctChars))
+  }
 }

@@ -472,4 +472,38 @@ class KernelPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("tokenProfile kernel bit-equals the three-regex Column forms") {
+    import graft.functions.TextAnalysis
+    GraftFunctions.ensureRegistered(spark)
+    // adversarial fixtures first: every whitespace class Java \\s knows,
+    // leading/trailing space vs tab, all-whitespace, empty, unicode
+    // letters (punct under the declared semantics), emoji, digits
+    val fixed = Seq(
+      "a b", " a  b ", "\ta b\t", "\t", " ", "", "a\tb\nc\u000Bd\fe\rf",
+      "\n\nx\n\n", "..a..", "δφ ωδ", "😀 ok!", "12 3-4", "a" * 300,
+      "  \t \r\n ", "word, word; word.", "\u00A0nbsp stays a token")
+    val rnd = new scala.util.Random(20260815)
+    val alphabet = "ab1.!,\t\n\r\u000B\f δ😀 "
+    val random = (1 to 200).map(_ =>
+      (1 to rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val docs = (fixed ++ random).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val p = TextAnalysis.tokenProfile(col("t"))
+    val rows = docs.select(
+        TextAnalysis.tokenCountWs(col("t")).cast("long").as("ws_ref"),
+        TextAnalysis.tokenCountBpe(col("t")).as("bpe_ref"),
+        p.getItem(0).as("ws_k"),
+        TextAnalysis.bpeishFromProfile(p).as("bpe_k"),
+        col("t"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0), s"ws mismatch on ${r.getString(4)}")
+      assert(r.getLong(3) === r.getLong(1), s"bpe mismatch on ${r.getString(4)}")
+    }
+    // NULL text: kernel stays NULL like the regex forms stay NULL
+    val nr = Seq((1L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(TextAnalysis.tokenProfile(col("t")).as("p")).head()
+    assert(nr.isNullAt(0))
+  }
 }
