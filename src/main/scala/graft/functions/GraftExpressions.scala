@@ -294,6 +294,30 @@ case class TokenProfileExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass capped-BIGRAM LM score of a token array — [n_tokens,
+  * sum_micro_lnp] under three vocabulary tables shipped as ONE
+  * reference object (see [[TextKernels.BigramLnpKernel]]).
+  */
+case class BigramLnpExpr(child: Expression,
+    pairs: Seq[(String, String, Long)], firsts: Seq[(String, Long)],
+    unis: Seq[(String, Long)], total: Long,
+    alpha: Double) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bigram_lnp"
+  @transient private lazy val kernel =
+    new TextKernels.BigramLnpKernel(pairs, firsts, unis, total, alpha)
+  override protected def nullSafeEval(v: Any): Any =
+    kernel.eval(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("bigramLnpKernel", kernel, classOf[TextKernels.BigramLnpKernel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $k.eval($v);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass capped-unigram LM score of a token array — [n_tokens,
   * sum_micro_lnp] under a (token → 5-dp-lnp micro-units) table shipped
   * as ONE reference object (see [[TextKernels.VocabLnpKernel]]).
@@ -547,6 +571,24 @@ object GraftFunctions {
   private def unescVocab(s: String): String = s
     .replace("%1F", "\u001f").replace("%1E", "\u001e").replace("%25", "%")
 
+  /** (prev, tok, count) triples for the bigram kernel — same escaping
+    * discipline as [[encodeVocabLnp]], three US-separated fields per
+    * RS-separated record.
+    */
+  def encodeBigramCounts(entries: Seq[(String, String, Long)]): String =
+    entries.map { case (p, t, c) =>
+      escVocab(p) + '\u001f' + escVocab(t) + '\u001f' + c }.mkString("\u001e")
+
+  private def decodeBigramCounts(s: String): Seq[(String, String, Long)] =
+    if (s.isEmpty) Seq.empty
+    else s.split('\u001e').toSeq.map { rec =>
+      rec.split('\u001f') match {
+        case Array(p, t, c) => (unescVocab(p), unescVocab(t), c.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"graft_bigram_lnp pairs must be 'prev<US>tok<US>count' records, got '$rec'")
+      }
+    }
+
   private def decodeVocabLnp(s: String): Seq[(String, Long)] =
     if (s.isEmpty) Seq.empty
     else s.split('\u001e').toSeq.map { rec =>
@@ -623,6 +665,13 @@ object GraftFunctions {
     "graft_vocab_lnp" -> (es =>
       VocabLnpExpr(es(0), decodeVocabLnp(stringLit(es(1), "entries")),
         stringLit(es(2), "floorMicro").toLong)),
+    "graft_bigram_lnp" -> (es =>
+      BigramLnpExpr(es(0),
+        decodeBigramCounts(stringLit(es(1), "pairs")),
+        decodeVocabLnp(stringLit(es(2), "firsts")),
+        decodeVocabLnp(stringLit(es(3), "unis")),
+        stringLit(es(4), "total").toLong,
+        stringLit(es(5), "alpha").toDouble)),
     "graft_rp_project" -> (es => {
       val k = intLit(es(1), "k")
       require(k >= 1, s"graft_rp_project needs k >= 1, got $k")

@@ -384,6 +384,115 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** One-pass capped-BIGRAM LM scoring over a token array: [n_tokens,
+    * sum_micro] where each token contributes the 5-dp micro-units of its
+    * conditional ln-probability — first token ln((c2|alpha)/total),
+    * later tokens ln((c12 + alpha·p1)/(c1 + alpha)) — under three
+    * vocabulary maps shipped as ONE reference object. Arithmetic is the
+    * join pipeline's exact double sequence, and the per-term rounding is
+    * `BigDecimal(x).setScale(5, HALF_UP)` — the same code path Spark's
+    * `round(_, 5)` takes, so the long micro sum equals the old
+    * decimal(18,5) sum times 1e5 bit-for-bit (spec-pinned equality with
+    * the join form). Replaces the context-stream explode → 3 broadcast
+    * joins → groupBy(id) re-shuffle with a pure projection: the per-doc
+    * mean was the only reason the token stream shuffled.
+    */
+  final class BigramLnpKernel(pairs: Seq[(String, String, Long)],
+      firsts: Seq[(String, Long)], unis: Seq[(String, Long)],
+      total: Long, alpha: Double) extends Serializable {
+    private def micro(x: Double): Long =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.movePointRight(5).longValueExact
+    // raw counts (the double math below must replay the join pipeline's
+    // exact operation order)
+    private val c1m = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Long](firsts.size * 2)
+      firsts.foreach { case (p, c) => m.put(UTF8String.fromString(p), c) }
+      m
+    }
+    private val c2m = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Long](unis.size * 2)
+      unis.foreach { case (t, c) => m.put(UTF8String.fromString(t), c) }
+      m
+    }
+    private def p1Of(tok: UTF8String): Double = {
+      val c2 = c2m.get(tok)
+      (if (c2 == null) alpha else c2.doubleValue()) / total.toDouble
+    }
+    private def termMicro(c12v: Double, c1v: Double, p1: Double): Long =
+      micro(math.log((c12v + alpha * p1) / (c1v + alpha)))
+    // PRECOMPUTED micro terms — the rounding (a BigDecimal construction
+    // per value) is ~100× a hash probe, so it must happen once per
+    // DISTINCT input, not once per token: first-token terms per vocab
+    // entry + one OOV constant, and the conditional term of every pair
+    // in the c12 table. OOV-pair terms (c12 = 0) depend only on
+    // (c1(prev), c2(tok)|alpha) — memoized on first sight, keyed by the
+    // packed count pair, with a direct-compute guard for counts beyond
+    // 2^31 or a saturated memo (exactness never depends on the cache).
+    private val firstMicro = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Long](unis.size * 2)
+      unis.foreach { case (t, c) =>
+        m.put(UTF8String.fromString(t), micro(math.log(c.toDouble / total.toDouble))) }
+      m
+    }
+    private val firstOovMicro = micro(math.log(alpha / total.toDouble))
+    private val pairMicro = {
+      val m = new java.util.HashMap[UTF8String,
+        java.util.HashMap[UTF8String, java.lang.Long]]()
+      pairs.foreach { case (p, t, c12) =>
+        val pu = UTF8String.fromString(p)
+        val tu = UTF8String.fromString(t)
+        var inner = m.get(pu)
+        if (inner == null) {
+          inner = new java.util.HashMap[UTF8String, java.lang.Long]()
+          m.put(pu, inner)
+        }
+        val c1 = c1m.get(pu)
+        inner.put(tu, termMicro(c12.toDouble,
+          if (c1 == null) 0.0 else c1.doubleValue(), p1Of(tu)))
+      }
+      m
+    }
+    @transient private lazy val oovMemo =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    private val memoCap = 1 << 20
+    def eval(toks: ArrayData): ArrayData = {
+      val n = toks.numElements()
+      var sum = 0L
+      var prev: UTF8String = null
+      var i = 0
+      while (i < n) {
+        val tok = toks.getUTF8String(i)
+        if (i == 0) {
+          val fm = firstMicro.get(tok)
+          sum += (if (fm == null) firstOovMicro else fm.longValue())
+        } else {
+          val inner = pairMicro.get(prev)
+          val pm: java.lang.Long = if (inner == null) null else inner.get(tok)
+          if (pm != null) sum += pm.longValue()
+          else {
+            val c1 = c1m.get(prev)
+            val c1v = if (c1 == null) 0L else c1.longValue()
+            val c2 = c2m.get(tok)
+            val c2k = if (c2 == null) 0L else c2.longValue() + 1L // 0 = OOV
+            if (c1v < Int.MaxValue && c2k < Int.MaxValue) {
+              val key: java.lang.Long = (c1v << 31) | c2k
+              var v = oovMemo.get(key)
+              if (v == null) {
+                v = termMicro(0.0, c1v.toDouble, p1Of(tok))
+                if (oovMemo.size < memoCap) oovMemo.put(key, v)
+              }
+              sum += v.longValue()
+            } else sum += termMicro(0.0, c1v.toDouble, p1Of(tok))
+          }
+        }
+        prev = tok
+        i += 1
+      }
+      new GenericArrayData(Array(n.toLong, sum))
+    }
+  }
+
   /** One-pass token/char profile of a string — [n_tokens_ws, word_chars,
     * punct_chars] — replacing THREE regex scans (a `split` plus two
     * `regexp_replace`-then-`length`) with one code-point walk. Semantics

@@ -1075,6 +1075,33 @@ object Quality {
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                     v: BigramVocab, alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val k = call_function("graft_bigram_lnp", tokensGuarded(textCol),
+      lit(graft.functions.GraftFunctions.encodeBigramCounts(v.top)),
+      lit(graft.functions.GraftFunctions.encodeVocabLnp(v.first)),
+      lit(graft.functions.GraftFunctions.encodeVocabLnp(v.uni.top)),
+      lit(v.uni.total.toString), lit(alpha.toString))
+    // let-binding rule: one kernel evaluation feeds n and the mean
+    val packed = transform(array(k), kk => struct(
+      element_at(kk, 1).as("n_tokens"),
+      when(element_at(kk, 1) > 0,
+        (element_at(kk, 2).cast("double") / lit(100000.0)) / element_at(kk, 1))
+        .as("mean_logprob"))).getItem(0)
+    docs.select(col(idCol), packed.as("__s"))
+      .select(col(idCol), col("__s.n_tokens").as("n_tokens"),
+        col("__s.mean_logprob").as("mean_logprob"))
+  }
+
+  /** The pre-r15 join-pipeline form of [[bigramLogProb]] — context-stream
+    * explode, three broadcast joins, groupBy(id) re-shuffle. Kept as the
+    * independently-derived reference the kernel is spec-pinned against
+    * (KernelPropertySpec), exactly as the sequential BPE trainer anchors
+    * the batched/local ones. Not a production path: the groupBy(id)
+    * shuffles the whole token stream just to take a per-doc mean.
+    */
+  private[graft] def bigramLogProbViaJoin(docs: DataFrame, idCol: String,
+      textCol: String, v: BigramVocab, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
     val spark = docs.sparkSession
     val base = contextStream(docs, col(idCol), textCol)
     val biDf = {

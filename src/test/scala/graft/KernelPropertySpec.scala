@@ -506,4 +506,25 @@ class KernelPropertySpec extends SparkSpec {
       .select(TextAnalysis.tokenProfile(col("t")).as("p")).head()
     assert(nr.isNullAt(0))
   }
+
+  test("bigram LM kernel bit-equals the join pipeline across random corpora") {
+    import graft.operators.Quality
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(133)
+    val words = Vector("a", "bb", "ccc", "dd", "e", "ff", "oov1", "zz")
+    def doc() = (0 until rnd.nextInt(14))
+      .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    for (trial <- 1 to 6) {
+      val corpus = ((1 to 60).map(i => (i.toLong, doc())) ++
+        Seq((98L, ""), (99L, null.asInstanceOf[String])))
+        .toDF("doc_id", "text")
+      val v = Quality.bigramVocab(corpus, "text",
+        maxBigrams = 1 + rnd.nextInt(12), maxVocab = 1 + rnd.nextInt(6))
+      val got = Quality.bigramLogProb(corpus, "doc_id", "text", v)
+        .orderBy("doc_id").collect().toSeq
+      val ref = Quality.bigramLogProbViaJoin(corpus, "doc_id", "text", v)
+        .orderBy("doc_id").collect().toSeq
+      assert(got === ref, s"trial $trial")
+    }
+  }
 }
