@@ -294,6 +294,24 @@ case class TokenProfileExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass repetition profile of a token array — [n_tokens,
+  * max_token_count, ngram_instances, distinct_ngram_hashes] (see
+  * [[TextKernels.repProfile]]).
+  */
+case class RepProfileExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rep_profile"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.repProfile(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.TextKernels.repProfile($v, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass capped-BIGRAM LM score of a token array — [n_tokens,
   * sum_micro_lnp] under three vocabulary tables shipped as ONE
   * reference object (see [[TextKernels.BigramLnpKernel]]).
@@ -660,6 +678,11 @@ object GraftFunctions {
       BloomContainsExpr(es(0), binaryLit(es(1), "bloom bytes"))),
     "graft_char_entropy" -> (es => CharEntropyExpr(es(0))),
     "graft_token_profile" -> (es => TokenProfileExpr(es(0))),
+    "graft_rep_profile" -> (es => {
+      val n = intLit(es(1), "n")
+      require(n >= 2, s"graft_rep_profile needs n >= 2, got $n")
+      RepProfileExpr(es(0), n)
+    }),
     "graft_bpe_count" -> (es =>
       BpeCountExpr(es(0), decodeMerges(stringLit(es(1), "merges")))),
     "graft_vocab_lnp" -> (es =>

@@ -493,6 +493,49 @@ object TextKernels {
     }
   }
 
+  /** One-pass repetition profile of a token array — [n_tokens,
+    * max_token_count, ngram_instances, distinct_ngram_hashes] — the four
+    * counts q60's two explode→groupBy(id) chains shuffled the token
+    * stream (twice) to produce. Gram identity is the xxhash64 (seed 42)
+    * of the space-joined n-gram, exactly the `xxhash64(g)` the aggregate
+    * form grouped on — hash-collision stance unchanged. The fractions
+    * stay OUTSIDE the kernel as the same long→double casts and divides
+    * the aggregate computed, so results are bit-equal (spec-pinned).
+    */
+  def repProfile(toks: ArrayData, n: Int): ArrayData = {
+    val total = toks.numElements()
+    val tokCounts = new java.util.HashMap[UTF8String, Array[Long]]()
+    var maxC = 0L
+    var i = 0
+    while (i < total) {
+      val t = toks.getUTF8String(i)
+      val slot = tokCounts.get(t)
+      val c = if (slot == null) { tokCounts.put(t, Array(1L)); 1L }
+              else { slot(0) += 1; slot(0) }
+      if (c > maxC) maxC = c
+      i += 1
+    }
+    val grams = math.max(total - (n - 1), 0)
+    val seen = new java.util.HashSet[java.lang.Long](grams * 2 + 2)
+    val sp = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](2 * n - 1) // reused across grams
+    var k = 1
+    while (k < parts.length) { parts(k) = sp; k += 2 }
+    i = 0
+    while (i < grams) {
+      var j = 0
+      while (j < n) {
+        val t = toks.getUTF8String(i + j)
+        parts(2 * j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        j += 1
+      }
+      seen.add(XxHash64Function.hash(UTF8String.concat(parts: _*), StringType, 42L))
+      i += 1
+    }
+    new GenericArrayData(Array(total.toLong, maxC, grams.toLong,
+      seen.size.toLong))
+  }
+
   /** One-pass token/char profile of a string — [n_tokens_ws, word_chars,
     * punct_chars] — replacing THREE regex scans (a `split` plus two
     * `regexp_replace`-then-`length`) with one code-point walk. Semantics

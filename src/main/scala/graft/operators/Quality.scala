@@ -1464,11 +1464,40 @@ object Quality {
   def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2 for repetition analysis, got $n")
-    // null/blank text → ZERO tokens (tokenCountWs semantics), and the doc
-    // still gets an output row (zeros) — a downstream quality gate that
-    // joins against this profile must see failed-extraction docs, not
-    // silently pass them through. explode_outer keeps the empty-array
-    // row as one null token that the aggregates mask out.
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // null/blank text → ZERO tokens (tokenCountWs semantics), and the
+    // doc still gets an output row (zeros) — a downstream quality gate
+    // that joins against this profile must see failed-extraction docs,
+    // not silently pass them through. The graft_rep_profile kernel
+    // computes the four per-doc counts in ONE pass per row; the old
+    // two-explode→groupBy(id) form shuffled the token stream twice and
+    // the gram-hash stream once purely to take per-doc ratios (kept as
+    // [[repetitionProfileViaAgg]], the spec-pinned reference).
+    val k = call_function("graft_rep_profile", tokensGuarded(textCol), lit(n))
+    // let-binding rule: one kernel evaluation feeds all four outputs
+    val packed = transform(array(k), kk => struct(
+      element_at(kk, 1).as("n_tokens"),
+      when(element_at(kk, 1) > 0,
+        element_at(kk, 2).cast("double") / element_at(kk, 1).cast("double"))
+        .otherwise(lit(0.0)).as("top_token_frac"),
+      when(element_at(kk, 3) > 0,
+        (element_at(kk, 3) - element_at(kk, 4)).cast("double") /
+          element_at(kk, 3).cast("double"))
+        .otherwise(lit(0.0)).as("dup_ngram_frac"))).getItem(0)
+    docs.select(col(idCol), packed.as("__r"))
+      .select(col(idCol), col("__r.n_tokens").as("n_tokens"),
+        col("__r.top_token_frac").as("top_token_frac"),
+        col("__r.dup_ngram_frac").as("dup_ngram_frac"))
+  }
+
+  /** The pre-r15 aggregate form of [[repetitionProfile]] — two
+    * explode→groupBy(id) chains joined. Kept as the independently-derived
+    * reference the kernel is spec-pinned against (KernelPropertySpec);
+    * not a production path.
+    */
+  private[graft] def repetitionProfileViaAgg(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2 for repetition analysis, got $n")
     val toks = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
         array().cast("array<string>"))
       .otherwise(split(lower(trim(col(textCol))), "\\s+"))

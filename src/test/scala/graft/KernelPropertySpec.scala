@@ -527,4 +527,24 @@ class KernelPropertySpec extends SparkSpec {
       assert(got === ref, s"trial $trial")
     }
   }
+
+  test("repetition-profile kernel bit-equals the aggregate form on random corpora") {
+    import graft.operators.Quality
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(60)
+    val words = Vector("a", "b", "cc", "d", "a", "b") // skew toward repeats
+    def doc() = (0 until rnd.nextInt(16))
+      .map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    for (trial <- 1 to 6) {
+      val n = 2 + rnd.nextInt(3)
+      val corpus = ((1 to 50).map(i => (i.toLong, doc())) ++
+        Seq((98L, ""), (99L, null.asInstanceOf[String])))
+        .toDF("doc_id", "text")
+      val got = Quality.repetitionProfile(corpus, "doc_id", "text", n)
+        .orderBy("doc_id").collect().toSeq
+      val ref = Quality.repetitionProfileViaAgg(corpus, "doc_id", "text", n)
+        .orderBy("doc_id").collect().toSeq
+      assert(got === ref, s"trial $trial n=$n")
+    }
+  }
 }

@@ -320,14 +320,15 @@ class QualitySpec extends SparkSpec {
     assert(out(5) === ((6L, 0L, 0.0, 0.0)))
   }
 
-  test("repetitionProfile join adds no exchange beyond the four aggregations") {
+  test("repetitionProfile is a zero-shuffle kernel projection since r15") {
     val docs = Seq((1L, "a a b"), (2L, "x y z")).toDF("doc_id", "text")
     val p = Quality.repetitionProfile(docs, "doc_id", "text", n = 3)
       .queryExecution.executedPlan.toString
-    // 2 per aggregation chain (partial→final over (id,key) then (id));
-    // the final id-keyed join must reuse that partitioning, not add a 5th
-    assert(p.split("Exchange hashpartitioning").length - 1 <= 4, p.take(3000))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // the aggregate form shuffled the token stream twice and the gram
+    // hashes once purely to take per-doc ratios; the kernel projection
+    // has no exchanges, joins, or generates at all
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Join") && !p.contains("Generate"), p.take(3000))
   }
 
   test("contaminationScore: graded ratios, short docs NULL, one corpus scan") {
