@@ -30,16 +30,18 @@ object Bench {
     var failed = List.empty[String]
     // debugging/iteration knobs: comma-separated query names to leave out,
     // or (for targeted scale probes) the only ones to run. ONLY wins when
-    // both are set; names are matched by prefix so "q133" selects
-    // "q133_bigram_logprob" without spelling the suffix.
+    // both are set; both match exact-or-"p_" prefix so "q133" selects
+    // "q133_bigram_logprob" without spelling the suffix but "q14" does
+    // NOT sweep in q140-q149.
     val exclude = sys.env.getOrElse("GRAFT_BENCH_EXCLUDE", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val only = sys.env.getOrElse("GRAFT_BENCH_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    def matches(p: String, n: String) = n == p || n.startsWith(p + "_")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) =>
-        if (only.nonEmpty) only.exists(p => n == p || n.startsWith(p + "_") || n.startsWith(p))
-        else !exclude.exists(p => n == p || n.startsWith(p + "_"))
+        if (only.nonEmpty) only.exists(matches(_, n))
+        else !exclude.exists(matches(_, n))
       }
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()

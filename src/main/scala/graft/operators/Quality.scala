@@ -916,26 +916,59 @@ object Quality {
                     maxDictWords: Int = 4000000): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(maxDictWords >= 1, s"maxDictWords must be >= 1, got $maxDictWords")
-    val spark = docs.sparkSession
-    val rows = wordFreq(docs, textCol).limit(maxDictWords + 1).collect()
-    require(rows.length <= maxDictWords,
-      s"dictionary exceeds maxDictWords=$maxDictWords distinct words; " +
-        "use bpeTrainBatched or raise the cap")
+    val freq = collectDict(docs, textCol, maxDictWords).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: dictionary exceeds maxDictWords=$maxDictWords " +
+          "distinct words; use bpeTrainBatched or raise the cap"))
     lastTrainRounds.set(1)
-    val freq = rows.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
-    mergeTableFrame(spark, trainDict(freq, numMerges))
+    mergeTableFrame(docs.sparkSession, trainDict(freq, numMerges))
   }
 
-  /** Dictionary-size-routed trainer: counts the collapsed vocabulary
-    * (one extra tiny job over the word-count aggregate) and trains on
-    * the driver when it fits, batched-distributed when it doesn't.
+  /** Dictionary-size-routed trainer paying ONE corpus-sized job on the
+    * fits-on-driver path: it attempts the `limit(maxDictWords + 1)`
+    * dictionary collect directly (the bounded fetch IS the size probe —
+    * at most maxDictWords + 1 rows cross to the driver) and trains
+    * locally on success, falling back to [[bpeTrainBatched]] only when
+    * the capped collect overflows. The r15 shape — a full
+    * `wordFreq().count()` probe before the local path's own collect —
+    * paid the corpus-sized tokenize+count shuffle TWICE; spec-pinned via
+    * [[lastDictScans]] (the lastTrainRounds pattern).
     */
   def bpeTrainAuto(docs: DataFrame, textCol: String, numMerges: Int,
                    sep: String = "\u001f", topK: Int = 512,
-                   maxDictWords: Int = 4000000): DataFrame =
-    if (wordFreq(docs, textCol).count() <= maxDictWords)
-      bpeTrainLocal(docs, textCol, numMerges, maxDictWords)
-    else bpeTrainBatched(docs, textCol, numMerges, sep, topK)
+                   maxDictWords: Int = 4000000): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(maxDictWords >= 1, s"maxDictWords must be >= 1, got $maxDictWords")
+    collectDict(docs, textCol, maxDictWords) match {
+      case Some(freq) =>
+        lastTrainRounds.set(1)
+        mergeTableFrame(docs.sparkSession, trainDict(freq, numMerges))
+      case None => bpeTrainBatched(docs, textCol, numMerges, sep, topK)
+    }
+  }
+
+  /** Corpus-collapse scan counter for bpeTrainLocal/bpeTrainAuto on this
+    * thread (incremented once per [[collectDict]]; specs reset it before
+    * the call) — instrumentation pinning that the router pays the
+    * corpus-sized [[wordFreq]] job ONCE on the local path (the
+    * [[lastTrainRounds]] pattern).
+    */
+  private[graft] val lastDictScans = new ThreadLocal[Int] {
+    override def initialValue(): Int = 0
+  }
+
+  /** The trainers' shared bounded dictionary fetch: runs [[wordFreq]]
+    * capped at `maxDictWords + 1` rows and returns None on overflow —
+    * the fetch doubles as the fits-on-driver probe, so no separate
+    * corpus-sized count() job exists anywhere on this path.
+    */
+  private def collectDict(docs: DataFrame, textCol: String,
+                          maxDictWords: Int): Option[IndexedSeq[(String, Long)]] = {
+    lastDictScans.set(lastDictScans.get + 1)
+    val rows = wordFreq(docs, textCol).limit(maxDictWords + 1).collect()
+    if (rows.length > maxDictWords) None
+    else Some(rows.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq)
+  }
 
   /** The trainers' shared corpus collapse: ONE corpus-sized shuffle to
     * the distinct-word frequency dictionary.

@@ -690,12 +690,20 @@ class QualitySpec extends SparkSpec {
       tups(Quality.bpeTrain(trap, "text", numMerges = 5)))
     // auto: routed local under the default cap (1 round), batched when
     // the dictionary exceeds it — same table either way
+    Quality.lastDictScans.set(0)
     assert(tups(Quality.bpeTrainAuto(docs, "text", numMerges = 60)) ===
       seqOut)
     assert(Quality.lastTrainRounds.get === 1)
+    // the r15 router paid the corpus collapse TWICE (a count() probe,
+    // then the local collect); the capped collect must now BE the probe
+    assert(Quality.lastDictScans.get === 1)
+    Quality.lastDictScans.set(0)
     assert(tups(Quality.bpeTrainAuto(docs, "text", numMerges = 60,
       maxDictWords = 3)) === seqOut)
     assert(Quality.lastTrainRounds.get > 1)
+    // overflow fallback pays the bounded probe once; batched rebuilds its
+    // own aggregate (no second collectDict)
+    assert(Quality.lastDictScans.get === 1)
     // over-cap local fails fast instead of collecting the dictionary
     assertThrows[IllegalArgumentException] {
       Quality.bpeTrainLocal(docs, "text", numMerges = 2, maxDictWords = 3)
