@@ -839,7 +839,135 @@ object Oracles {
               ELSE 'test' END AS split
        FROM u"""
 
+  // ── URL web-curation family (q146-q148) ───────────────────────────────
+
+  /** q146-q148 shared synthesis CTEs — verbatim replay of
+    * [[Queries.synthUrl]] (same md5-derived domains, same CASE order for
+    * the %11/%13 port branches).
+    */
+  private val urlSynthCtes: String = {
+    val tlds = Queries.urlTlds.mkString("'", "','", "'")
+    s"""us0 AS (SELECT doc_id, source, n_chars, doc_id % 23 AS di,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+           FROM documents),
+       us1 AS (SELECT *,
+             'site' || substr(md5('dom' || CAST(di AS VARCHAR)), 1, 6) AS sld,
+             ([$tlds])[CAST(di % 5 AS INTEGER) + 1] AS tld
+           FROM us0),
+       us2 AS (SELECT *, (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN 'news.'
+                      WHEN doc_id % 7 = 1 THEN 'CDN.' ELSE '' END)
+             || sld || '.' || tld AS hostraw
+           FROM us1),
+       urls AS (SELECT doc_id, n_chars,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END) || '://'
+             || (CASE WHEN doc_id % 8 = 0 THEN upper(hostraw) ELSE hostraw END)
+             || (CASE WHEN doc_id % 11 = 0
+                      THEN (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+                      WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END)
+             || (CASE WHEN doc_id % 9 = 0 THEN ''
+                      ELSE '/' || source || '/' || h8 END)
+             || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id='
+                        || CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'
+                      WHEN doc_id % 4 = 1 THEN '?id='
+                        || CAST(doc_id % 50 AS VARCHAR) || '&gclid=CjK'
+                      WHEN doc_id % 4 = 2 THEN '?utm_medium=em'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS url
+           FROM us2)"""
+  }
+
+  /** Independent SQL replay of [[graft.functions.TextKernels.urlParts]]
+    * over the `urls` CTE — regex/list operations instead of the Scala
+    * walker, so each canonicalization rule is certified by a second
+    * implementation. Ends in `ucanon(doc_id, n_chars, url, host,
+    * url_canon, domain)`. The synthesized URLs always carry a valid
+    * scheme, so the walker's unparseable→NULL branch is certified in the
+    * unit spec rather than here.
+    */
+  private val urlCanonCtes: String = {
+    val tracking = graft.functions.TextKernels.trackingKeyList
+      .mkString("'", "','", "'")
+    val multi = graft.functions.TextKernels.multiSuffixList
+      .mkString("'", "','", "'")
+    s"""uc0 AS (SELECT doc_id, n_chars, url,
+             regexp_replace(trim(url, ' ' || chr(9)), '#.*', '') AS t
+           FROM urls),
+       uc1 AS (SELECT *, lower(split_part(t, '://', 1)) AS scheme,
+             substr(t, strpos(t, '://') + 3) AS rest
+           FROM uc0),
+       uc2 AS (SELECT *, regexp_extract(rest, '^[^/?]*') AS hostport FROM uc1),
+       uc3 AS (SELECT *, substr(rest, length(hostport) + 1) AS pathquery,
+             regexp_extract(hostport, ':([0-9]+)$$', 1) AS port_d
+           FROM uc2),
+       uc4 AS (SELECT *,
+             rtrim(lower(CASE WHEN port_d <> ''
+                  THEN substr(hostport, 1, length(hostport) - length(port_d) - 1)
+                  ELSE hostport END), '.') AS host1,
+             CASE WHEN (scheme = 'http' AND port_d = '80')
+                    OR (scheme = 'https' AND port_d = '443')
+                  THEN '' ELSE port_d END AS port
+           FROM uc3),
+       uc5 AS (SELECT *, CASE WHEN starts_with(host1, 'www.') AND length(host1) > 4
+                  THEN substr(host1, 5) ELSE host1 END AS host,
+             strpos(pathquery, '?') AS qpos
+           FROM uc4),
+       uc6 AS (SELECT *,
+             CASE WHEN qpos > 0 THEN substr(pathquery, 1, qpos - 1)
+                  ELSE pathquery END AS path0,
+             CASE WHEN qpos > 0 THEN substr(pathquery, qpos + 1) ELSE '' END AS q0,
+             string_split(host, '.') AS labs
+           FROM uc5),
+       uc7 AS (SELECT *,
+             CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+             array_to_string(list_filter(string_split(q0, '&'), x ->
+               x <> ''
+               AND NOT starts_with(lower(string_split(x, '=')[1]), 'utm_')
+               AND lower(string_split(x, '=')[1]) NOT IN ($tracking)), '&') AS keptq,
+             len(labs) AS nl
+           FROM uc6),
+       ucanon AS (SELECT doc_id, n_chars, url, host,
+             scheme || '://' || host
+               || (CASE WHEN port <> '' THEN ':' || port ELSE '' END)
+               || path
+               || (CASE WHEN keptq <> '' THEN '?' || keptq ELSE '' END) AS url_canon,
+             CASE WHEN regexp_matches(host, '^[0-9.]+$$') THEN host
+                  WHEN nl >= 3 AND (labs[nl - 1] || '.' || labs[nl]) IN ($multi)
+                    THEN labs[nl - 2] || '.' || labs[nl - 1] || '.' || labs[nl]
+                  WHEN nl >= 2 THEN labs[nl - 1] || '.' || labs[nl]
+                  ELSE host END AS domain
+           FROM uc7)"""
+  }
+
   val all: Map[String, String] = Map(
+    "q146_url_canonicalize" ->
+      s"""WITH $urlSynthCtes, $urlCanonCtes
+         SELECT doc_id, url, url_canon, host, domain FROM ucanon""",
+
+    "q147_domain_rollup" -> {
+      val blocked = Queries.urlBlockedDomains.mkString("'", "','", "'")
+      s"""WITH $urlSynthCtes, $urlCanonCtes
+         SELECT domain, count(*) AS n_docs,
+           count(DISTINCT host) AS n_hosts,
+           count(DISTINCT url_canon) AS n_pages,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM ucanon WHERE domain NOT IN ($blocked)
+         GROUP BY domain"""
+    },
+
+    "q148_per_domain_cap" ->
+      s"""WITH $urlSynthCtes, $urlCanonCtes,
+         u AS (SELECT doc_id, domain,
+             list_sum([(strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR) || ':42'), i + 1, 1)) - 1)
+                       * 16**(7 - i) for i in range(0, 8)]) / 4294967296.0 AS uv
+           FROM ucanon),
+         r AS (SELECT doc_id, domain,
+                 row_number() OVER (PARTITION BY domain ORDER BY uv, doc_id) AS rnk
+               FROM u)
+         SELECT doc_id, domain, CAST(rnk AS BIGINT) AS rank
+         FROM r WHERE rnk <= 5""",
+
     "q28_simhash" -> simhashOracle,
     "q63_semantic_dedup" -> semanticDedupOracle,
     "q64_split_assign" -> splitAssignOracle,

@@ -26,6 +26,64 @@ object Queries {
 
   private def dec(c: Column): Column = c.cast("decimal(18,4)")
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** q146-q148 URL-synthesis constants, shared with [[Oracles]] so the
+    * Spark plan and the DuckDB replay derive domains from one source of
+    * truth (the q141 md5-synthesis style: `documents` carries no URL
+    * column, so the family derives deterministic crawl-ish URLs from
+    * doc_id+source — scheme/www/case/port/tracking/fragment variants that
+    * exercise every canonicalization rule).
+    */
+  private[graft] val urlTlds = Seq("com", "org", "io", "co.uk", "com.au")
+  private[graft] def urlSld(idx: Int): String =
+    "site" + md5hex("dom" + idx).substring(0, 6)
+  /** The blocklist literals for q147: domain indexes 0 (a .com) and 3 (a
+    * .co.uk — the gate must hit multi-label registered domains too).
+    */
+  private[graft] val urlBlockedDomains: Seq[String] =
+    Seq(0, 3).map(i => urlSld(i) + "." + urlTlds(i % 5))
+
+  /** Deterministic URL from (doc_id, source) — 23 registered domains ×
+    * {www, news., CDN.} hosts × case/port/path/query/fragment variants;
+    * replayed verbatim by the oracle CTEs. Pure codegen projection.
+    */
+  private[graft] def synthUrl(d: Column, source: Column): Column = {
+    val di = pmod(d, lit(23))
+    val h8 = substring(md5(d.cast("string")), 1, 8)
+    val sld = concat(lit("site"),
+      substring(md5(concat(lit("dom"), di.cast("string"))), 1, 6))
+    val tld = element_at(array(urlTlds.map(lit): _*),
+      (pmod(di, lit(5)) + 1).cast("int"))
+    val hostraw = concat(
+      when(pmod(d, lit(2)) === 0, lit("www.")).otherwise(lit("")),
+      when(pmod(d, lit(7)) === 0, lit("news."))
+        .when(pmod(d, lit(7)) === 1, lit("CDN.")).otherwise(lit("")),
+      sld, lit("."), tld)
+    concat(
+      when(pmod(d, lit(3)) === 0, lit("HTTP")).otherwise(lit("https")),
+      lit("://"),
+      when(pmod(d, lit(8)) === 0, upper(hostraw)).otherwise(hostraw),
+      // %11 rows carry the scheme's DEFAULT port (canon must strip it);
+      // %13 rows carry :8080 (canon must keep it); %143 rows take the
+      // first branch — mirrored by the oracle's CASE order
+      when(pmod(d, lit(11)) === 0,
+          when(pmod(d, lit(3)) === 0, lit(":80")).otherwise(lit(":443")))
+        .when(pmod(d, lit(13)) === 0, lit(":8080")).otherwise(lit("")),
+      when(pmod(d, lit(9)) === 0, lit(""))
+        .otherwise(concat(lit("/"), source, lit("/"), h8)),
+      when(pmod(d, lit(4)) === 0,
+          concat(lit("?utm_source=feed&id="), pmod(d, lit(50)).cast("string"),
+            lit("&utm_campaign=x")))
+        .when(pmod(d, lit(4)) === 1,
+          concat(lit("?id="), pmod(d, lit(50)).cast("string"), lit("&gclid=CjK")))
+        .when(pmod(d, lit(4)) === 2, lit("?utm_medium=em"))
+        .otherwise(lit("")),
+      when(pmod(d, lit(6)) === 0, lit("#section-2")).otherwise(lit("")))
+  }
+
   /** q47's rule list — shared with the oracle generator so the Spark plan
     * and the DuckDB LIKE-chain are compiled from the same source of truth.
     * Rule 3 overlaps rule 2 on purpose ("large rod" rows match both):
@@ -841,6 +899,60 @@ object Queries {
       Quality.bpeEncode(docs, "doc_id", "text", merges)
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_tokens_ws"), col("n_bpe_tokens"), col("bpe_per_word"))
+    }),
+
+    // ── URL / domain web-curation family (the C4/RefinedWeb first step) ──
+
+    // URL canonicalization + registered-domain extraction: ONE one-walk
+    // codegen kernel call per row (the three projections index one
+    // deduped subexpression) — zero shuffles, plan-pinned. The DuckDB
+    // oracle replays every rule in independent regex/list SQL, so the
+    // walker is certified by a second implementation, not by itself
+    "q146_url_canonicalize" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), synthUrl(col("doc_id"), col("source")).as("url"))
+        .select(col("doc_id"), col("url"),
+          TextAnalysis.canonicalUrl(col("url")).as("url_canon"),
+          TextAnalysis.urlHost(col("url")).as("host"),
+          TextAnalysis.registeredDomain(col("url")).as("domain"))
+    }),
+
+    // registered-domain rollup behind the blocklist gate: docs/hosts/
+    // distinct-canonical-pages/chars per domain (n_pages < n_docs is the
+    // canonicalizer collapsing impression variants), blocked domains
+    // (one .com, one .co.uk) filtered BEFORE the shuffle by a
+    // plan-constant IN list — ONE hash aggregation; the two
+    // count-distincts ride the standard Expand partial-agg shape
+    "q147_domain_rollup" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val parts = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          synthUrl(col("doc_id"), col("source")).as("url"))
+        .select(col("n_chars"),
+          TextAnalysis.canonicalUrl(col("url")).as("url_canon"),
+          TextAnalysis.urlHost(col("url")).as("host"),
+          TextAnalysis.registeredDomain(col("url")).as("domain"))
+      parts.filter(!TextAnalysis.domainBlocked(col("domain"), urlBlockedDomains))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          countDistinct(col("url_canon")).as("n_pages"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // per-domain contribution cap: each registered domain keeps its 5
+    // smallest-hash docs (bounded-heap agg — losing rows never shuffle,
+    // no window sort; the anti-SEO-farm step right after canonicalization)
+    "q148_per_domain_cap" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val parts = Tables.documents(s, d)
+        .select(col("doc_id"), synthUrl(col("doc_id"), col("source")).as("url"))
+        .select(col("doc_id"),
+          TextAnalysis.registeredDomain(col("url")).as("domain"))
+      Sampling.perDomainCap(parts, col("domain"), col("doc_id"), k = 5,
+          portable = true)
+        .select(col("doc_id"), col("domain"), col("rank"))
     }),
 
     // distributed BPE tokenizer TRAINING via the BATCHED trainer (one

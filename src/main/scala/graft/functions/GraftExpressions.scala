@@ -294,6 +294,25 @@ case class TokenProfileExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-walk URL canonicalizer — [canon_url, host, registered_domain]
+  * (NULL elements for unparseable input; see [[TextKernels.urlParts]]
+  * for the rule list the DuckDB oracle replays in SQL).
+  */
+case class UrlCanonExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_url_canon"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.urlParts(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.TextKernels.urlParts($v);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass repetition profile of a token array — [n_tokens,
   * max_token_count, ngram_instances, distinct_ngram_hashes] (see
   * [[TextKernels.repProfile]]).
@@ -678,6 +697,7 @@ object GraftFunctions {
       BloomContainsExpr(es(0), binaryLit(es(1), "bloom bytes"))),
     "graft_char_entropy" -> (es => CharEntropyExpr(es(0))),
     "graft_token_profile" -> (es => TokenProfileExpr(es(0))),
+    "graft_url_canon" -> (es => UrlCanonExpr(es(0))),
     "graft_rep_profile" -> (es => {
       val n = intLit(es(1), "n")
       require(n >= 2, s"graft_rep_profile needs n >= 2, got $n")

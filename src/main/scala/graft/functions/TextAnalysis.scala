@@ -228,4 +228,40 @@ object TextAnalysis {
             least(lit(size), nToks - k * step).as("n_tok"))))
     }).getItem(0)
   }
+
+  // ── URL curation (web-crawl canonicalization; C4/RefinedWeb-class) ────
+
+  /** The one-walk URL kernel: [canon_url, host, registered_domain] (NULL
+    * elements for unparseable input). Prefer this single call + indexing
+    * when a projection needs more than one part — identical calls
+    * dedupe under Spark's subexpression elimination either way. Requires
+    * [[GraftFunctions.ensureRegistered]]. Rule list in
+    * [[TextKernels.urlParts]]; the whole family is a pure codegen
+    * projection (zero shuffles, plan-pinned).
+    */
+  def urlParts(url: Column): Column = call_function("graft_url_canon", url)
+
+  /** Canonical URL: fragment/tracking-param/default-port/www stripped,
+    * scheme+host lowercased, empty path → "/". Collapses the
+    * impression-level variants of one page to one key — the FIRST
+    * dedup/rollup step of web-crawl curation.
+    */
+  def canonicalUrl(url: Column): Column = urlParts(url).getItem(0)
+
+  /** Lowercased, www- and port-stripped host of a URL. */
+  def urlHost(url: Column): Column = urlParts(url).getItem(1)
+
+  /** Registered domain (eTLD+1 under the built-in suffix subset — see
+    * [[TextKernels.urlParts]]): the per-site rollup/cap/blocklist key.
+    */
+  def registeredDomain(url: Column): Column = urlParts(url).getItem(2)
+
+  /** TRUE when the registered domain sits on the blocklist (lowercase
+    * literal membership — a plan-constant IN list, the broadcast-free
+    * small-set gate shape). NULL domain (unparseable URL) gates FALSE:
+    * the caller decides separately what to do with unparseable rows.
+    */
+  def domainBlocked(domain: Column, blocked: Seq[String]): Column =
+    coalesce(domain.isin(blocked.map(_.toLowerCase(java.util.Locale.ROOT)): _*),
+      lit(false))
 }

@@ -586,4 +586,169 @@ object TextKernels {
     // neither alnum nor punct, so the trimmed walk already equals them
     new GenericArrayData(Array(tokens, wordChars, punctChars))
   }
+
+  // ── URL canonicalization (web-curation family) ─────────────────────────
+
+  /** Query-string keys dropped by the canonicalizer: click/campaign
+    * tracking identifiers that vary per impression without changing the
+    * page (the C4/RefinedWeb-class URL-collapse move; public curation
+    * literature). Matched on the LOWERCASED key; `utm_*` matches by
+    * prefix in the walker.
+    */
+  val trackingKeyList: Seq[String] =
+    Seq("gclid", "fbclid", "msclkid", "igshid", "mc_cid", "mc_eid",
+      "ref", "ref_src", "s_kwcid", "spm")
+
+  private val trackingKeys: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    trackingKeyList.foreach(s.add)
+    s
+  }
+
+  /** Multi-label public suffixes recognized by the registered-domain
+    * rule. Deliberately a BUILT-IN subset of the Mozilla public-suffix
+    * list (the full PSL is a data file a production deployment would
+    * ship as a plan constant the same way centroid matrices are); the
+    * rule is: host's last TWO labels in this set → registered domain is
+    * the last THREE labels, else the last two.
+    */
+  val multiSuffixList: Seq[String] =
+    Seq("co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au",
+      "org.au", "co.jp", "or.jp", "co.nz", "co.in", "co.za", "com.br",
+      "com.mx", "com.cn", "com.tw", "com.sg")
+
+  private val multiSuffix: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    multiSuffixList.foreach(s.add)
+    s
+  }
+
+  private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  /** One-walk URL canonicalizer → [canon_url, host, registered_domain]
+    * (all three NULL when the input has no valid `scheme://` prefix or an
+    * empty host). The canonical form — each rule independently replayable
+    * in plain SQL, which is how the DuckDB oracle certifies this walker:
+    *
+    *  1. trim ASCII space/tab; drop the fragment (first '#' onward);
+    *  2. scheme = `[A-Za-z][A-Za-z0-9+.-]*` before "://", lowercased —
+    *     anything else is unparseable (NULL triple);
+    *  3. host = authority up to the first '/' or '?', minus a trailing
+    *     `:digits` port; lowercased, trailing dots stripped, then ONE
+    *     leading "www." stripped (www/non-www collapse);
+    *  4. the port survives only when non-default (http:80 / https:443
+    *     are dropped);
+    *  5. empty path → "/" ("https://a.com" ≡ "https://a.com/");
+    *  6. query keeps its parameter ORDER but drops empty segments and
+    *     tracking keys ([[trackingKeys]] + the `utm_` prefix, key
+    *     compared lowercased); no survivors → no '?';
+    *  7. registered domain: all-[0-9.] hosts pass through verbatim (IPv4
+    *     has no registrable label), else last-2 labels — last-3 when the
+    *     last-2 form a [[multiSuffix]] entry.
+    */
+  def urlParts(u: UTF8String): ArrayData = {
+    val nulls = new GenericArrayData(Array[Any](null, null, null))
+    val raw = u.toString
+    var lo = 0
+    var hi = raw.length
+    while (lo < hi && (raw.charAt(lo) == ' ' || raw.charAt(lo) == '\t')) lo += 1
+    while (hi > lo && (raw.charAt(hi - 1) == ' ' || raw.charAt(hi - 1) == '\t')) hi -= 1
+    var s = raw.substring(lo, hi)
+    val frag = s.indexOf('#')
+    if (frag >= 0) s = s.substring(0, frag)
+    val ss = s.indexOf("://")
+    if (ss <= 0) return nulls
+    var i = 0
+    while (i < ss) {
+      val c = s.charAt(i)
+      val ok =
+        if (i == 0) (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+        else (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || isDigit(c) ||
+          c == '+' || c == '.' || c == '-'
+      if (!ok) return nulls
+      i += 1
+    }
+    val scheme = s.substring(0, ss).toLowerCase(java.util.Locale.ROOT)
+    val rest = s.substring(ss + 3)
+    var e = 0
+    while (e < rest.length && rest.charAt(e) != '/' && rest.charAt(e) != '?') e += 1
+    val hostport = rest.substring(0, e)
+    val pathquery = rest.substring(e)
+    // port = trailing ":digits" only — a colon with a non-numeric tail
+    // (IPv6 literals, junk) stays in the host and lets the domain rule
+    // handle it downstream
+    var host = hostport
+    var port = ""
+    val ci = hostport.lastIndexOf(':')
+    if (ci >= 0 && ci < hostport.length - 1) {
+      var j = ci + 1
+      while (j < hostport.length && isDigit(hostport.charAt(j))) j += 1
+      if (j == hostport.length) {
+        host = hostport.substring(0, ci)
+        port = hostport.substring(ci + 1)
+      }
+    }
+    host = host.toLowerCase(java.util.Locale.ROOT)
+    var he = host.length
+    while (he > 0 && host.charAt(he - 1) == '.') he -= 1
+    host = host.substring(0, he)
+    if (host.startsWith("www.") && host.length > 4) host = host.substring(4)
+    if (host.isEmpty) return nulls
+    if ((scheme == "http" && port == "80") || (scheme == "https" && port == "443"))
+      port = ""
+    val qi = pathquery.indexOf('?')
+    var path = if (qi >= 0) pathquery.substring(0, qi) else pathquery
+    val query = if (qi >= 0) pathquery.substring(qi + 1) else ""
+    if (path.isEmpty) path = "/"
+    val kept = new java.lang.StringBuilder
+    if (query.nonEmpty) {
+      var p0 = 0
+      while (p0 <= query.length) {
+        var p1 = query.indexOf('&', p0)
+        if (p1 < 0) p1 = query.length
+        if (p1 > p0) {
+          val seg = query.substring(p0, p1)
+          val eq = seg.indexOf('=')
+          val key = (if (eq >= 0) seg.substring(0, eq) else seg)
+            .toLowerCase(java.util.Locale.ROOT)
+          if (!key.startsWith("utm_") && !trackingKeys.contains(key)) {
+            if (kept.length > 0) kept.append('&')
+            kept.append(seg)
+          }
+        }
+        p0 = p1 + 1
+      }
+    }
+    val canon = new java.lang.StringBuilder(s.length)
+    canon.append(scheme).append("://").append(host)
+    if (port.nonEmpty) canon.append(':').append(port)
+    canon.append(path)
+    if (kept.length > 0) canon.append('?').append(kept)
+    // registered domain
+    var allNumDot = true
+    i = 0
+    while (i < host.length && allNumDot) {
+      val c = host.charAt(i)
+      if (!isDigit(c) && c != '.') allNumDot = false
+      i += 1
+    }
+    val domain =
+      if (allNumDot) host
+      else {
+        val l3 = host.lastIndexOf('.')
+        val l2 = if (l3 > 0) host.lastIndexOf('.', l3 - 1) else -1
+        if (l3 < 0) host // single label
+        else {
+          val last2 = host.substring(l2 + 1)
+          if (l2 >= 0 && multiSuffix.contains(last2)) {
+            val l1 = host.lastIndexOf('.', l2 - 1)
+            host.substring(l1 + 1)
+          } else last2
+        }
+      }
+    new GenericArrayData(Array[Any](
+      UTF8String.fromString(canon.toString),
+      UTF8String.fromString(host),
+      UTF8String.fromString(domain)))
+  }
 }

@@ -266,6 +266,43 @@ object Sampling {
         (col("pos") + 1).cast("long").as("rank")).toIndexedSeq: _*)
   }
 
+  /** Per-domain contribution cap — at most `k` documents per registered
+    * domain, the anti-boilerplate/anti-SEO-farm step web-crawl curation
+    * runs right after URL canonicalization (one domain must not dominate
+    * the corpus no matter how many pages it serves). Selection is
+    * [[stratifiedExactK]] keyed on the domain: by default each domain
+    * keeps its k smallest-id-hash docs (deterministic, order-free,
+    * reproducible as the corpus grows); pass `priority` (a quality score,
+    * a length…) to keep the k BEST instead — ties break by id, rows with
+    * NULL priority are never kept. Output appends `rank` (1-based within
+    * the domain).
+    *
+    * Scale shape: ONE aggregation with the bounded top-k heap — map-side
+    * partial heaps merge, losing rows never shuffle, no window sort. A
+    * NULL domain (unparseable URL) is dropped, not capped as a group:
+    * routing every junk URL into one giant pseudo-domain would both skew
+    * that reducer and silently keep k junk rows.
+    */
+  def perDomainCap(df: DataFrame, domainCol: Column, idCol: Column, k: Int,
+                   priority: Option[Column] = None, seed: Long = 42L,
+                   portable: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Seq("pos", "col", "rank").foreach { reserved =>
+      require(!df.columns.exists(_.equalsIgnoreCase(reserved)),
+        s"perDomainCap working/output column '$reserved' already exists on the input")
+    }
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val key = priority.getOrElse(-uniform01(idCol, seed, portable))
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.filter(idCol.isNotNull && domainCol.isNotNull &&
+        (if (priority.isEmpty) lit(true) else key.isNotNull))
+      .groupBy(domainCol.as("__domain"))
+      .agg(call_function("graft_top_k_by", payload, key, idCol, lit(k)).as("top"))
+      .select(posexplode(col("top")))
+      .select((df.columns.map(c => col(s"col.$c")) :+
+        (col("pos") + 1).cast("long").as("rank")).toIndexedSeq: _*)
+  }
+
   /** Weighted deterministic exact-k per stratum — the A-ES weighted
     * reservoir (Efraimidis–Spirakis, public literature): each row draws
     * key = u^(1/w) from its id-hash uniform and every stratum keeps the

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, TextAnalysis}
+import graft.operators.Sampling
+
+/** URL canonicalization / registered-domain / per-domain-cap family
+  * (q146-q148). The kernel's rule list is certified against the DuckDB
+  * regex replay by the oracle gate; THIS spec pins the edges the
+  * synthesized corpus can't reach (unparseable input, IP hosts, weird
+  * ports, suffix-set boundaries) plus the cap/gate operator semantics.
+  */
+class UrlCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parts(url: String): (String, String, String) = {
+    GraftFunctions.ensureRegistered(spark)
+    val r = Seq(Tuple1(url)).toDF("url")
+      .select(TextAnalysis.canonicalUrl(col("url")),
+        TextAnalysis.urlHost(col("url")),
+        TextAnalysis.registeredDomain(col("url")))
+      .collect()(0)
+    (r.getString(0), r.getString(1), r.getString(2))
+  }
+
+  test("canonicalization rules: scheme/host case, www, ports, path, query, fragment") {
+    // scheme + host lowercase, www strip, fragment drop, empty path → /
+    assert(parts("HTTPS://WWW.Example.COM#frag") ===
+      (("https://example.com/", "example.com", "example.com")))
+    // default ports stripped per scheme; non-default kept
+    assert(parts("http://a.com:80/x")._1 === "http://a.com/x")
+    assert(parts("https://a.com:443/x")._1 === "https://a.com/x")
+    assert(parts("https://a.com:80/x")._1 === "https://a.com:80/x")
+    assert(parts("http://a.com:8080/x")._1 === "http://a.com:8080/x")
+    // trailing host dots stripped; ONE leading www. stripped
+    assert(parts("https://example.com./x")._2 === "example.com")
+    assert(parts("https://www.www.example.com/x")._2 === "www.example.com")
+    // query: tracking keys dropped (case-insensitive key, utm_ by
+    // prefix), survivor ORDER preserved, empty segments dropped,
+    // all-tracking query loses its '?'
+    assert(parts("https://a.com/p?UTM_Source=x&id=7&&b=c=d&fbclid=z")._1 ===
+      "https://a.com/p?id=7&b=c=d")
+    assert(parts("https://a.com/p?utm_medium=em")._1 === "https://a.com/p")
+    // host-only URL with query: empty path still becomes "/"
+    assert(parts("https://a.com?id=1")._1 === "https://a.com/?id=1")
+  }
+
+  test("registered domain: suffix set, IP hosts, label-count edges") {
+    assert(parts("https://news.blogs.bbc.co.uk/x")._3 === "bbc.co.uk")
+    assert(parts("https://a.b.example.com/x")._3 === "example.com")
+    assert(parts("https://co.uk/")._3 === "co.uk") // bare 2-label suffix
+    assert(parts("https://localhost:9090/x")._3 === "localhost")
+    assert(parts("http://192.168.0.1:8080/a") ===
+      (("http://192.168.0.1:8080/a", "192.168.0.1", "192.168.0.1")))
+  }
+
+  test("unparseable input → NULL triple; NULL propagates") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq("no-scheme.com/x", "ht!tp://x.com", "https:///nohost",
+        "://x", "")
+      .toDF("url")
+      .select(TextAnalysis.canonicalUrl(col("url")).as("c"),
+        TextAnalysis.urlHost(col("url")).as("h"),
+        TextAnalysis.registeredDomain(col("url")).as("d"))
+    assert(df.filter(col("c").isNotNull || col("h").isNotNull ||
+      col("d").isNotNull).count() === 0)
+    val n = Seq(Tuple1(null: String)).toDF("url")
+      .select(TextAnalysis.canonicalUrl(col("url"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("domainBlocked: literal gate, lowercase contract, NULL gates false") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq(Some("bad.com"), Some("good.org"), None).toDF("domain")
+      .withColumn("b", TextAnalysis.domainBlocked(col("domain"), Seq("BAD.com")))
+    assert(df.orderBy("domain").select("b").as[Boolean].collect().toSeq ===
+      Seq(false, true, false)) // NULL sorts first in orderBy asc
+  }
+
+  test("perDomainCap: ≤k per domain, deterministic, rank 1-based") {
+    val docs = (0L until 200L).map(i => (i, s"dom${i % 7}.com")).toDF("doc_id", "domain")
+    val kept = Sampling.perDomainCap(docs, col("domain"), col("doc_id"), k = 9)
+    val byDom = kept.groupBy("domain").count().collect()
+    assert(byDom.length === 7 && byDom.forall(_.getLong(1) === 9L))
+    assert(kept.filter(col("rank") < 1 || col("rank") > 9).count() === 0)
+    // deterministic under repartition
+    val again = Sampling.perDomainCap(docs.repartition(13), col("domain"),
+      col("doc_id"), k = 9)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // NULL domain rows are dropped, not capped as a pseudo-group
+    val withNull = docs.withColumn("domain",
+      when(col("doc_id") % 2 === 0, col("domain")))
+    val keptN = Sampling.perDomainCap(withNull, col("domain"), col("doc_id"), k = 9)
+    assert(keptN.filter(col("domain").isNull).count() === 0)
+  }
+
+  test("perDomainCap priority variant keeps the k best, ties by id") {
+    val docs = (0L until 60L).map(i => (i, s"d${i % 3}", (i % 10).toDouble))
+      .toDF("doc_id", "domain", "score")
+    val kept = Sampling.perDomainCap(docs, col("domain"), col("doc_id"),
+      k = 4, priority = Some(col("score")))
+    // every kept row's score must be in that domain's top-4 score set
+    assert(kept.count() === 12)
+    assert(kept.filter(col("score") < 8.0).count() === 0)
+    // NULL priority rows are never kept
+    val np = docs.withColumn("score",
+      when(col("score") > 0, col("score")))
+    val keptNp = Sampling.perDomainCap(np, col("domain"), col("doc_id"),
+      k = 4, priority = Some(col("score")))
+    assert(keptNp.filter(col("score").isNull).count() === 0)
+  }
+
+  test("q146 plan: one shuffle-free codegen projection") {
+    val p = Queries.all("q146_url_canonicalize")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
+      p.take(1500))
+    assert(p.contains("*(1)"), p.take(1500)) // whole-stage codegen
+  }
+
+  test("q148 plan: bounded-heap agg — no window sort, one exchange") {
+    val p = Queries.all("q148_per_domain_cap")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window") && !p.contains("SortAggregate"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+  }
+}
