@@ -3272,6 +3272,22 @@ object Oracles {
 
     // q86: PMI collocations replayed — adjacent pairs via 1-based list
     // indexing, same 5-dp ln discipline, same (pmi desc, "w1 w2" asc) cut
+    // q149: the q133 vocab build isolated — adjacent-pair counts over the
+    // whitespace token stream (the q86 pair replay), top-256 by
+    // (n DESC, space-joined pair) = the graft_top_k_by heap order
+    "q149_bigram_vocab_build" ->
+      """WITH toks AS (SELECT CASE WHEN text IS NULL OR length(trim(text)) = 0
+             THEN [] ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+           FROM documents),
+         pairs AS (SELECT t[i] AS prev, t[i + 1] AS tok
+           FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)),
+         pc AS (SELECT prev, tok, count(*) AS n FROM pairs GROUP BY 1, 2),
+         r AS (SELECT prev, tok, n,
+                 row_number() OVER (ORDER BY n DESC, prev || ' ' || tok) AS rnk
+               FROM pc)
+         SELECT prev, tok, n, CAST(rnk AS BIGINT) AS rank
+         FROM r WHERE rnk <= 256""",
+
     "q86_collocations" ->
       """WITH toks AS (SELECT CASE WHEN text IS NULL OR length(trim(text)) = 0
              THEN [] ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t

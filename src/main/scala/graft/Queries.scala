@@ -1016,6 +1016,22 @@ object Queries {
           col("n_tokens"), col("mean_logprob"))
     }),
 
+    // the q133 BIGRAM VOCAB BUILD in isolation (the r15 verdict's pin:
+    // q133's per-run cost is this build's ONE data-sized (prev,tok)
+    // shuffle, but its 9-53 s noise band at 100× had no probe separating
+    // it from the scoring kernel — GRAFT_BENCH_ONLY=q133,q149 now
+    // records the build-vs-score split). Same caps as q133; output is
+    // the ranked top-bigram table itself (the q136 analog for bigrams —
+    // a first-class LM artifact, fully oracled)
+    "q149_bigram_vocab_build" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val (topF, _) = Quality.bigramVocabFrames(Tables.documents(s, d),
+        "text", maxBigrams = 256, maxVocab = 24)
+      topF.select(posexplode(col("top")))
+        .select(col("col.prev").as("prev"), col("col.tok").as("tok"),
+          col("col.c").as("n"), (col("pos") + 1).cast("long").as("rank"))
+    }),
+
     // incremental dedup primitive: every (increment src1, history) doc
     // pair sharing a word 3-gram, with jaccard + left containment —
     // thresholds are the caller's cut. COLLAPSE-FIRST default: pairs are

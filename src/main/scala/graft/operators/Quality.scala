@@ -1061,9 +1061,18 @@ object Quality {
     * unigram backoff reuses [[unigramVocab]]'s single pass. Only
     * maxBigrams + 2·maxVocab rows reach the driver.
     */
-  def bigramVocab(corpus: DataFrame, textCol: String,
-                  maxBigrams: Int = 1 << 18,
-                  maxVocab: Int = 1 << 16): BigramVocab = {
+  /** The two capped aggregation frames behind [[bigramVocab]], exposed
+    * so the plan pin and the q149 build probe can see the chain BEFORE
+    * the driver-side head(): `top` = one row holding the maxBigrams
+    * bounded heap (ordered c DESC, then the space-joined pair), `first`
+    * = one row holding the maxVocab per-first-token totals. The pinned
+    * scale shape: ONE data-sized Exchange (the (prev, tok) hash
+    * partition) per frame — everything after it groups the already-
+    * collapsed table; no window, no sort-aggregate.
+    */
+  private[graft] def bigramVocabFrames(corpus: DataFrame, textCol: String,
+                                       maxBigrams: Int,
+                                       maxVocab: Int): (DataFrame, DataFrame) = {
     require(maxBigrams >= 1, s"maxBigrams must be >= 1, got $maxBigrams")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val pairs = contextStream(corpus, lit(0L), textCol)
@@ -1071,12 +1080,22 @@ object Quality {
       .groupBy("prev", "tok").agg(count(lit(1)).as("c"))
     // tokens are whitespace-split, so the space-joined pair is a unique,
     // engine-reproducible tie-break (ORDER BY c DESC, prev || ' ' || tok)
-    val topRow = pairs.agg(call_function("graft_top_k_by",
+    val topF = pairs.agg(call_function("graft_top_k_by",
       struct(col("prev"), col("tok"), col("c")), col("c"),
-      concat_ws(" ", col("prev"), col("tok")), lit(maxBigrams)).as("top")).head()
-    val firstRow = pairs.groupBy("prev").agg(sum("c").as("c1"))
+      concat_ws(" ", col("prev"), col("tok")), lit(maxBigrams)).as("top"))
+    val firstF = pairs.groupBy("prev").agg(sum("c").as("c1"))
       .agg(call_function("graft_top_k_by", struct(col("prev"), col("c1")),
-        col("c1"), col("prev"), lit(maxVocab)).as("first")).head()
+        col("c1"), col("prev"), lit(maxVocab)).as("first"))
+    (topF, firstF)
+  }
+
+  def bigramVocab(corpus: DataFrame, textCol: String,
+                  maxBigrams: Int = 1 << 18,
+                  maxVocab: Int = 1 << 16): BigramVocab = {
+    val (topF, firstF) =
+      bigramVocabFrames(corpus, textCol, maxBigrams, maxVocab)
+    val topRow = topF.head()
+    val firstRow = firstF.head()
     def rows3(r: org.apache.spark.sql.Row, i: Int) =
       if (r.isNullAt(i)) Seq.empty[org.apache.spark.sql.Row]
       else r.getSeq[org.apache.spark.sql.Row](i)

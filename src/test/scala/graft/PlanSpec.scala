@@ -559,4 +559,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
     assert(!p.contains("Generate"), p.take(2000))
   }
+
+  test("q149/q133 vocab build: ONE data-sized exchange, heap aggs, no window") {
+    // q133's remaining per-run cost is this build (the scorer itself is
+    // exchange-free, pinned above); its scale shape — one (prev, tok)
+    // hash partition then bounded heaps — must not regress into a
+    // window sort or a second data-sized shuffle
+    val df: DataFrame = Queries.all("q149_bigram_vocab_build")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2500))
+    assert(p.contains("ObjectHashAggregate"), p.take(2500))
+    assert(!p.contains("Window") && !p.contains("SortAggregate"), p.take(2500))
+    // the first-token-totals frame regroups the COLLAPSED table: its
+    // second exchange moves distinct bigrams, not the token stream
+    val (_, firstF) = graft.operators.Quality.bigramVocabFrames(
+      graft.sources.Tables.documents(spark, sf), "text", 256, 24)
+    val pf = firstF.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(pf).size <= 2, pf.take(2500))
+    assert(!pf.contains("Window") && !pf.contains("SortAggregate"), pf.take(2500))
+  }
 }
