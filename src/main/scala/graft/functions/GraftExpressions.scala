@@ -382,14 +382,15 @@ case class VocabLnpExpr(child: Expression, entries: Seq[(String, Long)],
   * sequential-by-rank symbol-list semantics and the boundary-safety
   * contract).
   */
-case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
+case class BpeCountExpr(child: Expression, merges: Seq[(String, String)],
+                        rescan: Boolean = false)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${child.dataType}")
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_bpe_count"
-  @transient private lazy val kernel = new TextKernels.BpeKernel(merges)
+  @transient private lazy val kernel = new TextKernels.BpeKernel(merges, rescan)
   override protected def nullSafeEval(v: Any): Any =
     kernel.tokenCount(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -703,8 +704,11 @@ object GraftFunctions {
       require(n >= 2, s"graft_rep_profile needs n >= 2, got $n")
       RepProfileExpr(es(0), n)
     }),
+    // optional 3rd arg: 1 = HF-compat rescan-lowest-rank encode (foreign
+    // merge tables); absent/0 = the fold default (training-order tables)
     "graft_bpe_count" -> (es =>
-      BpeCountExpr(es(0), decodeMerges(stringLit(es(1), "merges")))),
+      BpeCountExpr(es(0), decodeMerges(stringLit(es(1), "merges")),
+        rescan = es.length > 2 && intLit(es(2), "rescan") == 1)),
     "graft_vocab_lnp" -> (es =>
       VocabLnpExpr(es(0), decodeVocabLnp(stringLit(es(1), "entries")),
         stringLit(es(2), "floorMicro").toLong)),

@@ -276,17 +276,22 @@ object TextKernels {
     * monotone floor (a merge whose rank has passed is never revisited —
     * the sequential contract; on real training outputs this also equals
     * the reference apply-lowest-rank-first encode loop, since a merge's
-    * constituents always fused at earlier ranks). CONTRACT: the table
-    * must therefore be a TRAINING-ORDER table (graft.operators.Quality
-    * bpeTrain output or fold-consistent equivalent); for an arbitrary
-    * foreign table where a later merge creates a symbol that re-enables
-    * an earlier rank, the floor would skip that rank and counts can
-    * diverge from an HF-style re-scan-from-rank-0 encoder — see the
-    * contract note on Quality.bpeEncode. The table ships ONCE
+    * constituents always fused at earlier ranks). CONTRACT: the default
+    * mode therefore expects a TRAINING-ORDER table (graft.operators
+    * .Quality bpeTrain output or fold-consistent equivalent); for an
+    * arbitrary FOREIGN table (an HF-style tokenizer's merges.txt) where
+    * a later merge can create a symbol that re-enables an earlier rank,
+    * pass `rescan = true` — the floor stays at 0 and every application
+    * re-scans from rank 0, which IS the HF/GPT-2 reference encode loop
+    * (lowest-ranked pair anywhere, all occurrences fused greedy-LTR,
+    * repeat; fuzz-pinned against an independent reference encoder and
+    * against the fold's provable equality on training-order tables).
+    * The table ships ONCE
     * per plan as a reference object, never as per-merge expression nodes
     * — plan size stays O(1) at a production tokenizer's 30k-50k merges.
     */
-  final class BpeKernel(merges: Seq[(String, String)]) extends Serializable {
+  final class BpeKernel(merges: Seq[(String, String)],
+                        rescan: Boolean = false) extends Serializable {
     private val table: Array[(String, String)] = merges.toArray
     private val rank: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](merges.size * 2)
@@ -330,7 +335,14 @@ object TextKernels {
             } else { out.add(syms.get(p)); p += 1 }
           }
           syms = out
-          floor = best + 1
+          // rescan (HF-compat) mode: a freshly-fused symbol may re-enable
+          // an EARLIER rank, so the floor never advances — the loop still
+          // terminates because every applied merge shrinks the list.
+          // Default (fold) mode keeps the monotone floor: training-order
+          // tables guarantee no earlier rank ever re-enables, making the
+          // two modes provably equal there (spec-pinned) and the fold
+          // cheaper on long words.
+          floor = if (rescan) 0 else best + 1
           done = syms.size < 2
         }
       }

@@ -995,25 +995,30 @@ object Quality {
     * encoding is zero-shuffle, streaming-safe, and embarrassingly
     * parallel at any corpus size.
     *
-    * MERGE-TABLE CONTRACT: `merges` must be a TRAINING-ORDER table with
-    * fold semantics — each merge is applied corpus-wide in rank order,
-    * exactly what [[bpeTrain]]/[[bpeTrainBatched]] emit. The kernel's
-    * fuse loop exploits the monotone rank floor that training-order
-    * tables guarantee (a merge never becomes newly applicable at a rank
-    * below one already passed). An ARBITRARY externally-supplied table
-    * (e.g. an HF-style tokenizer's merges, where encode re-scans for the
-    * lowest-ranked applicable pair after every application and a
-    * later-created symbol can re-enable an earlier rank) may count
-    * differently; re-train with [[bpeTrain]] or verify the table is
-    * fold-consistent before trusting counts from foreign merges.
+    * MERGE-TABLE CONTRACT: by default `merges` must be a TRAINING-ORDER
+    * table with fold semantics — each merge is applied corpus-wide in
+    * rank order, exactly what [[bpeTrain]]/[[bpeTrainBatched]] emit. The
+    * kernel's fuse loop exploits the monotone rank floor that
+    * training-order tables guarantee (a merge never becomes newly
+    * applicable at a rank below one already passed). For an ARBITRARY
+    * externally-supplied table (e.g. an HF-style tokenizer's merges.txt,
+    * where encode re-scans for the lowest-ranked applicable pair after
+    * every application and a later-created symbol can re-enable an
+    * earlier rank) pass `hfCompat = true`: the kernel drops the floor and
+    * runs the HF/GPT-2 reference loop, so foreign tables count correctly
+    * (fuzz-pinned against an independent reference encoder; on
+    * training-order tables the two modes are spec-pinned EQUAL, which is
+    * why the cheaper fold stays the default).
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)],
-                keepCols: Seq[String] = Nil): DataFrame = {
+                keepCols: Seq[String] = Nil,
+                hfCompat: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val enc = graft.functions.GraftFunctions.encodeMerges(merges)
     val perWord: Column => Column = w =>
-      call_function("graft_bpe_count", w, lit(enc))
+      if (hfCompat) call_function("graft_bpe_count", w, lit(enc), lit(1))
+      else call_function("graft_bpe_count", w, lit(enc))
     val empty = col(textCol).isNull || length(trim(col(textCol))) === 0
     val counts = transform(tokens(col(textCol)), perWord)
     docs.select(col(idCol) +: keepCols.map(col) :+

@@ -526,6 +526,74 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("bpe kernel rescan mode == HF reference encoder; fold == rescan on training-order tables") {
+    // independent HF/GPT-2 reference loop: find the lowest-ranked pair
+    // present ANYWHERE, fuse all its occurrences greedy-LTR, repeat from
+    // rank 0 — no monotone floor
+    def fuseRef(syms: List[String], l: String, r: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: fuseRef(rest, l, r)
+        case a :: rest => a :: fuseRef(rest, l, r)
+        case Nil => Nil
+      }
+    def encodeHfRef(word: String, merges: Seq[(String, String)]): Int = {
+      val rank = merges.zipWithIndex.groupBy(_._1)
+        .map { case (p, vs) => p -> vs.map(_._2).min }
+      var syms = word.map(_.toString).toList
+      var go = syms.size >= 2
+      while (go) {
+        val present = syms.zip(syms.tail).flatMap(p => rank.get(p).map((_, p)))
+        if (present.isEmpty) go = false
+        else {
+          val (_, (l, r)) = present.minBy(_._1)
+          syms = fuseRef(syms, l, r)
+          go = syms.size >= 2
+        }
+      }
+      syms.size
+    }
+    // the divergence witness from the contract note: rank-1 (a,b) creates
+    // "ab", re-enabling rank-0 ("ab","c") that the fold has already passed
+    val trap = Seq(("ab", "c"), ("a", "b"))
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("abc")
+    assert(new graft.functions.TextKernels.BpeKernel(trap).tokenCount(u) === 2)
+    assert(new graft.functions.TextKernels.BpeKernel(trap, rescan = true)
+      .tokenCount(u) === 1)
+    assert(encodeHfRef("abc", trap) === 1)
+    // fuzz: rescan kernel == HF reference on ARBITRARY tables
+    val rnd = new scala.util.Random(20260815L)
+    val alpha = "abc"
+    def sym(): String =
+      (0 until (1 + rnd.nextInt(2))).map(_ => alpha(rnd.nextInt(3))).mkString
+    for (_ <- 1 to 2000) {
+      val word = (0 until rnd.nextInt(9)).map(_ => alpha(rnd.nextInt(3))).mkString
+      val merges = (0 until rnd.nextInt(6)).map(_ => (sym(), sym()))
+      val got = new graft.functions.TextKernels.BpeKernel(merges, rescan = true)
+        .tokenCount(org.apache.spark.unsafe.types.UTF8String.fromString(word))
+      assert(got === encodeHfRef(word, merges), s"word=$word merges=$merges")
+    }
+    // contract claim: on a REAL training-order table the fold default and
+    // the HF rescan encode agree word-for-word (why fold stays default)
+    val words = (1 to 120).flatMap { i =>
+      Seq.fill(1 + 240 / i)(java.lang.Long.toString(i.toLong + 7, 7))
+    }
+    val corpus = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val trained = Quality.bpeTrain(corpus, "text", numMerges = 60).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val fold = new graft.functions.TextKernels.BpeKernel(trained)
+    val hf = new graft.functions.TextKernels.BpeKernel(trained, rescan = true)
+    words.distinct.foreach { w =>
+      val uw = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+      assert(fold.tokenCount(uw) === hf.tokenCount(uw), s"word=$w")
+    }
+    // DataFrame surface: bpeEncode(hfCompat = true) routes the flag
+    val foreignDocs = Seq((1L, "abc abc xyz")).toDF("doc_id", "text")
+    val viaDf = Quality.bpeEncode(foreignDocs, "doc_id", "text", trap,
+        hfCompat = true)
+      .select("n_bpe_tokens").collect()(0).getLong(0)
+    assert(viaDf === 1L + 1L + 3L) // "abc"→1 (HF), "abc"→1, "xyz"→3
+  }
+
   test("bpeTrainBatched == sequential bpeTrain, in fewer count jobs") {
     def tups(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
