@@ -2382,6 +2382,23 @@ object Oracles {
          CAST((c_custkey * 13) % 256 AS INTEGER) AS mean_b
          FROM customer""",
 
+    // q150: replays the audio synthesis FORMULAS (samples never leave
+    // Spark; if the WAV container round-trip is broken the measured
+    // stats can't match these closed forms)
+    "q150_audio_meta" ->
+      """WITH a AS (SELECT c_custkey,
+             CAST((c_custkey % 4) * 160 + 320 AS INTEGER) AS n,
+             [abs((c_custkey * 31 + t * 7919) % 65536 - 32768)
+              for t in range(0, CAST((c_custkey % 4) * 160 + 320 AS INTEGER))] AS s
+           FROM customer)
+         SELECT c_custkey AS media_id, 'audio' AS kind,
+           CAST(8000 + (c_custkey % 3) * 4000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(s) // n AS BIGINT) AS mean_abs,
+           CAST(list_max(s) AS INTEGER) AS peak
+         FROM a""",
+
     "q34_day_slice" ->
       """SELECT event_id, ts, user_id, event_type FROM (
            SELECT event_id, ts, user_id, event_type,

@@ -334,6 +334,17 @@ object Queries {
         Multimodal.synthesizeImages(Tables.customer(s, d), "c_custkey"),
         ImageIoCodec)),
 
+    // REAL WAV audio round-trip (the q32 move for audio, closing the
+    // StubCodec honesty gap for one more format): synthesize PCM-16 WAVs
+    // whose samples are integer formulas of the id, decode them through
+    // the JDK javax.sound.sampled reader, emit measured format + integer
+    // amplitude stats — the oracle replays the FORMULAS, so the row only
+    // matches if the codec genuinely parses the RIFF container
+    "q150_audio_meta" -> ((s, d) =>
+      Multimodal.decodeAudioMeta(
+        Multimodal.synthesizeAudio(Tables.customer(s, d), "c_custkey"),
+        AudioWavCodec)),
+
     "q34_day_slice" -> ((s, d) =>
       Windows.dayOffsetSlice(Tables.events(s, d), Seq("user_id"), col("ts"), day = 2)
         .select("event_id", "user_id", "ts", "event_type")),

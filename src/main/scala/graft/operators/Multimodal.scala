@@ -84,6 +84,80 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize REAL audio media: one PCM-16 mono WAV per source row,
+    * duration/rate/samples pure functions of the id (n = id%4·160+320
+    * samples, rate = 8000 + id%3·4000 Hz, sample t = (31·id + 7919·t)
+    * mod 65536 − 32768 — integer formulas, so the oracle can replay the
+    * expected stats in SQL). Encoding runs batched per partition through
+    * the JDK WAV writer (`javax.sound.sampled` — ships with every JVM);
+    * a decode of these bytes only reproduces the formulas if the codec
+    * genuinely parses the RIFF container, which is exactly what the
+    * q150 oracle verifies (the [[synthesizeImages]] move for audio).
+    */
+  def synthesizeAudio(src: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    src.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = ((id % 4) * 160 + 320).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val pcm = new Array[Byte](n * 2)
+        var t = 0
+        while (t < n) {
+          val s = ((id * 31L + t * 7919L) % 65536L).toInt - 32768
+          pcm(2 * t) = (s & 0xff).toByte          // little-endian PCM_SIGNED
+          pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+          t += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, "audio", bos.toByteArray,
+          Row(null, null, Integer.valueOf(rate), Integer.valueOf(n),
+            "audio/wav"))
+      }
+    }(enc)
+  }
+
+  /** DECODED audio metadata: parse each audio row's WAV container
+    * through `codec` and emit the measured rate/width/length and
+    * integer amplitude stats — ground truth from the bytes (the
+    * [[decodeMeta]] analog). Non-audio kinds and undecodable payloads
+    * surface with NULL measurements (routed, not dropped). One
+    * mapPartitions batch; the blob never leaves the partition.
+    */
+  def decodeAudioMeta(media: DataFrame, codec: MediaCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("bits", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("mean_abs", LongType, nullable = true),
+      StructField("peak", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "kind", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val kind = if (r.isNullAt(1)) null else r.getString(1)
+        val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        val dec = if (kind == "audio") codec.decodeAudio(bytes) else None
+        dec match {
+          case Some(a) => Row(id, kind, Integer.valueOf(a.sampleRate),
+            Integer.valueOf(a.channels), Integer.valueOf(a.bits),
+            java.lang.Long.valueOf(a.nSamples),
+            java.lang.Long.valueOf(a.meanAbs), Integer.valueOf(a.peak))
+          case None => Row(id, kind, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Blob-free metadata projection (what a catalog scan should read —
     * column pruning keeps the bytes on disk).
     */
@@ -213,7 +287,18 @@ trait MediaCodec extends Serializable {
   def decodeImage(bytes: Array[Byte]): Option[DecodedImage]
   /** Frame-level feature vector for video/audio sampling. */
   def decodeFrame(bytes: Array[Byte], frame: Int): Array[Float]
+  /** Parse an audio container; None when the bytes aren't decodable.
+    * Default None so image-only codecs stay source-compatible.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[DecodedAudio] = None
 }
+
+/** One decoded audio clip: container header format + integer amplitude
+  * stats over every sample (mean_abs = floor of the |sample| mean — the
+  * integer-mean discipline of [[DecodedImage]]'s channel means).
+  */
+case class DecodedAudio(sampleRate: Int, channels: Int, bits: Int,
+                        nSamples: Long, meanAbs: Long, peak: Int)
 
 /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF —
   * ships with every JVM, no container dependency). Mean channel values
@@ -264,8 +349,61 @@ object ImageIoCodec extends MediaCodec {
     }
 }
 
+/** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU —
+  * ships with every JVM, no container dependency). Amplitude stats walk
+  * every decoded PCM-16 sample, so the result is ground truth from the
+  * payload, not the declared metadata (the [[ImageIoCodec]] move for
+  * audio). Corrupt/unknown bytes, or PCM the stats walk can't interpret
+  * (non-16-bit, big-endian), → None.
+  */
+object AudioWavCodec extends MediaCodec {
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = None
+
+  override def decodeAudio(bytes: Array[Byte]): Option[DecodedAudio] =
+    if (bytes == null || bytes.isEmpty) None
+    else scala.util.Try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val ok = f.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16 && !f.isBigEndian
+        if (!ok) None
+        else {
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / (2 * f.getChannels)
+          var sumAbs = 0L
+          var peak = 0
+          var i = 0
+          while (i + 1 < pcm.length) {
+            val s = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort.toInt
+            val a = math.abs(s)
+            sumAbs += a
+            if (a > peak) peak = a
+            i += 2
+          }
+          val total = pcm.length / 2 // per-sample stats across channels
+          if (total == 0) None
+          else Some(DecodedAudio(f.getSampleRate.toInt, f.getChannels, 16,
+            n.toLong, sumAbs / total, peak))
+        }
+      } finally ais.close()
+    }.toOption.flatten
+
+  /** Frame feature from the decoded clip: format + normalized amplitude
+    * stats (+ the frame index) — payload-derived, unlike the stub.
+    */
+  def decodeFrame(bytes: Array[Byte], frame: Int): Array[Float] =
+    decodeAudio(bytes) match {
+      case Some(a) => Array(a.sampleRate.toFloat, a.nSamples.toFloat,
+        a.meanAbs / 32768.0f, a.peak / 32768.0f, frame.toFloat)
+      case None => null
+    }
+}
+
 /** Deterministic fake for formats with no in-container decoder
-  * (audio/video): derives an 8-dim feature from the bytes — same
+  * (video): derives an 8-dim feature from the bytes — same
   * signature, same batch shape, honest plumbing.
   */
 object StubCodec extends MediaCodec {

@@ -570,4 +570,43 @@ class OperatorsSpec extends SparkSpec {
     // every row SURVIVES with null width (countable, not dropped)
     assert(out.length === 3 && out.forall(_.isNullAt(2)))
   }
+
+  test("AudioWavCodec decodes REAL WAV bytes back to the synth formulas") {
+    val ids = Seq(0L, 1L, 5L, 300L)
+    val media = Multimodal.synthesizeAudio(ids.map(Tuple1(_)).toDF("id"), "id")
+    // the payload is a genuine RIFF/WAVE container, not a hash
+    val first = media.orderBy("media_id").select("bytes").head.getAs[Array[Byte]](0)
+    assert(new String(first.take(4), "US-ASCII") === "RIFF")
+    assert(new String(first.slice(8, 12), "US-ASCII") === "WAVE")
+    val got = Multimodal.decodeAudioMeta(media, AudioWavCodec)
+      .select("media_id", "sample_rate", "channels", "bits", "n_samples")
+      .as[(Long, Int, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    ids.foreach { id =>
+      assert(got(id) === ((id, (8000 + id % 3 * 4000).toInt, 1, 16,
+        (id % 4 * 160 + 320))))
+    }
+    // amplitude stats are sample-walk ground truth: replay id=5's formula
+    val n5 = ((5 % 4) * 160 + 320)
+    val samples = (0 until n5).map(t => math.abs(((5 * 31 + t * 7919) % 65536) - 32768))
+    val stats = Multimodal.decodeAudioMeta(media, AudioWavCodec)
+      .filter(col("media_id") === 5L).select("mean_abs", "peak")
+      .as[(Long, Int)].head()
+    assert(stats === ((samples.map(_.toLong).sum / n5, samples.max)))
+    // payload-derived frame features via the shared sampler path
+    val f = Multimodal.frameFeatures(
+      media.filter(col("media_id") === 5L)
+        .withColumn("meta", struct(col("meta.width"), col("meta.height"),
+          col("meta.sample_rate"), lit(2).as("n_frames"), col("meta.mime"))),
+      everyNth = 1, codec = AudioWavCodec)
+      .select("feature").as[Array[Float]].collect()
+    assert(f.length === 2 && f(0)(0) === 16000.0f && f(0)(1) === n5.toFloat)
+  }
+
+  test("decodeAudioMeta routes corrupt and non-audio payloads to NULL measurements") {
+    val junk = Multimodal.synthesize(Seq(1L, 2L, 3L).toDF("c_custkey"), "c_custkey")
+    val out = Multimodal.decodeAudioMeta(junk, AudioWavCodec).collect()
+    assert(out.length === 3 && out.forall(_.isNullAt(2)))
+    // an image codec asked for audio stays None via the trait default
+    assert(ImageIoCodec.decodeAudio(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
