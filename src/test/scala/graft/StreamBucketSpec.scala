@@ -248,6 +248,51 @@ class StreamBucketSpec extends SparkSpec {
     assert(got(5L).drop(1).forall(_ == null)) // blank doc keeps NULL stats
   }
 
+  test("URL curation front door (canonicalize -> domain gate): stream ≡ batch, zero exchanges") {
+    import graft.functions.TextAnalysis
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // the crawl ingest's FIRST step is stateless by design: the kernel
+    // projection + the plan-constant blocklist gate admit URLs in append
+    // mode with zero exchanges; the per-domain CAP is the batch-side
+    // aggregation that follows (bounded-heap, q148) — capping needs the
+    // domain's full increment, which a row-at-a-time stream cannot see
+    val blocked = Seq("spam.co.uk", "seo-farm.com")
+    def chain(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id"), col("url"),
+          TextAnalysis.canonicalUrl(col("url")).as("url_canon"),
+          TextAnalysis.registeredDomain(col("url")).as("domain"))
+        .withColumn("admit", col("url_canon").isNotNull &&
+          !TextAnalysis.domainBlocked(col("domain"), blocked))
+    val inc1 = Seq(
+      (1L, "HTTPS://WWW.Example.COM/a?utm_source=x&id=1#frag"),
+      (2L, "http://news.spam.co.uk/story"),
+      (3L, "not a url at all")).toDF("doc_id", "url")
+    val inc2 = Seq(
+      (4L, "https://sub.seo-farm.com:443/landing"),
+      (5L, "https://good.org/page?gclid=z")).toDF("doc_id", "url")
+    val plan = chain(inc1).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    val dir = java.nio.file.Files.createTempDirectory("graft_urlstream").toString
+    inc1.write.parquet(s"$dir/in1")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val q = chain(spark.readStream.schema(schema).parquet(s"$dir/in*"))
+      .writeStream.format("memory").queryName("url_front").outputMode("append").start()
+    q.processAllAvailable()
+    inc2.write.parquet(s"$dir/in2")
+    q.processAllAvailable()
+    q.stop()
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "url_canon", "domain", "admit")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val got = shape(spark.table("url_front"))
+    assert(got === shape(chain(inc1.unionByName(inc2)))) // batch parity
+    assert(got(1L) === Seq("https://example.com/a?id=1", "example.com", true))
+    assert(got(2L)(2) === false)            // multi-label blocklist hit
+    assert(got(3L) === Seq(null, null, false)) // unparseable: routed, not dropped
+    assert(got(4L)(2) === false)            // subdomain + default port still gated
+    assert(got(5L) === Seq("https://good.org/page", "good.org", true))
+  }
+
   test("streaming forward-fill carries observations across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamFill
