@@ -111,12 +111,89 @@ class UrlCurationSpec extends SparkSpec {
     assert(keptNp.filter(col("score").isNull).count() === 0)
   }
 
-  test("q146 plan: one shuffle-free codegen projection") {
-    val p = Queries.all("q146_url_canonicalize")(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString
+  test("urlParts fuzz: kernel == independent regex reference parser") {
+    // second implementation from the RFC-3986-style decomposition regex
+    // (the DuckDB oracle's shape, in Scala) — shares no code with the
+    // walker; divergence on any generated URL fails with the input
+    val multi = graft.functions.TextKernels.multiSuffixList.toSet
+    val tracking = graft.functions.TextKernels.trackingKeyList.toSet
+    def ref(url: String): (String, String, String) = {
+      var t = url.dropWhile(c => c == ' ' || c == '\t')
+        .reverse.dropWhile(c => c == ' ' || c == '\t').reverse
+      t = t.takeWhile(_ != '#')
+      val m = "^([A-Za-z][A-Za-z0-9+.\\-]*)://(.*)$".r.findFirstMatchIn(t)
+        .getOrElse(return (null, null, null))
+      val scheme = m.group(1).toLowerCase
+      val rest = m.group(2)
+      val hostport = rest.takeWhile(c => c != '/' && c != '?')
+      val pathquery = rest.drop(hostport.length)
+      val pm = ":([0-9]+)$".r.findFirstMatchIn(hostport)
+      val portD = pm.map(_.group(1)).getOrElse("")
+      val host0 = if (portD.nonEmpty) hostport.dropRight(portD.length + 1) else hostport
+      var host = host0.toLowerCase.reverse.dropWhile(_ == '.').reverse
+      if (host.startsWith("www.") && host.length > 4) host = host.drop(4)
+      if (host.isEmpty) return (null, null, null)
+      val port = if ((scheme == "http" && portD == "80") ||
+        (scheme == "https" && portD == "443")) "" else portD
+      val qi = pathquery.indexOf('?')
+      val path0 = if (qi >= 0) pathquery.take(qi) else pathquery
+      val q0 = if (qi >= 0) pathquery.drop(qi + 1) else ""
+      val path = if (path0.isEmpty) "/" else path0
+      val kept = q0.split("&", -1).filter(_.nonEmpty).filter { seg =>
+        val key = seg.takeWhile(_ != '=').toLowerCase
+        !key.startsWith("utm_") && !tracking.contains(key)
+      }.mkString("&")
+      val canon = scheme + "://" + host +
+        (if (port.nonEmpty) ":" + port else "") + path +
+        (if (kept.nonEmpty) "?" + kept else "")
+      val domain =
+        if (host.forall(c => c.isDigit || c == '.')) host
+        else {
+          val labs = host.split("\\.", -1)
+          if (labs.length >= 3 && multi.contains(labs.takeRight(2).mkString(".")))
+            labs.takeRight(3).mkString(".")
+          else if (labs.length >= 2) labs.takeRight(2).mkString(".")
+          else host
+        }
+      (canon, host, domain)
+    }
+    def kernel(url: String): (String, String, String) = {
+      val a = graft.functions.TextKernels.urlParts(
+        org.apache.spark.unsafe.types.UTF8String.fromString(url))
+      def g(i: Int) = if (a.isNullAt(i)) null else a.getUTF8String(i).toString
+      (g(0), g(1), g(2))
+    }
+    val rnd = new scala.util.Random(20260816L)
+    val schemes = Seq("https", "HTTP", "ftp", "h2", "")
+    val hosts = Seq("Example.COM", "www.a.b.co.uk", "WWW.x.ORG", "127.0.0.1",
+      "a.com.", "localhost", "www.", "x..y.io", "co.uk", "a.com:abc")
+    val ports = Seq("", ":80", ":443", ":8080", ":0443", ":")
+    val paths = Seq("", "/", "/p/q", "/p?x=1?y=2", "?id=1", "/p?utm_a=1&b=2&",
+      "?UTM_X=1&gclid=z", "?a=1&&b==2&REF=x", "?u=http://b.com/c")
+    val frags = Seq("", "#f", "#f://x", "#")
+    for (_ <- 1 to 4000) {
+      def pick[T](s: Seq[T]) = s(rnd.nextInt(s.length))
+      val url = (if (rnd.nextBoolean()) " " else "") + pick(schemes) +
+        (if (rnd.nextInt(10) == 0) ":/" else "://") + pick(hosts) +
+        pick(ports) + pick(paths) + pick(frags) +
+        (if (rnd.nextBoolean()) "\t" else "")
+      assert(kernel(url) === ref(url), s"url=<$url>")
+    }
+  }
+
+  test("q146 plan: one shuffle-free codegen projection, ONE kernel walk per row") {
+    val df = Queries.all("q146_url_canonicalize")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
       p.take(1500))
     assert(p.contains("*(1)"), p.take(1500)) // whole-stage codegen
+    // the three projections (canon/host/domain) must collapse to ONE
+    // urlParts call under subexpression elimination — a refactor that
+    // breaks CSE (e.g. per-projection aliases that defeat semanticEquals)
+    // would silently triple the walk
+    val code = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert("urlParts".r.findAllIn(code).size === 1, code.take(2000))
   }
 
   test("q148 plan: bounded-heap agg — no window sort, one exchange") {
