@@ -82,6 +82,18 @@ object IngestScaleProbe {
     rollup(spark.read.parquet(histDir)).write.parquet(rollDir)
     val tInit = (System.nanoTime() - t0) / 1e9
 
+    // persistent-filter mode (GRAFT_INGEST_PERSIST_BLOOM=1): build the
+    // standing bloom ONCE from the initial corpus, gate each increment
+    // against it, fold the admitted docs in for the next round — removes
+    // the per-round rebuild, the gate's only history-linear term
+    val persistBloom = sys.env.get("GRAFT_INGEST_PERSIST_BLOOM").contains("1")
+    val expected = math.max(nInit + incSize * rounds, 1L << 20)
+    val fpp = 0.01
+    var bloomBytes: Array[Byte] =
+      if (persistBloom)
+        Dedup.historyBloom(spark.read.parquet(histDir), "text", expected, fpp)
+      else null
+
     val incJsons = new scala.collection.mutable.ArrayBuffer[String]
     var base = nInit
     var gatePlanOk = true
@@ -89,10 +101,13 @@ object IngestScaleProbe {
       val hist = spark.read.parquet(histDir)
       val inc = synth(base, base + incSize, initial = false)
 
-      // 1. exact gate (bloom built here, once per increment)
+      // 1. exact gate (persistent mode probes the standing filter; the
+      // default rebuilds the bloom from history each increment)
       val tg0 = System.nanoTime()
-      val gated = Dedup.bloomGate(inc, hist, "text",
-        expectedItems = math.max(nInit + incSize * rounds, 1L << 20), fpp = 0.01)
+      val gated = (if (persistBloom)
+          Dedup.bloomGateWith(inc, hist, bloomBytes, "text")
+        else Dedup.bloomGate(inc, hist, "text",
+          expectedItems = expected, fpp = fpp))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nIncRows = gated.count()
       val exactDups = gated.filter(!col("is_new")).count()
@@ -133,8 +148,16 @@ object IngestScaleProbe {
       spark.read.parquet(s"$dir/rollup_next").write.mode("overwrite").parquet(rollDir)
       val tRoll = (System.nanoTime() - tr0) / 1e9
 
-      // 5. append: new files only — nothing existing rewritten
+      // 5. fold-then-append, in THAT order: the parquet append triggers
+      // refreshByPath on histDir, which invalidates every cached plan
+      // reading it — `admitted` would silently RECOMPUTE against the
+      // post-append history (where its own rows are now dups) and fold
+      // an empty frame. Folding first reads the still-valid cache; both
+      // steps are increment-sized.
       val ta0 = System.nanoTime()
+      if (persistBloom)
+        bloomBytes = Dedup.foldIntoBloom(bloomBytes, admitted, "text",
+          expected, fpp)
       admitted.write.mode("append").parquet(histDir)
       val tAppend = (System.nanoTime() - ta0) / 1e9
 
@@ -151,6 +174,7 @@ object IngestScaleProbe {
     val json = s"""{"metric":"ingest_scale","value":$totalSec,"unit":"sec",""" +
       s""""init_rows":$nInit,"inc_size":$incSize,"rounds":$rounds,""" +
       s""""final_history_rows":$finalRows,"gate_plan_ok":$gatePlanOk,""" +
+      s""""persist_bloom":$persistBloom,""" +
       f""""init_sec":$tInit%.2f,"increments":[${incJsons.mkString(",")}]}"""
     println(json)
     val outFile = sys.env.getOrElse("GRAFT_INGEST_OUT", "ingest_scale_out.json")

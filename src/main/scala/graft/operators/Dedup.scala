@@ -419,6 +419,41 @@ object Dedup {
     bos.toByteArray
   }
 
+  /** Fold an increment's text hashes into an EXISTING serialized filter —
+    * the persistent-filter maintenance step of a continuous ingest: the
+    * increment (typically just the ADMITTED docs) aggregates into a
+    * filter built with the SAME parameters as the standing one, and the
+    * two OR together (bloom union of same-shaped filters is exactly the
+    * filter of the union — no precision lost vs a full rebuild). Cost is
+    * increment-sized; history is never rescanned — the r16 ingest
+    * artifact's one history-linear gate term, removed. `expectedItems`/
+    * `fpp` MUST be the standing filter's original build parameters
+    * (Spark's sketch derives bit width and hash count from them;
+    * mismatched shapes refuse loudly rather than merge wrongly). The
+    * fpp guarantee dilutes as total insertions approach the original
+    * `expectedItems` budget — size the FIRST build for the corpus you
+    * expect, not the corpus you have; an over-budget filter degrades
+    * cost (more confirm traffic), never exactness.
+    */
+  def foldIntoBloom(bloomBytes: Array[Byte], increment: DataFrame,
+                    textCol: String, expectedItems: Long,
+                    fpp: Double = 0.03): Array[Byte] = {
+    require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val standing = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+    val inc = increment.select(xxhash64(col(textCol)).as("__h"))
+      .filter(col("__h").isNotNull)
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    require(standing.isCompatible(inc),
+      "increment filter shape differs from the standing filter — " +
+        "pass the ORIGINAL expectedItems/fpp the standing filter was built with")
+    standing.mergeInPlace(inc)
+    val bos = new java.io.ByteArrayOutputStream()
+    standing.writeTo(bos)
+    bos.toByteArray
+  }
+
   /** TRUE when `textCol` is possibly in the filter's history (false
     * positives at the filter's fpp rate; false ⇒ DEFINITELY new). A pure
     * codegen projection — stateless, streaming-safe; the exact confirm
@@ -436,13 +471,38 @@ object Dedup {
                 broadcastConfirm: Boolean = true): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    bloomGateWith(increment, history,
+      historyBloom(history, textCol, expectedItems, fpp), textCol,
+      flagCol, broadcastConfirm)
+  }
+
+  /** [[bloomGate]] against a PREBUILT standing filter — the persistent-
+    * filter deployment: the r16 ingest artifact measured the per-round
+    * bloom REBUILD as the gate's only history-linear term, and a
+    * continuous ingest does not need it — build the filter once, gate
+    * each increment against it, then [[foldIntoBloom]] the admitted docs
+    * for the next round. Exactness is unchanged: the filter only
+    * prescreens (its false positives go to the exact confirm join, which
+    * still scans history's md5 projection under a broadcast semi join —
+    * the one unavoidable history read of an exact gate); an UNDERSIZED
+    * filter degrades cost, never correctness, exactly as the q85
+    * undersized-filter spec proves. CONTRACT: the filter must COVER
+    * every history text (blooms have no false negatives for inserted
+    * items, so build-from-history or fold-every-admission both satisfy
+    * it; extra entries are harmless) — a filter MISSING history entries
+    * would flag their dups "new", which is the one way this variant can
+    * lie. The fold loop maintains the covering set by construction.
+    */
+  def bloomGateWith(increment: DataFrame, history: DataFrame,
+                    bloomBytes: Array[Byte], textCol: String,
+                    flagCol: String = "is_new",
+                    broadcastConfirm: Boolean = true): DataFrame = {
     (Seq("__k", "__dup", flagCol)).foreach { c =>
       require(!increment.columns.exists(_.equalsIgnoreCase(c)),
         s"bloomGate output/working column '$c' already exists on the increment")
     }
     graft.functions.GraftFunctions.ensureRegistered(increment.sparkSession)
-    val bytes = historyBloom(history, textCol, expectedItems, fpp)
-    val probe = bloomProbe(col(textCol), bytes)
+    val probe = bloomProbe(col(textCol), bloomBytes)
     val maybeKeys = increment
       .filter(col(textCol).isNotNull && probe)
       .select(md5(col(textCol)).as("__k")).distinct()

@@ -311,6 +311,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("persistent filter: fold == rebuild, gateWith exact across increments, shape mismatch refused") {
+    import spark.implicits._
+    val exp = 1000L
+    val hist1 = (0 until 100).map(i => (i.toLong, s"h$i")).toDF("doc_id", "text")
+    val standing0 = Dedup.historyBloom(hist1, "text", exp)
+    // increment 1: 30 dups of hist1 + 70 new; gate against the standing filter
+    val inc1 = ((0 until 30).map(i => (1000L + i, s"h$i")) ++
+      (0 until 70).map(i => (2000L + i, s"n$i"))).toDF("doc_id", "text")
+    val g1 = Dedup.bloomGateWith(inc1, hist1, standing0, "text")
+      .select("doc_id", "is_new").as[(Long, Boolean)].collect()
+    assert(g1.count(!_._2) === 30 && g1.count(_._2) === 70)
+    // admit the new docs, FOLD them in instead of rebuilding
+    val admitted1 = inc1.filter(col("doc_id") >= 2000L)
+    val folded = Dedup.foldIntoBloom(standing0, admitted1, "text", exp)
+    val hist2 = hist1.unionByName(admitted1)
+    // the folded filter must behave like a fresh rebuild of hist2:
+    // increment 2 carries dups of BOTH generations + fresh docs
+    val inc2 = (Seq((3000L, "h5"), (3001L, "n5"), (3002L, "n69")) ++
+      (0 until 40).map(i => (4000L + i, s"x$i"))).toDF("doc_id", "text")
+    val viaFold = Dedup.bloomGateWith(inc2, hist2, folded, "text")
+      .select("doc_id", "is_new").as[(Long, Boolean)].collect().toMap
+    val viaRebuild = Dedup.bloomGate(inc2, hist2, "text", expectedItems = exp)
+      .select("doc_id", "is_new").as[(Long, Boolean)].collect().toMap
+    assert(viaFold === viaRebuild)
+    assert(viaFold(3000L) === false && viaFold(3001L) === false &&
+      viaFold(3002L) === false && viaFold(4000L) === true)
+    // mismatched build parameters must refuse, not merge wrongly
+    intercept[IllegalArgumentException] {
+      Dedup.foldIntoBloom(standing0, admitted1, "text", expectedItems = 7)
+    }
+  }
+
   test("attritionReport: exact vs near-dup losses attribute to the dropped instance's source") {
     import spark.implicits._
     val t1 = "unique first text with no overlap at all here"
