@@ -2399,6 +2399,24 @@ object Oracles {
            CAST(list_max(s) AS INTEGER) AS peak
          FROM a""",
 
+    // q151: replays the per-frame color/dim formulas over the sampled
+    // frame indexes — matching requires the codec to decode frame f out
+    // of the GIF container, not frame 0
+    "q151_video_frames" ->
+      """WITH v AS (SELECT c_custkey AS media_id,
+             CAST((c_custkey % 6) + 2 AS INTEGER) AS nf,
+             CAST((c_custkey % 4) * 16 + 32 AS INTEGER) AS w,
+             CAST((c_custkey % 3) * 16 + 32 AS INTEGER) AS h
+           FROM customer WHERE c_custkey % 5 = 0),
+         f AS (SELECT media_id, w, h,
+                 CAST(unnest(range(0, nf, 2)) AS INTEGER) AS frame_no
+               FROM v)
+         SELECT media_id, frame_no, w AS width, h AS height,
+           CAST((media_id + 17 * frame_no) % 256 AS INTEGER) AS mean_r,
+           CAST((media_id * 7 + 29 * frame_no) % 256 AS INTEGER) AS mean_g,
+           CAST((media_id * 13 + 41 * frame_no) % 256 AS INTEGER) AS mean_b
+         FROM f""",
+
     "q34_day_slice" ->
       """SELECT event_id, ts, user_id, event_type FROM (
            SELECT event_id, ts, user_id, event_type,

@@ -345,6 +345,28 @@ object Queries {
         Multimodal.synthesizeAudio(Tables.customer(s, d), "c_custkey"),
         AudioWavCodec)),
 
+    // REAL multi-frame video-container round-trip (retires the video
+    // stub for the one genuinely JDK-decodable container): animated GIFs
+    // whose per-FRAME fill colors are integer formulas of (id, frame),
+    // frame-sampled every 2nd frame through the ImageIO sequence reader.
+    // The oracle replays the formulas per frame — "always decode frame
+    // 0" or a miscounted container fails the hash. Every 5th customer
+    // (the q140 sampling move): the GIF sequence writer costs ~2 ms per
+    // media item, real and linear — the certification doesn't need the
+    // whole table paying it every bench round
+    "q151_video_frames" -> ((s, d) => {
+      val media = Multimodal.synthesizeVideos(
+        Tables.customer(s, d).filter(pmod(col("c_custkey"), lit(5)) === 0),
+        "c_custkey")
+      Multimodal.frameFeatures(media, everyNth = 2, codec = GifFrameCodec)
+        .select(col("media_id"), col("frame_no"),
+          element_at(col("feature"), 1).cast("int").as("width"),
+          element_at(col("feature"), 2).cast("int").as("height"),
+          round(element_at(col("feature"), 3) * 255).cast("int").as("mean_r"),
+          round(element_at(col("feature"), 4) * 255).cast("int").as("mean_g"),
+          round(element_at(col("feature"), 5) * 255).cast("int").as("mean_b"))
+    }),
+
     "q34_day_slice" -> ((s, d) =>
       Windows.dayOffsetSlice(Tables.events(s, d), Seq("user_id"), col("ts"), day = 2)
         .select("event_id", "user_id", "ts", "event_type")),

@@ -123,6 +123,51 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize REAL video-like media: one multi-frame animated GIF per
+    * source row (the JDK ImageIO sequence writer — a genuine container
+    * with n image descriptors), frame count and per-frame fill colors
+    * pure integer functions of (id, frame): n = id%6+2 frames, frame f
+    * fills RGB = ((id+17f)%256, (7id+29f)%256, (13id+41f)%256) at the
+    * q32 dims. Solid-color frames survive GIF's palette quantization
+    * exactly, so a decode reproduces the formulas ONLY if the codec
+    * truly reads frame f out of the container — per-frame color
+    * variation makes "always decode frame 0" fail the oracle.
+    */
+  def synthesizeVideos(src: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    src.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      ImageIoCodec.disableDiskCache()
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = ((id % 4) * 16 + 32).toInt
+        val h = ((id % 3) * 16 + 32).toInt
+        val nf = ((id % 6) + 2).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val rgb = ((((id + 17 * f) % 256) << 16) |
+              (((id * 7 + 29 * f) % 256) << 8) |
+              ((id * 13 + 41 * f) % 256)).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            img.setRGB(0, 0, w, h, Array.fill(w * h)(rgb), 0, w)
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        Row(id, "video", bos.toByteArray,
+          Row(w, h, null, Integer.valueOf(nf), "image/gif"))
+      }
+    }(enc)
+  }
+
   /** DECODED audio metadata: parse each audio row's WAV container
     * through `codec` and emit the measured rate/width/length and
     * integer amplitude stats — ground truth from the bytes (the
@@ -402,9 +447,56 @@ object AudioWavCodec extends MediaCodec {
     }
 }
 
+/** REAL multi-frame decode via the JDK's ImageIO GIF reader: seeks frame
+  * `frame` INSIDE the container (getNumImages counts the image
+  * descriptors; read(frame) decodes that frame's raster) and returns the
+  * [[ImageIoCodec]]-shaped feature — dims + per-channel means + the frame
+  * index. The last genuinely-decodable "video" seam the JDK offers;
+  * formats needing external codecs (mp4/webm) stay behind [[StubCodec]]
+  * as the documented swap point. Out-of-range frames and corrupt bytes →
+  * null (routed, not thrown — the [[Multimodal.frameFeatures]] contract).
+  */
+object GifFrameCodec extends MediaCodec {
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = None
+
+  def decodeFrame(bytes: Array[Byte], frame: Int): Array[Float] =
+    if (bytes == null || bytes.isEmpty || frame < 0) null
+    else scala.util.Try {
+      ImageIoCodec.disableDiskCache()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); null }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          if (frame >= reader.getNumImages(true)) null
+          else {
+            val img = reader.read(frame)
+            val w = img.getWidth; val h = img.getHeight
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              i += 1
+            }
+            val n = w.toLong * h
+            Array(w.toFloat, h.toFloat, (sr / n).toFloat / 255.0f,
+              (sg / n).toFloat / 255.0f, (sb / n).toFloat / 255.0f,
+              frame.toFloat)
+          }
+        } finally { reader.dispose(); iis.close() }
+      }
+    }.toOption.orNull
+}
+
 /** Deterministic fake for formats with no in-container decoder
-  * (video): derives an 8-dim feature from the bytes — same
-  * signature, same batch shape, honest plumbing.
+  * (mp4/webm-class video — no JDK decoder exists): derives an 8-dim
+  * feature from the bytes — same signature, same batch shape, honest
+  * plumbing; the documented swap point for an external-codec sidecar.
   */
 object StubCodec extends MediaCodec {
   def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = None

@@ -602,6 +602,33 @@ class OperatorsSpec extends SparkSpec {
     assert(f.length === 2 && f(0)(0) === 16000.0f && f(0)(1) === n5.toFloat)
   }
 
+  test("GifFrameCodec decodes frame f OUT OF the container, not frame 0") {
+    val ids = Seq(0L, 5L, 301L)
+    val media = Multimodal.synthesizeVideos(ids.map(Tuple1(_)).toDF("id"), "id")
+    // the payload is a genuine GIF container
+    val first = media.orderBy("media_id").select("bytes").head.getAs[Array[Byte]](0)
+    assert(new String(first.take(3), "US-ASCII") === "GIF")
+    val feats = Multimodal.frameFeatures(media, everyNth = 1, codec = GifFrameCodec)
+      .select("media_id", "frame_no", "feature")
+      .as[(Long, Int, Array[Float])].collect()
+    // every sampled frame reproduces ITS OWN color formula — a codec
+    // that re-decoded frame 0 would fail on every frame_no > 0
+    feats.foreach { case (id, f, a) =>
+      assert(a != null, s"id=$id f=$f")
+      assert(a(0) === (id % 4 * 16 + 32).toFloat && a(1) === (id % 3 * 16 + 32).toFloat)
+      assert(math.round(a(2) * 255) === (id + 17 * f) % 256, s"id=$id f=$f r")
+      assert(math.round(a(3) * 255) === (id * 7 + 29 * f) % 256, s"id=$id f=$f g")
+      assert(math.round(a(4) * 255) === (id * 13 + 41 * f) % 256, s"id=$id f=$f b")
+      assert(a(5) === f.toFloat)
+    }
+    // frame counts come from the container (id%6+2), and an
+    // out-of-range request or junk bytes routes to null, not a throw
+    assert(feats.count(_._1 == 5L) === 7)
+    assert(GifFrameCodec.decodeFrame(first, 999) === null)
+    assert(GifFrameCodec.decodeFrame(Array[Byte](1, 2, 3), 0) === null)
+    assert(GifFrameCodec.decodeFrame(first, -1) === null)
+  }
+
   test("decodeAudioMeta routes corrupt and non-audio payloads to NULL measurements") {
     val junk = Multimodal.synthesize(Seq(1L, 2L, 3L).toDF("c_custkey"), "c_custkey")
     val out = Multimodal.decodeAudioMeta(junk, AudioWavCodec).collect()
