@@ -847,12 +847,13 @@ object Oracles {
     */
   private val urlSynthCtes: String = {
     val tlds = Queries.urlTlds.mkString("'", "','", "'")
+    val ntld = Queries.urlTlds.length
     s"""us0 AS (SELECT doc_id, source, n_chars, doc_id % 23 AS di,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
            FROM documents),
        us1 AS (SELECT *,
              'site' || substr(md5('dom' || CAST(di AS VARCHAR)), 1, 6) AS sld,
-             ([$tlds])[CAST(di % 5 AS INTEGER) + 1] AS tld
+             ([$tlds])[CAST(di % $ntld AS INTEGER) + 1] AS tld
            FROM us0),
        us2 AS (SELECT *, (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
              || (CASE WHEN doc_id % 7 = 0 THEN 'news.'
@@ -867,6 +868,8 @@ object Oracles {
                       WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END)
              || (CASE WHEN doc_id % 9 = 0 THEN ''
                       ELSE '/' || source || '/' || h8 END)
+             || (CASE WHEN doc_id % 10 = 7 THEN '/%7edoc'
+                      WHEN doc_id % 10 = 3 THEN '/f%2fx%3A1' ELSE '' END)
              || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id='
                         || CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'
                       WHEN doc_id % 4 = 1 THEN '?id='
@@ -888,8 +891,19 @@ object Oracles {
   private val urlCanonCtes: String = {
     val tracking = graft.functions.TextKernels.trackingKeyList
       .mkString("'", "','", "'")
-    val multi = graft.functions.TextKernels.multiSuffixList
-      .mkString("'", "','", "'")
+    // the default suffix set split BY LABEL DEPTH — the SQL replays
+    // longest-match (depth 3 before depth 2) independently of the
+    // kernel's SuffixMatcher
+    val byDepth = graft.functions.TextKernels.defaultSuffixList
+      .groupBy(_.count(_ == '.') + 1)
+    require(byDepth.keySet == Set(2, 3),
+      s"oracle replay covers depth-2/3 suffix entries, got depths ${byDepth.keySet}")
+    val multi2 = byDepth(2).mkString("'", "','", "'")
+    val multi3 = byDepth(3).mkString("'", "','", "'")
+    // %XX decode: hex value of the two chars after '%' in token t
+    val hexCode =
+      """((strpos('0123456789abcdef', lower(substr(t, 2, 1))) - 1) * 16
+         + (strpos('0123456789abcdef', lower(substr(t, 3, 1))) - 1))"""
     s"""uc0 AS (SELECT doc_id, n_chars, url,
              regexp_replace(trim(url, ' ' || chr(9)), '#.*', '') AS t
            FROM urls),
@@ -926,17 +940,33 @@ object Oracles {
                AND lower(string_split(x, '=')[1]) NOT IN ($tracking)), '&') AS keptq,
              len(labs) AS nl
            FROM uc6),
-       ucanon AS (SELECT doc_id, n_chars, url, host,
+       ucanon0 AS (SELECT doc_id, n_chars, url, host,
              scheme || '://' || host
                || (CASE WHEN port <> '' THEN ':' || port ELSE '' END)
                || path
-               || (CASE WHEN keptq <> '' THEN '?' || keptq ELSE '' END) AS url_canon,
+               || (CASE WHEN keptq <> '' THEN '?' || keptq ELSE '' END) AS url_canon0,
              CASE WHEN regexp_matches(host, '^[0-9.]+$$') THEN host
-                  WHEN nl >= 3 AND (labs[nl - 1] || '.' || labs[nl]) IN ($multi)
-                    THEN labs[nl - 2] || '.' || labs[nl - 1] || '.' || labs[nl]
+                  WHEN nl >= 3 AND (labs[nl - 2] || '.' || labs[nl - 1] || '.' || labs[nl])
+                      IN ($multi3)
+                    THEN (CASE WHEN nl >= 4 THEN labs[nl - 3] || '.' ELSE '' END)
+                      || labs[nl - 2] || '.' || labs[nl - 1] || '.' || labs[nl]
+                  WHEN nl >= 2 AND (labs[nl - 1] || '.' || labs[nl]) IN ($multi2)
+                    THEN (CASE WHEN nl >= 3 THEN labs[nl - 2] || '.' ELSE '' END)
+                      || labs[nl - 1] || '.' || labs[nl]
                   WHEN nl >= 2 THEN labs[nl - 1] || '.' || labs[nl]
                   ELSE host END AS domain
-           FROM uc7)"""
+           FROM uc7),
+       ucanon AS (SELECT doc_id, n_chars, url, host,
+             array_to_string([CASE
+                 WHEN NOT regexp_matches(t, '^%[0-9A-Fa-f]{2}$$') THEN t
+                 WHEN ($hexCode BETWEEN 48 AND 57) OR ($hexCode BETWEEN 65 AND 90)
+                   OR ($hexCode BETWEEN 97 AND 122) OR $hexCode IN (45, 46, 95, 126)
+                   THEN chr(CAST($hexCode AS INTEGER))
+                 ELSE '%' || upper(substr(t, 2, 2)) END
+               FOR t IN regexp_extract_all(url_canon0, '%[0-9A-Fa-f]{2}|[^%]+|%')],
+               '') AS url_canon,
+             domain
+           FROM ucanon0)"""
   }
 
   val all: Map[String, String] = Map(

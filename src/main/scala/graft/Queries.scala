@@ -37,18 +37,21 @@ object Queries {
     * doc_id+source — scheme/www/case/port/tracking/fragment variants that
     * exercise every canonicalization rule).
     */
-  private[graft] val urlTlds = Seq("com", "org", "io", "co.uk", "com.au")
+  private[graft] val urlTlds = Seq("com", "org", "io", "co.uk", "com.au",
+    "github.io", "blogspot.com", "s3.amazonaws.com")
   private[graft] def urlSld(idx: Int): String =
     "site" + md5hex("dom" + idx).substring(0, 6)
   /** The blocklist literals for q147: domain indexes 0 (a .com) and 3 (a
     * .co.uk — the gate must hit multi-label registered domains too).
     */
   private[graft] val urlBlockedDomains: Seq[String] =
-    Seq(0, 3).map(i => urlSld(i) + "." + urlTlds(i % 5))
+    Seq(0, 3).map(i => urlSld(i) + "." + urlTlds(i % urlTlds.length))
 
-  /** Deterministic URL from (doc_id, source) — 23 registered domains ×
-    * {www, news., CDN.} hosts × case/port/path/query/fragment variants;
-    * replayed verbatim by the oracle CTEs. Pure codegen projection.
+  /** Deterministic URL from (doc_id, source) — 23 registered domains
+    * (incl. private-registry sites: github.io / blogspot.com /
+    * s3.amazonaws.com suffixes) × {www, news., CDN.} hosts ×
+    * case/port/path/query/fragment/percent-escape variants; replayed
+    * verbatim by the oracle CTEs. Pure codegen projection.
     */
   private[graft] def synthUrl(d: Column, source: Column): Column = {
     val di = pmod(d, lit(23))
@@ -56,7 +59,7 @@ object Queries {
     val sld = concat(lit("site"),
       substring(md5(concat(lit("dom"), di.cast("string"))), 1, 6))
     val tld = element_at(array(urlTlds.map(lit): _*),
-      (pmod(di, lit(5)) + 1).cast("int"))
+      (pmod(di, lit(urlTlds.length)) + 1).cast("int"))
     val hostraw = concat(
       when(pmod(d, lit(2)) === 0, lit("www.")).otherwise(lit("")),
       when(pmod(d, lit(7)) === 0, lit("news."))
@@ -74,6 +77,11 @@ object Queries {
         .when(pmod(d, lit(13)) === 0, lit(":8080")).otherwise(lit("")),
       when(pmod(d, lit(9)) === 0, lit(""))
         .otherwise(concat(lit("/"), source, lit("/"), h8)),
+      // percent-escape path variants: %10==7 decodes (unreserved ~),
+      // %10==3 uppercases reserved escapes (%2f → %2F, %3A kept)
+      when(pmod(d, lit(10)) === 7, lit("/%7edoc"))
+        .when(pmod(d, lit(10)) === 3, lit("/f%2fx%3A1"))
+        .otherwise(lit("")),
       when(pmod(d, lit(4)) === 0,
           concat(lit("?utm_source=feed&id="), pmod(d, lit(50)).cast("string"),
             lit("&utm_campaign=x")))

@@ -296,19 +296,31 @@ case class TokenProfileExpr(child: Expression) extends UnaryExpression {
 
 /** One-walk URL canonicalizer — [canon_url, host, registered_domain]
   * (NULL elements for unparseable input; see [[TextKernels.urlParts]]
-  * for the rule list the DuckDB oracle replays in SQL).
+  * for the rule list the DuckDB oracle replays in SQL). `suffixes` is
+  * the registered-domain suffix set (public + private-registry
+  * multi-label entries) riding the plan as ONE reference object — pass
+  * a full PSL snapshot here in production; the default is the built-in
+  * [[TextKernels.defaultSuffixList]] subset.
   */
-case class UrlCanonExpr(child: Expression) extends UnaryExpression {
+case class UrlCanonExpr(child: Expression,
+    suffixes: Seq[String] = TextKernels.defaultSuffixList)
+    extends UnaryExpression {
+  @transient private lazy val matcher =
+    if (suffixes == TextKernels.defaultSuffixList) TextKernels.SuffixMatcher.default
+    else new TextKernels.SuffixMatcher(suffixes)
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${child.dataType}")
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "graft_url_canon"
   override protected def nullSafeEval(v: Any): Any =
-    TextKernels.urlParts(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    TextKernels.urlParts(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], matcher)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("suffixMatcher", matcher,
+      classOf[TextKernels.SuffixMatcher].getName)
     nullSafeCodeGen(ctx, ev,
-      v => s"${ev.value} = graft.functions.TextKernels.urlParts($v);")
+      v => s"${ev.value} = graft.functions.TextKernels.urlParts($v, $m);")
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -698,7 +710,12 @@ object GraftFunctions {
       BloomContainsExpr(es(0), binaryLit(es(1), "bloom bytes"))),
     "graft_char_entropy" -> (es => CharEntropyExpr(es(0))),
     "graft_token_profile" -> (es => TokenProfileExpr(es(0))),
-    "graft_url_canon" -> (es => UrlCanonExpr(es(0))),
+    // optional 2nd arg: comma-joined multi-label suffix set (a full PSL
+    // snapshot incl. private registries); absent = the built-in subset
+    "graft_url_canon" -> (es =>
+      if (es.length > 1)
+        UrlCanonExpr(es(0), stringLit(es(1), "suffixes").split(',').toSeq)
+      else UrlCanonExpr(es(0))),
     "graft_rep_profile" -> (es => {
       val n = intLit(es(1), "n")
       require(n >= 2, s"graft_rep_profile needs n >= 2, got $n")

@@ -241,6 +241,14 @@ object TextAnalysis {
     */
   def urlParts(url: Column): Column = call_function("graft_url_canon", url)
 
+  /** [[urlParts]] with an explicit registered-domain suffix set (a full
+    * public-suffix-list snapshot INCLUDING private registries, expanded
+    * to plain multi-label entries). The set rides the plan as one
+    * reference object — no join, no broadcast, any snapshot size.
+    */
+  def urlParts(url: Column, suffixes: Seq[String]): Column =
+    call_function("graft_url_canon", url, lit(suffixes.mkString(",")))
+
   /** Canonical URL: fragment/tracking-param/default-port/www stripped,
     * scheme+host lowercased, empty path → "/". Collapses the
     * impression-level variants of one page to one key — the FIRST
@@ -251,10 +259,17 @@ object TextAnalysis {
   /** Lowercased, www- and port-stripped host of a URL. */
   def urlHost(url: Column): Column = urlParts(url).getItem(1)
 
-  /** Registered domain (eTLD+1 under the built-in suffix subset — see
-    * [[TextKernels.urlParts]]): the per-site rollup/cap/blocklist key.
+  /** Registered domain (eTLD+1 under the built-in public + private
+    * registry suffix set — see [[TextKernels.urlParts]]): the per-site
+    * rollup/cap/blocklist key. Private-registry suffixes matter here:
+    * `user1.github.io` and `user2.github.io` are DIFFERENT registered
+    * domains, so per-domain caps hit each platform site separately.
     */
   def registeredDomain(url: Column): Column = urlParts(url).getItem(2)
+
+  /** [[registeredDomain]] under an explicit suffix-set snapshot. */
+  def registeredDomain(url: Column, suffixes: Seq[String]): Column =
+    urlParts(url, suffixes).getItem(2)
 
   /** TRUE when the registered domain sits on the blocklist (lowercase
     * literal membership — a plan-constant IN list, the broadcast-free

@@ -617,25 +617,142 @@ object TextKernels {
     s
   }
 
-  /** Multi-label public suffixes recognized by the registered-domain
-    * rule. Deliberately a BUILT-IN subset of the Mozilla public-suffix
-    * list (the full PSL is a data file a production deployment would
-    * ship as a plan constant the same way centroid matrices are); the
-    * rule is: host's last TWO labels in this set → registered domain is
-    * the last THREE labels, else the last two.
+  /** Multi-label PUBLIC (ICANN-section) suffixes recognized by the
+    * default registered-domain rule — a BUILT-IN subset of the Mozilla
+    * public-suffix list (deployments with the full ~9k-entry PSL
+    * snapshot pass it through the suffix-set parameter of
+    * [[graft.functions.GraftExpressions.UrlCanonExpr]], the
+    * centroid-matrix plan-constant pattern).
     */
   val multiSuffixList: Seq[String] =
     Seq("co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au",
       "org.au", "co.jp", "or.jp", "co.nz", "co.in", "co.za", "com.br",
       "com.mx", "com.cn", "com.tw", "com.sg")
 
-  private val multiSuffix: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    multiSuffixList.foreach(s.add)
-    s
+  /** PRIVATE-registry suffixes (the PSL's PRIVATE DOMAINS section
+    * subset): platform hosts where every subdomain is an independent
+    * registrant — `user1.github.io` and `user2.github.io` are different
+    * sites and must NOT collapse into one registered domain for
+    * per-domain caps/rollups (q147/q148 would otherwise cap all of a
+    * platform's content collectively, inverting the anti-SEO intent).
+    * Includes a 3-label entry (`s3.amazonaws.com`) so depth-3 matching
+    * stays exercised.
+    */
+  val privateSuffixList: Seq[String] =
+    Seq("github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+      "netlify.app", "vercel.app", "herokuapp.com", "web.app",
+      "pages.dev", "s3.amazonaws.com")
+
+  /** The default suffix set of [[urlParts]]: public subset + private
+    * registries. One-label TLDs are never listed — they are the PSL's
+    * implicit `*` default rule (registered domain = last two labels).
+    */
+  val defaultSuffixList: Seq[String] = multiSuffixList ++ privateSuffixList
+
+  /** Longest-match public-suffix matcher (the PSL algorithm over plain
+    * multi-label entries): finds the DEEPEST listed suffix of a host and
+    * returns it plus one preceding label; unlisted TLDs fall to the
+    * implicit last-two-labels rule; a host that IS a listed suffix (or a
+    * single label) passes through verbatim. Entries are plain suffixes —
+    * the PSL's wildcard/exception rows are not needed for the shipped
+    * subsets and a full-snapshot deployment expands them before passing
+    * the list. Prebuilds one hash set per label depth; matching is
+    * O(maxDepth) substring probes per host, allocation-free until the
+    * return. Rides the plan as ONE reference object.
+    */
+  final class SuffixMatcher(suffixes: Seq[String]) extends Serializable {
+    private val maxDepth: Int =
+      if (suffixes.isEmpty) 1
+      else suffixes.iterator.map(s => s.count(_ == '.') + 1).max
+    private val sets: Array[java.util.HashSet[String]] = {
+      val a = Array.fill(maxDepth + 1)(new java.util.HashSet[String]())
+      suffixes.foreach { s =>
+        val t = s.toLowerCase(java.util.Locale.ROOT)
+        a(t.count(_ == '.') + 1).add(t)
+      }
+      a
+    }
+    // start index of the suffix formed by host's last d labels, or -1
+    // when the host has fewer than d labels
+    private def suffixStart(host: String, d: Int): Int = {
+      var from = host.length - 1
+      var k = 0
+      while (k < d - 1) {
+        val dot = host.lastIndexOf('.', from)
+        if (dot < 0) return -1
+        from = dot - 1
+        k += 1
+      }
+      host.lastIndexOf('.', from) + 1
+    }
+    /** Registered domain of a lowercased, trailing-dot-free host. */
+    def registeredDomain(host: String): String = {
+      var d = maxDepth
+      while (d >= 2) {
+        if (!sets(d).isEmpty) {
+          val cut = suffixStart(host, d)
+          if (cut >= 0 && sets(d).contains(host.substring(cut))) {
+            // suffix + one preceding label; host verbatim when host IS
+            // the suffix (cut == 0 → no preceding label exists)
+            val prev = host.lastIndexOf('.', cut - 2)
+            return host.substring(prev + 1)
+          }
+        }
+        d -= 1
+      }
+      // implicit default rule: last two labels (host verbatim when single)
+      val l1 = host.lastIndexOf('.')
+      if (l1 < 0) host
+      else host.substring(host.lastIndexOf('.', l1 - 1) + 1)
+    }
+  }
+
+  object SuffixMatcher {
+    val default = new SuffixMatcher(defaultSuffixList)
   }
 
   private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  private def isUnreserved(code: Int): Boolean =
+    (code >= 'A' && code <= 'Z') || (code >= 'a' && code <= 'z') ||
+      (code >= '0' && code <= '9') ||
+      code == '-' || code == '.' || code == '_' || code == '~'
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** RFC 3986 §6.2.2 percent-encoding normalization: every `%XX` escape
+    * whose decoded octet is an UNRESERVED character (ALPHA / DIGIT /
+    * `-._~`) is decoded; every other escape keeps its `%` form with the
+    * hex digits UPPERCASED (`%2f` → `%2F`); a `%` not followed by two
+    * hex digits passes through verbatim. `%7Euser` ≡ `~user` ≡ `%7euser`
+    * — distinct spellings of one page collapse to one canonical URL.
+    */
+  def percentNormalize(s: String): String = {
+    var i = s.indexOf('%')
+    if (i < 0) return s
+    val b = new java.lang.StringBuilder(s.length)
+    b.append(s, 0, i)
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val code = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (isUnreserved(code)) b.append(code.toChar)
+        else b.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else {
+        b.append(c)
+        i += 1
+      }
+    }
+    b.toString
+  }
 
   /** One-walk URL canonicalizer → [canon_url, host, registered_domain]
     * (all three NULL when the input has no valid `scheme://` prefix or an
@@ -654,11 +771,20 @@ object TextKernels {
     *  6. query keeps its parameter ORDER but drops empty segments and
     *     tracking keys ([[trackingKeys]] + the `utm_` prefix, key
     *     compared lowercased); no survivors → no '?';
-    *  7. registered domain: all-[0-9.] hosts pass through verbatim (IPv4
-    *     has no registrable label), else last-2 labels — last-3 when the
-    *     last-2 form a [[multiSuffix]] entry.
+    *  7. percent-encoding normalization over the assembled canonical
+    *     form ([[percentNormalize]]: unreserved `%XX` decoded, reserved
+    *     escapes uppercased) — escapes live in path/query only, the
+    *     host/scheme walk never emits one;
+    *  8. registered domain ([[SuffixMatcher.registeredDomain]]):
+    *     all-[0-9.] hosts pass through verbatim (IPv4 has no registrable
+    *     label), else longest listed suffix + one label, with the
+    *     implicit last-two-labels default. The suffix set is a plan
+    *     constant — [[defaultSuffixList]] unless the caller passes a
+    *     full PSL snapshot.
     */
-  def urlParts(u: UTF8String): ArrayData = {
+  def urlParts(u: UTF8String): ArrayData = urlParts(u, SuffixMatcher.default)
+
+  def urlParts(u: UTF8String, matcher: SuffixMatcher): ArrayData = {
     val nulls = new GenericArrayData(Array[Any](null, null, null))
     val raw = u.toString
     var lo = 0
@@ -746,20 +872,9 @@ object TextKernels {
     }
     val domain =
       if (allNumDot) host
-      else {
-        val l3 = host.lastIndexOf('.')
-        val l2 = if (l3 > 0) host.lastIndexOf('.', l3 - 1) else -1
-        if (l3 < 0) host // single label
-        else {
-          val last2 = host.substring(l2 + 1)
-          if (l2 >= 0 && multiSuffix.contains(last2)) {
-            val l1 = host.lastIndexOf('.', l2 - 1)
-            host.substring(l1 + 1)
-          } else last2
-        }
-      }
+      else matcher.registeredDomain(host)
     new GenericArrayData(Array[Any](
-      UTF8String.fromString(canon.toString),
+      UTF8String.fromString(percentNormalize(canon.toString)),
       UTF8String.fromString(host),
       UTF8String.fromString(domain)))
   }

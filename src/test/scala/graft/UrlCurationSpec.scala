@@ -54,6 +54,53 @@ class UrlCurationSpec extends SparkSpec {
       (("http://192.168.0.1:8080/a", "192.168.0.1", "192.168.0.1")))
   }
 
+  test("private-registry witness: platform subdomains are DISTINCT registered domains") {
+    // the PSL PRIVATE DOMAINS semantics q148's cap depends on: every
+    // *.github.io site is its own registrant — two users must NOT
+    // collapse into one "github.io" group and get capped collectively
+    assert(parts("https://user1.github.io/p")._3 === "user1.github.io")
+    assert(parts("https://user2.github.io/p")._3 === "user2.github.io")
+    assert(parts("https://user1.github.io/p")._3 !==
+      parts("https://user2.github.io/p")._3)
+    // deeper subdomains still roll up to the site, not the platform
+    assert(parts("https://a.b.user1.github.io/p")._3 === "user1.github.io")
+    // depth-3 private suffix: bucket.s3.amazonaws.com is the registrant
+    assert(parts("https://assets.bucket.s3.amazonaws.com/k")._3 ===
+      "bucket.s3.amazonaws.com")
+    // a host that IS a private suffix passes through verbatim
+    assert(parts("https://github.io/")._3 === "github.io")
+    // longest match wins: blogspot.com beats the implicit .com rule
+    assert(parts("https://me.blogspot.com/x")._3 === "me.blogspot.com")
+    assert(parts("https://me.example.com/x")._3 === "example.com")
+  }
+
+  test("suffix-set parameterization: a custom PSL snapshot overrides the built-in") {
+    GraftFunctions.ensureRegistered(spark)
+    val custom = Seq("co.uk", "pages.example", "cdn.pages.example")
+    val df = Seq("https://u1.pages.example/a", "https://x.cdn.pages.example/b",
+        "https://me.github.io/c").toDF("url")
+      .select(TextAnalysis.registeredDomain(col("url"), custom).as("d"))
+    assert(df.as[String].collect().toSeq ===
+      // longest match: cdn.pages.example (depth 3) beats pages.example;
+      // github.io is NOT in the custom set → implicit last-2 rule
+      Seq("u1.pages.example", "x.cdn.pages.example", "github.io"))
+  }
+
+  test("percent-encoding normalization: unreserved decode, reserved uppercase") {
+    // %7E/~ and case variants of one page collapse to ONE canonical URL
+    assert(parts("https://a.com/%7Euser")._1 === "https://a.com/~user")
+    assert(parts("https://a.com/%7euser")._1 === "https://a.com/~user")
+    assert(parts("https://a.com/~user")._1 === "https://a.com/~user")
+    // reserved escapes keep % form, hex uppercased (%2f is '/', %3a ':')
+    assert(parts("https://a.com/a%2fb%3a1")._1 === "https://a.com/a%2Fb%3A1")
+    // applies inside surviving query segments too; malformed % untouched
+    assert(parts("https://a.com/p?x=%41%4a&gclid=%7e")._1 ===
+      "https://a.com/p?x=AJ")
+    assert(parts("https://a.com/p%g1%7")._1 === "https://a.com/p%g1%7")
+    // digit escape decodes (unreserved DIGIT)
+    assert(parts("https://a.com/v%31")._1 === "https://a.com/v1")
+  }
+
   test("unparseable input → NULL triple; NULL propagates") {
     GraftFunctions.ensureRegistered(spark)
     val df = Seq("no-scheme.com/x", "ht!tp://x.com", "https:///nohost",
@@ -115,8 +162,20 @@ class UrlCurationSpec extends SparkSpec {
     // second implementation from the RFC-3986-style decomposition regex
     // (the DuckDB oracle's shape, in Scala) — shares no code with the
     // walker; divergence on any generated URL fails with the input
-    val multi = graft.functions.TextKernels.multiSuffixList.toSet
+    val suffixByDepth = graft.functions.TextKernels.defaultSuffixList
+      .groupBy(_.count(_ == '.') + 1).view.mapValues(_.toSet).toMap
     val tracking = graft.functions.TextKernels.trackingKeyList.toSet
+    // independent percent-normalizer: regex tokenization (the oracle's
+    // shape), not the kernel's char walk
+    def pctRef(s: String): String =
+      "%[0-9A-Fa-f]{2}|[^%]+|%".r.findAllIn(s).map { t =>
+        if (t.length == 3 && t.startsWith("%")) {
+          val code = Integer.parseInt(t.substring(1), 16)
+          if (code.toChar.isLetterOrDigit && code < 128 ||
+              "-._~".contains(code.toChar)) code.toChar.toString
+          else "%" + t.substring(1).toUpperCase
+        } else t
+      }.mkString
     def ref(url: String): (String, String, String) = {
       var t = url.dropWhile(c => c == ' ' || c == '\t')
         .reverse.dropWhile(c => c == ' ' || c == '\t').reverse
@@ -143,17 +202,21 @@ class UrlCurationSpec extends SparkSpec {
         val key = seg.takeWhile(_ != '=').toLowerCase
         !key.startsWith("utm_") && !tracking.contains(key)
       }.mkString("&")
-      val canon = scheme + "://" + host +
+      val canon = pctRef(scheme + "://" + host +
         (if (port.nonEmpty) ":" + port else "") + path +
-        (if (kept.nonEmpty) "?" + kept else "")
+        (if (kept.nonEmpty) "?" + kept else ""))
       val domain =
         if (host.forall(c => c.isDigit || c == '.')) host
         else {
           val labs = host.split("\\.", -1)
-          if (labs.length >= 3 && multi.contains(labs.takeRight(2).mkString(".")))
-            labs.takeRight(3).mkString(".")
-          else if (labs.length >= 2) labs.takeRight(2).mkString(".")
-          else host
+          // longest-match PSL replay: deepest listed suffix + one label
+          val hit = suffixByDepth.keys.toSeq.sorted.reverse.collectFirst {
+            case d if labs.length >= d &&
+              suffixByDepth(d).contains(labs.takeRight(d).mkString(".")) =>
+              labs.takeRight(math.min(d + 1, labs.length)).mkString(".")
+          }
+          hit.getOrElse(
+            if (labs.length >= 2) labs.takeRight(2).mkString(".") else host)
         }
       (canon, host, domain)
     }
@@ -166,10 +229,13 @@ class UrlCurationSpec extends SparkSpec {
     val rnd = new scala.util.Random(20260816L)
     val schemes = Seq("https", "HTTP", "ftp", "h2", "")
     val hosts = Seq("Example.COM", "www.a.b.co.uk", "WWW.x.ORG", "127.0.0.1",
-      "a.com.", "localhost", "www.", "x..y.io", "co.uk", "a.com:abc")
+      "a.com.", "localhost", "www.", "x..y.io", "co.uk", "a.com:abc",
+      "u1.GitHub.IO", "www.me.Blogspot.com", "b.s3.amazonaws.com",
+      "a.b.s3.amazonaws.com", "s3.amazonaws.com", "github.io.evil.com")
     val ports = Seq("", ":80", ":443", ":8080", ":0443", ":")
     val paths = Seq("", "/", "/p/q", "/p?x=1?y=2", "?id=1", "/p?utm_a=1&b=2&",
-      "?UTM_X=1&gclid=z", "?a=1&&b==2&REF=x", "?u=http://b.com/c")
+      "?UTM_X=1&gclid=z", "?a=1&&b==2&REF=x", "?u=http://b.com/c",
+      "/%7Euser/%2fa", "/a%3ab%GG%4", "/x?q=%41%zz&id=%7e", "/%", "/100%25")
     val frags = Seq("", "#f", "#f://x", "#")
     for (_ <- 1 to 4000) {
       def pick[T](s: Seq[T]) = s(rnd.nextInt(s.length))
