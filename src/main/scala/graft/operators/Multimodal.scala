@@ -116,8 +116,12 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.sound.sampled.AudioSystem.write(ais,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        // meta.n_frames = 1: a WAV clip is ONE frame-sampling unit — the
+        // PCM sample count is payload-level ground truth surfaced by
+        // decodeAudioMeta.n_samples, NOT a frame notion (n here would
+        // make frameFeatures emit one full-clip re-decode per SAMPLE)
         Row(id, "audio", bos.toByteArray,
-          Row(null, null, Integer.valueOf(rate), Integer.valueOf(n),
+          Row(null, null, Integer.valueOf(rate), Integer.valueOf(1),
             "audio/wav"))
       }
     }(enc)
@@ -309,9 +313,10 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
           val nFrames = if (r.isNullAt(2)) 0 else r.getInt(2)
-          (0 until nFrames by everyNth).iterator.map { f =>
-            Row(id, f, codec.decodeFrame(bytes, f))
-          }
+          // the BATCH codec entry: container-seeking codecs open the clip
+          // once for all sampled frames instead of once per frame
+          codec.decodeFrames(bytes, 0 until nFrames by everyNth)
+            .map { case (f, feat) => Row(id, f, feat) }
         }
       }(enc)
   }
@@ -336,6 +341,16 @@ trait MediaCodec extends Serializable {
     * Default None so image-only codecs stay source-compatible.
     */
   def decodeAudio(bytes: Array[Byte]): Option[DecodedAudio] = None
+  /** Batch decode: features for the given frame indexes of ONE container,
+    * one (frame, feature) pair per requested index IN ORDER, null feature
+    * for out-of-range/corrupt frames (the [[decodeFrame]] contract).
+    * Default loops [[decodeFrame]] — source-compatible for stateless
+    * codecs; container-seeking codecs override it to open the container
+    * ONCE per clip instead of once per sampled frame.
+    */
+  def decodeFrames(bytes: Array[Byte],
+                   frames: Seq[Int]): Iterator[(Int, Array[Float])] =
+    frames.iterator.map(f => (f, decodeFrame(bytes, f)))
 }
 
 /** One decoded audio clip: container header format + integer amplitude
@@ -455,42 +470,66 @@ object AudioWavCodec extends MediaCodec {
   * formats needing external codecs (mp4/webm) stay behind [[StubCodec]]
   * as the documented swap point. Out-of-range frames and corrupt bytes →
   * null (routed, not thrown — the [[Multimodal.frameFeatures]] contract).
+  *
+  * [[decodeFrames]] is the hot entry point: ONE reader + ONE descriptor
+  * scan per clip, then one raster decode per sampled frame — linear in
+  * frames, where per-frame [[decodeFrame]] calls re-open the container
+  * each time (O(frames²)-ish raster work; kept only as the stateless
+  * single-frame fallback).
+  *
+  * Contract note: ImageIO's `read(frame)` decodes each frame's raster
+  * WITHOUT compositing GIF disposal methods — frames using partial or
+  * restore-previous disposal decode as their own raster only. Exact for
+  * full-frame-replacement GIFs (all the synthesized corpora here); a
+  * disposal-compositing decoder is an external-codec swap like mp4.
   */
 object GifFrameCodec extends MediaCodec {
   def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = None
 
+  private def features(img: java.awt.image.BufferedImage, frame: Int): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      i += 1
+    }
+    val n = w.toLong * h
+    Array(w.toFloat, h.toFloat, (sr / n).toFloat / 255.0f,
+      (sg / n).toFloat / 255.0f, (sb / n).toFloat / 255.0f, frame.toFloat)
+  }
+
   def decodeFrame(bytes: Array[Byte], frame: Int): Array[Float] =
-    if (bytes == null || bytes.isEmpty || frame < 0) null
-    else scala.util.Try {
+    if (frame < 0) null
+    else decodeFrames(bytes, Seq(frame)).next()._2
+
+  override def decodeFrames(bytes: Array[Byte],
+                            frames: Seq[Int]): Iterator[(Int, Array[Float])] = {
+    if (bytes == null || bytes.isEmpty)
+      return frames.iterator.map(f => (f, null: Array[Float]))
+    val decoded: Map[Int, Array[Float]] = scala.util.Try {
       ImageIoCodec.disableDiskCache()
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); null }
+      if (!readers.hasNext) { iis.close(); Map.empty[Int, Array[Float]] }
       else {
         val reader = readers.next()
         try {
           reader.setInput(iis)
-          if (frame >= reader.getNumImages(true)) null
-          else {
-            val img = reader.read(frame)
-            val w = img.getWidth; val h = img.getHeight
-            val px = img.getRGB(0, 0, w, h, null, 0, w)
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var i = 0
-            while (i < px.length) {
-              val p = px(i)
-              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-              i += 1
-            }
-            val n = w.toLong * h
-            Array(w.toFloat, h.toFloat, (sr / n).toFloat / 255.0f,
-              (sg / n).toFloat / 255.0f, (sb / n).toFloat / 255.0f,
-              frame.toFloat)
-          }
+          val n = reader.getNumImages(true) // ONE descriptor scan per clip
+          frames.iterator
+            .filter(f => f >= 0 && f < n)
+            .map(f => f -> scala.util.Try(features(reader.read(f), f))
+              .getOrElse(null: Array[Float])) // one bad frame ≠ a bad clip
+            .toMap
         } finally { reader.dispose(); iis.close() }
       }
-    }.toOption.orNull
+    }.getOrElse(Map.empty)
+    frames.iterator.map(f => (f, decoded.getOrElse(f, null)))
+  }
 }
 
 /** Deterministic fake for formats with no in-container decoder
