@@ -434,21 +434,44 @@ object Dedup {
     * `expectedItems` budget — size the FIRST build for the corpus you
     * expect, not the corpus you have; an over-budget filter degrades
     * cost (more confirm traffic), never exactness.
+    *
+    * Increments of ≤ `driverFoldMax` hashes fold driver-side (collect +
+    * putLong into the standing filter — insert-identical to the
+    * distributed build, no corpus-sized bitmap allocated per fold);
+    * larger increments use the distributed same-shape build + OR. At the
+    * default 1M cutoff the collect is ≤ 8 MB of longs.
     */
   def foldIntoBloom(bloomBytes: Array[Byte], increment: DataFrame,
                     textCol: String, expectedItems: Long,
-                    fpp: Double = 0.03): Array[Byte] = {
+                    fpp: Double = 0.03,
+                    driverFoldMax: Int = 1000000): Array[Byte] = {
     require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    require(driverFoldMax >= 0, s"driverFoldMax must be >= 0, got $driverFoldMax")
     val standing = org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(bloomBytes))
-    val inc = increment.select(xxhash64(col(textCol)).as("__h"))
+    val hashes = increment.select(xxhash64(col(textCol)).as("__h"))
       .filter(col("__h").isNotNull)
-      .stat.bloomFilter("__h", expectedItems, fpp)
-    require(standing.isCompatible(inc),
-      "increment filter shape differs from the standing filter — " +
-        "pass the ORIGINAL expectedItems/fpp the standing filter was built with")
-    standing.mergeInPlace(inc)
+    // Small increments (the common continuous-ingest case) fold DRIVER-
+    // side: collect the xxhash64 values and putLong them into the
+    // deserialized standing filter — identical insertions to the
+    // distributed build (Spark's bloom aggregate putLongs integral
+    // columns), WITHOUT allocating a corpus-sized bitmap per fold just
+    // to mergeInPlace it. Over the cutoff, fall back to the distributed
+    // same-shape build + OR (bloom union of same-shaped filters is
+    // exactly the filter of the union — no precision lost).
+    val probeCap = hashes.limit(driverFoldMax + 1)
+      .as(org.apache.spark.sql.Encoders.scalaLong).collect()
+    if (probeCap.length <= driverFoldMax) {
+      var i = 0
+      while (i < probeCap.length) { standing.putLong(probeCap(i)); i += 1 }
+    } else {
+      val inc = hashes.stat.bloomFilter("__h", expectedItems, fpp)
+      require(standing.isCompatible(inc),
+        "increment filter shape differs from the standing filter — " +
+          "pass the ORIGINAL expectedItems/fpp the standing filter was built with")
+      standing.mergeInPlace(inc)
+    }
     val bos = new java.io.ByteArrayOutputStream()
     standing.writeTo(bos)
     bos.toByteArray
@@ -471,10 +494,19 @@ object Dedup {
                 broadcastConfirm: Boolean = true): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // column-collision checks BEFORE the eager filter build: an invalid
+    // flagCol must fail fast, not after paying a full history scan
+    validateGateColumns(increment, flagCol)
     bloomGateWith(increment, history,
       historyBloom(history, textCol, expectedItems, fpp), textCol,
       flagCol, broadcastConfirm)
   }
+
+  private def validateGateColumns(increment: DataFrame, flagCol: String): Unit =
+    Seq("__k", "__dup", flagCol).foreach { c =>
+      require(!increment.columns.exists(_.equalsIgnoreCase(c)),
+        s"bloomGate output/working column '$c' already exists on the increment")
+    }
 
   /** [[bloomGate]] against a PREBUILT standing filter — the persistent-
     * filter deployment: the r16 ingest artifact measured the per-round
@@ -497,10 +529,7 @@ object Dedup {
                     bloomBytes: Array[Byte], textCol: String,
                     flagCol: String = "is_new",
                     broadcastConfirm: Boolean = true): DataFrame = {
-    (Seq("__k", "__dup", flagCol)).foreach { c =>
-      require(!increment.columns.exists(_.equalsIgnoreCase(c)),
-        s"bloomGate output/working column '$c' already exists on the increment")
-    }
+    validateGateColumns(increment, flagCol)
     graft.functions.GraftFunctions.ensureRegistered(increment.sparkSession)
     val probe = bloomProbe(col(textCol), bloomBytes)
     val maybeKeys = increment

@@ -337,9 +337,18 @@ class DedupSpec extends SparkSpec {
     assert(viaFold === viaRebuild)
     assert(viaFold(3000L) === false && viaFold(3001L) === false &&
       viaFold(3002L) === false && viaFold(4000L) === true)
-    // mismatched build parameters must refuse, not merge wrongly
+    // the small-increment DRIVER fold (collect + putLong) must be
+    // BIT-IDENTICAL to the distributed same-shape build + OR — same
+    // insertions, same standing-filter bit layout
+    val foldedDistributed = Dedup.foldIntoBloom(standing0, admitted1, "text",
+      exp, driverFoldMax = 0) // 0 forces the distributed fallback
+    assert(java.util.Arrays.equals(folded, foldedDistributed))
+    // mismatched build parameters must refuse on the distributed path
+    // (the driver path putLongs into the standing filter's OWN shape, so
+    // there is no wrong-shape bitmap to refuse)
     intercept[IllegalArgumentException] {
-      Dedup.foldIntoBloom(standing0, admitted1, "text", expectedItems = 7)
+      Dedup.foldIntoBloom(standing0, admitted1, "text", expectedItems = 7,
+        driverFoldMax = 0)
     }
   }
 
