@@ -969,7 +969,68 @@ object Oracles {
            FROM ucanon0)"""
   }
 
+  /** q152: independent regex/list-SQL replay of
+    * [[graft.functions.TextKernels.htmlMain]] over the verbatim
+    * [[Queries.synthHtml]] page synthesis — block alternation built from
+    * the SAME [[graft.functions.TextKernels.htmlBlockTags]] list the
+    * kernel matches, per-block tag strip / trim / word count / anchor
+    * link-chars, keep = words ≥ 5 AND link_density < 0.5.
+    */
+  private val htmlExtractOracle: String = {
+    val blockAlt = graft.functions.TextKernels.htmlBlockTags
+      .map(t => s"<$t(?: [^>]*)?>.*?</$t>").mkString("|")
+    val ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    s"""WITH hs AS (SELECT doc_id,
+           '<h1>Doc ' || doc_id || ' overview</h1>'
+           || '${Queries.htmlNav}'
+           || '<p>' || trim(text) || '</p>'
+           || CASE WHEN doc_id % 3 = 0 THEN '<p>Short note.</p>' ELSE '' END
+           || CASE WHEN doc_id % 4 = 1 THEN '${Queries.htmlLinkBox}' ELSE '' END
+           || CASE WHEN doc_id % 5 = 2
+                THEN '${Queries.htmlRelatedPre}' || source || '${Queries.htmlRelatedPost}'
+                ELSE '' END
+           || '${Queries.htmlFooter}' AS html
+         FROM documents),
+       hb AS (SELECT doc_id, regexp_extract_all(html, '(?s)$blockAlt') AS blks
+         FROM hs),
+       ht AS (SELECT doc_id,
+           [trim(regexp_replace(x, '<[^>]*>', '', 'g'), $ws) FOR x IN blks] AS texts,
+           [coalesce(list_sum([length(regexp_replace(y, '<[^>]*>', '', 'g'))
+               FOR y IN regexp_extract_all(x, '(?s)<a(?: [^>]*)?>(.*?)</a>', 1)]), 0)
+             FOR x IN blks] AS lc
+         FROM hb),
+       hm AS (SELECT doc_id, texts, lc,
+           [CASE WHEN t2 = '' THEN 0
+                 ELSE len(regexp_split_to_array(t2, '\\s+')) END
+             FOR t2 IN texts] AS words,
+           [length(t2) FOR t2 IN texts] AS chars
+         FROM ht),
+       hk AS (SELECT doc_id, texts, chars,
+           [words[i] >= 5 AND CAST(lc[i] AS DOUBLE) / greatest(chars[i], 1) < 0.5
+             FOR i IN range(1, len(texts) + 1)] AS keep
+         FROM hm),
+       hx AS (SELECT doc_id,
+           CAST(len(texts) AS BIGINT) AS n_blocks,
+           CAST(len(list_filter(keep, k -> k)) AS BIGINT) AS n_kept,
+           CAST(coalesce(list_sum(chars), 0) AS BIGINT) AS total_chars,
+           CAST(coalesce(list_sum(
+             [chars[i] FOR i IN range(1, len(texts) + 1) IF keep[i]]), 0)
+             AS BIGINT) AS kept_chars,
+           array_to_string(
+             [texts[i] FOR i IN range(1, len(texts) + 1) IF keep[i]],
+             chr(10)) AS clean_text
+         FROM hk)
+       SELECT doc_id, n_blocks, n_kept, total_chars, kept_chars,
+         CASE WHEN total_chars > 0
+              THEN round(1 - CAST(kept_chars AS DOUBLE) / total_chars, 5)
+              END AS boilerplate_ratio,
+         clean_text
+       FROM hx"""
+  }
+
   val all: Map[String, String] = Map(
+    "q152_html_extract" -> htmlExtractOracle,
+
     "q146_url_canonicalize" ->
       s"""WITH $urlSynthCtes, $urlCanonCtes
          SELECT doc_id, url, url_canon, host, domain FROM ucanon""",

@@ -92,6 +92,40 @@ object Queries {
       when(pmod(d, lit(6)) === 0, lit("#section-2")).otherwise(lit("")))
   }
 
+  /** q152 HTML-synthesis fragments, shared VERBATIM with [[Oracles]] (the
+    * synthUrl pattern): boilerplate blocks every real page carries — a
+    * link-dense nav, an optional link box, a link-heavy footer — around
+    * the document's text as the main content block. No single quotes (the
+    * fragments interpolate into the oracle's SQL string literals).
+    */
+  private[graft] val htmlNav =
+    """<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>"""
+  private[graft] val htmlLinkBox =
+    """<div><a href="/x">More stories</a> <a href="/y">Top links</a> <a href="/z">Archive</a></div>"""
+  private[graft] val htmlFooter =
+    """<footer>Copyright <a href="/tos">Terms</a> <a href="/priv">Privacy</a> <a href="/c">Cookies</a></footer>"""
+  private[graft] val htmlRelatedPre = "<p>Related reading follows the "
+  private[graft] val htmlRelatedPost =
+    """ line with a <a href="/r">reference link</a> included for context.</p>"""
+
+  /** Deterministic crawl-ish HTML page from (doc_id, text, source):
+    * heading + nav + main-content paragraph (the document text) +
+    * mod-gated short note / link box / linked-but-content paragraph +
+    * footer. Replayed verbatim by the q152 oracle CTE. Pure codegen
+    * projection.
+    */
+  private[graft] def synthHtml(d: Column, text: Column, source: Column): Column =
+    concat(
+      lit("<h1>Doc "), d.cast("string"), lit(" overview</h1>"),
+      lit(htmlNav),
+      lit("<p>"), trim(text), lit("</p>"),
+      when(pmod(d, lit(3)) === 0, lit("<p>Short note.</p>")).otherwise(lit("")),
+      when(pmod(d, lit(4)) === 1, lit(htmlLinkBox)).otherwise(lit("")),
+      when(pmod(d, lit(5)) === 2,
+        concat(lit(htmlRelatedPre), source, lit(htmlRelatedPost)))
+        .otherwise(lit("")),
+      lit(htmlFooter))
+
   /** q47's rule list — shared with the oracle generator so the Spark plan
     * and the DuckDB LIKE-chain are compiled from the same source of truth.
     * Rule 3 overlaps rule 2 on purpose ("large rod" rows match both):
@@ -994,6 +1028,30 @@ object Queries {
       Sampling.perDomainCap(parts, col("domain"), col("doc_id"), k = 5,
           portable = true)
         .select(col("doc_id"), col("domain"), col("rank"))
+    }),
+
+    // HTML main-content extraction: the step every real crawl pays
+    // between q146's URL gate and q139's line filter — synthesize a
+    // deterministic page per doc (nav/link-box/footer boilerplate around
+    // the text as the content block), score blocks by word count ×
+    // link density in ONE kernel walk, emit kept text + block census.
+    // Zero shuffles; the DuckDB oracle replays block split, tag strip,
+    // link-density scoring and the kept-text join in regex/list SQL
+    "q152_html_extract" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          synthHtml(col("doc_id"), col("text"), col("source")).as("html"))
+        .select(col("doc_id"), TextAnalysis.htmlMain(col("html")).as("hm"))
+        .select(col("doc_id"),
+          col("hm").getItem(1).cast("long").as("n_blocks"),
+          col("hm").getItem(2).cast("long").as("n_kept"),
+          col("hm").getItem(3).cast("long").as("total_chars"),
+          col("hm").getItem(4).cast("long").as("kept_chars"),
+          when(col("hm").getItem(3).cast("long") > 0,
+            round(lit(1.0) - col("hm").getItem(4).cast("double") /
+              col("hm").getItem(3).cast("double"), 5)).as("boilerplate_ratio"),
+          col("hm").getItem(0).as("clean_text"))
     }),
 
     // distributed BPE tokenizer TRAINING via the BATCHED trainer (one

@@ -325,6 +325,28 @@ case class UrlCanonExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** One-walk HTML main-content extractor — [clean_text, n_blocks, n_kept,
+  * total_chars, kept_chars] (counts as decimal strings; see
+  * [[TextKernels.htmlMain]] for the block/scoring rule list the DuckDB
+  * oracle replays in regex/list SQL).
+  */
+case class HtmlMainExpr(child: Expression, minWords: Int,
+                        maxLinkDensity: Double) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_html_main"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.htmlMain(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      minWords, maxLinkDensity)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.TextKernels.htmlMain($v, $minWords, $maxLinkDensity);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass repetition profile of a token array — [n_tokens,
   * max_token_count, ngram_instances, distinct_ngram_hashes] (see
   * [[TextKernels.repProfile]]).
@@ -716,6 +738,13 @@ object GraftFunctions {
       if (es.length > 1)
         UrlCanonExpr(es(0), stringLit(es(1), "suffixes").split(',').toSeq)
       else UrlCanonExpr(es(0))),
+    "graft_html_main" -> (es => {
+      val mw = intLit(es(1), "minWords")
+      require(mw >= 0, s"graft_html_main needs minWords >= 0, got $mw")
+      val mld = stringLit(es(2), "maxLinkDensity").toDouble
+      require(mld > 0, s"graft_html_main needs maxLinkDensity > 0, got $mld")
+      HtmlMainExpr(es(0), mw, mld)
+    }),
     "graft_rep_profile" -> (es => {
       val n = intLit(es(1), "n")
       require(n >= 2, s"graft_rep_profile needs n >= 2, got $n")

@@ -279,4 +279,26 @@ object TextAnalysis {
   def domainBlocked(domain: Column, blocked: Seq[String]): Column =
     coalesce(domain.isin(blocked.map(_.toLowerCase(java.util.Locale.ROOT)): _*),
       lit(false))
+
+  // ── HTML main-content extraction (crawl → text, before line filters) ──
+
+  /** One-walk HTML main-content extraction (jusText/trafilatura-class
+    * text-vs-link-density block scoring): [clean_text, n_blocks, n_kept,
+    * total_chars, kept_chars] (counts as decimal strings — cast, or use
+    * the named projections below). The step every real crawl pays
+    * between the URL gate ([[canonicalUrl]]) and every text operator:
+    * nav/footer/link-list boilerplate is dropped, content blocks join
+    * into `clean_text`. Rule list in [[TextKernels.htmlMain]]; a pure
+    * codegen projection — zero shuffles, streaming-safe. Requires
+    * [[graft.functions.GraftFunctions.ensureRegistered]].
+    */
+  def htmlMain(html: Column, minWords: Int = 5,
+               maxLinkDensity: Double = 0.5): Column =
+    call_function("graft_html_main", html, lit(minWords),
+      lit(maxLinkDensity.toString))
+
+  /** Kept-block text of [[htmlMain]], newline-joined. */
+  def htmlMainText(html: Column, minWords: Int = 5,
+                   maxLinkDensity: Double = 0.5): Column =
+    htmlMain(html, minWords, maxLinkDensity).getItem(0)
 }

@@ -878,4 +878,164 @@ object TextKernels {
       UTF8String.fromString(host),
       UTF8String.fromString(domain)))
   }
+
+  // ── HTML main-content extraction (web-curation family) ─────────────────
+
+  /** Block-level elements the extractor recognizes (lowercase HTML5
+    * names). Shared with the DuckDB oracle, which builds its block
+    * alternation regex from this list.
+    */
+  val htmlBlockTags: Seq[String] =
+    Seq("p", "h1", "h2", "h3", "li", "div", "nav", "header", "footer",
+      "aside", "blockquote")
+
+  private val htmlBlockTagSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    htmlBlockTags.foreach(s.add)
+    s
+  }
+
+  private def isWsChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  /** One-walk HTML main-content extractor (jusText/trafilatura-class
+    * text-vs-link-density block scoring) → [clean_text, n_blocks,
+    * n_kept, total_chars, kept_chars] (counts as decimal strings — the
+    * [[urlParts]] array-of-strings shape; callers cast). The rule list —
+    * each independently replayable in regex/list SQL, which is how the
+    * DuckDB oracle certifies this walker:
+    *
+    *  1. blocks = non-overlapping `<tag…>…</tag>` spans for tag ∈
+    *     [[htmlBlockTags]], scanned left to right; a block ends at the
+    *     FIRST matching close tag (flat block model: nested same-tag
+    *     blocks are not composed — the close belongs to the outermost
+    *     open, exactly the leftmost-non-greedy regex semantics); an
+    *     unclosed open tag is no block (scanning continues inside it);
+    *  2. block text = inner with every `<…>` span removed, then trimmed
+    *     of ASCII whitespace [ \t\n\x0B\f\r]; n_words = whitespace-run
+    *     count + 1 on nonempty text (the [[tokenProfile]] discipline);
+    *  3. link chars = tag-stripped characters lying inside `<a…>…</a>`
+    *     regions of the inner (self-closing `<a…/>` toggles nothing);
+    *     link_density = link_chars / max(text_chars, 1) as double;
+    *  4. keep a block iff n_words ≥ `minWords` AND link_density <
+    *     `maxLinkDensity`; clean_text = kept block texts joined by \n;
+    *  5. total_chars / kept_chars = summed trimmed text lengths over
+    *     all / kept blocks (boilerplate_ratio = 1 − kept/total is
+    *     Column-side arithmetic on these).
+    *
+    * Tag names match LOWERCASE only (HTML5 canonical — exactly the
+    * oracle's regex rule; normalize case upstream for shouting-markup
+    * crawls). Attributes are supported (`<p class=…>`); an attribute
+    * value containing '>' ends the tag at that '>' (the `[^>]*` regex
+    * rule, both sides). One walker-only edge the synthesis never emits
+    * and the oracle regex cannot see: an anchor left UNCLOSED inside a
+    * block counts the rest of the block as link text (conservative —
+    * malformed linky markup reads as link-dense and gets dropped).
+    */
+  def htmlMain(s: UTF8String, minWords: Int, maxLinkDensity: Double): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    var i = 0
+    var nBlocks = 0L
+    var nKept = 0L
+    var totalChars = 0L
+    var keptChars = 0L
+    val clean = new java.lang.StringBuilder
+    while (i < n) {
+      val lt = str.indexOf('<', i)
+      if (lt < 0) i = n
+      else {
+        var j = lt + 1
+        while (j < n && {
+          val c = str.charAt(j)
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }) j += 1
+        val name = str.substring(lt + 1, j)
+        val isBlock = j > lt + 1 && htmlBlockTagSet.contains(name) &&
+          j < n && (str.charAt(j) == '>' || str.charAt(j) == ' ')
+        if (!isBlock) i = lt + 1
+        else {
+          val gt = str.indexOf('>', j)
+          if (gt < 0) i = n
+          else {
+            val close = str.indexOf("</" + name + ">", gt + 1)
+            // unclosed: no block — rescan from just after '<' (the regex
+            // continues at the next position after a failed match start,
+            // so nested opens inside a malformed tag still get found)
+            if (close < 0) i = lt + 1
+            else {
+              // ── one block: strip tags, track <a> regions ──
+              var k = gt + 1
+              val sb = new java.lang.StringBuilder(close - gt)
+              var linkChars = 0L
+              var linkDepth = 0
+              while (k < close) {
+                val c = str.charAt(k)
+                if (c == '<') {
+                  var e = str.indexOf('>', k)
+                  if (e < 0 || e > close) e = close
+                  // anchor open/close tracking inside the block
+                  var p = k + 1
+                  val closing = p < e && str.charAt(p) == '/'
+                  if (closing) p += 1
+                  var q = p
+                  while (q < e && {
+                    val t = str.charAt(q)
+                    (t >= 'a' && t <= 'z') || (t >= '0' && t <= '9')
+                  }) q += 1
+                  if (q - p == 1 && str.charAt(p) == 'a') {
+                    val selfClosing = !closing && e > k && str.charAt(e - 1) == '/'
+                    if (closing) { if (linkDepth > 0) linkDepth -= 1 }
+                    else if (!selfClosing) linkDepth += 1
+                  }
+                  k = e + 1
+                } else {
+                  sb.append(c)
+                  if (linkDepth > 0) linkChars += 1
+                  k += 1
+                }
+              }
+              // trim the full ASCII \s set (the oracle's explicit
+              // trim-char list)
+              var lo = 0
+              var hi = sb.length
+              while (lo < hi && isWsChar(sb.charAt(lo))) lo += 1
+              while (hi > lo && isWsChar(sb.charAt(hi - 1))) hi -= 1
+              val text = sb.substring(lo, hi)
+              val textChars = text.length.toLong
+              var words = 0L
+              if (textChars > 0) {
+                words = 1L
+                var w = 0
+                var inRun = false
+                while (w < text.length) {
+                  if (isWsChar(text.charAt(w))) {
+                    if (!inRun) { words += 1; inRun = true }
+                  } else inRun = false
+                  w += 1
+                }
+              }
+              val density = linkChars.toDouble / math.max(textChars, 1L)
+              nBlocks += 1
+              totalChars += textChars
+              if (words >= minWords && density < maxLinkDensity) {
+                nKept += 1
+                keptChars += textChars
+                if (clean.length > 0) clean.append('\n')
+                clean.append(text)
+              }
+              i = close + name.length + 3
+            }
+          }
+        }
+      }
+    }
+    new GenericArrayData(Array[Any](
+      UTF8String.fromString(clean.toString),
+      UTF8String.fromString(nBlocks.toString),
+      UTF8String.fromString(nKept.toString),
+      UTF8String.fromString(totalChars.toString),
+      UTF8String.fromString(keptChars.toString)))
+  }
 }
