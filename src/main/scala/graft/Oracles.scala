@@ -1028,8 +1028,55 @@ object Oracles {
        FROM hx"""
   }
 
+  /** q153: independent replay of the trained langid — verbatim
+    * [[Queries.synthMultilingual]] synthesis, the md5-bucket hash in
+    * strpos SQL, the TRAINED scaled weight vectors interpolated as
+    * literals (the q90 move: the model rides in the SQL too), list-SQL
+    * sums + argmax/margin. Certifies hash, weights, argmax ties and the
+    * mean-log-prob arithmetic against a second implementation.
+    */
+  private val langIdVecOracle: String = {
+    val m = graft.operators.LangId.default
+    val nLangs = m.langs.length
+    val langsSql = m.langs.mkString("'", "','", "'")
+    require(Queries.langIdVocab.map(_._1) == m.langs,
+      "q153 vocab language order must match the model")
+    val vocabSql = Queries.langIdVocab
+      .map(_._2.mkString("['", "','", "']")).mkString("[", ",", "]")
+    def md5int(arg: String) =
+      s"CAST(list_sum([(strpos('0123456789abcdef', substr(md5($arg), k + 1, 1)) - 1) * 16**(7 - k) for k in range(0, 8)]) AS BIGINT)"
+    val textExpr = (0 until 12).map { j =>
+      s"vv[CAST(${md5int(s"CAST(doc_id AS VARCHAR) || ':$j'")} % 16 + 1 AS INT)]"
+    }.mkString(" || ' ' || ")
+    val sums = m.scaled.map { w =>
+      s"coalesce(list_sum([(${w.mkString("[", ",", "]")})[CAST(b AS INT) + 1] FOR b IN bks]), 0)"
+    }.mkString("[", ",\n           ", "]")
+    s"""WITH mv AS (SELECT doc_id,
+           ($vocabSql)[CAST(doc_id % $nLangs AS INT) + 1] AS vv,
+           ([$langsSql])[CAST(doc_id % $nLangs AS INT) + 1] AS lang_true
+         FROM documents),
+       mt AS (SELECT doc_id, lang_true, lower($textExpr) AS t FROM mv),
+       gr AS (SELECT doc_id, lang_true,
+           [substr(t, i, 3) FOR i IN range(1, length(t) - 1)] AS grams FROM mt),
+       bk AS (SELECT doc_id, lang_true,
+           [${md5int("g")} % ${m.nBuckets} FOR g IN grams] AS bks FROM gr),
+       sm AS (SELECT doc_id, lang_true,
+           CAST(len(bks) AS BIGINT) AS n_grams, $sums AS sums FROM bk)
+       SELECT doc_id, lang_true,
+         CASE WHEN n_grams = 0 THEN 'und'
+              ELSE ([$langsSql])[list_position(sums, list_max(sums))] END AS lang_pred,
+         n_grams,
+         CASE WHEN n_grams > 0
+              THEN CAST(list_max(sums) AS DOUBLE) / 100000.0 / n_grams END AS score,
+         CASE WHEN n_grams > 0
+              THEN CAST(list_max(sums) - list_sort(sums, 'DESC')[2] AS DOUBLE)
+                / 100000.0 / n_grams END AS margin
+       FROM sm"""
+  }
+
   val all: Map[String, String] = Map(
     "q152_html_extract" -> htmlExtractOracle,
+    "q153_lang_id_vec" -> langIdVecOracle,
 
     "q146_url_canonicalize" ->
       s"""WITH $urlSynthCtes, $urlCanonCtes

@@ -126,6 +126,59 @@ object Queries {
         .otherwise(lit("")),
       lit(htmlFooter))
 
+  /** q153 multilingual-synthesis vocab (16 common words per language,
+    * lowercase, quote-free — they interpolate into the oracle's SQL),
+    * keyed in the SAME ascending language order as
+    * [[graft.operators.LangId.default]]. Deliberately includes romance-
+    * language overlaps (tempo/sobre/amigos…) so the probe measures a
+    * REAL confusable space, not a toy one.
+    */
+  private[graft] val langIdVocab: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("und", "der", "nicht", "mit", "haben", "werden", "schön",
+      "über", "immer", "heute", "freunde", "schule", "wetter", "zwischen",
+      "vielleicht", "morgen"),
+    "en" -> Seq("and", "the", "not", "with", "have", "will", "lovely",
+      "over", "always", "today", "friends", "school", "weather", "between",
+      "perhaps", "morning"),
+    "es" -> Seq("y", "el", "no", "con", "tener", "siempre", "hermoso",
+      "sobre", "ciudad", "hoy", "amigos", "escuela", "tiempo", "entre",
+      "quizás", "mañana"),
+    "fr" -> Seq("et", "le", "pas", "avec", "avoir", "toujours", "magnifique",
+      "sur", "ville", "jamais", "amis", "école", "temps", "entre",
+      "beaucoup", "matin"),
+    "it" -> Seq("e", "il", "non", "con", "avere", "sempre", "bellissimo",
+      "sopra", "città", "oggi", "amici", "scuola", "tempo", "fra",
+      "forse", "mattina"),
+    "nl" -> Seq("en", "de", "niet", "met", "hebben", "zullen", "prachtig",
+      "over", "altijd", "vandaag", "vrienden", "school", "weer", "tussen",
+      "misschien", "morgen"),
+    "pt" -> Seq("e", "o", "não", "com", "ter", "sempre", "lindo", "sobre",
+      "cidade", "hoje", "amigos", "escola", "tempo", "entre", "talvez",
+      "manhã"),
+    "sv" -> Seq("och", "den", "inte", "med", "hava", "skall", "vackert",
+      "över", "alltid", "idag", "vänner", "skola", "väder", "mellan",
+      "kanske", "morgon"))
+
+  /** Deterministic multilingual text from doc_id: language = doc_id mod
+    * |langs|, 12 words drawn from that language's [[langIdVocab]] row by
+    * md5-derived indexes — replayed verbatim by the q153 oracle. Returns
+    * (lang_true, text). Pure codegen projection.
+    */
+  private[graft] def synthMultilingual(d: Column): (Column, Column) = {
+    val langs = langIdVocab.map(_._1)
+    val li = (pmod(d, lit(langs.length)) + 1).cast("int")
+    val langTrue = element_at(array(langs.map(lit): _*), li)
+    val vocabArr = array(langIdVocab.map { case (_, ws) =>
+      array(ws.map(lit): _*)
+    }: _*)
+    val words = (0 until 12).map { j =>
+      val idx = (conv(substring(md5(concat(d.cast("string"), lit(":" + j))),
+        1, 8), 16, 10).cast("long") % 16 + 1).cast("int")
+      element_at(element_at(vocabArr, li), idx)
+    }
+    (langTrue, concat_ws(" ", words: _*))
+  }
+
   /** q47's rule list — shared with the oracle generator so the Spark plan
     * and the DuckDB LIKE-chain are compiled from the same source of truth.
     * Rule 3 overlaps rule 2 on purpose ("large rod" rows match both):
@@ -1052,6 +1105,22 @@ object Queries {
             round(lit(1.0) - col("hm").getItem(4).cast("double") /
               col("hm").getItem(3).cast("double"), 5)).as("boilerplate_ratio"),
           col("hm").getItem(0).as("clean_text"))
+    }),
+
+    // TRAINED language ID (retires q24's marker voting as the only lang
+    // signal): hashed char-trigram NB weight vectors as plan constants,
+    // ONE kernel walk scores all 8 languages, argmax + margin in Column
+    // arithmetic — scored over deterministic multilingual synthesis so
+    // the oracle certifies hash, weights, argmax AND the accuracy frame
+    // (lang_true rides along). Zero shuffles, no vocabulary join
+    "q153_lang_id_vec" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val (langTrue, text) = synthMultilingual(col("doc_id"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), langTrue.as("lang_true"), text.as("text"))
+      LangId.predict(docs, "text")
+        .select(col("doc_id"), col("lang_true"), col("lang_pred"),
+          col("n_grams"), col("score"), col("margin"))
     }),
 
     // distributed BPE tokenizer TRAINING via the BATCHED trainer (one

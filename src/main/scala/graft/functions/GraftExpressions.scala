@@ -325,6 +325,31 @@ case class UrlCanonExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** Trained weight-vector language ID — [n_grams, sum_lang0, …] scaled
+  * log-prob sums over hashed char-n-gram buckets, one text walk for all
+  * languages (see [[TextKernels.LangIdVecKernel]]; argmax/margin are
+  * Column-side so the DuckDB oracle replays them verbatim).
+  */
+case class LangScoresExpr(child: Expression, model: Seq[(String, Array[Long])],
+                          n: Int) extends UnaryExpression {
+  @transient private lazy val kernel =
+    new TextKernels.LangIdVecKernel(model.map(_._1), model.map(_._2), n)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lang_scores"
+  override protected def nullSafeEval(v: Any): Any =
+    kernel.eval(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("langIdVecKernel", kernel,
+      classOf[TextKernels.LangIdVecKernel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $k.eval($v);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-walk HTML main-content extractor — [clean_text, n_blocks, n_kept,
   * total_chars, kept_chars] (counts as decimal strings; see
   * [[TextKernels.htmlMain]] for the block/scoring rule list the DuckDB
@@ -738,6 +763,18 @@ object GraftFunctions {
       if (es.length > 1)
         UrlCanonExpr(es(0), stringLit(es(1), "suffixes").split(',').toSeq)
       else UrlCanonExpr(es(0))),
+    // model literal: 'lang:w0,w1,…|lang2:…' (5-dp-scaled long weights,
+    // one per bucket; every language the same bucket count)
+    "graft_lang_scores" -> (es => {
+      val model = stringLit(es(1), "model").split('|').toSeq.map { part =>
+        part.split(":", 2) match {
+          case Array(lang, ws) => lang -> ws.split(',').map(_.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"graft_lang_scores model must be 'lang:w0,w1|lang2:…', got segment '$part'")
+        }
+      }
+      LangScoresExpr(es(0), model, intLit(es(2), "n"))
+    }),
     "graft_html_main" -> (es => {
       val mw = intLit(es(1), "minWords")
       require(mw >= 0, s"graft_html_main needs minWords >= 0, got $mw")

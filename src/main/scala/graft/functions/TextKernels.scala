@@ -106,6 +106,69 @@ object TextKernels {
     }
   }
 
+  /** Portable hash bucket of a char n-gram: first 4 md5 bytes as an
+    * unsigned int, mod `nBuckets` — the q90 hashing-trick discipline
+    * (identical to SQL's `conv(substr(md5(g),1,8),16,10) % nBuckets`),
+    * so an external trainer or the DuckDB oracle reproduces bucket
+    * assignment exactly. md5 costs ~µs per DISTINCT gram; callers memo.
+    */
+  def md5Bucket(gram: String, nBuckets: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (v % nBuckets).toInt
+  }
+
+  /** Weight-vector language ID scorer (the fastText-style hashed-linear
+    * move applied to langid, replacing set-membership voting with a
+    * TRAINED model): every char n-gram of the lowercased text hashes
+    * into one of `nBuckets` buckets ([[md5Bucket]] — oracle-replayable);
+    * each language contributes its bucket's naive-Bayes log-probability
+    * weight (5-dp-scaled LONGS — exact integer summation, the q65 float
+    * discipline). One text walk scores ALL languages: returns
+    * [n_grams, sum_lang0, …, sum_langL−1] as longs; argmax/margin/mean
+    * arithmetic is Column-side (replayed verbatim by the oracle).
+    * Distinct-gram → bucket memo (bounded) amortizes the md5: corpus
+    * trigram space is tiny next to corpus size. The weight matrix rides
+    * the plan as ONE reference object — no vocabulary join at any scale.
+    */
+  final class LangIdVecKernel(langsIn: Seq[String], weightsIn: Seq[Array[Long]],
+                              n: Int) extends Serializable {
+    require(langsIn.nonEmpty && langsIn.size == weightsIn.size,
+      s"langs (${langsIn.size}) and weight vectors (${weightsIn.size}) must align")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val langs: Array[String] = langsIn.toArray
+    private val weights: Array[Array[Long]] = weightsIn.toArray
+    private val nBuckets = weights(0).length
+    require(nBuckets > 0 && weights.forall(_.length == nBuckets),
+      "every language weight vector must have the same positive length")
+    @transient private lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    private def bucket(gram: String): Int = {
+      val c = memo.get(gram)
+      if (c != null) return c.intValue()
+      val b = md5Bucket(gram, nBuckets)
+      if (memo.size < (1 << 17)) memo.put(gram, Integer.valueOf(b))
+      b
+    }
+    def eval(text: UTF8String): ArrayData = {
+      val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+      val L = langs.length
+      val out = new Array[Long](L + 1)
+      val last = s.length - n
+      var i = 0
+      while (i <= last) {
+        val b = bucket(s.substring(i, i + n))
+        out(0) += 1
+        var l = 0
+        while (l < L) { out(l + 1) += weights(l)(b); l += 1 }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Count of tokens that belong to a fixed word set (stopword counting).
     * One hash-set probe per token; the combinator form (`filter(toks,
     * isin)`) is a CodegenFallback lambda that linearly scans the word list
