@@ -447,25 +447,66 @@ object NearDup {
     * `collapseExact = false` for the direct per-instance join (output
     * then has no n_l/n_r columns).
     */
+  /** `maxShingleDf` — the HOT-SHINGLE cut (composition-exposed by the
+    * r17 crawl-to-publish probe): boilerplate sentences that survive
+    * extraction ("Related reading follows …", license lines, nav text
+    * that beat the density gate) put the SAME grams in thousands of
+    * docs, and a gram shared by d left × e right docs emits d·e
+    * candidate pairs — measured 148 s of a 177 s pipeline at only 100 k
+    * docs. With `Some(cut)`, grams whose combined (left+right) doc
+    * frequency exceeds the cutoff are removed from the shingle sets
+    * ENTIRELY — sizes are recomputed over the surviving grams, so
+    * jaccard/containment measure the informative gram space (a pair
+    * connected only by boilerplate is no near-dup evidence at all).
+    * Pick the cutoff above the largest plausible true-dup group and
+    * below boilerplate reach (the probe uses 64). One extra hash
+    * aggregation over the shingle stream + per-side size recounts; the
+    * hot set itself is tiny by construction.
+    */
   def crossNgramPairs(left: DataFrame, right: DataFrame,
                       leftId: String, rightId: String,
                       leftText: String, rightText: String,
                       n: Int, minJaccard: Double = 0.0,
                       minContainment: Double = 0.0,
-                      collapseExact: Boolean = true): DataFrame = {
+                      collapseExact: Boolean = true,
+                      maxShingleDf: Option[Long] = None): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
+    maxShingleDf.foreach(c =>
+      require(c >= 1, s"maxShingleDf must be >= 1, got $c"))
     graft.functions.GraftFunctions.ensureRegistered(left.sparkSession)
     def score(pairs: DataFrame): DataFrame = pairs
       .withColumn("jaccard",
         col("common").cast("double") / (col("nsh_l") + col("nsh_r") - col("common")))
       .withColumn("containment_l", col("common").cast("double") / col("nsh_l"))
       .filter(col("jaccard") >= minJaccard && col("containment_l") >= minContainment)
+    // hot-shingle cut: drop over-shared grams from BOTH sides and
+    // recount sizes over the survivors (grams carry no identity once
+    // they are boilerplate-common)
+    def applyCut(a: DataFrame, b: DataFrame, aKeys: Seq[String],
+                 bKeys: Seq[String]): (DataFrame, DataFrame) =
+      maxShingleDf match {
+        case None => (a, b)
+        case Some(c) =>
+          val hot = a.select("h").unionAll(b.select("h"))
+            .groupBy("h").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") > c).select("h")
+          def strip(t: DataFrame, keys: Seq[String]): DataFrame = {
+            val kept = t.join(hot, Seq("h"), "left_anti")
+            val sizes = kept.groupBy(keys.map(col): _*)
+              .agg(count(lit(1)).as("__nsh2"))
+            kept.drop("nsh").join(sizes, keys)
+              .withColumnRenamed("__nsh2", "nsh")
+          }
+          (strip(a, aKeys), strip(b, bKeys))
+      }
     if (!collapseExact) {
       def side(df: DataFrame, id: String, text: String): DataFrame =
         shingleHashTable(df.select(col(id).as("id"), col(text).as("__tx")),
           Seq("id"), split(lower(trim(col("__tx"))), "\\s+"), n)
-      return score(side(left, leftId, leftText).as("a")
-        .join(side(right, rightId, rightText).as("b"), col("a.h") === col("b.h"))
+      val (a, b) = applyCut(side(left, leftId, leftText),
+        side(right, rightId, rightText), Seq("id"), Seq("id"))
+      return score(a.as("a")
+        .join(b.as("b"), col("a.h") === col("b.h"))
         .groupBy(col("a.id").as("id_l"), col("b.id").as("id_r"))
         .agg(count(lit(1)).as("common"),
           any_value(col("a.nsh")).as("nsh_l"), any_value(col("b.nsh")).as("nsh_r")))
@@ -479,8 +520,10 @@ object NearDup {
       shingleHashTable(texts.join(reps, Seq("th")).select(col("rid"), col("m"), col("__tx")),
         Seq("rid", "m"), split(col("__tx"), "\\s+"), n)
     }
-    score(collapsedSide(left, leftId, leftText).as("a")
-      .join(collapsedSide(right, rightId, rightText).as("b"), col("a.h") === col("b.h"))
+    val (a, b) = applyCut(collapsedSide(left, leftId, leftText),
+      collapsedSide(right, rightId, rightText), Seq("rid", "m"), Seq("rid", "m"))
+    score(a.as("a")
+      .join(b.as("b"), col("a.h") === col("b.h"))
       .groupBy(col("a.rid").as("id_l"), col("b.rid").as("id_r"))
       .agg(count(lit(1)).as("common"),
         any_value(col("a.nsh")).as("nsh_l"), any_value(col("b.nsh")).as("nsh_r"),

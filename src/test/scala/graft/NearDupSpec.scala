@@ -107,6 +107,40 @@ class NearDupSpec extends SparkSpec {
     assert(cut === Array((1L, 11L)))
   }
 
+  test("crossNgramPairs maxShingleDf: boilerplate-only pairs vanish, true pairs rescore") {
+    // 6 left + 6 right docs all END with the same boilerplate sentence
+    // (its grams have df = 12 > cutoff); docs 1/10 additionally share
+    // their CONTENT grams. Without the cut every left×right combo is a
+    // candidate pair; with it, only the content-sharing pair survives —
+    // and its jaccard is computed over the informative gram space
+    val boiler = "related reading follows the line with context"
+    val mk = (i: Long, content: String) => (i, s"$content $boiler")
+    val inc = (Seq(mk(1L, "alpha beta gamma delta")) ++
+      (2L to 6L).map(i => mk(i, s"u$i v$i w$i x$i"))).toDF("doc_id", "text")
+    val hist = (Seq(mk(10L, "alpha beta gamma echo")) ++
+      (11L to 15L).map(i => mk(i, s"p$i q$i r$i s$i"))).toDF("doc_id", "text")
+    val noCut = graft.operators.NearDup.crossNgramPairs(
+      inc, hist, "doc_id", "doc_id", "text", "text", n = 2,
+      collapseExact = false)
+    assert(noCut.count() === 36L) // every combo shares boilerplate grams
+    val cutDf = graft.operators.NearDup.crossNgramPairs(
+      inc, hist, "doc_id", "doc_id", "text", "text", n = 2,
+      collapseExact = false, maxShingleDf = Some(6))
+    val got = cutDf.select("id_l", "id_r", "jaccard", "containment_l")
+      .as[(Long, Long, Double, Double)].collect()
+    // surviving gram space per doc: 3 content grams + the content→boiler
+    // bridge gram ("delta related" / "echo related" — df 1 each) = 4;
+    // docs 1/10 share exactly {alpha beta, beta gamma} → 2/(4+4−2), 2/4
+    assert(got.map(r => (r._1, r._2)).toSeq === Seq((1L, 10L)))
+    assert(got(0)._3 === 2.0 / 6.0 && got(0)._4 === 2.0 / 4.0)
+    // the collapsed default honors the cut too
+    val collapsed = graft.operators.NearDup.crossNgramPairs(
+      inc, hist, "doc_id", "doc_id", "text", "text", n = 2,
+      maxShingleDf = Some(6))
+      .select("id_l", "id_r").as[(Long, Long)].collect()
+    assert(collapsed.toSeq === Seq((1L, 10L)))
+  }
+
   test("crossNgramPairs collapse-first ≡ per-instance after expansion (dup-heavy sides)") {
     // left: doc 1 text duplicated 3×; right: one text duplicated 2× —
     // the per-instance stream has 3×2 = 6 identical rows per rep pair
