@@ -1074,9 +1074,113 @@ object Oracles {
        FROM sm"""
   }
 
+  /** q154: independent replay of duplicated-span removal — verbatim
+    * [[Queries.synthDupSpanText]] synthesis, full k-gram expansion via
+    * generate_series (no hash prefilter: the oracle takes the naive
+    * O(k·corpus)-shuffle route the operator exists to avoid), the
+    * ≥2-distinct-docs rule as GROUP BY gram HAVING min<>max, interval
+    * cover as a correlated EXISTS per token position, span count via a
+    * lag() run-start window, and the token cut as a NULL-skipping
+    * string_agg. Certifies gram hashing+confirm, the interval fold and
+    * the higher-order token filter against a second implementation.
+    */
+  private val dupSpanOracle: String = {
+    val hdr = Queries.dupSpanHeader
+    val Seq(p0, p1, p2) = Queries.dupSpanPromos
+    val ftr = Queries.dupSpanFooter
+    s"""WITH synth AS (SELECT doc_id,
+           concat_ws(' ',
+             CASE WHEN doc_id % 2 = 0 THEN '$hdr' END,
+             CASE WHEN trim(text) <> '' THEN trim(text) END,
+             CASE WHEN doc_id % 3 = 0 THEN '$p0'
+                  WHEN doc_id % 3 = 1 THEN '$p1' ELSE '$p2' END,
+             '$ftr') AS t
+         FROM documents),
+       base AS (SELECT doc_id, string_split(t, ' ') AS toks,
+           len(string_split(t, ' ')) AS n FROM synth),
+       gs AS (SELECT doc_id, toks,
+           unnest(generate_series(1, n - 7)) AS s FROM base),
+       grams AS (SELECT doc_id, s,
+           array_to_string(toks[s:s + 7], ' ') AS gram FROM gs),
+       dupg AS (SELECT gram FROM grams GROUP BY gram
+         HAVING min(doc_id) <> max(doc_id)),
+       hits AS (SELECT g.doc_id, g.s FROM grams g JOIN dupg USING (gram)),
+       gp AS (SELECT doc_id, toks,
+           unnest(generate_series(1, n)) AS p FROM base),
+       pos AS (SELECT gp.doc_id, gp.p, gp.toks[gp.p] AS tok,
+           EXISTS (SELECT 1 FROM hits h
+             WHERE h.doc_id = gp.doc_id AND h.s <= gp.p AND gp.p < h.s + 8) AS cov
+         FROM gp),
+       runs AS (SELECT doc_id, p, tok, cov,
+           lag(cov, 1, FALSE) OVER (PARTITION BY doc_id ORDER BY p) AS pcov
+         FROM pos),
+       agg AS (SELECT doc_id,
+           CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS dup_tokens,
+           CAST(sum(CASE WHEN cov AND NOT pcov THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_spans,
+           coalesce(string_agg(CASE WHEN NOT cov THEN tok END, ' '
+             ORDER BY p), '') AS clean_text
+         FROM runs GROUP BY doc_id)
+       SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens, a.dup_spans,
+         a.dup_tokens,
+         round(CAST(a.dup_tokens AS DOUBLE) / b.n, 5) AS dup_ratio,
+         a.clean_text
+       FROM base b JOIN agg a USING (doc_id)"""
+  }
+
+  /** q155: independent replay of unicode normalization — the injected
+    * mess rebuilt from chr() codepoints, zero-width strip as stacked
+    * replace(), control strip as the SAME regex class in DuckDB
+    * regexp_replace, and NFC via DuckDB's own nfc_normalize (an
+    * independent implementation of the Unicode composition standard —
+    * the row only matches if java.text.Normalizer and DuckDB agree).
+    */
+  private val unicodeNormalizeOracle: String =
+    s"""WITH synth AS (SELECT doc_id,
+           concat(
+             CASE WHEN doc_id % 2 = 0 THEN chr(8203) || chr(65279) ELSE '' END,
+             CASE WHEN doc_id % 4 = 0 THEN 'cafe' || chr(769)
+                  WHEN doc_id % 4 = 1 THEN 'scho' || chr(776) || 'n'
+                  WHEN doc_id % 4 = 2 THEN 'sma' || chr(778) || 'land'
+                  ELSE 'garcon' END,
+             ' ',
+             CASE WHEN doc_id % 3 = 1 THEN chr(7) || chr(27) ELSE '' END,
+             trim(text),
+             CASE WHEN doc_id % 2 = 0 THEN chr(8205) ELSE '' END) AS t
+         FROM documents),
+       zw AS (SELECT doc_id, t,
+           replace(replace(replace(replace(replace(t,
+             chr(8203), ''), chr(8204), ''), chr(8205), ''),
+             chr(8288), ''), chr(65279), '') AS nozw
+         FROM synth),
+       ctl AS (SELECT doc_id, t, nozw,
+           regexp_replace(nozw, '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g')
+             AS noctl
+         FROM zw)
+       SELECT doc_id,
+         nfc_normalize(noctl) AS clean_text,
+         CAST(length(t) - length(nozw) AS BIGINT) AS n_zero_width,
+         CAST(length(nozw) - length(noctl) AS BIGINT) AS n_control,
+         nfc_normalize(noctl) <> noctl AS nfc_changed
+       FROM ctl"""
+
   val all: Map[String, String] = Map(
     "q152_html_extract" -> htmlExtractOracle,
     "q153_lang_id_vec" -> langIdVecOracle,
+    "q154_dup_span_strip" -> dupSpanOracle,
+    "q155_unicode_normalize" -> unicodeNormalizeOracle,
+
+    // q156: the naive exact GROUP BY the bounded-state operator provably
+    // equals (count desc, key asc, top 8) over the same skew synthesis
+    "q156_heavy_hitters" ->
+      s"""WITH keys AS (SELECT
+             CASE WHEN event_id % 5 < 4
+                  THEN 'hot_' || CAST(event_id % 8 AS VARCHAR)
+                  ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS key
+           FROM events)
+         SELECT key, CAST(count(*) AS BIGINT) AS cnt
+         FROM keys GROUP BY key
+         ORDER BY cnt DESC, key ASC LIMIT 8""",
 
     "q146_url_canonicalize" ->
       s"""WITH $urlSynthCtes, $urlCanonCtes

@@ -179,6 +179,70 @@ object Queries {
     (langTrue, concat_ws(" ", words: _*))
   }
 
+  /** q154 boilerplate segments, shared with [[Oracles]]: `documents`
+    * text is unique prose, so the dup-span family sews deterministic
+    * shared boilerplate AROUND it — a header on even doc_ids, one of
+    * three promo blocks by doc_id%3, a footer on every doc. Grams inside
+    * a shared segment duplicate across the docs that share it; grams
+    * crossing promo→footer duplicate across each mod-3 class, so those
+    * two segments MERGE into one span (the interval-merge witness),
+    * while header grams stay a separate span (the header→unique-text
+    * boundary never duplicates).
+    */
+  private[graft] val dupSpanHeader: String =
+    "subscribe to our weekly newsletter for updates and exclusive member offers today"
+  private[graft] val dupSpanPromos: Seq[String] = Seq(
+    "limited time offer save twenty percent on all premium plans this season only",
+    "download our free mobile app to keep your library in sync across devices",
+    "join the community forum to discuss tips tricks and recommended best practices")
+  private[graft] val dupSpanFooter: String =
+    "all rights reserved terms of service privacy policy and contact support team"
+
+  /** Deterministic dup-span synthesis from (doc_id, text) — replayed
+    * verbatim by the q154 oracle's concat_ws/CASE SQL.
+    */
+  private[graft] def synthDupSpanText(d: Column, text: Column): Column =
+    concat_ws(" ",
+      filter(array(
+        when(pmod(d, lit(2)) === 0, lit(dupSpanHeader)).otherwise(lit("")),
+        trim(text),
+        element_at(array(dupSpanPromos.map(lit): _*),
+          (pmod(d, lit(3)) + 1).cast("int")),
+        lit(dupSpanFooter)), s => length(s) > 0))
+
+  /** q155 unicode-mess synthesis, shared with [[Oracles]]: inject a
+    * DECOMPOSED accented word (base letter + combining mark — NFC
+    * composes it), zero-width/BOM characters on even doc_ids, and
+    * control characters on doc_id%3==1, all BMP so Spark/DuckDB char
+    * counts agree. Every piece is replayed in the oracle via chr()
+    * concatenation.
+    */
+  private[graft] def synthMessyText(d: Column, text: Column): Column = {
+    // base letter + combining mark, NFC-composable: e+U+0301, o+U+0308,
+    // a+U+030A — written as escapes so the source stays visible; the
+    // mod-4==3 branch is plain ASCII so nfc_changed varies per row
+    val decomposed = element_at(
+      array(lit("cafe\u0301"), lit("scho\u0308n"),
+        lit("sma\u030Aland"), lit("garcon")),
+      (pmod(d, lit(4)) + 1).cast("int"))
+    concat(
+      when(pmod(d, lit(2)) === 0, lit("\u200B\uFEFF")).otherwise(lit("")),
+      decomposed, lit(" "),
+      when(pmod(d, lit(3)) === 1, lit("\u0007\u001B")).otherwise(lit("")),
+      trim(text),
+      when(pmod(d, lit(2)) === 0, lit("\u200D")).otherwise(lit("")))
+  }
+
+  /** q156 skewed-key synthesis, shared with [[Oracles]]: 80% of events
+    * hash onto 8 hot keys (1000 rows each at sf0.01 — provably above the
+    * Misra–Gries undetected-key bound), the rest get per-event cold keys
+    * (a 2000-key tail the exact confirm must never shuffle).
+    */
+  private[graft] def synthSkewKey(eid: Column): Column =
+    when(pmod(eid, lit(5)) < 4,
+      concat(lit("hot_"), pmod(eid, lit(8)).cast("string")))
+      .otherwise(concat(lit("cold_"), eid.cast("string")))
+
   /** q47's rule list — shared with the oracle generator so the Spark plan
     * and the DuckDB LIKE-chain are compiled from the same source of truth.
     * Rule 3 overlaps rule 2 on purpose ("large rod" rows match both):
@@ -1121,6 +1185,55 @@ object Queries {
       LangId.predict(docs, "text")
         .select(col("doc_id"), col("lang_true"), col("lang_pred"),
           col("n_grams"), col("score"), col("margin"))
+    }),
+
+    // exact duplicated-SUBSTRING removal (Lee et al. 2021 semantics at
+    // k-token-gram granularity): boilerplate sewn INTO unique documents
+    // is cut span-wise while the prose stays — the operation doc-level
+    // dedup (q21/q27/q74) cannot express. Gram occurrences shuffle as
+    // 8-byte hashes; only hash candidates rehydrate strings for the
+    // exact confirm, so collisions can never mark a unique gram. The
+    // oracle replays gram expansion, the >=2-distinct-docs rule,
+    // interval cover, span count and the token cut in generate_series/
+    // window SQL
+    "q154_dup_span_strip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          synthDupSpanText(col("doc_id"), col("text")).as("text"))
+      Dedup.stripDupSpans(docs, "doc_id", "text", k = 8)
+    }),
+
+    // unicode normalization front door (zero-width/BOM strip, control
+    // strip keeping \t\n, NFC compose) — the scrub every crawled corpus
+    // pays before token counts and fingerprints are trustworthy. One
+    // translate + one regex + one codegen NFC kernel, zero shuffles; the
+    // oracle rebuilds the injected mess from chr() codepoints and
+    // replays NFC with DuckDB's own nfc_normalize — an independent
+    // implementation of the same Unicode standard
+    "q155_unicode_normalize" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          synthMessyText(col("doc_id"), col("text")).as("text"))
+        .select(col("doc_id"),
+          TextAnalysis.normalizeUnicode(col("text")).as("nu"))
+        .select(col("doc_id"),
+          col("nu.clean_text").as("clean_text"),
+          col("nu.n_zero_width").as("n_zero_width"),
+          col("nu.n_control").as("n_control"),
+          col("nu.nfc_changed").as("nfc_changed"))
+    }),
+
+    // EXACT top-k heavy hitters with bounded state: per-partition
+    // Misra–Gries candidates (the full-cardinality groupBy that would
+    // shuffle every key at 100 TB never runs), exact confirm over the
+    // candidate plan constant, fail-fast certificate that the k-th
+    // count clears the undetected-key bound. The oracle is the naive
+    // exact GROUP BY the operator provably equals
+    "q156_heavy_hitters" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(synthSkewKey(col("event_id")).as("key"))
+      Summaries.heavyHitters(ev, "key", k = 8, capacity = 64)
     }),
 
     // distributed BPE tokenizer TRAINING via the BATCHED trainer (one

@@ -274,6 +274,27 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization ([[TextKernels.nfc]], java.text.Normalizer
+  * under the hood — the q155 oracle replays it with DuckDB's
+  * `nfc_normalize`). Spark has no NFC builtin; this stays inside
+  * whole-stage codegen and returns the input object untouched when the
+  * string is already composed.
+  */
+case class NfcExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.nfc(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.TextKernels.nfc($v);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass token/char profile of a string — [n_tokens_ws, word_chars,
   * punct_chars] (see [[TextKernels.tokenProfile]] for the exact
   * Column-form-parity contract). Replaces three regex scans per row in
@@ -756,6 +777,7 @@ object GraftFunctions {
     "graft_bloom_contains" -> (es =>
       BloomContainsExpr(es(0), binaryLit(es(1), "bloom bytes"))),
     "graft_char_entropy" -> (es => CharEntropyExpr(es(0))),
+    "graft_nfc" -> (es => NfcExpr(es(0))),
     "graft_token_profile" -> (es => TokenProfileExpr(es(0))),
     // optional 2nd arg: comma-joined multi-label suffix set (a full PSL
     // snapshot incl. private registries); absent = the built-in subset

@@ -301,4 +301,42 @@ object TextAnalysis {
   def htmlMainText(html: Column, minWords: Int = 5,
                    maxLinkDensity: Double = 0.5): Column =
     htmlMain(html, minWords, maxLinkDensity).getItem(0)
+
+  /** Unicode NFC normalization — [[graft.functions.TextKernels.nfc]]
+    * behind `graft_nfc` (Spark has no builtin; q155's oracle replays it
+    * with DuckDB `nfc_normalize`). Stays in whole-stage codegen.
+    */
+  def nfc(text: Column): Column = call_function("graft_nfc", text)
+
+  /** Zero-width / BOM code points a web corpus carries invisibly:
+    * U+200B..U+200D, U+2060 word joiner, U+FEFF. Kept as one string so
+    * the `translate` strip and the count formula share one source.
+    */
+  val zeroWidthChars: String = "\u200B\u200C\u200D\u2060\uFEFF"
+
+  /** Control characters to strip (C0 minus \t \n, plus DEL), as a Java/
+    * RE2-compatible character class — the q155 oracle uses the same
+    * class text in DuckDB `regexp_replace`.
+    */
+  val controlClass: String = "[\\x00-\\x08\\x0B-\\x1F\\x7F]"
+
+  /** One normalization pass a training corpus wants before any text
+    * operator: strip zero-width/BOM code points, strip control chars
+    * (keeping \t and \n), then compose to NFC. Returns a struct column
+    * `(clean_text, n_zero_width, n_control, nfc_changed)` — counts are
+    * exact (every stripped code point is one character), `nfc_changed`
+    * flags strings whose byte form changed under composition (the
+    * mojibake / decomposed-input signal worth a census). All column
+    * arithmetic + one codegen kernel; zero shuffles.
+    */
+  def normalizeUnicode(text: Column): Column = {
+    val noZw = translate(text, zeroWidthChars, "")
+    val noCtl = regexp_replace(noZw, controlClass, "")
+    val clean = nfc(noCtl)
+    struct(
+      clean.as("clean_text"),
+      (length(text) - length(noZw)).cast("long").as("n_zero_width"),
+      (length(noZw) - length(noCtl)).cast("long").as("n_control"),
+      (clean =!= noCtl).as("nfc_changed"))
+  }
 }

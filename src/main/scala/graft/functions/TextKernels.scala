@@ -1101,4 +1101,18 @@ object TextKernels {
       UTF8String.fromString(totalChars.toString),
       UTF8String.fromString(keptChars.toString)))
   }
+
+  /** Unicode NFC normalization (java.text.Normalizer). The q155 oracle
+    * replays this with DuckDB's `nfc_normalize` — both implement the
+    * Unicode-standard composition, so combining sequences (`e` + U+0301)
+    * compose identically. Returns the input object unchanged when the
+    * string is already NFC (the overwhelmingly common case), so the hot
+    * path allocates nothing.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }

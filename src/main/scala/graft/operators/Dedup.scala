@@ -597,4 +597,95 @@ object Dedup {
         round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_in"), 5)
           .as("retention"))
   }
+
+  /** Exact duplicated-SUBSTRING removal (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better"
+    * operation, at whitespace-token-gram granularity): find every
+    * k-token gram whose exact text occurs in ≥ 2 distinct documents,
+    * merge each document's duplicated gram starts into maximal covered
+    * spans, and emit span stats plus the text with covered tokens cut.
+    * This is the operator the doc-level family (q21/q74/q27) cannot
+    * express: boilerplate sewn INTO otherwise-unique documents (license
+    * footers, promo blocks, templated headers) is removed span-wise
+    * while the unique prose stays.
+    *
+    * Scale shape (the whole point — a naive design shuffles k× the
+    * corpus text): gram occurrences carry only `(xxhash64(gram), id,
+    * pos)` — 8-byte hashes, never gram strings — into a map-side-
+    * combinable min/max-id agg; only hash-level candidates (grams whose
+    * hash spans ≥ 2 docs — at 100 TB a tiny fraction: true boilerplate
+    * plus ~0 collisions) rehydrate their strings for an EXACT
+    * string-level confirm, so a 64-bit collision can never mark a
+    * unique gram duplicated. Hits fold per doc into sorted starts; span
+    * merge + stats are one O(g) array fold, the token cut one
+    * higher-order filter — no window, no explode of positions.
+    *
+    * Span semantics: covered = union of [start, start+k-1] token
+    * intervals; `dup_spans` counts maximal contiguous covered runs
+    * (overlapping AND back-to-back grams merge); `dup_ratio` =
+    * dup_tokens / n_tokens rounded to 5dp; `clean_text` = uncovered
+    * tokens joined by single spaces ("" when everything is covered).
+    * Documents with fewer than k tokens have no grams and pass through
+    * untouched. The q154 oracle replays gram expansion, the ≥2-distinct-
+    * docs rule, interval cover and the cut in independent DuckDB
+    * generate_series/window SQL.
+    */
+  def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8): DataFrame = {
+    require(k >= 1, s"stripDupSpans needs k >= 1, got $k")
+    val id = col(idCol)
+    val base = docs
+      .select(id, split(trim(col(textCol)), " ").as("__toks"))
+      .select(id, col("__toks"), size(col("__toks")).as("n_tokens"))
+    // gram start positions are 0-based array offsets; start i covers
+    // tokens [i, i+k-1]
+    val grams = base.select(id,
+        posexplode(
+          when(col("n_tokens") >= k,
+            transform(sequence(lit(0), col("n_tokens") - k),
+              i => concat_ws(" ", slice(col("__toks"), i + lit(1), lit(k)))))
+            .otherwise(array().cast("array<string>")))
+          .as(Seq("__pos", "__gram")))
+      .withColumn("__gh", xxhash64(col("__gram")))
+    // stage 1 (hash-width shuffle): candidate hashes seen in >= 2 docs
+    val candHash = grams.groupBy("__gh")
+      .agg(min(id).as("__dmin"), max(id).as("__dmax"))
+      .where(col("__dmin") =!= col("__dmax")).select("__gh")
+    val cand = grams.join(candHash, Seq("__gh"), "left_semi")
+    // stage 2 (candidates only): exact string confirm — collisions die
+    val dupGram = cand.groupBy("__gram")
+      .agg(min(id).as("__dmin"), max(id).as("__dmax"))
+      .where(col("__dmin") =!= col("__dmax")).select("__gram")
+    val hits = cand.join(dupGram, Seq("__gram"), "left_semi")
+    val perDoc = hits.groupBy(id)
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+    val e = lit(k - 1)
+    val st = aggregate(col("__starts"),
+      struct(lit(0L).as("spans"), lit(0L).as("toks"), lit(-2L).as("pe")),
+      (acc, s0) => {
+        val s = s0.cast("long")
+        val end = s + e
+        struct(
+          (acc.getField("spans") +
+            when(s > acc.getField("pe") + 1, 1L).otherwise(0L)).as("spans"),
+          (acc.getField("toks") +
+            greatest(end - greatest(acc.getField("pe"), s - 1), lit(0L)))
+            .as("toks"),
+          greatest(acc.getField("pe"), end).as("pe"))
+      })
+    base.join(perDoc, Seq(idCol), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__st", st)
+      .select(id,
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("__st.spans").as("dup_spans"),
+        col("__st.toks").as("dup_tokens"),
+        round(col("__st.toks").cast("double") / col("n_tokens"), 5)
+          .as("dup_ratio"),
+        array_join(
+          filter(col("__toks"), (t, i) =>
+            !exists(col("__starts"), s => s <= i && i < s + lit(k))),
+          " ").as("clean_text"))
+  }
 }

@@ -1500,4 +1500,103 @@ object Summaries {
       acc.withColumn(s"${c}_w", out)
     }
   }
+
+  /** EXACT top-k heavy hitters over a key whose cardinality is itself
+    * data-scale (the case `groupBy(key).count.orderBy` cannot survive at
+    * 100 TB: the full-key shuffle IS the bottleneck). Two passes:
+    *
+    *  1. a per-partition Misra–Gries summary of `capacity` counters
+    *     (bounded state — one O(capacity) map per partition, merged
+    *     driver-side into ≤ partitions × capacity candidates, the same
+    *     bounded plan-constant narrowing as the centroid matrices). MG
+    *     guarantees any key with true count > N/(capacity+1) survives
+    *     some partition's summary, so the candidate union misses no
+    *     possible top-k member as long as the k-th count clears that
+    *     bound;
+    *  2. an exact confirm: count ONLY rows whose key is in the candidate
+    *     set (an `isin` plan constant — non-candidates never shuffle),
+    *     order by (count desc, key asc) and take k.
+    *
+    * The exactness condition is CHECKED, not assumed: if the k-th
+    * confirmed count fails to exceed N/(capacity+1) — the largest count
+    * a non-candidate could hide — the operator fails fast with the
+    * capacity it would need, rather than return a plausible-but-
+    * unprovable top-k (same fail-fast contract as the bloom-gate
+    * validation). NULL keys are excluded (a NULL is not a key; count
+    * them upstream if they matter). Deterministic: candidate-set
+    * membership only widens the confirm filter, so partitioning cannot
+    * change the answer.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int,
+                   capacity: Int = 4096): DataFrame = {
+    require(k >= 1, s"heavyHitters needs k >= 1, got $k")
+    require(capacity >= k,
+      s"heavyHitters needs capacity >= k, got capacity=$capacity k=$k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string").as("k"))
+      .where(col("k").isNotNull)
+    // pass 1: one bounded MG summary per partition + its row count
+    val summaries: Array[(Map[String, Long], Long)] =
+      keys.as[String].mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        var n = 0L
+        it.foreach { key =>
+          n += 1
+          m.get(key) match {
+            case Some(c) => m.update(key, c + 1)
+            case None =>
+              if (m.size < capacity) m.update(key, 1L)
+              else {
+                // decrement-all step; drop zeros (classic Misra–Gries).
+                // Snapshot first — mutating a mutable.HashMap mid-
+                // iteration is undefined. Each step retires capacity+1
+                // count units, so steps <= n/(capacity+1): O(n) total.
+                val entries = m.toArray
+                entries.foreach { case (kk, c) =>
+                  if (c == 1L) m.remove(kk) else m.update(kk, c - 1L)
+                }
+              }
+          }
+        }
+        Iterator.single((m.toMap, n))
+      }.collect()
+    val nTotal = summaries.map(_._2).sum
+    if (nTotal == 0L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(keyCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    val candidates: Seq[String] =
+      summaries.iterator.flatMap(_._1.keysIterator).toSet.toSeq
+    val bound = nTotal / (capacity + 1L) // floor: non-candidate true count <= bound
+    val top = keys.where(col("k").isin(candidates: _*))
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("k").asc)
+      .limit(k)
+      .select(col("k").as(keyCol), col("cnt"))
+    val rows = top.collect() // <= k rows, bounded
+    if (rows.length == k) {
+      // a non-candidate key can hide at most `bound` occurrences; the
+      // k-th confirmed count must strictly exceed it or the top-k is
+      // not provably exact
+      val kth = rows.last.getLong(1)
+      require(kth > bound,
+        s"heavyHitters(capacity=$capacity) cannot certify exact top-$k: " +
+          s"k-th confirmed count $kth <= undetected-key bound $bound " +
+          s"(N=$nTotal); raise capacity above ${nTotal / math.max(kth, 1L)}")
+    } else {
+      // fewer distinct candidates than k: exact only if NO key can have
+      // been missed, i.e. the undetected bound is zero (every key with
+      // count >= 1 survived some summary => candidates are exhaustive)
+      require(bound == 0L,
+        s"heavyHitters(capacity=$capacity) found only ${rows.length} < $k " +
+          s"candidate keys but bound $bound > 0 permits undetected keys; " +
+          s"raise capacity above $nTotal or lower k")
+    }
+    top
+  }
 }

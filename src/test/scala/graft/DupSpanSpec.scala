@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Exact duplicated-substring removal ([[Dedup.stripDupSpans]], q154):
+  * planted-boilerplate scenarios with hand-computed spans, the
+  * interval-merge rules, passthrough edges, and partition invariance.
+  */
+class DupSpanSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("shared k-gram across two docs is cut from both; unique prose stays") {
+    // k=3: "one two three" appears in both docs at different offsets
+    val out = Dedup.stripDupSpans(docs(
+      1L -> "alpha beta one two three gamma",
+      2L -> "one two three delta epsilon zeta"), "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("dup_spans") == 1L)
+    assert(out(0).getAs[Long]("dup_tokens") == 3L)
+    assert(out(0).getAs[String]("clean_text") == "alpha beta gamma")
+    assert(out(1).getAs[String]("clean_text") == "delta epsilon zeta")
+    assert(out(1).getAs[Double]("dup_ratio") == 0.5)
+  }
+
+  test("overlapping duplicated grams merge into one maximal span") {
+    // the shared run is 5 tokens = three overlapping 3-grams -> ONE span
+    val out = Dedup.stripDupSpans(docs(
+      1L -> "u1 a b c d e v1",
+      2L -> "u2 u3 a b c d e"), "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("dup_spans") == 1L)
+      assert(r.getAs[Long]("dup_tokens") == 5L)
+    }
+    assert(out(0).getAs[String]("clean_text") == "u1 v1")
+  }
+
+  test("disjoint duplicated regions stay separate spans; adjacent runs merge") {
+    // doc 1 shares its head with doc 2 and its tail with doc 3, a unique
+    // middle keeps them apart -> 2 spans; doc 4 shares BOTH back-to-back
+    // with doc 5 -> contiguous cover merges to 1 span
+    val head = "h1 h2 h3"
+    val tail = "t1 t2 t3"
+    val out = Dedup.stripDupSpans(docs(
+      1L -> s"$head mid1 mid2 $tail",
+      2L -> s"$head x1 x2 x3 x4",
+      3L -> s"y1 y2 y3 y4 $tail",
+      4L -> s"$head $tail z1",
+      5L -> s"w1 $head $tail"), "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("dup_spans") == 2L)
+    assert(out(0).getAs[Long]("dup_tokens") == 6L)
+    assert(out(0).getAs[String]("clean_text") == "mid1 mid2")
+    assert(out(3).getAs[Long]("dup_spans") == 1L) // head+tail contiguous
+    assert(out(3).getAs[Long]("dup_tokens") >= 6L)
+    assert(out(3).getAs[String]("clean_text") == "z1")
+  }
+
+  test("a gram repeated only WITHIN one doc is not duplicated (>=2 distinct docs rule)") {
+    val out = Dedup.stripDupSpans(docs(
+      1L -> "r1 r2 r3 mid r1 r2 r3",
+      2L -> "other words entirely here now"), "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("dup_spans") == 0L)
+      assert(r.getAs[Long]("dup_tokens") == 0L)
+    }
+    assert(out(0).getAs[String]("clean_text") == "r1 r2 r3 mid r1 r2 r3")
+  }
+
+  test("docs shorter than k tokens pass through untouched") {
+    val out = Dedup.stripDupSpans(docs(
+      1L -> "a b",
+      2L -> "a b"), "doc_id", "text", k = 3).orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == 2L)
+      assert(r.getAs[Long]("dup_spans") == 0L)
+      assert(r.getAs[String]("clean_text") == "a b")
+    }
+  }
+
+  test("fully-duplicated doc empties: ratio 1.0, clean_text empty string") {
+    val out = Dedup.stripDupSpans(docs(
+      1L -> "c1 c2 c3 c4",
+      2L -> "c1 c2 c3 c4"), "doc_id", "text", k = 4).orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("dup_ratio") == 1.0)
+      assert(r.getAs[String]("clean_text") == "")
+    }
+  }
+
+  test("partition-invariant: repartitioned input gives identical rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val boiler = "the quick brown fox jumps over the lazy dog again"
+    val rows = (0L until 200L).map { i =>
+      val uniq = Seq.fill(12)("w" + rnd.nextInt(50000)).mkString(" ")
+      (i, if (i % 2 == 0) s"$boiler $uniq" else s"$uniq $boiler")
+    }
+    val df = rows.toDF("doc_id", "text")
+    val a = Dedup.stripDupSpans(df.repartition(1), "doc_id", "text", k = 5)
+      .collect().map(_.toString).sorted
+    val b = Dedup.stripDupSpans(df.repartition(17), "doc_id", "text", k = 5)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    assert(a.length == 200)
+  }
+}

@@ -580,4 +580,42 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(pf).size <= 2, pf.take(2500))
     assert(!pf.contains("Window") && !pf.contains("SortAggregate"), pf.take(2500))
   }
+
+  test("q154 dup-span strip: hash aggs + hash/broadcast joins, no window, no SMJ, no cartesian") {
+    // the gram expansion must never sort-merge or window: candidates
+    // are hash-agg'd (map-side combinable min/max) and joined back
+    // hash-side; the span fold is array arithmetic in the projection
+    val df: DataFrame = Queries.all("q154_dup_span_strip")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Window"), p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(p.contains("HashAggregate"), p.take(2500))
+  }
+
+  test("q155 unicode normalize is a zero-exchange codegen projection") {
+    val df: DataFrame = Queries.all("q155_unicode_normalize")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Sort"),
+      p.take(2000))
+    assert(p.contains("*(1)"), p.take(2000)) // whole-stage codegen covers graft_nfc
+  }
+
+  test("q156 heavy hitters: confirm pass filters candidates BEFORE the agg, no window") {
+    // the exact confirm must scan-filter on the candidate plan constant
+    // (non-candidates never reach the aggregation) and finish in a
+    // bounded TakeOrdered — a Window or unfiltered global agg would be
+    // the 100 TB key-census this operator exists to avoid
+    val df: DataFrame = Queries.all("q156_heavy_hitters")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+    assert(p.contains("Filter"), p.take(2500))
+    assert(!p.contains("Window"), p.take(2500))
+  }
 }
