@@ -629,23 +629,65 @@ object Dedup {
     * untouched. The q154 oracle replays gram expansion, the ≥2-distinct-
     * docs rule, interval cover and the cut in independent DuckDB
     * generate_series/window SQL.
+    *
+    * `winnow` is the 100 TB shuffle dial. At winnow = 1 (the default,
+    * the oracle contract) every gram occurrence enters stage 1 — the
+    * shuffle is per-TOKEN, ~2× corpus bytes even in hash form. At
+    * winnow = w > 1 each document keeps only the leftmost-minimum-hash
+    * gram of every w-gram window (winnowing, Schleimer et al. 2003
+    * "Winnowing: Local Algorithms for Document Fingerprinting"):
+    * selection depends ONLY on window contents, so two documents
+    * sharing a run of ≥ k+w-1 tokens share at least one full window
+    * and therefore select the SAME gram inside it — detection of spans
+    * that long is GUARANTEED, not probabilistic, while gram volume
+    * drops to ~2/(w+1) of the stream. Coverage turns conservative
+    * (only selected grams mark their k tokens, so a detected span is
+    * under-covered at its edges, and runs shorter than k+w-1 may be
+    * missed entirely); docs too short to winnow (< k+w-1 tokens) keep
+    * all grams. Spec-pinned: the guarantee witness and the
+    * winnow==1 ⊇ winnow==w coverage containment (DupSpanSpec).
     */
   def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int = 8): DataFrame = {
+                    k: Int = 8, winnow: Int = 1): DataFrame = {
     require(k >= 1, s"stripDupSpans needs k >= 1, got $k")
+    require(winnow >= 1, s"stripDupSpans needs winnow >= 1, got $winnow")
     val id = col(idCol)
     val base = docs
       .select(id, split(trim(col(textCol)), " ").as("__toks"))
       .select(id, col("__toks"), size(col("__toks")).as("n_tokens"))
     // gram start positions are 0-based array offsets; start i covers
     // tokens [i, i+k-1]
-    val grams = base.select(id,
-        posexplode(
-          when(col("n_tokens") >= k,
-            transform(sequence(lit(0), col("n_tokens") - k),
-              i => concat_ws(" ", slice(col("__toks"), i + lit(1), lit(k)))))
-            .otherwise(array().cast("array<string>")))
-          .as(Seq("__pos", "__gram")))
+    def gramAt(i: Column): Column =
+      concat_ws(" ", slice(col("__toks"), i + lit(1), lit(k)))
+    val allStarts =
+      when(col("n_tokens") >= k, sequence(lit(0), col("n_tokens") - k))
+        .otherwise(array().cast("array<int>"))
+    val withSel =
+      if (winnow == 1) base.withColumn("__sel", allStarts)
+      else {
+        val w = winnow
+        // per-window leftmost argmin over the gram-hash array; a
+        // window's pick depends only on its own w hashes, so picks
+        // inside a shared run agree across documents
+        val sel = array_distinct(transform(
+          sequence(lit(0), col("n_tokens") - k - (w - 1)),
+          j => aggregate(sequence(j + lit(1), j + lit(w - 1)),
+            struct(j.as("bi"),
+              element_at(col("__gh_arr"), j + 1).as("bv")),
+            (acc, t) =>
+              when(element_at(col("__gh_arr"), t + 1) < acc.getField("bv"),
+                struct(t.as("bi"),
+                  element_at(col("__gh_arr"), t + 1).as("bv")))
+                .otherwise(acc)).getField("bi")))
+        base
+          .withColumn("__gh_arr",
+            transform(allStarts, i => xxhash64(gramAt(i))))
+          .withColumn("__sel",
+            when(col("n_tokens") >= k + w - 1, sel).otherwise(allStarts))
+      }
+    val grams = withSel
+      .select(id, col("__toks"), explode(col("__sel")).as("__pos"))
+      .select(id, col("__pos"), gramAt(col("__pos")).as("__gram"))
       .withColumn("__gh", xxhash64(col("__gram")))
     // stage 1 (hash-width shuffle): candidate hashes seen in >= 2 docs
     val candHash = grams.groupBy("__gh")

@@ -94,6 +94,50 @@ class DupSpanSpec extends SparkSpec {
     }
   }
 
+  test("winnow guarantee: a shared run of exactly k+w-1 tokens is detected in both docs") {
+    // k=4, w=3: guarantee threshold is 6 shared tokens; each doc wraps
+    // the run in unique junk so only the run can duplicate
+    val run = "s1 s2 s3 s4 s5 s6"
+    val out = Dedup.stripDupSpans(docs(
+      1L -> s"j1 j2 j3 $run j4 j5",
+      2L -> s"j6 j7 $run j8 j9 j10"), "doc_id", "text", k = 4, winnow = 3)
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("dup_tokens") >= 4L, r.toString) // >= one k-gram
+      assert(r.getAs[Long]("dup_spans") >= 1L, r.toString)
+    }
+  }
+
+  test("winnow coverage is conservative: contained in the exact (winnow=1) coverage") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val boiler = (1 to 30).map("b" + _).mkString(" ") // 30-token shared block
+    val rows = (0L until 150L).map { i =>
+      val uniq = Seq.fill(25)("w" + rnd.nextInt(100000)).mkString(" ")
+      (i, if (i % 3 == 0) s"$boiler $uniq" else s"$uniq $boiler")
+    }
+    val df = rows.toDF("doc_id", "text")
+    def byDoc(w: Int): Map[Long, (Long, String)] =
+      Dedup.stripDupSpans(df, "doc_id", "text", k = 6, winnow = w)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("dup_tokens"), r.getAs[String]("clean_text")))).toMap
+    val exact = byDoc(1)
+    val winnowed = byDoc(4)
+    assert(winnowed.keySet == exact.keySet)
+    winnowed.foreach { case (id, (dt, clean)) =>
+      val (dtExact, cleanExact) = exact(id)
+      assert(dt <= dtExact, s"doc $id: winnow covered MORE than exact")
+      // every token the winnowed run kept cut must also be cut by exact:
+      // exact's clean text is a subsequence of winnowed's clean text
+      val wToks = clean.split(" ").filter(_.nonEmpty)
+      val eToks = cleanExact.split(" ").filter(_.nonEmpty).toSet
+      // 30-token boilerplate >> k+w-1 = 9: detection must not be missed
+      assert(dt >= 6L, s"doc $id: winnow missed the 30-token boilerplate")
+      assert(eToks.subsetOf(wToks.toSet) || eToks.isEmpty,
+        s"doc $id: exact kept a token winnow cut")
+    }
+  }
+
   test("partition-invariant: repartitioned input gives identical rows") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
