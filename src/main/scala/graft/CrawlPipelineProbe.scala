@@ -20,8 +20,15 @@ import graft.operators.{DatasetCard, Dedup, Layout, NearDup, Quality, Sampling}
   *      rows never reshuffle; the standing filter is prebuilt)
   *   4. near-dup probe vs history (q66): banded word-4-gram candidates,
   *      collapseExact=false (the gate's exact-unique contract)
+  *   4b. unicode normalization (q155 — zero-width/BOM census asserted
+  *      against the constructed injection rate) + exact substring dedup
+  *      (q154 stripDupSpans, winnow=4 — the two sewn boilerplate
+  *      sentences are >= k+w-1 tokens, so winnowed detection is
+  *      GUARANTEED and the probe asserts every boilerplate-carrying
+  *      survivor was cut, span-wise, with unique prose intact)
   *   5. quality gates: Gopher word/stopword/symbol rules (q79) then the
-  *      C4 line filter (q139) on the extracted text
+  *      C4 line filter (q139) on the extracted (now normalized +
+  *      despanned) text
   *   6. token-budget mix by source (q68): deterministic doc_id-ordered
   *      prefix cut per stratum
   *   7. Z-order publish (q102 layout key over domain×doc) + dataset
@@ -60,6 +67,13 @@ object CrawlPipelineProbe {
       val m = pmod(d, lit(100L))
       when(m >= 80, pmod(d, lit(math.max(nDocs / 2, 1L)))).otherwise(d)
     }
+    // stage-4b constructed rates: 40% of seeds sew one of two shared
+    // boilerplate sentences (>= 11 tokens = the k+w-1 winnow-4 detection
+    // threshold) INTO the unique prose — stripDupSpans must cut exactly
+    // those docs; %25==11 seeds carry zero-width/BOM characters —
+    // normalizeUnicode must count exactly those docs
+    val boilerA = "subscribe to the weekly newsletter for updates and exclusive member offers today"
+    val boilerB = "download the free mobile app to keep your reading list in sync everywhere"
     def textOf(seed: Column, mutate: Column): Column = {
       val words = transform(sequence(lit(0), lit(15)), j => {
         val w = substring(md5(concat(seed.cast("string"), lit("_"),
@@ -67,7 +81,12 @@ object CrawlPipelineProbe {
         val base = when(pmod(j, lit(4)) === 1, lit("the")).otherwise(w)
         when(j === 7 && mutate.isNotNull, mutate).otherwise(base)
       })
-      concat(concat_ws(" ", words),
+      concat(
+        when(pmod(seed, lit(25L)) === 11, lit("\u200B\uFEFF")).otherwise(lit("")),
+        concat_ws(" ", words),
+        when(pmod(seed, lit(5L)) < 2,
+          concat(lit(" "), when(pmod(seed, lit(2L)) === 0, lit(boilerA))
+            .otherwise(lit(boilerB)))).otherwise(lit("")),
         // quality-fail injections keyed by SEED (dup groups share fate):
         // %50==3 → C4 doc flag; the trailing period satisfies the C4
         // line rule for everyone else
@@ -226,21 +245,127 @@ object CrawlPipelineProbe {
     val nNearDups = nExactUnique - nSurviving
     val secNear = secs(t4)
 
+    // ── 4b. unicode normalize (q155) + exact substring dedup (q154,
+    //        winnow=4): the zero-width census and the sewn-boilerplate
+    //        cut, each asserted against its CONSTRUCTED rate ───────────
+    val t4b = System.nanoTime()
+    val normalized = surviving
+      .withColumn("nu", TextAnalysis.normalizeUnicode(col("clean_text")))
+      .select(col("doc_id"), col("source"), col("domain"),
+        col("nu.clean_text").as("clean_text"),
+        col("nu.n_zero_width").as("n_zw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // measure the projection itself on a fresh frame (the persisted
+    // `surviving` lineage would print its own exchanges)
+    planChecks("normalize_projection_no_exchange") =
+      !plan(crawlDocs(0, 16).select(
+        TextAnalysis.normalizeUnicode(col("raw_text")).getField("clean_text")))
+        .contains("Exchange")
+    val nZwDocs = normalized.filter(col("n_zw") > 0).count()
+    val spanned = Dedup.stripDupSpans(
+        normalized.select("doc_id", "clean_text"),
+        "doc_id", "clean_text", k = 8, winnow = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spanRow = spanned.agg(
+      sum(when(col("dup_spans") > 0, 1L).otherwise(0L)).as("d"),
+      coalesce(sum("dup_tokens"), lit(0L)).as("t")).head()
+    val nBoilerDocs = spanRow.getLong(0)
+    val nBoilerToks = spanRow.getLong(1)
+    // constructed-rate recovery as a SANDWICH (exact set containments):
+    // (a) every surviving doc whose seed sews boilerplate (%5<2) MUST be
+    //     detected — both sentences are >= k+w-1 = 11 tokens, so the
+    //     winnow-4 guarantee applies;
+    // (b) every detected doc must be EXPLAINED: boilerplate, or same-seed
+    //     survivors (near-dup siblings differ only at word 7 — their
+    //     position-8+ grams are genuine cross-doc duplicates; an 8-token
+    //     shared run sits below the winnow guarantee, so sibling-only
+    //     detection is legitimate but not promised);
+    // shorts (%40==7, < k tokens) are never detected
+    val survSeeds = surviving.select(col("doc_id"),
+      seedOf(col("doc_id")).as("seed"),
+      (pmod(seedOf(col("doc_id")), lit(40L)) === 7).as("short"))
+    val multiSeeds = survSeeds.filter(!col("short"))
+      .groupBy("seed").count().filter(col("count") > 1).select("seed")
+    // two boilerplate classes MUST be detected (both >= 11 tokens, the
+    // winnow-4 guarantee): the sewn sentences (%5<2) and the
+    // extraction-surviving "Related reading … <source> …" HTML block
+    // (synthHtml keeps it: 13 words, link density ~0.16) — the SAME
+    // class whose hot shingles forced r16's maxShingleDf fix; the
+    // dup-span stage is the operator that finally CUTS it
+    val relatedKept =
+      pmod(pmod(col("seed"), lit(1000000L)), lit(5L)) === 2
+    // shorts (< k prose tokens) are detectable ONLY via the related
+    // block: extraction splices it after "…short the note.", and all
+    // shorts share source src7 (%40==7 ⇒ %20==7), so the spliced run is
+    // 15 shared tokens — above the guarantee for them too
+    val boilerSet = survSeeds
+      .filter((!col("short") && pmod(col("seed"), lit(5L)) < 2) ||
+        relatedKept)
+      .select("doc_id")
+    val allowedSet = boilerSet.union(survSeeds.filter(!col("short"))
+        .join(multiSeeds, Seq("seed"), "left_semi").select("doc_id"))
+      .distinct()
+    val detectedSet = spanned.filter(col("dup_spans") > 0).select("doc_id")
+    val expBoiler = boilerSet.count()
+    val nMissedBoiler =
+      boilerSet.join(detectedSet, Seq("doc_id"), "left_anti").count()
+    val nUnexplained =
+      detectedSet.join(allowedSet, Seq("doc_id"), "left_anti").count()
+    if (sys.env.contains("GRAFT_CRAWL_DEBUG") && nUnexplained > 0) {
+      detectedSet.join(allowedSet, Seq("doc_id"), "left_anti")
+        .join(normalized.select("doc_id", "clean_text"), Seq("doc_id"))
+        .withColumn("seed", seedOf(col("doc_id")))
+        .select(col("doc_id"), col("seed"),
+          pmod(col("seed"), lit(100L)).as("m100"),
+          pmod(col("seed"), lit(40L)).as("m40"),
+          pmod(col("seed"), lit(5L)).as("m5"),
+          pmod(pmod(col("seed"), lit(1000000L)), lit(5L)).as("d5"),
+          substring(col("clean_text"), 1, 160).as("head"))
+        .limit(20).collect()
+        .foreach(r => System.err.println(s"[crawl][unexplained] $r"))
+    }
+    val expZw = survSeeds.filter(
+      !col("short") && pmod(col("seed"), lit(25L)) === 11).count()
+    // GRAFT_CRAWL_SKIP4B=1: diagnostic A/B switch — route quality onto
+    // the pre-4b frame to separate 4b's own cost from downstream drift
+    val despanned =
+      if (sys.env.contains("GRAFT_CRAWL_SKIP4B"))
+        surviving.select("doc_id", "clean_text", "source", "domain")
+      else {
+        // LAND the 4b result (the stage-3 checkpoint rule again): the
+        // span-strip lineage is a huge expression tree, and a persist()
+        // alone leaves it inside every downstream plan — measured as a
+        // fixed ~10x plan-time tax on quality/budget/publish (2.1->12.4,
+        // 2.0->34.1, 4.4->47.3 s at the 200k debug scale). Parquet
+        // read-back severs it
+        spanned.select(col("doc_id"), col("clean_text"))
+          .join(normalized.select("doc_id", "source", "domain"), Seq("doc_id"))
+          .write.parquet(s"$dir/despanned")
+        spark.read.parquet(s"$dir/despanned")
+      }
+    val nDespanned = despanned.count()
+    // staged-pipeline hygiene: everything before 4b is consumed — free
+    // the executors' cache before the quality/budget/publish stages
+    Seq(capped, gated, exactUnique, normalized, spanned)
+      .foreach(_.unpersist())
+    if (!sys.env.contains("GRAFT_CRAWL_SKIP4B")) surviving.unpersist()
+    val secNormSpan = secs(t4b)
+
     // ── 5. quality gates: Gopher, then C4 lines ─────────────────────────
     val t5 = System.nanoTime()
-    val gopher = Quality.gopherFilter(surviving, "doc_id", "clean_text",
+    val gopher = Quality.gopherFilter(despanned, "doc_id", "clean_text",
         stopwords = Seq("the", "a", "and", "of"),
         minWords = 10, minMeanLen = 1.0, maxMeanLen = 20.0,
         maxSymbolRatio = 2.0, minStopRatio = 0.02)
       .filter(col("keep") === 1).select("doc_id")
-    val gopherKept = surviving.join(gopher, Seq("doc_id"), "left_semi")
+    val gopherKept = despanned.join(gopher, Seq("doc_id"), "left_semi")
     val c4 = Quality.c4LineFilter(gopherKept, "doc_id", "clean_text",
         minWordsPerLine = 3,
         badLineSubstrings = Seq("javascript"),
         badDocSubstrings = Seq("lorem ipsum"))
     val qualityKept = c4.filter(col("doc_flagged") === 0 && col("n_kept") > 0)
       .select(col("doc_id"), col("clean_text"))
-      .join(surviving.select("doc_id", "source", "domain"), Seq("doc_id"))
+      .join(despanned.select("doc_id", "source", "domain"), Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nQuality = qualityKept.count()
     val secQuality = secs(t5)
@@ -287,9 +412,11 @@ object CrawlPipelineProbe {
     // checks are structural rather than exact-count)
     val ok = nCapped > 0 && nCollapsed <= nCapped && nHistDups > 0 &&
       nExactUnique == nCollapsed - nHistDups && nNearDups > 0 &&
+      nDespanned == nSurviving &&
+      nMissedBoiler == 0 && nUnexplained == 0 && nZwDocs == expZw &&
       nQuality < nSurviving && nBudgeted < nQuality && nPublished == nBudgeted
     val totalSec = secs(t0)
-    val json = f"""{"metric":"crawl_pipeline","value":$totalSec%.1f,"unit":"sec","docs":$nDocs,"history":$nHist,"domains":$nDomains,"cap_k":$capK,"funnel":{"crawled":$nDocs,"after_block_and_cap":$nCapped,"after_exact_collapse":$nCollapsed,"history_dups":$nHistDups,"exact_unique":$nExactUnique,"near_dups_vs_history":$nNearDups,"after_quality":$nQuality,"after_budget":$nBudgeted,"published":$nPublished,"published_files":$nFiles,"card_rows":$cardRows},"sec":{"history_seed":$secHistory%.1f,"url_gate":$secUrl%.1f,"html_plan":$secHtmlPlan%.1f,"exact":$secExact%.1f,"neardup":$secNear%.1f,"quality":$secQuality%.1f,"budget":$secBudget%.1f,"publish":$secPublish%.1f},"plan_checks":{${planChecks.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"funnel_ok":$ok}"""
+    val json = f"""{"metric":"crawl_pipeline","value":$totalSec%.1f,"unit":"sec","docs":$nDocs,"history":$nHist,"domains":$nDomains,"cap_k":$capK,"funnel":{"crawled":$nDocs,"after_block_and_cap":$nCapped,"after_exact_collapse":$nCollapsed,"history_dups":$nHistDups,"exact_unique":$nExactUnique,"near_dups_vs_history":$nNearDups,"zw_docs":$nZwDocs,"zw_expected":$expZw,"boiler_docs":$nBoilerDocs,"boiler_expected":$expBoiler,"boiler_missed":$nMissedBoiler,"span_unexplained":$nUnexplained,"boiler_tokens_cut":$nBoilerToks,"after_quality":$nQuality,"after_budget":$nBudgeted,"published":$nPublished,"published_files":$nFiles,"card_rows":$cardRows},"sec":{"history_seed":$secHistory%.1f,"url_gate":$secUrl%.1f,"html_plan":$secHtmlPlan%.1f,"exact":$secExact%.1f,"neardup":$secNear%.1f,"normalize_span":$secNormSpan%.1f,"quality":$secQuality%.1f,"budget":$secBudget%.1f,"publish":$secPublish%.1f},"plan_checks":{${planChecks.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"funnel_ok":$ok}"""
     println(json)
     val outFile = sys.env.getOrElse("GRAFT_CRAWL_OUT", "crawl_pipeline_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")

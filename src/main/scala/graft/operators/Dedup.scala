@@ -646,9 +646,122 @@ object Dedup {
     * missed entirely); docs too short to winnow (< k+w-1 tokens) keep
     * all grams. Spec-pinned: the guarantee witness and the
     * winnow==1 ⊇ winnow==w coverage containment (DupSpanSpec).
+    *
+    * Chaining note: the output's lineage is a LARGE expression tree
+    * (occurrence explode, two candidate joins, the cover fold, the
+    * token-cut lambda). `persist()` caches the DATA but leaves that
+    * tree inside every downstream plan — the composed crawl probe
+    * measured a fixed ~10× plan-time tax on every later stage until the
+    * result was LANDED (parquet write + read-back, or
+    * `localCheckpoint()`), which severs the lineage. Land this output
+    * before chaining further pipeline stages.
+    *
+    * When to turn the dial (dup_span_scale_r17.json): winnowing trades
+    * per-gram selection CPU (an O(w) argmin scan per window) for the
+    * ~2/(w+1) occurrence-volume cut. On a memory-bound local shuffle
+    * the CPU side LOSES (~1.9× the exact path at 500 k docs); on a
+    * network-bound 1000-executor shuffle the occurrence stream is the
+    * bottleneck and the volume cut is the win. Default exact; winnow on
+    * clusters where stage-1 shuffle bytes dominate.
     */
   def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, winnow: Int = 1): DataFrame = {
+    val id = col(idCol)
+    val (base, occ) = spanOccurrences(docs, idCol, textCol, k, winnow)
+    // stage 1 (hash-width shuffle, map-side-combinable min/max):
+    // candidate hashes seen in >= 2 docs
+    val candHash = occ.groupBy("__gh")
+      .agg(min(id).as("__dmin"), max(id).as("__dmax"))
+      .where(col("__dmin") =!= col("__dmax")).select("__gh")
+    // candidate occurrences: candHash is small on realistic corpora
+    // (true boilerplate + ~0 collisions), so AQE broadcasts the semi
+    val candOcc = occ.join(candHash, Seq("__gh"), "left_semi")
+    val hits = confirmByString(candOcc, base, idCol, k)
+    cutCovered(base, hits, idCol, k)
+  }
+
+  /** Standing boilerplate-gram index: the distinct duplicated gram
+    * STRINGS [[stripDupSpans]] would cut from `docs` at the same
+    * k/winnow — ONE column `gram`. Persist it once over history, gate
+    * every increment with [[stripKnownSpans]], and fold an increment's
+    * own [[dupGramIndex]] back in with union/distinct — the q85
+    * persistent-filter pattern applied to substring dedup: history text
+    * is never re-scanned per increment.
+    */
+  def dupGramIndex(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, winnow: Int = 1): DataFrame = {
+    val id = col(idCol)
+    val (base, occ) = spanOccurrences(docs, idCol, textCol, k, winnow)
+    val candHash = occ.groupBy("__gh")
+      .agg(min(id).as("__dmin"), max(id).as("__dmax"))
+      .where(col("__dmin") =!= col("__dmax")).select("__gh")
+    val candOcc = occ.join(candHash, Seq("__gh"), "left_semi")
+    candOcc.join(base, Seq(idCol))
+      .select(gramAtCol(k)(col("__pos")).as("__gram"), id)
+      .groupBy("__gram")
+      .agg(min(id).as("__dmin"), max(id).as("__dmax"))
+      .where(col("__dmin") =!= col("__dmax"))
+      .select(col("__gram").as("gram"))
+  }
+
+  /** Cut spans covered by KNOWN boilerplate grams (a [[dupGramIndex]]
+    * frame) from an increment — the incremental face of
+    * [[stripDupSpans]]: the index probes by the SAME rolling gram hash
+    * (hash-width semi join; broadcast when the index is small), then an
+    * exact string confirm against the index's gram text, so a hash
+    * collision can never cut clean prose. Same output schema as
+    * [[stripDupSpans]].
+    *
+    * Contract: cuts grams known to the index ONLY. Boilerplate newly
+    * duplicated WITHIN the increment is invisible here by design — run
+    * [[dupGramIndex]] on the increment and union/distinct it into the
+    * standing index (and optionally [[stripDupSpans]] within the
+    * increment) the way the bloom gate folds admitted batches. Always
+    * probes at winnow=1: an index gram can sit at ANY offset of an
+    * increment doc, so every occurrence must be eligible (the index
+    * side may have been built winnowed; that only narrows WHICH grams
+    * are known).
+    */
+  def stripKnownSpans(docs: DataFrame, idCol: String, textCol: String,
+                      index: DataFrame, k: Int = 8): DataFrame = {
+    require(index.columns.contains("gram"),
+      s"stripKnownSpans needs an index with a 'gram' column (dupGramIndex output), got ${index.columns.mkString(",")}")
+    val id = col(idCol)
+    val (base, occ) = spanOccurrences(docs, idCol, textCol, k, winnow = 1)
+    val idxHash = index
+      .select(gramHashFold(transform(split(col("gram"), " "),
+        t => xxhash64(t))).as("__gh")).distinct()
+    val candOcc = occ.join(idxHash, Seq("__gh"), "left_semi")
+    val candStr = candOcc.join(base, Seq(idCol))
+      .select(id, col("__pos"), gramAtCol(k)(col("__pos")).as("__gram"))
+    val hits = candStr.join(
+      index.select(col("gram").as("__gram")), Seq("__gram"), "left_semi")
+    cutCovered(base, hits, idCol, k)
+  }
+
+  /** k-gram text at 0-based token offset `i` of the `__toks` column. */
+  private def gramAtCol(k: Int)(i: Column): Column =
+    concat_ws(" ", slice(col("__toks"), i + lit(1), lit(k)))
+
+  /** The rolling gram hash shared by the occurrence stream and the
+    * index probe: rotate-xor fold over xxhash64 token hashes
+    * (order-sensitive, ANSI-safe — bit ops never overflow). The two
+    * sides MUST stay formula-identical or index probes silently miss.
+    */
+  private def gramHashFold(tokenHashes: Column): Column =
+    aggregate(tokenHashes, lit(-7046029254386353131L),
+      (acc, h) =>
+        (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)))
+          .bitwiseXOR(h))
+
+  /** (base, occ): tokenized docs plus the (id, __pos, __gh) gram
+    * occurrence stream — LONGS only, no gram text (the first cut of
+    * q154 built a string per occurrence and re-exploded it per
+    * downstream reference: 3 GB of string shuffle per pass at 500 k
+    * docs; this form is what made the 500 k probe finish).
+    */
+  private def spanOccurrences(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, winnow: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"stripDupSpans needs k >= 1, got $k")
     require(winnow >= 1, s"stripDupSpans needs winnow >= 1, got $winnow")
     val id = col(idCol)
@@ -657,48 +770,68 @@ object Dedup {
       .select(id, col("__toks"), size(col("__toks")).as("n_tokens"))
     // gram start positions are 0-based array offsets; start i covers
     // tokens [i, i+k-1]
-    def gramAt(i: Column): Column =
-      concat_ws(" ", slice(col("__toks"), i + lit(1), lit(k)))
     val allStarts =
       when(col("n_tokens") >= k, sequence(lit(0), col("n_tokens") - k))
         .otherwise(array().cast("array<int>"))
+    val withArr = base
+      .withColumn("__th", transform(col("__toks"), t => xxhash64(t)))
+      .withColumn("__gh_arr",
+        transform(allStarts, i =>
+          gramHashFold(slice(col("__th"), i + lit(1), lit(k)))))
     val withSel =
-      if (winnow == 1) base.withColumn("__sel", allStarts)
+      if (winnow == 1) withArr.withColumn("__sel", allStarts)
       else {
         val w = winnow
         // per-window leftmost argmin over the gram-hash array; a
         // window's pick depends only on its own w hashes, so picks
-        // inside a shared run agree across documents
+        // inside a shared run agree across documents. Native array_min/
+        // array_position (leftmost on ties)
         val sel = array_distinct(transform(
           sequence(lit(0), col("n_tokens") - k - (w - 1)),
-          j => aggregate(sequence(j + lit(1), j + lit(w - 1)),
-            struct(j.as("bi"),
-              element_at(col("__gh_arr"), j + 1).as("bv")),
-            (acc, t) =>
-              when(element_at(col("__gh_arr"), t + 1) < acc.getField("bv"),
-                struct(t.as("bi"),
-                  element_at(col("__gh_arr"), t + 1).as("bv")))
-                .otherwise(acc)).getField("bi")))
-        base
-          .withColumn("__gh_arr",
-            transform(allStarts, i => xxhash64(gramAt(i))))
-          .withColumn("__sel",
-            when(col("n_tokens") >= k + w - 1, sel).otherwise(allStarts))
+          j => {
+            val win = slice(col("__gh_arr"), j + lit(1), lit(w))
+            (j + array_position(win, array_min(win)).cast("int") - lit(1))
+          }))
+        withArr.withColumn("__sel",
+          when(col("n_tokens") >= k + w - 1, sel).otherwise(allStarts))
       }
-    val grams = withSel
-      .select(id, col("__toks"), explode(col("__sel")).as("__pos"))
-      .select(id, col("__pos"), gramAt(col("__pos")).as("__gram"))
-      .withColumn("__gh", xxhash64(col("__gram")))
-    // stage 1 (hash-width shuffle): candidate hashes seen in >= 2 docs
-    val candHash = grams.groupBy("__gh")
-      .agg(min(id).as("__dmin"), max(id).as("__dmax"))
-      .where(col("__dmin") =!= col("__dmax")).select("__gh")
-    val cand = grams.join(candHash, Seq("__gh"), "left_semi")
-    // stage 2 (candidates only): exact string confirm — collisions die
-    val dupGram = cand.groupBy("__gram")
+    // the occurrence stream: (id, pos, gram-hash) — 16 B of longs per
+    // gram after the struct unpacks, vs ~60 B of gram text
+    val occ = withSel
+      .select(id, explode(transform(col("__sel"), s =>
+        struct(s.as("p"),
+          element_at(col("__gh_arr"), s + lit(1)).as("h")))).as("__o"))
+      .select(id, col("__o.p").as("__pos"), col("__o.h").as("__gh"))
+    (base, occ)
+  }
+
+  /** Stage 2 of [[stripDupSpans]]: rehydrate gram STRINGS for candidate
+    * occurrences only (join back to the token arrays by id — the
+    * exchange this puts on `base` is reused by [[cutCovered]]'s output
+    * join) and keep the occurrences whose exact TEXT spans >= 2 docs —
+    * a 64-bit collision can never mark a unique gram duplicated.
+    */
+  private def confirmByString(candOcc: DataFrame, base: DataFrame,
+      idCol: String, k: Int): DataFrame = {
+    val id = col(idCol)
+    val candStr = candOcc
+      .join(base, Seq(idCol))
+      .select(id, col("__pos"), gramAtCol(k)(col("__pos")).as("__gram"))
+    val dupGram = candStr.groupBy("__gram")
       .agg(min(id).as("__dmin"), max(id).as("__dmax"))
       .where(col("__dmin") =!= col("__dmax")).select("__gram")
-    val hits = cand.join(dupGram, Seq("__gram"), "left_semi")
+    candStr.join(dupGram, Seq("__gram"), "left_semi")
+  }
+
+  /** Shared tail of the span-strip family: merge each doc's duplicated
+    * gram starts into maximal covered runs (one O(g) array fold), count
+    * spans and covered tokens, cut covered tokens with one higher-order
+    * filter, and emit (id, n_tokens, dup_spans, dup_tokens, dup_ratio,
+    * clean_text).
+    */
+  private def cutCovered(base: DataFrame, hits: DataFrame,
+      idCol: String, k: Int): DataFrame = {
+    val id = col(idCol)
     val perDoc = hits.groupBy(id)
       .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
     val e = lit(k - 1)

@@ -138,6 +138,69 @@ class DupSpanSpec extends SparkSpec {
     }
   }
 
+  test("dupGramIndex + stripKnownSpans: increments gate against the standing index") {
+    val footer = "all rights reserved contact support team"
+    val history = docs((1L to 10L).map(i =>
+      i -> s"h$i a$i b$i $footer"): _*)
+    val index = Dedup.dupGramIndex(history, "doc_id", "text", k = 3)
+    assert(index.columns.toSeq == Seq("gram"))
+    val inc = docs(
+      101L -> s"x1 x2 $footer y1",
+      102L -> "n1 n2 incA incB incC n3",
+      103L -> "m1 m2 incA incB incC m3")
+    val out = Dedup.stripKnownSpans(inc, "doc_id", "text", index, k = 3)
+      .orderBy("doc_id").collect()
+    // history-known footer is cut from the increment doc that carries it
+    assert(out(0).getAs[String]("clean_text") == "x1 x2 y1")
+    assert(out(0).getAs[Long]("dup_spans") == 1L)
+    // increment-only duplication is INVISIBLE to the standing index by
+    // contract (fold the increment's own index in to catch it)
+    assert(out(1).getAs[Long]("dup_tokens") == 0L)
+    assert(out(2).getAs[Long]("dup_tokens") == 0L)
+    val updated = index
+      .union(Dedup.dupGramIndex(inc, "doc_id", "text", k = 3)).distinct()
+    val out2 = Dedup.stripKnownSpans(inc, "doc_id", "text", updated, k = 3)
+      .orderBy("doc_id").collect()
+    assert(out2(1).getAs[String]("clean_text") == "n1 n2 n3")
+    assert(out2(2).getAs[String]("clean_text") == "m1 m2 m3")
+  }
+
+  test("stripKnownSpans agrees with stripDupSpans on history-known grams; empty index is a passthrough") {
+    val boiler = "the quick brown fox jumps over the lazy dog"
+    val history = docs((1L to 6L).map(i => i -> s"u$i v$i $boiler w$i"): _*)
+    val inc = docs(201L -> s"p1 $boiler p2 p3", 202L -> "q1 q2 q3 q4 q5")
+    val index = Dedup.dupGramIndex(history, "doc_id", "text", k = 4)
+    val viaIndex = Dedup.stripKnownSpans(inc, "doc_id", "text", index, k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    // the combined-batch answer for docs whose only duplication is the
+    // history boilerplate must match the incremental gate's answer
+    val combined = Dedup.stripDupSpans(
+        history.union(inc), "doc_id", "text", k = 4)
+      .filter(col("doc_id") >= 200L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(viaIndex == combined)
+    assert(viaIndex(202L) == "q1 q2 q3 q4 q5")
+    // empty index: nothing known, increment passes through untouched
+    val empty = index.filter(lit(false))
+    val out = Dedup.stripKnownSpans(inc, "doc_id", "text", empty, k = 4)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getAs[Long]("dup_tokens") == 0L))
+  }
+
+  test("a winnowed index still gates increments (probe is always winnow=1)") {
+    // footer is 9 tokens >= k+w-1 = 3+2-1... use k=3, index winnow=3:
+    // guarantee threshold k+w-1 = 5 <= 9, so the winnowed index holds at
+    // least one footer gram; the increment probes every offset
+    val footer = "all rights reserved contact support team extra words here"
+    val history = docs((1L to 8L).map(i => i -> s"h$i a$i $footer"): _*)
+    val index = Dedup.dupGramIndex(history, "doc_id", "text", k = 3, winnow = 3)
+    val inc = docs(301L -> s"z1 z2 z3 $footer z4")
+    val out = Dedup.stripKnownSpans(inc, "doc_id", "text", index, k = 3)
+      .collect()(0)
+    assert(out.getAs[Long]("dup_tokens") >= 3L) // at least one known gram cut
+    assert(out.getAs[String]("clean_text").startsWith("z1 z2 z3"))
+  }
+
   test("partition-invariant: repartitioned input gives identical rows") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
