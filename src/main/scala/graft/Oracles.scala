@@ -1164,11 +1164,66 @@ object Oracles {
          nfc_normalize(noctl) <> noctl AS nfc_changed
        FROM ctl"""
 
+  /** q157: independent replay of the INCREMENTAL span gate — the same
+    * synthesis and cover/cut SQL as q154, but the duplicated-gram set
+    * (the standing index) is computed over EVEN doc_ids only and the
+    * cover/cut applies to ODD doc_ids only: exactly the
+    * dupGramIndex(history) + stripKnownSpans(increment) contract,
+    * replayed in pure string SQL (the rolling-hash prefilter is
+    * invisible to semantics — the string confirm makes it so).
+    */
+  private val knownSpanOracle: String = {
+    val hdr = Queries.dupSpanHeader
+    val Seq(p0, p1, p2) = Queries.dupSpanPromos
+    val ftr = Queries.dupSpanFooter
+    s"""WITH synth AS (SELECT doc_id,
+           concat_ws(' ',
+             CASE WHEN doc_id % 2 = 0 THEN '$hdr' END,
+             CASE WHEN trim(text) <> '' THEN trim(text) END,
+             CASE WHEN doc_id % 3 = 0 THEN '$p0'
+                  WHEN doc_id % 3 = 1 THEN '$p1' ELSE '$p2' END,
+             '$ftr') AS t
+         FROM documents),
+       base AS (SELECT doc_id, string_split(t, ' ') AS toks,
+           len(string_split(t, ' ')) AS n FROM synth),
+       gs AS (SELECT doc_id, toks,
+           unnest(generate_series(1, n - 7)) AS s FROM base),
+       grams AS (SELECT doc_id, s,
+           array_to_string(toks[s:s + 7], ' ') AS gram FROM gs),
+       idx AS (SELECT gram FROM grams WHERE doc_id % 2 = 0
+         GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+       hits AS (SELECT g.doc_id, g.s FROM grams g JOIN idx USING (gram)
+         WHERE g.doc_id % 2 = 1),
+       odd AS (SELECT doc_id, toks, n FROM base WHERE doc_id % 2 = 1),
+       gp AS (SELECT doc_id, toks,
+           unnest(generate_series(1, n)) AS p FROM odd),
+       pos AS (SELECT gp.doc_id, gp.p, gp.toks[gp.p] AS tok,
+           EXISTS (SELECT 1 FROM hits h
+             WHERE h.doc_id = gp.doc_id AND h.s <= gp.p AND gp.p < h.s + 8) AS cov
+         FROM gp),
+       runs AS (SELECT doc_id, p, tok, cov,
+           lag(cov, 1, FALSE) OVER (PARTITION BY doc_id ORDER BY p) AS pcov
+         FROM pos),
+       agg AS (SELECT doc_id,
+           CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS dup_tokens,
+           CAST(sum(CASE WHEN cov AND NOT pcov THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_spans,
+           coalesce(string_agg(CASE WHEN NOT cov THEN tok END, ' '
+             ORDER BY p), '') AS clean_text
+         FROM runs GROUP BY doc_id)
+       SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens, a.dup_spans,
+         a.dup_tokens,
+         round(CAST(a.dup_tokens AS DOUBLE) / b.n, 5) AS dup_ratio,
+         a.clean_text
+       FROM odd b JOIN agg a USING (doc_id)"""
+  }
+
   val all: Map[String, String] = Map(
     "q152_html_extract" -> htmlExtractOracle,
     "q153_lang_id_vec" -> langIdVecOracle,
     "q154_dup_span_strip" -> dupSpanOracle,
     "q155_unicode_normalize" -> unicodeNormalizeOracle,
+    "q157_known_span_strip" -> knownSpanOracle,
 
     // q156: the naive exact GROUP BY the bounded-state operator provably
     // equals (count desc, key asc, top 8) over the same skew synthesis

@@ -1224,6 +1224,23 @@ object Queries {
           col("nu.nfc_changed").as("nfc_changed"))
     }),
 
+    // the INCREMENTAL face of q154 (the bloom-gate pattern at substring
+    // granularity): even doc_ids play history — their duplicated grams
+    // become the standing index (dupGramIndex) — and odd doc_ids play
+    // the increment, gated by stripKnownSpans: hash-probe + exact string
+    // confirm against the index, history text never re-scanned. The
+    // oracle replays the whole contract in string SQL: grams duplicated
+    // among EVENS only, odd docs' interval cover against that set
+    "q157_known_span_strip" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+        .select(col("doc_id"),
+          synthDupSpanText(col("doc_id"), col("text")).as("text"))
+      val history = all.where(pmod(col("doc_id"), lit(2)) === 0)
+      val increment = all.where(pmod(col("doc_id"), lit(2)) === 1)
+      val index = Dedup.dupGramIndex(history, "doc_id", "text", k = 8)
+      Dedup.stripKnownSpans(increment, "doc_id", "text", index, k = 8)
+    }),
+
     // EXACT top-k heavy hitters with bounded state: per-partition
     // Misra–Gries candidates (the full-cardinality groupBy that would
     // shuffle every key at 100 TB never runs), exact confirm over the

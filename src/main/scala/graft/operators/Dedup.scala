@@ -665,7 +665,10 @@ object Dedup {
     * clusters where stage-1 shuffle bytes dominate.
     */
   def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int = 8, winnow: Int = 1): DataFrame = {
+                    k: Int = 8, winnow: Int = 1,
+                    collapseExact: Boolean = false): DataFrame = {
+    if (collapseExact)
+      return stripDupSpansCollapsed(docs, idCol, textCol, k, winnow)
     val id = col(idCol)
     val (base, occ) = spanOccurrences(docs, idCol, textCol, k, winnow)
     // stage 1 (hash-width shuffle, map-side-combinable min/max):
@@ -678,6 +681,52 @@ object Dedup {
     val candOcc = occ.join(candHash, Seq("__gh"), "left_semi")
     val hits = confirmByString(candOcc, base, idCol, k)
     cutCovered(base, hits, idCol, k)
+  }
+
+  /** COLLAPSE-FIRST twin of [[stripDupSpans]] (the repo-wide dup-heavy
+    * idiom, here SEMANTICS-PRESERVING): on corpora where exact-duplicate
+    * documents are common, every copy's every gram is trivially
+    * duplicated, so the per-instance gram machinery does group-size ×
+    * the work for answers that are equal within a group. This form runs
+    * the gram machinery over DISTINCT texts only, with the multiplicity
+    * rule that keeps results identical to the per-instance run:
+    * a (selected) gram is a hit iff it occurs in ≥ 2 distinct TEXTS, or
+    * its own text has multiplicity ≥ 2 — applied at HITS level so it
+    * composes with winnow exactly like the per-instance run; results
+    * join back to instances by text. Costs two text-wide shuffles
+    * (group + join-back) that the dup-LIGHT default correctly avoids —
+    * pick this form the way simhashPairs picks collapseExact: by the
+    * corpus's duplicate rate. Equality is spec-proven (DupSpanSpec).
+    */
+  private def stripDupSpansCollapsed(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, winnow: Int): DataFrame = {
+    val id = col(idCol)
+    val keyed = docs.select(id, trim(col(textCol)).as("__t"))
+    val groups = keyed.groupBy("__t")
+      .agg(min(id).as("__rid"), count(lit(1)).as("__mult"))
+    val (base, occ) = spanOccurrences(
+      groups.select(col("__rid"), col("__t")), "__rid", "__t", k, winnow)
+    val rid = col("__rid")
+    val candHash = occ.groupBy("__gh")
+      .agg(min(rid).as("__dmin"), max(rid).as("__dmax"))
+      .where(col("__dmin") =!= col("__dmax")).select("__gh")
+    val dupHits = confirmByString(
+        occ.join(candHash, Seq("__gh"), "left_semi"), base, "__rid", k)
+      .select(rid, col("__pos"))
+    // multiplicity rule: every (selected) gram of a text with >= 2
+    // instances is a cross-doc duplicate per-instance — hits-level, so
+    // it composes with winnow exactly like the per-instance run (which
+    // covers only SELECTED grams of duplicate groups, not full docs)
+    val multHits = occ
+      .join(groups.where(col("__mult") >= 2).select(rid), Seq("__rid"),
+        "left_semi")
+      .select(rid, col("__pos"))
+    val perText = groups.join(
+      cutCovered(base, dupHits.union(multHits).distinct(), "__rid", k),
+      Seq("__rid"))
+    keyed.join(perText.drop("__rid", "__mult"), Seq("__t"))
+      .select(id, col("n_tokens"), col("dup_spans"), col("dup_tokens"),
+        col("dup_ratio"), col("clean_text"))
   }
 
   /** Standing boilerplate-gram index: the distinct duplicated gram

@@ -201,6 +201,35 @@ class DupSpanSpec extends SparkSpec {
     assert(out.getAs[String]("clean_text").startsWith("z1 z2 z3"))
   }
 
+  test("collapseExact twin equals the per-instance form on a dup-heavy corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val boiler = "shared promo sentence with enough tokens to form grams"
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    (0 until 60).foreach { g =>
+      val uniq = Seq.fill(10)("w" + rnd.nextInt(100000)).mkString(" ")
+      val text = g % 4 match {
+        case 0 => s"$boiler $uniq"
+        case 1 => s"$uniq $boiler"
+        case 2 => uniq            // unique, no boiler
+        case _ => "tiny doc"      // shorter than k, replicated
+      }
+      val copies = 1 + (g % 5)    // multiplicities 1..5
+      (0 until copies).foreach { _ => rows += ((id, text)); id += 1 }
+    }
+    val df = rows.toSeq.toDF("doc_id", "text")
+    for (w <- Seq(1, 3)) {
+      val plain = Dedup.stripDupSpans(df, "doc_id", "text", k = 4, winnow = w)
+        .collect().map(_.toString).sorted
+      val collapsed = Dedup.stripDupSpans(df, "doc_id", "text", k = 4,
+        winnow = w, collapseExact = true)
+        .collect().map(_.toString).sorted
+      assert(plain.sameElements(collapsed), s"winnow=$w")
+      assert(plain.length == rows.length)
+    }
+  }
+
   test("partition-invariant: repartitioned input gives identical rows") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
