@@ -788,6 +788,34 @@ object Dedup {
     cutCovered(base, hits, idCol, k)
   }
 
+  /** STREAMING face of the known-boilerplate gate: the fraction of a
+    * row's k-grams that land in a bloom of the standing index's grams
+    * (build it once with `historyBloom(dupGramIndex(history, …), "gram",
+    * …)` and ship the bytes as a plan constant). A pure zero-state
+    * projection — streaming-safe like [[bloomProbe]]; false positives
+    * at the filter's fpp rate INFLATE the ratio slightly but never cut
+    * text: this is a routing signal (flag/quarantine boilerplate-heavy
+    * rows in-flight), the batch [[stripKnownSpans]] does the cutting
+    * with an exact string confirm. Rows shorter than k tokens score
+    * 0.0 (no grams — consistent with the span family's passthrough).
+    * Caller must have run `GraftFunctions.ensureRegistered`.
+    */
+  def knownGramRatio(text: Column, bloomBytes: Array[Byte],
+                     k: Int = 8): Column = {
+    require(k >= 1, s"knownGramRatio needs k >= 1, got $k")
+    val toks = split(trim(text), " ")
+    val n = size(toks)
+    val grams = when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val hits = aggregate(grams, lit(0L), (acc, g) =>
+      acc + when(call_function("graft_bloom_contains",
+        xxhash64(g), lit(bloomBytes)), 1L).otherwise(0L))
+    when(n >= k, round(hits.cast("double") / (n - k + 1), 5))
+      .otherwise(lit(0.0))
+  }
+
   /** k-gram text at 0-based token offset `i` of the `__toks` column. */
   private def gramAtCol(k: Int)(i: Column): Column =
     concat_ws(" ", slice(col("__toks"), i + lit(1), lit(k)))

@@ -595,6 +595,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2500))
   }
 
+  test("q157 incremental span gate: no window, no SMJ, no cartesian") {
+    val df: DataFrame = Queries.all("q157_known_span_strip")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Window"), p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
   test("q155 unicode normalize is a zero-exchange codegen projection") {
     val df: DataFrame = Queries.all("q155_unicode_normalize")(spark, sf)
     df.collect()
