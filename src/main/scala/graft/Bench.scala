@@ -104,7 +104,11 @@ object Bench {
       // q151: the 1/5-sampled REAL GIF encode+decode round-trip — the
       // per-row cost IS the certification's synthesis+codec work, not an
       // operator the pipeline pays per document (r16 verdict item 6)
-      "q151_video_frames" -> "certification")
+      "q151_video_frames" -> "certification",
+      // q158: the collapse-first twin re-certifying per-instance ==
+      // collapsed against q154's identical oracle; its cost is the
+      // certification's, q154 is the measured operator
+      "q158_dup_span_collapsed" -> "certification")
     def kindTotal(k: String): Double =
       results.filter(r => kinds.getOrElse(r._1, "operator") == k).map(_._2).sum
     val kindsJson = kinds.toSeq.sorted.filter { case (n, _) => results.exists(_._1 == n) }

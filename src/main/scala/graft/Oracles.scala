@@ -1224,6 +1224,9 @@ object Oracles {
     "q154_dup_span_strip" -> dupSpanOracle,
     "q155_unicode_normalize" -> unicodeNormalizeOracle,
     "q157_known_span_strip" -> knownSpanOracle,
+    // q158: the collapse-first twin against q154's IDENTICAL replay —
+    // a DuckDB-side certification that collapsed == per-instance
+    "q158_dup_span_collapsed" -> dupSpanOracle,
 
     // q156: the naive exact GROUP BY the bounded-state operator provably
     // equals (count desc, key asc, top 8) over the same skew synthesis

@@ -1224,6 +1224,20 @@ object Queries {
           col("nu.nfc_changed").as("nfc_changed"))
     }),
 
+    // CERTIFICATION row: the collapse-first twin of q154 runs against
+    // the IDENTICAL oracle SQL — every correctness run re-certifies
+    // per-instance == collapsed on real data (the q137/q145 pattern).
+    // The twin is the dup-heavy plan: gram machinery over DISTINCT
+    // texts with the hits-level multiplicity rule; measured 3.0x on the
+    // 100x exact-dup-heavy corpus at identical output
+    "q158_dup_span_collapsed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          synthDupSpanText(col("doc_id"), col("text")).as("text"))
+      Dedup.stripDupSpans(docs, "doc_id", "text", k = 8,
+        collapseExact = true)
+    }),
+
     // the INCREMENTAL face of q154 (the bloom-gate pattern at substring
     // granularity): even doc_ids play history — their duplicated grams
     // become the standing index (dupGramIndex) — and odd doc_ids play
