@@ -659,7 +659,7 @@ object Dedup {
     * When to turn the dial (dup_span_scale_r17.json): winnowing trades
     * per-gram selection CPU (an O(w) argmin scan per window) for the
     * ~2/(w+1) occurrence-volume cut. On a memory-bound local shuffle
-    * the CPU side LOSES (~1.9× the exact path at 500 k docs); on a
+    * the CPU side LOSES (1.9–2.5× the exact path at 500 k docs across four same-code runs); on a
     * network-bound 1000-executor shuffle the occurrence stream is the
     * bottleneck and the volume cut is the win. Default exact; winnow on
     * clusters where stage-1 shuffle bytes dominate.
