@@ -108,7 +108,11 @@ object Bench {
       // q158: the collapse-first twin re-certifying per-instance ==
       // collapsed against q154's identical oracle; its cost is the
       // certification's, q154 is the measured operator
-      "q158_dup_span_collapsed" -> "certification")
+      "q158_dup_span_collapsed" -> "certification",
+      // q159: runs batch CC over history INSIDE the row to have a
+      // standing to attach to, then certifies incremental == batch via
+      // q51's oracle; the batch-standing setup is the certification cost
+      "q159_incremental_components" -> "certification")
     def kindTotal(k: String): Double =
       results.filter(r => kinds.getOrElse(r._1, "operator") == k).map(_._2).sum
     val kindsJson = kinds.toSeq.sorted.filter { case (n, _) => results.exists(_._1 == n) }

@@ -1228,6 +1228,14 @@ object Oracles {
     // a DuckDB-side certification that collapsed == per-instance
     "q158_dup_span_collapsed" -> dupSpanOracle,
 
+    // q159: incremental CC against q51's closure VERBATIM — the Spark
+    // side attaches the odd-id increment to standing even-id labels via
+    // updateComponents; equality with the batch closure over the FULL
+    // corpus is the certification (the q158 oracle-reuse pattern)
+    "q159_incremental_components" ->
+      s"""WITH RECURSIVE ${componentCtes()}
+         SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id""",
+
     // q156: the naive exact GROUP BY the bounded-state operator provably
     // equals (count desc, key asc, top 8) over the same skew synthesis
     "q156_heavy_hitters" ->

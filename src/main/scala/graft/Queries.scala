@@ -1238,6 +1238,35 @@ object Queries {
         collapseExact = true)
     }),
 
+    // INCREMENTAL connected-components maintenance (q51's closure,
+    // continuous-ingest face): even doc_ids play history — their pair
+    // graph is resolved once into standing labels — and odd doc_ids play
+    // the increment: within-increment edges + cross edges (collapsed
+    // 7-gram Jaccard at the q51 threshold) attach through
+    // updateComponents, which contracts new edges through the standing
+    // labels and runs CC ONLY over the delta graph (history edges never
+    // re-enter). The decomposed edge set is closure-equivalent to the
+    // full-corpus q51 graph (star edges bridge exact-text members to
+    // their reps on each side; cross rep-edges carry qualifying mixed
+    // pairs), so the oracle is q51's recursive closure VERBATIM — every
+    // correctness run certifies incremental == batch on real data
+    "q159_incremental_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val history = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val increment = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      val standing = Dedup.connectedComponents(
+        NearDup.ngramJaccardComponentEdges(history, "doc_id", "text", 7, 0.2))
+      val incEdges = NearDup
+        .ngramJaccardComponentEdges(increment, "doc_id", "text", 7, 0.2)
+        .select("id_a", "id_b")
+      val crossEdges = NearDup.crossNgramPairs(increment, history,
+          "doc_id", "doc_id", "text", "text", n = 7, minJaccard = 0.2)
+        .select(col("id_l").as("id_a"), col("id_r").as("id_b"))
+      Dedup.updateComponents(standing, incEdges.unionByName(crossEdges))
+        .select(col("id").cast("long").as("doc_id"),
+          col("comp").cast("long").as("comp"))
+    }),
+
     // the INCREMENTAL face of q154 (the bloom-gate pattern at substring
     // granularity): even doc_ids play history — their duplicated grams
     // become the standing index (dupGramIndex) — and odd doc_ids play

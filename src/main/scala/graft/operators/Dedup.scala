@@ -306,6 +306,92 @@ object Dedup {
       .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
   }
 
+  /** INCREMENTAL connected-components maintenance — attach an increment's
+    * edges to STANDING component labels without re-running CC over the
+    * history pair graph (the continuous-ingest chain's last batch-only
+    * stage until this operator: q85 gates exact dups per increment,
+    * `NearDup.nearDupProbe` FLAGS near-dup candidates per increment, and
+    * resolving components used to replay [[connectedComponents]] over
+    * history ∪ increment pairs every cycle).
+    *
+    * The standing labels ARE a contracted graph: every history node is
+    * represented by its component's minimum id, and that minimum is
+    * itself the super-node's name. So:
+    *
+    *  1. CONTRACT — map each endpoint of `newPairs` through `standing`
+    *     (broadcast join: new edges are increment-sized; an endpoint with
+    *     no standing label — an increment doc, or a history doc never
+    *     seen in a pair — stays itself);
+    *  2. DELTA CC — run [[connectedComponents]] ONLY over the contracted
+    *     edge list: its node set is {touched standing labels} ∪ {fresh
+    *     ids}, increment-sized, never history-sized. Min-label semantics
+    *     survive contraction because each super-node's name is already
+    *     the minimum of its members;
+    *  3. RECONCILE — remap `standing` through the delta labels (a
+    *     broadcast hash join on `comp`: history rows NEVER shuffle; an
+    *     untouched component passes through unchanged) and append the
+    *     fresh nodes' labels.
+    *
+    * Output contract = [[connectedComponents]] over (history pairs ∪
+    * `newPairs`): one row per node of either graph, `comp` = the merged
+    * component's minimum id — spec-proven equal (IncrementalCcSpec),
+    * including standing-component MERGES caused by a new edge bridging
+    * two old components, and self-pair singletons. Fold the output back
+    * in as next cycle's `standing` (the bloom-gate fold contract at
+    * component granularity).
+    *
+    * Scale: per-increment cost is O(new edges + touched components) —
+    * history cost only enters through the broadcast remap, which streams
+    * the standing frame map-side. Cite: reference near-dup grouping is a
+    * one-shot batch (reference src/data_pipeline/pipelines/
+    * data_engineering/nodes_grouped/step_2_nodes/deduplicate.py) — the
+    * incremental face is the 100 TB continuous-crawl requirement.
+    */
+  def updateComponents(standing: DataFrame, newPairs: DataFrame,
+                       idA: String = "id_a", idB: String = "id_b",
+                       maxIter: Int = 15,
+                       algorithm: String = "auto"): DataFrame = {
+    require(standing.columns.contains("id") && standing.columns.contains("comp"),
+      s"updateComponents needs standing labels with (id, comp) columns " +
+        s"(connectedComponents output), got ${standing.columns.mkString(",")}")
+    val raw = newPairs.select(col(idA).as("__a"), col(idB).as("__b"))
+    val lblA = standing.select(col("id").as("__a"), col("comp").as("__ca"))
+    val lblB = standing.select(col("id").as("__b"), col("comp").as("__cb"))
+    // 1. contract: endpoints adopt their standing label; fresh stay
+    // themselves. The join keys on the EDGE side (increment-sized);
+    // standing streams — AQE broadcasts the smaller side per stage.
+    val contracted = raw
+      .join(lblA, Seq("__a"), "left")
+      .join(lblB, Seq("__b"), "left")
+      .select(coalesce(col("__ca"), col("__a")).as("id_a"),
+        coalesce(col("__cb"), col("__b")).as("id_b"),
+        col("__ca").isNull.as("__fa"), col("__cb").isNull.as("__fb"))
+      .localCheckpoint() // reused for edges + fresh nodes; cuts pair-gen lineage
+    // fresh nodes BEFORE the self-loop cut: a fresh node whose only new
+    // edge is a self-pair must still label itself (batch CC does)
+    val freshNodes = contracted.where(col("__fa")).select(col("id_a").as("id"))
+      .unionByName(contracted.where(col("__fb")).select(col("id_b").as("id")))
+      .distinct()
+    // 2. delta CC over contracted edges (self-loops contribute nothing)
+    val deltaEdges = contracted.where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+    val delta = connectedComponents(deltaEdges, "id_a", "id_b", maxIter,
+      algorithm).localCheckpoint()
+    // 3a. remap standing by component label — broadcast(delta) keeps the
+    // history-scale frame shuffle-free
+    val remap = broadcast(delta
+      .select(col("id").as("comp"), col("comp").as("__nc")))
+    val remapped = standing.select(col("id"), col("comp"))
+      .join(remap, Seq("comp"), "left")
+      .select(col("id"), coalesce(col("__nc"), col("comp")).as("comp"))
+    // 3b. fresh nodes take their delta label (or themselves if every
+    // incident edge was a self-pair)
+    val freshLabels = freshNodes
+      .join(delta.withColumnRenamed("comp", "__nc"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__nc"), col("id")).as("comp"))
+    remapped.unionByName(freshLabels)
+  }
+
   /** Near-duplicate removal end-to-end: keep one canonical doc (minimum
     * id) per connected component of the pair graph; docs in no pair
     * survive untouched. The loser set is component members whose id isn't
@@ -653,8 +739,9 @@ object Dedup {
     * tree inside every downstream plan — the composed crawl probe
     * measured a fixed ~10× plan-time tax on every later stage until the
     * result was LANDED (parquet write + read-back, or
-    * `localCheckpoint()`), which severs the lineage. Land this output
-    * before chaining further pipeline stages.
+    * `localCheckpoint()`), which severs the lineage. Pass `land = true`
+    * when chaining further pipeline stages — it localCheckpoints the
+    * result for you; leave it off for a terminal write.
     *
     * When to turn the dial (dup_span_scale_r17.json): winnowing trades
     * per-gram selection CPU (an O(w) argmin scan per window) for the
@@ -666,22 +753,34 @@ object Dedup {
     */
   def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, winnow: Int = 1,
-                    collapseExact: Boolean = false): DataFrame = {
-    if (collapseExact)
-      return stripDupSpansCollapsed(docs, idCol, textCol, k, winnow)
-    val id = col(idCol)
-    val (base, occ) = spanOccurrences(docs, idCol, textCol, k, winnow)
-    // stage 1 (hash-width shuffle, map-side-combinable min/max):
-    // candidate hashes seen in >= 2 docs
-    val candHash = occ.groupBy("__gh")
-      .agg(min(id).as("__dmin"), max(id).as("__dmax"))
-      .where(col("__dmin") =!= col("__dmax")).select("__gh")
-    // candidate occurrences: candHash is small on realistic corpora
-    // (true boilerplate + ~0 collisions), so AQE broadcasts the semi
-    val candOcc = occ.join(candHash, Seq("__gh"), "left_semi")
-    val hits = confirmByString(candOcc, base, idCol, k)
-    cutCovered(base, hits, idCol, k)
+                    collapseExact: Boolean = false,
+                    land: Boolean = false): DataFrame = landIf(land) {
+    if (collapseExact) stripDupSpansCollapsed(docs, idCol, textCol, k, winnow)
+    else {
+      val id = col(idCol)
+      val (base, occ) = spanOccurrences(docs, idCol, textCol, k, winnow)
+      // stage 1 (hash-width shuffle, map-side-combinable min/max):
+      // candidate hashes seen in >= 2 docs
+      val candHash = occ.groupBy("__gh")
+        .agg(min(id).as("__dmin"), max(id).as("__dmax"))
+        .where(col("__dmin") =!= col("__dmax")).select("__gh")
+      // candidate occurrences: candHash is small on realistic corpora
+      // (true boilerplate + ~0 collisions), so AQE broadcasts the semi
+      val candOcc = occ.join(candHash, Seq("__gh"), "left_semi")
+      val hits = confirmByString(candOcc, base, idCol, k)
+      cutCovered(base, hits, idCol, k)
+    }
   }
+
+  /** Sever the span family's large lineage tree when `land` is set: a
+    * `localCheckpoint` (executor-storage materialization) so downstream
+    * plans carry a leaf scan instead of the occurrence-explode/confirm/
+    * cover tree — the measured ~10× per-stage plan-time tax of chaining
+    * unlanded output (crawl_pipeline_r17b). Off by default: a terminal
+    * write needs no landing.
+    */
+  private def landIf(land: Boolean)(df: => DataFrame): DataFrame =
+    if (land) df.localCheckpoint() else df
 
   /** COLLAPSE-FIRST twin of [[stripDupSpans]] (the repo-wide dup-heavy
     * idiom, here SEMANTICS-PRESERVING): on corpora where exact-duplicate
@@ -693,10 +792,13 @@ object Dedup {
     * a (selected) gram is a hit iff it occurs in ≥ 2 distinct TEXTS, or
     * its own text has multiplicity ≥ 2 — applied at HITS level so it
     * composes with winnow exactly like the per-instance run; results
-    * join back to instances by text. Costs two text-wide shuffles
+    * join back to instances by text (null-SAFE, so NULL-text rows pass
+    * through with null stats exactly as the per-instance form does).
+    * Costs two text-wide shuffles
     * (group + join-back) that the dup-LIGHT default correctly avoids —
     * pick this form the way simhashPairs picks collapseExact: by the
-    * corpus's duplicate rate. Equality is spec-proven (DupSpanSpec).
+    * corpus's duplicate rate. Equality is spec-proven (DupSpanSpec),
+    * null texts included.
     */
   private def stripDupSpansCollapsed(docs: DataFrame, idCol: String,
       textCol: String, k: Int, winnow: Int): DataFrame = {
@@ -724,7 +826,12 @@ object Dedup {
     val perText = groups.join(
       cutCovered(base, dupHits.union(multHits).distinct(), "__rid", k),
       Seq("__rid"))
-    keyed.join(perText.drop("__rid", "__mult"), Seq("__t"))
+    // join-back is null-SAFE: a NULL-text group exists in `groups` and
+    // gets null stats from cutCovered, so <=> routes NULL-text instances
+    // to it — identical to the per-instance pass-through
+    val stats = perText.drop("__rid", "__mult")
+      .withColumnRenamed("__t", "__tt")
+    keyed.join(stats, col("__t") <=> col("__tt"))
       .select(id, col("n_tokens"), col("dup_spans"), col("dup_tokens"),
         col("dup_ratio"), col("clean_text"))
   }
@@ -772,7 +879,8 @@ object Dedup {
     * are known).
     */
   def stripKnownSpans(docs: DataFrame, idCol: String, textCol: String,
-                      index: DataFrame, k: Int = 8): DataFrame = {
+                      index: DataFrame, k: Int = 8,
+                      land: Boolean = false): DataFrame = landIf(land) {
     require(index.columns.contains("gram"),
       s"stripKnownSpans needs an index with a 'gram' column (dupGramIndex output), got ${index.columns.mkString(",")}")
     val id = col(idCol)

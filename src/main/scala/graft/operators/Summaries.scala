@@ -1514,8 +1514,17 @@ object Summaries {
     *     possible top-k member as long as the k-th count clears that
     *     bound;
     *  2. an exact confirm: count ONLY rows whose key is in the candidate
-    *     set (an `isin` plan constant — non-candidates never shuffle),
+    *     set — an `isin` plan constant when the set is small, a
+    *     broadcast semi-join against a candidates frame when it is large
+    *     (candidates scale with partitions × capacity; a literal list
+    *     would bloat the plan at 100 TB) — non-candidates never shuffle;
     *     order by (count desc, key asc) and take k.
+    *
+    * The input projection is persisted for the duration of the call so
+    * the summary pass, the confirm, and the certificate provably see the
+    * same rows even over a non-deterministic upstream; the returned
+    * frame is the certified ≤ k rows as a local relation (no re-execution
+    * of the input when the caller acts on it).
     *
     * The exactness condition is CHECKED, not assumed: if the k-th
     * confirmed count fails to exceed N/(capacity+1) — the largest count
@@ -1528,14 +1537,22 @@ object Summaries {
     * change the answer.
     */
   def heavyHitters(df: DataFrame, keyCol: String, k: Int,
-                   capacity: Int = 4096): DataFrame = {
+                   capacity: Int = 4096,
+                   isinThreshold: Int = 8192): DataFrame = {
     require(k >= 1, s"heavyHitters needs k >= 1, got $k")
     require(capacity >= k,
       s"heavyHitters needs capacity >= k, got capacity=$capacity k=$k")
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted for the DURATION of the call: the MG pass, the exact
+    // confirm, and the certificate must provably see the SAME rows even
+    // if the upstream frame is non-deterministic or its source changes
+    // between jobs (the returned frame is the certified local rows, so
+    // the caller's execution cannot diverge either)
     val keys = df.select(col(keyCol).cast("string").as("k"))
       .where(col("k").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // pass 1: one bounded MG summary per partition + its row count
     val summaries: Array[(Map[String, Long], Long)] =
       keys.as[String].mapPartitions { it =>
@@ -1573,7 +1590,18 @@ object Summaries {
     val candidates: Seq[String] =
       summaries.iterator.flatMap(_._1.keysIterator).toSet.toSeq
     val bound = nTotal / (capacity + 1L) // floor: non-candidate true count <= bound
-    val top = keys.where(col("k").isin(candidates: _*))
+    // confirm filter: a small candidate set rides the plan as an InSet
+    // constant; above the threshold (candidates scale with partitions ×
+    // capacity — millions at 100 TB) an In literal list would bloat the
+    // plan and driver, so switch to a broadcast semi-join against a
+    // candidates frame instead. Either form only WIDENS vs the exact
+    // membership test, so the certified answer is identical.
+    val candFiltered =
+      if (candidates.size <= isinThreshold)
+        keys.where(col("k").isin(candidates: _*))
+      else
+        keys.join(broadcast(candidates.toDF("k")), Seq("k"), "left_semi")
+    val top = candFiltered
       .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("k").asc)
       .limit(k)
@@ -1597,6 +1625,11 @@ object Summaries {
           s"candidate keys but bound $bound > 0 permits undetected keys; " +
           s"raise capacity above $nTotal or lower k")
     }
-    top
+    // return the CERTIFIED rows as a local relation (<= k rows): the
+    // caller's execution is exactly what the certificate validated — no
+    // third job over the input
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), top.schema)
+    } finally keys.unpersist()
   }
 }

@@ -230,6 +230,55 @@ class DupSpanSpec extends SparkSpec {
     }
   }
 
+  test("NULL-text rows pass through both forms with null stats, not dropped") {
+    val boiler = "common promo line shared by several docs here"
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, s"$boiler alpha beta"),
+        org.apache.spark.sql.Row(2L, s"$boiler gamma delta"),
+        org.apache.spark.sql.Row(3L, null),
+        org.apache.spark.sql.Row(4L, null),
+        org.apache.spark.sql.Row(5L, "a unique doc with no shared text at all")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    for (collapse <- Seq(false, true)) {
+      val out = Dedup.stripDupSpans(df, "doc_id", "text", k = 3,
+        collapseExact = collapse)
+      assert(out.count() == 5L, s"collapse=$collapse lost rows")
+      val nullRows = out.where(org.apache.spark.sql.functions.col("doc_id")
+        .isin(3L, 4L)).collect()
+      assert(nullRows.length == 2, s"collapse=$collapse dropped null-text rows")
+      nullRows.foreach { r =>
+        assert(r.isNullAt(r.fieldIndex("clean_text")))
+        assert(r.isNullAt(r.fieldIndex("dup_ratio")))
+      }
+    }
+    // the two forms remain row-identical with nulls present
+    val a = Dedup.stripDupSpans(df, "doc_id", "text", k = 3)
+      .collect().map(_.toString).sorted
+    val b = Dedup.stripDupSpans(df, "doc_id", "text", k = 3,
+      collapseExact = true).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("land = true severs lineage: downstream plan sees a leaf, same rows") {
+    import spark.implicits._
+    val boiler = "footer text repeated across documents for span tests"
+    val df = (1L to 6L).map(i => (i, s"u$i v$i $boiler")).toDF("doc_id", "text")
+    val unlanded = Dedup.stripDupSpans(df, "doc_id", "text", k = 3)
+    val landed = Dedup.stripDupSpans(df, "doc_id", "text", k = 3, land = true)
+    assert(landed.queryExecution.optimizedPlan.collectLeaves().size == 1)
+    // the landed plan must NOT still contain the occurrence/confirm join tree
+    assert(landed.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty)
+    assert(unlanded.collect().map(_.toString).sorted
+      .sameElements(landed.collect().map(_.toString).sorted))
+  }
+
   test("knownGramRatio: streaming face of the span gate, stream ≡ batch, zero exchanges") {
     import spark.implicits._
     graft.functions.GraftFunctions.ensureRegistered(spark)

@@ -85,4 +85,34 @@ class HeavyHittersSpec extends SparkSpec {
     assert(ex.getMessage.contains("cannot certify") ||
       ex.getMessage.contains("permits undetected"))
   }
+
+  test("large candidate sets confirm via semi-join, same certified answer") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 30000).map { _ =>
+      if (rnd.nextInt(10) < 8) "hot_" + rnd.nextInt(8)
+      else "cold_" + rnd.nextInt(5000)
+    }
+    val df = rows.toDF("key").repartition(16)
+    // isinThreshold = 0 forces the broadcast-semi-join confirm path the
+    // operator takes at 100 TB candidate counts; answers must be equal
+    val viaSemi = Summaries.heavyHitters(df, "key", k = 8,
+        capacity = 256, isinThreshold = 0)
+      .collect().map(_.toString).toSeq
+    val viaIsin = Summaries.heavyHitters(df, "key", k = 8, capacity = 256)
+      .collect().map(_.toString).toSeq
+    assert(viaSemi == viaIsin)
+    assert(viaSemi == naiveTopK(df, 8))
+  }
+
+  test("returns a local relation: caller actions never re-execute the input") {
+    import spark.implicits._
+    val df = (1 to 100).flatMap(_ => Seq("a", "b", "c")).toDF("key")
+    val out = Summaries.heavyHitters(df, "key", k = 2, capacity = 32)
+    // the certified rows ride the plan as a LocalRelation leaf — acting
+    // on the result cannot see different data than the certificate did
+    assert(out.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+  }
 }
