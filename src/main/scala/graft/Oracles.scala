@@ -562,6 +562,138 @@ object Oracles {
        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"""
   }
 
+  // ── q160/q161: unigram-LM tokenizer replay ─────────────────────────
+  // The trainer quantizes piece log-probs to integer 1e-5 micro-units
+  // the moment they exist (cost = -floor(ln(cnt/tot)*1e5 + 0.5)), so
+  // every Viterbi DP below is EXACT integer arithmetic with the tie
+  // rule (cost ASC, piece-sequence ASC — DuckDB's native VARCHAR[]
+  // ordering IS the operator's UTF-8 path-lex rule) and the whole
+  // train+encode chain replays bit-for-bit. Words are truncated to
+  // umW = 8 code points by the catalog synthesis on BOTH sides, which
+  // bounds the DP unroll below; pieces cap at 4 code points.
+
+  /** DP unroll depth = max word length the catalog synthesis allows. */
+  private val umW = 8
+
+  /** Seed dictionary + substring weights + seed vocab counts (all
+    * singles + top-120 multis by (weight DESC, piece ASC)).
+    */
+  private def umBaseCtes: String =
+    s"""umw0 AS MATERIALIZED (SELECT substr(unnest(regexp_split_to_array(lower(trim(text)), '\\s+')), 1, $umW) AS w
+         FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       umwf AS MATERIALIZED (SELECT w, count(*) AS f FROM umw0 GROUP BY 1),
+       umsubs AS MATERIALIZED (SELECT piece, CAST(sum(f) AS BIGINT) AS wt FROM (
+           SELECT f, unnest(flatten([[substr(w, CAST(j + 1 AS INT), CAST(l AS INT))
+               for j in range(0, greatest(len(w) - l + 1, 0))]
+               for l in range(1, 5)])) AS piece
+           FROM umwf) x GROUP BY 1),
+       umv0c AS MATERIALIZED (
+         SELECT piece, wt AS cnt FROM umsubs WHERE length(piece) = 1
+         UNION ALL
+         SELECT piece, cnt FROM (
+           SELECT piece, wt AS cnt FROM umsubs WHERE length(piece) > 1
+           QUALIFY row_number() OVER (ORDER BY wt DESC, piece) <= 120) m)"""
+
+  /** Integer micro-unit costs from round-`r` counts. */
+  private def umVocabCostCtes(r: Int): String =
+    s"""umt$r AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM umv${r}c),
+       umv$r AS MATERIALIZED (SELECT piece,
+           -CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 100000.0 + 0.5) AS BIGINT) AS cost
+         FROM umv${r}c CROSS JOIN umt$r)"""
+
+  /** The (word, start, len, piece, cost) edge list for one DP round. */
+  private def umEdgeCte(r: Int): String =
+    s"""ume$r AS MATERIALIZED (
+         SELECT s.w, CAST(s.p.jj AS BIGINT) AS j, CAST(s.p.ll AS BIGINT) AS l,
+                s.p.piece AS piece, v.cost
+         FROM (SELECT w, unnest(flatten([[struct_pack(jj := j, ll := l,
+                  piece := substr(w, CAST(j + 1 AS INT), CAST(l AS INT)))
+                  for j in range(0, greatest(len(w) - l + 1, 0))]
+                  for l in range(1, 5)])) AS p
+               FROM umwf) s
+         JOIN umv$r v ON v.piece = s.p.piece)"""
+
+  /** The unrolled integer Viterbi over round-`r` edges: one CTE per
+    * position carrying (cost, path), per-word argmin by (cost, path) —
+    * exactly the kernel's DP-composable tie rule — then the per-word
+    * best segmentation at position len(w).
+    */
+  private def umDpCtes(r: Int): String = {
+    val levels = (1 to umW).map { i =>
+      val cands = (1 to math.min(4, i)).map { l =>
+        s"""SELECT e.w, b.cost + e.cost AS cost, list_append(b.path, e.piece) AS path
+            FROM ume$r e JOIN umb${r}_${i - l} b ON e.w = b.w
+            WHERE e.j = ${i - l} AND e.l = $l"""
+      }.mkString("\n          UNION ALL\n          ")
+      s"""umb${r}_$i AS MATERIALIZED (
+          SELECT w, cost, path FROM (
+            $cands) c
+          QUALIFY row_number() OVER (PARTITION BY w ORDER BY cost, path) = 1)"""
+    }.mkString(",\n       ")
+    val lens = (1 to umW).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS n, w, path FROM umb${r}_$i")
+      .mkString("\n          UNION ALL ")
+    s"""umb${r}_0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS cost, CAST([] AS VARCHAR[]) AS path FROM umwf),
+       $levels,
+       umseg$r AS MATERIALIZED (
+         SELECT umwf.w, umwf.f, b.path FROM umwf
+         JOIN ($lens) b ON b.w = umwf.w AND b.n = len(umwf.w))"""
+  }
+
+  /** Hard-EM round `r`: frequency-weighted piece usage from the previous
+    * round's segmentations; singles floor at 1 (coverage), unused multis
+    * drop (the prune).
+    */
+  private def umRoundCtes(r: Int): String =
+    s"""umu$r AS MATERIALIZED (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+          FROM (SELECT f, unnest(path) AS piece FROM umseg${r - 1}) x GROUP BY 1),
+       umv${r}c AS MATERIALIZED (
+         SELECT p.piece,
+           CASE WHEN length(p.piece) = 1 THEN greatest(coalesce(u.cnt, CAST(0 AS BIGINT)), CAST(1 AS BIGINT))
+                ELSE u.cnt END AS cnt
+         FROM (SELECT piece FROM umv${r - 1}c) p
+         LEFT JOIN umu$r u ON u.piece = p.piece
+         WHERE length(p.piece) = 1 OR u.cnt IS NOT NULL)"""
+
+  /** Seed → EM round 1 → EM round 2: the shared q160/q161 chain. */
+  private def umTrainChain: String =
+    s"""${umBaseCtes},
+       ${umVocabCostCtes(0)},
+       ${umEdgeCte(0)},
+       ${umDpCtes(0)},
+       ${umRoundCtes(1)},
+       ${umVocabCostCtes(1)},
+       ${umEdgeCte(1)},
+       ${umDpCtes(1)},
+       ${umRoundCtes(2)}"""
+
+  /** q160: final vocabulary (piece, cnt, cost) after two hard-EM rounds. */
+  private def umTrainOracle: String =
+    s"""WITH $umTrainChain,
+       umt2 AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM umv2c)
+       SELECT piece, cnt,
+         -CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 100000.0 + 0.5) AS BIGINT) AS cost
+       FROM umv2c CROSS JOIN umt2"""
+
+  /** q161: the train chain, then ENCODE — one more DP under the final
+    * costs gives every dict word's piece count; docs re-join their
+    * words' counts (the q138 pattern); blank/NULL docs keep NULL stats.
+    */
+  private def umEncodeOracle: String =
+    s"""WITH $umTrainChain,
+       ${umVocabCostCtes(2)},
+       ${umEdgeCte(2)},
+       ${umDpCtes(2)},
+       umdw AS MATERIALIZED (SELECT doc_id, substr(unnest(regexp_split_to_array(lower(trim(text)), '\\s+')), 1, $umW) AS w
+                FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       umwenc AS MATERIALIZED (SELECT w, CAST(len(path) AS BIGINT) AS np FROM umseg2),
+       umagg AS MATERIALIZED (SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS ws,
+                   CAST(sum(np) AS BIGINT) AS np
+                 FROM umdw dw JOIN umwenc ON dw.w = umwenc.w GROUP BY 1)
+       SELECT d.doc_id, umagg.ws AS n_tokens_ws, umagg.np AS n_um_tokens,
+         round(CAST(umagg.np AS DOUBLE) / umagg.ws, 5) AS um_per_word
+       FROM documents d LEFT JOIN umagg ON d.doc_id = umagg.doc_id"""
+
   /** q143: the q52 token-budget cut driven by BPE counts — the q138
     * encode chain (train CTEs + final-dict segmentation sizes) feeds the
     * per-stratum cumulative window; blank/NULL docs count 0 tokens.
@@ -714,7 +846,7 @@ object Oracles {
                  FROM d${i - 1}) x) y
          GROUP BY 1, 2),
        b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-       d$i AS MATERIALIZED (
+       d$i AS (
          SELECT replace(seq, '$sep' || b.l || '$sep$sep' || b.r || '$sep',
                         '$sep' || b.l || b.r || '$sep') AS seq, f
          FROM d${i - 1} CROSS JOIN b$i b),
@@ -725,7 +857,7 @@ object Oracles {
     s"""WITH w0 AS (
          SELECT md5(CAST(doc_id AS VARCHAR)) AS w FROM documents),
        wf AS (SELECT w, count(*) AS f FROM w0 GROUP BY 1),
-       d0 AS MATERIALIZED (
+       d0 AS (
          SELECT '$sep' || array_to_string(regexp_extract_all(w, '(?s).'),
            '$sep$sep') || '$sep' AS seq, f FROM wf),
        m0 AS (SELECT CAST(NULL AS BIGINT) AS merge_rank,
@@ -1235,6 +1367,11 @@ object Oracles {
     "q159_incremental_components" ->
       s"""WITH RECURSIVE ${componentCtes()}
          SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id""",
+
+    // q160/q161: the unigram-LM tokenizer replay — exact-integer Viterbi
+    // EM over the truncated-word dictionary (see the um* CTE builders)
+    "q160_unigram_train" -> umTrainOracle,
+    "q161_unigram_encode" -> umEncodeOracle,
 
     // q156: the naive exact GROUP BY the bounded-state operator provably
     // equals (count desc, key asc, top 8) over the same skew synthesis
@@ -2122,7 +2259,7 @@ object Oracles {
                 WHERE user_id IS NOT NULL),
          ufin AS (SELECT x FROM ux WHERE isfinite(x)),
          us AS (SELECT round(quantile_cont(x, 0.5), 5) AS med FROM ufin),
-         um AS (SELECT round(quantile_cont(abs(x - med), 0.5), 5) AS mad FROM ufin, us),
+         um AS MATERIALIZED (SELECT round(quantile_cont(abs(x - med), 0.5), 5) AS mad FROM ufin, us),
          uf AS (SELECT 'user_id' AS column_name, med, mad,
                   med - 3.0 * 1.4826 * mad AS lo,
                   med + 3.0 * 1.4826 * mad AS hi FROM us, um),
@@ -2157,7 +2294,7 @@ object Oracles {
                FROM e WHERE v IS NOT NULL AND NOT isnan(v) GROUP BY 1, 2),
          t AS (SELECT col, CAST(sum(cr) AS BIGINT) AS tr,
                  CAST(sum(cc) AS BIGINT) AS tc FROM c GROUP BY 1),
-         cum AS (SELECT col,
+         cum AS MATERIALIZED (SELECT col,
                    CAST(sum(cr) OVER (PARTITION BY col ORDER BY v) AS BIGINT) AS scr,
                    CAST(sum(cc) OVER (PARTITION BY col ORDER BY v) AS BIGINT) AS scc
                  FROM c),
@@ -2280,7 +2417,7 @@ object Oracles {
     // operator's oracle (q62 numeric stats, q76 top-k, q87 equi-width,
     // q103 equi-depth, q104 psi) reshaped into the unified long format
     "q107_dataset_card" ->
-      """WITH num AS (
+      """WITH num AS MATERIALIZED (
            SELECT count(n_chars) AS n_non_null,
              count(*) - count(n_chars) AS n_null,
              min(CAST(n_chars AS DOUBLE)) AS mn, max(CAST(n_chars AS DOUBLE)) AS mx,
@@ -2291,7 +2428,7 @@ object Oracles {
              quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p95,
              quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS p99
            FROM documents),
-         num_rows AS (
+         num_rows AS MATERIALIZED (
            SELECT 'numeric' AS section, 'n_chars' AS col_name, item,
              CAST(NULL AS VARCHAR) AS value_s, value_d,
              CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,

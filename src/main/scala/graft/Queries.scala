@@ -233,6 +233,20 @@ object Queries {
       when(pmod(d, lit(2)) === 0, lit("\u200D")).otherwise(lit("")))
   }
 
+  /** q160/q161 corpus synthesis: every token truncated to 8 code points
+    * — NOT an operator constraint (the driver DP handles any length) but
+    * the bound that lets the DuckDB oracle UNROLL its exact-integer
+    * Viterbi to a fixed depth. NULL text stays NULL; blank text stays
+    * blank (split of '' is [''] whose 8-cp cut is '' — the operator's
+    * blank guard excludes it either way, same as the oracle's filter).
+    */
+  private[graft] def synthUnigramDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("text").isNull, lit(null).cast("string"))
+        .otherwise(array_join(transform(
+          split(lower(trim(col("text"))), "\\s+"),
+          t => substring(t, 1, 8)), " ")).as("text"))
+
   /** q156 skewed-key synthesis, shared with [[Oracles]]: 80% of events
     * hash onto 8 hot keys (1000 rows each at sf0.01 — provably above the
     * Misra–Gries undetected-key bound), the rest get per-event cold keys
@@ -1265,6 +1279,28 @@ object Queries {
       Dedup.updateComponents(standing, incEdges.unionByName(crossEdges))
         .select(col("id").cast("long").as("doc_id"),
           col("comp").cast("long").as("comp"))
+    }),
+
+    // unigram-LM (SentencePiece-class) tokenizer TRAIN: integer
+    // micro-unit costs from the first quantization on, so the seed →
+    // hard-EM → prune chain replays bit-for-bit in DuckDB (the um* CTE
+    // builders). Words truncate to 8 code points on BOTH sides — that
+    // bounds the oracle's unrolled Viterbi, not the operator (the
+    // driver DP handles any length)
+    "q160_unigram_train" -> ((s, d) =>
+      UnigramLm.trainLocalDf(synthUnigramDocs(Tables.documents(s, d)),
+        "text", seedMultis = 120, emIters = 2, maxPieceLen = 4)),
+
+    // unigram-LM ENCODE under the q160-trained table: per-doc piece
+    // counts via the graft_unigram_count kernel (zero-shuffle codegen
+    // projection, table ships once per plan); the oracle replays train
+    // then one more DP under the final costs (the q138 pattern)
+    "q161_unigram_encode" -> ((s, d) => {
+      val docs = synthUnigramDocs(Tables.documents(s, d))
+      val model = UnigramLm.trainLocal(docs, "text", seedMultis = 120,
+        emIters = 2, maxPieceLen = 4)
+      UnigramLm.encode(docs, "doc_id", "text",
+        model.map(p => (p.piece, p.cost)))
     }),
 
     // the INCREMENTAL face of q154 (the bloom-gate pattern at substring

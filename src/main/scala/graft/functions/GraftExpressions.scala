@@ -481,6 +481,29 @@ case class BpeCountExpr(child: Expression, merges: Seq[(String, String)],
     copy(child = newChild)
 }
 
+/** Unigram-LM (SentencePiece-class) piece count of ONE word under a
+  * trained (piece, integer-micro-cost) table — exact-integer Viterbi, so
+  * the count is engine-replayable; the table ships as ONE reference
+  * object (see [[TextKernels.UnigramKernel]] for the DP and tie rule).
+  */
+case class UnigramCountExpr(child: Expression, entries: Seq[(String, Long)])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_unigram_count"
+  @transient private lazy val kernel = new TextKernels.UnigramKernel(entries)
+  override protected def nullSafeEval(v: Any): Any =
+    kernel.pieceCount(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("unigramKernel", kernel, classOf[TextKernels.UnigramKernel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $k.pieceCount($v);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Char-n-gram language ID over a raw string (profiles are plan-time
   * literals, same encoding as [[LangIdExpr]]'s markers).
   */
@@ -817,6 +840,10 @@ object GraftFunctions {
     "graft_vocab_lnp" -> (es =>
       VocabLnpExpr(es(0), decodeVocabLnp(stringLit(es(1), "entries")),
         stringLit(es(2), "floorMicro").toLong)),
+    // (piece, cost) pairs ride the vocab-lnp wire format — same
+    // (String, Long) record shape, costs instead of micro log-probs
+    "graft_unigram_count" -> (es =>
+      UnigramCountExpr(es(0), decodeVocabLnp(stringLit(es(1), "pieces")))),
     "graft_bigram_lnp" -> (es =>
       BigramLnpExpr(es(0),
         decodeBigramCounts(stringLit(es(1), "pairs")),

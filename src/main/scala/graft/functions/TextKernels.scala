@@ -416,6 +416,108 @@ object TextKernels {
     def tokenCount(word: UTF8String): Int = encodeSymbols(word.toString).size
   }
 
+  /** Viterbi segmentation of ONE word under a unigram-LM piece table
+    * (Kudo 2018 "Subword Regularization" / SentencePiece inference, the
+    * exact-integer face): pieces carry INTEGER micro-unit costs
+    * (−round(ln p × 1e5), see [[graft.operators.UnigramLm]]), so the DP
+    * is exact arithmetic with NO floating point — the same best path on
+    * every engine. Tie rule, DP-composable and oracle-replayable: minimum
+    * total cost, then the LEXICOGRAPHICALLY SMALLEST piece sequence under
+    * UTF-8 byte order (two tied candidates are distinct segmentations of
+    * the same prefix, so neither is a list-prefix of the other and the
+    * first differing element always decides — matching DuckDB's native
+    * VARCHAR[] ordering). A position no piece reaches falls back to a
+    * single-code-point UNK step at a large constant cost, so coverage is
+    * total even off the training corpus (on it, the retained single-char
+    * pieces make UNK unreachable). The table ships ONCE per plan as a
+    * reference object — plan size is O(1) in vocabulary size.
+    */
+  final class UnigramKernel(entries: Seq[(String, Long)]) extends Serializable {
+    require(entries.nonEmpty, "unigram piece table must be non-empty")
+    private val costs: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](entries.size * 2)
+      entries.foreach { case (p, c) =>
+        require(p.nonEmpty, "unigram pieces must be non-empty")
+        val prev = m.get(p)
+        if (prev == null || c < prev) m.put(p, c) // dup piece: cheapest wins
+      }
+      m
+    }
+    private val maxLen: Int =
+      entries.iterator.map(e => e._1.codePointCount(0, e._1.length)).max
+    private val UnkCost = 100000000L // >> any real path; word_len × this fits a Long
+
+    private def utf8Cmp(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    private def pathCmp(a: IndexedSeq[String], b: IndexedSeq[String]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = utf8Cmp(a(i), b(i))
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+
+    /** Best (min-cost, then lex-min) piece sequence for `word`. */
+    def bestPath(word: String): IndexedSeq[String] = {
+      // split to code points once; DP over code-point positions
+      val cps = new scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < word.length) {
+        val w = Character.charCount(word.codePointAt(i))
+        cps += word.substring(i, i + w)
+        i += w
+      }
+      val n = cps.length
+      if (n == 0) return Vector.empty
+      val bestCost = new Array[Long](n + 1)
+      val bestPathArr = new Array[Vector[String]](n + 1)
+      bestPathArr(0) = Vector.empty
+      var pos = 1
+      while (pos <= n) {
+        var bc = Long.MaxValue
+        var bp: Vector[String] = null
+        var l = 1
+        while (l <= math.min(maxLen, pos)) {
+          val piece = cps.slice(pos - l, pos).mkString
+          val c = costs.get(piece)
+          if (c != null) {
+            val cand = bestCost(pos - l) + c.longValue()
+            if (cand < bc) { bc = cand; bp = bestPathArr(pos - l) :+ piece }
+            else if (cand == bc) { // tie: lex-min full piece sequence
+              val candPath = bestPathArr(pos - l) :+ piece
+              if (pathCmp(candPath, bp) < 0) bp = candPath
+            }
+          }
+          l += 1
+        }
+        if (bp == null) { // unreachable: single-code-point UNK step
+          bc = bestCost(pos - 1) + UnkCost
+          bp = bestPathArr(pos - 1) :+ cps(pos - 1)
+        }
+        bestCost(pos) = bc
+        bestPathArr(pos) = bp
+        pos += 1
+      }
+      bestPathArr(n)
+    }
+
+    /** Piece count of one word under the table. */
+    def pieceCount(word: UTF8String): Int = bestPath(word.toString).length
+  }
+
   /** Deletion neighborhood (the SymSpell / FastSS blocking key — public
     * algorithm): every DISTINCT string reachable from `s` by deleting up
     * to `d` code points, the string itself included. If
