@@ -134,9 +134,15 @@ object Queries {
     * REAL confusable space, not a toy one.
     */
   private[graft] val langIdVocab: Seq[(String, Seq[String])] = Seq(
+    "ar" -> Seq("الثعلب", "البني", "السريع", "يقفز", "فوق", "الكلب",
+      "الكسول", "يذهبون", "المدرسة", "الصباح", "أصدقائهم", "الحافلة",
+      "الطقس", "الخبز", "الجبن", "المدينة"),
     "de" -> Seq("und", "der", "nicht", "mit", "haben", "werden", "schön",
       "über", "immer", "heute", "freunde", "schule", "wetter", "zwischen",
       "vielleicht", "morgen"),
+    "el" -> Seq("αλεπού", "πηδάει", "πάνω", "σκυλί", "παιδιά", "σχολείο",
+      "πρωί", "φίλους", "λεωφορείο", "καιρός", "όμορφος", "ψωμί", "τυρί",
+      "πόλη", "θέλουν", "επειδή"),
     "en" -> Seq("and", "the", "not", "with", "have", "will", "lovely",
       "over", "always", "today", "friends", "school", "weather", "between",
       "perhaps", "morning"),
@@ -146,18 +152,32 @@ object Queries {
     "fr" -> Seq("et", "le", "pas", "avec", "avoir", "toujours", "magnifique",
       "sur", "ville", "jamais", "amis", "école", "temps", "entre",
       "beaucoup", "matin"),
+    "hi" -> Seq("लोमड़ी", "आलसी", "कुत्ते", "ऊपर", "बच्चे", "सुबह", "दोस्तों",
+      "स्कूल", "क्योंकि", "इंतज़ार", "हमेशा", "मौसम", "सुंदर", "शहर", "रोटी",
+      "पनीर"),
     "it" -> Seq("e", "il", "non", "con", "avere", "sempre", "bellissimo",
       "sopra", "città", "oggi", "amici", "scuola", "tempo", "fra",
       "forse", "mattina"),
+    "ja" -> Seq("すばやい", "茶色", "きつね", "なまけもの", "子どもたち", "いつも",
+      "おくれる", "バス", "けさ", "友だち", "学校", "天気", "パン", "チーズ",
+      "町", "ゆっくり"),
+    "ko" -> Seq("빠른", "갈색", "여우가", "게으른", "개를", "아이들은", "늦게",
+      "버스를", "아침", "친구들과", "학교에", "날씨가", "도시가", "천천히",
+      "빵과", "치즈를"),
     "nl" -> Seq("en", "de", "niet", "met", "hebben", "zullen", "prachtig",
       "over", "altijd", "vandaag", "vrienden", "school", "weer", "tussen",
       "misschien", "morgen"),
     "pt" -> Seq("e", "o", "não", "com", "ter", "sempre", "lindo", "sobre",
       "cidade", "hoje", "amigos", "escola", "tempo", "entre", "talvez",
       "manhã"),
+    "ru" -> Seq("быстрая", "лиса", "прыгает", "через", "собаку", "дети",
+      "утром", "школу", "друзьями", "автобус", "всегда", "погода", "хлеб",
+      "сыром", "город", "медленно"),
     "sv" -> Seq("och", "den", "inte", "med", "hava", "skall", "vackert",
       "över", "alltid", "idag", "vänner", "skola", "väder", "mellan",
-      "kanske", "morgon"))
+      "kanske", "morgon"),
+    "zh" -> Seq("敏捷", "棕色", "狐狸", "跳过", "孩子们", "今天", "早上", "朋友",
+      "一起", "学校", "因为", "公共汽车", "天气", "面包", "奶酪", "城市"))
 
   /** Deterministic multilingual text from doc_id: language = doc_id mod
     * |langs|, 12 words drawn from that language's [[langIdVocab]] row by

@@ -15,7 +15,7 @@ import graft.functions.TextKernels
   *
   * The built-in [[LangId.default]] model trains at first use (driver-
   * side, milliseconds) from [[LangId.seedCorpus]] — short common-topic
-  * texts I composed for eight Latin-script languages; swap in a real
+  * texts composed for fifteen languages across eight scripts; swap in a real
   * training corpus via [[LangId.train]] for production accuracy. The
   * md5 bucket hash is deliberately the PORTABLE form so the DuckDB
   * oracle (and any external trainer) replays bucket assignment exactly;
@@ -33,11 +33,41 @@ object LangId {
     val nBuckets: Int = scaled.head.length
   }
 
-  /** Seed texts (common-topic sentences, ~60 words per language) for the
-    * built-in demo model. Original compositions over everyday vocabulary;
-    * function words and inflection patterns carry the trigram signal.
+  /** Seed texts (common-topic sentences, ~40-60 words per language) for
+    * the built-in demo model. Original compositions over everyday
+    * vocabulary; function words and inflection patterns carry the trigram
+    * signal. Fifteen languages across eight scripts — Latin (de en es fr
+    * it nl pt sv), Cyrillic (ru), Greek (el), Arabic (ar), Devanagari
+    * (hi), Han (zh), Han+Kana (ja), Hangul (ko); all BMP code points so
+    * char-trigram extraction agrees across engines. Swap in a real
+    * corpus via [[train]] for production accuracy.
     */
   val seedCorpus: Seq[(String, String)] = Seq(
+    "ar" -> ("الثعلب البني السريع يقفز فوق الكلب الكسول والأطفال يذهبون إلى " +
+      "المدرسة هذا الصباح مع أصدقائهم لأنهم لا يريدون انتظار الحافلة التي " +
+      "تتأخر دائما الطقس جميل ونحن نأكل الخبز مع الجبن بينما تستيقظ " +
+      "المدينة ببطء"),
+    "el" -> ("η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί και " +
+      "τα παιδιά πηγαίνουν στο σχολείο το πρωί με τους φίλους τους επειδή " +
+      "δεν θέλουν να περιμένουν το λεωφορείο που πάντα αργεί ο καιρός είναι " +
+      "όμορφος και τρώμε ψωμί με τυρί ενώ η πόλη ξυπνάει αργά"),
+    "hi" -> ("तेज़ भूरी लोमड़ी आलसी कुत्ते के ऊपर कूदती है और बच्चे आज सुबह अपने " +
+      "दोस्तों के साथ स्कूल जाते हैं क्योंकि वे बस का इंतज़ार नहीं करना चाहते जो हमेशा " +
+      "देर से आती है मौसम सुंदर है और हम रोटी के साथ पनीर खाते हैं जबकि शहर " +
+      "धीरे धीरे जागता है"),
+    "ja" -> ("すばやい茶色のきつねはなまけものの犬をとびこえます 子どもたちはいつもおくれるバスを" +
+      "まちたくないので けさ友だちと歩いて学校へ行きます 天気がよくて わたしたちはパンとチーズを" +
+      "食べながら 町がゆっくり目をさますのを見ています"),
+    "ko" -> ("빠른 갈색 여우가 게으른 개를 뛰어넘고 아이들은 늘 늦게 오는 버스를 " +
+      "기다리기 싫어서 오늘 아침 친구들과 걸어서 학교에 갑니다 날씨가 좋아서 " +
+      "우리는 도시가 천천히 깨어나는 동안 빵과 치즈를 먹습니다"),
+    "ru" -> ("быстрая коричневая лиса прыгает через ленивую собаку и дети " +
+      "идут сегодня утром в школу с друзьями потому что не хотят ждать " +
+      "автобус который всегда опаздывает погода хорошая и мы едим хлеб с " +
+      "сыром пока город медленно просыпается"),
+    "zh" -> ("敏捷 的 棕色 狐狸 跳过 懒狗 孩子们 今天 早上 和 朋友 一起 走路 去 学校 " +
+      "因为 他们 不想 等 总是 迟到 的 公共汽车 天气 很好 我们 一边 吃 面包 和 奶酪 " +
+      "一边 看着 城市 慢慢 醒来"),
     "de" -> ("der schnelle braune fuchs springt über den faulen hund und die " +
       "kinder gehen heute morgen mit ihren freunden zur schule weil sie nicht " +
       "auf den bus warten wollen der immer zu spät kommt das wetter ist schön " +
@@ -102,7 +132,7 @@ object LangId {
     Model(byLang.map(_._1), scaled, n)
   }
 
-  /** The built-in eight-language demo model (trained once, lazily). */
+  /** The built-in fifteen-language demo model (trained once, lazily). */
   lazy val default: Model = train(seedCorpus)
 
   /** Model → the `graft_lang_scores` literal (`lang:w0,w1,…|lang2:…`). */
@@ -137,8 +167,13 @@ object LangId {
     val second = element_at(sort_array(sums, asc = false), 2)
     val langArr = array(model.langs.map(lit): _*)
     withArr
+      // NULL text first: the element_at branch is declared non-nullable
+      // (literal array, valid index) but a NULL score array makes its
+      // index NULL — without the explicit NULL branch the CaseWhen
+      // claims non-nullable and a null-text row corrupts the projection
       .withColumn("lang_pred",
-        when(nG === 0, lit("und"))
+        when(col("__ls").isNull, lit(null).cast("string"))
+          .when(nG === 0, lit("und"))
           .otherwise(element_at(langArr,
             array_position(sums, best).cast("int"))))
       .withColumn("n_grams", nG)
@@ -147,5 +182,120 @@ object LangId {
       .withColumn("margin",
         when(nG > 0, (best - second).cast("double") / lit(1e5) / nG))
       .drop("__ls")
+  }
+
+  /** Language → script tag of the built-in model. Tags are the census
+    * classes of [[scriptCensus]]; "Jpan" is the kana-presence route (ja
+    * text mixes Han and Kana — any kana at all routes to the Jpan group,
+    * since zh never contains kana).
+    */
+  val defaultScripts: Map[String, String] = Map(
+    "ar" -> "Arab", "de" -> "Latn", "el" -> "Grek", "en" -> "Latn",
+    "es" -> "Latn", "fr" -> "Latn", "hi" -> "Deva", "it" -> "Latn",
+    "ja" -> "Jpan", "ko" -> "Hang", "nl" -> "Latn", "pt" -> "Latn",
+    "ru" -> "Cyrl", "sv" -> "Latn", "zh" -> "Hani")
+
+  /** Census classes: (tag, Java-regex script class), priority order for
+    * count ties. "Jpan" is not a census class — it is resolved by the
+    * kana rule before the count argmax.
+    */
+  private val censusClasses: Seq[(String, String)] = Seq(
+    "Latn" -> "\\p{IsLatin}", "Cyrl" -> "\\p{IsCyrillic}",
+    "Grek" -> "\\p{IsGreek}", "Arab" -> "\\p{IsArabic}",
+    "Deva" -> "\\p{IsDevanagari}", "Hani" -> "\\p{IsHan}",
+    "Kana" -> "\\p{IsHiragana}\\p{IsKatakana}", "Hang" -> "\\p{IsHangul}")
+
+  /** Dominant-script column over raw text: per-class code-point counts
+    * (one regexp strip per class — cheap Column arithmetic, no kernel),
+    * kana-presence → "Jpan", otherwise argmax by (count, priority),
+    * "Zyyy" when no class matches at all. BMP script classes via Java
+    * regex — the same classes any sidecar would use.
+    */
+  def scriptCensus(text: Column): Column = {
+    val counts = censusClasses.map { case (_, cls) =>
+      length(regexp_replace(coalesce(text, lit("")), s"[^$cls]", "")) }
+    val entries = censusClasses.zip(counts).zipWithIndex.map {
+      case (((nm, _), c), i) =>
+        struct(c.as("c"), lit(-i).as("p"), lit(nm).as("s"))
+    }
+    val top = array_max(array(entries: _*))
+    val kana = counts(censusClasses.indexWhere(_._1 == "Kana"))
+    when(counts.reduce(_ + _) === 0, lit("Zyyy"))
+      .when(kana > 0, lit("Jpan"))
+      .otherwise(top.getField("s"))
+  }
+
+  /** Script-prefiltered prediction — the scale face of [[predict]] for a
+    * multi-script model: a cheap code-point census routes each row to its
+    * script's language GROUP, and only that group's NB kernel runs (a
+    * Cyrillic row never scores the 8 Latin languages; a CJK row never
+    * runs the Latin kernel at all). Confusable-set scoring — the part NB
+    * exists for — happens strictly WITHIN a script. Appends `script`,
+    * `lang_pred`, `n_grams`, `score`, and `margin`; margin is NULL for
+    * single-language scripts (no within-script competitor — the census
+    * itself is the confidence there) and rows whose script matches no
+    * model language fall back to full-model scoring, so the operator is
+    * total. Still a pure projection: zero shuffles, one (group-sized)
+    * kernel walk per row.
+    *
+    * Margin guidance (the q153 probe): within-script margins behave like
+    * [[predict]]'s — gate mix/census decisions at margin ≥ 0.004 for
+    * high precision on romance-adjacent pairs; cross-script routing
+    * needs no margin (disjoint alphabets).
+    */
+  def predictScripted(df: DataFrame, textCol: String,
+                      model: Model = default,
+                      langScripts: Map[String, String] = defaultScripts)
+      : DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    require(model.langs.forall(langScripts.contains),
+      s"langScripts must tag every model language; missing " +
+        s"${model.langs.filterNot(langScripts.contains).mkString(",")}")
+    val groups: Seq[(String, Model)] = model.langs.groupBy(langScripts)
+      .toSeq.sortBy(_._1)
+      .map { case (script, langs0) =>
+        val langs = langs0.sorted
+        script -> Model(langs, langs.map(l =>
+          model.scaled(model.langs.indexOf(l))), model.n)
+      }
+    val text = col(textCol)
+    val withScript = df.withColumn("__script", scriptCensus(text))
+    // ONE branchy kernel column: each row evaluates only ITS script's
+    // group kernel; unmatched scripts take the full model (fallback)
+    val lsSel = groups.foldRight(scores(text, model): Column) {
+      case ((s, m), acc) =>
+        when(col("__script") === s, scores(text, m)).otherwise(acc)
+    }
+    val withLs = withScript.withColumn("__ls", lsSel)
+    val nG = col("__ls").getItem(0)
+    def perGroup(f: (String, Model) => Column, fallback: Column): Column =
+      groups.foldRight(fallback) { case ((s, m), acc) =>
+        when(col("__script") === s, f(s, m)).otherwise(acc)
+      }
+    def bestOf(m: Model) = array_max(slice(col("__ls"), 2, m.langs.length))
+    def predOf(m: Model) =
+      element_at(array(m.langs.map(lit): _*),
+        array_position(slice(col("__ls"), 2, m.langs.length), bestOf(m))
+          .cast("int"))
+    def marginOf(m: Model) =
+      if (m.langs.length < 2) lit(null).cast("double")
+      else when(nG > 0,
+        (bestOf(m) - element_at(
+          sort_array(slice(col("__ls"), 2, m.langs.length), asc = false), 2))
+          .cast("double") / lit(1e5) / nG)
+    withLs
+      .withColumn("script", col("__script"))
+      .withColumn("lang_pred",
+        when(col("__ls").isNull, lit(null).cast("string")) // the predict rule
+          .when(nG === 0, lit("und"))
+          .otherwise(perGroup((_, m) => predOf(m), predOf(model))))
+      .withColumn("n_grams", nG)
+      .withColumn("score",
+        when(nG > 0,
+          perGroup((_, m) => bestOf(m), bestOf(model)).cast("double")
+            / lit(1e5) / nG))
+      .withColumn("margin",
+        perGroup((_, m) => marginOf(m), marginOf(model)))
+      .drop("__ls", "__script")
   }
 }

@@ -536,6 +536,14 @@ object GifFrameCodec extends MediaCodec {
   * (mp4/webm-class video — no JDK decoder exists): derives an 8-dim
   * feature from the bytes — same signature, same batch shape, honest
   * plumbing; the documented swap point for an external-codec sidecar.
+  *
+  * The swap contract is no longer assertion-by-docs: ExternalCodecSpec
+  * drives `frameFeatures`/`decodeMeta` through a codec for a synthetic
+  * container no JDK decoder knows ("FKV1") and pins that format,
+  * per-frame payloads, the one-open-per-clip batch shape, out-of-range
+  * null features, and corrupt-input row survival all carry through the
+  * boundary — any sidecar honoring [[MediaCodec]] gets the same
+  * guarantees.
   */
 object StubCodec extends MediaCodec {
   def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = None
