@@ -973,6 +973,62 @@ object Oracles {
 
   // ── URL web-curation family (q146-q148) ───────────────────────────────
 
+  /** q162 — integer-unit PageRank replay: the same deterministic edge
+    * synthesis as the Spark side (domain i = md5-derived sld + tld,
+    * two hash-derived outlinks per doc, every 11th doc → a sink archive
+    * domain with no outlinks), then five power iterations as an unrolled
+    * CTE ladder in pure integer arithmetic (`//` = floor division, all
+    * operands positive) — the q160 exact-integer oracle discipline
+    * applied to a graph fixed point.
+    */
+  private val pageRankOracle: String = {
+    val tlds = Queries.urlTlds.mkString("'", "','", "'")
+    def iter(k: Int): String = {
+      val prev = s"r${k - 1}"
+      s"""d$k AS (SELECT coalesce(sum(r), 0) AS dm
+             FROM $prev JOIN pnodes USING (id) WHERE outw = 0),
+         r$k AS (SELECT pnodes.id,
+               (SELECT (CAST(1000000000 AS BIGINT) * 15) // (100 * n) FROM nn)
+             + (SELECT (dm * 85) // (100 * n) FROM d$k, nn)
+             + coalesce(c.csum, 0) AS r
+             FROM pnodes LEFT JOIN (
+               SELECT pe.dst AS id,
+                      sum((pr.r * 85 * pe.w) // (100 * po.outw)) AS csum
+               FROM pe JOIN $prev pr ON pe.src = pr.id
+                       JOIN pow po ON pe.src = po.id
+               GROUP BY 1) c ON pnodes.id = c.id)"""
+    }
+    s"""WITH e0 AS (SELECT doc_id, doc_id % 23 AS si,
+             (doc_id * 7 + 3) % 23 AS t1, (doc_id * 13 + 5) % 23 AS t2
+           FROM documents),
+       nmx AS (SELECT i AS idx,
+             'site' || substr(md5('dom' || CAST(i AS VARCHAR)), 1, 6) || '.'
+             || ([$tlds])[CAST(i % 8 AS INTEGER) + 1] AS nm
+           FROM range(0, 23) t(i)),
+       raw AS (SELECT si AS s, t1 AS t FROM e0
+               UNION ALL SELECT si, t2 FROM e0
+               UNION ALL SELECT si, -1 FROM e0 WHERE doc_id % 11 = 0),
+       named AS (SELECT a.nm AS src,
+               CASE WHEN raw.t = -1 THEN 'archive.example' ELSE b.nm END AS dst
+             FROM raw JOIN nmx a ON a.idx = raw.s
+                      LEFT JOIN nmx b ON b.idx = raw.t),
+       pe AS (SELECT src, dst, count(*) AS w
+              FROM named WHERE src <> dst GROUP BY 1, 2),
+       pow AS (SELECT src AS id, sum(w) AS outw FROM pe GROUP BY 1),
+       pnodes AS (SELECT n.id, coalesce(pow.outw, 0) AS outw
+             FROM (SELECT src AS id FROM pe UNION SELECT dst FROM pe) n
+             LEFT JOIN pow USING (id)),
+       nn AS (SELECT count(*) AS n FROM pnodes),
+       r0 AS (SELECT id, (SELECT CAST(1000000000 AS BIGINT) // n FROM nn) AS r FROM pnodes),
+       ${(1 to 5).map(iter).mkString(",\n")},
+       ind AS (SELECT dst AS id, count(*) AS n_in FROM pe GROUP BY 1)
+       SELECT pnodes.id AS domain, CAST(r5.r AS BIGINT) AS pr_units,
+         CAST(pnodes.outw AS BIGINT) AS out_weight,
+         CAST(coalesce(ind.n_in, 0) AS BIGINT) AS n_in
+       FROM pnodes JOIN r5 ON pnodes.id = r5.id
+       LEFT JOIN ind ON pnodes.id = ind.id"""
+  }
+
   /** q146-q148 shared synthesis CTEs — verbatim replay of
     * [[Queries.synthUrl]] (same md5-derived domains, same CASE order for
     * the %11/%13 port branches).
@@ -1372,6 +1428,93 @@ object Oracles {
     // EM over the truncated-word dictionary (see the um* CTE builders)
     "q160_unigram_train" -> umTrainOracle,
     "q161_unigram_encode" -> umEncodeOracle,
+
+    // q162: integer-unit PageRank replayed as a 5-iteration CTE ladder —
+    // same edge synthesis, same floor divisions, exact hash compare
+    "q162_domain_pagerank" -> pageRankOracle,
+
+    // q165: per-dimension embedding QA — the same floor(v*1e6+0.5)
+    // micro-unit quantization (pure IEEE, identical on both engines),
+    // integer sums, derived mean/std from the exact sums. range(0,64)
+    // replays posexplode for the synthetic corpus's fixed 64 dims
+    "q165_embedding_stats" ->
+      """WITH x AS (SELECT i AS dim,
+             CAST(floor(CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE)
+               * 1000000 + 0.5) AS BIGINT) AS q
+           FROM embeddings e, range(0, 64) t(i)
+           WHERE embedding IS NOT NULL),
+         a AS (SELECT dim, count(*) AS n,
+                 sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS n_dead,
+                 min(q) AS min_q, max(q) AS max_q,
+                 sum(q) AS sum_q, sum(q * q) AS ssq
+               FROM x GROUP BY 1)
+         SELECT CAST(dim AS INTEGER) AS dim, CAST(n AS BIGINT) AS n,
+           CAST(n_dead AS BIGINT) AS n_dead, CAST(min_q AS BIGINT) AS min_q,
+           CAST(max_q AS BIGINT) AS max_q, CAST(sum_q AS BIGINT) AS sum_q,
+           CAST(CAST(ssq AS VARCHAR) AS DOUBLE) AS sum_sq,
+           CAST(sum_q AS DOUBLE) / n / 1000000.0 AS mean,
+           sqrt(greatest((CAST(CAST(ssq AS VARCHAR) AS DOUBLE)
+               - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE) / n) / n,
+             0.0)) / 1000000.0 AS std,
+           (min_q = max_q) AS is_constant, (n_dead = n) AS is_dead
+         FROM a""",
+
+    // q164: the disclosure census — plain GROUP BY replay; floor() on
+    // the double band is IEEE-identical on both engines
+    "q164_k_anonymity" ->
+      """WITH qi AS (SELECT CAST(c_nationkey AS INTEGER) AS nation,
+             c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 2000) * 2000 AS BIGINT) AS acctbal_band,
+             CAST(c_custkey * 31 % 5 AS INTEGER) AS diag
+           FROM customer)
+         SELECT nation, segment, acctbal_band,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT diag) AS BIGINT) AS sensitive_diversity,
+           count(*) >= 5 AS k_anonymous,
+           count(DISTINCT diag) >= 2 AS l_diverse
+         FROM qi GROUP BY 1, 2, 3""",
+
+    // q163: DSIR replay — same md5 bucket hash (the q114 strpos-list_sum
+    // integer form), same add-one smoothing, same 1e-5 micro-unit
+    // quantization of the log ratios and the Gumbel term, so every
+    // output column is integer-exact
+    "q163_dsir_resample" ->
+      """WITH dt AS (SELECT doc_id, lang,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         db AS (SELECT doc_id, lang, (lang = 'en') AS tgt,
+             CAST(list_sum([(strpos('0123456789abcdef',
+                               substr(md5(tok), i + 1, 1)) - 1)
+                            * 16**(7 - i) for i in range(0, 8)]) AS BIGINT)
+               % 64 AS b
+           FROM dt),
+         st AS (SELECT b, count(*) AS cr,
+                  sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+                FROM db GROUP BY 1),
+         tt AS (SELECT sum(cr) AS totr, sum(ct) AS tott FROM st),
+         lr AS (SELECT b,
+                  CAST(round((ln((ct + 1.0) / (tott + 64.0))
+                            - ln((cr + 1.0) / (totr + 64.0))) * 100000)
+                       AS BIGINT) AS lrm
+                FROM st CROSS JOIN tt),
+         dw AS (SELECT db.doc_id, db.lang, count(*) AS n_tok,
+                  sum(lr.lrm) AS lw
+                FROM db JOIN lr USING (b) GROUP BY 1, 2),
+         ky AS (SELECT doc_id, lang, n_tok, lw,
+                  lw + CAST(round(-ln(-ln(
+                        (list_sum([(strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                              i + 1, 1)) - 1) * 16**(7 - i)
+                          for i in range(0, 8)]) + 0.5) / 4294967296.0))
+                      * 100000) AS BIGINT) AS key
+                FROM dw),
+         rk AS (SELECT *, row_number()
+                  OVER (ORDER BY key DESC, doc_id ASC) AS rnk FROM ky)
+         SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(lw AS BIGINT) AS lw_micros,
+           CAST(key AS BIGINT) AS key_micros, CAST(rnk AS INTEGER) AS rank
+         FROM rk WHERE rnk <= 30""",
 
     // q156: the naive exact GROUP BY the bounded-state operator provably
     // equals (count desc, key asc, top 8) over the same skew synthesis

@@ -1323,6 +1323,66 @@ object Queries {
         model.map(p => (p.piece, p.cost)))
     }),
 
+    // domain-authority PageRank over the synthesized link graph: the
+    // web-curation quality prior that is a GRAPH iteration, not a
+    // projection. Deterministic edges from doc_id (each doc's domain
+    // links to two hash-derived domains; every 11th doc links to a
+    // sink archive domain with no outlinks, so the dangling-mass path
+    // is exercised for real). EXACT-INTEGER ranks (micro-units, floor
+    // divisions) — the DuckDB oracle replays 5 iterations as a CTE
+    // ladder and the hash compare is exact, no float summation order
+    "q162_domain_pagerank" -> ((s, d) => {
+      val tldArr = array(urlTlds.map(lit): _*)
+      def domName(idx: Column): Column =
+        concat(lit("site"),
+          substring(md5(concat(lit("dom"), idx.cast("string"))), 1, 6),
+          lit("."), element_at(tldArr, (pmod(idx, lit(8)) + 1).cast("int")))
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        pmod(col("doc_id"), lit(23)).as("si"),
+        pmod(col("doc_id") * 7 + 3, lit(23)).as("t1"),
+        pmod(col("doc_id") * 13 + 5, lit(23)).as("t2"))
+      val edges = base.select(domName(col("si")).as("src"), domName(col("t1")).as("dst"))
+        .unionAll(base.select(domName(col("si")).as("src"), domName(col("t2")).as("dst")))
+        .unionAll(base.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select(domName(col("si")).as("src"), lit("archive.example").as("dst")))
+        .filter(col("src") =!= col("dst"))
+      Graphs.pageRank(edges, iters = 5)
+        .select(col("id").as("domain"), col("pr_units"), col("out_weight"), col("n_in"))
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed bag-of-words
+    // importance weights (target = lang 'en' vs the full pool) in
+    // exact-integer micro-units, then a Gumbel-top-k draw of 30 docs —
+    // the sampling bridge past Moore-Lewis's deterministic top slice
+    // (q81). Two token-stream aggs that shrink to 64 buckets map-side,
+    // one broadcast join, one integer sum per doc, one TakeOrdered
+    "q163_dsir_resample" -> ((s, d) =>
+      Sampling.dsirResample(Tables.documents(s, d), "doc_id", "text",
+        targetFilter = col("lang") === "en", k = 30, buckets = 64,
+        carry = Seq("lang"))),
+
+    // k-anonymity / l-diversity release audit: one hash agg over the
+    // quasi-identifier key (count + distinct-count share it); the
+    // sensitive attribute is synthesized deterministically so both
+    // engines see the same diagnosis codes. A release gate keeps only
+    // k_anonymous AND l_diverse groups
+    "q164_k_anonymity" -> ((s, d) => {
+      val qi = Tables.customer(s, d).select(
+        col("c_nationkey").cast("int").as("nation"),
+        col("c_mktsegment").as("segment"),
+        (floor(col("c_acctbal") / 2000) * 2000).cast("long").as("acctbal_band"),
+        pmod(col("c_custkey") * 31, lit(5)).cast("int").as("diag"))
+      Privacy.kAnonymityCensus(qi,
+        Seq("nation", "segment", "acctbal_band"), "diag", k = 5L, l = 2L)
+    }),
+
+    // embedding QA census: per-dimension dead/constant/mean/std over
+    // exact 1e-6 micro-units (floor(v*1e6+0.5) — pure IEEE ops, no
+    // decimal-string float rounding). One pass, partial aggs shrink to
+    // d rows per partition before the shuffle
+    "q165_embedding_stats" -> ((s, d) =>
+      Ann.embeddingDimStats(Tables.embeddings(s, d), "embedding")),
+
     // the INCREMENTAL face of q154 (the bloom-gate pattern at substring
     // granularity): even doc_ids play history — their duplicated grams
     // become the standing index (dupGramIndex) — and odd doc_ids play

@@ -851,4 +851,51 @@ object Ann {
         greatest(col("ma.id"), col("mb.id")).as("id_b"), col("cos"))
     intra.unionByName(inter)
   }
+
+  /** Per-dimension embedding QA census — the sanity gate an embedding
+    * pipeline runs before ANY of the similarity operators above are
+    * trusted: dead dimensions (a projection bug or a clipped activation
+    * zeroes a coordinate everywhere), constant dimensions (no variance ⇒
+    * wasted index capacity and distorted cosines), and per-dimension
+    * mean/std (detects unnormalized batches mixed into a normalized
+    * corpus).
+    *
+    * EXACT-INTEGER discipline: each float widens to its exact double and
+    * quantizes to 1e-6 micro-units via `floor(v·1e6 + 0.5)` — pure IEEE
+    * ops every engine computes bit-identically (no decimal-string
+    * rounding of floats, whose tie-breaking differs across engines).
+    * Counts/min/max/sums are then integer-exact; mean/std derive from
+    * the exact sums with deterministic double arithmetic.
+    *
+    * Scale notes: ONE pass — posexplode to (dim, q) pairs, then a hash
+    * aggregation on `dim` whose partial aggregates shrink every
+    * partition to d rows before the shuffle (shuffle volume = partitions
+    * × d, independent of corpus size). No driver data, no windows. The
+    * squared sum rides a decimal(38,0) so 100 TB of micro² terms cannot
+    * overflow a long.
+    */
+  def embeddingDimStats(df: DataFrame, vecCol: String): DataFrame = {
+    val micro = 1000000d
+    val qq = col("q").cast("decimal(19,0)")
+    df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)))
+      .select(col("pos").cast("int").as("dim"),
+        floor(col("col").cast("double") * micro + lit(0.5)).cast("long").as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("q") === 0L, 1L).otherwise(0L)).as("n_dead"),
+        min(col("q")).as("min_q"), max(col("q")).as("max_q"),
+        sum(col("q")).as("sum_q"),
+        sum(qq * qq).as("__ssq"))
+      .select(col("dim"), col("n"), col("n_dead"), col("min_q"), col("max_q"),
+        col("sum_q"),
+        col("__ssq").cast("string").cast("double").as("sum_sq"),
+        (col("sum_q").cast("double") / col("n") / micro).as("mean"),
+        (sqrt(greatest(
+          (col("__ssq").cast("string").cast("double") -
+            col("sum_q").cast("double") * col("sum_q").cast("double") / col("n"))
+            / col("n"), lit(0.0))) / micro).as("std"),
+        (col("min_q") === col("max_q")).as("is_constant"),
+        (col("n_dead") === col("n")).as("is_dead"))
+  }
 }

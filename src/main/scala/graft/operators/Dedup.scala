@@ -751,6 +751,50 @@ object Dedup {
     * bottleneck and the volume cut is the win. Default exact; winnow on
     * clusters where stage-1 shuffle bytes dominate.
     */
+  /** The winnow decision rule as code (the OPERATOR_GUIDE §2 heuristic,
+    * constants from dup_span_scale_r17.json): winnow = w trades an extra
+    * selection-CPU fraction (`cpuPenaltyFraction`, measured 1.9–2.5×
+    * total ⇒ ~1.2× EXTRA, flat in w) for cutting the stage-1 occurrence
+    * shuffle to ~2/(w+1) of its 16 B/token volume. Both sides scale
+    * linearly with corpus tokens, so the corpus size cancels and the
+    * routing needs only the per-core cluster profile:
+    *
+    *   turn w on  ⇔  16·(1 − 2/(w+1)) / shuffleBps  >  penalty / selTps
+    *
+    * which recovers the guide's "scan:network ratio above ~3:1" rule of
+    * thumb at the defaults. The semantics dial caps w first: winnow = w
+    * only guarantees detection of duplicated runs ≥ k+w−1 tokens, so the
+    * largest admissible w is `minDetectableRunTokens − k + 1`. Returns
+    * the LARGEST candidate w that is both admissible and economic, else
+    * 1 (the exact default — memory-bound/local profiles land here, which
+    * is why `stripDupSpans` never auto-flips the dial itself).
+    *
+    * @param shuffleBytesPerSecPerCore   sustained shuffle write+read
+    *        bandwidth per executor core (the contended NETWORK number on
+    *        a real cluster, not the local-disk one)
+    * @param selectionTokensPerSecPerCore measured stage-1 occurrence
+    *        throughput per core at winnow = 1
+    */
+  def chooseWinnow(k: Int, minDetectableRunTokens: Int,
+                   shuffleBytesPerSecPerCore: Double,
+                   selectionTokensPerSecPerCore: Double,
+                   cpuPenaltyFraction: Double = 1.2,
+                   candidates: Seq[Int] = Seq(8, 4, 2)): Int = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minDetectableRunTokens >= k,
+      s"minDetectableRunTokens must be >= k, got $minDetectableRunTokens < $k")
+    require(shuffleBytesPerSecPerCore > 0 && selectionTokensPerSecPerCore > 0,
+      "cluster profile rates must be positive")
+    val wMax = minDetectableRunTokens - k + 1
+    val cpuSecAddedPerToken = cpuPenaltyFraction / selectionTokensPerSecPerCore
+    candidates.sorted(Ordering[Int].reverse).filter(_ >= 2).filter(_ <= wMax)
+      .find { w =>
+        val netSecSavedPerToken =
+          16.0 * (1.0 - 2.0 / (w + 1)) / shuffleBytesPerSecPerCore
+        netSecSavedPerToken > cpuSecAddedPerToken
+      }.getOrElse(1)
+  }
+
   def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, winnow: Int = 1,
                     collapseExact: Boolean = false,

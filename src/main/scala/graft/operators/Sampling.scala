@@ -593,4 +593,82 @@ object Sampling {
       .select((df.columns.map(c => col(s"col.$c")) :+
         (col("pos") + 1).cast("long").as("rank")).toIndexedSeq: _*)
   }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public paper):
+    * score every document by how much more likely its hashed
+    * bag-of-words is under the TARGET distribution than under the RAW
+    * pool, then draw k docs by Gumbel-top-k with the importance weight
+    * as the (log-space) sampling potential. This is the scalable bridge
+    * between Moore-Lewis RANKING ([[graft.operators.Quality.mooreLewisScore]],
+    * which deterministically takes the top slice and skews the sample
+    * toward the target's head) and true importance SAMPLING, which
+    * preserves target-distribution coverage.
+    *
+    * EXACT-INTEGER discipline: per-bucket log ratios quantize to 1e-5
+    * micro-units at birth (`round(ln(pt/pr)·1e5)` — pt/pr are add-one-
+    * smoothed bucket probabilities), so the per-doc weight is an integer
+    * SUM (order-independent under partial aggregation) and the Gumbel
+    * key is one more rounded micro term — the DuckDB oracle replays the
+    * whole chain and the hash compare is exact, no double accumulation.
+    *
+    * Scale notes (100 TB pool, small target):
+    *  - Bucket statistics are two map-side-combined aggregations that
+    *    shrink to `buckets` rows before the shuffle — the only full-
+    *    corpus passes, both O(tokens) with O(buckets) shuffle volume.
+    *  - The per-doc weight is explode → broadcast-join the bucket-ratio
+    *    table (`buckets` rows) → one groupBy(id) integer sum.
+    *  - The draw is a global top-k (TakeOrdered — per-partition heaps,
+    *    never a global sort); ranks are assigned on the k survivors.
+    *  - NULL/blank docs carry no tokens and are not resample candidates
+    *    (DSIR weights are undefined on empty feature bags) — filter
+    *    them upstream if they must be represented.
+    *
+    * @param targetFilter rows where it is true form the target corpus
+    *                     (they stay in the raw pool too, as in the paper)
+    * @param carry        pass-through columns (must be functionally
+    *                     dependent on `idCol`, e.g. lang/source)
+    * @return (idCol, carry..., n_tok, lw_micros, key_micros, rank) for
+    *         the k selected docs; `lw_micros` = importance weight and
+    *         `key_micros` = Gumbel key, both in 1e-5 log units
+    */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+                   targetFilter: Column, k: Int, buckets: Int = 64,
+                   carry: Seq[String] = Nil, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val micro = 100000.0
+    val toks = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select((Seq(col(idCol)) ++ carry.map(col) :+ targetFilter.as("__tgt") :+
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok")).toIndexedSeq: _*)
+      .withColumn("__b",
+        pmod(conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    val rawStats = toks.groupBy(col("__b")).agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+    // totals ride a single-row cross join; the ratio table is `buckets`
+    // rows and broadcasts back onto the token stream
+    val tot = rawStats.agg(sum(col("__cr")).as("__totr"), sum(col("__ct")).as("__tott"))
+    val ratio = rawStats.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        round((log((col("__ct") + 1.0) / (col("__tott") + buckets.toDouble)) -
+               log((col("__cr") + 1.0) / (col("__totr") + buckets.toDouble))) * micro, 0)
+          .cast("long").as("__lrm"))
+    val docw = toks.join(broadcast(ratio), Seq("__b"))
+      .groupBy((col(idCol) +: carry.map(col)).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n_tok"), sum(col("__lrm")).as("lw_micros"))
+    // Gumbel key: u in (0,1) from the portable id-hash (+0.5 keeps the
+    // double log-log finite at the integer-grid edges)
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(s":$seed"))), 1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    val keyed = docw.withColumn("key_micros",
+      col("lw_micros") + round(-log(-log(u)) * micro, 0).cast("long"))
+    val top = keyed.orderBy(col("key_micros").desc, col(idCol).asc).limit(k)
+    // rank over exactly k rows — a bounded single-partition window
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key_micros").desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w).cast("int"))
+  }
 }

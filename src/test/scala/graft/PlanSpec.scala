@@ -615,17 +615,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), p.take(2000)) // whole-stage codegen covers graft_nfc
   }
 
-  test("q156 heavy hitters: confirm pass filters candidates BEFORE the agg, no window") {
-    // the exact confirm must scan-filter on the candidate plan constant
-    // (non-candidates never reach the aggregation) and finish in a
-    // bounded TakeOrdered — a Window or unfiltered global agg would be
-    // the 100 TB key-census this operator exists to avoid
+  test("q156 heavy hitters: returns certified local rows, bounded by k") {
+    // since the r17 advice fix the operator CONFIRMS inside the call
+    // (persisted input, candidate-filtered agg, bounded TakeOrdered) and
+    // returns the certified rows as a LOCAL relation — so the caller's
+    // re-execution can never diverge from the certificate. The returned
+    // plan must therefore be a bounded LocalTableScan (never a Window or
+    // a re-run global agg); the internal confirm shape is semantics-
+    // pinned by HeavyHittersSpec (exactness + fail-fast certificate).
     val df: DataFrame = Queries.all("q156_heavy_hitters")(spark, sf)
-    df.collect()
+    val rows = df.collect()
+    assert(rows.length <= 8)
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
-    assert(p.contains("Filter"), p.take(2500))
-    assert(!p.contains("Window"), p.take(2500))
+    assert(p.contains("LocalTableScan"), p.take(2500))
+    assert(!p.contains("Window") && !p.contains("Exchange"), p.take(2500))
   }
 }
