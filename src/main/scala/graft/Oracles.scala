@@ -1433,6 +1433,63 @@ object Oracles {
     // same edge synthesis, same floor divisions, exact hash compare
     "q162_domain_pagerank" -> pageRankOracle,
 
+    // q167: sentence chunking replay — same sentinel split (RE2 has no
+    // lookbehind, so both sides mark '([.!?])\s+' boundaries and split
+    // on the mark), same greedy budget rule via a recursive CTE that
+    // advances every doc one sentence per step
+    "q167_sentence_chunk" ->
+      """WITH RECURSIVE d0 AS (SELECT doc_id, trim(text) AS tx
+           FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         sp AS (SELECT doc_id,
+             string_split(regexp_replace(tx, '([.!?])\s+', '\1' || chr(1), 'g'),
+               chr(1)) AS ls
+           FROM d0),
+         raw AS (SELECT doc_id, unnest(ls) AS s,
+                   generate_subscripts(ls, 1) AS i0 FROM sp),
+         sents AS (SELECT doc_id, s,
+             len(regexp_split_to_array(s, '\s+')) AS c,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i0) AS i
+           FROM raw WHERE length(s) > 0),
+         rec AS (
+           SELECT doc_id, i, c, 0 AS cid, c AS cum FROM sents WHERE i = 1
+           UNION ALL
+           SELECT s.doc_id, s.i, s.c,
+             CASE WHEN r.cum + s.c > 24 THEN r.cid + 1 ELSE r.cid END,
+             CASE WHEN r.cum + s.c > 24 THEN s.c ELSE r.cum + s.c END
+           FROM rec r JOIN sents s ON s.doc_id = r.doc_id AND s.i = r.i + 1)
+         SELECT r.doc_id, CAST(r.cid AS INTEGER) AS chunk_idx,
+           CAST(count(*) AS INTEGER) AS n_sentences,
+           CAST(sum(r.c) AS INTEGER) AS n_tok,
+           string_agg(s.s, ' ' ORDER BY r.i) AS chunk_text
+         FROM rec r JOIN sents s ON s.doc_id = r.doc_id AND s.i = r.i
+         GROUP BY 1, 2""",
+
+    // q166: padding-waste census — q22's whitespace tokenization, then
+    // pure integer ceil-division arithmetic per (lang, seq_len)
+    "q166_padding_waste" ->
+      """WITH t AS (SELECT lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END AS BIGINT) AS n_tok
+           FROM documents),
+         sel AS (SELECT lang, n_tok, L
+           FROM t, (VALUES (32), (64), (128)) ls(L)
+           WHERE n_tok IS NOT NULL AND n_tok > 0),
+         a AS (SELECT lang, L, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+                 sum((n_tok + L - 1) // L) AS n_seqs
+               FROM sel GROUP BY 1, 2)
+         SELECT lang AS stratum, CAST(L AS BIGINT) AS seq_len,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(n_seqs AS BIGINT) AS n_seqs_naive,
+           CAST(n_seqs * L - total_tokens AS BIGINT) AS waste_naive,
+           CAST((total_tokens + L - 1) // L AS BIGINT) AS n_seqs_packed,
+           CAST(((total_tokens + L - 1) // L) * L - total_tokens AS BIGINT)
+             AS waste_packed,
+           CAST(n_seqs * L - total_tokens AS DOUBLE)
+             / CAST(n_seqs * L AS DOUBLE) AS naive_waste_pct
+         FROM a""",
+
     // q165: per-dimension embedding QA — the same floor(v*1e6+0.5)
     // micro-unit quantization (pure IEEE, identical on both engines),
     // integer sums, derived mean/std from the exact sums. range(0,64)

@@ -1383,6 +1383,30 @@ object Queries {
     "q165_embedding_stats" -> ((s, d) =>
       Ann.embeddingDimStats(Tables.embeddings(s, d), "embedding")),
 
+    // padding-waste census: per (lang, seq_len) the one-doc-per-sequence
+    // padding cost vs the packed lower bound — the report that sizes the
+    // q61/q144 packing decision. Projection + one hash agg; exact
+    // integer counters, one derived ratio
+    "q166_padding_waste" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, d).select(col("lang"),
+        TextAnalysis.tokenProfile(col("text")).getItem(0).cast("long").as("n_tok"))
+      Sampling.paddingWasteCensus(docs, col("lang"), col("n_tok"),
+        Seq(32, 64, 128))
+    }),
+
+    // sentence-boundary-aware greedy chunking (the RAG splitter that
+    // never cuts mid-sentence, next to q67's fixed token windows): the
+    // greedy scan is an aggregate-HOF fold INSIDE the row — zero
+    // shuffles; the oracle replays it as a per-doc recursive CTE
+    "q167_sentence_chunk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunkSentences(col("text"), maxTokens = 24)).as("ch"))
+        .select(col("doc_id"), col("ch.chunk_idx").as("chunk_idx"),
+          col("ch.n_sentences").as("n_sentences"), col("ch.n_tok").as("n_tok"),
+          col("ch.chunk_text").as("chunk_text"))),
+
     // the INCREMENTAL face of q154 (the bloom-gate pattern at substring
     // granularity): even doc_ids play history — their duplicated grams
     // become the standing index (dupGramIndex) — and odd doc_ids play

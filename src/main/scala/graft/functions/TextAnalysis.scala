@@ -229,6 +229,63 @@ object TextAnalysis {
     }).getItem(0)
   }
 
+  /** Sentence-boundary-aware greedy chunks as an array of (chunk_idx,
+    * n_sentences, n_tok, chunk_text) structs — the RAG splitting step
+    * that never cuts mid-sentence (unlike [[chunkTokens]]'s fixed token
+    * windows): sentences end after `.`/`!`/`?` + whitespace; each chunk
+    * takes whole sentences greedily until adding the next would exceed
+    * `maxTokens`; a single sentence longer than the budget becomes its
+    * own oversize chunk (never split, never dropped). Null/blank text
+    * yields an empty array — no chunks to emit.
+    *
+    * A PURE projection (zero shuffles, streaming-safe): the greedy scan
+    * is an `aggregate` fold over per-sentence token counts INSIDE the
+    * row, then per-chunk text/counters assemble from the assignment
+    * array. Per-row cost is O(sentences × chunks) — chunks per doc is
+    * budget-bounded and small, and nothing leaves the partition.
+    */
+  def chunkSentences(text: Column, maxTokens: Int): Column = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val sep = "\u0001" // boundary sentinel: RE2 engines lack lookbehind,
+                         // so both sides mark boundaries then split on the mark
+    val outType = "array<struct<chunk_idx:int,n_sentences:int,n_tok:int,chunk_text:string>>"
+    // let-binding rule: bind the sentence list ONCE as a lambda argument
+    transform(array(when(text.isNull || length(trim(text)) === 0,
+        array().cast("array<string>"))
+      .otherwise(filter(
+        split(regexp_replace(trim(text), "([.!?])\\s+", "$1" + sep), sep),
+        s => length(s) > 0))), sents => {
+      val counts = transform(sents,
+        s => org.apache.spark.sql.functions.size(split(s, "\\s+")))
+      // greedy fold: (ids, cur, cum) — start a new chunk only when the
+      // current one is non-empty and the sentence would overflow it
+      val folded = aggregate(counts,
+        struct(array().cast("array<int>").as("ids"),
+          lit(0).as("cur"), lit(0).as("cum")),
+        (st, c) => when(
+          st.getField("cum") > 0 && st.getField("cum") + c > maxTokens,
+          struct(
+            concat(st.getField("ids"), array(st.getField("cur") + 1)).as("ids"),
+            (st.getField("cur") + 1).as("cur"), c.as("cum")))
+          .otherwise(struct(
+            concat(st.getField("ids"), array(st.getField("cur"))).as("ids"),
+            st.getField("cur").as("cur"),
+            (st.getField("cum") + c).as("cum"))))
+      val ids = folded.getField("ids")
+      val zs = zip_with(sents, ids, (s, i) => struct(i.as("cid"), s.as("s")))
+      val zc = zip_with(counts, ids, (c, i) => struct(i.as("cid"), c.as("c")))
+      when(org.apache.spark.sql.functions.size(sents) === 0, array().cast(outType))
+        .otherwise(transform(sequence(lit(0), element_at(ids, -1)), k => struct(
+          k.as("chunk_idx"),
+          org.apache.spark.sql.functions.size(
+            filter(zs, p => p.getField("cid") === k)).as("n_sentences"),
+          aggregate(filter(zc, p => p.getField("cid") === k), lit(0),
+            (a, p) => a + p.getField("c")).as("n_tok"),
+          array_join(transform(filter(zs, p => p.getField("cid") === k),
+            p => p.getField("s")), " ").as("chunk_text"))))
+    }).getItem(0)
+  }
+
   // ── URL curation (web-crawl canonicalization; C4/RefinedWeb-class) ────
 
   /** The one-walk URL kernel: [canon_url, host, registered_domain] (NULL

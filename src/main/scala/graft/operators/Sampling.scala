@@ -594,6 +594,44 @@ object Sampling {
         (col("pos") + 1).cast("long").as("rank")).toIndexedSeq: _*)
   }
 
+  /** Padding-waste census over candidate sequence lengths — the report
+    * that sizes a training run's packing decision: for each stratum
+    * (language/source) and each candidate `seqLen`, how many sequences
+    * does one-doc-per-sequence padding cost (`n_seqs_naive`, ceil per
+    * doc) vs the packed lower bound (`n_seqs_packed`, ceil of the
+    * stratum total), and how many pad tokens burn in each
+    * (`waste_naive` / `waste_packed`, `naive_waste_pct`). The gap
+    * between the two columns is exactly what [[packSequences]]-style
+    * packing buys (it approaches the packed bound; first-fit typically
+    * lands within a few % of it).
+    *
+    * Scale notes: a projection + ONE hash aggregation on
+    * (stratum, seq_len) — the `seqLens` explode multiplies rows by a
+    * small constant before the map-side combine shrinks each partition
+    * to |strata|×|seqLens| rows. All counters are exact integers; the
+    * one ratio derives from them in deterministic double arithmetic.
+    */
+  def paddingWasteCensus(df: DataFrame, stratumCol: Column, tokenCount: Column,
+                         seqLens: Seq[Int]): DataFrame = {
+    require(seqLens.nonEmpty && seqLens.forall(_ >= 1),
+      s"seqLens must be non-empty positive lengths, got $seqLens")
+    df.filter(tokenCount.isNotNull && tokenCount > 0)
+      .select(stratumCol.as("stratum"), tokenCount.cast("long").as("__t"))
+      .withColumn("seq_len", explode(array(seqLens.map(l => lit(l.toLong)): _*)))
+      .groupBy(col("stratum"), col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("total_tokens"),
+        sum(expr("(__t + seq_len - 1) div seq_len")).as("n_seqs_naive"))
+      .select(col("stratum"), col("seq_len"), col("n_docs"), col("total_tokens"),
+        col("n_seqs_naive"),
+        (col("n_seqs_naive") * col("seq_len") - col("total_tokens")).as("waste_naive"),
+        expr("(total_tokens + seq_len - 1) div seq_len").as("n_seqs_packed"),
+        (expr("(total_tokens + seq_len - 1) div seq_len") * col("seq_len")
+          - col("total_tokens")).as("waste_packed"),
+        ((col("n_seqs_naive") * col("seq_len") - col("total_tokens")).cast("double")
+          / (col("n_seqs_naive") * col("seq_len")).cast("double")).as("naive_waste_pct"))
+  }
+
   /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling" — public paper):
     * score every document by how much more likely its hashed
