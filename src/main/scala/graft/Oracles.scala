@@ -562,6 +562,47 @@ object Oracles {
        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"""
   }
 
+  /** q168 — the q138 encode replay aggregated per language: same train
+    * chain, same per-word piece counts, then exact integer sums and two
+    * derived double ratios.
+    */
+  private def bpeFertilityOracle(k: Int): String = {
+    val sep = "\u001f"
+    val iters = (1 to k).map { i =>
+      s"""p$i AS (
+         SELECT p.l AS l, p.r AS r, CAST(sum(f) AS BIGINT) AS n FROM (
+           SELECT f, unnest([struct_pack(l := cs[j + 1], r := cs[j + 2])
+                             for j in range(0, greatest(len(cs) - 1, 0))]) AS p
+           FROM (SELECT string_split(trim(seq, '$sep'), '$sep$sep') AS cs, f
+                 FROM d${i - 1}) x) y
+         GROUP BY 1, 2),
+       b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+       d$i AS (SELECT w, replace(seq, '$sep' || b.l || '$sep$sep' || b.r || '$sep',
+                                 '$sep' || b.l || b.r || '$sep') AS seq, f
+               FROM d${i - 1} CROSS JOIN b$i b)"""
+    }.mkString(",\n       ")
+    s"""WITH ${bpeTrainCtes(k, sep, iters)},
+       dw AS (
+         SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       wenc AS (
+         SELECT w, CAST(len(string_split(trim(seq, '$sep'), '$sep$sep')) AS BIGINT) AS nb
+         FROM d$k),
+       agg AS (
+         SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS ws,
+           CAST(sum(nb) AS BIGINT) AS nb
+         FROM dw JOIN wenc ON dw.w = wenc.w GROUP BY 1),
+       fl AS (SELECT d.lang, d.n_chars, agg.ws, agg.nb
+              FROM documents d JOIN agg ON d.doc_id = agg.doc_id)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ws) AS BIGINT) AS n_words,
+         CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         CAST(sum(nb) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS fertility,
+         CAST(sum(n_chars) AS DOUBLE) / CAST(sum(nb) AS DOUBLE) AS chars_per_token
+       FROM fl GROUP BY 1"""
+  }
+
   // ── q160/q161: unigram-LM tokenizer replay ─────────────────────────
   // The trainer quantizes piece log-probs to integer 1e-5 micro-units
   // the moment they exist (cost = -floor(ln(cnt/tot)*1e5 + 0.5)), so
@@ -1759,6 +1800,7 @@ object Oracles {
     // segmentation, so the encode table is one split-count over d8;
     // docs re-join their words' encoded sizes; blank docs keep NULL
     "q138_bpe_encode" -> bpeEncodeOracle(8),
+    "q168_tokenizer_fertility" -> bpeFertilityOracle(8),
 
     // q137: replays the 8-iteration BPE trainer — unrolled CTEs, one
     // (pair-count, top-1, boundary-anchored replace) triple per merge

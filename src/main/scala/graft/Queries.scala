@@ -1407,6 +1407,19 @@ object Queries {
           col("ch.n_sentences").as("n_sentences"), col("ch.n_tok").as("n_tok"),
           col("ch.chunk_text").as("chunk_text"))),
 
+    // tokenizer fertility census: tokens-per-word / chars-per-token per
+    // language under the REAL trained BPE (the q138 kernel) — the
+    // mixture-design numbers a whitespace proxy gets wrong. Zero-shuffle
+    // encode + ONE hash agg on lang
+    "q168_tokenizer_fertility" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, d)
+      val merges = Quality.bpeTrainBatched(docs, "text", numMerges = 8)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Quality.tokenizerFertility(docs, "text", "lang", merges, "n_chars")
+    }),
+
     // the INCREMENTAL face of q154 (the bloom-gate pattern at substring
     // granularity): even doc_ids play history — their duplicated grams
     // become the standing index (dupGramIndex) — and odd doc_ids play

@@ -1031,6 +1031,38 @@ object Quality {
         round(col("n_bpe_tokens").cast("double") / col("n_tokens_ws"), 5))
   }
 
+  /** Tokenizer fertility census per stratum (language/source) under the
+    * REAL trained tokenizer: tokens-per-word (fertility) and
+    * chars-per-token (compression) are THE mixture-design inputs that a
+    * whitespace proxy gets wrong for non-Latin scripts and code — a
+    * token budget split by whitespace counts over-allocates exactly the
+    * strata the tokenizer fragments most (Rust/Ács fertility metric
+    * from the multilingual-BPE literature).
+    *
+    * Scale notes: [[bpeEncode]] is a zero-shuffle kernel projection
+    * (merge table ships once per plan), so the census adds ONE hash
+    * aggregation on the stratum key — exact integer sums; the two
+    * ratios derive from them in deterministic double arithmetic.
+    * Null/blank docs carry no tokens and are excluded (fertility is
+    * undefined on empty docs).
+    */
+  def tokenizerFertility(docs: DataFrame, textCol: String, stratumCol: String,
+                         merges: Seq[(String, String)],
+                         charCountCol: String): DataFrame =
+    bpeEncode(docs, stratumCol, textCol, merges, keepCols = Seq(charCountCol))
+      .filter(col("n_tokens_ws").isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens_ws")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(col(charCountCol)).as("n_chars"))
+      .select(col(stratumCol), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+
   /** A capped BIGRAM language model: the `maxBigrams` most frequent
     * (prev, tok) pairs with counts, the per-first-token continuation
     * totals (top `maxVocab` first tokens), and the [[UnigramVocab]]
