@@ -1474,6 +1474,27 @@ object Oracles {
     // same edge synthesis, same floor divisions, exact hash compare
     "q162_domain_pagerank" -> pageRankOracle,
 
+    // q169: reliability bins — q23's quality scalar (the shared formula
+    // builder), identical IEEE floor binning, exact decimal score sums
+    "q169_calibration_bins" -> {
+      s"""WITH t AS (SELECT ${qualityScalarSql("text")} AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM documents),
+         b AS (SELECT least(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
+                 score, pos
+               FROM t WHERE score IS NOT NULL),
+         a AS (SELECT bin, count(*) AS n, sum(pos) AS n_pos,
+                 sum(CAST(score AS DECIMAL(18,4))) AS ssum
+               FROM b GROUP BY 1)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_pos AS DOUBLE) / n AS pos_rate,
+           CAST(CAST(ssum AS VARCHAR) AS DOUBLE) / n AS mean_score,
+           CAST(CAST(ssum AS VARCHAR) AS DOUBLE) / n
+             - CAST(n_pos AS DOUBLE) / n AS calibration_gap
+         FROM a"""
+    },
+
     // q167: sentence chunking replay — same sentinel split (RE2 has no
     // lookbehind, so both sides mark '([.!?])\s+' boundaries and split
     // on the mark), same greedy budget rule via a recursive CTE that

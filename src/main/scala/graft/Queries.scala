@@ -1420,6 +1420,18 @@ object Queries {
       Quality.tokenizerFertility(docs, "text", "lang", merges, "n_chars")
     }),
 
+    // reliability-diagram census for the quality score against a
+    // deterministic ground-truth proxy (lang='en'): per equal-width bin
+    // the observed positive rate vs mean predicted score — whether a
+    // "score >= t" gate MEANS what it claims. One hash agg, 10 rows
+    "q169_calibration_bins" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val scored = Tables.documents(s, d).select(
+        TextAnalysis.qualityScoreFast(col("text"), stopwords).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      Summaries.calibrationBins(scored, col("score"), col("pos"), nBins = 10)
+    }),
+
     // the INCREMENTAL face of q154 (the bloom-gate pattern at substring
     // granularity): even doc_ids play history — their duplicated grams
     // become the standing index (dupGramIndex) — and odd doc_ids play

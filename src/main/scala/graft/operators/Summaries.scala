@@ -1536,6 +1536,35 @@ object Summaries {
     * membership only widens the confirm filter, so partitioning cannot
     * change the answer.
     */
+  /** Calibration-bin census for a [0,1] classifier/quality score: bin
+    * by equal-width `nBins`, report per bin the observed positive rate
+    * vs the mean predicted score — the reliability-diagram table whose
+    * per-bin `calibration_gap` says whether a score threshold MEANS what
+    * it claims before a curation gate keys on it (a quality filter at
+    * "score ≥ 0.8" that is only 40% precise there is a mix bug waiting).
+    *
+    * Float discipline: binning is `floor(score·nBins)` on the double —
+    * both engines compute the identical IEEE product and floor, so edge
+    * values bin identically; `mean_score` sums the (4-dp) scores as
+    * exact decimals. One hash aggregation; nBins rows out.
+    */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    df.filter(score.isNotNull)
+      .select(least(floor(score * nBins).cast("long"), lit(nBins - 1L)).as("bin"),
+        score.cast("decimal(18,4)").as("__s"),
+        label.cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__s")).as("__ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n")).as("pos_rate"),
+        (col("__ssum").cast("string").cast("double") / col("n")).as("mean_score"),
+        ((col("__ssum").cast("string").cast("double") / col("n"))
+          - (col("n_pos").cast("double") / col("n"))).as("calibration_gap"))
+  }
+
   def heavyHitters(df: DataFrame, keyCol: String, k: Int,
                    capacity: Int = 4096,
                    isinThreshold: Int = 8192): DataFrame = {
