@@ -1432,6 +1432,25 @@ object Queries {
       Summaries.calibrationBins(scored, col("score"), col("pos"), nBins = 10)
     }),
 
+    // blocked Jaro-Winkler record linkage: entity resolution between a
+    // registry and its perturbed twin (one interior char dropped per
+    // name, deterministically) — block on (first char, ±1 length band),
+    // score with the graft_jaro_winkler kernel (semantics pinned to the
+    // oracle engine), resolve per-left argmax via bounded hash agg
+    "q170_record_linkage" -> ((s, d) => {
+      val base = concat(lower(trim(col("p_name"))), lit(" "),
+        pmod(col("p_partkey"), lit(50)).cast("string"))
+      val part = Tables.part(s, d)
+      val l = part.select(col("p_partkey").as("lid"), base.as("lname"))
+      val r = part
+        .select((col("p_partkey") + 100000L).as("rid"), base.as("nm"),
+          col("p_partkey").as("pk"))
+        .withColumn("k", (pmod(col("pk"), length(col("nm")) - 2) + 2).cast("int"))
+        .select(col("rid"), concat(expr("substring(nm, 1, k - 1)"),
+          expr("substring(nm, k + 1, length(nm))")).as("rname"))
+      Linkage.bestMatches(l, r, "lid", "rid", "lname", "rname", minSim = 0.9)
+    }),
+
     // the INCREMENTAL face of q154 (the bloom-gate pattern at substring
     // granularity): even doc_ids play history — their duplicated grams
     // become the standing index (dupGramIndex) — and odd doc_ids play

@@ -593,6 +593,32 @@ case class BloomContainsExpr(child: Expression, bytes: Array[Byte])
     copy(child = newChild)
 }
 
+/** Jaro-Winkler similarity ([[TextKernels.jaroWinkler]]), semantics
+  * pinned to the oracle engine's `jaro_winkler_similarity` (boost
+  * threshold 0.7, prefix cap 4, empty → 0). One static call per row —
+  * stays inside whole-stage codegen; the record-linkage blocking join
+  * decides how many pairs ever reach it.
+  */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, string), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaroWinkler(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = graft.functions.TextKernels.jaroWinkler($a, $b);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: the same builders serve `SparkSessionExtensions
   * .injectFunction` (cluster: `spark.sql.extensions=graft.plans
   * .GraftExtensions`) and runtime registration into an already-built
@@ -801,6 +827,7 @@ object GraftFunctions {
       BloomContainsExpr(es(0), binaryLit(es(1), "bloom bytes"))),
     "graft_char_entropy" -> (es => CharEntropyExpr(es(0))),
     "graft_nfc" -> (es => NfcExpr(es(0))),
+    "graft_jaro_winkler" -> (es => JaroWinklerExpr(es(0), es(1))),
     "graft_token_profile" -> (es => TokenProfileExpr(es(0))),
     // optional 2nd arg: comma-joined multi-label suffix set (a full PSL
     // snapshot incl. private registries); absent = the built-in subset

@@ -1217,4 +1217,60 @@ object TextKernels {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  /** Jaro-Winkler similarity, pinned to the oracle engine's semantics
+    * (probed empirically, JaroWinklerSpec): either side empty → 0.0;
+    * greedy window matching (window max(l1,l2)/2 − 1); transpositions =
+    * mismatched-pair count FLOOR-halved (integer division — see the
+    * inline probe note); the Winkler prefix boost (scale 0.1, prefix
+    * capped at 4) applies only when jaro > 0.7 (probed:
+    * 'aaaaxxxx'/'aaaayyyy' at jaro 2/3 gets NO boost). Works on UTF-16
+    * code units (== characters for the BMP text linkage runs on; the
+    * oracle's engine indexes the same way for ASCII).
+    */
+  def jaroWinkler(au: UTF8String, bu: UTF8String): Double = {
+    val s1 = au.toString; val s2 = bu.toString
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var k = 0; var t = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    // transpositions: INTEGER half of the mismatched-pair count — the
+    // oracle engine floors an odd count (probed: 'large gear 41' vs
+    // 'larg gear 41' has a 3-cycle → 3 mismatched pairs → t = 1, giving
+    // 0.946581; the t/2.0 convention would give 0.932692)
+    val jaro = (md / l1 + md / l2 + (md - t / 2) / md) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      val pMax = math.min(4, math.min(l1, l2))
+      var p = 0
+      while (p < pMax && s1.charAt(p) == s2.charAt(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    }
+  }
 }
