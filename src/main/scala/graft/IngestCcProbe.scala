@@ -44,17 +44,27 @@ object IngestCcProbe {
                   else Dedup.updateComponents(standing, p)).localCheckpoint()
       val nNodes = standing.count()
       val tInc = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      val batch = Dedup.connectedComponents(allPairs).localCheckpoint()
-      val nBatch = batch.count()
-      val tBatch = (System.nanoTime() - t1) / 1e9
-      // exactness: incremental == batch labels, every round
-      val diff = standing.as("i")
-        .join(batch.as("b"), col("i.id") === col("b.id"))
-        .filter(col("i.comp") =!= col("b.comp")).count()
-      lines += f"""{"round":$r,"inc_pairs":$np,"hist_pairs":$histPairs,"nodes":$nNodes,"t_incremental_s":$tInc%.2f,"t_batch_s":$tBatch%.2f,"label_mismatches":$diff}"""
+      // diagnosis: how concentrated have components become?
+      val topComp = standing.groupBy(col("comp")).count()
+        .orderBy(col("count").desc).limit(1).collect()
+        .headOption.map(_.getLong(1)).getOrElse(0L)
+      val noBatch = sys.env.get("GRAFT_PROBE_NOBATCH").contains("1")
+      val (tBatch, diff) =
+        if (noBatch) (0.0, 0L)
+        else {
+          val t1 = System.nanoTime()
+          val batch = Dedup.connectedComponents(allPairs).localCheckpoint()
+          batch.count()
+          val tb = (System.nanoTime() - t1) / 1e9
+          val d = standing.as("i")
+            .join(batch.as("b"), col("i.id") === col("b.id"))
+            .filter(col("i.comp") =!= col("b.comp")).count()
+          (tb, d)
+        }
+      lines += f"""{"round":$r,"inc_pairs":$np,"hist_pairs":$histPairs,"nodes":$nNodes,"max_component":$topComp,"t_incremental_s":$tInc%.2f,"t_batch_s":$tBatch%.2f,"label_mismatches":$diff}"""
       System.err.println(lines.last)
       require(diff == 0L, s"incremental != batch at round $r")
+      System.gc() // drain ContextCleaner between rounds (the bench rule)
     }
     val json = "{\"probe\":\"ingest_cc_scale_r18\",\"shape\":\"4-cliques + 1/20 cross-bridges, 250k pairs/round\",\"rounds\":[\n  " +
       lines.mkString(",\n  ") + "\n]}"

@@ -878,6 +878,11 @@ object Oracles {
     */
   private def bpeTrainDeepOracle(k: Int): String = {
     val sep = "\u001f"
+    // d_i / b_i are each referenced twice; relying on the engine's
+    // referenced-twice auto-materialization proved host-fragile (probed:
+    // inlining re-evaluates ancestors per reference -- exponential work,
+    // fd-exhaustion abort at k=128 on a 20k-ulimit host). Explicit
+    // MATERIALIZED bounds the chain at O(k) evaluations.
     val iters = (1 to k).map { i =>
       s"""p$i AS (
          SELECT p.l AS l, p.r AS r, CAST(sum(f) AS BIGINT) AS n FROM (
@@ -886,8 +891,8 @@ object Oracles {
            FROM (SELECT string_split(trim(seq, '$sep'), '$sep$sep') AS cs, f
                  FROM d${i - 1}) x) y
          GROUP BY 1, 2),
-       b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-       d$i AS (
+       b$i AS MATERIALIZED (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+       d$i AS MATERIALIZED (
          SELECT replace(seq, '$sep' || b.l || '$sep$sep' || b.r || '$sep',
                         '$sep' || b.l || b.r || '$sep') AS seq, f
          FROM d${i - 1} CROSS JOIN b$i b),
@@ -898,7 +903,7 @@ object Oracles {
     s"""WITH w0 AS (
          SELECT md5(CAST(doc_id AS VARCHAR)) AS w FROM documents),
        wf AS (SELECT w, count(*) AS f FROM w0 GROUP BY 1),
-       d0 AS (
+       d0 AS MATERIALIZED (
          SELECT '$sep' || array_to_string(regexp_extract_all(w, '(?s).'),
            '$sep$sep') || '$sep' AS seq, f FROM wf),
        m0 AS (SELECT CAST(NULL AS BIGINT) AS merge_rank,
@@ -1028,7 +1033,7 @@ object Oracles {
       val prev = s"r${k - 1}"
       s"""d$k AS (SELECT coalesce(sum(r), 0) AS dm
              FROM $prev JOIN pnodes USING (id) WHERE outw = 0),
-         r$k AS (SELECT pnodes.id,
+         r$k AS MATERIALIZED (SELECT pnodes.id,
                (SELECT (CAST(1000000000 AS BIGINT) * 15) // (100 * n) FROM nn)
              + (SELECT (dm * 85) // (100 * n) FROM d$k, nn)
              + coalesce(c.csum, 0) AS r
@@ -1060,7 +1065,7 @@ object Oracles {
              FROM (SELECT src AS id FROM pe UNION SELECT dst FROM pe) n
              LEFT JOIN pow USING (id)),
        nn AS (SELECT count(*) AS n FROM pnodes),
-       r0 AS (SELECT id, (SELECT CAST(1000000000 AS BIGINT) // n FROM nn) AS r FROM pnodes),
+       r0 AS MATERIALIZED (SELECT id, (SELECT CAST(1000000000 AS BIGINT) // n FROM nn) AS r FROM pnodes),
        ${(1 to 5).map(iter).mkString(",\n")},
        ind AS (SELECT dst AS id, count(*) AS n_in FROM pe GROUP BY 1)
        SELECT pnodes.id AS domain, CAST(r5.r AS BIGINT) AS pr_units,

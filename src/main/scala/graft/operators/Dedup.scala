@@ -318,10 +318,13 @@ object Dedup {
     * represented by its component's minimum id, and that minimum is
     * itself the super-node's name. So:
     *
-    *  1. CONTRACT — map each endpoint of `newPairs` through `standing`
-    *     (broadcast join: new edges are increment-sized; an endpoint with
-    *     no standing label — an increment doc, or a history doc never
-    *     seen in a pair — stays itself);
+    *  1. CONTRACT — map each endpoint of `newPairs` through `standing`:
+    *     one streaming pass over standing extracts the increment-touched
+    *     labels (broadcast SEMI join on the increment's endpoint ids —
+    *     history never shuffles, nothing history-sized broadcasts), then
+    *     that increment-sized subset broadcasts onto the edges; an
+    *     endpoint with no standing label — an increment doc, or a
+    *     history doc never seen in a pair — stays itself;
     *  2. DELTA CC — run [[connectedComponents]] ONLY over the contracted
     *     edge list: its node set is {touched standing labels} ∪ {fresh
     *     ids}, increment-sized, never history-sized. Min-label semantics
@@ -355,14 +358,28 @@ object Dedup {
       s"updateComponents needs standing labels with (id, comp) columns " +
         s"(connectedComponents output), got ${standing.columns.mkString(",")}")
     val raw = newPairs.select(col(idA).as("__a"), col(idB).as("__b"))
-    val lblA = standing.select(col("id").as("__a"), col("comp").as("__ca"))
-    val lblB = standing.select(col("id").as("__b"), col("comp").as("__cb"))
+      .localCheckpoint() // read twice (touched-id probe + contraction)
     // 1. contract: endpoints adopt their standing label; fresh stay
-    // themselves. The join keys on the EDGE side (increment-sized);
-    // standing streams — AQE broadcasts the smaller side per stage.
+    // themselves. A plain left join raw ⟕ standing would make STANDING
+    // the only broadcastable side (left-outer BHJ builds right) — i.e.
+    // the history-scale frame on the driver, growing per cycle (probed:
+    // the r18 ingest probe blew up 6 s → 523 s as standing reached 2 M
+    // rows). Instead: ONE streaming pass over standing extracts the
+    // increment-touched labels via a broadcast semi-join on the
+    // increment's endpoint ids (history never shuffles, nothing
+    // history-sized ever broadcasts), and only that increment-sized
+    // subset broadcasts onto the edges.
+    val incIds = raw.select(col("__a").as("id"))
+      .unionByName(raw.select(col("__b").as("id")))
+      .distinct()
+    val touched = standing
+      .join(broadcast(incIds), Seq("id"), "left_semi")
+      .localCheckpoint() // increment-sized; read twice below
+    val lblA = touched.select(col("id").as("__a"), col("comp").as("__ca"))
+    val lblB = touched.select(col("id").as("__b"), col("comp").as("__cb"))
     val contracted = raw
-      .join(lblA, Seq("__a"), "left")
-      .join(lblB, Seq("__b"), "left")
+      .join(broadcast(lblA), Seq("__a"), "left")
+      .join(broadcast(lblB), Seq("__b"), "left")
       .select(coalesce(col("__ca"), col("__a")).as("id_a"),
         coalesce(col("__cb"), col("__b")).as("id_b"),
         col("__ca").isNull.as("__fa"), col("__cb").isNull.as("__fb"))

@@ -615,6 +615,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), p.take(2000)) // whole-stage codegen covers graft_nfc
   }
 
+  test("q163 DSIR: bucket ratios broadcast, draw is a TakeOrdered — no SMJ, no global sort") {
+    val df: DataFrame = Queries.all("q163_dsir_resample")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p.take(2500)) // 64-row ratio table
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2500))
+  }
+
+  test("q170 linkage: block-key join + hash-agg argmax — no window over candidates") {
+    val df: DataFrame = Queries.all("q170_record_linkage")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ObjectHashAggregate"), p.take(2500)) // graft_min_by argmax
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
+
+  test("q165 embedding stats: one scan into one hash aggregation, no joins") {
+    val df: DataFrame = Queries.all("q165_embedding_stats")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Sort "),
+      p.take(2000))
+  }
+
   test("q156 heavy hitters: returns certified local rows, bounded by k") {
     // since the r17 advice fix the operator CONFIRMS inside the call
     // (persisted input, candidate-filtered agg, bounded TakeOrdered) and
