@@ -174,10 +174,10 @@ object Dedup {
     // the 4.8M-row shuffle that broadcast avoids).
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint() // edges are reused every round — cut the pair-gen plan
+      .transform(graft.plans.Iterative.cut) // edges are reused every round — cut the pair-gen plan
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .transform(graft.plans.Iterative.cut)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -186,7 +186,7 @@ object Dedup {
         .groupBy(col("src").as("id")).agg(min(col("nc")).as("nbr"))
       val next = labels.as("l").join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .transform(graft.plans.Iterative.cut)
       converged = next.as("n")
         .join(labels.select(col("id"), col("comp").as("prev")), "id")
         .filter(col("comp") =!= col("prev"))
@@ -237,11 +237,11 @@ object Dedup {
     val nodes = pairs.select(col(idA).as("id"))
       .unionByName(pairs.select(col(idB).as("id")))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.plans.Iterative.cut)
     var edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .filter(col("src") =!= col("dst"))
       .dropDuplicates()
-      .localCheckpoint()
+      .transform(graft.plans.Iterative.cut)
 
     // large-star: every neighbor v > u connects to min(N(u) ∪ {u})
     def largeStar(e: DataFrame): DataFrame = {
@@ -287,7 +287,7 @@ object Dedup {
     var i = 0
     var prevSig = signature(edges)
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).transform(graft.plans.Iterative.cut)
       val nextSig = signature(next)
       converged = nextSig == prevSig && next.except(edges).head(1).isEmpty
       edges = next
@@ -358,7 +358,7 @@ object Dedup {
       s"updateComponents needs standing labels with (id, comp) columns " +
         s"(connectedComponents output), got ${standing.columns.mkString(",")}")
     val raw = newPairs.select(col(idA).as("__a"), col(idB).as("__b"))
-      .localCheckpoint() // read twice (touched-id probe + contraction)
+      .transform(graft.plans.Iterative.cut) // read twice (touched-id probe + contraction)
     // 1. contract: endpoints adopt their standing label; fresh stay
     // themselves. A plain left join raw ⟕ standing would make STANDING
     // the only broadcastable side (left-outer BHJ builds right) — i.e.
@@ -374,7 +374,7 @@ object Dedup {
       .distinct()
     val touched = standing
       .join(broadcast(incIds), Seq("id"), "left_semi")
-      .localCheckpoint() // increment-sized; read twice below
+      .transform(graft.plans.Iterative.cut) // increment-sized; read twice below
     val lblA = touched.select(col("id").as("__a"), col("comp").as("__ca"))
     val lblB = touched.select(col("id").as("__b"), col("comp").as("__cb"))
     val contracted = raw
@@ -383,7 +383,7 @@ object Dedup {
       .select(coalesce(col("__ca"), col("__a")).as("id_a"),
         coalesce(col("__cb"), col("__b")).as("id_b"),
         col("__ca").isNull.as("__fa"), col("__cb").isNull.as("__fb"))
-      .localCheckpoint() // reused for edges + fresh nodes; cuts pair-gen lineage
+      .transform(graft.plans.Iterative.cut) // reused for edges + fresh nodes; cuts pair-gen lineage
     // fresh nodes BEFORE the self-loop cut: a fresh node whose only new
     // edge is a self-pair must still label itself (batch CC does)
     val freshNodes = contracted.where(col("__fa")).select(col("id_a").as("id"))
@@ -393,7 +393,7 @@ object Dedup {
     val deltaEdges = contracted.where(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")
     val delta = connectedComponents(deltaEdges, "id_a", "id_b", maxIter,
-      algorithm).localCheckpoint()
+      algorithm).transform(graft.plans.Iterative.cut)
     // 3a. remap standing by component label — broadcast(delta) keeps the
     // history-scale frame shuffle-free
     val remap = broadcast(delta
@@ -841,7 +841,7 @@ object Dedup {
     * write needs no landing.
     */
   private def landIf(land: Boolean)(df: => DataFrame): DataFrame =
-    if (land) df.localCheckpoint() else df
+    if (land) df.transform(graft.plans.Iterative.cut) else df
 
   /** COLLAPSE-FIRST twin of [[stripDupSpans]] (the repo-wide dup-heavy
     * idiom, here SEMANTICS-PRESERVING): on corpora where exact-duplicate

@@ -85,24 +85,24 @@ object Graphs {
         col(dstCol).cast("string").as("dst"), w.as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-      .localCheckpoint()
+      .transform(graft.plans.Iterative.cut)
     val outw = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("outw"))
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
       .join(outw, Seq("id"), "left")
       .select(col("id"), coalesce(col("outw"), lit(0L)).as("outw"))
-      .localCheckpoint()
+      .transform(graft.plans.Iterative.cut)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     // edge list annotated with the sender's out-weight — built once,
     // reused every round (the per-round join is ranks → this).
     val eAnn = e.join(outw.select(col("id").as("src"), col("outw")), Seq("src"))
-      .localCheckpoint()
+      .transform(graft.plans.Iterative.cut)
     val danglingIds = nodes.filter(col("outw") === 0L).select(col("id"))
-      .localCheckpoint()
+      .transform(graft.plans.Iterative.cut)
     val hasDangling = danglingIds.head(1).nonEmpty
     val tele = unit * (dampDen - dampNum) / (dampDen * n)
-    var ranks = nodes.select(col("id"), lit(unit / n).as("r")).localCheckpoint()
+    var ranks = nodes.select(col("id"), lit(unit / n).as("r")).transform(graft.plans.Iterative.cut)
     for (_ <- 1 to iters) {
       val dMass: Long =
         if (!hasDangling) 0L
@@ -122,7 +122,7 @@ object Graphs {
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(tele + dShare) + coalesce(col("csum"), lit(0L))).as("r"))
-        .localCheckpoint()
+        .transform(graft.plans.Iterative.cut)
       ranks = next
     }
     val inDeg = e.groupBy(col("dst").as("id"))

@@ -1,0 +1,57 @@
+package org.apache.spark.sql.graftglue
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection, UnknownPartitioning}
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** `Dataset.localCheckpoint` minus the carried `originStats`.
+  *
+  * Since SPARK-39190-era releases, `Dataset.checkpoint` rebuilds the
+  * plan as a [[LogicalRDD]] that CARRIES the child plan's Statistics
+  * (`originStats`) so downstream joins keep estimating. For one
+  * checkpoint that is strictly better. For an ITERATIVE FOLD — labels
+  * re-entering a join loop, standing component labels re-entering the
+  * next increment's contraction — it is a landmine: each fold's join
+  * estimation MULTIPLIES the carried `sizeInBytes` BigInts (a join's
+  * size estimate is the product of its children's), the checkpoint
+  * preserves the product, and the next fold squares it again. The
+  * number's DIGITS double per fold, and by fold ~7 the driver spends
+  * minutes inside `BigInteger.multiplyToomCook3` doing million-digit
+  * arithmetic in statistics estimation (probed: the r18 ingest-CC chain
+  * went 10 s → 681 s per fold on IDENTICALLY-SIZED increments; a
+  * 12-fold toy chain with six-row inputs showed the same curve, which
+  * is what ruled out data and convicted planning).
+  *
+  * This helper is the iterative-fold checkpoint: same execution
+  * contract as `localCheckpoint()` (materialize once, cut lineage,
+  * preserve physical partitioning/ordering) but the new [[LogicalRDD]]
+  * keeps NO origin statistics — each fold restarts estimation from
+  * `defaultSizeInBytes`, which is exactly what you want when the frame
+  * is about to be rebuilt anyway. Lives under `org.apache.spark.sql`
+  * for `private[sql]` access to `Dataset.ofRows`; uses only stable
+  * developer-facing pieces (LogicalRDD, executedPlan).
+  */
+object StatsSafeCheckpoint {
+  def apply(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[Dataset[Row]]
+    val spark = ds.sparkSession
+    val qe = ds.queryExecution
+    val physical = qe.executedPlan
+    val internal = physical.execute().map(_.copy())
+    internal.localCheckpoint()
+    internal.count()
+    // mirror Dataset.checkpoint: a PartitioningCollection can't outlive
+    // its plan — keep its first concrete member, else drop to unknown
+    val partitioning: Partitioning = physical.outputPartitioning match {
+      case pc: PartitioningCollection =>
+        pc.partitionings.collectFirst {
+          case p if !p.isInstanceOf[PartitioningCollection] => p
+        }.getOrElse(UnknownPartitioning(internal.getNumPartitions))
+      case p => p
+    }
+    Dataset.ofRows(spark,
+      LogicalRDD(qe.analyzed.output, internal, partitioning,
+        physical.outputOrdering)(spark))
+  }
+}
