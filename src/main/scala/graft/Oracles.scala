@@ -1484,20 +1484,20 @@ object Oracles {
     // row_number argmax standing in for the bounded-heap agg
     "q170_record_linkage" ->
       """WITH l AS (SELECT p_partkey AS lid,
-             lower(trim(p_name)) || ' ' || CAST(p_partkey % 50 AS VARCHAR) AS ln
+             lower(trim(p_name)) || ' ' || CAST(p_partkey % 500 AS VARCHAR) AS ln
            FROM part),
          r0 AS (SELECT p_partkey + 100000 AS rid,
-             lower(trim(p_name)) || ' ' || CAST(p_partkey % 50 AS VARCHAR) AS nm,
+             lower(trim(p_name)) || ' ' || CAST(p_partkey % 500 AS VARCHAR) AS nm,
              p_partkey AS pk
            FROM part),
          r1 AS (SELECT rid, nm,
              CAST(pk % (length(nm) - 2) + 2 AS INTEGER) AS k FROM r0),
          rr AS (SELECT rid, substr(nm, 1, k - 1) || substr(nm, k + 1) AS rn
                 FROM r1),
-         lb AS (SELECT lid, ln, substr(ln, 1, 1) AS c,
+         lb AS (SELECT lid, ln, string_split(ln, ' ')[-1] AS c,
              CAST(floor(length(ln) / 4.0) AS INTEGER) + d AS b
            FROM l, (VALUES (-1), (0), (1)) dd(d)),
-         rb AS (SELECT rid, rn, substr(rn, 1, 1) AS c,
+         rb AS (SELECT rid, rn, string_split(rn, ' ')[-1] AS c,
              CAST(floor(length(rn) / 4.0) AS INTEGER) AS b FROM rr),
          sc AS (SELECT lid, rid,
              round(jaro_winkler_similarity(ln, rn), 4) AS sim

@@ -1439,7 +1439,7 @@ object Queries {
     // oracle engine), resolve per-left argmax via bounded hash agg
     "q170_record_linkage" -> ((s, d) => {
       val base = concat(lower(trim(col("p_name"))), lit(" "),
-        pmod(col("p_partkey"), lit(50)).cast("string"))
+        pmod(col("p_partkey"), lit(500)).cast("string"))
       val part = Tables.part(s, d)
       val l = part.select(col("p_partkey").as("lid"), base.as("lname"))
       val r = part
@@ -1448,7 +1448,14 @@ object Queries {
         .withColumn("k", (pmod(col("pk"), length(col("nm")) - 2) + 2).cast("int"))
         .select(col("rid"), concat(expr("substring(nm, 1, k - 1)"),
           expr("substring(nm, k + 1, length(nm))")).as("rname"))
-      Linkage.bestMatches(l, r, "lid", "rid", "lname", "rname", minSim = 0.9)
+      // blockFn = the registry-number token: the blocking dial in action —
+      // first-char blocking over an 8-adjective vocabulary puts ~1/24 of
+      // each side in every block (quadratic pain at sf0.1); the number
+      // token cuts candidates ~500×. A perturbation that hits the number
+      // itself blocks apart and goes unmatched — the documented recall
+      // trade every blocking choice makes
+      Linkage.bestMatches(l, r, "lid", "rid", "lname", "rname", minSim = 0.9,
+        blockFn = c => element_at(split(c, " "), -1))
     }),
 
     // the INCREMENTAL face of q154 (the bloom-gate pattern at substring

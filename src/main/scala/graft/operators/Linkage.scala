@@ -12,12 +12,18 @@ import org.apache.spark.sql.functions._
   *
   * Method: classic blocking + Jaro-Winkler scoring + per-left argmax
   * (Fellegi-Sunter's deterministic core without the EM weighting):
-  *  - BLOCK on (first char, length band); the left side also emits the
-  *    ±1 neighbor bands, so near-length variants (a dropped char, a
-  *    doubled letter) still meet. Blocking is the recall/cost dial — at
+  *  - BLOCK on (`blockFn(name)`, length band); the left side also emits
+  *    the ±1 neighbor bands, so near-length variants (a dropped char, a
+  *    doubled letter) still meet. Blocking is the recall/COST dial — at
   *    100 TB the all-pairs product is off the table, and every candidate
-  *    pair must share a block (document the recall contract; widen with
-  *    more block functions, e.g. a phonetic key, when recall demands).
+  *    pair must share a block. The default `blockFn` (first char) is the
+  *    textbook choice for natural names; over a small shared vocabulary
+  *    it degenerates (1/alphabet of each side per block — q170 measured
+  *    65 s at sf0.1 before switching its block to the registry-number
+  *    token, ~1 s after). Pick the most selective stable feature; widen
+  *    with additional block functions (phonetic key, token sets) when
+  *    recall demands, and remember every block choice trades away the
+  *    matches whose perturbation hits the blocked feature itself.
   *  - SCORE with `graft_jaro_winkler` (codegen kernel, semantics pinned
   *    to the oracle engine's implementation), round to 4 dp.
   *  - RESOLVE each left record to its best right match by a bounded
@@ -39,7 +45,8 @@ object Linkage {
   def bestMatches(left: DataFrame, right: DataFrame,
                   leftId: String, rightId: String,
                   leftName: String, rightName: String,
-                  minSim: Double = 0.9, lenBand: Int = 4): DataFrame = {
+                  minSim: Double = 0.9, lenBand: Int = 4,
+                  blockFn: Column => Column = c => substring(c, 1, 1)): DataFrame = {
     require(minSim >= 0 && minSim <= 1, s"minSim must be in [0,1], got $minSim")
     require(lenBand >= 1, s"lenBand must be >= 1, got $lenBand")
     graft.functions.GraftFunctions.ensureRegistered(left.sparkSession)
@@ -51,10 +58,10 @@ object Linkage {
     val lb = l0
       .withColumn("__d", explode(array(lit(-1), lit(0), lit(1))))
       .select(col("__lid"), col("__ln"),
-        substring(col("__ln"), 1, 1).as("__c"),
+        blockFn(col("__ln")).as("__c"),
         ((length(col("__ln")) / lenBand).cast("int") + col("__d")).as("__b"))
     val rb = r0.select(col("__rid"), col("__rn"),
-      substring(col("__rn"), 1, 1).as("__c"),
+      blockFn(col("__rn")).as("__c"),
       (length(col("__rn")) / lenBand).cast("int").as("__b"))
     val scored = lb.join(rb, Seq("__c", "__b"))
       .select(col("__lid"), col("__rid"),

@@ -26,11 +26,15 @@ import org.apache.spark.sql.execution.LogicalRDD
   * This helper is the iterative-fold checkpoint: same execution
   * contract as `localCheckpoint()` (materialize once, cut lineage,
   * preserve physical partitioning/ordering) but the new [[LogicalRDD]]
-  * keeps NO origin statistics — each fold restarts estimation from
-  * `defaultSizeInBytes`, which is exactly what you want when the frame
-  * is about to be rebuilt anyway. Lives under `org.apache.spark.sql`
-  * for `private[sql]` access to `Dataset.ofRows`; uses only stable
-  * developer-facing pieces (LogicalRDD, executedPlan).
+  * carries FRESH, EXACT statistics — the row count the eager
+  * materialization just produced × the schema's estimated row width —
+  * instead of the child plan's compounded estimates. Exact stats are
+  * bounded (no digit growth, ever) AND keep the next fold's broadcast
+  * decisions sharp (dropping stats entirely made the CC loop's label
+  * frame stop auto-broadcasting: q51 measured 1.8× slower on a close
+  * run). Lives under `org.apache.spark.sql` for `private[sql]` access
+  * to `Dataset.ofRows`/`EstimationUtils`; uses only stable
+  * developer-facing pieces otherwise (LogicalRDD, executedPlan).
   */
 object StatsSafeCheckpoint {
   def apply(df: DataFrame): DataFrame = {
@@ -40,7 +44,7 @@ object StatsSafeCheckpoint {
     val physical = qe.executedPlan
     val internal = physical.execute().map(_.copy())
     internal.localCheckpoint()
-    internal.count()
+    val rows = internal.count()
     // mirror Dataset.checkpoint: a PartitioningCollection can't outlive
     // its plan — keep its first concrete member, else drop to unknown
     val partitioning: Partitioning = physical.outputPartitioning match {
@@ -50,8 +54,19 @@ object StatsSafeCheckpoint {
         }.getOrElse(UnknownPartitioning(internal.getNumPartitions))
       case p => p
     }
+    // REAL statistics from the materialization we just paid for: exact
+    // row count × schema width. Strictly better than both alternatives —
+    // the carried-estimate originStats compound across folds (the
+    // BigInteger blowup), and NO stats costs the next fold its broadcast
+    // decisions (a stats-free label frame stopped auto-broadcasting in
+    // the CC loop: q51 measured 1.8× on the close run). These are exact,
+    // bounded, and fold-stable.
+    val sizePerRow = org.apache.spark.sql.catalyst.plans.logical
+      .statsEstimation.EstimationUtils.getSizePerRow(qe.analyzed.output)
+    val stats = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = BigInt(rows) * sizePerRow, rowCount = Some(BigInt(rows)))
     Dataset.ofRows(spark,
       LogicalRDD(qe.analyzed.output, internal, partitioning,
-        physical.outputOrdering)(spark))
+        physical.outputOrdering)(spark, originStats = Some(stats)))
   }
 }
