@@ -564,10 +564,58 @@ object NearDup {
       }.toIndexedSeq: _*)).getItem(0)
   }
 
+  /** The (bands, rowsPerBand) chosen by [[planLsh]] plus its predicted
+    * error rates — returned so callers can LOG the contract they bought,
+    * not just the knobs.
+    */
+  case class LshPlan(numHashes: Int, rowsPerBand: Int, bands: Int,
+                     falseNegAtThreshold: Double, candidateRateAtFp: Double)
+
+  /** Choose MinHash-LSH banding from the REQUIREMENT, not folklore: the
+    * probability two docs with Jaccard s share ≥ 1 of b bands of r rows
+    * is the S-curve 1 − (1 − s^r)^b. Given the dedup threshold and a
+    * false-negative budget AT that threshold, this picks, within a
+    * signature-size cap, the plan with the FEWEST candidate pairs from
+    * sub-threshold docs (`fpShoulder`, default threshold − 0.2 — the
+    * mass that actually costs shuffle) among all (r, b) meeting the
+    * recall constraint. Steeper r ⇒ fewer junk candidates but more
+    * hashes for the same recall; this searches the whole grid instead
+    * of hand-tuning.
+    *
+    * Driver-side pure arithmetic — call it once when sizing a pipeline
+    * and feed the result to [[minhashLshPairs]]/[[minhashBandKeys]].
+    */
+  def planLsh(threshold: Double, maxFalseNeg: Double = 0.05,
+              maxHashes: Int = 256, fpShoulder: Double = 0.2): LshPlan = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    require(maxFalseNeg > 0 && maxFalseNeg < 1,
+      s"maxFalseNeg in (0,1), got $maxFalseNeg")
+    require(maxHashes >= 2, s"maxHashes must be >= 2, got $maxHashes")
+    def hitProb(s: Double, r: Int, b: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val sLow = math.max(threshold - fpShoulder, 0.01)
+    val candidates = for {
+      r <- 1 to maxHashes
+      // smallest b meeting the recall constraint at this r — computed in
+      // doubles and range-checked BEFORE the Int cast (for large r the
+      // bound explodes past Int.MaxValue and a naive toInt wraps)
+      bMinD = math.max(math.ceil(math.log(maxFalseNeg) /
+        math.log1p(-math.pow(threshold, r))), 1.0)
+      if bMinD.isFinite && bMinD * r <= maxHashes
+      bMin = bMinD.toInt
+    } yield LshPlan(r * bMin, r, bMin,
+      1.0 - hitProb(threshold, r, bMin), hitProb(sLow, r, bMin))
+    require(candidates.nonEmpty,
+      s"no (rows, bands) plan meets falseNeg <= $maxFalseNeg at threshold " +
+        s"$threshold within $maxHashes hashes — raise maxHashes or the budget")
+    candidates.minBy(p => (p.candidateRateAtFp, p.numHashes))
+  }
+
   /** LSH banding over minhash signatures: docs sharing any band (a slice
     * of `rowsPerBand` consecutive signature entries) become candidates;
     * candidates are verified with estimated Jaccard = fraction of matching
     * signature positions. Returns (id_a < id_b, est_jaccard ≥ threshold).
+    * Size the banding with [[planLsh]].
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, numHashes: Int, rowsPerBand: Int,
