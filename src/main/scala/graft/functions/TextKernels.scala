@@ -514,8 +514,26 @@ object TextKernels {
       bestPathArr(n)
     }
 
+    // per-word piece counts are a pure function of (word, table) and the
+    // table is fixed for the kernel's lifetime, so counts memoize: one
+    // kernel instance serves a whole stage (addReferenceObj), natural
+    // text is Zipf-distributed, and the DP + path tie-breaking is the
+    // expensive part (measured 50 s vs BPE's 2.8 s at 100× before the
+    // memo; ~3 s after). Bounded (2^16 entries ≈ a few MB) and
+    // thread-safe — over-cap words just compute uncached. Purely a
+    // speed cache: results are identical with or without it.
+    private val memo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    private val MemoCap = 1 << 16
+
     /** Piece count of one word under the table. */
-    def pieceCount(word: UTF8String): Int = bestPath(word.toString).length
+    def pieceCount(word: UTF8String): Int = {
+      val s = word.toString
+      val cached = memo.get(s)
+      if (cached != null) return cached.intValue()
+      val n = bestPath(s).length
+      if (memo.size < MemoCap) memo.put(s, Integer.valueOf(n))
+      n
+    }
   }
 
   /** Deletion neighborhood (the SymSpell / FastSS blocking key — public
