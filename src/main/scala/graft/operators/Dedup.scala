@@ -353,12 +353,27 @@ object Dedup {
   def updateComponents(standing: DataFrame, newPairs: DataFrame,
                        idA: String = "id_a", idB: String = "id_b",
                        maxIter: Int = 15,
-                       algorithm: String = "auto"): DataFrame = {
+                       algorithm: String = "auto",
+                       maxBroadcastIncrementRows: Long = 4000000L): DataFrame = {
     require(standing.columns.contains("id") && standing.columns.contains("comp"),
       s"updateComponents needs standing labels with (id, comp) columns " +
         s"(connectedComponents output), got ${standing.columns.mkString(",")}")
     val raw = newPairs.select(col(idA).as("__a"), col(idB).as("__b"))
       .transform(graft.plans.Iterative.cut) // read twice (touched-id probe + contraction)
+    // Broadcast guard: the contract below hard-broadcasts every
+    // increment-sized frame (id set, label maps, delta remap) so the
+    // history-scale `standing` never shuffles. A hard broadcast() of an
+    // UNEXPECTEDLY large increment would OOM instead of degrading the
+    // way an AQE-decided plan would — so gate it on the increment's
+    // edge count (raw is already checkpointed; the count is a cheap
+    // second read). Past the threshold (default 4 M edges ≈ tens of MB
+    // as a (long,long) hash relation) the same joins run un-hinted and
+    // AQE picks shuffle plans: correctness identical, history pays one
+    // shuffle — the right trade once the "increment" is itself
+    // data-scale.
+    val incrementBroadcastable = raw.count() <= maxBroadcastIncrementRows
+    def bcInc(df: DataFrame): DataFrame =
+      if (incrementBroadcastable) broadcast(df) else df
     // 1. contract: endpoints adopt their standing label; fresh stay
     // themselves. A plain left join raw ⟕ standing would make STANDING
     // the only broadcastable side (left-outer BHJ builds right) — i.e.
@@ -373,13 +388,13 @@ object Dedup {
       .unionByName(raw.select(col("__b").as("id")))
       .distinct()
     val touched = standing
-      .join(broadcast(incIds), Seq("id"), "left_semi")
+      .join(bcInc(incIds), Seq("id"), "left_semi")
       .transform(graft.plans.Iterative.cut) // increment-sized; read twice below
     val lblA = touched.select(col("id").as("__a"), col("comp").as("__ca"))
     val lblB = touched.select(col("id").as("__b"), col("comp").as("__cb"))
     val contracted = raw
-      .join(broadcast(lblA), Seq("__a"), "left")
-      .join(broadcast(lblB), Seq("__b"), "left")
+      .join(bcInc(lblA), Seq("__a"), "left")
+      .join(bcInc(lblB), Seq("__b"), "left")
       .select(coalesce(col("__ca"), col("__a")).as("id_a"),
         coalesce(col("__cb"), col("__b")).as("id_b"),
         col("__ca").isNull.as("__fa"), col("__cb").isNull.as("__fb"))
@@ -396,7 +411,7 @@ object Dedup {
       algorithm).transform(graft.plans.Iterative.cut)
     // 3a. remap standing by component label — broadcast(delta) keeps the
     // history-scale frame shuffle-free
-    val remap = broadcast(delta
+    val remap = bcInc(delta
       .select(col("id").as("comp"), col("comp").as("__nc")))
     val remapped = standing.select(col("id"), col("comp"))
       .join(remap, Seq("comp"), "left")

@@ -703,10 +703,14 @@ object Sampling {
         lit(s":$seed"))), 1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
     val keyed = docw.withColumn("key_micros",
       col("lw_micros") + round(-log(-log(u)) * micro, 0).cast("long"))
-    val top = keyed.orderBy(col("key_micros").desc, col(idCol).asc).limit(k)
-    // rank over exactly k rows — a bounded single-partition window
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("key_micros").desc, col(idCol).asc)
-    top.withColumn("rank", row_number().over(w).cast("int"))
+    // rank over exactly k rows: the frame is bounded by limit(k), so
+    // pin it to ONE partition, sort within it, and number rows with
+    // monotonically_increasing_id (0-based in partition row order on a
+    // single partition) — same result as a global row_number window
+    // without Spark's single-partition-window warning on every run
+    keyed.orderBy(col("key_micros").desc, col(idCol).asc).limit(k)
+      .repartition(1)
+      .sortWithinPartitions(col("key_micros").desc, col(idCol).asc)
+      .withColumn("rank", (monotonically_increasing_id() + 1L).cast("int"))
   }
 }

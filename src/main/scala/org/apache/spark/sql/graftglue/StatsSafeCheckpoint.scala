@@ -42,9 +42,15 @@ object StatsSafeCheckpoint {
     val spark = ds.sparkSession
     val qe = ds.queryExecution
     val physical = qe.executedPlan
-    val internal = physical.execute().map(_.copy())
-    internal.localCheckpoint()
-    val rows = internal.count()
+    // mirror Dataset.checkpoint's withAction: the materialization runs
+    // under a SQL execution id so the job shows up in the SQL UI with
+    // tracked metrics instead of as an orphan RDD job
+    val (internal, rows) = org.apache.spark.sql.execution.SQLExecution
+      .withNewExecutionId(qe, Some("statsSafeCheckpoint")) {
+        val rdd = physical.execute().map(_.copy())
+        rdd.localCheckpoint()
+        (rdd, rdd.count())
+      }
     // mirror Dataset.checkpoint: a PartitioningCollection can't outlive
     // its plan — keep its first concrete member, else drop to unknown
     val partitioning: Partitioning = physical.outputPartitioning match {
@@ -65,8 +71,12 @@ object StatsSafeCheckpoint {
       .statsEstimation.EstimationUtils.getSizePerRow(qe.analyzed.output)
     val stats = org.apache.spark.sql.catalyst.plans.logical.Statistics(
       sizeInBytes = BigInt(rows) * sizePerRow, rowCount = Some(BigInt(rows)))
+    // constraints (isNotNull facts etc.) are plan-derived, not
+    // estimate-derived — they don't compound across folds, so carry
+    // them exactly as the stock localCheckpoint does
     Dataset.ofRows(spark,
       LogicalRDD(qe.analyzed.output, internal, partitioning,
-        physical.outputOrdering)(spark, originStats = Some(stats)))
+        physical.outputOrdering)(spark, originStats = Some(stats),
+        originConstraints = Some(qe.analyzed.constraints)))
   }
 }

@@ -34,12 +34,18 @@ for k, v in sorted(today.items()):
         bq[k] = v
 
 base["total"] = round(sum(bq.values()), 4)
-base["recorded"] += (
-    "; round18: + q159-q170 at min across the round's full runs "
-    "(close + spot re-probes); entries lowered where today's runs beat "
-    "the anchor; no deliberate re-anchors (the component-family deltas "
-    "measured inside the day's host-noise band on code-untouched probes)"
-)
+# idempotent: only append the round-18 note once, and derive its claims
+# from what this invocation actually changed instead of hardcoding them
+marker = "; round18:"
+if marker not in base["recorded"]:
+    note = (
+        f"{marker} +{len(added)} new queries at min across the round's "
+        f"full runs (close + spot re-probes); {len(lowered)} entries "
+        "lowered where today's runs beat the anchor"
+    )
+    if not added and not lowered:
+        note = f"{marker} no anchor changes (inputs inside existing minima)"
+    base["recorded"] += note
 json.dump(base, open("tools/bench_baseline.json", "w"), indent=1)
 print("added:", added)
 print("lowered:", lowered)
