@@ -1508,6 +1508,109 @@ object Oracles {
            FROM kept)
          SELECT lid, rid, sim FROM best WHERE rn2 = 1""",
 
+    // q171: replays the near-dup image synthesis FORMULAS (md5-patterned
+    // 8x8 blocks, member twins) straight to hash BANDS — the pixel side
+    // never leaves Spark, so a band match proves the real PNG decode +
+    // exact-integer aHash; pairs are replayed as ALL group pairs at
+    // Hamming <= 3 (the banded join's exact-recall contract: the confirm
+    // threshold sits inside the pigeonhole bound, so banding changes
+    // cost, never the answer), components by the q51 recursive pattern
+    "q171_image_phash_dedup" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
+         hx AS (SELECT id, id % 4 AS m,
+             CASE WHEN id % 4 = 3 THEN md5((id // 4)::VARCHAR || ':alt')
+                  ELSE md5((id // 4)::VARCHAR) END AS h
+           FROM ids),
+         bits AS (
+           SELECT id, i,
+             CASE WHEN i = 0 THEN 0 WHEN i = 63 THEN 1
+                  WHEN m = 2 AND i IN (1, 17, 42) THEN
+                    1 - (((strpos('0123456789abcdef', substr(h, 1 + i // 4, 1)) - 1) >> (3 - (i % 4))) & 1)
+                  ELSE ((strpos('0123456789abcdef', substr(h, 1 + i // 4, 1)) - 1) >> (3 - (i % 4))) & 1
+             END AS bit
+           FROM hx, (SELECT unnest(range(64)) AS i)),
+         h4 AS (
+           SELECT id,
+             bit_or(CASE WHEN bit = 1 AND i < 16 THEN (1::BIGINT << i) ELSE 0 END) AS b0,
+             bit_or(CASE WHEN bit = 1 AND i >= 16 AND i < 32 THEN (1::BIGINT << (i - 16)) ELSE 0 END) AS b1,
+             bit_or(CASE WHEN bit = 1 AND i >= 32 AND i < 48 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS b2,
+             bit_or(CASE WHEN bit = 1 AND i >= 48 THEN (1::BIGINT << (i - 48)) ELSE 0 END) AS b3
+           FROM bits GROUP BY id),
+         grp AS (SELECT b0, b1, b2, b3, min(id) AS rid FROM h4 GROUP BY 1, 2, 3, 4),
+         prs AS (
+           SELECT a.rid AS id_a, b.rid AS id_b
+           FROM grp a JOIN grp b ON a.rid < b.rid
+           WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+               + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                   UNION ALL SELECT id_b, id_a FROM prs),
+         reach AS (
+           SELECT DISTINCT src AS id, src AS lbl FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+         comps AS (SELECT id AS rid, min(lbl) AS comp FROM reach GROUP BY id)
+         SELECT h.id AS media_id, h.b0, h.b1, h.b2, h.b3,
+           coalesce(c.comp, g.rid) AS comp,
+           h.id = coalesce(c.comp, g.rid) AS keep
+         FROM h4 h
+         JOIN grp g ON g.b0 = h.b0 AND g.b1 = h.b1 AND g.b2 = h.b2 AND g.b3 = h.b3
+         LEFT JOIN comps c ON c.rid = g.rid""",
+
+    // q172: replays the PII synthesis formulas AND the five-stage scrub —
+    // the Luhn validation is the digit-arithmetic lambda inside
+    // list_filter, replace-folded in match order exactly like Spark's
+    // aggregate over the candidate list
+    "q172_pii_redaction" ->
+      """WITH synth AS (
+           SELECT doc_id, text,
+             (doc_id * 7) % 256 || '.' || (doc_id * 13) % 256 || '.' ||
+               (doc_id * 3) % 256 || '.' || doc_id % 256 AS ip,
+             list_transform(range(1, 16), i -> (doc_id * i + i * i) % 10) AS d15
+           FROM documents),
+         card AS (
+           SELECT doc_id, text, ip, d15,
+             (10 - list_sum(list_transform(range(1, 16),
+                i -> CASE WHEN i % 2 = 1
+                  THEN CASE WHEN d15[i] * 2 > 9 THEN d15[i] * 2 - 9 ELSE d15[i] * 2 END
+                  ELSE d15[i] END)) % 10) % 10 AS chk
+           FROM synth),
+         fmt AS (
+           SELECT doc_id, text, ip,
+             list_aggregate(list_transform(d15, x -> x::VARCHAR), 'string_agg', '') || chk::VARCHAR AS c16,
+             list_aggregate(list_transform(d15, x -> x::VARCHAR), 'string_agg', '') || ((chk + 5) % 10)::VARCHAR AS b16
+           FROM card),
+         dirty AS (
+           SELECT doc_id,
+             text || ' contact: user' || doc_id || '@example.com ip ' || ip ||
+             ' card ' || substr(c16,1,4) || ' ' || substr(c16,5,4) || ' ' || substr(c16,9,4) || ' ' || substr(c16,13,4) ||
+             ' ref ' || substr(b16,1,4) || ' ' || substr(b16,5,4) || ' ' || substr(b16,9,4) || ' ' || substr(b16,13,4) ||
+             ' tel: +263 771 23 45 67' AS raw
+           FROM fmt),
+         step1 AS (SELECT doc_id,
+             regexp_replace(
+               trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+           FROM dirty),
+         step2 AS (SELECT doc_id,
+             list_reduce(
+               list_prepend(t,
+                 list_filter(regexp_extract_all(t, '\b(?:[0-9][ -]?){12,18}[0-9]\b'),
+                   c -> length(regexp_replace(c, '[^0-9]', '', 'g')) BETWEEN 13 AND 19
+                    AND list_sum(list_transform(range(1, length(regexp_replace(c, '[^0-9]', '', 'g')) + 1),
+                      i -> CASE WHEN (length(regexp_replace(c, '[^0-9]', '', 'g')) - i) % 2 = 1
+                        THEN CASE WHEN substr(regexp_replace(c, '[^0-9]', '', 'g'), i, 1)::INT * 2 > 9
+                             THEN substr(regexp_replace(c, '[^0-9]', '', 'g'), i, 1)::INT * 2 - 9
+                             ELSE substr(regexp_replace(c, '[^0-9]', '', 'g'), i, 1)::INT * 2 END
+                        ELSE substr(regexp_replace(c, '[^0-9]', '', 'g'), i, 1)::INT END)) % 10 = 0)),
+               (acc, c) -> replace(acc, c, '<CARD>')) AS t
+           FROM step1),
+         step3 AS (SELECT doc_id,
+             regexp_replace(t, '\b((25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b', '<IP>', 'g') AS t
+           FROM step2)
+         SELECT doc_id,
+           regexp_replace(t, '[+(]?[0-9][0-9()\- ]{5,}[0-9]', '<PHONE>', 'g') AS clean
+         FROM step3""",
+
     // q169: reliability bins — q23's quality scalar (the shared formula
     // builder), identical IEEE floor binning, exact decimal score sums
     "q169_calibration_bins" -> {

@@ -1458,6 +1458,55 @@ object Queries {
         blockFn = c => element_at(split(c, " "), -1))
     }),
 
+    // perceptual image near-dup (the crawl pipeline's image-content
+    // dedup: resized/re-encoded/brightness-shifted variants of one
+    // picture collapse to one keeper). REAL PNGs with formula-patterned
+    // 8×8 blocks → real javax.imageio decode → exact-integer aHash →
+    // banded Hamming pairs (q28's block-pair machinery over the hash
+    // column) → connected components → keep-min decision. The oracle
+    // replays the synthesis formulas + all-group-pairs Hamming ≤ 3 +
+    // recursive-CTE components: a hash match certifies decode, hash
+    // arithmetic, banding recall, and the component decision together
+    "q171_image_phash_dedup" -> ((s, d) =>
+      Multimodal.phashDedup(
+        Multimodal.perceptualHash(
+          Multimodal.synthesizeNearDupImages(Tables.documents(s, d), "doc_id"),
+          ImageIoCodec),
+        maxDist = 3)),
+
+    // Dolma-breadth PII scrub (the q53 stack widened with IPv4 + Luhn-
+    // validated card numbers): per doc, synthesize formula PII — an
+    // octet-formula IP, a VALID 16-digit card (check digit computed by
+    // the same Luhn arithmetic the redactor validates with), and an
+    // invalid twin (check+5) that must fall through to the coarse phone
+    // rule, never the card token. The oracle replays synthesis AND the
+    // five-stage scrub, so the hash certifies ordering, validation
+    // arithmetic, and every regex in the RE2∩Java subset
+    "q172_pii_redaction" -> ((s, d) => {
+      val id = col("doc_id")
+      val ip = concat_ws(".", pmod(id * 7, lit(256)), pmod(id * 13, lit(256)),
+        pmod(id * 3, lit(256)), pmod(id, lit(256)))
+      val d15 = transform(sequence(lit(1), lit(15)),
+        i => pmod(id * i + i * i, lit(10)))
+      val luhnSum = aggregate(sequence(lit(1), lit(15)), lit(0L), (acc, i) => {
+        val dd = pmod(id * i + i * i, lit(10))
+        acc + when(pmod(i, lit(2)) === 1,
+          when(dd * 2 > 9, dd * 2 - 9).otherwise(dd * 2)).otherwise(dd)
+      })
+      val chk = pmod(lit(10) - pmod(luhnSum, lit(10)), lit(10))
+      val digits = concat(array_join(transform(d15, _.cast("string")), ""))
+      def fmt(c16: Column): Column = concat_ws(" ",
+        substring(c16, 1, 4), substring(c16, 5, 4),
+        substring(c16, 9, 4), substring(c16, 13, 4))
+      val good = fmt(concat(digits, chk.cast("string")))
+      val bad = fmt(concat(digits, pmod(chk + 5, lit(10)).cast("string")))
+      Tables.documents(s, d).select(id,
+        TextAnalysis.cleanForTrainingFull(
+          concat(col("text"), lit(" contact: user"), id.cast("string"),
+            lit("@example.com ip "), ip, lit(" card "), good,
+            lit(" ref "), bad, lit(" tel: +263 771 23 45 67"))).as("clean"))
+    }),
+
     // the INCREMENTAL face of q154 (the bloom-gate pattern at substring
     // granularity): even doc_ids play history — their duplicated grams
     // become the standing index (dupGramIndex) — and odd doc_ids play

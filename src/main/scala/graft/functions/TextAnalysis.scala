@@ -163,9 +163,69 @@ object TextAnalysis {
   def redactPhones(text: Column, token: String = "<PHONE>"): Column =
     regexp_replace(text, "[+(]?[0-9][0-9()\\- ]{5,}[0-9]", token)
 
-  /** The standard scrub stack: strip markup, then redact emails/phones. */
+  /** Redact IPv4 addresses (octet-validated: 0-255 per component, word
+    * boundaries both sides — "300.1.2.3" and digit runs inside longer
+    * numbers don't match). Version-like dotted quads DO match — the
+    * conservative PII rule (Dolma's IP scrub makes the same trade).
+    */
+  def redactIps(text: Column, token: String = "<IP>"): Column =
+    regexp_replace(text,
+      "\\b((25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\.){3}" +
+        "(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\b", token)
+
+  /** Luhn checksum validity of a digit string (mod-10, right-to-left
+    * doubling — the public card-number check). Pure builtin-HOF
+    * arithmetic (sequence/aggregate — codegen'd, no UDF), so any engine
+    * with integer arithmetic replays it digit for digit. True only for
+    * 13–19 digits (the card length envelope).
+    */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val total = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
+      val d = digits.substr(i, lit(1)).cast("long")
+      // position from the right = n - i + 1; doubled on even positions
+      val c = when(pmod(n - i, lit(2)) === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      acc + c
+    })
+    n >= 13 && n <= 19 && pmod(total, lit(10)) === 0
+  }
+
+  /** Redact Luhn-VALID card numbers: 13–19 digit runs (single space/dash
+    * separators allowed) whose digits pass [[luhnValid]]. A digit run
+    * that fails the checksum is left for the coarser [[redactPhones]]
+    * rule — validation prevents the card token from swallowing order
+    * numbers and timestamps wholesale. Candidate extraction is one
+    * regexp_extract_all; validation + replacement fold over the (per-row
+    * bounded) candidate list with builtin HOFs — a pure projection,
+    * streaming-safe, zero shuffles.
+    */
+  def redactCards(text: Column, token: String = "<CARD>"): Column = {
+    val cands = regexp_extract_all(text,
+      lit("\\b(?:[0-9][ -]?){12,18}[0-9]\\b"), lit(0))
+    val valid = filter(cands, c =>
+      luhnValid(regexp_replace(c, "[^0-9]", "")))
+    // literal (non-regex) replace, folded in match order — both the
+    // extraction order and replace-all semantics are engine-portable
+    aggregate(valid, text, (acc, c) => replace(acc, c, lit(token)))
+  }
+
+  /** The standard scrub stack: strip markup, then redact emails/phones.
+    * Kept at its original email+phone breadth — [[cleanForTrainingFull]]
+    * is the widened stack.
+    */
   def cleanForTraining(text: Column): Column =
     redactPhones(redactEmails(stripHtml(text)))
+
+  /** The full PII scrub stack (Dolma-breadth): markup strip, then
+    * emails → Luhn-valid cards → IPv4 → phones. Order is load-bearing:
+    * emails go first (digit-heavy local parts must not feed the card
+    * matcher), cards before phones (the conservative phone rule would
+    * swallow card-shaped runs before validation could see them), and
+    * the residual phone pass still catches checksum-failing digit runs.
+    */
+  def cleanForTrainingFull(text: Column): Column =
+    redactPhones(redactIps(redactCards(redactEmails(stripHtml(text)))))
 
   /** Remove WITHIN-document repeated paragraphs, keeping each paragraph's
     * first occurrence in order — the local boilerplate scrub (repeated

@@ -172,6 +172,180 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize a NEAR-DUP image corpus: real 32×32 PNGs over an 8×8
+    * block pattern, grouped so the expected perceptual-hash pair set is
+    * a pure formula (the [[synthesizeImages]] oracle move, aimed at
+    * image DEDUP instead of metadata). Per source id: g = id/4 names
+    * the group, m = id%4 the member. The group's 64 base bits come from
+    * md5(g) hex (bit i = nibble-MSB-first; bits 0 and 63 pinned to 0/1
+    * so every image has both tones and the mean threshold can never
+    * degenerate), block i (row i/8, col i%8) fills gray 224 when the
+    * bit is set else 32, each block = 4×4 solid pixels with R=G=B.
+    *   m=0  base image;
+    *   m=1  +5 uniform brightness — different BYTES, hash-identical
+    *        (the re-encode/re-expose twin: a uniform shift preserves
+    *        every pixel-vs-mean comparison);
+    *   m=2  bits 1, 17, 42 flipped — Hamming exactly 3 from base (the
+    *        small-edit twin);
+    *   m=3  bits from md5(g:alt) — an unrelated image (expected ~32
+    *        bits away, never inside a ≤3 threshold).
+    * A decode only reproduces these formulas if the codec genuinely
+    * parses the PNG, so the q171 oracle certifies decode + hash + band
+    * join + component decision end-to-end.
+    */
+  def synthesizeNearDupImages(src: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    src.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      ImageIoCodec.disableDiskCache()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val g = id / 4; val m = id % 4
+        val key = if (m == 3) s"$g:alt" else g.toString
+        val hex = md.digest(key.getBytes("UTF-8"))
+          .take(8).map(b => f"${b & 0xff}%02x").mkString
+        def bit(i: Int): Int = {
+          if (i == 0) return 0
+          if (i == 63) return 1
+          val nib = Integer.parseInt(hex.substring(i / 4, i / 4 + 1), 16)
+          val raw = (nib >> (3 - (i % 4))) & 1
+          if (m == 2 && (i == 1 || i == 17 || i == 42)) 1 - raw else raw
+        }
+        val bump = if (m == 1) 5 else 0
+        val img = new java.awt.image.BufferedImage(
+          32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 64) {
+          val gray = (if (bit(i) == 1) 224 else 32) + bump
+          val rgb = (gray << 16) | (gray << 8) | gray
+          img.setRGB((i % 8) * 4, (i / 8) * 4, 4, 4, Array.fill(16)(rgb), 0, 4)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, "image", bos.toByteArray,
+          Row(Integer.valueOf(32), Integer.valueOf(32), null,
+            Integer.valueOf(1), "image/png"))
+      }
+    }(enc)
+  }
+
+  /** Average-hash (aHash — the public perceptual-hash textbook
+    * construction): downsample the grayscale raster to an 8×8 grid by
+    * exact block averaging, bit i = cell i's mean is strictly above the
+    * global mean. All comparisons are EXACT integer cross-products
+    * (cellSum·N > totalSum·cellCount — no float mean, no rounding), so
+    * the hash replays bit-for-bit in any engine. Cell (r,c) covers pixel
+    * rows [⌊r·h/8⌋, ⌊(r+1)·h/8⌋) × cols [⌊c·w/8⌋, ⌊(c+1)·w/8⌋); images
+    * smaller than 8×8 produce empty cells, which hash as 0 bits.
+    */
+  def aHash64(w: Int, h: Int, gray: Array[Int]): Long = {
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val r = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val i = r * 8 + (x * 8 / w)
+        sums(i) += gray(y * w + x)
+        counts(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += sums(i); i += 1 }
+    val n = w.toLong * h
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (counts(i) > 0 && sums(i) * n > total * counts(i)) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Perceptual hash per image row: decode the raster through `codec`,
+    * emit the 64-bit [[aHash64]] plus its four 16-bit band values (the
+    * engine-portable face — packing bit 63 into a signed 64-bit value
+    * is fine for Spark/Java but overflows engines without a u64, so the
+    * bands travel alongside for oracles and cross-system handoff).
+    * Non-image kinds and undecodable payloads surface with NULL hash
+    * (routed, not dropped — the [[decodeMeta]] contract). One
+    * mapPartitions batch; the blob never leaves the partition; output
+    * is 5 numeric columns per image, shuffle-friendly at any corpus
+    * size.
+    */
+  def perceptualHash(media: DataFrame, codec: MediaCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = true),
+      StructField("b0", LongType, nullable = true),
+      StructField("b1", LongType, nullable = true),
+      StructField("b2", LongType, nullable = true),
+      StructField("b3", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "kind", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val kind = if (r.isNullAt(1)) null else r.getString(1)
+        val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        val dec = if (kind == "image") codec.decodeGrayPixels(bytes) else None
+        dec match {
+          case Some((w, h, gray)) =>
+            val hsh = aHash64(w, h, gray)
+            Row(id, java.lang.Long.valueOf(hsh),
+              java.lang.Long.valueOf((hsh >>> 0) & 0xffffL),
+              java.lang.Long.valueOf((hsh >>> 16) & 0xffffL),
+              java.lang.Long.valueOf((hsh >>> 32) & 0xffffL),
+              java.lang.Long.valueOf((hsh >>> 48) & 0xffffL))
+          case None => Row(id, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Perceptual-hash image DEDUP decision: [[perceptualHash]] output →
+    * one row per image with its four hash bands, its near-dup component
+    * label, and the keep flag (component minimum wins — the q51/q70
+    * decision shape pointed at images). The pair stage is
+    * [[NearDup.signaturePairs]] over DISTINCT hashes (collapse-first:
+    * exact-hash groups — re-encodes, brightness twins — never expand
+    * into per-instance pair streams), the grouping is
+    * [[Dedup.connectedComponents]] over representative pairs only, and
+    * members inherit their representative's label: since a
+    * representative is its group's MINIMUM id, the component minimum
+    * over representatives IS the component minimum over members, so the
+    * inherited label equals what member-level CC would produce.
+    * Images with NULL hash (undecodable, non-image kinds) keep their own
+    * id as component — routed, not dropped.
+    *
+    * Scale: blobs are gone before this stage (5 numeric columns per
+    * image); blocking is banded (zero cartesian); CC runs on the
+    * collapsed representative graph; the confirm threshold sits inside
+    * the banding guarantee so recall is EXACT (all pairs at Hamming
+    * <= maxDist, no more, no fewer — the blocking scheme is purely a
+    * cost optimization).
+    */
+  def phashDedup(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sigs = hashes.select(col("media_id").as("id"), col("phash").as("sig"),
+      col("b0"), col("b1"), col("b2"), col("b3"))
+    val groups = sigs.filter(col("sig").isNotNull)
+      .groupBy("sig").agg(min("id").as("rid"))
+    val pairs = graft.operators.NearDup.signaturePairs(
+      sigs, "id", "sig", maxDist, collapseExact = true)
+    val comps = graft.operators.Dedup.connectedComponents(
+      pairs.select("id_a", "id_b"), "id_a", "id_b")
+      .withColumnRenamed("id", "rid")
+    sigs.join(groups, Seq("sig"), "left")
+      .join(comps, Seq("rid"), "left")
+      .select(col("id").as("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        coalesce(col("comp"), col("rid"), col("id")).as("comp"))
+      .withColumn("keep", col("media_id") === col("comp"))
+  }
+
   /** DECODED audio metadata: parse each audio row's WAV container
     * through `codec` and emit the measured rate/width/length and
     * integer amplitude stats — ground truth from the bytes (the
@@ -341,6 +515,14 @@ trait MediaCodec extends Serializable {
     * Default None so image-only codecs stay source-compatible.
     */
   def decodeAudio(bytes: Array[Byte]): Option[DecodedAudio] = None
+  /** Full grayscale raster of an image container: (width, height,
+    * row-major gray values) where gray = (R + G + B) / 3 per pixel
+    * (integer floor). The perceptual-hash entry point — hashing needs
+    * pixels, not just channel means. Default None so feature-only
+    * codecs stay source-compatible; a sidecar codec for foreign formats
+    * implements this to join the image-dedup family.
+    */
+  def decodeGrayPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = None
   /** Batch decode: features for the given frame indexes of ONE container,
     * one (frame, feature) pair per requested index IN ORDER, null feature
     * for out-of-range/corrupt frames (the [[decodeFrame]] contract).
@@ -406,6 +588,24 @@ object ImageIoCodec extends MediaCodec {
       case Some(d) => Array(d.width.toFloat, d.height.toFloat,
         d.meanR / 255.0f, d.meanG / 255.0f, d.meanB / 255.0f, frame.toFloat)
       case None => null
+    }
+
+  override def decodeGrayPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (bytes == null || bytes.isEmpty) None
+    else scala.util.Try {
+      disableDiskCache()
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    }.toOption.flatten.map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val gray = new Array[Int](px.length)
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        gray(i) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        i += 1
+      }
+      (w, h, gray)
     }
 }
 

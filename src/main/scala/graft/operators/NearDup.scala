@@ -723,11 +723,6 @@ object NearDup {
     // at maxDist >= 62): bucket occupancy explodes and the candidate join
     // degenerates toward all-pairs — use a different blocking scheme
     // (multi-probe, signature concatenation) for large distances
-    require(maxDist >= 0 && maxDist <= 14,
-      s"simhashPairs supports maxDist in [0, 14] (block width >= 4 bits), got $maxDist")
-    val nBlocks = maxDist + 2
-    val width = 64 / nBlocks // low width*nBlocks bits covered; uncovered
-                             // bits only make blocks MORE likely intact
     val sigOf = if (portable) simhashMd5Fast(_) else simhashFast(_)
     // hash each DISTINCT normalized text once, not once per copy: on a
     // dup-heavy corpus the per-token digest work is the dominant cost and
@@ -742,13 +737,48 @@ object NearDup {
       .join(textSigs.select("th", "sh"), "th")
       .select("id", "sh")
 
-    // Exact duplicates (identical text ⇒ identical simhash) are collapsed
-    // BEFORE blocking: real corpora carry heavy exact-dup mass, and every
-    // identical pair would otherwise match in every block combination,
-    // multiplying its candidate rows C(b,2)-fold. Blocking runs on
-    // DISTINCT signatures only; in the per-instance form the id-level
-    // pairs are recovered by two membership joins at the end (shuffles
-    // keyed on sh, output-bound).
+    signatureMemberPairs(members, maxDist, collapseExact)
+  }
+
+  /** Near-dup pairs from an arbitrary 64-bit SIGNATURE column — the
+    * [[simhashPairs]] machinery with the signature supplied by the
+    * caller instead of computed from text. This is the reuse face for
+    * any Hamming-space near-dup (perceptual image hashes, audio
+    * fingerprints, feature sketches): same distinct-signature blocking,
+    * same collapse contract, same EXACT-recall guarantee — the confirm
+    * threshold (`hamming <= maxDist`) sits inside the pigeonhole bound,
+    * so the output is exactly ALL pairs at distance <= maxDist and the
+    * blocking scheme is a pure cost optimization, never a recall dial.
+    * NULL signatures (e.g. undecodable media) are excluded from pairing
+    * — route them upstream if they must be counted.
+    */
+  def signaturePairs(df: DataFrame, idCol: String, sigCol: String,
+                     maxDist: Int, collapseExact: Boolean): DataFrame =
+    signatureMemberPairs(
+      df.filter(col(sigCol).isNotNull)
+        .select(col(idCol).as("id"), col(sigCol).as("sh")),
+      maxDist, collapseExact)
+
+  /** The shared signature-space pair core: `members` = (id, sh) with sh
+    * a 64-bit signature. Exact duplicates (identical signature) are
+    * collapsed BEFORE blocking: real corpora carry heavy exact-dup mass,
+    * and every identical pair would otherwise match in every block
+    * combination, multiplying its candidate rows C(b,2)-fold. Blocking
+    * runs on DISTINCT signatures only; in the per-instance form the
+    * id-level pairs are recovered by two membership joins at the end
+    * (shuffles keyed on sh, output-bound).
+    */
+  private def signatureMemberPairs(members: DataFrame, maxDist: Int,
+                                   collapseExact: Boolean): DataFrame = {
+    // beyond 16 blocks the per-block width drops under 4 bits (and hits 0
+    // at maxDist >= 62): bucket occupancy explodes and the candidate join
+    // degenerates toward all-pairs — use a different blocking scheme
+    // (multi-probe, signature concatenation) for large distances
+    require(maxDist >= 0 && maxDist <= 14,
+      s"signature pairs support maxDist in [0, 14] (block width >= 4 bits), got $maxDist")
+    val nBlocks = maxDist + 2
+    val width = 64 / nBlocks // low width*nBlocks bits covered; uncovered
+                             // bits only make blocks MORE likely intact
     val groups = members.groupBy("sh")
       .agg(min("id").as("rid"), count(lit(1)).as("m"))
     val sigs = groups.select("sh")

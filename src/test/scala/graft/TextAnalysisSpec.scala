@@ -58,6 +58,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2) === "no pii here at all")
   }
 
+  test("redactIps: octet validation and word boundaries") {
+    val out = Seq(
+      "from 192.168.0.1 and 8.8.8.8 done",
+      "not an ip 300.1.2.3 nor 1.2.3.4567",
+      "quad at end 255.255.255.255").toDF("t")
+      .select(TextAnalysis.redactIps(col("t"))).as[String].collect()
+    assert(out(0) === "from <IP> and <IP> done")
+    assert(out(1) === "not an ip 300.1.2.3 nor 1.2.3.4567")
+    assert(out(2) === "quad at end <IP>")
+  }
+
+  test("luhnValid: checksum arithmetic and the length envelope") {
+    val out = Seq(
+      "4111111111111111", // classic valid 16
+      "4111111111111112", // bad check digit
+      "79927398713",      // valid checksum but 11 digits — outside envelope
+      "4222222222222"     // valid 13
+    ).toDF("d").select(TextAnalysis.luhnValid(col("d"))).as[Boolean].collect()
+    assert(out.toSeq === Seq(true, false, false, true))
+  }
+
+  test("redactCards: Luhn-valid runs only; invalid falls through to phones") {
+    val out = Seq(
+      "pay 4111 1111 1111 1111 now",
+      "ref 4111 1111 1111 1112 now", // fails Luhn — not a card
+      "code 12345 stays").toDF("t")
+      .select(TextAnalysis.redactCards(col("t"))).as[String].collect()
+    assert(out(0) === "pay <CARD> now")
+    assert(out(1) === "ref 4111 1111 1111 1112 now")
+    assert(out(2) === "code 12345 stays")
+  }
+
+  test("cleanForTrainingFull: stage order — email, card, ip, then phone") {
+    val out = Seq(
+      "<b>x</b> 1234567890123@host.com then 4111-1111-1111-1111 " +
+        "at 10.0.0.1 call 555 123 4567").toDF("t")
+      .select(TextAnalysis.cleanForTrainingFull(col("t"))).as[String].collect()
+    // the 13-digit email local part must be eaten by <EMAIL>, never <CARD>
+    assert(out(0) === "x <EMAIL> then <CARD> at <IP> call <PHONE>")
+    // parity: the legacy stack is unchanged by the new stages
+    val legacy = Seq("mail a@b.co call 555 123 4567").toDF("t")
+      .select(TextAnalysis.cleanForTraining(col("t"))).as[String].collect()
+    assert(legacy(0) === "mail <EMAIL> call <PHONE>")
+  }
+
   test("tokenBudgetPerStratum: per-stratum cut keeps the budget-crossing doc") {
     val docs = Seq(
       (1L, "en", 40L), (2L, "en", 50L), (3L, "en", 30L), // cum 40,90,120
