@@ -2073,6 +2073,66 @@ object Oracles {
              / count(tok) AS mean_logprob
          FROM scored GROUP BY 1""",
 
+    // q173: the q133 chain + the trigram order — context stream with
+    // prev2, capped triple table (512), trigram CONTEXT counts read from
+    // the SAME capped pair table, p2 kept UNROUNDED inside the p3 term
+    "q173_trigram_logprob" ->
+      """WITH docs0 AS (SELECT doc_id,
+                  CASE WHEN text IS NULL OR length(trim(text)) = 0
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+                FROM documents),
+         base AS (
+           SELECT doc_id, p.prev2 AS prev2, p.prev AS prev, p.tok AS tok FROM (
+             SELECT doc_id, unnest(CASE WHEN len(toks) = 0
+               THEN [struct_pack(prev2 := CAST(NULL AS VARCHAR),
+                                 prev := CAST(NULL AS VARCHAR),
+                                 tok := CAST(NULL AS VARCHAR))]
+               ELSE [struct_pack(
+                      prev2 := CASE WHEN i <= 1 THEN CAST(NULL AS VARCHAR) ELSE toks[i - 1] END,
+                      prev := CASE WHEN i = 0 THEN CAST(NULL AS VARCHAR) ELSE toks[i] END,
+                      tok := toks[i + 1])
+                     for i in range(0, len(toks))] END) AS p
+             FROM docs0) s),
+         bp AS (SELECT prev, tok, count(*) AS c FROM base
+                WHERE prev IS NOT NULL AND tok IS NOT NULL GROUP BY 1, 2),
+         top AS (SELECT prev, tok, c FROM bp ORDER BY c DESC, prev || ' ' || tok LIMIT 256),
+         fst AS (SELECT prev, sum(c) AS c1 FROM bp GROUP BY 1 ORDER BY c1 DESC, prev LIMIT 24),
+         uni0 AS (SELECT tok, count(*) AS c FROM base WHERE tok IS NOT NULL GROUP BY 1),
+         tot AS (SELECT greatest(sum(c), 1) AS total FROM uni0),
+         uni AS (SELECT tok, c FROM uni0 ORDER BY c DESC, tok LIMIT 24),
+         tp AS (SELECT prev2, prev, tok, count(*) AS c FROM base
+                WHERE prev2 IS NOT NULL AND prev IS NOT NULL AND tok IS NOT NULL
+                GROUP BY 1, 2, 3),
+         ttop AS (SELECT prev2, prev, tok, c FROM tp
+                  ORDER BY c DESC, prev2 || ' ' || prev || ' ' || tok LIMIT 512),
+         scored0 AS (
+           SELECT b.doc_id, b.prev2, b.prev, b.tok,
+             coalesce(CAST(u.c AS DOUBLE), 1.0) / CAST(total AS DOUBLE) AS p1,
+             (coalesce(CAST(t2.c AS DOUBLE), 0.0)
+               + 1.0 * (coalesce(CAST(u.c AS DOUBLE), 1.0) / CAST(total AS DOUBLE)))
+               / (coalesce(CAST(f.c1 AS DOUBLE), 0.0) + 1.0) AS p2,
+             CAST(t3.c AS DOUBLE) AS c123, CAST(tc.c AS DOUBLE) AS ctx
+           FROM base b CROSS JOIN tot
+           LEFT JOIN uni u ON b.tok = u.tok
+           LEFT JOIN fst f ON b.prev = f.prev
+           LEFT JOIN top t2 ON b.prev = t2.prev AND b.tok = t2.tok
+           LEFT JOIN ttop t3 ON b.prev2 = t3.prev2 AND b.prev = t3.prev AND b.tok = t3.tok
+           LEFT JOIN top tc ON b.prev2 = tc.prev AND b.prev = tc.tok),
+         scored AS (
+           SELECT doc_id, tok,
+             CASE WHEN prev IS NULL THEN round(ln(p1), 5)
+                  WHEN prev2 IS NULL THEN round(ln(p2), 5)
+                  ELSE round(ln((coalesce(c123, 0.0) + 1.0 * p2)
+                              / (coalesce(ctx, 0.0) + 1.0)), 5) END AS lnp
+           FROM scored0)
+         SELECT doc_id,
+           CAST(count(tok) AS BIGINT) AS n_tokens,
+           CAST(CAST(sum(CASE WHEN tok IS NOT NULL
+                         THEN CAST(lnp AS DECIMAL(18,5)) END) AS VARCHAR) AS DOUBLE)
+             / count(tok) AS mean_logprob
+         FROM scored GROUP BY 1""",
+
     "q65_unigram_logprob" ->
       """WITH base AS (SELECT doc_id,
                   unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0

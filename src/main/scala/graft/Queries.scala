@@ -1597,6 +1597,23 @@ object Queries {
           col("n_tokens"), col("mean_logprob"))
     }),
 
+    // trigram interpolated-backoff fluency (the q133 ceiling raised one
+    // order): unseen/cap-evicted triples fall back toward the bigram,
+    // which backs off toward the unigram — collaged text that keeps
+    // plausible PAIRS still breaks triple continuity. Same caps family
+    // as q133 (+512 trigram table) so the oracle's CTE replay stays
+    // tractable; the oracle replays the full context-stream chain with
+    // the trigram CONTEXT read from the SAME capped pair table
+    "q173_trigram_logprob" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, d)
+      Quality.trigramLogProb(docs, "doc_id", "text",
+        Quality.trigramVocab(docs, "text", maxTrigrams = 512,
+          maxBigrams = 256, maxVocab = 24))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_tokens"), col("mean_logprob"))
+    }),
+
     // the q133 BIGRAM VOCAB BUILD in isolation (the r15 verdict's pin:
     // q133's per-run cost is this build's ONE data-sized (prev,tok)
     // shuffle, but its 9-53 s noise band at 100× had no probe separating

@@ -435,6 +435,31 @@ case class BigramLnpExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** One-pass capped-TRIGRAM LM score of a token array — [n_tokens,
+  * sum_micro_lnp] under four vocabulary tables shipped as ONE reference
+  * object (see [[TextKernels.TrigramLnpKernel]]).
+  */
+case class TrigramLnpExpr(child: Expression,
+    tris: Seq[(String, String, String, Long)],
+    pairs: Seq[(String, String, Long)], firsts: Seq[(String, Long)],
+    unis: Seq[(String, Long)], total: Long,
+    alpha: Double) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_trigram_lnp"
+  @transient private lazy val kernel =
+    new TextKernels.TrigramLnpKernel(tris, pairs, firsts, unis, total, alpha)
+  override protected def nullSafeEval(v: Any): Any =
+    kernel.eval(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("trigramLnpKernel", kernel, classOf[TextKernels.TrigramLnpKernel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $k.eval($v);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass capped-unigram LM score of a token array — [n_tokens,
   * sum_micro_lnp] under a (token → 5-dp-lnp micro-units) table shipped
   * as ONE reference object (see [[TextKernels.VocabLnpKernel]]).
@@ -746,6 +771,25 @@ object GraftFunctions {
     entries.map { case (p, t, c) =>
       escVocab(p) + '\u001f' + escVocab(t) + '\u001f' + c }.mkString("\u001e")
 
+  /** (prev2, prev, tok, count) quadruples for the trigram kernel — the
+    * [[encodeBigramCounts]] wire format with one more field.
+    */
+  def encodeTrigramCounts(entries: Seq[(String, String, String, Long)]): String =
+    entries.map { case (a, p, t, c) =>
+      escVocab(a) + '\u001f' + escVocab(p) + '\u001f' +
+        escVocab(t) + '\u001f' + c }.mkString("\u001e")
+
+  private def decodeTrigramCounts(s: String): Seq[(String, String, String, Long)] =
+    if (s.isEmpty) Seq.empty
+    else s.split('\u001e').toSeq.map { rec =>
+      rec.split('\u001f') match {
+        case Array(a, p, t, c) =>
+          (unescVocab(a), unescVocab(p), unescVocab(t), c.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"graft_trigram_lnp tris must be 'prev2<US>prev<US>tok<US>count' records, got '$rec'")
+      }
+    }
+
   private def decodeBigramCounts(s: String): Seq[(String, String, Long)] =
     if (s.isEmpty) Seq.empty
     else s.split('\u001e').toSeq.map { rec =>
@@ -878,6 +922,14 @@ object GraftFunctions {
         decodeVocabLnp(stringLit(es(3), "unis")),
         stringLit(es(4), "total").toLong,
         stringLit(es(5), "alpha").toDouble)),
+    "graft_trigram_lnp" -> (es =>
+      TrigramLnpExpr(es(0),
+        decodeTrigramCounts(stringLit(es(1), "tris")),
+        decodeBigramCounts(stringLit(es(2), "pairs")),
+        decodeVocabLnp(stringLit(es(3), "firsts")),
+        decodeVocabLnp(stringLit(es(4), "unis")),
+        stringLit(es(5), "total").toLong,
+        stringLit(es(6), "alpha").toDouble)),
     "graft_rp_project" -> (es => {
       val k = intLit(es(1), "k")
       require(k >= 1, s"graft_rp_project needs k >= 1, got $k")

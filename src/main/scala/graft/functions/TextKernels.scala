@@ -688,6 +688,194 @@ object TextKernels {
     }
   }
 
+  /** One-pass capped-TRIGRAM LM scoring over a token array: [n_tokens,
+    * sum_micro] — the [[BigramLnpKernel]] with one more order of
+    * interpolated backoff. Per token: first ln p₁ (unigram, OOV→alpha),
+    * second ln p₂ = ln((c12 + α·p₁)/(c1 + α)) (the bigram term), third+
+    * ln p₃ = ln((c123 + α·p₂)/(c12ctx + α)) where p₂ is the UNROUNDED
+    * double bigram probability and c12ctx is the context pair's count
+    * from the SAME capped bigram table (self-consistent capped model —
+    * a cap-evicted context backs off exactly like an unseen one). Same
+    * 5-dp HALF_UP micro rounding per term, so the long sum replays in
+    * any engine with IEEE doubles. All four tables are precomputed into
+    * micro/double maps at construction (one reference object per plan);
+    * the OOV-trigram path memoizes micro terms two-level on (p₂ bits,
+    * context count) — exactness never depends on the cache, only cost.
+    */
+  final class TrigramLnpKernel(tris: Seq[(String, String, String, Long)],
+      pairs: Seq[(String, String, Long)], firsts: Seq[(String, Long)],
+      unis: Seq[(String, Long)], total: Long, alpha: Double)
+      extends Serializable {
+    private def micro(x: Double): Long =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.movePointRight(5).longValueExact
+    private val c1m = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Long](firsts.size * 2)
+      firsts.foreach { case (p, c) => m.put(UTF8String.fromString(p), c) }
+      m
+    }
+    private val c2m = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Long](unis.size * 2)
+      unis.foreach { case (t, c) => m.put(UTF8String.fromString(t), c) }
+      m
+    }
+    // (prev -> tok -> c12): numerator table for p2 AND context table for p3
+    private val c12m = {
+      val m = new java.util.HashMap[UTF8String,
+        java.util.HashMap[UTF8String, java.lang.Long]]()
+      pairs.foreach { case (p, t, c) =>
+        var inner = m.get(UTF8String.fromString(p))
+        if (inner == null) {
+          inner = new java.util.HashMap[UTF8String, java.lang.Long]()
+          m.put(UTF8String.fromString(p), inner)
+        }
+        inner.put(UTF8String.fromString(t), c)
+      }
+      m
+    }
+    private def p1Of(tok: UTF8String): Double = {
+      val c2 = c2m.get(tok)
+      (if (c2 == null) alpha else c2.doubleValue()) / total.toDouble
+    }
+    private def c1Of(prev: UTF8String): Double = {
+      val c1 = c1m.get(prev)
+      if (c1 == null) 0.0 else c1.doubleValue()
+    }
+    private def c12Of(a: UTF8String, b: UTF8String): Double = {
+      val inner = c12m.get(a)
+      if (inner == null) return 0.0
+      val c = inner.get(b)
+      if (c == null) 0.0 else c.doubleValue()
+    }
+    /** Unrounded double bigram probability — the p₂ the trigram term
+      * interpolates toward (the join pipeline's exact operation order).
+      */
+    private def p2Of(prev: UTF8String, tok: UTF8String): Double =
+      (c12Of(prev, tok) + alpha * p1Of(tok)) / (c1Of(prev) + alpha)
+    // micro term tables: first-token + bigram (the BigramLnpKernel
+    // shapes) + every trigram table entry
+    private val firstMicro = {
+      val m = new java.util.HashMap[UTF8String, java.lang.Long](unis.size * 2)
+      unis.foreach { case (t, c) =>
+        m.put(UTF8String.fromString(t), micro(math.log(c.toDouble / total.toDouble))) }
+      m
+    }
+    private val firstOovMicro = micro(math.log(alpha / total.toDouble))
+    private val pairMicro = {
+      val m = new java.util.HashMap[UTF8String,
+        java.util.HashMap[UTF8String, java.lang.Long]]()
+      pairs.foreach { case (p, t, _) =>
+        val pu = UTF8String.fromString(p)
+        val tu = UTF8String.fromString(t)
+        var inner = m.get(pu)
+        if (inner == null) {
+          inner = new java.util.HashMap[UTF8String, java.lang.Long]()
+          m.put(pu, inner)
+        }
+        inner.put(tu, micro(math.log(p2Of(pu, tu))))
+      }
+      m
+    }
+    private def triTermMicro(c123: Double, p2: Double, ctx: Double): Long =
+      micro(math.log((c123 + alpha * p2) / (ctx + alpha)))
+    private val triMicro = {
+      val m = new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String,
+        java.util.HashMap[UTF8String, java.lang.Long]]]()
+      tris.foreach { case (p2s, p, t, c123) =>
+        val ku = UTF8String.fromString(p2s)
+        val pu = UTF8String.fromString(p)
+        val tu = UTF8String.fromString(t)
+        var l1 = m.get(ku)
+        if (l1 == null) {
+          l1 = new java.util.HashMap[UTF8String,
+            java.util.HashMap[UTF8String, java.lang.Long]]()
+          m.put(ku, l1)
+        }
+        var l2 = l1.get(pu)
+        if (l2 == null) {
+          l2 = new java.util.HashMap[UTF8String, java.lang.Long]()
+          l1.put(pu, l2)
+        }
+        l2.put(tu, triTermMicro(c123.toDouble, p2Of(pu, tu), c12Of(ku, pu)))
+      }
+      m
+    }
+    // OOV-pair p2 doubles memoized on (c1, c2|oov) like the bigram
+    // kernel's micro memo (doubles here — the rounding happens at the
+    // trigram term); OOV-trigram micro terms memoized two-level on
+    // (p2 bits, context count)
+    @transient private lazy val p2OovMemo =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Double]()
+    @transient private lazy val triOovMemo =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long,
+        java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]]()
+    private val memoCap = 1 << 20
+    private def p2Memoized(prev: UTF8String, tok: UTF8String): Double = {
+      val inner = c12m.get(prev)
+      val c12 = if (inner == null) null else inner.get(tok)
+      if (c12 != null) return p2Of(prev, tok) // table pair: direct, cheap
+      val c1 = c1m.get(prev)
+      val c1v = if (c1 == null) 0L else c1.longValue()
+      val c2 = c2m.get(tok)
+      val c2k = if (c2 == null) 0L else c2.longValue() + 1L // 0 = OOV
+      if (c1v < Int.MaxValue && c2k < Int.MaxValue) {
+        val key: java.lang.Long = (c1v << 31) | c2k
+        var v = p2OovMemo.get(key)
+        if (v == null) {
+          v = p2Of(prev, tok)
+          if (p2OovMemo.size < memoCap) p2OovMemo.put(key, v)
+        }
+        v.doubleValue()
+      } else p2Of(prev, tok)
+    }
+    def eval(toks: ArrayData): ArrayData = {
+      val n = toks.numElements()
+      var sum = 0L
+      var prev: UTF8String = null
+      var prev2: UTF8String = null
+      var i = 0
+      while (i < n) {
+        val tok = toks.getUTF8String(i)
+        if (i == 0) {
+          val fm = firstMicro.get(tok)
+          sum += (if (fm == null) firstOovMicro else fm.longValue())
+        } else if (i == 1) {
+          val inner = pairMicro.get(prev)
+          val pm: java.lang.Long = if (inner == null) null else inner.get(tok)
+          sum += (if (pm != null) pm.longValue()
+                  else micro(math.log(p2Memoized(prev, tok))))
+        } else {
+          val l1 = triMicro.get(prev2)
+          val l2 = if (l1 == null) null else l1.get(prev)
+          val tm: java.lang.Long = if (l2 == null) null else l2.get(tok)
+          if (tm != null) sum += tm.longValue()
+          else {
+            val p2 = p2Memoized(prev, tok)
+            val ctxv = c12Of(prev2, prev)
+            val ctxl = ctxv.toLong
+            val p2Bits: java.lang.Long = java.lang.Double.doubleToLongBits(p2)
+            var inner = triOovMemo.get(p2Bits)
+            if (inner == null) {
+              inner = new java.util.concurrent.ConcurrentHashMap[
+                java.lang.Long, java.lang.Long]()
+              if (triOovMemo.size < memoCap) triOovMemo.put(p2Bits, inner)
+            }
+            var v = inner.get(ctxl)
+            if (v == null) {
+              v = triTermMicro(0.0, p2, ctxv)
+              if (inner.size < memoCap) inner.put(ctxl, v)
+            }
+            sum += v.longValue()
+          }
+        }
+        prev2 = prev
+        prev = tok
+        i += 1
+      }
+      new GenericArrayData(Array(n.toLong, sum))
+    }
+  }
+
   /** One-pass repetition profile of a token array — [n_tokens,
     * max_token_count, ngram_instances, distinct_ngram_hashes] — the four
     * counts q60's two explode→groupBy(id) chains shuffled the token

@@ -1181,6 +1181,108 @@ object Quality {
         col("__s.mean_logprob").as("mean_logprob"))
   }
 
+  /** A capped TRIGRAM language model: the `maxTrigrams` most frequent
+    * (prev2, prev, tok) triples with counts, over a [[BigramVocab]]
+    * (whose capped pair table doubles as the trigram CONTEXT table —
+    * self-consistent capped backoff). All tables are bounded plan
+    * constants — broadcastable at any corpus size.
+    */
+  case class TrigramVocab(top: Seq[(String, String, String, Long)],
+                          bi: BigramVocab)
+
+  /** The (id, prev2, prev, tok) context stream — [[contextStream]] with
+    * one more order (NULL prev2 for a doc's first two tokens).
+    */
+  private def contextStream3(docs: DataFrame, id: Column,
+                             textCol: String): DataFrame = {
+    val t = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(tokens(col(textCol)))
+    val prevs = concat(array(lit(null).cast("string")),
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))))
+    val prevs2 = concat(array(lit(null).cast("string"), lit(null).cast("string")),
+      slice(t, lit(1), greatest(size(t) - 2, lit(0))))
+    docs.select(id.as("id"),
+        explode_outer(zip_with(zip_with(prevs2, prevs,
+            (a, p) => struct(a.as("prev2"), p.as("prev"))), t,
+          (ap, b) => struct(ap.getField("prev2").as("prev2"),
+            ap.getField("prev").as("prev"), b.as("tok")))).as("p"))
+      .select(col("id"), col("p.prev2").as("prev2"),
+        col("p.prev").as("prev"), col("p.tok").as("tok"))
+  }
+
+  /** The capped trigram-count frame behind [[trigramVocab]]: one row
+    * holding the maxTrigrams bounded heap (ordered c DESC, then the
+    * space-joined triple). Same pinned scale shape as
+    * [[bigramVocabFrames]]: ONE data-sized Exchange (the (prev2, prev,
+    * tok) hash partition), then the bounded heap — no window, no global
+    * sort; adding the third order costs exactly one more corpus-sized
+    * shuffle on top of the bigram build.
+    */
+  private[graft] def trigramVocabFrame(corpus: DataFrame, textCol: String,
+                                       maxTrigrams: Int): DataFrame = {
+    require(maxTrigrams >= 1, s"maxTrigrams must be >= 1, got $maxTrigrams")
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val triples = contextStream3(corpus, lit(0L), textCol)
+      .filter(col("prev2").isNotNull && col("prev").isNotNull &&
+        col("tok").isNotNull)
+      .groupBy("prev2", "prev", "tok").agg(count(lit(1)).as("c"))
+    triples.agg(call_function("graft_top_k_by",
+      struct(col("prev2"), col("prev"), col("tok"), col("c")), col("c"),
+      concat_ws(" ", col("prev2"), col("prev"), col("tok")),
+      lit(maxTrigrams)).as("top"))
+  }
+
+  def trigramVocab(corpus: DataFrame, textCol: String,
+                   maxTrigrams: Int = 1 << 19,
+                   maxBigrams: Int = 1 << 18,
+                   maxVocab: Int = 1 << 16): TrigramVocab = {
+    val topRow = trigramVocabFrame(corpus, textCol, maxTrigrams).head()
+    val tri =
+      if (topRow.isNullAt(0)) Seq.empty[(String, String, String, Long)]
+      else topRow.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    TrigramVocab(tri, bigramVocab(corpus, textCol, maxBigrams, maxVocab))
+  }
+
+  /** Score docs under a capped TRIGRAM LM with interpolated backoff —
+    * [[bigramLogProb]] plus one more order: a doc's first token scores
+    * ln p₁, its second ln p₂ = ln((c12 + α·p₁)/(c1 + α)), every later
+    * token ln p₃ = ln((c123 + α·p₂)/(c12ctx + α)) with p₂ the unrounded
+    * bigram probability and c12ctx the context pair's count from the
+    * SAME capped pair table — unseen or cap-evicted trigrams fall back
+    * toward the bigram, which itself backs off toward the unigram
+    * (interpolated-backoff lite: absolute counts, not Kneser-Ney
+    * continuation counts — the public-formula core without KN's
+    * discount estimation). The fluency ceiling over q133: shuffled or
+    * collaged text that keeps plausible PAIRS still breaks triple
+    * continuity (spec-pinned). Same 5-dp micro discipline, exact
+    * decimal sums, order-independent means — DuckDB-replayed.
+    *
+    * Scale notes: pure zero-shuffle projection — ONE kernel call per
+    * doc with all four tables riding the plan as one reference object;
+    * empty docs score NULL, not 0.
+    */
+  def trigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     v: TrigramVocab, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val k = call_function("graft_trigram_lnp", tokensGuarded(textCol),
+      lit(graft.functions.GraftFunctions.encodeTrigramCounts(v.top)),
+      lit(graft.functions.GraftFunctions.encodeBigramCounts(v.bi.top)),
+      lit(graft.functions.GraftFunctions.encodeVocabLnp(v.bi.first)),
+      lit(graft.functions.GraftFunctions.encodeVocabLnp(v.bi.uni.top)),
+      lit(v.bi.uni.total.toString), lit(alpha.toString))
+    val packed = transform(array(k), kk => struct(
+      element_at(kk, 1).as("n_tokens"),
+      when(element_at(kk, 1) > 0,
+        (element_at(kk, 2).cast("double") / lit(100000.0)) / element_at(kk, 1))
+        .as("mean_logprob"))).getItem(0)
+    docs.select(col(idCol), packed.as("__s"))
+      .select(col(idCol), col("__s.n_tokens").as("n_tokens"),
+        col("__s.mean_logprob").as("mean_logprob"))
+  }
+
   /** The pre-r15 join-pipeline form of [[bigramLogProb]] — context-stream
     * explode, three broadcast joins, groupBy(id) re-shuffle. Kept as the
     * independently-derived reference the kernel is spec-pinned against
