@@ -1604,6 +1604,14 @@ object Queries {
     // as q133 (+512 trigram table) so the oracle's CTE replay stays
     // tractable; the oracle replays the full context-stream chain with
     // the trigram CONTEXT read from the SAME capped pair table
+    // zlib compression profile (rows-only in the driver's gate — an
+    // external SQL engine cannot replay deflate, so correctness is
+    // SPEC-pinned in ZlibSpec: reference recompute, tail ordering,
+    // determinism, null shape; the HLL-sketch precedent). In the bench
+    // as a normal operator row: one kernel projection, zero shuffles
+    "q174_zlib_profile" -> ((s, d) =>
+      Quality.compressionProfile(Tables.documents(s, d), "doc_id", "text")),
+
     "q173_trigram_logprob" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val docs = Tables.documents(s, d)

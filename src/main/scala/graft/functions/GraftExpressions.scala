@@ -435,6 +435,24 @@ case class BigramLnpExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** zlib compression census of a string — [raw_bytes, zlib_bytes] at a
+  * fixed deflate level (see [[TextKernels.zlibLens]]).
+  */
+case class ZlibLensExpr(child: Expression, level: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_zlib_lens"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.zlibLens(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], level)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.TextKernels.zlibLens($v, $level);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass capped-TRIGRAM LM score of a token array — [n_tokens,
   * sum_micro_lnp] under four vocabulary tables shipped as ONE reference
   * object (see [[TextKernels.TrigramLnpKernel]]).
@@ -922,6 +940,8 @@ object GraftFunctions {
         decodeVocabLnp(stringLit(es(3), "unis")),
         stringLit(es(4), "total").toLong,
         stringLit(es(5), "alpha").toDouble)),
+    "graft_zlib_lens" -> (es =>
+      ZlibLensExpr(es(0), intLit(es(1), "level"))),
     "graft_trigram_lnp" -> (es =>
       TrigramLnpExpr(es(0),
         decodeTrigramCounts(stringLit(es(1), "tris")),

@@ -283,6 +283,34 @@ object TextKernels {
     new GenericArrayData(Array(-acc, counts.size().toLong))
   }
 
+  /** zlib compression census of one document: [raw_bytes, zlib_bytes]
+    * over the UTF-8 payload at a FIXED deflate level (plan constant) —
+    * the Gopher/Dolma-class boilerplate/gibberish signal next to
+    * [[charEntropy]]: heavily repeated text compresses far below prose,
+    * random-ish gibberish barely compresses at all. JDK `Deflater`,
+    * default strategy, nowrap=false (the stock zlib stream); the ratio
+    * itself stays OUTSIDE the kernel as one double divide so callers
+    * pick their own quantization. Deterministic for a given (payload,
+    * level) within a JVM — an external SQL engine cannot replay deflate,
+    * so this signal is spec-pinned rather than oracled (the HLL
+    * precedent). One Deflater per call, `end()`ed in finally — deflate
+    * holds native memory, and executor-thread reuse would leak it
+    * otherwise.
+    */
+  def zlibLens(s: UTF8String, level: Int): ArrayData = {
+    val raw = s.getBytes
+    if (raw.length == 0) return new GenericArrayData(Array(0L, 0L))
+    val d = new java.util.zip.Deflater(level, false)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      new GenericArrayData(Array(raw.length.toLong, out))
+    } finally d.end()
+  }
+
   /** Capped-unigram LM scoring in ONE pass over the token array: returns
     * [n_tokens, sum_micro] where sum_micro is the exact long sum of each
     * token's 5-dp ln-probability in 1e-5 micro-units (vocabulary misses

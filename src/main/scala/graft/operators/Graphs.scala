@@ -73,10 +73,28 @@ object Graphs {
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
                weightCol: Option[String] = None, iters: Int = 5,
                dampNum: Long = 85L, dampDen: Long = 100L,
-               unit: Long = 1000000000L): DataFrame = {
+               unit: Long = 1000000000L, tolUnits: Long = 0L): DataFrame =
+    pageRankRun(edges, srcCol, dstCol, weightCol, iters, dampNum, dampDen,
+      unit, tolUnits)._1
+
+  /** [[pageRank]] plus the per-round L1 rank deltas (Σ|r'−r| in units)
+    * actually observed — the convergence trace a caller sizes `iters`
+    * with. With `tolUnits > 0` the loop stops EARLY once a round's delta
+    * is ≤ tolUnits (the returned trace shows the executed rounds); with
+    * the default 0 every round runs and the trace is still recorded.
+    * The delta is one node-sized join+agg per round — small next to the
+    * edge-sized contribution round.
+    */
+  def pageRankRun(edges: DataFrame, srcCol: String = "src",
+                  dstCol: String = "dst",
+                  weightCol: Option[String] = None, iters: Int = 5,
+                  dampNum: Long = 85L, dampDen: Long = 100L,
+                  unit: Long = 1000000000L,
+                  tolUnits: Long = 0L): (DataFrame, Seq[Long]) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
+    require(tolUnits >= 0, s"tolUnits must be >= 0, got $tolUnits")
     val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
     // consolidate duplicates; self-loops stay legal (a domain linking to
     // itself feeds its own rank back, which the formula handles).
@@ -103,33 +121,59 @@ object Graphs {
     val hasDangling = danglingIds.head(1).nonEmpty
     val tele = unit * (dampDen - dampNum) / (dampDen * n)
     var ranks = nodes.select(col("id"), lit(unit / n).as("r")).transform(graft.plans.Iterative.cut)
-    for (_ <- 1 to iters) {
-      val dMass: Long =
-        if (!hasDangling) 0L
-        else ranks.join(danglingIds, Seq("id"), "left_semi")
-          .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
-      val dShare = dMass * dampNum / (dampDen * n)
-      // `div` (SQL integral division), NOT `/`: Spark's Divide widens
-      // longs to double, and floor(double) drifts from the oracle's
-      // integer `//` once products pass 2^53. All operands are positive,
-      // so truncating div == floor on both engines.
-      val contribs = eAnn
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
+      // ONE aggregation job per round (r18 verdict item: the dangling
+      // mass used to be its own blocking action before the contribution
+      // job — dead driver sync at high iteration counts): dangling rank
+      // rows ride INTO the contribution agg under the NULL group key —
+      // impossible to collide with a node id, since node ids are
+      // filtered non-null up front. The cut materializes the combined
+      // agg once; the scalar fetch and the `next` build both read the
+      // materialized frame.
+      val contribs0 = eAnn
         .join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
+        // `div` (SQL integral division), NOT `/`: Spark's Divide widens
+        // longs to double, and floor(double) drifts from the oracle's
+        // integer `//` once products pass 2^53. All operands are
+        // positive, so truncating div == floor on both engines.
         .select(col("dst").as("id"),
           expr(s"r * ${dampNum}L * w div (${dampDen}L * outw)").as("c"))
+      val withDangling =
+        if (!hasDangling) contribs0
+        else contribs0.unionByName(
+          ranks.join(danglingIds, Seq("id"), "left_semi")
+            .select(lit(null).cast("string").as("id"), col("r").as("c")))
+      val agged = withDangling
         .groupBy(col("id")).agg(sum(col("c")).as("csum"))
+        .transform(graft.plans.Iterative.cut)
+      val dMass: Long =
+        if (!hasDangling) 0L
+        else agged.filter(col("id").isNull)
+          .agg(coalesce(sum(col("csum")), lit(0L))).head().getLong(0)
+      val dShare = dMass * dampNum / (dampDen * n)
       val next = nodes.select(col("id"))
-        .join(contribs, Seq("id"), "left")
+        .join(agged.filter(col("id").isNotNull), Seq("id"), "left")
         .select(col("id"),
           (lit(tele + dShare) + coalesce(col("csum"), lit(0L))).as("r"))
         .transform(graft.plans.Iterative.cut)
+      // convergence trace: Σ|r'−r| over the two cut (node-sized) frames
+      val delta = next.join(ranks.withColumnRenamed("r", "__rp"), Seq("id"))
+        .agg(coalesce(sum(abs(col("r") - col("__rp"))), lit(0L)))
+        .head().getLong(0)
+      deltas += delta
+      converged = tolUnits > 0 && delta <= tolUnits
       ranks = next
+      round += 1
     }
     val inDeg = e.groupBy(col("dst").as("id"))
       .agg(count(lit(1)).as("n_in"))
-    ranks.join(nodes, Seq("id"))
+    val out = ranks.join(nodes, Seq("id"))
       .join(inDeg, Seq("id"), "left")
       .select(col("id"), col("r").as("pr_units"), col("outw").as("out_weight"),
         coalesce(col("n_in"), lit(0L)).as("n_in"))
+    (out, deltas.toSeq)
   }
 }

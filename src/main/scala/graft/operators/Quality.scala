@@ -492,6 +492,47 @@ object Quality {
         .as("char_entropy"))
   }
 
+  /** zlib compression profile per document — the Gopher/Dolma-family
+    * boilerplate/gibberish signal next to [[charEntropyProfile]]:
+    * (idCol, n_bytes, zlib_bytes, zlib_ratio, zlib_flag) where ratio =
+    * zlib/raw at a fixed deflate level and the flag buckets the two
+    * failure tails — 'repetitive' (ratio < loCut: machine-repeated
+    * boilerplate compresses away) and 'incompressible' (ratio > hiCut:
+    * random-ish gibberish/encoded blobs), 'ok' between. NULL text keeps
+    * NULL measurements, empty text flags 'repetitive' at ratio 0 (zero
+    * information). A pure one-kernel projection — zero shuffles,
+    * streaming-safe. SPEC-pinned, not oracled: an external SQL engine
+    * cannot replay deflate (the HLL-sketch precedent) — ZlibSpec pins
+    * the reference recompute, tail ordering, determinism, and null
+    * shape instead.
+    */
+  def compressionProfile(docs: DataFrame, idCol: String, textCol: String,
+                         level: Int = 6, loCut: Double = 0.30,
+                         hiCut: Double = 0.95): DataFrame = {
+    require(level >= 1 && level <= 9, s"deflate level must be 1..9, got $level")
+    require(loCut > 0 && loCut < hiCut,
+      s"cuts must satisfy 0 < loCut < hiCut, got $loCut/$hiCut")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // let-binding rule: ONE kernel evaluation feeds every output column
+    val packed = transform(array(
+        call_function("graft_zlib_lens", col(textCol), lit(level))), k =>
+      struct(element_at(k, 1).as("n_bytes"),
+        element_at(k, 2).as("zlib_bytes"),
+        // two whens, no otherwise: NULL text must keep a NULL ratio
+        // (when's null condition falls through to the implicit NULL)
+        when(element_at(k, 1) > 0,
+          element_at(k, 2).cast("double") / element_at(k, 1).cast("double"))
+          .when(element_at(k, 1) === 0, lit(0.0)).as("zlib_ratio"))).getItem(0)
+    docs.select(col(idCol), packed.as("__z"))
+      .select(col(idCol), col("__z.n_bytes").as("n_bytes"),
+        col("__z.zlib_bytes").as("zlib_bytes"),
+        col("__z.zlib_ratio").as("zlib_ratio"),
+        when(col("__z.n_bytes").isNull, lit(null).cast("string"))
+          .when(col("__z.zlib_ratio") < loCut, lit("repetitive"))
+          .when(col("__z.zlib_ratio") > hiCut, lit("incompressible"))
+          .otherwise(lit("ok")).as("zlib_flag"))
+  }
+
   /** Corpus-wide adjacent-character pair counts — the merge-selection
     * statistic of BPE tokenizer training (Sennrich et al. 2016, "Neural
     * Machine Translation of Rare Words with Subword Units" — public
