@@ -1474,6 +1474,19 @@ object Queries {
           ImageIoCodec),
         maxDist = 3)),
 
+    // perceptual AUDIO near-dup (the q171 move for the second real
+    // modality: loudness-normalized/re-encoded clips collapse to one
+    // keeper): real WAVs with formula energy envelopes → real
+    // javax.sound decode → exact-integer 64-window envelope fingerprint
+    // → the SAME banding/component/keep-min machinery as q171 (the
+    // signature column is modality-agnostic — phashDedup unchanged)
+    "q175_audio_fp_dedup" -> ((s, d) =>
+      Multimodal.phashDedup(
+        Multimodal.audioFingerprint(
+          Multimodal.synthesizeNearDupAudio(Tables.documents(s, d), "doc_id"),
+          AudioWavCodec),
+        maxDist = 3)),
+
     // Dolma-breadth PII scrub (the q53 stack widened with IPv4 + Luhn-
     // validated card numbers): per doc, synthesize formula PII — an
     // octet-formula IP, a VALID 16-digit card (check digit computed by

@@ -307,6 +307,137 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize a NEAR-DUP audio corpus — the [[synthesizeNearDupImages]]
+    * move for audio: real PCM-16 WAVs whose 64-window energy envelope is
+    * a pure formula of the id, grouped so the expected fingerprint pair
+    * set is closed-form. Per source id: g = id/4, m = id%4; the group's
+    * 64 envelope bits come from md5("a:g") hex (bits 0/63 pinned 0/1),
+    * window w carries a ±A square wave with A = 12000 when the bit is
+    * set else 1000 (32 samples per window, 2048 total, 16 kHz).
+    *   m=0  base clip;
+    *   m=1  ×5/4 uniform gain (A = 15000/1250) — different BYTES,
+    *        fingerprint-identical (loudness normalization preserves
+    *        every window-vs-mean energy comparison exactly);
+    *   m=2  windows 2, 23, 55 flipped — Hamming exactly 3;
+    *   m=3  bits from md5("a:g:alt") — an unrelated clip.
+    * A decode only reproduces these formulas if the codec genuinely
+    * parses the RIFF container and returns the true waveform.
+    */
+  def synthesizeNearDupAudio(src: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    src.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val g = id / 4; val m = id % 4
+        val key = if (m == 3) s"a:$g:alt" else s"a:$g"
+        val hex = md.digest(key.getBytes("UTF-8"))
+          .take(8).map(b => f"${b & 0xff}%02x").mkString
+        def bit(w: Int): Int = {
+          if (w == 0) return 0
+          if (w == 63) return 1
+          val nib = Integer.parseInt(hex.substring(w / 4, w / 4 + 1), 16)
+          val raw = (nib >> (3 - (w % 4))) & 1
+          if (m == 2 && (w == 2 || w == 23 || w == 55)) 1 - raw else raw
+        }
+        val gain = m == 1
+        val pcm = new Array[Byte](2048 * 2)
+        var w = 0
+        while (w < 64) {
+          val a0 = if (bit(w) == 1) 12000 else 1000
+          val a = if (gain) a0 * 5 / 4 else a0
+          var t = 0
+          while (t < 32) {
+            val s = if (t % 2 == 0) a else -a
+            val idx = (w * 32 + t) * 2
+            pcm(idx) = (s & 0xff).toByte
+            pcm(idx + 1) = ((s >> 8) & 0xff).toByte
+            t += 1
+          }
+          w += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, 2048L)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, "audio", bos.toByteArray,
+          Row(null, null, Integer.valueOf(16000), Integer.valueOf(1),
+            "audio/wav"))
+      }
+    }(enc)
+  }
+
+  /** 64-bit energy-envelope audio fingerprint: split the waveform into
+    * 64 equal-span windows, bit w = window w's |amplitude| sum is
+    * strictly above its share of the total — the [[aHash64]] move in
+    * the time domain (the public energy-envelope / haitsma-kalker-class
+    * construction reduced to its exact-integer core). All comparisons
+    * are exact cross-products (windowSum·N > total·windowLen); uniform
+    * gain changes scale both sides equally, so loudness-normalized
+    * re-encodes hash identically.
+    */
+  def audioFingerprint64(samples: Array[Int]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 64 / n).toInt
+      sums(w) += math.abs(samples(i))
+      counts(w) += 1
+      i += 1
+    }
+    var total = 0L
+    var w = 0
+    while (w < 64) { total += sums(w); w += 1 }
+    var hash = 0L
+    w = 0
+    while (w < 64) {
+      if (counts(w) > 0 && sums(w) * n > total * counts(w)) hash |= (1L << w)
+      w += 1
+    }
+    hash
+  }
+
+  /** Audio fingerprint per media row: decode the waveform through
+    * `codec`, emit the 64-bit [[audioFingerprint64]] in the SAME
+    * (media_id, phash, b0..b3) shape as [[perceptualHash]] — the
+    * signature column is modality-agnostic downstream, so
+    * [[phashDedup]] (banding, components, keep-min) applies unchanged.
+    * Non-audio kinds and undecodable payloads surface with NULL hash.
+    */
+  def audioFingerprint(media: DataFrame, codec: MediaCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = true),
+      StructField("b0", LongType, nullable = true),
+      StructField("b1", LongType, nullable = true),
+      StructField("b2", LongType, nullable = true),
+      StructField("b3", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "kind", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val kind = if (r.isNullAt(1)) null else r.getString(1)
+        val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        val dec = if (kind == "audio") codec.decodePcm(bytes) else None
+        dec match {
+          case Some((_, _, samples)) =>
+            val hsh = audioFingerprint64(samples)
+            Row(id, java.lang.Long.valueOf(hsh),
+              java.lang.Long.valueOf((hsh >>> 0) & 0xffffL),
+              java.lang.Long.valueOf((hsh >>> 16) & 0xffffL),
+              java.lang.Long.valueOf((hsh >>> 32) & 0xffffL),
+              java.lang.Long.valueOf((hsh >>> 48) & 0xffffL))
+          case None => Row(id, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Perceptual-hash image DEDUP decision: [[perceptualHash]] output →
     * one row per image with its four hash bands, its near-dup component
     * label, and the keep flag (component minimum wins — the q51/q70
@@ -523,6 +654,13 @@ trait MediaCodec extends Serializable {
     * implements this to join the image-dedup family.
     */
   def decodeGrayPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = None
+  /** Raw PCM samples of an audio container: (sampleRate, channels,
+    * interleaved sample values). The audio-fingerprint entry point —
+    * fingerprinting needs the waveform, not just clip-level stats.
+    * Default None; a sidecar codec implements this to join the
+    * audio-dedup family.
+    */
+  def decodePcm(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = None
   /** Batch decode: features for the given frame indexes of ONE container,
     * one (frame, feature) pair per requested index IN ORDER, null feature
     * for out-of-range/corrupt frames (the [[decodeFrame]] contract).
@@ -660,6 +798,31 @@ object AudioWavCodec extends MediaCodec {
         a.meanAbs / 32768.0f, a.peak / 32768.0f, frame.toFloat)
       case None => null
     }
+
+  override def decodePcm(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (bytes == null || bytes.isEmpty) None
+    else scala.util.Try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val ok = f.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16 && !f.isBigEndian
+        if (!ok) None
+        else {
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+            i += 1
+          }
+          Some((f.getSampleRate.toInt, f.getChannels, out))
+        }
+      } finally ais.close()
+    }.toOption.flatten
 }
 
 /** REAL multi-frame decode via the JDK's ImageIO GIF reader: seeks frame
