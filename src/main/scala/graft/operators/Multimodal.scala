@@ -307,6 +307,35 @@ object Multimodal {
     }(enc)
   }
 
+  /** Canonical PCM-16 mono little-endian WAV container around a raw PCM
+    * payload — the 44-byte RIFF/fmt/data header every WAV reader (and
+    * the JDK's own writer) produces for this format. Byte-level writer
+    * because `javax.sound.sampled.AudioSystem` costs ~2–3 ms of
+    * provider/stream machinery PER CLIP (measured: q175's first cut
+    * spent 937 s at 100× almost entirely inside it; the RIFF path is
+    * microseconds) — at 5 M clips per increment the registry is the
+    * operator. WavRoundTripSpec pins this writer against the JDK reader
+    * and [[AudioWavCodec.decodePcm]] against the JDK writer, so the two
+    * implementations certify each other.
+    */
+  def writeWavPcm16(rate: Int, pcm: Array[Byte]): Array[Byte] = {
+    val n = pcm.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)            // PCM
+      .putShort(1.toShort)            // mono
+      .putInt(rate)
+      .putInt(rate * 2)               // byte rate
+      .putShort(2.toShort)            // block align
+      .putShort(16.toShort)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(n)
+      .put(pcm)
+    bb.array()
+  }
+
   /** Synthesize a NEAR-DUP audio corpus — the [[synthesizeNearDupImages]]
     * move for audio: real PCM-16 WAVs whose 64-window energy envelope is
     * a pure formula of the id, grouped so the expected fingerprint pair
@@ -356,13 +385,7 @@ object Multimodal {
           }
           w += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, 2048L)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        Row(id, "audio", bos.toByteArray,
+        Row(id, "audio", writeWavPcm16(16000, pcm),
           Row(null, null, Integer.valueOf(16000), Integer.valueOf(1),
             "audio/wav"))
       }
@@ -799,29 +822,58 @@ object AudioWavCodec extends MediaCodec {
       case None => null
     }
 
+  /** Direct RIFF chunk walk, NOT `AudioSystem`: the JDK's provider
+    * registry + stream plumbing costs ~2–3 ms PER CLIP (measured — it
+    * dominated q175's first-cut 937 s at 100×), which at crawl scale
+    * makes the service lookup the operator. The container parse itself
+    * is the public 3-chunk RIFF/fmt/data walk; only PCM-16 LE is
+    * accepted (None otherwise — same contract as the AudioSystem form).
+    * WavRoundTripSpec pins this parser against JDK-WRITTEN containers
+    * (and [[Multimodal.writeWavPcm16]] against the JDK reader), so the
+    * fast path can never drift from the reference implementation.
+    */
   override def decodePcm(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
-    if (bytes == null || bytes.isEmpty) None
+    if (bytes == null || bytes.length < 44) None
     else scala.util.Try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val f = ais.getFormat
-        val ok = f.getEncoding ==
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-          f.getSampleSizeInBits == 16 && !f.isBigEndian
-        if (!ok) None
-        else {
-          val pcm = ais.readAllBytes()
-          val n = pcm.length / 2
-          val out = new Array[Int](n)
-          var i = 0
-          while (i < n) {
-            out(i) = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
-            i += 1
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag4(at: Int): String =
+        new String(bytes, at, 4, "US-ASCII")
+      if (tag4(0) != "RIFF" || tag4(8) != "WAVE") None
+      else {
+        var pos = 12
+        var rate = 0; var channels = 0; var fmtOk = false
+        var data: Option[(Int, Int)] = None // (offset, len)
+        while (pos + 8 <= bytes.length && (data.isEmpty || !fmtOk)) {
+          val tag = tag4(pos)
+          val len = bb.getInt(pos + 4)
+          if (len < 0 || pos + 8 + len > bytes.length) { pos = bytes.length }
+          else {
+            if (tag == "fmt " && len >= 16) {
+              val audioFormat = bb.getShort(pos + 8).toInt
+              channels = bb.getShort(pos + 10).toInt
+              rate = bb.getInt(pos + 12)
+              val bits = bb.getShort(pos + 22).toInt
+              fmtOk = audioFormat == 1 && bits == 16 && channels >= 1
+            } else if (tag == "data") {
+              data = Some((pos + 8, len))
+            }
+            pos += 8 + len + (len & 1) // chunks are word-aligned
           }
-          Some((f.getSampleRate.toInt, f.getChannels, out))
         }
-      } finally ais.close()
+        data match {
+          case Some((off, len)) if fmtOk =>
+            val n = len / 2
+            val out = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              out(i) = bb.getShort(off + 2 * i).toInt
+              i += 1
+            }
+            Some((rate, channels, out))
+          case _ => None
+        }
+      }
     }.toOption.flatten
 }
 
