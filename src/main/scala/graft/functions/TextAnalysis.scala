@@ -179,17 +179,22 @@ object TextAnalysis {
     * with integer arithmetic replays it digit for digit. True only for
     * 13–19 digits (the card length envelope).
     */
-  def luhnValid(digits: Column): Column = {
-    val n = length(digits)
-    val total = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
-      val d = digits.substr(i, lit(1)).cast("long")
-      // position from the right = n - i + 1; doubled on even positions
-      val c = when(pmod(n - i, lit(2)) === 1,
-        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
-      acc + c
-    })
-    n >= 13 && n <= 19 && pmod(total, lit(10)) === 0
-  }
+  def luhnValid(digits: Column): Column =
+    // let-binding rule (the q27 lesson): bind `digits` ONCE as a lambda
+    // argument — referencing the caller's Column inside the aggregate
+    // lambda would re-evaluate its whole subtree (a regexp_replace at
+    // the q172 call site) once per digit position
+    transform(array(digits), ds => {
+      val n = length(ds)
+      val total = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
+        val d = ds.substr(i, lit(1)).cast("long")
+        // position from the right = n - i + 1; doubled on even positions
+        val c = when(pmod(n - i, lit(2)) === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + c
+      })
+      n >= 13 && n <= 19 && pmod(total, lit(10)) === 0
+    }).getItem(0)
 
   /** Redact Luhn-VALID card numbers: 13–19 digit runs (single space/dash
     * separators allowed) whose digits pass [[luhnValid]]. A digit run

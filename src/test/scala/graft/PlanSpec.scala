@@ -646,6 +646,47 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q171 image phash dedup: banded hash joins, no window, no cartesian, no SMJ") {
+    val df: DataFrame = Queries.all("q171_image_phash_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the signature self-join must be banded equi-joins (hash), never a
+    // nested loop over hash pairs; CC labels and group reps ride hash
+    // or broadcast joins; no window anywhere in the decision chain
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(!p.contains("Window"), p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+  }
+
+  test("q172 PII redaction is one shuffle-free projection") {
+    // one Project over the scan; the Luhn HOF lambdas keep it outside
+    // whole-stage codegen (HigherOrderFunction has no doGenCode), which
+    // is fine — the pin is zero exchanges/joins/windows, i.e. the scrub
+    // never stops being a streaming-safe per-row projection
+    val p = plan("q172_pii_redaction")
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Window"), p.take(2000))
+  }
+
+  test("q173 trigram scoring: the SCORE is a zero-exchange kernel projection") {
+    // the trainer pays its shuffles once (vocab build actions run before
+    // the returned frame); the returned scoring plan itself must be a
+    // pure projection — tables ride the plan as reference objects
+    val df: DataFrame = Queries.all("q173_trigram_logprob")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Window"), p.take(2000))
+  }
+
+  test("q174 zlib profile is one shuffle-free projection") {
+    val p = plan("q174_zlib_profile")
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Window"), p.take(2000))
+  }
+
   test("q156 heavy hitters: returns certified local rows, bounded by k") {
     // since the r17 advice fix the operator CONFIRMS inside the call
     // (persisted input, candidate-filtered agg, bounded TakeOrdered) and
