@@ -354,7 +354,8 @@ object Dedup {
                        idA: String = "id_a", idB: String = "id_b",
                        maxIter: Int = 15,
                        algorithm: String = "auto",
-                       maxBroadcastIncrementRows: Long = 4000000L): DataFrame = {
+                       maxBroadcastIncrementRows: Long = 2000000L,
+                       knownIncrementRows: Long = -1L): DataFrame = {
     require(standing.columns.contains("id") && standing.columns.contains("comp"),
       s"updateComponents needs standing labels with (id, comp) columns " +
         s"(connectedComponents output), got ${standing.columns.mkString(",")}")
@@ -366,12 +367,17 @@ object Dedup {
     // UNEXPECTEDLY large increment would OOM instead of degrading the
     // way an AQE-decided plan would — so gate it on the increment's
     // edge count (raw is already checkpointed; the count is a cheap
-    // second read). Past the threshold (default 4 M edges ≈ tens of MB
-    // as a (long,long) hash relation) the same joins run un-hinted and
-    // AQE picks shuffle plans: correctness identical, history pays one
-    // shuffle — the right trade once the "increment" is itself
-    // data-scale.
-    val incrementBroadcastable = raw.count() <= maxBroadcastIncrementRows
+    // second read, and a caller that already knows its increment size
+    // can pass `knownIncrementRows` to skip that job entirely — the
+    // per-increment cost matters when increments are tiny and frequent).
+    // The broadcast frames (incIds, lblA/lblB, remap) hold up to TWO
+    // endpoints per edge, so the default edge ceiling is 2 M — half the
+    // intended ~4 M-row / tens-of-MB hash-relation budget. Past the
+    // threshold the same joins run un-hinted and AQE picks shuffle
+    // plans: correctness identical, history pays one shuffle — the
+    // right trade once the "increment" is itself data-scale.
+    val incRows = if (knownIncrementRows >= 0L) knownIncrementRows else raw.count()
+    val incrementBroadcastable = incRows <= maxBroadcastIncrementRows
     def bcInc(df: DataFrame): DataFrame =
       if (incrementBroadcastable) broadcast(df) else df
     // 1. contract: endpoints adopt their standing label; fresh stay

@@ -34,9 +34,10 @@ import org.apache.spark.sql.functions._
   *    checkpointed edge list in place (the connectedComponents measured
   *    result: forcing an edge repartition was ~45% slower than letting
   *    the small side move).
-  *  - The dangling mass is a SINGLE scalar aggregate per round over the
-  *    (static, checkpointed) dangling-node subset of ranks — one driver
-  *    long per iteration, never a node list.
+  *  - The dangling mass rides INTO the per-round contribution agg under
+  *    the NULL group key, and its share rejoins the rank update as a
+  *    broadcast SINGLE-ROW frame — no per-round driver fetch at all,
+  *    never a node list.
   *  - Lineage is cut per round with localCheckpoint (iterative DataFrame
   *    plans otherwise replay all prior rounds per action); on a real
   *    cluster prefer `setCheckpointDir` + `checkpoint()` for fault
@@ -75,7 +76,7 @@ object Graphs {
                dampNum: Long = 85L, dampDen: Long = 100L,
                unit: Long = 1000000000L, tolUnits: Long = 0L): DataFrame =
     pageRankRun(edges, srcCol, dstCol, weightCol, iters, dampNum, dampDen,
-      unit, tolUnits)._1
+      unit, tolUnits, trace = false)._1
 
   /** [[pageRank]] plus the per-round L1 rank deltas (Σ|r'−r| in units)
     * actually observed — the convergence trace a caller sizes `iters`
@@ -83,14 +84,24 @@ object Graphs {
     * is ≤ tolUnits (the returned trace shows the executed rounds); with
     * the default 0 every round runs and the trace is still recorded.
     * The delta is one node-sized join+agg per round — small next to the
-    * edge-sized contribution round.
+    * edge-sized contribution round, but it IS a blocking driver action,
+    * so it is pay-for-what-you-ask: `trace = false` (what [[pageRank]]
+    * passes) skips the delta job entirely unless `tolUnits > 0` forces
+    * it for the early-stop check, and the returned trace is then empty.
+    *
+    * Per-round driver contract with trace off: ONE blocking action (the
+    * contribution agg's lineage cut) and ZERO scalar fetches — the
+    * dangling mass re-enters the rank update as a broadcast single-row
+    * cross-join read from the already-materialized agg, never via the
+    * driver. No node-list ever reaches the driver either way.
     */
   def pageRankRun(edges: DataFrame, srcCol: String = "src",
                   dstCol: String = "dst",
                   weightCol: Option[String] = None, iters: Int = 5,
                   dampNum: Long = 85L, dampDen: Long = 100L,
                   unit: Long = 1000000000L,
-                  tolUnits: Long = 0L): (DataFrame, Seq[Long]) = {
+                  tolUnits: Long = 0L,
+                  trace: Boolean = true): (DataFrame, Seq[Long]) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
@@ -116,11 +127,13 @@ object Graphs {
     // reused every round (the per-round join is ranks → this).
     val eAnn = e.join(outw.select(col("id").as("src"), col("outw")), Seq("src"))
       .transform(graft.plans.Iterative.cut)
+    // node-sized projections over the cut `nodes` leaf: recomputing them
+    // per use is a map over a checkpointed leaf, so they carry no cut of
+    // their own (each eager cut is a blocking setup job).
     val danglingIds = nodes.filter(col("outw") === 0L).select(col("id"))
-      .transform(graft.plans.Iterative.cut)
     val hasDangling = danglingIds.head(1).nonEmpty
     val tele = unit * (dampDen - dampNum) / (dampDen * n)
-    var ranks = nodes.select(col("id"), lit(unit / n).as("r")).transform(graft.plans.Iterative.cut)
+    var ranks = nodes.select(col("id"), lit(unit / n).as("r"))
     val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
     var round = 0
     var converged = false
@@ -146,25 +159,46 @@ object Graphs {
         else contribs0.unionByName(
           ranks.join(danglingIds, Seq("id"), "left_semi")
             .select(lit(null).cast("string").as("id"), col("r").as("c")))
+      // The cut below is the round's ONE blocking action: it
+      // materializes the combined agg, and everything downstream —
+      // the rank update, the dangling share, next round's join — reads
+      // the checkpointed leaf. `next` itself is deliberately NOT cut:
+      // its plan is a node-sized join over two checkpointed leaves
+      // (nodes, agged), so lineage depth stays bounded without paying
+      // a second job per round (the r18-anchor shape, minus even the
+      // dangling scalar fetch).
       val agged = withDangling
         .groupBy(col("id")).agg(sum(col("c")).as("csum"))
         .transform(graft.plans.Iterative.cut)
-      val dMass: Long =
-        if (!hasDangling) 0L
-        else agged.filter(col("id").isNull)
-          .agg(coalesce(sum(col("csum")), lit(0L))).head().getLong(0)
-      val dShare = dMass * dampNum / (dampDen * n)
-      val next = nodes.select(col("id"))
+      val updated = nodes.select(col("id"))
         .join(agged.filter(col("id").isNotNull), Seq("id"), "left")
-        .select(col("id"),
-          (lit(tele + dShare) + coalesce(col("csum"), lit(0L))).as("r"))
-        .transform(graft.plans.Iterative.cut)
-      // convergence trace: Σ|r'−r| over the two cut (node-sized) frames
-      val delta = next.join(ranks.withColumnRenamed("r", "__rp"), Seq("id"))
-        .agg(coalesce(sum(abs(col("r") - col("__rp"))), lit(0L)))
-        .head().getLong(0)
-      deltas += delta
-      converged = tolUnits > 0 && delta <= tolUnits
+      val next =
+        if (!hasDangling)
+          updated.select(col("id"),
+            (lit(tele) + coalesce(col("csum"), lit(0L))).as("r"))
+        else {
+          // dangling share rejoins the plan as a broadcast single-row
+          // frame (coalesce covers the impossible-but-safe empty sum);
+          // same integer `div` discipline as the contributions.
+          val dm = agged.filter(col("id").isNull)
+            .agg(coalesce(sum(col("csum")), lit(0L)).as("__dm"))
+          updated.crossJoin(broadcast(dm))
+            .select(col("id"),
+              (lit(tele) +
+                expr(s"__dm * ${dampNum}L div (${dampDen}L * ${n}L)") +
+                coalesce(col("csum"), lit(0L))).as("r"))
+        }
+      // convergence trace: Σ|r'−r| over the two cut (node-sized) frames.
+      // Opt-in (r19 verdict/advice): this is a blocking join+agg+head()
+      // per round, dead weight for callers that discard the trace — run
+      // it only when asked for, or when the early-stop check needs it.
+      if (trace || tolUnits > 0) {
+        val delta = next.join(ranks.withColumnRenamed("r", "__rp"), Seq("id"))
+          .agg(coalesce(sum(abs(col("r") - col("__rp"))), lit(0L)))
+          .head().getLong(0)
+        deltas += delta
+        converged = tolUnits > 0 && delta <= tolUnits
+      }
       ranks = next
       round += 1
     }

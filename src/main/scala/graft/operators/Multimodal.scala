@@ -230,6 +230,21 @@ object Multimodal {
     }(enc)
   }
 
+  /** Exact `a*b > c*d` for NONNEGATIVE longs, compared as full 128-bit
+    * products (`Math.multiplyHigh` + unsigned low-word compare). The
+    * perceptual hashes' cross-product tests overflow a plain Long once
+    * the clip is big enough — `sums(w)*n` passes 2^63 at ~1.3e8 audio
+    * samples (≈25 min of 44.1 kHz stereo) or ~1.5e9 pixels — and a
+    * silent wrap would flip fingerprint bits with no error. 128-bit
+    * compare makes the bit exact at any input size.
+    */
+  private[graft] def prodGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val h1 = java.lang.Math.multiplyHigh(a, b)
+    val h2 = java.lang.Math.multiplyHigh(c, d)
+    if (h1 != h2) h1 > h2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
+  }
+
   /** Average-hash (aHash — the public perceptual-hash textbook
     * construction): downsample the grayscale raster to an 8×8 grid by
     * exact block averaging, bit i = cell i's mean is strictly above the
@@ -261,7 +276,7 @@ object Multimodal {
     var hash = 0L
     i = 0
     while (i < 64) {
-      if (counts(i) > 0 && sums(i) * n > total * counts(i)) hash |= (1L << i)
+      if (counts(i) > 0 && prodGt(sums(i), n, total, counts(i))) hash |= (1L << i)
       i += 1
     }
     hash
@@ -419,7 +434,7 @@ object Multimodal {
     var hash = 0L
     w = 0
     while (w < 64) {
-      if (counts(w) > 0 && sums(w) * n > total * counts(w)) hash |= (1L << w)
+      if (counts(w) > 0 && prodGt(sums(w), n, total, counts(w))) hash |= (1L << w)
       w += 1
     }
     hash

@@ -1239,10 +1239,15 @@ object Quality {
     val t = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
         array().cast("array<string>"))
       .otherwise(tokens(col(textCol)))
-    val prevs = concat(array(lit(null).cast("string")),
-      slice(t, lit(1), greatest(size(t) - 1, lit(0))))
-    val prevs2 = concat(array(lit(null).cast("string"), lit(null).cast("string")),
-      slice(t, lit(1), greatest(size(t) - 2, lit(0))))
+    // both shifted streams sliced to EXACTLY size(t): prepending the
+    // nulls then slicing keeps 0- and 1-token docs from padding the
+    // zip_with to the longer array and emitting phantom NULL-tok rows
+    // (harmless under trigramVocabFrame's not-null filter, but the
+    // contextStream contract is one row per token).
+    val prevs = slice(concat(array(lit(null).cast("string")), t),
+      lit(1), size(t))
+    val prevs2 = slice(concat(array(lit(null).cast("string"),
+      lit(null).cast("string")), t), lit(1), size(t))
     docs.select(id.as("id"),
         explode_outer(zip_with(zip_with(prevs2, prevs,
             (a, p) => struct(a.as("prev2"), p.as("prev"))), t,

@@ -103,6 +103,13 @@ class PageRankSpec extends SparkSpec {
       === four)
     // and the default tol=0 path still returns every node
     assert(full.count() === 4)
+    // trace=false (the pageRank path) skips the per-round delta job:
+    // empty trace, identical ranks
+    val (quiet, quietTrace) = Graphs.pageRankRun(df, weightCol = Some("w"),
+      iters = 8, trace = false)
+    assert(quietTrace.isEmpty)
+    assert(quiet.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === full.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
   test("out_weight and n_in report the consolidated graph") {

@@ -59,6 +59,33 @@ class PhashSpec extends SparkSpec {
       Multimodal.aHash64(w, h, flipped) ^ base) === 1)
   }
 
+  test("prodGt: 128-bit cross-product compare is exact past Long overflow") {
+    // sums(w)*n wraps a plain Long once the products pass 2^63 — the
+    // hash-bit comparison must stay exact there (r19 advice: ~25 min of
+    // 44.1 kHz stereo reaches it for audio). Check against BigInt.
+    val cases = Seq(
+      (1L << 40, 1L << 40, (1L << 40) - 1, 1L << 40),  // both overflow, a*b larger
+      ((1L << 40) - 1, 1L << 40, 1L << 40, 1L << 40),  // both overflow, a*b smaller
+      (1L << 40, 1L << 40, 1L << 40, 1L << 40),        // equal (strict > is false)
+      (512L * 200000000L, 200000000L, 300L * 200000000L, 3125000L), // audio-shaped
+      (3L, 5L, 2L, 7L), (2L, 7L, 3L, 5L), (0L, 5L, 0L, 7L),        // small sanity
+      (Long.MaxValue, Long.MaxValue, Long.MaxValue, Long.MaxValue - 1))
+    for ((a, b, c, d) <- cases) {
+      val expect = BigInt(a) * BigInt(b) > BigInt(c) * BigInt(d)
+      assert(Multimodal.prodGt(a, b, c, d) === expect,
+        s"prodGt($a,$b,$c,$d)")
+    }
+    // randomized cross-check over magnitudes that straddle the wrap
+    val rnd = new scala.util.Random(171)
+    for (_ <- 0 until 2000) {
+      val a = rnd.nextLong(1L << 45); val b = rnd.nextLong(1L << 45)
+      val c = rnd.nextLong(1L << 45); val d = rnd.nextLong(1L << 45)
+      assert(Multimodal.prodGt(a, b, c, d) ===
+        (BigInt(a) * BigInt(b) > BigInt(c) * BigInt(d)),
+        s"prodGt($a,$b,$c,$d)")
+    }
+  }
+
   test("PNG round-trip: decode + hash reproduce the synthesis formulas") {
     val src = (0L until 40L).toDF("doc_id")
     val media = Multimodal.synthesizeNearDupImages(src, "doc_id")
