@@ -1556,6 +1556,54 @@ object Oracles {
          JOIN grp g ON g.b0 = h.b0 AND g.b1 = h.b1 AND g.b2 = h.b2 AND g.b3 = h.b3
          LEFT JOIN comps c ON c.rid = g.rid""",
 
+    // q176: the q171 replay for the VIDEO corpus — member bits are
+    // md5('v:'...)-keyed with flips 3/29/47; the per-frame noise flips
+    // and the unsampled inverted decoys cancel inside Spark's
+    // strict-majority fold BY CONSTRUCTION, so the oracle replays the
+    // member formula straight to hash bands: a match certifies the
+    // multi-frame GIF decode, the frame-sampling discipline, the
+    // per-frame aHash, and the majority fold together
+    "q176_video_phash_dedup" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
+         hx AS (SELECT id, id % 4 AS m,
+             CASE WHEN id % 4 = 3 THEN md5('v:' || (id // 4)::VARCHAR || ':alt')
+                  ELSE md5('v:' || (id // 4)::VARCHAR) END AS h
+           FROM ids),
+         bits AS (
+           SELECT id, i,
+             CASE WHEN i = 0 THEN 0 WHEN i = 63 THEN 1
+                  WHEN m = 2 AND i IN (3, 29, 47) THEN
+                    1 - (((strpos('0123456789abcdef', substr(h, 1 + i // 4, 1)) - 1) >> (3 - (i % 4))) & 1)
+                  ELSE ((strpos('0123456789abcdef', substr(h, 1 + i // 4, 1)) - 1) >> (3 - (i % 4))) & 1
+             END AS bit
+           FROM hx, (SELECT unnest(range(64)) AS i)),
+         h4 AS (
+           SELECT id,
+             bit_or(CASE WHEN bit = 1 AND i < 16 THEN (1::BIGINT << i) ELSE 0 END) AS b0,
+             bit_or(CASE WHEN bit = 1 AND i >= 16 AND i < 32 THEN (1::BIGINT << (i - 16)) ELSE 0 END) AS b1,
+             bit_or(CASE WHEN bit = 1 AND i >= 32 AND i < 48 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS b2,
+             bit_or(CASE WHEN bit = 1 AND i >= 48 THEN (1::BIGINT << (i - 48)) ELSE 0 END) AS b3
+           FROM bits GROUP BY id),
+         grp AS (SELECT b0, b1, b2, b3, min(id) AS rid FROM h4 GROUP BY 1, 2, 3, 4),
+         prs AS (
+           SELECT a.rid AS id_a, b.rid AS id_b
+           FROM grp a JOIN grp b ON a.rid < b.rid
+           WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+               + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                   UNION ALL SELECT id_b, id_a FROM prs),
+         reach AS (
+           SELECT DISTINCT src AS id, src AS lbl FROM edges
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+         comps AS (SELECT id AS rid, min(lbl) AS comp FROM reach GROUP BY id)
+         SELECT h.id AS media_id, h.b0, h.b1, h.b2, h.b3,
+           coalesce(c.comp, g.rid) AS comp,
+           h.id = coalesce(c.comp, g.rid) AS keep
+         FROM h4 h
+         JOIN grp g ON g.b0 = h.b0 AND g.b1 = h.b1 AND g.b2 = h.b2 AND g.b3 = h.b3
+         LEFT JOIN comps c ON c.rid = g.rid""",
+
     // q175: the q171 replay for the audio corpus — same band/pair/CC
     // chain, audio-keyed md5 formulas ('a:' prefix, flips 2/23/55); the
     // waveform never leaves Spark, so a band match proves the real WAV

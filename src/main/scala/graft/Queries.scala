@@ -1487,6 +1487,22 @@ object Queries {
           AudioWavCodec),
         maxDist = 3)),
 
+    // perceptual VIDEO near-dup (the third modality — re-encoded/
+    // re-exposed clips collapse to one keeper): real 5-frame animated
+    // GIFs with formula per-frame block patterns → real multi-frame
+    // ImageIO decode (one reader per clip) → per-frame exact-integer
+    // aHash → strict-majority clip fold → the SAME banding/component/
+    // keep-min machinery as q171/q175. Sampled frames each carry one
+    // distinct noise-bit flip (majority recovers the member bits
+    // exactly) and UNSAMPLED frames are inverted decoys, so "hash frame
+    // 0 only" or a wrong stride fails the oracle hash
+    "q176_video_phash_dedup" -> ((s, d) =>
+      Multimodal.phashDedup(
+        Multimodal.videoSignature(
+          Multimodal.synthesizeNearDupVideos(Tables.documents(s, d), "doc_id"),
+          GifFrameCodec, everyNth = 2),
+        maxDist = 3)),
+
     // Dolma-breadth PII scrub (the q53 stack widened with IPv4 + Luhn-
     // validated card numbers): per doc, synthesize formula PII — an
     // octet-formula IP, a VALID 16-digit card (check digit computed by

@@ -476,6 +476,150 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize a NEAR-DUP video corpus — the [[synthesizeNearDupImages]]
+    * move for multi-frame containers: real 5-frame animated GIFs (32×32,
+    * 8×8 blocks of 4×4 solid gray pixels) whose per-frame block patterns
+    * are pure formulas of the id, built so the EVEN-frame majority fold
+    * is closed-form. Per source id: g = id/4, m = id%4; the group's 64
+    * member bits come from md5("v:g") hex (m=3: md5("v:g:alt"); bits
+    * 0/63 pinned 0/1; m=2 flips bits 3, 29, 47 in EVERY frame).
+    * Frame f's pattern:
+    *   f ∈ {0,2,4} (the everyNth=2 SAMPLE) — member bits with ONE extra
+    *     noise-bit flip per frame (f=0→bit 5, f=2→bit 21, f=4→bit 40):
+    *     each noise bit is flipped in exactly 1 of the 3 sampled frames,
+    *     so the strict-majority fold recovers the member bits EXACTLY
+    *     while every frame's raster (and hash) differs — "hash frame 0
+    *     only" fails the oracle;
+    *   f ∈ {1,3} (unsampled) — the INVERTED member bits: a decoy that
+    *     corrupts the majority if the operator samples the wrong frames.
+    * Members (the q171 group structure): m=0 base; m=1 +5 uniform
+    * brightness on every frame (different bytes, signature-identical);
+    * m=2 Hamming exactly 3; m=3 unrelated.
+    */
+  def synthesizeNearDupVideos(src: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    src.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      ImageIoCodec.disableDiskCache()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val g = id / 4; val m = id % 4
+        val key = if (m == 3) s"v:$g:alt" else s"v:$g"
+        val hex = md.digest(key.getBytes("UTF-8"))
+          .take(8).map(b => f"${b & 0xff}%02x").mkString
+        def memberBit(i: Int): Int = {
+          if (i == 0) return 0
+          if (i == 63) return 1
+          val nib = Integer.parseInt(hex.substring(i / 4, i / 4 + 1), 16)
+          val raw = (nib >> (3 - (i % 4))) & 1
+          if (m == 2 && (i == 3 || i == 29 || i == 47)) 1 - raw else raw
+        }
+        val noiseBit = Map(0 -> 5, 2 -> 21, 4 -> 40)
+        val bump = if (m == 1) 5 else 0
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < 5) {
+            val img = new java.awt.image.BufferedImage(
+              32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var i = 0
+            while (i < 64) {
+              val b0 = memberBit(i)
+              val b =
+                if (f % 2 == 0) { if (noiseBit(f) == i) 1 - b0 else b0 }
+                else 1 - b0
+              val gray = (if (b == 1) 224 else 32) + bump
+              val rgb = (gray << 16) | (gray << 8) | gray
+              img.setRGB((i % 8) * 4, (i / 8) * 4, 4, 4, Array.fill(16)(rgb), 0, 4)
+              i += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        Row(id, "video", bos.toByteArray,
+          Row(Integer.valueOf(32), Integer.valueOf(32), null,
+            Integer.valueOf(5), "image/gif"))
+      }
+    }(enc)
+  }
+
+  /** Per-CLIP perceptual signature for multi-frame media: decode the
+    * sampled frames' gray rasters through `codec` (ONE container open
+    * per clip — the [[frameFeatures]] batch contract), hash each frame
+    * with [[aHash64]], and fold the per-frame hashes into one 64-bit
+    * clip signature by STRICT bit majority (bit i set iff more than
+    * half of the decoded sampled frames set it; ties → 0, so the fold
+    * is deterministic at any frame count). A re-encoded / uniformly
+    * re-exposed / container-rewritten clip keeps every frame hash and
+    * hence the fold; a clip sharing most frames lands within a small
+    * Hamming distance — exactly the signature-space contract
+    * [[NearDup.signaturePairs]] and [[phashDedup]] already serve for
+    * images (q171) and audio (q175), so the whole dedup chain downstream
+    * is unchanged. Output shape = [[perceptualHash]]: (media_id, phash,
+    * b0..b3); non-video kinds, undecodable containers, and clips with NO
+    * decodable sampled frame surface with NULL signature (routed, never
+    * dropped). Blobs never leave the partition.
+    *
+    * Scale: one linear decode pass per clip, 5 numeric columns out —
+    * the pair/CC stages downstream see signatures only. Sampling stride
+    * `everyNth` bounds decode cost per clip exactly like
+    * [[frameFeatures]].
+    */
+  def videoSignature(media: DataFrame, codec: MediaCodec,
+                     everyNth: Int = 2): DataFrame = {
+    require(everyNth >= 1, s"videoSignature needs everyNth >= 1, got $everyNth")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = true),
+      StructField("b0", LongType, nullable = true),
+      StructField("b1", LongType, nullable = true),
+      StructField("b2", LongType, nullable = true),
+      StructField("b3", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "kind", "bytes", "meta.n_frames")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val kind = if (r.isNullAt(1)) null else r.getString(1)
+          val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          val nFrames = if (r.isNullAt(3)) 0 else r.getInt(3)
+          val frameHashes: Array[Long] =
+            if (kind != "video" || bytes == null || nFrames <= 0) Array.emptyLongArray
+            else codec.decodeGrayFrames(bytes, 0 until nFrames by everyNth)
+              .collect { case (_, Some((w, h, gray))) => aHash64(w, h, gray) }
+              .toArray
+          if (frameHashes.isEmpty) Row(id, null, null, null, null, null)
+          else {
+            val nf = frameHashes.length
+            var hsh = 0L
+            var i = 0
+            while (i < 64) {
+              var c = 0
+              var j = 0
+              while (j < nf) {
+                if (((frameHashes(j) >>> i) & 1L) == 1L) c += 1
+                j += 1
+              }
+              if (2 * c > nf) hsh |= (1L << i)
+              i += 1
+            }
+            Row(id, java.lang.Long.valueOf(hsh),
+              java.lang.Long.valueOf((hsh >>> 0) & 0xffffL),
+              java.lang.Long.valueOf((hsh >>> 16) & 0xffffL),
+              java.lang.Long.valueOf((hsh >>> 32) & 0xffffL),
+              java.lang.Long.valueOf((hsh >>> 48) & 0xffffL))
+          }
+        }
+      }(enc)
+  }
+
   /** Perceptual-hash image DEDUP decision: [[perceptualHash]] output →
     * one row per image with its four hash bands, its near-dup component
     * label, and the keep flag (component minimum wins — the q51/q70
@@ -709,6 +853,18 @@ trait MediaCodec extends Serializable {
   def decodeFrames(bytes: Array[Byte],
                    frames: Seq[Int]): Iterator[(Int, Array[Float])] =
     frames.iterator.map(f => (f, decodeFrame(bytes, f)))
+  /** Batch GRAY-RASTER decode: (width, height, row-major gray values)
+    * for the given frame indexes of ONE container — [[decodeGrayPixels]]
+    * at frame granularity, the perceptual-hash entry point for
+    * multi-frame media. One pair per requested index IN ORDER, None for
+    * out-of-range/corrupt frames (one bad frame never fails the clip).
+    * Default None-for-all so feature-only codecs stay source-compatible;
+    * container-seeking codecs override it to open the container ONCE
+    * per clip (the [[decodeFrames]] contract).
+    */
+  def decodeGrayFrames(bytes: Array[Byte], frames: Seq[Int])
+      : Iterator[(Int, Option[(Int, Int, Array[Int])])] =
+    frames.iterator.map(f => (f, None))
 }
 
 /** One decoded audio clip: container header format + integer amplitude
@@ -959,6 +1115,49 @@ object GifFrameCodec extends MediaCodec {
       }
     }.getOrElse(Map.empty)
     frames.iterator.map(f => (f, decoded.getOrElse(f, null)))
+  }
+
+  /** Gray rasters at frame granularity: the same one-reader-per-clip
+    * seek walk as [[decodeFrames]], yielding the [[MediaCodec.decodeGrayPixels]]
+    * gray conversion ((R+G+B)/3 integer floor) per sampled frame — the
+    * per-frame perceptual-hash feed for video dedup.
+    */
+  override def decodeGrayFrames(bytes: Array[Byte], frames: Seq[Int])
+      : Iterator[(Int, Option[(Int, Int, Array[Int])])] = {
+    if (bytes == null || bytes.isEmpty)
+      return frames.iterator.map(f => (f, None))
+    val decoded: Map[Int, (Int, Int, Array[Int])] = scala.util.Try {
+      ImageIoCodec.disableDiskCache()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); Map.empty[Int, (Int, Int, Array[Int])] }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true) // ONE descriptor scan per clip
+          frames.iterator
+            .filter(f => f >= 0 && f < n)
+            .flatMap { f =>
+              scala.util.Try {
+                val img = reader.read(f)
+                val w = img.getWidth; val h = img.getHeight
+                val px = img.getRGB(0, 0, w, h, null, 0, w)
+                val gray = new Array[Int](px.length)
+                var i = 0
+                while (i < px.length) {
+                  val p = px(i)
+                  gray(i) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+                  i += 1
+                }
+                f -> ((w, h, gray))
+              }.toOption // one bad frame ≠ a bad clip
+            }.toMap
+        } finally { reader.dispose(); iis.close() }
+      }
+    }.getOrElse(Map.empty)
+    frames.iterator.map(f => (f, decoded.get(f)))
   }
 }
 
