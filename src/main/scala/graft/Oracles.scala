@@ -2226,6 +2226,79 @@ object Oracles {
              / count(tok) AS mean_logprob
          FROM scored GROUP BY 1""",
 
+    // q177: the q173 capped-table replay + the KN continuation
+    // aggregations (N1+ type counts over the replayed capped tables) +
+    // the three-level interpolated-KN formula in the kernel's exact
+    // operation order (greatest, then D*f*p left-assoc, then add, then
+    // divide) — IEEE doubles match bit-for-bit, micro rounding replays
+    "q177_trigram_kn" ->
+      """WITH docs0 AS (SELECT doc_id,
+                  CASE WHEN text IS NULL OR length(trim(text)) = 0
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+                FROM documents),
+         base AS (
+           SELECT doc_id, p.prev2 AS prev2, p.prev AS prev, p.tok AS tok FROM (
+             SELECT doc_id, unnest(CASE WHEN len(toks) = 0
+               THEN [struct_pack(prev2 := CAST(NULL AS VARCHAR),
+                                 prev := CAST(NULL AS VARCHAR),
+                                 tok := CAST(NULL AS VARCHAR))]
+               ELSE [struct_pack(
+                      prev2 := CASE WHEN i <= 1 THEN CAST(NULL AS VARCHAR) ELSE toks[i - 1] END,
+                      prev := CASE WHEN i = 0 THEN CAST(NULL AS VARCHAR) ELSE toks[i] END,
+                      tok := toks[i + 1])
+                     for i in range(0, len(toks))] END) AS p
+             FROM docs0) s),
+         bp AS (SELECT prev, tok, count(*) AS c FROM base
+                WHERE prev IS NOT NULL AND tok IS NOT NULL GROUP BY 1, 2),
+         top AS (SELECT prev, tok, c FROM bp ORDER BY c DESC, prev || ' ' || tok LIMIT 256),
+         tp AS (SELECT prev2, prev, tok, count(*) AS c FROM base
+                WHERE prev2 IS NOT NULL AND prev IS NOT NULL AND tok IS NOT NULL
+                GROUP BY 1, 2, 3),
+         ttop AS (SELECT prev2, prev, tok, c FROM tp
+                  ORDER BY c DESC, prev2 || ' ' || prev || ' ' || tok LIMIT 512),
+         np AS (SELECT tok, count(*) AS np FROM top GROUP BY 1),
+         bt AS (SELECT count(*) AS b FROM top),
+         nvt AS (SELECT prev AS v, count(*) AS nv FROM ttop GROUP BY 1),
+         f2t AS (SELECT prev AS v, count(DISTINCT tok) AS f2 FROM ttop GROUP BY 1),
+         c2t AS (SELECT prev AS v, tok AS w, count(DISTINCT prev2) AS cnt FROM ttop GROUP BY 1, 2),
+         f3t AS (SELECT prev2, prev, count(*) AS f3 FROM ttop GROUP BY 1, 2),
+         j AS (
+           SELECT b.doc_id, b.prev2, b.prev, b.tok,
+             (coalesce(CAST(n.np AS DOUBLE), 0.0) + 1.0)
+               / (CAST(bt.b AS DOUBLE) + 1.0) AS p1,
+             nv.nv AS nv, f2.f2 AS f2, c2.cnt AS cnt2,
+             f3.f3 AS f3, tc.c AS c12, t3.c AS c123
+           FROM base b CROSS JOIN bt
+           LEFT JOIN np n ON b.tok = n.tok
+           LEFT JOIN nvt nv ON b.prev = nv.v
+           LEFT JOIN f2t f2 ON b.prev = f2.v
+           LEFT JOIN c2t c2 ON b.prev = c2.v AND b.tok = c2.w
+           LEFT JOIN f3t f3 ON b.prev2 = f3.prev2 AND b.prev = f3.prev
+           LEFT JOIN top tc ON b.prev2 = tc.prev AND b.prev = tc.tok
+           LEFT JOIN ttop t3 ON b.prev2 = t3.prev2 AND b.prev = t3.prev AND b.tok = t3.tok),
+         lv AS (
+           SELECT doc_id, prev2, prev, tok, p1,
+             CASE WHEN nv IS NULL THEN p1
+                  ELSE (greatest(coalesce(CAST(cnt2 AS DOUBLE), 0.0) - 0.75, 0.0)
+                        + 0.75 * CAST(f2 AS DOUBLE) * p1) / CAST(nv AS DOUBLE) END AS p2,
+             f3, c12, c123
+           FROM j),
+         scored AS (
+           SELECT doc_id, tok,
+             CASE WHEN prev IS NULL THEN round(ln(p1), 5)
+                  WHEN prev2 IS NULL THEN round(ln(p2), 5)
+                  WHEN f3 IS NULL OR c12 IS NULL THEN round(ln(p2), 5)
+                  ELSE round(ln((greatest(coalesce(CAST(c123 AS DOUBLE), 0.0) - 0.75, 0.0)
+                        + 0.75 * CAST(f3 AS DOUBLE) * p2) / CAST(c12 AS DOUBLE)), 5) END AS lnp
+           FROM lv)
+         SELECT doc_id,
+           CAST(count(tok) AS BIGINT) AS n_tokens,
+           CAST(CAST(sum(CASE WHEN tok IS NOT NULL
+                         THEN CAST(lnp AS DECIMAL(18,5)) END) AS VARCHAR) AS DOUBLE)
+             / count(tok) AS mean_logprob
+         FROM scored GROUP BY 1""",
+
     "q65_unigram_logprob" ->
       """WITH base AS (SELECT doc_id,
                   unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0

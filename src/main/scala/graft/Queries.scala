@@ -1651,6 +1651,23 @@ object Queries {
           col("n_tokens"), col("mean_logprob"))
     }),
 
+    // Kneser-Ney trigram fluency score (the public-STANDARD smoothing
+    // next to q173's absolute-count backoff lite): continuation TYPE
+    // counts at the lower orders, fixed discount 0.75, everything
+    // derived from the SAME capped tables as exact folds — the oracle
+    // replays the capped-table build, the continuation aggregations,
+    // AND the per-token three-level formula, so a hash match certifies
+    // the whole KN chain
+    "q177_trigram_kn" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Tables.documents(s, d)
+      Quality.trigramLogProbKN(docs, "doc_id", "text",
+        Quality.trigramVocab(docs, "text", maxTrigrams = 512,
+          maxBigrams = 256, maxVocab = 24))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_tokens"), col("mean_logprob"))
+    }),
+
     // the q133 BIGRAM VOCAB BUILD in isolation (the r15 verdict's pin:
     // q133's per-run cost is this build's ONE data-sized (prev,tok)
     // shuffle, but its 9-53 s noise band at 100× had no probe separating

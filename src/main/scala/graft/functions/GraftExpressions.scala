@@ -478,6 +478,34 @@ case class TrigramLnpExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** One-pass capped-trigram KNESER-NEY score of a token array —
+  * [n_tokens, sum_micro_lnp] under two count tables shipped as ONE
+  * reference object; continuation counts derive at construction (see
+  * [[TextKernels.TrigramKnKernel]]).
+  */
+case class TrigramKnExpr(child: Expression,
+    tris: Seq[(String, String, String, Long)],
+    pairs: Seq[(String, String, Long)],
+    discount: Double, alpha: Double) extends UnaryExpression {
+  require(discount > 0 && discount < 1,
+    s"$prettyName needs 0 < discount < 1, got $discount")
+  require(alpha > 0, s"$prettyName needs alpha > 0, got $alpha")
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_trigram_kn"
+  @transient private lazy val kernel =
+    new TextKernels.TrigramKnKernel(tris, pairs, discount, alpha)
+  override protected def nullSafeEval(v: Any): Any =
+    kernel.eval(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("trigramKnKernel", kernel, classOf[TextKernels.TrigramKnKernel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $k.eval($v);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass capped-unigram LM score of a token array — [n_tokens,
   * sum_micro_lnp] under a (token → 5-dp-lnp micro-units) table shipped
   * as ONE reference object (see [[TextKernels.VocabLnpKernel]]).
@@ -950,6 +978,12 @@ object GraftFunctions {
         decodeVocabLnp(stringLit(es(4), "unis")),
         stringLit(es(5), "total").toLong,
         stringLit(es(6), "alpha").toDouble)),
+    "graft_trigram_kn" -> (es =>
+      TrigramKnExpr(es(0),
+        decodeTrigramCounts(stringLit(es(1), "tris")),
+        decodeBigramCounts(stringLit(es(2), "pairs")),
+        stringLit(es(3), "discount").toDouble,
+        stringLit(es(4), "alpha").toDouble)),
     "graft_rp_project" -> (es => {
       val k = intLit(es(1), "k")
       require(k >= 1, s"graft_rp_project needs k >= 1, got $k")

@@ -904,6 +904,216 @@ object TextKernels {
     }
   }
 
+  /** One-pass capped-trigram KNESER-NEY scoring of a token array —
+    * [n_tokens, sum_micro_lnp] under interpolated KN smoothing (Kneser &
+    * Ney 1995 / Chen & Goodman 1998's interpolated form) with a FIXED
+    * discount D, self-consistently derived from the SAME two capped
+    * tables the lite kernel ships (trigram + bigram counts): every
+    * continuation statistic is an exact fold over the capped entries at
+    * construction, so the whole model stays a bounded plan constant and
+    * replays in SQL as aggregations over the replayed capped tables.
+    *
+    * Level structure (per token; D = discount, α the unigram OOV floor):
+    * {{{
+    *   P1(w)     = (N1+(·w) + α) / (B + α)              B = |bigram table|
+    *   P2(w|v)   = (max(N1+(·vw)−D, 0) + D·N1+(v·)·P1(w)) / N1+(·v·)
+    *               when v occurs as a trigram MIDDLE; else P1(w)
+    *   P3(w|u,v) = (max(c(uvw)−D, 0) + D·N1+(uv·)·P2(w|v)) / c(uv)
+    *               when (u,v) has BOTH a bigram count and ≥1 capped
+    *               trigram continuation; else P2(w|v)
+    * }}}
+    * N1+ counts are continuation/follower TYPE counts over the capped
+    * tables (N1+(·w) = distinct predecessors of w in the bigram table;
+    * N1+(·vw)/N1+(v·)/N1+(·v·)/N1+(uv·) over the trigram table). The
+    * α floor keeps P1 finite for OOV tokens; the double back-off guard
+    * on P3 (counts AND continuations present) is what caps make
+    * necessary — a pair kept by the bigram cap whose trigrams were all
+    * evicted must back off, or its discounted numerator could be an
+    * exact zero. Token i=0 scores ln P1, i=1 ln P2, i≥2 ln P3; every ln
+    * is 5-dp HALF_UP micro-rounded and the long sum replays exactly.
+    * Probability doubles are computed in the written operation order
+    * (max, then D·f·p, then add, then divide) so IEEE results match the
+    * SQL replay bit-for-bit. One shared micro-ln memo keyed by the
+    * probability's raw bits — exactness never depends on the cache.
+    */
+  final class TrigramKnKernel(tris: Seq[(String, String, String, Long)],
+      pairs: Seq[(String, String, Long)], discount: Double, alpha: Double)
+      extends Serializable {
+    private def micro(x: Double): Long =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.movePointRight(5).longValueExact
+    // raw count tables
+    private val c12m = {
+      val m = new java.util.HashMap[UTF8String,
+        java.util.HashMap[UTF8String, java.lang.Long]]()
+      pairs.foreach { case (p, t, c) =>
+        var inner = m.get(UTF8String.fromString(p))
+        if (inner == null) {
+          inner = new java.util.HashMap[UTF8String, java.lang.Long]()
+          m.put(UTF8String.fromString(p), inner)
+        }
+        inner.put(UTF8String.fromString(t), c)
+      }
+      m
+    }
+    private val c3m = {
+      val m = new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String,
+        java.util.HashMap[UTF8String, java.lang.Long]]]()
+      tris.foreach { case (a, p, t, c) =>
+        val au = UTF8String.fromString(a)
+        var l1 = m.get(au)
+        if (l1 == null) {
+          l1 = new java.util.HashMap[UTF8String,
+            java.util.HashMap[UTF8String, java.lang.Long]]()
+          m.put(au, l1)
+        }
+        val pu = UTF8String.fromString(p)
+        var l2 = l1.get(pu)
+        if (l2 == null) {
+          l2 = new java.util.HashMap[UTF8String, java.lang.Long]()
+          l1.put(pu, l2)
+        }
+        l2.put(UTF8String.fromString(t), c)
+      }
+      m
+    }
+    // continuation/follower TYPE counts — exact folds over the capped
+    // entries (entries are distinct by construction, so row counts ARE
+    // type counts)
+    private val npm = { // N1+(·w) over the bigram table
+      val m = new java.util.HashMap[UTF8String, java.lang.Long]()
+      pairs.foreach { case (_, t, _) =>
+        val tu = UTF8String.fromString(t)
+        val old = m.get(tu)
+        m.put(tu, if (old == null) 1L else old.longValue() + 1L)
+      }
+      m
+    }
+    private val bTypes: Long = pairs.size.toLong
+    private val nvm = { // N1+(·v·): trigram rows with middle v
+      val m = new java.util.HashMap[UTF8String, java.lang.Long]()
+      tris.foreach { case (_, p, _, _) =>
+        val pu = UTF8String.fromString(p)
+        val old = m.get(pu)
+        m.put(pu, if (old == null) 1L else old.longValue() + 1L)
+      }
+      m
+    }
+    private val f2m = { // N1+(v·): DISTINCT w with middle v in the trigram table
+      val seen = new java.util.HashSet[(String, String)]()
+      val m = new java.util.HashMap[UTF8String, java.lang.Long]()
+      tris.foreach { case (_, p, t, _) =>
+        if (seen.add((p, t))) {
+          val pu = UTF8String.fromString(p)
+          val old = m.get(pu)
+          m.put(pu, if (old == null) 1L else old.longValue() + 1L)
+        }
+      }
+      m
+    }
+    private val cont2m = { // N1+(·vw): distinct predecessors of (v,w) in tris
+      val m = new java.util.HashMap[UTF8String,
+        java.util.HashMap[UTF8String, java.lang.Long]]()
+      tris.foreach { case (_, p, t, _) =>
+        val pu = UTF8String.fromString(p)
+        var inner = m.get(pu)
+        if (inner == null) {
+          inner = new java.util.HashMap[UTF8String, java.lang.Long]()
+          m.put(pu, inner)
+        }
+        val tu = UTF8String.fromString(t)
+        val old = inner.get(tu)
+        inner.put(tu, if (old == null) 1L else old.longValue() + 1L)
+      }
+      m
+    }
+    private val f3m = { // N1+(uv·): trigram rows with prefix (u,v)
+      val m = new java.util.HashMap[UTF8String,
+        java.util.HashMap[UTF8String, java.lang.Long]]()
+      tris.foreach { case (a, p, _, _) =>
+        val au = UTF8String.fromString(a)
+        var inner = m.get(au)
+        if (inner == null) {
+          inner = new java.util.HashMap[UTF8String, java.lang.Long]()
+          m.put(au, inner)
+        }
+        val pu = UTF8String.fromString(p)
+        val old = inner.get(pu)
+        inner.put(pu, if (old == null) 1L else old.longValue() + 1L)
+      }
+      m
+    }
+    private def longOf(m: java.util.HashMap[UTF8String, java.lang.Long],
+                       k: UTF8String): Long = {
+      val v = m.get(k)
+      if (v == null) 0L else v.longValue()
+    }
+    private def longOf2(m: java.util.HashMap[UTF8String,
+        java.util.HashMap[UTF8String, java.lang.Long]],
+        a: UTF8String, b: UTF8String): Long = {
+      val inner = m.get(a)
+      if (inner == null) return 0L
+      val v = inner.get(b)
+      if (v == null) 0L else v.longValue()
+    }
+    private def p1Of(w: UTF8String): Double =
+      (longOf(npm, w).toDouble + alpha) / (bTypes.toDouble + alpha)
+    private def p2Of(v: UTF8String, w: UTF8String): Double = {
+      val nv = longOf(nvm, v)
+      if (nv == 0L) p1Of(w)
+      else {
+        val cnt = longOf2(cont2m, v, w).toDouble
+        (math.max(cnt - discount, 0.0) +
+          discount * longOf(f2m, v).toDouble * p1Of(w)) / nv.toDouble
+      }
+    }
+    private def p3Of(u: UTF8String, v: UTF8String, w: UTF8String): Double = {
+      val f3 = longOf2(f3m, u, v)
+      val c12 = longOf2(c12m, u, v)
+      if (f3 == 0L || c12 == 0L) p2Of(v, w)
+      else {
+        val c3 = {
+          val l1 = c3m.get(u)
+          val l2 = if (l1 == null) null else l1.get(v)
+          val c = if (l2 == null) null else l2.get(w)
+          if (c == null) 0.0 else c.doubleValue()
+        }
+        (math.max(c3 - discount, 0.0) +
+          discount * f3.toDouble * p2Of(v, w)) / c12.toDouble
+      }
+    }
+    // one shared micro-ln memo: micro(ln x) depends only on x's bits
+    @transient private lazy val lnMemo =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    private val memoCap = 1 << 20
+    private def lnMicro(x: Double): Long = {
+      val bits: java.lang.Long = java.lang.Double.doubleToLongBits(x)
+      var v = lnMemo.get(bits)
+      if (v == null) {
+        v = micro(math.log(x))
+        if (lnMemo.size < memoCap) lnMemo.put(bits, v)
+      }
+      v.longValue()
+    }
+    def eval(toks: ArrayData): ArrayData = {
+      val n = toks.numElements()
+      var sum = 0L
+      var prev: UTF8String = null
+      var prev2: UTF8String = null
+      var i = 0
+      while (i < n) {
+        val tok = toks.getUTF8String(i)
+        if (i == 0) sum += lnMicro(p1Of(tok))
+        else if (i == 1) sum += lnMicro(p2Of(prev, tok))
+        else sum += lnMicro(p3Of(prev2, prev, tok))
+        prev2 = prev
+        prev = tok
+        i += 1
+      }
+      new GenericArrayData(Array(n.toLong, sum))
+    }
+  }
+
   /** One-pass repetition profile of a token array — [n_tokens,
     * max_token_count, ngram_instances, distinct_ngram_hashes] — the four
     * counts q60's two explode→groupBy(id) chains shuffled the token

@@ -1329,6 +1329,47 @@ object Quality {
         col("__s.mean_logprob").as("mean_logprob"))
   }
 
+  /** Score docs under the capped trigram tables with interpolated
+    * KNESER-NEY smoothing (Kneser & Ney 1995; Chen & Goodman 1998's
+    * interpolated form with a fixed discount) — the public-standard
+    * smoothing next to [[trigramLogProb]]'s absolute-count backoff lite.
+    * The KN signature move: lower orders score CONTINUATION type counts
+    * (how many distinct contexts a word completes), not raw frequencies
+    * — "san francisco" gives "francisco" a huge unigram count but only
+    * one continuation, so KN stops over-rewarding it in fresh contexts.
+    * All continuation statistics derive from the SAME two capped tables
+    * ([[TrigramVocab]]'s trigram + bigram counts) as exact folds at
+    * kernel construction — the model stays a bounded plan constant, and
+    * the DuckDB oracle replays the folds as aggregations over its
+    * replayed capped tables. Token 1 scores ln P1 (continuation
+    * unigram), token 2 ln P2, later tokens ln P3; 5-dp micro rounding
+    * per term, exact decimal sums (the [[trigramLogProb]] discipline).
+    *
+    * Scale notes: identical plan shape to [[trigramLogProb]] — pure
+    * zero-shuffle projection, ONE kernel call per doc, both tables ride
+    * the plan as one reference object; empty docs score NULL.
+    */
+  def trigramLogProbKN(docs: DataFrame, idCol: String, textCol: String,
+                       v: TrigramVocab, discount: Double = 0.75,
+                       alpha: Double = 1.0): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val k = call_function("graft_trigram_kn", tokensGuarded(textCol),
+      lit(graft.functions.GraftFunctions.encodeTrigramCounts(v.top)),
+      lit(graft.functions.GraftFunctions.encodeBigramCounts(v.bi.top)),
+      lit(discount.toString), lit(alpha.toString))
+    val packed = transform(array(k), kk => struct(
+      element_at(kk, 1).as("n_tokens"),
+      when(element_at(kk, 1) > 0,
+        (element_at(kk, 2).cast("double") / lit(100000.0)) / element_at(kk, 1))
+        .as("mean_logprob"))).getItem(0)
+    docs.select(col(idCol), packed.as("__s"))
+      .select(col(idCol), col("__s.n_tokens").as("n_tokens"),
+        col("__s.mean_logprob").as("mean_logprob"))
+  }
+
   /** The pre-r15 join-pipeline form of [[bigramLogProb]] — context-stream
     * explode, three broadcast joins, groupBy(id) re-shuffle. Kept as the
     * independently-derived reference the kernel is spec-pinned against

@@ -108,6 +108,97 @@ class TrigramSpec extends SparkSpec {
       s"trigram must prefer the intact sentence: ${tri(1L)} vs ${tri(2L)}")
   }
 
+  /** Sequential KN reference: the exact three-level interpolated-KN
+    * double sequence the kernel and the q177 DuckDB oracle replay —
+    * continuation TYPE counts folded from the same capped tables.
+    */
+  private def refScoreKN(toks: Seq[String], v: Quality.TrigramVocab,
+                         d: Double = 0.75,
+                         alpha: Double = 1.0): (Long, Option[Double]) = {
+    if (toks.isEmpty) return (0L, None)
+    val c12 = v.bi.top.map { case (p, t, c) => (p, t) -> c }.toMap
+    val c123 = v.top.map { case (a, p, t, c) => (a, p, t) -> c }.toMap
+    val np = v.bi.top.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val b = v.bi.top.size.toLong
+    val nv = v.top.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val f2 = v.top.map(e => (e._2, e._3)).distinct
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cont2 = v.top.groupBy(e => (e._2, e._3)).view.mapValues(_.size.toLong).toMap
+    val f3 = v.top.groupBy(e => (e._1, e._2)).view.mapValues(_.size.toLong).toMap
+    def p1(w: String) = (np.getOrElse(w, 0L).toDouble + alpha) / (b.toDouble + alpha)
+    def p2(vv: String, w: String) = nv.get(vv) match {
+      case None => p1(w)
+      case Some(n) =>
+        (math.max(cont2.getOrElse((vv, w), 0L).toDouble - d, 0.0) +
+          d * f2(vv).toDouble * p1(w)) / n.toDouble
+    }
+    def p3(u: String, vv: String, w: String) =
+      (f3.get((u, vv)), c12.get((u, vv))) match {
+        case (Some(f), Some(c)) =>
+          (math.max(c123.getOrElse((u, vv, w), 0L).toDouble - d, 0.0) +
+            d * f.toDouble * p2(vv, w)) / c.toDouble
+        case _ => p2(vv, w)
+      }
+    def micro(x: Double): Long =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.movePointRight(5).longValueExact
+    var sum = 0L
+    toks.zipWithIndex.foreach { case (t, i) =>
+      sum +=
+        (if (i == 0) micro(math.log(p1(t)))
+         else if (i == 1) micro(math.log(p2(toks(0), t)))
+         else micro(math.log(p3(toks(i - 2), toks(i - 1), t))))
+    }
+    (toks.size.toLong, Some(sum / 100000.0 / toks.size))
+  }
+
+  test("KN kernel matches the sequential continuation-count reference") {
+    val v = Quality.trigramVocab(corpus, "text", maxTrigrams = 64,
+      maxBigrams = 32, maxVocab = 16)
+    val got = Quality.trigramLogProbKN(corpus, "doc_id", "text", v)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    corpus.select("doc_id", "text").as[(Long, Option[String])].collect()
+      .foreach { case (id, txt) =>
+        val toks = txt.map(_.trim).filter(_.nonEmpty)
+          .map(_.toLowerCase.split("\\s+").toSeq).getOrElse(Seq.empty)
+        val (n, m) = refScoreKN(toks, v)
+        assert(got(id)._1 === n, s"n_tokens mismatch doc $id")
+        (got(id)._2, m) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12,
+            s"KN mean mismatch doc $id: $a vs $b")
+          case (a, b) => assert(a === b, s"null shape mismatch doc $id")
+        }
+      }
+    // and the empty/null contract carries over
+    assert(got(6L) === ((0L, None)))
+    assert(got(7L) === ((0L, None)))
+  }
+
+  test("KN signature: continuation counts demote a frequent-but-stuck word") {
+    // 'francisco' appears MANY times but always after 'san' (one
+    // continuation context); 'maybe' appears fewer times across many
+    // distinct contexts. As a fresh-context first token, KN must score
+    // 'maybe' above 'francisco'; the absolute-count unigram does the
+    // opposite — the textbook discriminating case for the two smoothers.
+    val train = ((1L to 40L).map(i => (i, "we visit san francisco today")) ++
+      Seq((41L, "maybe we go"), (42L, "they maybe stay"), (43L, "she said maybe"),
+        (44L, "it is maybe true"), (45L, "maybe later then"),
+        (46L, "he will maybe come"), (47L, "maybe not now"),
+        (48L, "we could maybe try"))).toDF("doc_id", "text")
+    val v = Quality.trigramVocab(train, "text", maxTrigrams = 256,
+      maxBigrams = 128, maxVocab = 64)
+    val probe = Seq((1L, "francisco"), (2L, "maybe")).toDF("doc_id", "text")
+    val kn = Quality.trigramLogProbKN(probe, "doc_id", "text", v)
+      .as[(Long, Long, Option[Double])].collect().map(t => t._1 -> t._3.get).toMap
+    val lite = Quality.trigramLogProb(probe, "doc_id", "text", v)
+      .as[(Long, Long, Option[Double])].collect().map(t => t._1 -> t._3.get).toMap
+    assert(kn(2L) > kn(1L),
+      s"KN must prefer the many-context word: maybe=${kn(2L)} francisco=${kn(1L)}")
+    assert(lite(1L) > lite(2L),
+      s"the absolute-count unigram prefers raw frequency: ${lite(1L)} vs ${lite(2L)}")
+  }
+
   test("build frame is heap-shaped: one row, capped, count-ordered") {
     val f = Quality.trigramVocabFrame(corpus, "text", maxTrigrams = 5).head()
     val rows = f.getSeq[org.apache.spark.sql.Row](0)
