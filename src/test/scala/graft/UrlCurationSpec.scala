@@ -86,6 +86,43 @@ class UrlCurationSpec extends SparkSpec {
       Seq("u1.pages.example", "x.cdn.pages.example", "github.io"))
   }
 
+  test("vendored PSL snapshot: multi-label + .us-grid suffixes resolve eTLD+1") {
+    GraftFunctions.ensureRegistered(spark)
+    def rd(url: String): String =
+      Seq(Tuple1(url)).toDF("url")
+        .select(TextAnalysis.registeredDomain(col("url"),
+          graft.functions.PublicSuffixes.snapshot))
+        .collect()(0).getString(0)
+    // the r19 verdict's named class: 4-label Massachusetts school registry
+    assert(rd("https://www.lincoln.pvt.k12.ma.us/calendar") ===
+      "lincoln.pvt.k12.ma.us")
+    assert(rd("https://a.b.whitmore.chtr.k12.ma.us/") ===
+      "whitmore.chtr.k12.ma.us")
+    // the 3-label state grids
+    assert(rd("https://portal.district.k12.ca.us/x") === "district.k12.ca.us")
+    assert(rd("https://www.branch.lib.tx.us/") === "branch.lib.tx.us")
+    // 2-label state locality root
+    assert(rd("https://www.springfield.ma.us/") === "springfield.ma.us")
+    // ccTLD second-level registries the built-in subset lacks
+    assert(rd("https://shop.example.com.au/p") === "example.com.au")
+    assert(rd("https://news.corp.co.th/") === "corp.co.th")
+    assert(rd("https://x.y.firm.co.at/") === "firm.co.at")
+    assert(rd("https://www.city.waw.pl/") === "city.waw.pl")
+    // Canada provincial suffixes
+    assert(rd("https://www.toronto.on.ca/") === "toronto.on.ca")
+    // private registries still ride along in the snapshot
+    assert(rd("https://user1.github.io/p") === "user1.github.io")
+    // unlisted TLDs keep the implicit last-two-labels rule
+    assert(rd("https://a.b.example.dev/") === "example.dev")
+    // the DEFAULT built-in path is untouched (q146's oracle contract)
+    assert(parts("https://news.blogs.bbc.co.uk/x")._3 === "bbc.co.uk")
+    // snapshot sanity: deduped, lowercase, multi-label-or-state entries
+    val snap = graft.functions.PublicSuffixes.snapshot
+    assert(snap.distinct.size === snap.size, "snapshot has duplicate entries")
+    assert(snap.forall(s => s == s.toLowerCase), "snapshot must be lowercase")
+    assert(graft.functions.PublicSuffixes.usGrid.size === 51 * 4 + 3)
+  }
+
   test("percent-encoding normalization: unreserved decode, reserved uppercase") {
     // %7E/~ and case variants of one page collapse to ONE canonical URL
     assert(parts("https://a.com/%7Euser")._1 === "https://a.com/~user")
