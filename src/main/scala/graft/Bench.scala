@@ -112,7 +112,11 @@ object Bench {
       // q159: runs batch CC over history INSIDE the row to have a
       // standing to attach to, then certifies incremental == batch via
       // q51's oracle; the batch-standing setup is the certification cost
-      "q159_incremental_components" -> "certification")
+      "q159_incremental_components" -> "certification",
+      // q178 composes eight already-benched operators as ONE oracled
+      // plan — its cost is the composition certification's, the member
+      // operators are the measured rows
+      "q178_curation_chain" -> "certification")
     def kindTotal(k: String): Double =
       results.filter(r => kinds.getOrElse(r._1, "operator") == k).map(_._2).sum
     val kindsJson = kinds.toSeq.sorted.filter { case (n, _) => results.exists(_._1 == n) }

@@ -1210,11 +1210,15 @@ object Oracles {
     * kernel matches, per-block tag strip / trim / word count / anchor
     * link-chars, keep = words ≥ 5 AND link_density < 0.5.
     */
-  private val htmlExtractOracle: String = {
+  /** The q152 CTE ladder (hs..hx) as a reusable fragment — ends in
+    * `hx(doc_id, n_blocks, n_kept, total_chars, kept_chars, clean_text)`
+    * — so the composed-chain oracle (q178) replays the SAME extraction.
+    */
+  private val htmlExtractCtes: String = {
     val blockAlt = graft.functions.TextKernels.htmlBlockTags
       .map(t => s"<$t(?: [^>]*)?>.*?</$t>").mkString("|")
     val ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
-    s"""WITH hs AS (SELECT doc_id,
+    s"""hs AS (SELECT doc_id,
            '<h1>Doc ' || doc_id || ' overview</h1>'
            || '${Queries.htmlNav}'
            || '<p>' || trim(text) || '</p>'
@@ -1253,14 +1257,17 @@ object Oracles {
            array_to_string(
              [texts[i] FOR i IN range(1, len(texts) + 1) IF keep[i]],
              chr(10)) AS clean_text
-         FROM hk)
+         FROM hk)"""
+  }
+
+  private val htmlExtractOracle: String =
+    s"""WITH $htmlExtractCtes
        SELECT doc_id, n_blocks, n_kept, total_chars, kept_chars,
          CASE WHEN total_chars > 0
               THEN round(1 - CAST(kept_chars AS DOUBLE) / total_chars, 5)
               END AS boilerplate_ratio,
          clean_text
        FROM hx"""
-  }
 
   /** q153: independent replay of the trained langid — verbatim
     * [[Queries.synthMultilingual]] synthesis, the md5-bucket hash in
@@ -1880,6 +1887,93 @@ object Oracles {
     "q146_url_canonicalize" ->
       s"""WITH $urlSynthCtes, $urlCanonCtes
          SELECT doc_id, url, url_canon, host, domain FROM ucanon""",
+
+    // q178: the composed curation chain — every stage's EXISTING replay
+    // chained in one query: url synth+canon (q146 CTEs) for the domain
+    // gate, the q152 html ladder for clean_text (the q155 unicode stage
+    // is identity BY CONSTRUCTION: the injected zero-width/BOM prefix is
+    // strippable and the extracted text is ASCII — if Spark's normalizer
+    // failed, every downstream hash would shift), the q24 marker ladder,
+    // the q79 gopher rules, q21 keep-min dedup, the q26 7-gram jaccard
+    // pair rule, and the q52 running-budget cut
+    "q178_curation_chain" -> {
+      val blocked = Queries.urlBlockedDomains.mkString("'", "','", "'")
+      s"""WITH $urlSynthCtes, $urlCanonCtes, $htmlExtractCtes,
+         ch0 AS (
+           SELECT h.doc_id, dd.source, u.domain, h.clean_text
+           FROM hx h
+           JOIN ucanon u ON u.doc_id = h.doc_id
+           JOIN documents dd ON dd.doc_id = h.doc_id
+           WHERE u.domain NOT IN ($blocked)),
+         ch1 AS (
+           SELECT doc_id, source, domain, clean_text,
+             len(list_filter(regexp_split_to_array(lower(trim(clean_text)), '\\s+'),
+               x -> x IN ('the','a','fast','slow'))) AS s_en,
+             len(list_filter(regexp_split_to_array(lower(trim(clean_text)), '\\s+'),
+               x -> x IN ('table','scan','row'))) AS s_de,
+             len(list_filter(regexp_split_to_array(lower(trim(clean_text)), '\\s+'),
+               x -> x IN ('data','query','value'))) AS s_es,
+             len(list_filter(regexp_split_to_array(lower(trim(clean_text)), '\\s+'),
+               x -> x IN ('spark','join','merge'))) AS s_zh
+           FROM ch0),
+         ch2 AS (
+           SELECT doc_id, source, domain, clean_text,
+             CASE
+               WHEN greatest(s_en, s_de, s_es, s_zh) = 0 THEN 'und'
+               WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es THEN 'zh'
+               WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+               WHEN s_en >= s_de THEN 'en'
+               ELSE 'de' END AS lang_pred
+           FROM ch1),
+         ch3 AS (SELECT * FROM ch2 WHERE lang_pred IN ('en', 'und')),
+         gs AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(clean_text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(clean_text), '\\s+')) END AS n_words,
+             CAST(length(regexp_replace(clean_text, '\\s', '', 'g')) AS DOUBLE) AS chars,
+             CAST(length(regexp_replace(clean_text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS syms,
+             CAST(len(list_filter(regexp_split_to_array(trim(clean_text), '\\s+'),
+               x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS stops,
+             len(regexp_split_to_array(trim(clean_text), '\\s+')) AS raw_toks
+           FROM ch3),
+         gk AS (
+           SELECT doc_id FROM gs
+           WHERE n_words >= 30 AND n_words <= 90
+             AND round(chars / greatest(n_words, 1), 4) >= 3.0
+             AND round(chars / greatest(n_words, 1), 4) <= 5.0
+             AND round(syms / greatest(n_words, 1), 4) <= 0.1
+             AND round(stops / greatest(raw_toks, 1), 4) >= 0.02),
+         ch4 AS (SELECT c.* FROM ch3 c JOIN gk USING (doc_id)),
+         ch5 AS (SELECT * FROM ch4
+                 QUALIFY row_number() OVER (PARTITION BY clean_text ORDER BY doc_id) = 1),
+         ctoks AS (SELECT doc_id,
+             regexp_split_to_array(lower(trim(clean_text)), '\\s+') AS t FROM ch5),
+         csh AS (SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+6], ' ')
+                                   for i in range(1, greatest(len(t) - 6, 0) + 1)])) AS s
+           FROM ctoks),
+         csz AS (SELECT doc_id, count(*) AS nsh FROM csh GROUP BY doc_id),
+         cpr AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         closers AS (
+           SELECT DISTINCT id_b FROM cpr
+           JOIN csz sa ON sa.doc_id = cpr.id_a
+           JOIN csz sb ON sb.doc_id = cpr.id_b
+           WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.5),
+         ch6 AS (SELECT * FROM ch5
+                 WHERE doc_id NOT IN (SELECT id_b FROM closers)),
+         ch7 AS (SELECT doc_id, source, domain, lang_pred,
+             CAST(CASE WHEN length(trim(clean_text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(clean_text), '\\s+')) END
+               AS BIGINT) AS n_tok
+           FROM ch6),
+         ch8 AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM ch7)
+         SELECT doc_id, source, domain, lang_pred, n_tok
+         FROM ch8 WHERE cum - n_tok < 1500"""
+    },
 
     "q147_domain_rollup" -> {
       val blocked = Queries.urlBlockedDomains.mkString("'", "','", "'")

@@ -126,6 +126,69 @@ object Queries {
         .otherwise(lit("")),
       lit(htmlFooter))
 
+  /** The q178 composed curation chain, split at its single
+    * materialization point so CurationChainSpec can pin the one-scan
+    * contract on each half.
+    *
+    * Stages (the crawl pipeline's published order, each individually
+    * oracled elsewhere, here composed as ONE run):
+    *   1. URL front door (q146/q147): registered domain from the
+    *      synthesized URL, plan-constant blocklist gate;
+    *   2. HTML main-content extraction (q152) over the synthesized page;
+    *   3. unicode front door (q155): zero-width/BOM injected by formula
+    *      on %7==3 docs and STRIPPED — if the normalizer failed, every
+    *      downstream dedup group, word count and token budget would
+    *      shift and the oracle hash would catch it;
+    *   4. langid gate (q24 markers): keep en/und;
+    *   — `Iterative.cut` — stages 1-4 are row-level projections/filters,
+    *      ONE corpus scan total; the materialized frame feeds every
+    *      join below, so no stage rescans the corpus —
+    *   5. gopher quality gate (q79 rules, keep = 1, semi-join);
+    *   6. corpus-wide exact dedup (q21 keep-min per clean text);
+    *   7. near-dup gate (q26 7-gram jaccard ≥ 0.5 → the LARGER id of
+    *      every pair drops);
+    *   8. token-budget mix per source (q52 rule, 1500 tokens).
+    * Output: one row per published doc (doc_id, source, domain,
+    * lang_pred, n_tok).
+    */
+  private[graft] def curationChainStages(s: SparkSession,
+                                         d: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val st1 = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"),
+        TextAnalysis.registeredDomain(
+          synthUrl(col("doc_id"), col("source"))).as("domain"))
+      .filter(!TextAnalysis.domainBlocked(col("domain"), urlBlockedDomains))
+    val st2 = st1.withColumn("clean0",
+      TextAnalysis.htmlMainText(synthHtml(col("doc_id"), col("text"), col("source"))))
+    val st3 = st2
+      .withColumn("clean_text",
+        TextAnalysis.normalizeUnicode(
+          concat(when(pmod(col("doc_id"), lit(7)) === 3, lit("\u200B\uFEFF"))
+            .otherwise(lit("")), col("clean0")))
+          .getField("clean_text"))
+      .drop("clean0", "text")
+    val st4 = st3
+      .withColumn("lang_pred", TextAnalysis.langIdFast(col("clean_text"), langMarkers))
+      .filter(col("lang_pred").isin("en", "und"))
+    val staged = graft.plans.Iterative.cut(st4)
+    val gKeep = Quality.gopherFilter(staged, "doc_id", "clean_text", stopwords,
+        minWords = 30, maxWords = 90, minMeanLen = 3.0, maxMeanLen = 5.0,
+        maxSymbolRatio = 0.1, minStopRatio = 0.02)
+      .filter(col("keep") === 1).select("doc_id")
+    val st5 = staged.join(gKeep, Seq("doc_id"), "left_semi")
+    val st6 = Dedup.dedupExactRows(st5, Seq("clean_text"), "doc_id")
+    val losers = NearDup.ngramJaccardPairs(st6, "doc_id", "clean_text", 7, 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    val st7 = st6.join(losers, Seq("doc_id"), "left_anti")
+    val st8 = Sampling.tokenBudgetPerStratum(
+      st7.withColumn("n_tok",
+        TextAnalysis.tokenCountWs(col("clean_text")).cast("long")),
+      col("source"), Seq(col("doc_id")), col("n_tok"), budget = 1500L)
+    (st4, st8.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+      col("domain"), col("lang_pred"), col("n_tok")))
+  }
+
   /** q153 multilingual-synthesis vocab (16 common words per language,
     * lowercase, quote-free — they interpolate into the oracle's SQL),
     * keyed in the SAME ascending language order as
@@ -1650,6 +1713,16 @@ object Queries {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_tokens"), col("mean_logprob"))
     }),
+
+    // END-TO-END curation-chain certification (the r19 verdict's q177-
+    // class ask): URL gate → HTML extract → unicode normalize → langid
+    // gate → gopher gate → corpus exact dedup → near-dup gate → token-
+    // budget mix, composed as ONE plan and replayed stage-by-stage in
+    // DuckDB — stage outputs can disagree with the composition only
+    // through plan bugs, which is exactly what this row catches. See
+    // [[curationChainStages]] for the stage bodies and the one-scan
+    // contract (CurationChainSpec pins it)
+    "q178_curation_chain" -> ((s, d) => curationChainStages(s, d)._2),
 
     // Kneser-Ney trigram fluency score (the public-STANDARD smoothing
     // next to q173's absolute-count backoff lite): continuation TYPE
