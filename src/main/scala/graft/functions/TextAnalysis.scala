@@ -228,6 +228,18 @@ object TextAnalysis {
     * matcher), cards before phones (the conservative phone rule would
     * swallow card-shaped runs before validation could see them), and
     * the residual phone pass still catches checksum-failing digit runs.
+    *
+    * Cost shape (r20 probe, the q172 100×-cost question): the chain's
+    * per-row cost is spread UNIFORMLY across the passes (~0.1–0.2 s
+    * each at sf0.1, linear in bytes; the card stage's extract+Luhn+fold
+    * is no more expensive than a plain regexp_replace pass) — there is
+    * no q175-style service-overhead hotspot to cut. A single fused
+    * alternation pass cannot preserve the sequential semantics above
+    * precisely where they are load-bearing (match classes interact:
+    * each pass must see the PREVIOUS pass's output), so the ~7
+    * sequential passes are the honest price of the spec-pinned
+    * ordering. Zero shuffles, embarrassingly parallel — the 100× wall
+    * time is pure per-byte scrub work spread across all cores.
     */
   def cleanForTrainingFull(text: Column): Column =
     redactPhones(redactIps(redactCards(redactEmails(stripHtml(text)))))

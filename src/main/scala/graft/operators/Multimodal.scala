@@ -878,6 +878,15 @@ case class DecodedAudio(sampleRate: Int, channels: Int, bits: Int,
   * ships with every JVM, no container dependency). Mean channel values
   * are computed over every pixel, so the result is ground truth from the
   * payload, not the declared metadata. Corrupt/unknown bytes → None.
+  *
+  * Registry-overhead probe (r20, the q171 follow-up to q175's
+  * AudioSystem lesson): a full ImageIO PNG decode measures ~65–130 µs
+  * per small clip, of which reader/stream creation is only ~20% and the
+  * raw IDAT inflate floor is ~30% — nothing like AudioSystem's ~98%
+  * provider-machinery share (2–3 ms/clip). A hand-rolled PNG walk would
+  * buy ≤2–3×, not the audio path's 90×, at the price of a second
+  * filter/palette decoder to certify — not taken; ImageIO stays the
+  * image decode path.
   */
 object ImageIoCodec extends MediaCodec {
 
