@@ -1899,7 +1899,7 @@ object Oracles {
     "q178_curation_chain" -> {
       val blocked = Queries.urlBlockedDomains.mkString("'", "','", "'")
       s"""WITH $urlSynthCtes, $urlCanonCtes, $htmlExtractCtes,
-         ch0 AS (
+         ch0 AS MATERIALIZED (
            SELECT h.doc_id, dd.source, u.domain, h.clean_text
            FROM hx h
            JOIN ucanon u ON u.doc_id = h.doc_id
@@ -1925,7 +1925,7 @@ object Oracles {
                WHEN s_en >= s_de THEN 'en'
                ELSE 'de' END AS lang_pred
            FROM ch1),
-         ch3 AS (SELECT * FROM ch2 WHERE lang_pred IN ('en', 'und')),
+         ch3 AS MATERIALIZED (SELECT * FROM ch2 WHERE lang_pred IN ('en', 'und')),
          gs AS (
            SELECT doc_id,
              CASE WHEN length(trim(clean_text)) = 0 THEN 0
@@ -1944,11 +1944,11 @@ object Oracles {
              AND round(syms / greatest(n_words, 1), 4) <= 0.1
              AND round(stops / greatest(raw_toks, 1), 4) >= 0.02),
          ch4 AS (SELECT c.* FROM ch3 c JOIN gk USING (doc_id)),
-         ch5 AS (SELECT * FROM ch4
+         ch5 AS MATERIALIZED (SELECT * FROM ch4
                  QUALIFY row_number() OVER (PARTITION BY clean_text ORDER BY doc_id) = 1),
          ctoks AS (SELECT doc_id,
              regexp_split_to_array(lower(trim(clean_text)), '\\s+') AS t FROM ch5),
-         csh AS (SELECT doc_id,
+         csh AS MATERIALIZED (SELECT doc_id,
              unnest(list_distinct([array_to_string(t[i:i+6], ' ')
                                    for i in range(1, greatest(len(t) - 6, 0) + 1)])) AS s
            FROM ctoks),
@@ -1957,7 +1957,7 @@ object Oracles {
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
            FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
-         closers AS (
+         closers AS MATERIALIZED (
            SELECT DISTINCT id_b FROM cpr
            JOIN csz sa ON sa.doc_id = cpr.id_a
            JOIN csz sb ON sb.doc_id = cpr.id_b
