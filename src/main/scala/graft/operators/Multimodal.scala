@@ -643,8 +643,16 @@ object Multimodal {
     * cost optimization).
     */
   def phashDedup(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    // Land the signature frame ONCE before fanning out: `sigs` feeds the
+    // group table, the banding self-join AND the final label join, and
+    // upstream sits the real per-clip codec decode (mapPartitions — opaque
+    // to Catalyst, so no subtree reuse). Without the cut the decode chain
+    // is replicated per reference and runs ~6× per execution (measured
+    // r20: q176 15.7 s → one-decode plan; 6 longs/clip is the cheapest
+    // thing in the pipeline to materialize, blobs stay upstream).
     val sigs = hashes.select(col("media_id").as("id"), col("phash").as("sig"),
       col("b0"), col("b1"), col("b2"), col("b3"))
+      .transform(graft.plans.Iterative.cut)
     val groups = sigs.filter(col("sig").isNotNull)
       .groupBy("sig").agg(min("id").as("rid"))
     val pairs = graft.operators.NearDup.signaturePairs(
