@@ -699,6 +699,11 @@ object Dedup {
                       groupCol: String, score: Column,
                       shingle: Int = 7, threshold: Double = 0.2): DataFrame = {
     val base = docs.select(col(idCol), col(groupCol), col(textCol))
+    // NOTE (r20 probe): reps is read by three consumers, but its plan
+    // ends in the exact-dedup aggregation exchange, which AQE stage
+    // reuse dedups at runtime — an explicit localCheckpoint here
+    // measured 3.5 → 8.8 s at sf0.1 (extra materialization + lost
+    // exchange reuse). Leave it to AQE.
     val reps = dedupExactRows(base, Seq(textCol), idCol)
       .select(base.columns.map(col).toIndexedSeq: _*)
     val edges = NearDup.ngramJaccardComponentEdges(
@@ -1032,6 +1037,14 @@ object Dedup {
     require(k >= 1, s"stripDupSpans needs k >= 1, got $k")
     require(winnow >= 1, s"stripDupSpans needs winnow >= 1, got $winnow")
     val id = col(idCol)
+    // NOTE (r20 probe): do NOT localCheckpoint `base` here. Its multiple
+    // references (candidate agg, candidate semi join, string confirm,
+    // cover join) look like repeated tokenize passes, but the expensive
+    // repeats sit behind exchanges AQE stage-reuse dedups at runtime; an
+    // explicit cut measured q154 4.1→10.6 s, q158 6.3→12.9 s at sf0.1
+    // (extra materialization + lost reuse). Contrast phashDedup, where
+    // the repeated subtree is a no-exchange mapPartitions decode and the
+    // cut wins 2.5×.
     val base = docs
       .select(id, split(trim(col(textCol)), " ").as("__toks"))
       .select(id, col("__toks"), size(col("__toks")).as("n_tokens"))

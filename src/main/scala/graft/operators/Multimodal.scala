@@ -56,6 +56,22 @@ object Multimodal {
         lit("application/octet-stream").as("mime")
       ).as("meta"))
 
+  /** Fan the 8-byte id stream out to the session's full parallelism
+    * before per-row CODEC work: media encode costs ~1 ms/clip (r20
+    * probe: 5 GIF frames ≈ 1.0 ms), and a small source — one parquet
+    * split — would otherwise run the whole synth+codec chain on ONE
+    * core (measured r20: q176 6.2 → 1.6 s at sf0.1/32 cores from this
+    * alone). Hash-partitioned on the id, so the spread is deterministic
+    * under task retry (guide §2.5 — never round-robin on rows that a
+    * retry could re-draw); the shuffled rows are bare longs, so the
+    * exchange is negligible at any scale — unlike repartitioning a
+    * corpus-bytes table, which would be a 100 TB scale-killer.
+    */
+  private def fanOutIds(src: DataFrame, idCol: String): DataFrame = {
+    val n = src.sparkSession.sparkContext.defaultParallelism
+    src.select(col(idCol).cast("long").as("id")).repartition(n, col("id"))
+  }
+
   /** Synthesize REAL image media: one solid-color PNG per source row,
     * dimensions and fill color pure functions of the id (width =
     * id%4·16+32, height = id%3·16+32, RGB = (id, 7id, 13id) mod 256).
@@ -66,7 +82,7 @@ object Multimodal {
     */
   def synthesizeImages(src: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
-    src.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+    fanOutIds(src, idCol).mapPartitions { rows =>
       ImageIoCodec.disableDiskCache()
       rows.map { r =>
         val id = r.getLong(0)
@@ -96,7 +112,7 @@ object Multimodal {
     */
   def synthesizeAudio(src: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
-    src.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+    fanOutIds(src, idCol).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val n = ((id % 4) * 160 + 320).toInt
@@ -109,18 +125,18 @@ object Multimodal {
           pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
           t += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
-          true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        // Direct RIFF writer, not AudioSystem.write: the JDK path costs
+        // ~0.17 ms/clip of provider machinery AND is globally
+        // serialized — the r20 thread probe measured it scaling
+        // NEGATIVELY (0.84 s → 1.11 s from 1 → 32 threads), so the id
+        // fan-out made q150 3× SLOWER until this write joined q175's
+        // RIFF path. writeWavPcm16 emits the same canonical 44-byte
+        // container (WavRoundTripSpec pins it against the JDK reader).
         // meta.n_frames = 1: a WAV clip is ONE frame-sampling unit — the
         // PCM sample count is payload-level ground truth surfaced by
         // decodeAudioMeta.n_samples, NOT a frame notion (n here would
         // make frameFeatures emit one full-clip re-decode per SAMPLE)
-        Row(id, "audio", bos.toByteArray,
+        Row(id, "audio", writeWavPcm16(rate, pcm),
           Row(null, null, Integer.valueOf(rate), Integer.valueOf(1),
             "audio/wav"))
       }
@@ -139,16 +155,20 @@ object Multimodal {
     */
   def synthesizeVideos(src: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
-    src.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+    fanOutIds(src, idCol).mapPartitions { rows =>
       ImageIoCodec.disableDiskCache()
+      // ONE writer per task, reset between clips: the per-clip
+      // getImageWritersBySuffix registry walk + createImageOutputStream
+      // SPI lookup were ~20% of the ~1 ms/clip encode (r20 probe) — the
+      // q175 AudioSystem lesson, smaller dose. Identical bytes out.
+      val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
       rows.map { r =>
         val id = r.getLong(0)
         val w = ((id % 4) * 16 + 32).toInt
         val h = ((id % 3) * 16 + 32).toInt
         val nf = ((id % 6) + 2).toInt
         val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
         try {
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
@@ -165,7 +185,7 @@ object Multimodal {
             f += 1
           }
           writer.endWriteSequence()
-        } finally { writer.dispose(); ios.close() }
+        } finally { writer.reset(); ios.close() }
         Row(id, "video", bos.toByteArray,
           Row(w, h, null, Integer.valueOf(nf), "image/gif"))
       }
@@ -195,7 +215,7 @@ object Multimodal {
     */
   def synthesizeNearDupImages(src: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
-    src.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+    fanOutIds(src, idCol).mapPartitions { rows =>
       ImageIoCodec.disableDiskCache()
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
@@ -369,7 +389,7 @@ object Multimodal {
     */
   def synthesizeNearDupAudio(src: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
-    src.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+    fanOutIds(src, idCol).mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val id = r.getLong(0)
@@ -498,9 +518,11 @@ object Multimodal {
     */
   def synthesizeNearDupVideos(src: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
-    src.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+    fanOutIds(src, idCol).mapPartitions { rows =>
       ImageIoCodec.disableDiskCache()
       val md = java.security.MessageDigest.getInstance("MD5")
+      // one writer per task, reset per clip — see synthesizeVideos
+      val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
       rows.map { r =>
         val id = r.getLong(0)
         val g = id / 4; val m = id % 4
@@ -517,8 +539,7 @@ object Multimodal {
         val noiseBit = Map(0 -> 5, 2 -> 21, 4 -> 40)
         val bump = if (m == 1) 5 else 0
         val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
         try {
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
@@ -542,7 +563,7 @@ object Multimodal {
             f += 1
           }
           writer.endWriteSequence()
-        } finally { writer.dispose(); ios.close() }
+        } finally { writer.reset(); ios.close() }
         Row(id, "video", bos.toByteArray,
           Row(Integer.valueOf(32), Integer.valueOf(32), null,
             Integer.valueOf(5), "image/gif"))
@@ -650,9 +671,25 @@ object Multimodal {
     // is replicated per reference and runs ~6× per execution (measured
     // r20: q176 15.7 s → one-decode plan; 6 longs/clip is the cheapest
     // thing in the pipeline to materialize, blobs stay upstream).
-    val sigs = hashes.select(col("media_id").as("id"), col("phash").as("sig"),
+    val sigsRaw = hashes.select(col("media_id").as("id"), col("phash").as("sig"),
       col("b0"), col("b1"), col("b2"), col("b3"))
       .transform(graft.plans.Iterative.cut)
+    // Right-size the landed leaf the way AQE sizes post-shuffle stages:
+    // the cut just materialized an EXACT row count, and the decode fan-out
+    // upstream leaves parallelism-many partitions regardless of how small
+    // the signature frame is — every job of the CC loop downstream would
+    // then schedule that many tasks over a few-KB frame (measured r20:
+    // q171 2.3 → 4.0 s from leaf task overhead alone). 48 B/row against
+    // the session's advisory partition size keeps the coalesce
+    // scale-adaptive: 5 k clips → 1 partition, 1 B clips → hundreds.
+    val advisory = math.max(1L, hashes.sparkSession.sessionState.conf
+      .getConf(org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    val target = sigsRaw.queryExecution.analyzed.stats.rowCount
+      .map(r => ((r.toLong * 48 + advisory - 1) / advisory).max(1L).min(10000L).toInt)
+    val sigs = target match {
+      case Some(t) if t < sigsRaw.rdd.getNumPartitions => sigsRaw.coalesce(t)
+      case _ => sigsRaw
+    }
     val groups = sigs.filter(col("sig").isNotNull)
       .groupBy("sig").agg(min("id").as("rid"))
     val pairs = graft.operators.NearDup.signaturePairs(
@@ -970,7 +1007,40 @@ object AudioWavCodec extends MediaCodec {
 
   override def decodeAudio(bytes: Array[Byte]): Option[DecodedAudio] =
     if (bytes == null || bytes.isEmpty) None
-    else scala.util.Try {
+    else decodeAudioRiff(bytes).orElse(decodeAudioJdk(bytes))
+
+  /** Fast path for the overwhelmingly common container: the certified
+    * direct RIFF walk ([[decodePcm]] — WavRoundTripSpec pins it against
+    * JDK-written containers), stats folded with the same arithmetic as
+    * the AudioSystem form below. Two reasons it leads: the provider
+    * registry costs ~0.1–3 ms/clip, and `AudioSystem` is globally
+    * SERIALIZED — the r20 thread probe measured it scaling negatively
+    * (0.84 → 1.11 s, 1 → 32 threads), so after the synthesis id fan-out
+    * it was the new bottleneck. Anything the walk declines (AIFF/AU,
+    * extensible formats, malformed chunks) falls back to the JDK path
+    * and behaves exactly as before.
+    */
+  private def decodeAudioRiff(bytes: Array[Byte]): Option[DecodedAudio] =
+    decodePcm(bytes).flatMap { case (rate, channels, samples) =>
+      val total = samples.length
+      if (total == 0) None
+      else {
+        var sumAbs = 0L
+        var peak = 0
+        var i = 0
+        while (i < total) {
+          val a = math.abs(samples(i))
+          sumAbs += a
+          if (a > peak) peak = a
+          i += 1
+        }
+        Some(DecodedAudio(rate, channels, 16,
+          (total / channels).toLong, sumAbs / total, peak))
+      }
+    }
+
+  private def decodeAudioJdk(bytes: Array[Byte]): Option[DecodedAudio] =
+    scala.util.Try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {

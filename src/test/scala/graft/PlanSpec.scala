@@ -260,7 +260,17 @@ class PlanSpec extends SparkSpec {
   test("q32 multimodal decode never shuffles the blobs") {
     val p = plan("q32_multimodal_meta")
     assert(p.contains("MapPartitions"), p.take(2000))
-    assert(!p.contains("Exchange"), p.take(2000))
+    // The r20 id fan-out adds ONE exchange BELOW the synthesis — it may
+    // carry the bare 8-byte id column only. Blobs exist only above the
+    // first MapPartitions, so the pin is: no Exchange after the point
+    // where blobs are born (the plan tree prints root-first: everything
+    // BEFORE the last MapPartitions line is downstream of the decode).
+    val afterBlobsBorn = p.substring(0, p.lastIndexOf("MapPartitions"))
+    assert(!afterBlobsBorn.contains("Exchange"), p.take(3000))
+    // and the one allowed exchange below synthesis carries ids only
+    val tail = p.substring(p.lastIndexOf("MapPartitions"))
+    if (tail.contains("Exchange"))
+      assert(!tail.contains("bytes#"), p.take(3000))
   }
 
   test("q66 cross near-dup joins shingle hashes with shuffle_hash, not sort-merge") {
