@@ -264,20 +264,36 @@ object Quality {
     * maxVocab+1 values reach the driver.
     */
   def unigramVocab(corpus: DataFrame, textCol: String,
-                   maxVocab: Int = 1 << 16): UnigramVocab = {
+                   maxVocab: Int = 1 << 16): UnigramVocab =
+    parseUnigramRow(unigramVocabFrame(corpus, textCol, maxVocab).head(), 0)
+
+  /** The ONE-ROW (t, top) frame behind [[unigramVocab]] — exposed so the
+    * bigram/trigram builders can ride it in the SAME collect job as
+    * their own aggregates (independent single-row aggregate frames
+    * crossJoined into one action run their stages CONCURRENTLY and share
+    * exchanges within the job; as separate head() calls each pays its
+    * own sequential corpus pass — measured r20: q173's vocab build went
+    * from 4 sequential jobs to 1).
+    */
+  private[graft] def unigramVocabFrame(corpus: DataFrame, textCol: String,
+                                       maxVocab: Int): DataFrame = {
     require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val vstats = tokenStream(corpus, lit(0L), textCol).filter(col("tok").isNotNull)
+    tokenStream(corpus, lit(0L), textCol).filter(col("tok").isNotNull)
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .agg(sum("c").as("t"),
         call_function("graft_top_k_by",
           struct(col("tok"), col("c")), col("c"), col("tok"), lit(maxVocab)).as("top"))
-      .head()
+  }
+
+  /** Parse a (t, top) pair out of a row at field offset `at`. */
+  private def parseUnigramRow(r: org.apache.spark.sql.Row,
+                              at: Int): UnigramVocab = {
     // empty/all-blank corpus: sum is NULL, top is empty — total clamps to
     // 1 and every (nonexistent) token would take the floor; no NPE
-    val total = (if (vstats.isNullAt(0)) 1L else vstats.getLong(0)).max(1L)
-    UnigramVocab(vstats.getSeq[org.apache.spark.sql.Row](1)
-      .map(r => (r.getString(0), r.getLong(1))), total)
+    val total = (if (r.isNullAt(at)) 1L else r.getLong(at)).max(1L)
+    UnigramVocab(r.getSeq[org.apache.spark.sql.Row](at + 1)
+      .map(x => (x.getString(0), x.getLong(1))), total)
   }
 
   /** The (id, tok) token stream with the null/blank guard — one row per
@@ -1170,17 +1186,25 @@ object Quality {
   def bigramVocab(corpus: DataFrame, textCol: String,
                   maxBigrams: Int = 1 << 18,
                   maxVocab: Int = 1 << 16): BigramVocab = {
+    // ONE action over all three single-row aggregate frames (crossJoin
+    // of 1-row frames): the pair heap and the context heap share the
+    // (prev, tok) aggregation EXCHANGE within the job (separate head()
+    // calls re-ran it — reuse never spans jobs), and the unigram stream
+    // runs concurrently instead of as a fourth sequential pass.
     val (topF, firstF) =
       bigramVocabFrames(corpus, textCol, maxBigrams, maxVocab)
-    val topRow = topF.head()
-    val firstRow = firstF.head()
+    val row = topF.select(col("top").as("__bi_top"))
+      .crossJoin(firstF.select(col("first").as("__bi_first")))
+      .crossJoin(unigramVocabFrame(corpus, textCol, maxVocab)
+        .select(col("t").as("__uni_t"), col("top").as("__uni_top")))
+      .head()
     def rows3(r: org.apache.spark.sql.Row, i: Int) =
       if (r.isNullAt(i)) Seq.empty[org.apache.spark.sql.Row]
       else r.getSeq[org.apache.spark.sql.Row](i)
     BigramVocab(
-      rows3(topRow, 0).map(r => (r.getString(0), r.getString(1), r.getLong(2))),
-      rows3(firstRow, 0).map(r => (r.getString(0), r.getLong(1))),
-      unigramVocab(corpus, textCol, maxVocab))
+      rows3(row, 0).map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+      rows3(row, 1).map(r => (r.getString(0), r.getLong(1))),
+      parseUnigramRow(row, 2))
   }
 
   /** Score docs under a capped bigram LM with unigram-backoff
@@ -1283,12 +1307,25 @@ object Quality {
                    maxTrigrams: Int = 1 << 19,
                    maxBigrams: Int = 1 << 18,
                    maxVocab: Int = 1 << 16): TrigramVocab = {
-    val topRow = trigramVocabFrame(corpus, textCol, maxTrigrams).head()
-    val tri =
-      if (topRow.isNullAt(0)) Seq.empty[(String, String, String, Long)]
-      else topRow.getSeq[org.apache.spark.sql.Row](0)
-        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
-    TrigramVocab(tri, bigramVocab(corpus, textCol, maxBigrams, maxVocab))
+    // all four single-row aggregates in ONE action — see [[bigramVocab]]
+    val (topF, firstF) =
+      bigramVocabFrames(corpus, textCol, maxBigrams, maxVocab)
+    val row = trigramVocabFrame(corpus, textCol, maxTrigrams)
+      .select(col("top").as("__tri_top"))
+      .crossJoin(topF.select(col("top").as("__bi_top")))
+      .crossJoin(firstF.select(col("first").as("__bi_first")))
+      .crossJoin(unigramVocabFrame(corpus, textCol, maxVocab)
+        .select(col("t").as("__uni_t"), col("top").as("__uni_top")))
+      .head()
+    def rows3(r: org.apache.spark.sql.Row, i: Int) =
+      if (r.isNullAt(i)) Seq.empty[org.apache.spark.sql.Row]
+      else r.getSeq[org.apache.spark.sql.Row](i)
+    val tri = rows3(row, 0)
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    TrigramVocab(tri, BigramVocab(
+      rows3(row, 1).map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+      rows3(row, 2).map(r => (r.getString(0), r.getLong(1))),
+      parseUnigramRow(row, 3)))
   }
 
   /** Score docs under a capped TRIGRAM LM with interpolated backoff —

@@ -10,38 +10,21 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType}
   * datasets and the same `spark.read.parquet` call still applies.
   */
 object Tables {
+  // NOTE (r20 probe): do NOT blanket-rebalance under-split scans here.
+  // The testdata's single-row-group parquet files DO pin every query's
+  // stage 1 to one task, and guide §2.5 blesses repartition-after-read
+  // for unsplittable inputs — but a reader-level round-robin repartition
+  // taxed all 178 queries with an extra exchange (plus its deterministic
+  // pre-shuffle sort, itself single-threaded on the one input split) PER
+  // TABLE REFERENCE: full-catalog bench went 200 → 315 s with 83
+  // per-query regressions, while only a handful of stage-1-CPU-bound
+  // queries gained. At production scale inputs arrive as many splits and
+  // the rebalance would be a no-op anyway. The one place under-split
+  // inputs genuinely starve the engine — per-clip media codec work — is
+  // fanned out on the bare id stream inside Multimodal.fanOutIds, where
+  // the shuffled rows are 8-byte longs at any scale.
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    rebalance(spark, spark.read.parquet(s"$dir/$name.parquet"),
-      s"$dir/$name.parquet")
-
-  /** Rebalance a scan whose FILE LAYOUT provides fewer splits than the
-    * session's parallelism — guide §2.5's "input skew: one huge
-    * unsplittable file … repartition immediately after the read", made
-    * layout-adaptive instead of host-tuned: the decision reads the
-    * actual input bytes vs `spark.sql.files.maxPartitionBytes`, so a
-    * production table that already arrives as many splits (100 TB =
-    * thousands) is a NO-OP, while a single-row-group parquet file (the
-    * small-SF testdata; any under-compacted source) stops pinning every
-    * first-stage pass — tokenize, codec work, map-side partial
-    * aggregation — to ONE core (measured r20: the catalog's stage-1 was
-    * single-threaded at sf0.1 on 32 cores). Sub-256 KB inputs are left
-    * alone: dimension tables gain nothing and the exchange would only
-    * add a stage in front of their broadcast. Round-robin keeps balance
-    * perfect; Spark's sort-before-repartition (default on) makes the
-    * spread deterministic under task retry.
-    */
-  private def rebalance(spark: SparkSession, df: DataFrame,
-                        path: String): DataFrame = {
-    val par = spark.sparkContext.defaultParallelism
-    val bytes = try {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.getContentSummary(p).getLength
-    } catch { case _: Exception => Long.MaxValue }
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val estSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
-    if (bytes >= 256 * 1024 && estSplits < par) df.repartition(par) else df
-  }
+    spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS) (pyarrow writer default),
     * which Spark's parquet reader rejects outright. Read nanos as long
