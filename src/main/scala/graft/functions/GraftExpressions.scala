@@ -552,6 +552,36 @@ case class BpeCountExpr(child: Expression, merges: Seq[(String, String)],
     copy(child = newChild)
 }
 
+/** Adjacent (l, r) symbol pairs of one separator-wrapped BPE dictionary
+  * word — see [[TextKernels.bpePairs]] for the exact split semantics it
+  * replays. The separator is a plan-time constant; one codegen'd kernel
+  * call per row replaces the interpreted zip_with/slice/split chain that
+  * dominated bpeTrainBatched's per-round pair-count stage.
+  */
+case class BpePairsExpr(child: Expression, sep: String)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("l", StringType, nullable = false),
+    StructField("r", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_bpe_pairs"
+  @transient private lazy val sepU =
+    org.apache.spark.unsafe.types.UTF8String.fromString(sep)
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.bpePairs(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], sepU)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("bpePairsSep", sepU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.TextKernels.bpePairs($v, $s);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Unigram-LM (SentencePiece-class) piece count of ONE word under a
   * trained (piece, integer-micro-cost) table — exact-integer Viterbi, so
   * the count is engine-replayable; the table ships as ONE reference
@@ -954,6 +984,8 @@ object GraftFunctions {
     "graft_bpe_count" -> (es =>
       BpeCountExpr(es(0), decodeMerges(stringLit(es(1), "merges")),
         rescan = es.length > 2 && intLit(es(2), "rescan") == 1)),
+    "graft_bpe_pairs" -> (es =>
+      BpePairsExpr(es(0), stringLit(es(1), "sep"))),
     "graft_vocab_lnp" -> (es =>
       VocabLnpExpr(es(0), decodeVocabLnp(stringLit(es(1), "entries")),
         stringLit(es(2), "floorMicro").toLong)),

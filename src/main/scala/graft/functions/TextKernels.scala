@@ -252,6 +252,49 @@ object TextKernels {
     new GenericArrayData(if (m == count) out else java.util.Arrays.copyOf(out, m))
   }
 
+  /** Adjacent (l, r) symbol pairs of ONE separator-wrapped BPE dictionary
+    * word — the per-merge-round hot kernel of `Quality.bpeTrainBatched`.
+    * Replays EXACTLY the combinator formulation it replaced (fuzz-pinned
+    * in QualitySpec):
+    *
+    *   syms  = substr(seq, 2, numChars-2).split(Pattern.quote(sep+sep), -1)
+    *   pairs = zip(syms.init, syms.tail) as struct(l, r)
+    *
+    * i.e. strip the single edge separator on each side, split LEFT-TO-
+    * RIGHT non-overlapping on the doubled separator (limit -1 — Java
+    * split keeps trailing empties), and pair adjacent symbols. The
+    * combinator form ran INTERPRETED per row (zip_with / slice are
+    * higher-order CodegenFallback expressions) and recompiled the split
+    * regex per row (UTF8String.split Pattern.compiles per call) —
+    * measured r21: ~150 ms of task CPU per merge round over a 500-word
+    * dictionary, ~10 s of q142's 16 s. This kernel is one codegen'd pass.
+    */
+  def bpePairs(seq: UTF8String, sep: UTF8String): ArrayData = {
+    val body = seq.substringSQL(2, seq.numChars() - 2).toString
+    val bound = sep.toString
+    val bb = bound + bound
+    val syms = new scala.collection.mutable.ArrayBuffer[String](8)
+    var i = 0
+    var scanning = true
+    while (scanning) {
+      val j = body.indexOf(bb, i)
+      if (j < 0) { syms += body.substring(i); scanning = false }
+      else { syms += body.substring(i, j); i = j + bb.length }
+    }
+    val m = syms.length - 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var k = 0
+    var prev = UTF8String.fromString(syms(0))
+    while (k < m) {
+      val next = UTF8String.fromString(syms(k + 1))
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(prev, next)
+      prev = next
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-document character-entropy summary in ONE pass over the code
     * points: returns [entropy_micro_units, n_distinct_codepoints] where
     * entropy = units / 1e5 nats — Shannon entropy −Σ p ln p of the code

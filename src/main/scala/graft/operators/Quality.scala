@@ -692,11 +692,30 @@ object Quality {
     require(sep.length == 1, s"sep must be one char, got ${sep.length}")
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val spark = docs.sparkSession
-    var dict = wordFreq(docs, textCol).select(
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    var dict = graft.plans.Iterative.cut(wordFreq(docs, textCol).select(
       concat(lit(sep),
         array_join(regexp_extract_all(col("w"), lit("(?s)."), lit(0)), sep + sep),
-        lit(sep)).as("seq"), col("f"))
-      .localCheckpoint()
+        lit(sep)).as("seq"), col("f")))
+    // Right-size the landed dictionary the way phashDedup sizes its
+    // signature leaf: the vocabulary-bounded frame materializes with the
+    // word-count aggregation's shuffle-partition count, and EVERY merge
+    // round's pair-count job (plus each periodic re-checkpoint) then
+    // schedules that many tasks over what is usually a few-hundred-KB
+    // dictionary — measured q142 at sf0.1: ~65 rounds × 32 tasks over 500
+    // rows, ~16 s of pure task overhead. The cut just produced EXACT
+    // statistics, so the coalesce target derives from real size vs the
+    // session's advisory partition size (scale-adaptive: a 1e9-word dict
+    // keeps hundreds of partitions); the narrowed count propagates through
+    // the re-checkpoints because replace is a narrow projection.
+    locally {
+      val advisory = math.max(1L, spark.sessionState.conf.getConf(
+        org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+      val stats = dict.queryExecution.analyzed.stats
+      val target = ((stats.sizeInBytes + advisory - 1) / advisory)
+        .max(1).min(10000).toInt
+      if (target < dict.rdd.getNumPartitions) dict = dict.coalesce(target)
+    }
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var sinceCheckpoint = 0
@@ -704,18 +723,24 @@ object Quality {
     lastTrainRounds.set(0)
     while (merges.size < numMerges && !exhausted) {
       lastTrainRounds.set(lastTrainRounds.get + 1)
-      // strip the single edge separators (substr, not the deprecated
-      // two-arg trim), then split on the double-sep boundary
-      val syms = split(col("seq").substr(lit(2), length(col("seq")) - 2),
-        java.util.regex.Pattern.quote(sep + sep))
-      val pairs = zip_with(
-        slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
-        slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
-        (a, b) => struct(a.as("l"), b.as("r")))
+      // adjacent symbol pairs in ONE codegen'd kernel call per word —
+      // replaces the substr/split/zip_with/slice combinator chain, which
+      // ran INTERPRETED per row (zip_with/slice are CodegenFallback
+      // higher-order functions) and Pattern.compiled the split regex per
+      // row: measured r21 ~150 ms task CPU per merge round over the
+      // 500-word q142 dict (~10 s of its 16 s). Semantics fuzz-pinned
+      // equal to the old formulation in QualitySpec.
+      val pairs = call_function("graft_bpe_pairs", col("seq"), lit(sep))
       // global top-(K+1) over the VOCAB-bounded pair table: orderBy+limit
       // is a TakeOrderedAndProject (no full sort materialization), and
       // the (n desc, l, r) tuple order is the engine-portable tie rule;
       // the +1 sentinel row detects truncation (and floors unseen counts)
+      // NOTE (r21 probe): AQE stays ON here. It does split every round
+      // into two driver jobs (shuffle-stage job + result job — 148 vs 82
+      // jobs over q142's 65 rounds), but scoping adaptive.enabled=false
+      // around this collect measured NO win once the pair kernel landed
+      // (10.51 → 10.62 s isolated) — the second job is ~13 ms and the
+      // non-AQE single job pays the same stages.
       val table = dict.select(explode(pairs).as("p"), col("f"))
         .groupBy("p").agg(sum("f").as("n"))
         .orderBy(col("n").desc, col("p.l"), col("p.r"))

@@ -594,6 +594,39 @@ class QualitySpec extends SparkSpec {
     assert(viaDf === 1L + 1L + 3L) // "abc"→1 (HF), "abc"→1, "xyz"→3
   }
 
+  test("graft_bpe_pairs kernel == substr/split/zip_with formulation (fuzz)") {
+    // the r21 per-round hot kernel must replay the combinator chain it
+    // replaced bit-for-bit, including the ugly corners: empty symbols,
+    // symbols CONTAINING a single separator, astral chars, and the
+    // degenerate "" empty-word wrap
+    val sep = ""
+    val rnd = new scala.util.Random(20260818L)
+    val alphabet = Seq("a", "b", "ab", "😀", "xy", "", "cd")
+    val seqs = (1 to 300).map { _ =>
+      val n = rnd.nextInt(6)
+      val syms = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+      sep + syms.mkString(sep + sep) + sep
+    } ++ Seq("", sep, sep + sep, sep + "a" + sep)
+    val df = seqs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "seq")
+    val syms = split(col("seq").substr(lit(2), length(col("seq")) - 2),
+      java.util.regex.Pattern.quote(sep + sep))
+    val oldPairs = zip_with(
+      slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      (a, b) => struct(a.as("l"), b.as("r")))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val out = df.select(col("id"), oldPairs.as("o"),
+      call_function("graft_bpe_pairs", col("seq"), lit(sep)).as("k")).collect()
+    out.foreach { r =>
+      val o = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getString(0), p.getString(1)))
+      val k = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(p => (p.getString(0), p.getString(1)))
+      assert(o === k, s"seq #${r.getLong(0)}")
+    }
+  }
+
   test("bpeTrainBatched == sequential bpeTrain, in fewer count jobs") {
     def tups(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
