@@ -139,16 +139,29 @@ object Joins {
         left.join(rightOn, cond, "left").drop(on.map(_ + onSuffix): _*)
       }
     val payload = struct(joined.columns.map(col).toIndexedSeq: _*)
-    val s = score(joined)
-    val kf = keepFirstBy(joined)
+    // Evaluate the (often expensive) score/keepFirstBy expressions ONCE
+    // per candidate row in a codegen'd Project below the aggregation —
+    // graft_min_by is a TypedImperativeAggregate whose orderExpr is
+    // INTERPRETED per input row (HashExtremumBy.update), so leaving the
+    // full scoring tree inside `ord` re-ran every try_cast/isnan of
+    // matchScore interpreted per candidate (r21: q56 4.03 s isolated,
+    // the scoring projection was the cost — guide §4's "built-ins inside
+    // codegen" applied to the agg boundary).
+    require(!joined.columns.exists(_.equalsIgnoreCase("__bm_s")),
+      "bestMatch uses '__bm_s' internally — rename the existing column")
     // min_by over (−score, keyIsNull, key): highest score wins (−score
     // smallest), then the SMALLEST keepFirstBy — negating the score
     // instead of the key keeps `keepFirstBy` free to be any orderable
     // type (timestamp, string), not just numeric. The isNull field keeps
     // a null key from beating real keys under min (nulls-last, the same
-    // guard as [[Dedup.keepFirst]]).
-    val ord = struct(-s, kf.isNull, kf)
-    joined.groupBy(leftId.map(col).toIndexedSeq: _*)
+    // guard as [[Dedup.keepFirst]]). The whole struct is projected as one
+    // column so the aggregate's per-row orderExpr eval is a single bound
+    // reference.
+    val s = score(joined)
+    val kf = keepFirstBy(joined)
+    val prepped = joined.withColumn("__bm_s", struct(-s, kf.isNull, kf))
+    val ord = col("__bm_s")
+    prepped.groupBy(leftId.map(col).toIndexedSeq: _*)
       .agg(call_function("graft_min_by", payload, ord).as("__row"))
       .select(col("__row.*"))
   }
