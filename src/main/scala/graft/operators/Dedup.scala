@@ -184,14 +184,18 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("nc")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nc")).as("nbr"))
-      val next = labels.as("l").join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .transform(graft.plans.Iterative.cut)
-      converged = next.as("n")
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev"))
-        .head(1).isEmpty
-      labels = next
+      // fold the convergence probe into the round's one materialization:
+      // a label changes exactly when some neighbor label undercuts it,
+      // so `__chg` rides the cut job instead of costing a separate
+      // next-join-labels + head action per round (r21, one job/round off)
+      val (nextAll, changed) = graft.plans.Iterative.cutCounting(
+        labels.as("l").join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+            (coalesce(col("nbr"), col("comp")) < col("comp")).as("__chg")),
+        "__chg")
+      converged = changed == 0L
+      labels = nextAll.drop("__chg")
       i += 1
     }
     // an unconverged exit would silently return SPLIT components (several

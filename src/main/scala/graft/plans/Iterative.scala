@@ -21,4 +21,13 @@ object Iterative {
     */
   def cut(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftglue.StatsSafeCheckpoint(df)
+
+  /** [[cut]] that ALSO answers "how many rows set boolean `flagCol`?"
+    * in the SAME materialization job — the iterative loop's convergence
+    * probe without a follow-up join + head action per round (r21: the
+    * CC loop paid one such job every round). Retry-safe: the count sums
+    * per-partition results, not accumulators.
+    */
+  def cutCounting(df: DataFrame, flagCol: String): (DataFrame, Long) =
+    org.apache.spark.sql.graftglue.StatsSafeCheckpoint.counting(df, flagCol)
 }

@@ -37,7 +37,23 @@ import org.apache.spark.sql.execution.LogicalRDD
   * developer-facing pieces otherwise (LogicalRDD, executedPlan).
   */
 object StatsSafeCheckpoint {
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = apply(df, None)._1
+
+  /** [[apply]] that ALSO counts, in the SAME materialization job, the
+    * rows whose boolean `flagCol` is true — the iterative-loop
+    * convergence probe ("did anything change this round?") without its
+    * own follow-up job. The count is result-based (summed per-partition
+    * tuples, not an accumulator), so task retries cannot inflate it.
+    */
+  def counting(df: DataFrame, flagCol: String): (DataFrame, Long) = {
+    val ord = df.asInstanceOf[Dataset[Row]].queryExecution.analyzed.output
+      .indexWhere(_.name == flagCol)
+    require(ord >= 0, s"StatsSafeCheckpoint.counting: no column '$flagCol'")
+    val (out, flagged) = apply(df, Some(ord))
+    (out, flagged)
+  }
+
+  private def apply(df: DataFrame, flagOrdinal: Option[Int]): (DataFrame, Long) = {
     val ds = df.asInstanceOf[Dataset[Row]]
     val spark = ds.sparkSession
     val qe = ds.queryExecution
@@ -45,11 +61,24 @@ object StatsSafeCheckpoint {
     // mirror Dataset.checkpoint's withAction: the materialization runs
     // under a SQL execution id so the job shows up in the SQL UI with
     // tracked metrics instead of as an orphan RDD job
-    val (internal, rows) = org.apache.spark.sql.execution.SQLExecution
+    val (internal, rows, flagged) = org.apache.spark.sql.execution.SQLExecution
       .withNewExecutionId(qe, Some("statsSafeCheckpoint")) {
         val rdd = physical.execute().map(_.copy())
         rdd.localCheckpoint()
-        (rdd, rdd.count())
+        flagOrdinal match {
+          case None => (rdd, rdd.count(), 0L)
+          case Some(ord) =>
+            val perPart = rdd.mapPartitions { it =>
+              var n = 0L
+              var f = 0L
+              it.foreach { r =>
+                n += 1
+                if (!r.isNullAt(ord) && r.getBoolean(ord)) f += 1
+              }
+              Iterator.single((n, f))
+            }.collect()
+            (rdd, perPart.iterator.map(_._1).sum, perPart.iterator.map(_._2).sum)
+        }
       }
     // mirror Dataset.checkpoint: a PartitioningCollection can't outlive
     // its plan — keep its first concrete member, else drop to unknown
@@ -74,9 +103,9 @@ object StatsSafeCheckpoint {
     // constraints (isNotNull facts etc.) are plan-derived, not
     // estimate-derived — they don't compound across folds, so carry
     // them exactly as the stock localCheckpoint does
-    Dataset.ofRows(spark,
+    (Dataset.ofRows(spark,
       LogicalRDD(qe.analyzed.output, internal, partitioning,
         physical.outputOrdering)(spark, originStats = Some(stats),
-        originConstraints = Some(qe.analyzed.constraints)))
+        originConstraints = Some(qe.analyzed.constraints))), flagged)
   }
 }
