@@ -265,7 +265,8 @@ object Quality {
     */
   def unigramVocab(corpus: DataFrame, textCol: String,
                    maxVocab: Int = 1 << 16): UnigramVocab =
-    parseUnigramRow(unigramVocabFrame(corpus, textCol, maxVocab).head(), 0)
+    parseUnigramRow(unigramVocabFrame(corpus, textCol, maxVocab).head(),
+      "t", "top")
 
   /** The ONE-ROW (t, top) frame behind [[unigramVocab]] — exposed so the
     * bigram/trigram builders can ride it in the SAME collect job as
@@ -286,14 +287,28 @@ object Quality {
           struct(col("tok"), col("c")), col("c"), col("tok"), lit(maxVocab)).as("top"))
   }
 
-  /** Parse a (t, top) pair out of a row at field offset `at`. */
+  /** Parse a (total, top) pair out of a row BY FIELD NAME — the crossJoin
+    * readers (bigramVocab/trigramVocab) resolve aliases via fieldIndex so
+    * a future column reorder mis-binds loudly instead of silently
+    * (adjacent heap fields share types — r20 advice).
+    */
   private def parseUnigramRow(r: org.apache.spark.sql.Row,
-                              at: Int): UnigramVocab = {
+                              tField: String, topField: String): UnigramVocab = {
     // empty/all-blank corpus: sum is NULL, top is empty — total clamps to
     // 1 and every (nonexistent) token would take the floor; no NPE
-    val total = (if (r.isNullAt(at)) 1L else r.getLong(at)).max(1L)
-    UnigramVocab(r.getSeq[org.apache.spark.sql.Row](at + 1)
+    val ti = r.fieldIndex(tField)
+    val total = (if (r.isNullAt(ti)) 1L else r.getLong(ti)).max(1L)
+    UnigramVocab(rowsByName(r, topField)
       .map(x => (x.getString(0), x.getLong(1))), total)
+  }
+
+  /** Seq[Row]-valued field by NAME, empty when NULL — same coupling-to-
+    * aliases rationale as [[parseUnigramRow]].
+    */
+  private def rowsByName(r: org.apache.spark.sql.Row,
+                         name: String): Seq[org.apache.spark.sql.Row] = {
+    val i = r.fieldIndex(name)
+    if (r.isNullAt(i)) Seq.empty else r.getSeq[org.apache.spark.sql.Row](i)
   }
 
   /** The (id, tok) token stream with the null/blank guard — one row per
@@ -1216,6 +1231,12 @@ object Quality {
     // (prev, tok) aggregation EXCHANGE within the job (separate head()
     // calls re-ran it — reuse never spans jobs), and the unigram stream
     // runs concurrently instead of as a fourth sequential pass.
+    // NOTE: one-row crossJoins plan as BroadcastNestedLoopJoin, so the
+    // corpus-sized aggregations build UNDER a BroadcastExchange — with
+    // AQE on (graft's session default, Sessions.tune) the shuffle stages
+    // materialize as their own jobs outside the broadcast thread; a
+    // non-AQE deployment must finish each sub-plan within
+    // spark.sql.broadcastTimeout or raise it.
     val (topF, firstF) =
       bigramVocabFrames(corpus, textCol, maxBigrams, maxVocab)
     val row = topF.select(col("top").as("__bi_top"))
@@ -1223,13 +1244,11 @@ object Quality {
       .crossJoin(unigramVocabFrame(corpus, textCol, maxVocab)
         .select(col("t").as("__uni_t"), col("top").as("__uni_top")))
       .head()
-    def rows3(r: org.apache.spark.sql.Row, i: Int) =
-      if (r.isNullAt(i)) Seq.empty[org.apache.spark.sql.Row]
-      else r.getSeq[org.apache.spark.sql.Row](i)
     BigramVocab(
-      rows3(row, 0).map(r => (r.getString(0), r.getString(1), r.getLong(2))),
-      rows3(row, 1).map(r => (r.getString(0), r.getLong(1))),
-      parseUnigramRow(row, 2))
+      rowsByName(row, "__bi_top")
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+      rowsByName(row, "__bi_first").map(r => (r.getString(0), r.getLong(1))),
+      parseUnigramRow(row, "__uni_t", "__uni_top"))
   }
 
   /** Score docs under a capped bigram LM with unigram-backoff
@@ -1333,6 +1352,7 @@ object Quality {
                    maxBigrams: Int = 1 << 18,
                    maxVocab: Int = 1 << 16): TrigramVocab = {
     // all four single-row aggregates in ONE action — see [[bigramVocab]]
+    // (incl. its non-AQE broadcastTimeout note)
     val (topF, firstF) =
       bigramVocabFrames(corpus, textCol, maxBigrams, maxVocab)
     val row = trigramVocabFrame(corpus, textCol, maxTrigrams)
@@ -1342,15 +1362,13 @@ object Quality {
       .crossJoin(unigramVocabFrame(corpus, textCol, maxVocab)
         .select(col("t").as("__uni_t"), col("top").as("__uni_top")))
       .head()
-    def rows3(r: org.apache.spark.sql.Row, i: Int) =
-      if (r.isNullAt(i)) Seq.empty[org.apache.spark.sql.Row]
-      else r.getSeq[org.apache.spark.sql.Row](i)
-    val tri = rows3(row, 0)
+    val tri = rowsByName(row, "__tri_top")
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
     TrigramVocab(tri, BigramVocab(
-      rows3(row, 1).map(r => (r.getString(0), r.getString(1), r.getLong(2))),
-      rows3(row, 2).map(r => (r.getString(0), r.getLong(1))),
-      parseUnigramRow(row, 3)))
+      rowsByName(row, "__bi_top")
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+      rowsByName(row, "__bi_first").map(r => (r.getString(0), r.getLong(1))),
+      parseUnigramRow(row, "__uni_t", "__uni_top")))
   }
 
   /** Score docs under a capped TRIGRAM LM with interpolated backoff —
