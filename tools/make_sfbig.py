@@ -6,7 +6,7 @@ by construction — interpret near-dup benchmarks accordingly (SURVEY §8).
 
 Usage: python3 tools/make_sfbig.py [reps] [outdir=/tmp/sfbig]
 """
-import sys, os
+import sys, os, glob
 import duckdb
 
 reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
@@ -28,12 +28,16 @@ import shutil
 for t in passthrough:
     d = f"{out}/{t}.parquet"
     shutil.rmtree(d, ignore_errors=True); os.makedirs(d)
-    con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '/root/testdata/sf0.1/{t}.parquet'")
+    src = f"/root/testdata/sf0.1/{t}.parquet"
+    src_glob = f"{src}/*.parquet" if os.path.isdir(src) else src
+    con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src_glob}'")
     con.execute(f"COPY (SELECT * FROM src) TO '{d}/part-0.parquet' (FORMAT PARQUET)")
 for t, (sql, stride) in specs.items():
     d = f"{out}/{t}.parquet"
     shutil.rmtree(d, ignore_errors=True); os.makedirs(d)
-    con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '/root/testdata/sf0.1/{t}.parquet'")
+    src = f"/root/testdata/sf0.1/{t}.parquet"
+    src_glob = f"{src}/*.parquet" if os.path.isdir(src) else src
+    con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src_glob}'")
     for r in range(reps):
         con.execute(f"COPY ({sql.format(off=r * stride, r=r)}) TO '{d}/part-{r}.parquet' (FORMAT PARQUET)")
     n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
