@@ -582,6 +582,50 @@ case class BpePairsExpr(child: Expression, sep: String)
     copy(child = newChild)
 }
 
+/** Rolling k-gram hashes of one token array — see
+  * [[TextKernels.rollingGramHashes]]; one codegen'd pass replaces the
+  * interpreted transform-of-aggregate-over-slice chain per gram.
+  */
+case class RollingGramHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes_rolling"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.rollingGramHashes(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      v => s"${ev.value} = graft.functions.TextKernels.rollingGramHashes($v, $k);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The span-strip cover fold + token cut — see [[TextKernels.spanCut]].
+  * Input: (token array, sorted distinct starts, k literal); output
+  * struct (spans, toks, clean). Null-safe like every kernel wrapper —
+  * the call site coalesces a null token array to empty and re-nulls
+  * clean_text afterwards, preserving the combinator form's semantics.
+  */
+case class SpanCutExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.checkArrayInputs(prettyName, children.map(_.dataType),
+      Seq(ArrayType(StringType), ArrayType(IntegerType)))
+  override def dataType: DataType = StructType(Seq(
+    StructField("spans", LongType, nullable = false),
+    StructField("toks", LongType, nullable = false),
+    StructField("clean", StringType, nullable = true)))
+  override def prettyName: String = "graft_span_cut"
+  override protected def nullSafeEval(t: Any, s: Any): Any =
+    TextKernels.spanCut(t.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = graft.functions.TextKernels.spanCut($t, $s, $k);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Unigram-LM (SentencePiece-class) piece count of ONE word under a
   * trained (piece, integer-micro-cost) table — exact-integer Viterbi, so
   * the count is engine-replayable; the table ships as ONE reference
@@ -986,6 +1030,16 @@ object GraftFunctions {
         rescan = es.length > 2 && intLit(es(2), "rescan") == 1)),
     "graft_bpe_pairs" -> (es =>
       BpePairsExpr(es(0), stringLit(es(1), "sep"))),
+    "graft_gram_hashes_rolling" -> (es => {
+      val k = intLit(es(1), "k")
+      require(k >= 1, s"graft_gram_hashes_rolling needs k >= 1, got $k")
+      RollingGramHashesExpr(es(0), k)
+    }),
+    "graft_span_cut" -> (es => {
+      val k = intLit(es(2), "k")
+      require(k >= 1, s"graft_span_cut needs k >= 1, got $k")
+      SpanCutExpr(es(0), es(1), k)
+    }),
     "graft_vocab_lnp" -> (es =>
       VocabLnpExpr(es(0), decodeVocabLnp(stringLit(es(1), "entries")),
         stringLit(es(2), "floorMicro").toLong)),

@@ -295,6 +295,109 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Rolling k-gram hashes of a token array — the span-strip family's
+    * occurrence-stream hash (Dedup.spanOccurrences) in ONE compiled pass.
+    * Replays the combinator formulation bit-for-bit (spec-pinned in
+    * DupSpanSpec): per gram start i (0-based), fold the k token hashes
+    * h = xxhash64(token, seed 42) through
+    * acc' = (acc <<< 5) ^ h starting at -7046029254386353131L — the
+    * rotate-xor of `gramHashFold`. Returns n-k+1 hashes, or EMPTY when
+    * the array has fewer than k tokens (the allStarts guard). The old
+    * form — transform(starts, i => aggregate(slice(__th, i+1, k), …)) —
+    * ran INTERPRETED per gram with a slice allocation each (r21: the
+    * 1-task ~1 s CPU stages of q154/q157/q158).
+    */
+  def rollingGramHashes(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      // a NULL token leaves xxhash64 at its seed (Spark skips nulls)
+      th(i) = if (t == null) 42L else XxHash64Function.hash(t, StringType, 42L)
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    var s = 0
+    while (s <= n - k) {
+      var acc = -7046029254386353131L
+      var j = 0
+      while (j < k) {
+        acc = ((acc << 5) | (acc >>> 59)) ^ th(s + j)
+        j += 1
+      }
+      out(s) = acc
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The span-strip family's per-document cover fold + token cut in ONE
+    * compiled pass (Dedup.cutCovered's tail): given the token array, the
+    * SORTED distinct duplicated-gram starts and k, returns
+    * (dup_spans, dup_tokens, clean_text) with exactly the combinator
+    * semantics (spec-pinned in DupSpanSpec):
+    *  - spans/tokens via the (spans, toks, pe) fold — a new span opens
+    *    when s > pe + 1; covered tokens accumulate end − max(pe, s−1)
+    *    clamped at 0; pe = max(pe, s+k−1);
+    *  - clean_text = tokens whose index is covered by NO start, joined
+    *    by single spaces (starts sorted ⇒ the cover test is a merge, not
+    *    the old O(tokens × starts) interpreted exists-filter);
+    *  - a NULL token array yields NULL clean_text but still folds the
+    *    starts (matching filter(null…) → null under the old form).
+    */
+  def spanCut(toks: ArrayData, starts: ArrayData, k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val g = starts.numElements()
+    var spans = 0L
+    var cov = 0L
+    var pe = -2L
+    var si = 0
+    while (si < g) {
+      val s = starts.getInt(si).toLong
+      val end = s + (k - 1)
+      if (s > pe + 1) spans += 1
+      val add = end - math.max(pe, s - 1)
+      if (add > 0) cov += add
+      if (end > pe) pe = end
+      si += 1
+    }
+    val clean: UTF8String =
+      if (toks == null) null
+      else {
+        val n = toks.numElements()
+        val keep = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+        var coverEnd = -1L
+        var j = 0
+        var i = 0
+        while (i < n) {
+          while (j < g && starts.getInt(j) <= i) {
+            val e2 = starts.getInt(j).toLong + (k - 1)
+            if (e2 > coverEnd) coverEnd = e2
+            j += 1
+          }
+          if (i > coverEnd) {
+            val t = toks.getUTF8String(i)
+            if (t != null) keep += t // array_join drops null elements
+          }
+          i += 1
+        }
+        if (keep.isEmpty) UTF8String.EMPTY_UTF8
+        else {
+          val parts = new Array[UTF8String](2 * keep.length - 1)
+          val sp = UTF8String.fromString(" ")
+          var m = 0
+          while (m < keep.length) {
+            parts(2 * m) = keep(m)
+            if (m < keep.length - 1) parts(2 * m + 1) = sp
+            m += 1
+          }
+          UTF8String.concat(parts: _*)
+        }
+      }
+    org.apache.spark.sql.catalyst.InternalRow(spans, cov, clean)
+  }
+
   /** Per-document character-entropy summary in ONE pass over the code
     * points: returns [entropy_micro_units, n_distinct_codepoints] where
     * entropy = units / 1e5 nats — Shannon entropy −Σ p ln p of the code

@@ -1040,6 +1040,7 @@ object Dedup {
       textCol: String, k: Int, winnow: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"stripDupSpans needs k >= 1, got $k")
     require(winnow >= 1, s"stripDupSpans needs winnow >= 1, got $winnow")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val id = col(idCol)
     // NOTE (r20 probe): do NOT localCheckpoint `base` here. Its multiple
     // references (candidate agg, candidate semi join, string confirm,
@@ -1057,14 +1058,24 @@ object Dedup {
     val allStarts =
       when(col("n_tokens") >= k, sequence(lit(0), col("n_tokens") - k))
         .otherwise(array().cast("array<int>"))
-    val withArr = base
-      .withColumn("__th", transform(col("__toks"), t => xxhash64(t)))
-      .withColumn("__gh_arr",
-        transform(allStarts, i =>
-          gramHashFold(slice(col("__th"), i + lit(1), lit(k)))))
-    val withSel =
-      if (winnow == 1) withArr.withColumn("__sel", allStarts)
-      else {
+    // rolling gram hashes in ONE codegen'd kernel pass (formula-identical
+    // to gramHashFold, spec-pinned) — the transform-of-aggregate-over-
+    // slice combinator form ran INTERPRETED per gram with a slice
+    // allocation each; r21 measured it as the family's dominant task CPU
+    val withArr = base.withColumn("__gh_arr",
+      call_function("graft_gram_hashes_rolling",
+        coalesce(col("__toks"), array().cast("array<string>")), lit(k)))
+    // exact path: every start is selected, so the occurrence stream is a
+    // plain posexplode of the hash array (codegen Generate) — the
+    // transform-to-struct form below is only needed when winnowing picks
+    // a subset, and runs interpreted (higher-order function)
+    if (winnow == 1) {
+      val occ1 = withArr
+        .select(id, posexplode(col("__gh_arr")))
+        .select(id, col("pos").as("__pos"), col("col").as("__gh"))
+      return (base, occ1)
+    }
+    val withSel = {
         val w = winnow
         // per-window leftmost argmin over the gram-hash array; a
         // window's pick depends only on its own w hashes, so picks
@@ -1101,6 +1112,7 @@ object Dedup {
     val candStr = candOcc
       .join(base, Seq(idCol))
       .select(id, col("__pos"), gramAtCol(k)(col("__pos")).as("__gram"))
+      .transform(graft.plans.Iterative.cut)
     val dupGram = candStr.groupBy("__gram")
       .agg(min(id).as("__dmin"), max(id).as("__dmax"))
       .where(col("__dmin") =!= col("__dmax")).select("__gram")
@@ -1115,36 +1127,27 @@ object Dedup {
     */
   private def cutCovered(base: DataFrame, hits: DataFrame,
       idCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(base.sparkSession)
     val id = col(idCol)
     val perDoc = hits.groupBy(id)
       .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
-    val e = lit(k - 1)
-    val st = aggregate(col("__starts"),
-      struct(lit(0L).as("spans"), lit(0L).as("toks"), lit(-2L).as("pe")),
-      (acc, s0) => {
-        val s = s0.cast("long")
-        val end = s + e
-        struct(
-          (acc.getField("spans") +
-            when(s > acc.getField("pe") + 1, 1L).otherwise(0L)).as("spans"),
-          (acc.getField("toks") +
-            greatest(end - greatest(acc.getField("pe"), s - 1), lit(0L)))
-            .as("toks"),
-          greatest(acc.getField("pe"), end).as("pe"))
-      })
+    // cover fold + token cut in ONE codegen'd kernel pass per doc
+    // (graft_span_cut, spec-pinned equal to the old aggregate-fold +
+    // filter/exists combinators, which ran INTERPRETED and made the cut
+    // O(tokens × starts) per doc — r21, the family's 1-task ~1 s CPU
+    // stages). A null token array coalesces to empty for the kernel and
+    // clean_text is re-nulled after, exactly the old filter(null) → null.
     base.join(perDoc, Seq(idCol), "left")
-      .withColumn("__starts",
-        coalesce(col("__starts"), array().cast("array<int>")))
-      .withColumn("__st", st)
+      .withColumn("__st", call_function("graft_span_cut",
+        coalesce(col("__toks"), array().cast("array<string>")),
+        coalesce(col("__starts"), array().cast("array<int>")), lit(k)))
       .select(id,
         col("n_tokens").cast("long").as("n_tokens"),
         col("__st.spans").as("dup_spans"),
         col("__st.toks").as("dup_tokens"),
         round(col("__st.toks").cast("double") / col("n_tokens"), 5)
           .as("dup_ratio"),
-        array_join(
-          filter(col("__toks"), (t, i) =>
-            !exists(col("__starts"), s => s <= i && i < s + lit(k))),
-          " ").as("clean_text"))
+        when(col("__toks").isNull, lit(null).cast("string"))
+          .otherwise(col("__st.clean")).as("clean_text"))
   }
 }

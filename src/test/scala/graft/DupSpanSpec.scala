@@ -320,6 +320,71 @@ class DupSpanSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("r21 kernels == combinator formulations (rolling gram hash, span cut; fuzz)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(20260819L)
+    val words = Seq("a", "bb", "ccc", "dd", "e", "😀", "ff", "g", "hh", "i")
+    val texts = (1 to 200).map { _ =>
+      Seq.fill(rnd.nextInt(30))(words(rnd.nextInt(words.length))).mkString(" ")
+    } ++ Seq("", "   ", "a b c")
+    val k = 1 + rnd.nextInt(4)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), split(trim(col("t")), " ").as("__toks"))
+    // rolling gram hashes: kernel vs the transform/aggregate/slice chain
+    val th = transform(col("__toks"), t => xxhash64(t))
+    val n = size(col("__toks"))
+    val starts = when(n >= k, sequence(lit(0), n - k))
+      .otherwise(array().cast("array<int>"))
+    val fold = (hs: org.apache.spark.sql.Column) =>
+      aggregate(hs, lit(-7046029254386353131L),
+        (acc, h) => (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)))
+          .bitwiseXOR(h))
+    val oldArr = transform(starts, i => fold(slice(th, i + lit(1), lit(k))))
+    val cmp = df.select(col("id"), oldArr.as("o"),
+      call_function("graft_gram_hashes_rolling", col("__toks"), lit(k)).as("kk"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"gram hashes, id ${r.getLong(0)}")
+    }
+    // span cut: kernel vs the fold + filter/exists combinators, random
+    // sorted distinct starts
+    val withStarts = df.withColumn("__starts",
+      array_distinct(sort_array(when(n >= k,
+        filter(sequence(lit(0), n - k), s => pmod(xxhash64(s), lit(3)) === 0))
+        .otherwise(array().cast("array<int>")))))
+    val e = lit(k - 1)
+    val stOld = aggregate(col("__starts"),
+      struct(lit(0L).as("spans"), lit(0L).as("toks"), lit(-2L).as("pe")),
+      (acc, s0) => {
+        val s = s0.cast("long")
+        val end = s + e
+        struct(
+          (acc.getField("spans") +
+            when(s > acc.getField("pe") + 1, 1L).otherwise(0L)).as("spans"),
+          (acc.getField("toks") +
+            greatest(end - greatest(acc.getField("pe"), s - 1), lit(0L))).as("toks"),
+          greatest(acc.getField("pe"), end).as("pe"))
+      })
+    val cleanOld = array_join(
+      filter(col("__toks"), (t, i) =>
+        !exists(col("__starts"), s => s <= i && i < s + lit(k))), " ")
+    val out = withStarts
+      .withColumn("__k", call_function("graft_span_cut",
+        col("__toks"), col("__starts"), lit(k)))
+      .select(col("id"), stOld.getField("spans").as("os"),
+        stOld.getField("toks").as("ot"), cleanOld.as("oc"),
+        col("__k.spans").as("ks"), col("__k.toks").as("kt"),
+        col("__k.clean").as("kc"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(1) === r.getLong(4), s"spans, id ${r.getLong(0)}")
+      assert(r.getLong(2) === r.getLong(5), s"toks, id ${r.getLong(0)}")
+      assert(r.getString(3) === r.getString(6), s"clean, id ${r.getLong(0)}")
+    }
+  }
+
   test("partition-invariant: repartitioned input gives identical rows") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
